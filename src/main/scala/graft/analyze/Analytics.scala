@@ -1,0 +1,235 @@
+package graft.analyze
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation / window / top-k operators — the analysis surface of the
+  * reference (`/root/reference/src/analyze.py`), re-expressed as declarative
+  * Spark plans so Catalyst gets partial aggregation, whole-stage codegen and
+  * pushdown for free.
+  *
+  * Generic over (group key, time, value) column names: the reference's
+  * weather table maps onto the driver `events` table as
+  * city→event_type, timestamp→ts, temperature→value (FIXTURES.md §B).
+  *
+  * Scale posture (100 TB): every function here is a single `groupBy` /
+  * `Window` — one shuffle on the grouping key, map-side partial aggregation,
+  * no driver-side collection. Exact `percentile`/`median` have
+  * `percentile_approx` twins behind the `exact` flag where noted.
+  */
+object Analytics {
+
+  /** Round helper: all published numerics rounded (reference load.py:192
+    * pattern) — also pins cross-engine float determinism for the oracle.
+    */
+  private def r(c: Column, scale: Int = 4): Column = round(c, scale)
+
+  /** A1 (analyze.py:146-183): global multi-aggregate basic stats.
+    * count, ts range, min/max/mean/median of value.
+    * `median` is exact (Spark 3.4+); at 100 TB flip `exact=false` for the
+    * one-pass `percentile_approx` sketch.
+    */
+  def basicStats(df: DataFrame, ts: String, value: String, exact: Boolean = true): DataFrame = {
+    val med = if (exact) median(col(value)) else percentile_approx(col(value), lit(0.5), lit(10000))
+    df.agg(
+      count(lit(1)).as("record_count"),
+      date_format(min(col(ts)), "yyyy-MM-dd HH:mm:ss").as("ts_min"),
+      date_format(max(col(ts)), "yyyy-MM-dd HH:mm:ss").as("ts_max"),
+      r(min(col(value))).as("value_min"),
+      r(max(col(value))).as("value_max"),
+      r(avg(col(value))).as("value_mean"),
+      r(med).as("value_median"))
+  }
+
+  /** A2 (analyze.py:185-213): per-group multi-aggregate comparison.
+    * One shuffle on `key`; partial agg map-side.
+    */
+  def groupMultiAgg(df: DataFrame, key: String, value: String): DataFrame =
+    df.groupBy(key).agg(
+        r(avg(col(value))).as("value_mean"),
+        r(min(col(value))).as("value_min"),
+        r(max(col(value))).as("value_max"),
+        count(lit(1)).as("n"))
+      .orderBy(col(key))
+
+  /** A3 (analyze.py:216-218): warmest/coldest group = argmax/argmin of the
+    * per-group mean. `max_by`/`min_by` over the tiny A2 result — no second
+    * shuffle, no `orderBy().limit(1)` job per extreme.
+    */
+  def extremeGroups(df: DataFrame, key: String, value: String): DataFrame = {
+    val byGroup = df.groupBy(key).agg(avg(col(value)).as("m"))
+    byGroup.agg(
+      max_by(col(key), struct(col("m"), col(key))).as("highest"),
+      min_by(col(key), struct(col("m"), col(key).desc)).as("lowest_tiebreak_ignore"))
+      .select(col("highest"), col("lowest_tiebreak_ignore"))
+  }
+
+  /** A3, oracle-friendly form: two labelled rows (kind, key, rounded mean),
+    * deterministic tie-break on key.
+    */
+  def extremeGroupsLabelled(df: DataFrame, key: String, value: String): DataFrame = {
+    val byGroup = df.groupBy(key).agg(avg(col(value)).as("m"))
+    val hi = byGroup.orderBy(col("m").desc, col(key).asc).limit(1)
+      .select(lit("highest").as("kind"), col(key).as("group_key"), r(col("m")).as("value_mean"))
+    val lo = byGroup.orderBy(col("m").asc, col(key).asc).limit(1)
+      .select(lit("lowest").as("kind"), col(key).as("group_key"), r(col("m")).as("value_mean"))
+    hi.unionByName(lo).orderBy("kind")
+  }
+
+  /** A4 (analyze.py:239-243): two-key (date, group) aggregation — the daily
+    * rollup. Calendar-date bucketing = `to_date`; in streaming this same
+    * shape is a 1-day tumbling window (see graft.streaming).
+    */
+  def dailyAgg(df: DataFrame, ts: String, key: String, value: String): DataFrame =
+    df.groupBy(to_date(col(ts)).as("d"), col(key))
+      .agg(r(avg(col(value))).as("value_mean"),
+           r(min(col(value))).as("value_min"),
+           r(max(col(value))).as("value_max"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("date"), col(key),
+              col("value_mean"), col("value_min"), col("value_max"))
+      .orderBy(col("date"), col(key))
+
+  /** A5 (analyze.py:276): value_counts — frequency distribution, desc. */
+  def valueCounts(df: DataFrame, key: String): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(key))
+
+  /** A6 (analyze.py:283-286): per-group mode (most frequent category).
+    * pandas breaks frequency ties by first-encounter order — nondeterministic
+    * under parallel scan — so we pin (count desc, category asc)
+    * (SURVEY §5.2 determinism rules). One shuffle on (group,cat) then a
+    * cheap window over the small aggregate.
+    */
+  def modePerGroup(df: DataFrame, group: String, cat: String): DataFrame = {
+    val counts = df.groupBy(group, cat).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(group).orderBy(col("cnt").desc, col(cat).asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(group), col(cat).as("mode_value"), col("cnt"))
+      .orderBy(group)
+  }
+
+  /** A7 (load.py:188-196): per-group summary with multi-agg + round(2). */
+  def summaryRounded(df: DataFrame, key: String, values: Seq[String]): DataFrame = {
+    val aggs = values.flatMap { v =>
+      Seq(r(avg(col(v)), 2).as(s"${v}_mean"),
+          r(min(col(v)), 2).as(s"${v}_min"),
+          r(max(col(v)), 2).as(s"${v}_max"))
+    }
+    df.groupBy(key).agg(aggs.head, aggs.tail: _*).orderBy(col(key))
+  }
+
+  /** A8 (transform.py:174-178): p05/p95 outlier bounds per column.
+    * Exact `percentile` (linear interpolation — matches DuckDB
+    * `quantile_cont` and pandas default); `percentile_approx` at scale.
+    */
+  def percentileBounds(df: DataFrame, values: Seq[String], lo: Double = 0.05,
+                       hi: Double = 0.95, k: Double = 1.5): DataFrame = {
+    val aggs = values.flatMap { v =>
+      val q1 = percentile(col(v), lit(lo))
+      val q3 = percentile(col(v), lit(hi))
+      val iqr = q3 - q1
+      Seq(r(q1).as(s"${v}_q_lo"), r(q3).as(s"${v}_q_hi"),
+          r(q1 - k * iqr).as(s"${v}_lb"), r(q3 + k * iqr).as(s"${v}_ub"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A9 (transform.py:188): exact median per column. */
+  def medians(df: DataFrame, values: Seq[String]): DataFrame = {
+    val aggs = values.map(v => r(median(col(v))).as(s"${v}_median"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A10 (transform.py:181-182): outlier census — count of values outside
+    * the p05/p95 ± k·IQR fence. The bounds are themselves aggregates, so the
+    * plan is agg → broadcast 1-row cross join → conditional count: two jobs,
+    * zero driver collection, broadcast keeps it shuffle-free at any scale.
+    */
+  def outlierCensus(df: DataFrame, value: String, lo: Double = 0.05,
+                    hi: Double = 0.95, k: Double = 1.5): DataFrame = {
+    val bounds = df.agg(
+      percentile(col(value), lit(lo)).as("q1"),
+      percentile(col(value), lit(hi)).as("q3"))
+      .select(col("q1"), col("q3"),
+        (col("q1") - lit(k) * (col("q3") - col("q1"))).as("lb"),
+        (col("q3") + lit(k) * (col("q3") - col("q1"))).as("ub"))
+    df.crossJoin(broadcast(bounds))
+      .agg(
+        sum(when(col(value) < col("lb") || col(value) > col("ub"), 1).otherwise(0)).as("outliers"),
+        count(lit(1)).as("total"))
+      .select(col("outliers"), col("total"),
+              r(col("outliers") / col("total"), 6).as("outlier_rate"))
+  }
+
+  /** A11 (weather_pipeline_dag.py:221): distinct values, sorted. */
+  def distinctValues(df: DataFrame, key: String): DataFrame =
+    df.select(key).distinct().orderBy(key)
+
+  /** A12 (weather_pipeline_dag.py:219-228): simple global means. */
+  def globalMeans(df: DataFrame, value: String): DataFrame =
+    df.agg(count(lit(1)).as("record_count"),
+           r(avg(col(value))).as("value_mean"),
+           r(min(col(value))).as("value_min"),
+           r(max(col(value))).as("value_max"))
+
+  /** A13 (analyze.py:441-442): linear-regression aggregate — np.polyfit(x,y,1)
+    * as the built-in `regr_slope`/`regr_intercept`/`corr` (single pass,
+    * codegen'd, partial-aggregable — no per-partition polyfit).
+    */
+  def regression(df: DataFrame, x: String, y: String): DataFrame =
+    df.agg(r(regr_slope(col(y), col(x)), 6).as("slope"),
+           r(regr_intercept(col(y), col(x)), 6).as("intercept"),
+           r(corr(col(y), col(x)), 6).as("correlation"),
+           count(lit(1)).as("n"))
+
+  /** W1+W2 (analyze.py:246-258): per-group day-over-day diff (lag window)
+    * and its summary stats + warming/cooling sign classifier.
+    * Daily pre-aggregation first (shrinks the window input by the per-day
+    * fan-in), then one window shuffle on the group key. The reference's
+    * zero-sum edge ⇒ 'cooling' (analyze.py:257) is preserved: strict `> 0`.
+    */
+  def trendAnalysis(df: DataFrame, ts: String, key: String, value: String): DataFrame = {
+    val daily = df.groupBy(col(key), to_date(col(ts)).as("d"))
+      .agg(avg(col(value)).as("v"))
+    val w = Window.partitionBy(key).orderBy("d")
+    val withChg = daily.withColumn("chg", col("v") - lag("v", 1).over(w))
+      .filter(col("chg").isNotNull)
+    withChg.groupBy(key).agg(
+        r(avg(col("chg"))).as("avg_daily_change"),
+        r(max(col("chg"))).as("max_increase"),
+        r(min(col("chg"))).as("max_decrease"),
+        when(sum(col("chg")) > 0, "warming").otherwise("cooling").as("overall_trend"))
+      .orderBy(key)
+  }
+
+  /** W3 (analyze.py:371-374): long→wide pivot of the daily mean.
+    * Pivot values passed explicitly — avoids the extra distinct-values job
+    * Spark otherwise runs, and makes the output schema static (required for
+    * the oracle and for any 100 TB plan: an unbounded pivot is a driver
+    * OOM).
+    */
+  def pivotDaily(df: DataFrame, ts: String, key: String, value: String,
+                 keyValues: Seq[String]): DataFrame =
+    df.groupBy(to_date(col(ts)).as("d"))
+      .pivot(key, keyValues)
+      .agg(r(avg(col(value))))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("date") +: keyValues.map(col): _*)
+      .orderBy("date")
+
+  /** W4 (analyze.py:249): groups with >1 distinct day — HAVING count>1. */
+  def multiDayGroups(df: DataFrame, ts: String, key: String): DataFrame =
+    df.groupBy(key).agg(countDistinct(to_date(col(ts))).as("n_days"))
+      .filter(col("n_days") > 1)
+      .orderBy(key)
+
+  /** O4/A3-style top-k per group (rank via one window). For a global top-k
+    * at 100 TB prefer `orderBy(desc).limit(k)` — Spark's TakeOrderedAndProject
+    * does a per-partition partial top-k with no full sort.
+    */
+  def topKPerGroup(df: DataFrame, group: String, value: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(col(value).desc, col(group))
+    df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+}
