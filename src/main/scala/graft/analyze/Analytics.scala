@@ -54,19 +54,8 @@ object Analytics {
       .orderBy(col(key))
 
   /** A3 (analyze.py:216-218): warmest/coldest group = argmax/argmin of the
-    * per-group mean. `max_by`/`min_by` over the tiny A2 result — no second
-    * shuffle, no `orderBy().limit(1)` job per extreme.
-    */
-  def extremeGroups(df: DataFrame, key: String, value: String): DataFrame = {
-    val byGroup = df.groupBy(key).agg(avg(col(value)).as("m"))
-    byGroup.agg(
-      max_by(col(key), struct(col("m"), col(key))).as("highest"),
-      min_by(col(key), struct(col("m"), col(key).desc)).as("lowest_tiebreak_ignore"))
-      .select(col("highest"), col("lowest_tiebreak_ignore"))
-  }
-
-  /** A3, oracle-friendly form: two labelled rows (kind, key, rounded mean),
-    * deterministic tie-break on key.
+    * per-group mean, as two labelled rows (kind, key, rounded mean) with a
+    * deterministic tie-break on key asc for both extremes (SURVEY §5.2).
     */
   def extremeGroupsLabelled(df: DataFrame, key: String, value: String): DataFrame = {
     val byGroup = df.groupBy(key).agg(avg(col(value)).as("m"))
@@ -112,6 +101,7 @@ object Analytics {
 
   /** A7 (load.py:188-196): per-group summary with multi-agg + round(2). */
   def summaryRounded(df: DataFrame, key: String, values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "summaryRounded requires at least one column")
     val aggs = values.flatMap { v =>
       Seq(r(avg(col(v)), 2).as(s"${v}_mean"),
           r(min(col(v)), 2).as(s"${v}_min"),
@@ -126,18 +116,20 @@ object Analytics {
     */
   def percentileBounds(df: DataFrame, values: Seq[String], lo: Double = 0.05,
                        hi: Double = 0.95, k: Double = 1.5): DataFrame = {
+    require(values.nonEmpty, "percentileBounds requires at least one column")
     val aggs = values.flatMap { v =>
       val q1 = percentile(col(v), lit(lo))
       val q3 = percentile(col(v), lit(hi))
       val iqr = q3 - q1
       Seq(r(q1).as(s"${v}_q_lo"), r(q3).as(s"${v}_q_hi"),
-          r(q1 - k * iqr).as(s"${v}_lb"), r(q3 + k * iqr).as(s"${v}_ub"))
+          r(q1 - lit(k) * iqr).as(s"${v}_lb"), r(q3 + lit(k) * iqr).as(s"${v}_ub"))
     }
     df.agg(aggs.head, aggs.tail: _*)
   }
 
   /** A9 (transform.py:188): exact median per column. */
   def medians(df: DataFrame, values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "medians requires at least one column")
     val aggs = values.map(v => r(median(col(v))).as(s"${v}_median"))
     df.agg(aggs.head, aggs.tail: _*)
   }
@@ -224,12 +216,18 @@ object Analytics {
       .filter(col("n_days") > 1)
       .orderBy(key)
 
-  /** O4/A3-style top-k per group (rank via one window). For a global top-k
-    * at 100 TB prefer `orderBy(desc).limit(k)` — Spark's TakeOrderedAndProject
-    * does a per-partition partial top-k with no full sort.
+  /** O4/A3-style top-k per group (rank via one window). `tieBreakers` must
+    * make (value desc, tieBreakers asc) a total order within each group —
+    * row_number over a non-total order is nondeterministic (SURVEY §5.2).
+    * For a global top-k at 100 TB prefer `orderBy(desc).limit(k)` — Spark's
+    * TakeOrderedAndProject does a per-partition partial top-k with no full
+    * sort.
     */
-  def topKPerGroup(df: DataFrame, group: String, value: String, k: Int): DataFrame = {
-    val w = Window.partitionBy(group).orderBy(col(value).desc, col(group))
+  def topKPerGroup(df: DataFrame, group: String, value: String, k: Int,
+                   tieBreakers: Seq[String]): DataFrame = {
+    require(tieBreakers.nonEmpty, "topKPerGroup needs a deterministic tie-break key")
+    val w = Window.partitionBy(group)
+      .orderBy(col(value).desc +: tieBreakers.map(col(_).asc): _*)
     df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 }

@@ -29,6 +29,7 @@ object Cleaning {
   def nullOutliers(df: DataFrame, cols: Seq[String], lo: Double = 0.05,
                    hi: Double = 0.95, k: Double = 1.5,
                    exact: Boolean = true): DataFrame = {
+    if (cols.isEmpty) return df
     def pct(c: String, p: Double) =
       if (exact) percentile(col(c), lit(p))
       else percentile_approx(col(c), lit(p), lit(10000))
@@ -51,6 +52,7 @@ object Cleaning {
     * CURRENT (post-nulling) data — reference transform.py:188 semantics.
     */
   def imputeMedians(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    if (cols.isEmpty) return df
     def med(c: String) =
       if (exact) median(col(c)) else percentile_approx(col(c), lit(0.5), lit(10000))
     val medAggs = cols.map(c => med(c).as(s"__${c}_med"))
