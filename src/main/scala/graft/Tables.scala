@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parquet table access for the driver testdata star schema (TESTDATA.md).
   *
@@ -19,7 +20,17 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def events(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "events")
+  /** `events.ts` is physically TIMESTAMP(NANOS) parquet, which Spark's
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nanos long
+    * (`nanosAsLong`) and rebuild a proper TimestampType with exact integer
+    * `div` (a double division would lose sub-microsecond precision at
+    * 1.7e18 ns and truncate off-by-one).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "customer")

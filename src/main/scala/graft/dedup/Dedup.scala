@@ -1,0 +1,181 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.Text
+import graft.sim.Similarity
+
+/** Deduplication operators for training-data pipelines (north-star
+  * extension, repo BASELINE.json): exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard, embedding-cosine near-dup.
+  *
+  * Scale posture: every variant is (per-row signature expression — no
+  * shuffle) → (groupBy/join on a compact key — one shuffle on the
+  * signature, never on the raw text). Raw documents are never compared
+  * all-pairs; candidate generation always goes through a bucket key whose
+  * expected bucket size is O(1), which is the only join shape that survives
+  * 100 TB. Signatures are fixed-width longs — shuffle bytes per doc are
+  * ~8·k regardless of document size.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: keep the lowest id per identical text. One shuffle on the
+    * 128-bit content hash (never on the text itself).
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-dup census: total docs, distinct contents, dup rows removed. */
+  def exactDupStats(df: DataFrame, textCol: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("total_docs"),
+      countDistinct(md5(col(textCol))).as("distinct_docs"),
+      (count(lit(1)) - countDistinct(md5(col(textCol)))).as("dup_docs"))
+
+  // -------------------------------------------------------------- minhash
+
+  /** MinHash signature: k independent permutations approximated by
+    * xxhash64(seed=i) over the doc's shingle set; element i = min hash.
+    * Per-row expression, codegen'd, no shuffle.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      when(size(shingles) === 0, lit(Long.MaxValue))
+        .otherwise(array_min(transform(shingles, s => xxhash64(lit(i), s))))
+    }: _*)
+
+  /** LSH banding: signature of k = bands·rowsPerBand minhashes → one bucket
+    * hash per band. Docs sharing ANY band bucket are candidates; the usual
+    * S-curve: P(candidate) = 1 - (1 - j^rows)^bands for Jaccard j.
+    * Output: (id, band, bucket) — the join key table.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, textCol: String,
+                 shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val sig = minhashSignature(Text.wordShingles(col(textCol), shingleSize), bands * rowsPerBand)
+    val bandBuckets = transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(b.cast("int").as("band"),
+                  xxhash64(concat_ws("_", slice(sig, b * rowsPerBand + 1, rowsPerBand))).as("bucket")))
+    df.select(col(idCol), explode(bandBuckets).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate pairs from LSH buckets (id1 < id2, distinct across bands).
+    * The self-join is on (band, bucket) — expected O(1) rows per key when
+    * bands·rows are sized to the target similarity; degenerate hot buckets
+    * (boilerplate shingles) are the classic skew source → AQE skew-join
+    * handles it, or cap bucket size upstream with a count filter.
+    */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int = 3, bands: Int = 8,
+                            rowsPerBand: Int = 4): DataFrame = {
+    val b = lshBuckets(df, idCol, textCol, shingleSize, bands, rowsPerBand)
+    val l = b.select(col("band"), col("bucket"), col(idCol).as("id1"))
+    val r = b.select(col("band"), col("bucket"), col(idCol).as("id2"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Full MinHash near-dup pipeline: LSH candidates → exact Jaccard verify
+    * on the shingle sets → keep pairs ≥ threshold.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, shingleSize: Int = 3,
+                      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val cands = minhashCandidatePairs(df, idCol, textCol, shingleSize, bands, rowsPerBand)
+    val sh = df.select(col(idCol), Text.wordShingles(col(textCol), shingleSize).as("__sh"))
+    cands
+      .join(sh.withColumnRenamed("__sh", "__sh1"), cands("id1") === sh(idCol)).drop(idCol)
+      .join(sh.withColumnRenamed("__sh", "__sh2"), cands("id2") === sh(idCol)).drop(idCol)
+      .withColumn("jaccard", round(ngramJaccard(col("__sh1"), col("__sh2")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over the token set: each token votes ±1 per bit of its
+    * xxhash64; sign of the vote sum is the fingerprint bit. Near-dups have
+    * small Hamming distance. Per-row expression tree (64 aggregates over the
+    * token-hash array), no shuffle.
+    */
+  def simhash(text: Column): Column = {
+    val hashes = transform(Text.tokens(text), t => xxhash64(t))
+    val bits = (0 until 64).map { b =>
+      val vote = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L) << b) =!= 0, 1).otherwise(-1))
+      when(vote > 0, lit(1L) << b).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: block on the 4 16-bit chunks (pigeonhole:
+    * any pair with Hamming distance ≤ 3 shares at least one exact chunk),
+    * then verify the true distance. One shuffle on (chunk_idx, chunk_value).
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol), simhash(col(textCol)).as("__sim"))
+    val chunked = sigs.select(col(idCol), col("__sim"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+               shiftright(col("__sim"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ckey"))
+      }: _*)).as("cb"))
+      .select(col(idCol), col("__sim"), col("cb.chunk"), col("cb.ckey"))
+    val l = chunked.select(col("chunk"), col("ckey"), col(idCol).as("id1"), col("__sim").as("__s1"))
+    val r = chunked.select(col("chunk"), col("ckey"), col(idCol).as("id2"), col("__sim").as("__s2"))
+    l.join(r, Seq("chunk", "ckey"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), hammingDist(col("__s1"), col("__s2")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------ n-gram jaccard
+
+  /** Jaccard similarity of two (deduplicated) shingle arrays. */
+  def ngramJaccard(a: Column, b: Column): Column = {
+    val union = size(array_union(a, b))
+    when(union === 0, lit(null))
+      .otherwise(size(array_intersect(a, b)).cast("double") / union)
+  }
+
+  /** Pairwise n-gram Jaccard over an explicit pair table (id1, id2) —
+    * the verify stage shared by all candidate generators.
+    */
+  def jaccardForPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
+                      textCol: String, shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol), Text.wordShingles(col(textCol), shingleSize).as("__sh"))
+    pairs
+      .join(sh.withColumnRenamed("__sh", "__sh1").withColumnRenamed(idCol, "id1"), Seq("id1"))
+      .join(sh.withColumnRenamed("__sh", "__sh2").withColumnRenamed(idCol, "id2"), Seq("id2"))
+      .select(col("id1"), col("id2"), round(ngramJaccard(col("__sh1"), col("__sh2")), 4).as("jaccard"))
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-dup pairs: SRP-LSH buckets → exact cosine within
+    * bucket → pairs ≥ threshold. Same candidate-then-verify shape as
+    * MinHash, on the vector column.
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, nPlanes: Int = 8): DataFrame = {
+    val v = df.select(col(idCol), Similarity.toDouble(col(vecCol)).as("__v"))
+      .withColumn("__bucket", Similarity.srpBucket(col("__v"), nPlanes))
+    val l = v.select(col("__bucket"), col(idCol).as("id1"), col("__v").as("__v1"))
+    val r = v.select(col("__bucket"), col(idCol).as("id2"), col("__v").as("__v2"))
+    l.join(r, Seq("__bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", round(Similarity.cosine(col("__v1"), col("__v2")), 4))
+      .filter(col("cos") >= threshold)
+      .select("id1", "id2", "cos").distinct()
+  }
+}

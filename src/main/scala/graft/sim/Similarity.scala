@@ -1,0 +1,113 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (north-star extension, repo BASELINE.json):
+  * cosine top-k over an `array<float>` column.
+  *
+  * Two paths:
+  *  - brute force: broadcast the (small) query set against the full corpus,
+  *    one scan, per-query top-k. Exact; O(|queries|·|corpus|) multiplies but
+  *    zero corpus shuffle — at 100 TB the scan dominates and this is the
+  *    correct baseline as long as |queries| is broadcast-able.
+  *  - LSH (signed random projection): deterministic hash-derived hyperplanes
+  *    bucket vectors by sign pattern; candidates = same bucket; exact cosine
+  *    re-rank inside buckets. Sub-linear candidate generation, one shuffle
+  *    on the bucket key. IVF would swap the bucketer for k-means centroids —
+  *    same join shape.
+  *
+  * All vector math is built-in higher-order functions (`zip_with` +
+  * `aggregate`) over doubles — codegen'd, no UDF, sequential sum order =>
+  * deterministic and DuckDB-matchable.
+  */
+object Similarity {
+
+  /** array<float> → array<double> (compute in double; float accumulation
+    * drifts and diverges from any oracle).
+    */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null when either side has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b); val na = l2Norm(a); val nb = l2Norm(b)
+    when(na === 0 || nb === 0, lit(null)).otherwise(d / (na * nb))
+  }
+
+  def l2Dist(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
+
+  /** Exact brute-force top-k neighbors for each query vector.
+    * `queries` MUST be small (it is broadcast); corpus side streams.
+    * Output: (query_id, neighbor_id, cos) with rank ≤ k,
+    * tie-break (cos desc, neighbor_id asc) — total order for verification.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     queryIdCol: String = "query_id"): DataFrame = {
+    val q = queries.select(col(idCol).as(queryIdCol), toDouble(col(vecCol)).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__cv"))
+    val scored = c.join(broadcast(q), col(queryIdCol) =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(queryIdCol).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("neighbor_id"), round(col("cos"), 4).as("cos"),
+              col("rank").cast("long").as("rank"))
+  }
+
+  /** Signed-random-projection bucket id: `nPlanes` pseudo-random hyperplanes
+    * whose component weights are derived from xxhash64(plane, dim, seed) —
+    * fully deterministic, no fitted model to ship. Bit p of the bucket =
+    * sign of <v, plane_p>.
+    */
+  def srpBucket(v: Column, nPlanes: Int, seed: Int = 42): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      // weight_j = ±1 from the parity of a hash of (seed, plane, dim index)
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, j) =>
+          x * (pmod(xxhash64(lit(seed), lit(p), j), lit(2)) * 2 - 1).cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L) << p).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k: SRP-bucket both sides, join on bucket, exact re-rank.
+    * Recall < 1 by construction (same-bucket candidates only); nPlanes
+    * trades recall vs candidate count: candidates/query ≈ |corpus| / 2^nPlanes.
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              queryIdCol: String = "query_id"): DataFrame = {
+    val q = queries.select(col(idCol).as(queryIdCol), toDouble(col(vecCol)).as("__qv"))
+      .withColumn("__bucket", srpBucket(col("__qv"), nPlanes))
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__cv"))
+      .withColumn("__bucket", srpBucket(col("__cv"), nPlanes))
+    val scored = c.join(broadcast(q), Seq("__bucket"))
+      .filter(col(queryIdCol) =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(queryIdCol).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("neighbor_id"), round(col("cos"), 4).as("cos"),
+              col("rank").cast("long").as("rank"))
+  }
+
+  /** Per-label centroid summary over the embedding column: vector mean via
+    * posexplode + two-key groupBy (scales to any dimension/cardinality —
+    * no driver-side vectors), plus count.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame = {
+    val exploded = df.select(col(labelCol), posexplode(toDouble(col(vecCol))).as(Seq("pos", "x")))
+    exploded.groupBy(col(labelCol), col("pos"))
+      .agg(avg(col("x")).as("mean_x"), count(lit(1)).as("n"))
+  }
+}

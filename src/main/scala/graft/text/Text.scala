@@ -1,0 +1,134 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star extension over the reference — repo BASELINE.json): token
+  * counting, quality scoring, language-ID heuristic, shingling and document
+  * fingerprinting. Everything is a built-in Column expression (split /
+  * higher-order array functions / xxhash64), so the per-document work is
+  * embarrassingly parallel, codegen'd, and needs no shuffle at all — the
+  * right shape for a 100 TB corpus where the scan dominates.
+  */
+object Text {
+
+  /** Whitespace tokenizer — `trim` first so leading/trailing blanks don't
+    * produce empty tokens (matches DuckDB `string_split_regex(trim(t),'\s+')`).
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword segmentation proxy: split on word boundaries AND
+    * punctuation, keeping punctuation marks as their own tokens — the token
+    * count a byte-pair tokenizer would be proportional to. Pure regex.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "[\\s]+|(?=[\\p{Punct}])|(?<=[\\p{Punct}])"),
+      t => length(t) > 0))
+
+  /** Mean token length in characters. Null-safe for empty docs. */
+  def avgTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(null)).otherwise(
+      aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
+  }
+
+  /** Fraction of tokens that are stopwords (quality signal: natural prose
+    * has 0.2-0.5; keyword spam and code have ~0).
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(null)).otherwise(
+      size(filter(t, x => x.isin(stopwords.map(lit(_)): _*))).cast("double") / size(t))
+  }
+
+  /** Fraction of non-whitespace characters that are punctuation. */
+  def punctRatio(text: Column): Column = {
+    val nonWs = length(regexp_replace(text, "\\s", ""))
+    when(nonWs === 0, lit(null)).otherwise(
+      length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") / nonWs)
+  }
+
+  /** Type-token ratio: distinct tokens / tokens (repetition detector —
+    * boilerplate and generated spam score low).
+    */
+  def typeTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(null)).otherwise(
+      size(array_distinct(t)).cast("double") / size(t))
+  }
+
+  /** Composite quality score in [0,1]: length band + lexical diversity +
+    * low punctuation noise. Weights are heuristic; the point is the shape —
+    * one scan, no shuffle, every signal codegen'd.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+    val diversity = coalesce(typeTokenRatio(text), lit(0.0))
+    val punctPenalty = lit(1.0) - least(coalesce(punctRatio(text), lit(0.0)) * 5.0, lit(1.0))
+    round(lenScore * 0.4 + diversity * 0.4 + punctPenalty * 0.2, 6)
+  }
+
+  /** Language-ID: marker-token voting. Each candidate language has a small
+    * set of high-frequency marker words; predicted language = argmax marker
+    * hits, tie-broken lexicographically, 'und' (undetermined) when nothing
+    * matches. An n-gram Naive-Bayes would slot in the same shape (score
+    * expression per language → greatest-struct argmax); markers keep it
+    * SQL-expressible for the oracle.
+    */
+  val defaultMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "los", "que", "es", "y"),
+    "fr" -> Seq("le", "la", "les", "est", "et", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "不"))
+
+  def langId(text: Column, markers: Map[String, Seq[String]] = defaultMarkers): Column = {
+    val t = tokens(text)
+    // struct(score desc → negate, lang asc) so array_min = argmax(score) with
+    // lexicographic tie-break; deterministic under any partitioning.
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val score = size(filter(t, x => x.isin(words.map(lit(_)): _*)))
+      struct((-score).as("neg"), lit(lang).as("lang"), score.as("score"))
+    }
+    val best = array_min(array(scored: _*))
+    when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Word n-gram shingles (space-joined), deduplicated — the standard
+    * MinHash/Jaccard input. Docs shorter than n shingle to [] not [partial].
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>")).otherwise(
+      array_distinct(transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, n)))))
+  }
+
+  /** Character n-gram shingles, deduplicated. */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) < n, array().cast("array<string>")).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), length(text) - n + 1),
+        i => substring(text, lit(i).cast("int"), n))))
+
+  /** Document fingerprint: min-of-k-gram-hashes (a 1-wide MinHash — the
+    * rolling-hash winnowing fingerprint's Spark-native analog). Two docs
+    * sharing their rarest shingle collide; cheap first-pass near-dup key.
+    */
+  def fingerprint(text: Column, n: Int = 5): Column = {
+    val sh = wordShingles(text, n)
+    when(size(sh) === 0, xxhash64(text)).otherwise(
+      array_min(transform(sh, s => xxhash64(s))))
+  }
+
+  /** Per-document stats projection used by the documents-table queries. */
+  def docStats(df: DataFrame, textCol: String, stopwords: Seq[String]): DataFrame =
+    df.withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+      .withColumn("avg_token_len", round(avgTokenLen(col(textCol)), 4))
+      .withColumn("stopword_ratio", round(stopwordRatio(col(textCol), stopwords), 4))
+      .withColumn("type_token_ratio", round(typeTokenRatio(col(textCol)), 4))
+}
