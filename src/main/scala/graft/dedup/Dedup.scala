@@ -60,7 +60,7 @@ object Dedup {
     val bandBuckets = transform(
       sequence(lit(0), lit(bands - 1)),
       b => struct(b.cast("int").as("band"),
-                  xxhash64(concat_ws("_", slice(sig, b * rowsPerBand + 1, rowsPerBand))).as("bucket")))
+                  xxhash64(concat_ws("_", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))).as("bucket")))
     df.select(col(idCol), explode(bandBuckets).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
@@ -109,8 +109,8 @@ object Dedup {
     val hashes = transform(Text.tokens(text), t => xxhash64(t))
     val bits = (0 until 64).map { b =>
       val vote = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L) << b) =!= 0, 1).otherwise(-1))
-      when(vote > 0, lit(1L) << b).otherwise(lit(0L))
+        (acc, h) => acc + when(h.bitwiseAND(shiftleft(lit(1L), b)) =!= 0, 1).otherwise(-1))
+      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

@@ -74,7 +74,7 @@ object Similarity {
         zip_with(v, sequence(lit(0), size(v) - 1), (x, j) =>
           x * (pmod(xxhash64(lit(seed), lit(p), j), lit(2)) * 2 - 1).cast("double")),
         lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L) << p).otherwise(lit(0L))
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

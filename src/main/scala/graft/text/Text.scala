@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Whitespace tokenizer — `trim` first so leading/trailing blanks don't
-    * produce empty tokens (matches DuckDB `string_split_regex(trim(t),'\s+')`).
+  /** Whitespace tokenizer. Empty tokens are filtered so an empty or
+    * all-whitespace document tokenizes to [] (Spark `split("")` would give
+    * [""], making tokenCount 1 and defeating the empty-doc guards below —
+    * ADVICE r2). DuckDB twin:
+    * `list_filter(string_split_regex(t, '\s+'), x -> len(x) > 0)`.
     */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -105,7 +109,7 @@ object Text {
     when(size(t) < n, array().cast("array<string>")).otherwise(
       array_distinct(transform(
         sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + 1, n)))))
+        i => concat_ws(" ", slice(t, i + 1, lit(n))))))
   }
 
   /** Character n-gram shingles, deduplicated. */
@@ -113,7 +117,7 @@ object Text {
     when(length(text) < n, array().cast("array<string>")).otherwise(
       array_distinct(transform(
         sequence(lit(1), length(text) - n + 1),
-        i => substring(text, lit(i).cast("int"), n))))
+        i => substring(text, i.cast("int"), lit(n)))))
 
   /** Document fingerprint: min-of-k-gram-hashes (a 1-wide MinHash — the
     * rolling-hash winnowing fingerprint's Spark-native analog). Two docs
