@@ -1,13 +1,491 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analyze.Analytics
+import graft.clean.Cleaning
+import graft.dedup.Dedup
+import graft.functions.Scalars
+import graft.sim.Similarity
+import graft.text.Text
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 (and the north-star dedup / similarity /
+  * text extensions) is registered here as a named query over the driver
+  * testdata tables, with a DuckDB-equivalent oracle in [[oracleSql]] where
+  * the semantics are ANSI-SQL-expressible. Queries whose signatures depend
+  * on xxhash64 (MinHash/SimHash/SRP buckets, fingerprints) have no SQL
+  * oracle and get the driver's weaker rows-only check; their *semantics*
+  * are covered by ScalaTest specs on constructed inputs instead.
+  *
+  * Naming convention: `aN_*` = aggregations (SURVEY §2.4), `wN_*` = window /
+  * time-series (§2.5), `oN_*` = sort/top-k (§2.6), `jN_*` = joins (§2.3),
+  * `fN_*` = scalar functions (§2.8), `c1` = cleaning composite (§2.9),
+  * `tN_*` = text analysis, `dN_*` = dedup, `sN/e1` = embedding similarity.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Stopword list shared by the doc-stats query and its oracle. */
+  private val stopwords = Seq("the", "and", "of", "to", "is", "a", "in", "it")
+
+  /** Flagship query (TPC-H Q1 pricing summary shape) on sf=0.001;
+    * driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  /** events with the reference's derived `date` string column (F6). */
+  private def eventsWithDate(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("date", date_format(to_date(col("ts")), "yyyy-MM-dd"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----------------------------------------------------------- flagship
+    // TPC-H Q1 shape: scan → filter (pushed to parquet) → 2-key hash agg.
+    "q1_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // ------------------------------------------------------- aggregations
+    "a1_basic_stats" -> ((s, d) => Analytics.basicStats(Tables.events(s, d), "ts", "value")),
+    "a2_group_agg" -> ((s, d) => Analytics.groupMultiAgg(Tables.events(s, d), "event_type", "value")),
+    "a3_extremes" -> ((s, d) => Analytics.extremeGroupsLabelled(Tables.events(s, d), "event_type", "value")),
+    "a4_daily_agg" -> ((s, d) => Analytics.dailyAgg(Tables.events(s, d), "ts", "event_type", "value")),
+    "a5_value_counts" -> ((s, d) => Analytics.valueCounts(Tables.events(s, d), "event_type")),
+    "a6_mode_per_day" -> ((s, d) => Analytics.modePerGroup(eventsWithDate(s, d), "date", "event_type")),
+    "a7_summary_rounded" -> ((s, d) =>
+      Analytics.summaryRounded(Tables.lineitem(s, d), "l_returnflag", Seq("l_quantity", "l_extendedprice"))),
+    "a8_percentile_bounds" -> ((s, d) => Analytics.percentileBounds(Tables.events(s, d), Seq("value"))),
+    "a9_medians" -> ((s, d) =>
+      Analytics.medians(Tables.lineitem(s, d), Seq("l_quantity", "l_extendedprice", "l_discount"))),
+    "a10_outlier_census" -> ((s, d) => Analytics.outlierCensus(Tables.events(s, d), "value")),
+    "a11_distinct_values" -> ((s, d) => Analytics.distinctValues(Tables.events(s, d), "event_type")),
+    "a12_global_means" -> ((s, d) => Analytics.globalMeans(Tables.events(s, d), "value")),
+    "a13_regression" -> ((s, d) =>
+      Analytics.regression(Tables.lineitem(s, d), "l_quantity", "l_extendedprice")),
+
+    // ------------------------------------------------ window / time-series
+    "w1_trend_analysis" -> ((s, d) => Analytics.trendAnalysis(Tables.events(s, d), "ts", "event_type", "value")),
+    "w3_pivot_daily" -> ((s, d) =>
+      Analytics.pivotDaily(Tables.events(s, d), "ts", "event_type", "value",
+        Seq("click", "error", "purchase", "signup", "view"))),
+    "w4_multiday_groups" -> ((s, d) => Analytics.multiDayGroups(Tables.events(s, d), "ts", "event_type")),
+
+    // ----------------------------------------------------------- top-k
+    "o1_topk_per_group" -> ((s, d) =>
+      Analytics.topKPerGroup(
+          Tables.lineitem(s, d).select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+          "l_returnflag", "l_extendedprice", 3, Seq("l_orderkey", "l_linenumber"))
+        .withColumn("rnk", col("rnk").cast("long"))),
+
+    // ----------------------------------------------------------- joins
+    // Broadcast the small dims (region 5 rows, nation 25); the fact side
+    // never shuffles for the dim lookups — only for the final group-by.
+    "j1_broadcast_join" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n"))),
+    // Large-large equi-join: shuffle on the join key, AQE picks the
+    // physical strategy (sort-merge at scale, broadcast at tiny SF).
+    "j2_sortmerge_join" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+             count(lit(1)).as("n"))),
+    "j3_semi_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))),
+    "j4_anti_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))),
+
+    // ------------------------------------------------- cleaning composite
+    // §2.9 two-pass clean on events.value, summarized per group so the
+    // verified output is small but pins the full bounds→null→median chain.
+    "c1_two_pass_clean" -> ((s, d) =>
+      Cleaning.twoPassClean(Tables.events(s, d), Seq("value"))
+        .groupBy("event_type")
+        .agg(round(avg(col("value")), 4).as("value_mean"),
+             round(min(col("value")), 4).as("value_min"),
+             round(max(col("value")), 4).as("value_max"),
+             count(lit(1)).as("n"))),
+
+    // ------------------------------------------------------ scalar funcs
+    "f1_unit_conversions" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"), col("value"),
+        round(Scalars.celsiusToFahrenheit(col("value")), 4).as("fahrenheit"),
+        round(Scalars.fahrenheitToCelsius(Scalars.celsiusToFahrenheit(col("value"))), 4).as("roundtrip"))),
+    "f4_date_range" -> ((s, d) =>
+      Tables.orders(s, d)
+        .agg(min(col("o_orderdate")).as("lo"), max(col("o_orderdate")).as("hi"))
+        .select(explode(Scalars.dateRange(col("lo"), col("hi"))).as("d"))),
+    "f5_map_lookup" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("label", Scalars.mapLookup(col("event_type"),
+          Seq("click" -> "engagement", "view" -> "engagement",
+              "purchase" -> "conversion", "signup" -> "conversion"), "other"))
+        .groupBy("event_type", "label").agg(count(lit(1)).as("cnt"))),
+    "f6_time_features" -> ((s, d) =>
+      Scalars.withTimeFeatures(Tables.events(s, d), "ts")
+        .select("event_id", "date", "hour", "day_of_week")),
+
+    // ----------------------------------------------------- text analysis
+    "t1_doc_stats" -> ((s, d) =>
+      Text.docStats(Tables.documents(s, d), "text", stopwords)
+        .select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "type_token_ratio")),
+    "t2_lang_id" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(Text.langId(col("text")).as("predicted_lang"))
+        .agg(count(lit(1)).as("cnt"))),
+    "t3_quality_score" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))),
+    "t4_subword_count" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"), Text.subwordCount(col("text")).cast("long").as("n_subwords"))),
+    "t5_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
+    "t6_char_shingles" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(Text.charShingles(col("text"), 5)).cast("long").as("n_shingles"))),
+
+    // ------------------------------------------------------------- dedup
+    "d1_exact_dup_stats" -> ((s, d) => Dedup.exactDupStats(Tables.documents(s, d), "text")),
+    "d2_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")),
+    "d3_lsh_buckets" -> ((s, d) => Dedup.lshBuckets(Tables.documents(s, d), "doc_id", "text")),
+    "d4_simhash_sigs" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"), Dedup.simhash(col("text")).as("simhash64"))),
+    "d5_jaccard_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = docs.select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+      Dedup.jaccardForPairs(docs, pairs, "doc_id", "text")
+    }),
+
+    // --------------------------------------------- embedding similarity
+    "s1_brute_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+    }),
+    "s2_ann_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.annTopK(emb, emb.filter(col("vec_id") < 8), k = 5, nPlanes = 6)
+    }),
+    "s3_label_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(Tables.embeddings(s, d))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+                round(col("mean_x"), 4).as("mean_x"), col("n"))),
+    "e1_embedding_neardups" -> ((s, d) =>
+      Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.2, nPlanes = 6))
+  )
+
+  /** DuckDB oracle SQL per query (same parquet tables). Shared determinism
+    * rules (SURVEY §5.2): published numerics rounded, total orders pinned on
+    * every limit/rank, UTC timestamps, linear-interpolation percentiles
+    * (Spark `percentile`/`median` == DuckDB `quantile_cont`/`median`).
+    * Queries keyed on xxhash64 signatures are deliberately absent.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity),2) AS sum_qty,
+        |  round(sum(l_extendedprice),2) AS sum_base_price,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        |  round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        |  round(avg(l_quantity),4) AS avg_qty,
+        |  round(avg(l_extendedprice),4) AS avg_price,
+        |  round(avg(l_discount),6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a1_basic_stats" ->
+      """SELECT count(*) AS record_count,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS ts_min,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS ts_max,
+        |  round(min(value),4) AS value_min, round(max(value),4) AS value_max,
+        |  round(avg(value),4) AS value_mean, round(median(value),4) AS value_median
+        |FROM events""".stripMargin,
+
+    "a2_group_agg" ->
+      """SELECT event_type, round(avg(value),4) AS value_mean,
+        |  round(min(value),4) AS value_min, round(max(value),4) AS value_max,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "a3_extremes" ->
+      """WITH g AS (SELECT event_type, avg(value) AS m FROM events GROUP BY event_type)
+        |(SELECT 'highest' AS kind, event_type AS group_key, round(m,4) AS value_mean
+        | FROM g ORDER BY m DESC, event_type LIMIT 1)
+        |UNION ALL
+        |(SELECT 'lowest' AS kind, event_type AS group_key, round(m,4) AS value_mean
+        | FROM g ORDER BY m ASC, event_type LIMIT 1)""".stripMargin,
+
+    "a4_daily_agg" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date, event_type,
+        |  round(avg(value),4) AS value_mean, round(min(value),4) AS value_min,
+        |  round(max(value),4) AS value_max
+        |FROM events GROUP BY CAST(ts AS DATE), event_type""".stripMargin,
+
+    "a5_value_counts" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+
+    "a6_mode_per_day" ->
+      """SELECT date, mode_value, cnt FROM (
+        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+        |         event_type AS mode_value, count(*) AS cnt,
+        |         row_number() OVER (PARTITION BY CAST(ts AS DATE)
+        |                            ORDER BY count(*) DESC, event_type) AS rn
+        |  FROM events GROUP BY CAST(ts AS DATE), event_type)
+        |WHERE rn = 1""".stripMargin,
+
+    "a7_summary_rounded" ->
+      """SELECT l_returnflag,
+        |  round(avg(l_quantity),2) AS l_quantity_mean,
+        |  round(min(l_quantity),2) AS l_quantity_min,
+        |  round(max(l_quantity),2) AS l_quantity_max,
+        |  round(avg(l_extendedprice),2) AS l_extendedprice_mean,
+        |  round(min(l_extendedprice),2) AS l_extendedprice_min,
+        |  round(max(l_extendedprice),2) AS l_extendedprice_max
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "a8_percentile_bounds" ->
+      """SELECT round(q1,4) AS value_q_lo, round(q3,4) AS value_q_hi,
+        |  round(q1 - 1.5*(q3-q1),4) AS value_lb, round(q3 + 1.5*(q3-q1),4) AS value_ub
+        |FROM (SELECT quantile_cont(value,0.05) AS q1, quantile_cont(value,0.95) AS q3 FROM events)""".stripMargin,
+
+    "a9_medians" ->
+      """SELECT round(median(l_quantity),4) AS l_quantity_median,
+        |  round(median(l_extendedprice),4) AS l_extendedprice_median,
+        |  round(median(l_discount),4) AS l_discount_median
+        |FROM lineitem""".stripMargin,
+
+    "a10_outlier_census" ->
+      """WITH b AS (SELECT quantile_cont(value,0.05) AS q1, quantile_cont(value,0.95) AS q3 FROM events),
+        |bb AS (SELECT q1 - 1.5*(q3-q1) AS lb, q3 + 1.5*(q3-q1) AS ub FROM b)
+        |SELECT outliers, total, round(outliers*1.0/total, 6) AS outlier_rate FROM (
+        |  SELECT count(*) FILTER (WHERE value < lb OR value > ub) AS outliers,
+        |         count(*) AS total
+        |  FROM events, bb)""".stripMargin,
+
+    "a11_distinct_values" ->
+      "SELECT DISTINCT event_type FROM events",
+
+    "a12_global_means" ->
+      """SELECT count(*) AS record_count, round(avg(value),4) AS value_mean,
+        |  round(min(value),4) AS value_min, round(max(value),4) AS value_max
+        |FROM events""".stripMargin,
+
+    "a13_regression" ->
+      """SELECT round(regr_slope(l_extendedprice, l_quantity),6) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity),6) AS intercept,
+        |  round(corr(l_extendedprice, l_quantity),6) AS correlation,
+        |  count(*) AS n
+        |FROM lineitem""".stripMargin,
+
+    "w1_trend_analysis" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, avg(value) AS v
+        |               FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |chg AS (SELECT event_type, v - lag(v) OVER (PARTITION BY event_type ORDER BY d) AS chg
+        |        FROM daily)
+        |SELECT event_type, round(avg(chg),4) AS avg_daily_change,
+        |  round(max(chg),4) AS max_increase, round(min(chg),4) AS max_decrease,
+        |  CASE WHEN sum(chg) > 0 THEN 'warming' ELSE 'cooling' END AS overall_trend
+        |FROM chg WHERE chg IS NOT NULL GROUP BY event_type""".stripMargin,
+
+    "w3_pivot_daily" ->
+      """SELECT strftime(d, '%Y-%m-%d') AS date,
+        |  round(avg(value) FILTER (WHERE event_type = 'click'),4) AS click,
+        |  round(avg(value) FILTER (WHERE event_type = 'error'),4) AS error,
+        |  round(avg(value) FILTER (WHERE event_type = 'purchase'),4) AS purchase,
+        |  round(avg(value) FILTER (WHERE event_type = 'signup'),4) AS signup,
+        |  round(avg(value) FILTER (WHERE event_type = 'view'),4) AS view
+        |FROM (SELECT CAST(ts AS DATE) AS d, event_type, value FROM events)
+        |GROUP BY d""".stripMargin,
+
+    "w4_multiday_groups" ->
+      """SELECT event_type, count(DISTINCT CAST(ts AS DATE)) AS n_days
+        |FROM events GROUP BY event_type HAVING count(DISTINCT CAST(ts AS DATE)) > 1""".stripMargin,
+
+    "o1_topk_per_group" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |       CAST(rn AS BIGINT) AS rnk
+        |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |        row_number() OVER (PARTITION BY l_returnflag
+        |                           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem)
+        |WHERE rn <= 3""".stripMargin,
+
+    "j1_broadcast_join" ->
+      """SELECT r_name, round(sum(o_totalprice),2) AS revenue, count(*) AS n
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "j2_sortmerge_join" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "j3_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "j4_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "c1_two_pass_clean" ->
+      """WITH b AS (SELECT quantile_cont(value,0.05) AS q1, quantile_cont(value,0.95) AS q3 FROM events),
+        |bb AS (SELECT q1 - 1.5*(q3-q1) AS lb, q3 + 1.5*(q3-q1) AS ub FROM b),
+        |nulled AS (SELECT event_type,
+        |             CASE WHEN value < lb OR value > ub THEN NULL ELSE value END AS v
+        |           FROM events, bb),
+        |m AS (SELECT median(v) AS med FROM nulled),
+        |clean AS (SELECT event_type, coalesce(v, med) AS v FROM nulled, m)
+        |SELECT event_type, round(avg(v),4) AS value_mean, round(min(v),4) AS value_min,
+        |  round(max(v),4) AS value_max, count(*) AS n
+        |FROM clean GROUP BY event_type""".stripMargin,
+
+    "f1_unit_conversions" ->
+      """SELECT event_id, value,
+        |  round(value*9.0/5.0 + 32.0, 4) AS fahrenheit,
+        |  round(((value*9.0/5.0 + 32.0) - 32.0)*5.0/9.0, 4) AS roundtrip
+        |FROM events""".stripMargin,
+
+    "f4_date_range" ->
+      """SELECT strftime(unnest(generate_series(lo, hi, INTERVAL 1 DAY)), '%Y-%m-%d') AS d
+        |FROM (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+        |             CAST(max(o_orderdate) AS DATE) AS hi FROM orders)""".stripMargin,
+
+    "f5_map_lookup" ->
+      """SELECT event_type,
+        |  CASE WHEN event_type = 'click' THEN 'engagement'
+        |       WHEN event_type = 'view' THEN 'engagement'
+        |       WHEN event_type = 'purchase' THEN 'conversion'
+        |       WHEN event_type = 'signup' THEN 'conversion'
+        |       ELSE 'other' END AS label,
+        |  count(*) AS cnt
+        |FROM events GROUP BY event_type, label""".stripMargin,
+
+    "f6_time_features" ->
+      """SELECT event_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+        |  CAST(hour(ts) AS BIGINT) AS hour, dayname(ts) AS day_of_week
+        |FROM events""".stripMargin,
+
+    "t1_doc_stats" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tok
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
+        |  round(list_sum(list_transform(tok, x -> len(x)))*1.0/nullif(len(tok),0), 4) AS avg_token_len,
+        |  round(len(list_filter(tok, x -> x IN ('the','and','of','to','is','a','in','it')))*1.0/nullif(len(tok),0), 4) AS stopword_ratio,
+        |  round(len(list_distinct(tok))*1.0/nullif(len(tok),0), 4) AS type_token_ratio
+        |FROM t""".stripMargin,
+
+    "t2_lang_id" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tok
+        |           FROM documents),
+        |s AS (SELECT
+        |  len(list_filter(tok, x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de,
+        |  len(list_filter(tok, x -> x IN ('the','and','of','to','is','a'))) AS s_en,
+        |  len(list_filter(tok, x -> x IN ('el','la','los','que','es','y'))) AS s_es,
+        |  len(list_filter(tok, x -> x IN ('le','la','les','est','et','une'))) AS s_fr,
+        |  len(list_filter(tok, x -> x IN ('的','是','了','在','我','不'))) AS s_zh
+        |  FROM t)
+        |SELECT CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+        |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |  WHEN s_fr >= s_zh THEN 'fr'
+        |  ELSE 'zh' END AS predicted_lang, count(*) AS cnt
+        |FROM s GROUP BY predicted_lang""".stripMargin,
+
+    "t3_quality_score" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tok
+        |  FROM documents)
+        |SELECT doc_id, round(
+        |  least(len(tok)/100.0, 1.0)*0.4 +
+        |  coalesce(len(list_distinct(tok))*1.0/nullif(len(tok),0), 0.0)*0.4 +
+        |  (1.0 - least(coalesce(
+        |     len(regexp_replace(text, '[^[:punct:]]', '', 'g'))*1.0 /
+        |     nullif(len(regexp_replace(text, '\s', '', 'g')), 0), 0.0)*5.0, 1.0))*0.2,
+        |  6) AS quality
+        |FROM t""".stripMargin,
+
+    "t4_subword_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[^\s[:punct:]]+|[[:punct:]]')) AS BIGINT) AS n_subwords
+        |FROM documents""".stripMargin,
+
+    "t6_char_shingles" ->
+      """SELECT doc_id, CAST(CASE WHEN len(text) < 5 THEN 0 ELSE
+        |  len(list_distinct(list_transform(range(1, len(text)-5+2), i -> substr(text, i, 5))))
+        |  END AS BIGINT) AS n_shingles
+        |FROM documents""".stripMargin,
+
+    "d1_exact_dup_stats" ->
+      """SELECT count(*) AS total_docs, count(DISTINCT text) AS distinct_docs,
+        |  count(*) - count(DISTINCT text) AS dup_docs
+        |FROM documents""".stripMargin,
+
+    "d2_exact_dedup" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""".stripMargin,
+
+    "d5_jaccard_pairs" ->
+      """WITH sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    range(1, greatest(len(tok)-3+2, 1)),
+        |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tok
+        |        FROM documents))
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN NULL
+        |    ELSE len(list_intersect(a.sh, b.sh))*1.0 /
+        |         len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "s1_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |       FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id,
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE query_id <> neighbor_id)
+        |SELECT query_id, neighbor_id, round(cos,4) AS cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 5""".stripMargin,
+
+    "s3_label_centroids" ->
+      """SELECT label, CAST(i-1 AS BIGINT) AS pos,
+        |  round(avg(CAST(embedding[i] AS DOUBLE)),4) AS mean_x, count(*) AS n
+        |FROM embeddings, range(1, 65) t(i)
+        |GROUP BY label, i""".stripMargin
+  )
 }

@@ -38,6 +38,18 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "region")
   def supplier(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame       = apply(spark, dir, "part")
-  def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+  /** documents/embeddings are CPU-dense per-row workloads (shingling,
+    * hashing, vector math in interpreted higher-order functions), and at
+    * test SFs each arrives as ONE parquet file → one scan partition → one
+    * busy core. `spread` widens the scan to the cluster's parallelism so
+    * per-row work distributes; it's a no-op whenever the scan already has
+    * enough partitions (the 100 TB case — thousands of file splits), so it
+    * never coalesces real-scale inputs.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = spread(apply(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame = spread(apply(spark, dir, "embeddings"))
 }

@@ -1,0 +1,112 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.analyze.Analytics
+
+class AnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val weather = Seq(
+    // city, ts, temp — mirrors the reference's weather table shape
+    ("london", ts("2024-01-01 06:00:00"), 10.0),
+    ("london", ts("2024-01-02 06:00:00"), 12.0),
+    ("london", ts("2024-01-03 06:00:00"), 11.0),
+    ("tokyo",  ts("2024-01-01 06:00:00"), 5.0),
+    ("tokyo",  ts("2024-01-02 06:00:00"), 5.0),
+    ("sydney", ts("2024-01-01 06:00:00"), 30.0)
+  ).toDF("city", "t", "temp")
+
+  test("A1 basicStats: count, range, exact median") {
+    val r = Analytics.basicStats(weather, "t", "temp").collect()(0)
+    assert(r.getAs[Long]("record_count") === 6L)
+    assert(r.getAs[String]("ts_min") === "2024-01-01 06:00:00")
+    assert(r.getAs[Double]("value_median") === 10.5) // even n: interpolated
+  }
+
+  test("A2 groupMultiAgg per city") {
+    val m = Analytics.groupMultiAgg(weather, "city", "temp")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("london") === 11.0 && m("tokyo") === 5.0 && m("sydney") === 30.0)
+  }
+
+  test("A3 extremes: highest/lowest rows, tie-break on key") {
+    val rows = Analytics.extremeGroupsLabelled(weather, "city", "temp").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("highest", "sydney"), ("lowest", "tokyo")))
+    // tie on the mean -> lexicographically first key for both extremes
+    val tied = Seq(("b", 1.0), ("a", 1.0)).toDF("city", "temp")
+    val t = Analytics.extremeGroupsLabelled(tied, "city", "temp").collect()
+    assert(t.map(_.getString(1)).toSeq === Seq("a", "a"))
+  }
+
+  test("A5/A6 valueCounts desc + mode pins deterministic tie-break") {
+    val df = Seq(("d1", "x"), ("d1", "y"), ("d1", "y"), ("d2", "b"), ("d2", "a"))
+      .toDF("day", "cond")
+    assert(Analytics.valueCounts(df, "cond").collect()(0).getString(0) === "y")
+    val modes = Analytics.modePerGroup(df, "day", "cond")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(modes("d1") === "y")
+    assert(modes("d2") === "a") // 1-1 tie -> lexicographic
+  }
+
+  test("A8/A9/A10 percentile bounds, medians, outlier census") {
+    val df = (Seq.fill(98)(10.0) ++ Seq(1000.0, -1000.0)).toDF("v")
+    val b = Analytics.percentileBounds(df, Seq("v")).collect()(0)
+    assert(b.getAs[Double]("v_q_lo") <= 10.0 && b.getAs[Double]("v_q_hi") >= 10.0)
+    val c = Analytics.outlierCensus(df, "v").collect()(0)
+    assert(c.getAs[Long]("outliers") === 2L && c.getAs[Long]("total") === 100L)
+    assert(Analytics.medians(df, Seq("v")).collect()(0).getDouble(0) === 10.0)
+  }
+
+  test("A13 regression recovers a perfect line") {
+    val df = (1 to 50).map(i => (i.toDouble, 3.0 * i + 7.0)).toDF("x", "y")
+    val r = Analytics.regression(df, "x", "y").collect()(0)
+    assert(r.getAs[Double]("slope") === 3.0)
+    assert(r.getAs[Double]("intercept") === 7.0)
+    assert(r.getAs[Double]("correlation") === 1.0)
+  }
+
+  test("W1/W2 trendAnalysis: diffs, zero-sum edge is 'cooling'") {
+    val r = Analytics.trendAnalysis(weather, "t", "city", "temp")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getString(4))).toMap
+    // london diffs: +2, -1 -> avg 0.5, sum>0 warming
+    assert(r("london")._1 === 0.5 && r("london")._2 === "warming")
+    // tokyo diffs: 0 -> sum==0 is NOT warming (reference strict >)
+    assert(r("tokyo")._2 === "cooling")
+    // sydney: single day -> no diff rows at all
+    assert(!r.contains("sydney"))
+  }
+
+  test("W3 pivotDaily produces one column per pinned key") {
+    val p = Analytics.pivotDaily(weather, "t", "city", "temp",
+      Seq("london", "sydney", "tokyo"))
+    assert(p.columns.toSeq === Seq("date", "london", "sydney", "tokyo"))
+    val first = p.collect()(0)
+    assert(first.getString(0) === "2024-01-01" && first.getDouble(1) === 10.0)
+  }
+
+  test("W4 multiDayGroups filters single-day groups") {
+    assert(Analytics.multiDayGroups(weather, "t", "city")
+      .collect().map(_.getString(0)).toSeq === Seq("london", "tokyo"))
+  }
+
+  test("O4 topKPerGroup total order within group") {
+    val df = Seq(("g", 1L, 5.0), ("g", 2L, 5.0), ("g", 3L, 1.0), ("h", 4L, 9.0))
+      .toDF("grp", "id", "v")
+    val top = Analytics.topKPerGroup(df, "grp", "v", 2, Seq("id"))
+      .select("grp", "id", "rnk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(top === Set(("g", 1L, 1), ("g", 2L, 2), ("h", 4L, 1)))
+  }
+
+  test("empty input: aggregations return row with nulls/zero, windows return empty") {
+    val empty = Seq.empty[(String, Timestamp, Double)].toDF("city", "t", "temp")
+    assert(Analytics.basicStats(empty, "t", "temp").collect()(0).getLong(0) === 0L)
+    assert(Analytics.trendAnalysis(empty, "t", "city", "temp").count() === 0L)
+    assert(Analytics.modePerGroup(empty, "city", "temp").count() === 0L)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),       // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),       // near dup of 1
+    (4L, "completely unrelated text about spark catalyst optimizer internals"),
+    (5L, "")                                                    // degenerate
+  ).toDF("id", "text")
+
+  test("exactDedup keeps the lowest id per identical text") {
+    val kept = Dedup.exactDedup(docs, "id", "text").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 4L, 5L))
+  }
+
+  test("exactDupStats census") {
+    val r = Dedup.exactDupStats(docs, "text").collect()(0)
+    assert(r.getLong(0) === 5L && r.getLong(1) === 4L && r.getLong(2) === 1L)
+  }
+
+  test("minhash signature: identical docs identical, length k, empty-doc guard") {
+    val sig = Dedup.minhashSignature(graft.text.Text.wordShingles($"text", 2), 16)
+    val sigs = docs.select($"id", sig.as("s")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L).length === 16)
+    assert(sigs(5L).forall(_ === Long.MaxValue))
+  }
+
+  test("minhashNearDups surfaces exact and near duplicates above threshold") {
+    val pairs = Dedup.minhashNearDups(docs, "id", "text", threshold = 0.5,
+      shingleSize = 2, bands = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical: jaccard 1.0, all bands collide
+  }
+
+  test("simhash: identical -> distance 0; hamming is symmetric and sane") {
+    val sigs = docs.select($"id", Dedup.simhash($"text").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    val d13 = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val d14 = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(d13 < d14) // near-dup closer than unrelated
+  }
+
+  test("simhashNearDups finds the exact pair via chunk blocking") {
+    val pairs = Dedup.simhashNearDups(docs, "id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngramJaccard: 1.0 identical, 0 disjoint, null when both empty") {
+    val df = Seq(
+      (Seq("a", "b"), Seq("a", "b")),
+      (Seq("a"), Seq("b")),
+      (Seq.empty[String], Seq.empty[String])).toDF("x", "y")
+    val r = df.select(Dedup.ngramJaccard($"x", $"y")).collect()
+    assert(r(0).getDouble(0) === 1.0)
+    assert(r(1).getDouble(0) === 0.0)
+    assert(r(2).isNullAt(0))
+  }
+
+  test("embeddingNearDups: parallel vectors pair up, orthogonal don't") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(2.0f, 0.0f, 0.0f)),   // same direction as 1
+      (3L, Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+      threshold = 0.99, nPlanes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}

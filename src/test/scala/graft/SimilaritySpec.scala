@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.Similarity
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("dot / l2Norm / cosine / l2Dist on known vectors") {
+    val df = Seq((Seq(1.0, 2.0, 2.0), Seq(2.0, 0.0, 0.0))).toDF("a", "b")
+    val r = df.select(
+      Similarity.dot($"a", $"b"),
+      Similarity.l2Norm($"a"),
+      Similarity.cosine($"a", $"b"),
+      Similarity.l2Dist($"a", $"b")).collect()(0)
+    assert(r.getDouble(0) === 2.0)
+    assert(r.getDouble(1) === 3.0)
+    assert(math.abs(r.getDouble(2) - 2.0 / (3.0 * 2.0)) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 3.0) < 1e-12)
+  }
+
+  test("cosine is null for zero vectors, never NaN") {
+    val df = Seq((Seq(0.0, 0.0), Seq(1.0, 1.0))).toDF("a", "b")
+    assert(df.select(Similarity.cosine($"a", $"b")).collect()(0).isNullAt(0))
+  }
+
+  test("bruteForceTopK: exact neighbors, rank order, self excluded") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val res = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 0), k = 2)
+      .orderBy("rank").collect()
+    assert(res.map(_.getLong(1)).toSeq === Seq(1L, 2L)) // closest first
+    assert(res.map(_.getLong(3)).toSeq === Seq(1L, 2L)) // ranks 1,2
+    assert(!res.map(_.getLong(1)).contains(0L))
+  }
+
+  test("annTopK recall: identical vectors always share a bucket") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 2.0f, 3.0f)),
+      (1L, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(-5.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val res = Similarity.annTopK(emb, emb.filter($"vec_id" === 0), k = 1, nPlanes = 4)
+      .collect()
+    assert(res.length === 1 && res(0).getLong(1) === 1L)
+    assert(res(0).getDouble(2) === 1.0)
+  }
+
+  test("labelCentroids: per-dimension mean by label") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 3.0f), 7),
+      (1L, Seq(3.0f, 5.0f), 7),
+      (2L, Seq(10.0f, 10.0f), 8)).toDF("vec_id", "embedding", "label")
+    val m = Similarity.labelCentroids(emb)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(m((7, 0)) === 2.0 && m((7, 1)) === 4.0 && m((8, 0)) === 10.0)
+  }
+
+  test("srpBucket deterministic across evaluations") {
+    val emb = Seq((0L, Seq(0.5, -1.5, 2.0))).toDF("id", "v")
+    val b1 = emb.select(Similarity.srpBucket($"v", 8)).collect()(0).getLong(0)
+    val b2 = emb.select(Similarity.srpBucket($"v", 8)).collect()(0).getLong(0)
+    assert(b1 === b2)
+    assert(b1 >= 0 && b1 < 256)
+  }
+}

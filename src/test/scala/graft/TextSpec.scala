@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Text
+
+class TextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
+    Seq(0).toDF("x").select(c).collect()(0)
+
+  test("tokens: empty/whitespace docs tokenize to [] (ADVICE r2 fix)") {
+    val df = Seq("", "   ", " a  b ", "a\tb\nc").toDF("t")
+    val counts = df.select(Text.tokenCount($"t")).collect().map(_.getInt(0)).toSeq
+    assert(counts === Seq(0, 0, 2, 3))
+  }
+
+  test("avgTokenLen / stopwordRatio / typeTokenRatio null-safe on empty docs") {
+    val df = Seq("", "the cat the mat").toDF("t")
+    val r = df.select(
+      Text.avgTokenLen($"t").as("atl"),
+      Text.stopwordRatio($"t", Seq("the")).as("sr"),
+      Text.typeTokenRatio($"t").as("ttr")).collect()
+    assert(r(0).isNullAt(0) && r(0).isNullAt(1) && r(0).isNullAt(2))
+    assert(r(1).getDouble(0) === 3.0) // the,cat,the,mat -> 12 chars / 4
+    assert(r(1).getDouble(1) === 0.5)
+    assert(r(1).getDouble(2) === 0.75) // {the, cat, mat} / 4
+  }
+
+  test("punctRatio counts punctuation over non-whitespace chars") {
+    val r = one(Text.punctRatio(lit("a, b!")))
+    assert(r.getDouble(0) === 2.0 / 4) // ',' '!' over "a,b!"
+  }
+
+  test("subwordCount splits punctuation into separate tokens") {
+    val df = Seq(("ab, cd!ef", 5), ("hello", 1), ("", 0)).toDF("t", "want")
+    df.collect() // force
+    val got = df.select(Text.subwordCount($"t"), $"want").collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
+  test("langId: marker voting with lexicographic tie-break and 'und' fallback") {
+    val df = Seq(
+      "the cat is a hat",        // en
+      "der hund ist nicht das",  // de
+      "xyzzy qwerty",            // no markers -> und
+      "the der"                  // 1-1 tie -> de (lex first)
+    ).toDF("t")
+    assert(df.select(Text.langId($"t")).collect().map(_.getString(0)).toSeq ===
+      Seq("en", "de", "und", "de"))
+  }
+
+  test("wordShingles: n-grams, deduplicated, short docs -> []") {
+    val r = one(Text.wordShingles(lit("a b c d"), 3))
+    assert(r.getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(one(Text.wordShingles(lit("a b"), 3)).getSeq[String](0) === Seq.empty)
+    // duplicate shingles collapse
+    assert(one(Text.wordShingles(lit("x x x x"), 2)).getSeq[String](0) === Seq("x x"))
+  }
+
+  test("charShingles windows characters") {
+    assert(one(Text.charShingles(lit("abcd"), 2)).getSeq[String](0) ===
+      Seq("ab", "bc", "cd"))
+    assert(one(Text.charShingles(lit("a"), 2)).getSeq[String](0) === Seq.empty)
+  }
+
+  test("fingerprint: equal docs collide, is deterministic") {
+    val df = Seq("one two three four five six", "one two three four five six",
+      "completely different words here now ok").toDF("t")
+    val fps = df.select(Text.fingerprint($"t")).collect().map(_.getLong(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("qualityScore in [0,1]; diverse prose beats repeated junk") {
+    val df = Seq(
+      "the quick brown fox jumps over a lazy dog near the riverbank today",
+      "spam spam spam spam spam spam spam spam !!!! !!!! !!!!").toDF("t")
+    val q = df.select(Text.qualityScore($"t")).collect().map(_.getDouble(0))
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(0) > q(1))
+  }
+}
