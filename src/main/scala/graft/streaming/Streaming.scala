@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming layer (SURVEY §2.10). The reference's "real-time"
+  * story is a daily cron (airflow/weather_pipeline_dag.py:35); here the same
+  * computations run as true streams: event-time windows + watermarks replace
+  * calendar-date batch group-bys, `dropDuplicatesWithinWatermark` replaces
+  * the reference's absent dedup (its transform re-reads ALL raw files, so
+  * duplicate polls produce duplicate rows — transform.py:64-66), and
+  * stream-static joins replace extract-time denormalization
+  * (extract.py:124-127).
+  *
+  * Scale posture: all stateful operators key their state by the grouping
+  * key and bound it with watermarks — state size is O(active keys ×
+  * windows-in-watermark), independent of total stream length. Sinks go
+  * through `foreachBatch` so each micro-batch reuses the batch writers and
+  * their partitioning.
+  */
+object Streaming {
+
+  /** File-based streaming source over a parquet directory with a fixed
+    * schema (never inferred — SURVEY §1.2). Batch twin: Tables.apply.
+    * In production the same plan reads Kafka; the transforms below are
+    * source-agnostic.
+    */
+  def parquetStream(spark: SparkSession, path: String, schema: StructType,
+                    maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+
+  /** A4 as a stream: tumbling event-time window (default 1 day = the
+    * reference's calendar-date rollup, analyze.py:239-243) with a watermark
+    * bounding state. Late rows beyond `lateness` are dropped — the batch
+    * path has no such cutoff, which is exactly the semantic delta a stream
+    * must declare (SURVEY §7.4 risk 4).
+    */
+  def windowedAgg(stream: DataFrame, ts: String, key: String, value: String,
+                  window: String = "1 day", lateness: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark(ts, lateness)
+      .groupBy(functions.windowCol(col(ts), window), col(key))
+      .agg(
+        avg(col(value)).as("value_mean"),
+        min(col(value)).as("value_min"),
+        max(col(value)).as("value_max"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+              col("window.end").as("window_end"),
+              col(key), col("value_mean"), col("value_min"), col("value_max"), col("n"))
+
+  private object functions {
+    // window() name-clashes with expressions.Window in wildcard imports;
+    // isolate the builtin call.
+    def windowCol(ts: org.apache.spark.sql.Column, w: String): org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.window(ts, w)
+  }
+
+  /** Streaming dedup keyed on (keys...) within the watermark — the
+    * north-star fix for the reference's duplicate-poll duplication
+    * (SURVEY §2.10). State is bounded by the watermark delay.
+    */
+  def dedupWithinWatermark(stream: DataFrame, ts: String, lateness: String,
+                           keys: Seq[String]): DataFrame =
+    stream.withWatermark(ts, lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream ⋈ static dimension (broadcast): the streaming analog of the
+    * reference's extract-time city enrichment (extract.py:124-127). The
+    * dim is broadcast per micro-batch; no stream-side shuffle.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Per-key running day-over-day change (the streaming twin of W1
+    * trendAnalysis, analyze.py:246-251) via flatMapGroupsWithState:
+    * state = last (date, daily-sum, daily-count) per key; emits one change
+    * row per completed day. State is O(1) per key.
+    *
+    * Input must be a Dataset[(key, date, value)]; event-time ordering
+    * within a key is the caller's contract (use after a windowed agg in
+    * append mode, which emits each day once its watermark closes).
+    */
+  case class DayObs(key: String, date: java.sql.Date, value: Double)
+  case class DayState(lastDate: java.sql.Date, lastValue: Double)
+  case class DayChange(key: String, date: java.sql.Date, change: Double)
+
+  def runningDailyChange(ds: Dataset[DayObs]): Dataset[DayChange] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[DayState, DayChange](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[DayObs], state: GroupState[DayState]) =>
+          val sorted = rows.toSeq.sortBy(_.date.getTime)
+          var st = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[DayChange]
+          sorted.foreach { o =>
+            st.foreach { prev =>
+              if (o.date.getTime != prev.lastDate.getTime)
+                out += DayChange(key, o.date, o.value - prev.lastValue)
+            }
+            st = Some(DayState(o.date, o.value))
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Statistics-dependent cleaning on a stream (SURVEY §7.4 risk 4): the
+    * global p05/p95 fence and medians cannot be computed inside one
+    * micro-batch without seeing all data, so they are computed on a static
+    * snapshot (or a previous day's data) and applied as a broadcast to the
+    * stream — the standard periodically-refreshed-statistics pattern.
+    */
+  def cleanWithStaticBounds(stream: DataFrame, statsSource: DataFrame,
+                            cols: Seq[String], lo: Double = 0.05, hi: Double = 0.95,
+                            k: Double = 1.5): DataFrame = {
+    if (cols.isEmpty) return stream
+    val aggs = cols.flatMap { c =>
+      val q1 = percentile_approx(col(c), lit(lo), lit(10000))
+      val q3 = percentile_approx(col(c), lit(hi), lit(10000))
+      Seq((q1 - lit(k) * (q3 - q1)).as(s"__${c}_lb"),
+          (q3 + lit(k) * (q3 - q1)).as(s"__${c}_ub"),
+          percentile_approx(col(c), lit(0.5), lit(10000)).as(s"__${c}_med"))
+    }
+    val stats = statsSource.agg(aggs.head, aggs.tail: _*)
+    val joined = stream.crossJoin(broadcast(stats))
+    val cleaned = cols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c,
+        coalesce(
+          when(col(c) < col(s"__${c}_lb") || col(c) > col(s"__${c}_ub"), lit(null))
+            .otherwise(col(c)),
+          col(s"__${c}_med")))
+    }
+    cleaned.drop(cols.flatMap(c => Seq(s"__${c}_lb", s"__${c}_ub", s"__${c}_med")): _*)
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+
+case class Ev(ts: Timestamp, k: String, v: Double)
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedAgg (streaming) equals batch dailyAgg on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      Ev(ts("2024-01-01 01:00:00"), "a", 10.0),
+      Ev(ts("2024-01-01 13:00:00"), "a", 20.0),
+      Ev(ts("2024-01-02 02:00:00"), "a", 30.0),
+      Ev(ts("2024-01-01 05:00:00"), "b", 5.0))
+    val mem = MemoryStream[Ev]
+    val q = Streaming.windowedAgg(mem.toDF(), "ts", "k", "v")
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      val got = spark.table("win_agg")
+        .select(date_format($"window_start", "yyyy-MM-dd").as("date"), $"k", $"value_mean", $"n")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(got === Set(
+        ("2024-01-01", "a", 15.0, 2L),
+        ("2024-01-02", "a", 30.0, 1L),
+        ("2024-01-01", "b", 5.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark drops duplicate (k, ts) rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streaming.dedupWithinWatermark(mem.toDF(), "ts", "1 hour", Seq("k", "ts"))
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    try {
+      val e = Ev(ts("2024-01-01 01:00:00"), "a", 10.0)
+      mem.addData(e, e, e, Ev(ts("2024-01-01 02:00:00"), "a", 11.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_wm").count() === 2)
+    } finally q.stop()
+  }
+
+  test("enrichWithDim joins a static dimension onto the stream (broadcast)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("a", "Alpha"), ("b", "Beta")).toDF("k", "label")
+    val mem = MemoryStream[Ev]
+    val q = Streaming.enrichWithDim(mem.toDF(), dim, "k")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(ts("2024-01-01 01:00:00"), "a", 1.0),
+                  Ev(ts("2024-01-01 01:00:00"), "z", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").select("k", "label")
+        .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      assert(rows("a") === Some("Alpha"))
+      assert(rows("z") === None) // left join keeps unmatched stream rows
+    } finally q.stop()
+  }
+
+  test("runningDailyChange emits per-key day-over-day diffs (stateful)") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming._
+    val mem = MemoryStream[DayObs]
+    val q = runningDailyChange(mem.toDS())
+      .writeStream.format("memory").queryName("day_chg")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        DayObs("a", java.sql.Date.valueOf("2024-01-01"), 10.0),
+        DayObs("a", java.sql.Date.valueOf("2024-01-02"), 12.0))
+      q.processAllAvailable()
+      mem.addData(DayObs("a", java.sql.Date.valueOf("2024-01-03"), 11.0))
+      q.processAllAvailable()
+      val got = spark.table("day_chg")
+        .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2))).toSet
+      // diffs survive across micro-batches via GroupState
+      assert(got === Set(("a", "2024-01-02", 2.0), ("a", "2024-01-03", -1.0)))
+    } finally q.stop()
+  }
+
+  test("cleanWithStaticBounds nulls+imputes stream rows from snapshot stats") {
+    implicit val sqlCtx = spark.sqlContext
+    // snapshot: 99 x 10.0 and a 10000.0 -> fence excludes 10000, median 10
+    val snapshot = (Seq.fill(99)(10.0) ++ Seq(10000.0)).toDF("v")
+    val mem = MemoryStream[Ev]
+    val cleaned = Streaming.cleanWithStaticBounds(
+      mem.toDF().withColumnRenamed("v", "v0").withColumn("v", $"v0"), snapshot, Seq("v"))
+    val q = cleaned.writeStream.format("memory").queryName("stream_clean")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(ts("2024-01-01 01:00:00"), "a", 10.0),
+                  Ev(ts("2024-01-01 02:00:00"), "a", 99999.0))
+      q.processAllAvailable()
+      val vs = spark.table("stream_clean").select("v").collect().map(_.getDouble(0)).toSet
+      assert(vs === Set(10.0)) // outlier replaced by snapshot median
+    } finally q.stop()
+  }
+}
