@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sink.Sinks
+
+class SinksSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(name: String) =
+    Files.createTempDirectory(s"graft_$name").resolve("out").toString
+
+  private lazy val df = Seq(
+    ("london", "2024-01-01", 10.0),
+    ("london", "2024-01-02", 12.0),
+    ("tokyo", "2024-01-01", 5.0)).toDF("city", "date", "temperature")
+
+  test("S5 CSV sink round-trips with header") {
+    val p = tmp("csv")
+    Sinks.writeCsv(df, p)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(p)
+    assert(back.count() === 3)
+    assert(back.columns.toSeq === Seq("city", "date", "temperature"))
+  }
+
+  test("S10 summary CSV: per-group multi-agg rounded") {
+    val p = tmp("summary")
+    Sinks.writeSummaryCsv(df, "city", Seq("temperature"), p)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(p)
+    val london = back.filter($"city" === "london").collect()(0)
+    assert(london.getAs[Double]("temperature_mean") === 11.0)
+  }
+
+  test("S8 JSON-lines sink round-trips") {
+    val p = tmp("json")
+    Sinks.writeJson(df, p)
+    assert(spark.read.json(p).count() === 3)
+  }
+
+  test("S9 partitioned parquet prunes partitions like the SQLite indexes") {
+    val p = tmp("part")
+    Sinks.writePartitioned(df, p)
+    val back = spark.read.parquet(p)
+    assert(back.count() === 3)
+    // partition pruning: only the london/2024-01-01 directory is read
+    val pruned = back.filter($"city" === "london" && $"date" === "2024-01-01")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(pruned.count() === 1)
+    assert(new java.io.File(s"$p/city=london/date=2024-01-01").exists())
+  }
+
+  test("S12 analysis JSON: nested result object per key") {
+    val p = tmp("analysis")
+    val agg = df.groupBy("city").agg(avg($"temperature").as("mean_temp"))
+    Sinks.writeAnalysisJson(agg, "city", p)
+    val back = spark.read.json(p)
+    assert(back.columns.sorted.toSeq === Seq("city", "result"))
+    val london = back.filter($"city" === "london").collect()(0).getAs[String]("result")
+    assert(london.contains("\"mean_temp\":11.0"))
+  }
+}
