@@ -1,0 +1,121 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for a training-data pipeline (north-star extension):
+  * image/audio/video as opaque `binary` columns with typed metadata.
+  *
+  * The actual media decode is STUBBED (no codec libs in this environment) —
+  * `FakeDecode` derives deterministic pseudo-features from the bytes — but
+  * every piece of Spark plumbing around it is real and tested: the schema,
+  * the batched `mapPartitions` decode shape (the JVM analog of
+  * `mapInPandas`: one iterator in, one iterator out, per-partition setup
+  * amortized across the batch), frame sampling as a generator, and
+  * size-aware repartitioning so a few huge blobs can't skew a partition.
+  *
+  * Scale posture: blobs never pass through a shuffle unless the operation
+  * needs it (decode is map-side only); metadata-only projections prune the
+  * binary column at the parquet scan, so "count images wider than X" never
+  * reads a byte of pixels.
+  */
+object Multimodal {
+
+  /** media table schema: one row per asset. Metadata is a typed struct —
+    * filters on it push down without touching `bytes`.
+    */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),      // image | audio | video
+    StructField("bytes", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("format", StringType))))))
+
+  /** STUB decode — deterministic fake standing in for a real codec.
+    * Derives `dim` pseudo-features from the blob bytes with a rolling
+    * 64-bit hash; same bytes → same features, so specs can assert values.
+    * Swap the body for a real decoder (JNI/ImageIO/javacv) without touching
+    * any caller: the signature IS the contract.
+    */
+  object FakeDecode {
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      var h = 1125899906842597L // deterministic seed
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      var d = 0
+      while (d < dim) {
+        val x = h ^ (0x9E3779B97F4A7C15L * (d + 1))
+        val mixed = x ^ (x >>> 33)
+        out(d) = (mixed & 0xFFFF).toFloat / 0xFFFF.toFloat
+        d += 1
+      }
+      out
+    }
+  }
+
+  case class MediaFeatures(media_id: Long, kind: String, feature: Array[Float])
+
+  /** Batched decode: binary column → fixed-width feature vector, as a
+    * per-partition iterator transform (the `mapInPandas` batch shape on the
+    * JVM). Per-partition decoder setup would live before the iterator map;
+    * rows stream through without materializing the partition.
+    */
+  def decodeFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "bytes")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // real decoder init goes here, once per partition
+        rows.map { case (id, kind, bytes) =>
+          MediaFeatures(id, kind,
+            FakeDecode.features(if (bytes == null) Array.emptyByteArray else bytes, dim))
+        }
+      }
+  }
+
+  /** Frame sampling for video rows: emit `n` evenly-spaced pseudo-frames
+    * per asset as (media_id, frame_idx, frame_ms). A real implementation
+    * decodes at each timestamp; the sampling plan — a generator producing
+    * n rows per input row, no shuffle — is the part that matters at scale.
+    */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("meta.duration_ms").as("duration_ms"))
+      .select(col("media_id"),
+        posexplode(transform(sequence(lit(0), lit(n - 1)),
+          i => floor(col("duration_ms") * i / n).cast("long"))).as(Seq("frame_idx", "frame_ms")))
+
+  /** Metadata-only resize plan: computes target dims preserving aspect
+    * ratio entirely from `meta` (no bytes read — check the scan's
+    * ReadSchema). The byte-producing resize is the decode stub's twin.
+    */
+  def resizePlan(media: DataFrame, maxSide: Int): DataFrame = {
+    val w = col("meta.width"); val h = col("meta.height")
+    val scale = least(lit(maxSide) / greatest(w, h), lit(1.0))
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), w.as("width"), h.as("height"),
+        round(w * scale).cast("int").as("target_width"),
+        round(h * scale).cast("int").as("target_height"))
+  }
+
+  /** Size-aware spread: repartition so each partition carries roughly
+    * `targetBytesPerPartition` of blob payload — a handful of 4K videos
+    * otherwise lands in one task while thumbnails finish instantly
+    * (the classic blob-skew problem).
+    */
+  def spreadBySize(media: DataFrame, targetBytesPerPartition: Long = 128L << 20): DataFrame = {
+    val totalBytes = media.select(sum(length(col("bytes")))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerPartition).toInt)
+    media.repartition(parts)
+  }
+}
