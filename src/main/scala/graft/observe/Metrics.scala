@@ -1,0 +1,86 @@
+package graft.observe
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.LongAdder
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Observability parity (SURVEY §2.12): the reference instruments every
+  * stage with Prometheus counters/gauges/histograms (main.py:28-30,
+  * extract.py:39-42, transform.py:27-32, load.py:26-29). Here the same
+  * metric NAMES are fed from Spark's own event stream — a SparkListener for
+  * batch jobs and a StreamingQueryListener for streams — so dashboards
+  * written against the reference keep working. Counters are in-process
+  * LongAdders exposed as a snapshot map; wiring them to a Prometheus
+  * registry or Spark's metrics Source is a sink detail, not a plan detail.
+  */
+object Metrics {
+
+  private val counters = new ConcurrentHashMap[String, LongAdder]()
+
+  def inc(name: String, by: Long = 1L): Unit =
+    counters.computeIfAbsent(name, _ => new LongAdder()).add(by)
+
+  def get(name: String): Long =
+    Option(counters.get(name)).map(_.sum()).getOrElse(0L)
+
+  def snapshot(): Map[String, Long] = {
+    val b = Map.newBuilder[String, Long]
+    counters.forEach((k, v) => b += k -> v.sum())
+    b.result()
+  }
+
+  def reset(): Unit = counters.clear()
+
+  // Reference metric names (§2.12)
+  val PipelineRuns = "weather_pipeline_runs"
+  val PipelineFailures = "weather_pipeline_failures"
+  val ExtractSuccesses = "weather_extract_successes"
+  val ExtractFailures = "weather_extract_failures"
+  val RecordsProcessed = "weather_records_processed"
+  val OutliersDetected = "weather_outliers_detected"
+  val AnalysisRuns = "weather_analysis_runs"
+  val LoadSuccesses = "weather_load_successes"
+  val SparkJobsCompleted = "spark_jobs_completed"
+  val SparkTasksCompleted = "spark_tasks_completed"
+  val SparkRecordsRead = "spark_records_read"
+  val StreamBatchesCompleted = "stream_batches_completed"
+  val StreamRowsProcessed = "stream_rows_processed"
+
+  /** Batch-side listener: counts jobs/tasks and input records from Spark's
+    * task metrics — `weather_records_processed` comes from the engine, not
+    * from manual increments sprinkled through operators.
+    */
+  final class JobMetricsListener extends SparkListener {
+    override def onJobEnd(jobEnd: SparkListenerJobEnd): Unit =
+      inc(SparkJobsCompleted)
+    override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+      inc(SparkTasksCompleted)
+      val tm = taskEnd.taskMetrics
+      if (tm != null) {
+        inc(SparkRecordsRead, tm.inputMetrics.recordsRead)
+        inc(RecordsProcessed, tm.inputMetrics.recordsRead)
+      }
+    }
+  }
+
+  /** Streaming-side listener: per-micro-batch progress counters. */
+  final class StreamMetricsListener extends StreamingQueryListener {
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      inc(StreamBatchesCompleted)
+      inc(StreamRowsProcessed, e.progress.numInputRows)
+    }
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  }
+
+  /** Install both listeners on a session (idempotent per listener object). */
+  def install(spark: SparkSession): (JobMetricsListener, StreamMetricsListener) = {
+    val j = new JobMetricsListener
+    val s = new StreamMetricsListener
+    spark.sparkContext.addSparkListener(j)
+    spark.streams.addListener(s)
+    (j, s)
+  }
+}

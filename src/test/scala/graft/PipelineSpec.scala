@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import graft.observe.Metrics
+
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("end-to-end: raw JSON -> partitioned parquet -> analyses -> sinks") {
+    val base = Files.createTempDirectory("graft_pipe")
+    val rawDir = base.resolve("raw").toString
+    def obs(city: String, cc: String, day: Int, temp: Double): String =
+      s"""{"dt": ${1704067200L + day * 86400}, "city_name": "$city", "country_code": "$cc",
+         | "main": {"temp": $temp, "feels_like": $temp, "temp_min": ${temp - 1},
+         |          "temp_max": ${temp + 1}, "pressure": 1010, "humidity": 70},
+         | "wind": {"speed": 3.0, "deg": 100},
+         | "weather": [{"main": "Clear", "description": "clear sky"}]}""".stripMargin.replaceAll("\n", "")
+    val lines = (0 until 3).flatMap(d => Seq(
+      obs("london", "GB", d, 10.0 + d), obs("tokyo", "JP", d, 5.0 - d)))
+    Files.createDirectories(java.nio.file.Paths.get(rawDir))
+    Files.write(java.nio.file.Paths.get(rawDir, "batch0.json"),
+      lines.mkString("\n").getBytes)
+
+    Metrics.reset()
+    Metrics.install(spark)
+    val res = Pipeline.run(spark, Pipeline.Config(
+      rawPath = rawDir,
+      processedPath = base.resolve("processed").toString,
+      outputPath = base.resolve("output").toString))
+
+    val processed = res.processed.get
+    assert(processed.count() === 6)
+    assert(processed.columns.length === 17)
+    // analyses materialize and make sense
+    val trends = res.analyses("trends").collect()
+      .map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(trends("london") === "warming" && trends("tokyo") === "cooling")
+    // sinks exist on disk, partition layout in place
+    assert(new java.io.File(s"${base.resolve("processed")}/city=london").exists())
+    assert(new java.io.File(s"${base.resolve("output")}/summary_csv").exists())
+    // reference-named metrics moved
+    assert(Metrics.get(Metrics.PipelineRuns) === 1L)
+    assert(Metrics.get(Metrics.LoadSuccesses) === 1L)
+    assert(Metrics.get(Metrics.SparkJobsCompleted) > 0L)
+    assert(Metrics.get(Metrics.RecordsProcessed) > 0L)
+  }
+
+  test("skip flags short-circuit phases (main.py:140-147 analog)") {
+    val base = Files.createTempDirectory("graft_pipe_skip")
+    val rawDir = base.resolve("raw").toString
+    Files.createDirectories(java.nio.file.Paths.get(rawDir))
+    Files.write(java.nio.file.Paths.get(rawDir, "b.json"), "".getBytes)
+    val res = Pipeline.run(spark, Pipeline.Config(
+      rawPath = rawDir,
+      processedPath = base.resolve("p").toString,
+      outputPath = base.resolve("o").toString,
+      skipTransform = true))
+    assert(res.processed.isEmpty && res.analyses.isEmpty)
+  }
+}
