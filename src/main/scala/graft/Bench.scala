@@ -12,6 +12,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session (codegen compiler, shuffle machinery, parquet
+    // footer caches) so the first timed query isn't charged ~3s of
+    // one-time JVM/session initialization.
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      Tables.lineitem(spark, sfDir).limit(1).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,15 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.{VectorFunctions => Impl}
+
+/** Public Column API for the native codegen vector expressions (see
+  * org.apache.spark.sql.graft.VectorExpressions for why the
+  * implementations live in the Spark namespace).
+  */
+object VectorFunctions {
+  /** Σ a_i·b_i as a whole-stage-codegen primitive loop. */
+  def dotNative(a: Column, b: Column): Column = Impl.dotNative(a, b)
+  /** Cosine similarity (null on zero norms), codegen'd single pass. */
+  def cosineNative(a: Column, b: Column): Column = Impl.cosineNative(a, b)
+}

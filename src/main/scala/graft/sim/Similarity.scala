@@ -3,6 +3,7 @@ package graft.sim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
 
 /** Embedding similarity search (north-star extension, repo BASELINE.json):
   * cosine top-k over an `array<float>` column.
@@ -54,7 +55,7 @@ object Similarity {
     val q = queries.select(col(idCol).as(queryIdCol), toDouble(col(vecCol)).as("__qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__cv"))
     val scored = c.join(broadcast(q), col(queryIdCol) =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("cos", VectorFunctions.cosineNative(col("__qv"), col("__cv")))
     val w = Window.partitionBy(queryIdCol).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -92,7 +93,7 @@ object Similarity {
       .withColumn("__bucket", srpBucket(col("__cv"), nPlanes))
     val scored = c.join(broadcast(q), Seq("__bucket"))
       .filter(col(queryIdCol) =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("cos", VectorFunctions.cosineNative(col("__qv"), col("__cv")))
     val w = Window.partitionBy(queryIdCol).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

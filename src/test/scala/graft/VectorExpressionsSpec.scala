@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.sim.Similarity
+
+class VectorExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("native dot/cosine match known values") {
+    val df = Seq((Seq(1.0, 2.0, 2.0), Seq(2.0, 0.0, 0.0))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dotNative($"a", $"b"),
+      VectorFunctions.cosineNative($"a", $"b")).collect()(0)
+    assert(r.getDouble(0) === 2.0)
+    assert(math.abs(r.getDouble(1) - 2.0 / 6.0) < 1e-15)
+  }
+
+  test("native cosine: zero-norm -> null, null input -> null") {
+    val df = Seq(
+      (Some(Seq(0.0, 0.0)), Some(Seq(1.0, 1.0))),
+      (None, Some(Seq(1.0, 1.0)))).toDF("a", "b")
+    val r = df.select(VectorFunctions.cosineNative($"a", $"b")).collect()
+    assert(r(0).isNullAt(0) && r(1).isNullAt(0))
+  }
+
+  test("native implicitly casts float arrays and agrees with HOF formulation bit-for-bit") {
+    val gen = new scala.util.Random(7)
+    val rows = (0 until 50).map { i =>
+      (Seq.fill(64)(gen.nextFloat()), Seq.fill(64)(gen.nextFloat()))
+    }
+    val df = rows.toDF("fa", "fb")
+    val both = df.select(
+      VectorFunctions.cosineNative($"fa", $"fb").as("native"),
+      Similarity.cosine(Similarity.toDouble($"fa"), Similarity.toDouble($"fb")).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1))) // exact equality
+  }
+
+  test("native expression participates in whole-stage codegen") {
+    // literal input constant-folds to a LocalTableScan; use range so a
+    // real projection stage exists
+    val df = spark.range(8).select(
+      array($"id".cast("double"), lit(2.0)).as("a"),
+      array(lit(3.0), $"id".cast("double")).as("b"))
+    val exec = df.select(VectorFunctions.cosineNative($"a", $"b"))
+      .queryExecution.executedPlan
+    assert(exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty)
+  }
+}
