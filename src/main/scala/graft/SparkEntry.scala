@@ -76,12 +76,27 @@ object SparkEntry {
     "a13_regression" -> ((s, d) =>
       Analytics.regression(Tables.lineitem(s, d), "l_quantity", "l_extendedprice")),
 
+    "a14_distinct_counts" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_rows"))),
+    // HLL sketch — implementation-specific estimate, rows-only check;
+    // the 100 TB twin of a14's exact distinct.
+    "a15_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("n_rows"))),
+    "a16_rollup" -> ((s, d) =>
+      Analytics.rollupSummary(Tables.lineitem(s, d), "l_returnflag", "l_linestatus", "l_quantity")),
+
     // ------------------------------------------------ window / time-series
     "w1_trend_analysis" -> ((s, d) => Analytics.trendAnalysis(Tables.events(s, d), "ts", "event_type", "value")),
     "w3_pivot_daily" -> ((s, d) =>
       Analytics.pivotDaily(Tables.events(s, d), "ts", "event_type", "value",
         Seq("click", "error", "purchase", "signup", "view"))),
     "w4_multiday_groups" -> ((s, d) => Analytics.multiDayGroups(Tables.events(s, d), "ts", "event_type")),
+    "w5_rolling_avg" -> ((s, d) => Analytics.rollingAvg(Tables.events(s, d), "ts", "event_type", "value")),
 
     // ----------------------------------------------------------- top-k
     "o1_topk_per_group" -> ((s, d) =>
@@ -116,6 +131,15 @@ object SparkEntry {
       Tables.customer(s, d)
         .join(Tables.orders(s, d).select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))),
+    // part is dim-sized relative to lineitem; AQE broadcasts it at test
+    // SFs, and at 100 TB the same plan degrades gracefully to shuffle join.
+    "j5_brand_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+             round(sum(col("l_quantity")), 2).as("qty"),
+             count(lit(1)).as("n"))),
 
     // ------------------------------------------------- cleaning composite
     // §2.9 two-pass clean on events.value, summarized per group so the
@@ -147,6 +171,15 @@ object SparkEntry {
     "f6_time_features" -> ((s, d) =>
       Scalars.withTimeFeatures(Tables.events(s, d), "ts")
         .select("event_id", "date", "hour", "day_of_week")),
+    // F14/semi-structured: JSON property extraction from the events.props
+    // string column — schema-on-read without a UDF.
+    "f7_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("k_value", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(round(avg(col("k_value")), 4).as("k_mean"),
+             max(col("k_value")).as("k_max"),
+             count(lit(1)).as("n"))),
 
     // ----------------------------------------------------- text analysis
     "t1_doc_stats" -> ((s, d) =>
@@ -299,6 +332,40 @@ object SparkEntry {
         |  round(corr(l_extendedprice, l_quantity),6) AS correlation,
         |  count(*) AS n
         |FROM lineitem""".stripMargin,
+
+    "a14_distinct_counts" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_suppliers, count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+
+    "a16_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  round(sum(l_quantity),2) AS value_sum, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "w5_rolling_avg" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, avg(value) AS v
+        |               FROM events GROUP BY event_type, CAST(ts AS DATE))
+        |SELECT strftime(d, '%Y-%m-%d') AS date, event_type,
+        |  round(v,4) AS value_mean,
+        |  round(avg(v) OVER (PARTITION BY event_type ORDER BY d
+        |                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),4) AS rolling_mean
+        |FROM daily""".stripMargin,
+
+    "j5_brand_revenue" ->
+      """SELECT p_brand,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        |  round(sum(l_quantity),2) AS qty, count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+
+    "f7_json_extract" ->
+      """SELECT event_type,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)),4) AS k_mean,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "w1_trend_analysis" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, avg(value) AS v

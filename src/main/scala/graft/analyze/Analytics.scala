@@ -216,6 +216,35 @@ object Analytics {
       .filter(col("n_days") > 1)
       .orderBy(key)
 
+  /** W5 (extension — SURVEY §2.5 notes rolling averages as the natural
+    * frame-spec extension the reference lacks): per-group trailing N-day
+    * moving average over the daily mean. Daily pre-aggregation shrinks the
+    * window input; one shuffle on the group key; the rows-frame is
+    * deterministic because (key, date) is a total order.
+    */
+  def rollingAvg(df: DataFrame, ts: String, key: String, value: String,
+                 days: Int = 7): DataFrame = {
+    val daily = df.groupBy(col(key), to_date(col(ts)).as("d"))
+      .agg(avg(col(value)).as("v"))
+    val w = Window.partitionBy(key).orderBy("d").rowsBetween(-(days - 1), 0)
+    daily.withColumn("rolling_mean", r(avg(col("v")).over(w)))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("date"), col(key),
+              r(col("v")).as("value_mean"), col("rolling_mean"))
+      .orderBy(col(key), col("date"))
+  }
+
+  /** Rollup summary (extension — SURVEY §2.4 notes grouping sets as a
+    * built-in away): subtotals per (k1, k2), per k1, and grand total.
+    * Null grouping cells are labelled 'ALL' so the output is
+    * oracle-comparable without null-ordering pitfalls.
+    */
+  def rollupSummary(df: DataFrame, k1: String, k2: String, value: String): DataFrame =
+    df.rollup(col(k1), col(k2))
+      .agg(r(sum(col(value)), 2).as("value_sum"), count(lit(1)).as("n"))
+      .select(coalesce(col(k1), lit("ALL")).as(k1),
+              coalesce(col(k2), lit("ALL")).as(k2),
+              col("value_sum"), col("n"))
+
   /** O4/A3-style top-k per group (rank via one window). `tieBreakers` must
     * make (value desc, tieBreakers asc) a total order within each group —
     * row_number over a non-total order is nondeterministic (SURVEY §5.2).
