@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+import graft.sources.{LatestSnapshot, RestSource}
+
+class SourcesSpec extends SparkTestBase {
+  import RestSource._
+
+  test("S1 retry/backoff: succeeds after transient failures, no sleep after success") {
+    var calls = 0
+    var sleeps = 0
+    val results = fetchAll(
+      Seq(City("London", "GB")),
+      fetch = { _ => calls += 1; if (calls < 3) throw new RuntimeException("503") else """{"city_name":"London"}""" },
+      retries = 3, backoffMs = 2000, sleep = _ => sleeps += 1)
+    assert(results.head.payload.isDefined)
+    assert(results.head.attempts === 3)
+    assert(sleeps === 2) // backoff only between failed attempts
+  }
+
+  test("S1 exhausted retries yield empty payload (reference returns {})") {
+    val results = fetchAll(
+      Seq(City("Tokyo", "JP")),
+      fetch = _ => throw new RuntimeException("down"),
+      retries = 3, sleep = _ => ())
+    assert(results.head.payload.isEmpty && results.head.attempts === 3)
+  }
+
+  test("S1 payloads parse schema-first; failed cities contribute no rows") {
+    val ok = FetchResult(City("London", "GB"),
+      Some("""{"city_name": "London", "country_code": "GB", "main": {"temp": 10.5}}"""), 1)
+    val bad = FetchResult(City("Tokyo", "JP"), None, 3)
+    val df = toDataFrame(spark, Seq(ok, bad))
+    val rows = df.collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("city_name") === "London")
+    assert(rows(0).getAs[org.apache.spark.sql.Row]("main").getAs[Double]("temp") === 10.5)
+  }
+
+  test("S6/S7 latestFile picks newest mtime with name tie-break") {
+    val dir = Files.createTempDirectory("graft_latest")
+    val old = dir.resolve("a.csv"); val newer = dir.resolve("b.csv")
+    Files.write(old, "x\n1".getBytes); Files.write(newer, "x\n2".getBytes)
+    Files.setLastModifiedTime(old, FileTime.fromMillis(1000000))
+    Files.setLastModifiedTime(newer, FileTime.fromMillis(2000000))
+    val got = LatestSnapshot.latestFile(spark, dir.toString, ".csv")
+    assert(got.exists(_.endsWith("b.csv")))
+    // schema-first read of the winner
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.IntegerType)))
+    val df = LatestSnapshot.readLatestCsv(spark, dir.toString, schema).get
+    assert(df.collect()(0).getInt(0) === 2)
+  }
+
+  test("S6 missing directory -> None, no exception") {
+    assert(LatestSnapshot.latestFile(spark, "/tmp/definitely/not/here") === None)
+  }
+}
