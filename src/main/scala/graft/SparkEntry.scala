@@ -220,6 +220,13 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 8), k = 5, nPlanes = 6)
     }),
+    // IVF cell assignment depends on the centroid sample; deterministic
+    // but not ANSI-SQL-expressible compactly -> rows-only check, semantics
+    // covered by SimilaritySpec.
+    "s4_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+    }),
     "s3_label_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d))
         .select(col("label"), col("pos").cast("long").as("pos"),

@@ -101,6 +101,49 @@ object Similarity {
               col("rank").cast("long").as("rank"))
   }
 
+  /** IVF (inverted-file) ANN top-k — the centroid-bucketed alternative to
+    * SRP-LSH: partition the corpus into `nCells` Voronoi cells around
+    * centroid vectors, search only the `nProbes` cells nearest each query.
+    *
+    * Centroids here are a deterministic sample (the lowest `nCells` ids) —
+    * a k-means refinement would improve cell balance but changes nothing
+    * structurally: train is a tiny driver-side collect (nCells ≈ √N rows),
+    * assignment is one broadcast pass over the corpus (argmax cosine vs the
+    * centroid array, native expression inside), search is one equi-join on
+    * cell id + exact re-rank. Corpus shuffles once, on the cell key.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbes: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              queryIdCol: String = "query_id"): DataFrame = {
+    import graft.functions.VectorFunctions.cosineNative
+    val cents: Array[Seq[Double]] = corpus
+      .orderBy(col(idCol)).limit(nCells)
+      .select(toDouble(col(vecCol)))
+      .collect().map(_.getSeq[Double](0))
+    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
+
+    // scored cells: array<struct<neg_cos, cell>>; array_min = argmax cosine
+    def cellScores(v: Column): Column =
+      zip_with(centArr, sequence(lit(0), lit(cents.length - 1)), (c, i) =>
+        struct((-coalesce(cosineNative(c, v), lit(-2.0))).as("neg"), i.as("cell")))
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__cv"))
+      .withColumn("__cell", array_min(cellScores(col("__cv"))).getField("cell"))
+    val q = queries.select(col(idCol).as(queryIdCol), toDouble(col(vecCol)).as("__qv"))
+      .withColumn("__cell",
+        explode(transform(slice(array_sort(cellScores(col("__qv"))), 1, nProbes),
+          s => s.getField("cell"))))
+    val scored = c.join(broadcast(q), Seq("__cell"))
+      .filter(col(queryIdCol) =!= col("neighbor_id"))
+      .withColumn("cos", cosineNative(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(queryIdCol).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("neighbor_id"), round(col("cos"), 4).as("cos"),
+              col("rank").cast("long").as("rank"))
+  }
+
   /** Per-label centroid summary over the embedding column: vector mean via
     * posexplode + two-key groupBy (scales to any dimension/cardinality —
     * no driver-side vectors), plus count.

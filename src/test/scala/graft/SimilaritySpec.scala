@@ -65,4 +65,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(b1 === b2)
     assert(b1 >= 0 && b1 < 256)
   }
+
+  test("ivfTopK: identical vector lands in same cell and is found at rank 1") {
+    val gen = new scala.util.Random(3)
+    val base = (0L until 40L).map(i => (i, Seq.fill(8)(gen.nextFloat())))
+    // vec 99 duplicates vec 25 -> same cell by construction, cos 1.0
+    val emb = (base :+ (99L, base(25)._2)).toDF("vec_id", "embedding")
+    val res = Similarity.ivfTopK(emb, emb.filter($"vec_id" === 99), k = 3,
+      nCells = 4, nProbes = 2)
+    val top = res.orderBy("rank").collect()
+    assert(top(0).getLong(1) === 25L)
+    assert(top(0).getDouble(2) === 1.0)
+  }
+
+  test("ivfTopK probes limit candidate cells") {
+    val gen = new scala.util.Random(11)
+    val emb = (0L until 30L).map(i => (i, Seq.fill(8)(gen.nextFloat()))).toDF("vec_id", "embedding")
+    val res = Similarity.ivfTopK(emb, emb.filter($"vec_id" < 2), k = 5, nCells = 4, nProbes = 1)
+    // every query returns rows and ranks are dense from 1
+    val byQ = res.collect().groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L))
+    byQ.values.foreach(rs => assert(rs.map(_.getLong(3)).sorted.toSeq === (1L to rs.length).toSeq))
+  }
 }

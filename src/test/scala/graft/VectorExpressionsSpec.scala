@@ -49,4 +49,13 @@ class VectorExpressionsSpec extends SparkTestBase {
       case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
     }.nonEmpty)
   }
+
+  test("SQL surface: graft_cosine/graft_dot callable after registration") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) c, " +
+      "graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) d").collect()(0)
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 11.0)
+  }
 }
