@@ -216,6 +216,24 @@ object Analytics {
       .filter(col("n_days") > 1)
       .orderBy(key)
 
+  /** Skew-resistant aggregation (100 TB posture, SURVEY §4.2 "salting for
+    * skew"): two-stage group-by with a random-free deterministic salt
+    * derived from a secondary column's hash. Works for any decomposable
+    * aggregate; exposed for sum/count/avg. AQE's skew handling covers
+    * joins, but a single hot GROUP BY key still funnels into one reducer —
+    * salting splits it across `salt` reducers, then merges partials.
+    * Results are identical to the direct aggregation (spec-asserted).
+    */
+  def saltedAgg(df: DataFrame, key: String, value: String, salt: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(xxhash64(col(value)), lit(salt)))
+    val partial = salted.groupBy(col(key), col("__salt"))
+      .agg(sum(col(value)).as("__sum"), count(lit(1)).as("__n"))
+    partial.groupBy(col(key))
+      .agg(r(sum(col("__sum"))).as("value_sum"),
+           sum(col("__n")).as("n"),
+           r(sum(col("__sum")) / sum(col("__n"))).as("value_mean"))
+  }
+
   /** W5 (extension — SURVEY §2.5 notes rolling averages as the natural
     * frame-spec extension the reference lacks): per-group trailing N-day
     * moving average over the daily mean. Daily pre-aggregation shrinks the

@@ -61,6 +61,20 @@ object Streaming {
       org.apache.spark.sql.functions.window(ts, w)
   }
 
+  /** Session windows (north-star extension, no reference counterpart):
+    * per-key activity sessions closed after `gap` of event-time silence.
+    * State per key is bounded by the watermark like windowedAgg.
+    */
+  def sessionAgg(stream: DataFrame, ts: String, key: String, value: String,
+                 gap: String = "30 minutes", lateness: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark(ts, lateness)
+      .groupBy(session_window(col(ts), gap), col(key))
+      .agg(count(lit(1)).as("n"), avg(col(value)).as("value_mean"))
+      .select(col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col(key), col("n"), col("value_mean"))
+
   /** Streaming dedup keyed on (keys...) within the watermark — the
     * north-star fix for the reference's duplicate-poll duplication
     * (SURVEY §2.10). State is bounded by the watermark delay.

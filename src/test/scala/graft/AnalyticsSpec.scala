@@ -109,4 +109,16 @@ class AnalyticsSpec extends SparkTestBase {
     assert(Analytics.trendAnalysis(empty, "t", "city", "temp").count() === 0L)
     assert(Analytics.modePerGroup(empty, "city", "temp").count() === 0L)
   }
+
+  test("saltedAgg equals the direct aggregation (skew-resistant two-stage)") {
+    val df = (1 to 1000).map(i => (if (i <= 990) "hot" else "cold", i.toDouble))
+      .toDF("k", "v")
+    val direct = df.groupBy("k").agg(
+      round(sum($"v"), 4).as("value_sum"), count(lit(1)).as("n"),
+      round(sum($"v") / count(lit(1)), 4).as("value_mean"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val salted = Analytics.saltedAgg(df, "k", "v")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted === direct)
+  }
 }

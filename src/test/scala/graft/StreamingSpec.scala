@@ -106,4 +106,22 @@ class StreamingSpec extends SparkTestBase {
       assert(vs === Set(10.0)) // outlier replaced by snapshot median
     } finally q.stop()
   }
+
+  test("sessionAgg groups activity separated by the gap into sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streaming.sessionAgg(mem.toDF(), "ts", "k", "v", gap = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        Ev(ts("2024-01-01 01:00:00"), "a", 1.0),
+        Ev(ts("2024-01-01 01:05:00"), "a", 2.0),  // same session (<10 min)
+        Ev(ts("2024-01-01 02:00:00"), "a", 3.0))  // new session
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+      assert(rows.length === 2)
+      assert(rows.map(_.getAs[Long]("n")).sorted.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
 }
