@@ -39,53 +39,34 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** MinHash signature: k independent permutations approximated by
-    * xxhash64(seed=i) over the doc's shingle set; element i = min hash.
-    * Per-row expression, no shuffle.
-    *
-    * IMPORTANT: pass an already-materialized shingle COLUMN (an attribute,
-    * not a nested expression) — the shingle subtree is referenced k times
-    * here, and an inline expression would be recomputed k times per row
-    * (higher-order functions are interpreted, not codegen'd; Catalyst's
-    * CollapseProject keeps multi-referenced non-trivial aliases
-    * materialized, so a `.select(shingles.as("__sh"))` barrier is cheap
-    * insurance, not paranoia).
+  /** MinHash signature: k permutations approximated by the two-hash mix
+    * g_i(s) = h1(s) + i·h2(s) over the doc's shingle set; element i = min.
+    * Native codegen expression (o.a.s.sql.graft.MinHashSignature) — a tight
+    * per-row loop hashing each shingle twice, vs the higher-order-function
+    * formulation that paid interpreted lambda dispatch per (shingle × k).
+    * Empty shingle set → all Long.MaxValue.
     */
   def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      when(size(shingles) === 0, lit(Long.MaxValue))
-        .otherwise(array_min(transform(shingles, s => xxhash64(lit(i), s))))
-    }: _*)
+    org.apache.spark.sql.graft.HashFunctions.minhashSignature(shingles, k)
 
   /** LSH banding: k = bands·rowsPerBand minhashes → one bucket hash per
     * band. Docs sharing ANY band bucket are candidates; the usual S-curve:
     * P(candidate) = 1 - (1 - j^rows)^bands for Jaccard j.
     * Output: (id, band, bucket) — the join key table.
     *
-    * Plan shape: project(shingles) → generate(explode(per-band buckets)).
-    * The band array is built directly from the shingle attribute in ONE
-    * expression (each minhash evaluated exactly once per row) rather than
-    * slicing a separate signature column — a signature alias referenced
-    * only by the generator would be inlined into it by CollapseProject and
-    * re-evaluated once per band (8× the hashing; observed 15 min → seconds
-    * at sf0.1).
+    * The per-band bucket array is ONE native expression evaluated once per
+    * row (signature + band mixing in a single loop), so it stays cheap even
+    * when CollapseProject inlines it into the generator. Earlier HOF
+    * versions re-evaluated the shingle hashing per band — 15 min → seconds
+    * at sf0.1 — and the native loop removes the remaining per-element
+    * interpreted dispatch.
     */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
-                 shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val bandBuckets = transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => struct(
-        b.cast("int").as("band"),
-        xxhash64(concat_ws("_",
-          transform(sequence(lit(0), lit(rowsPerBand - 1)), r => {
-            val i = b * rowsPerBand + r
-            when(size(col("__sh")) === 0, lit(Long.MaxValue))
-              .otherwise(array_min(transform(col("__sh"), s => xxhash64(i, s))))
-          }))).as("bucket")))
+                 shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame =
     df.select(col(idCol), Text.wordShingles(col(textCol), shingleSize).as("__sh"))
-      .select(col(idCol), explode(bandBuckets).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-  }
+      .select(col(idCol),
+        posexplode(org.apache.spark.sql.graft.HashFunctions
+          .lshBandBuckets(col("__sh"), bands, rowsPerBand)).as(Seq("band", "bucket")))
 
   /** Candidate pairs from LSH buckets (id1 < id2, distinct across bands).
     * The self-join is on (band, bucket) — expected O(1) rows per key when
@@ -124,29 +105,12 @@ object Dedup {
 
   /** 64-bit SimHash over the token set: each token votes ±1 per bit of its
     * xxhash64; sign of the vote sum is the fingerprint bit. Near-dups have
-    * small Hamming distance.
-    *
-    * Single-pass formulation: ONE aggregate over the token-hash array with a
-    * 64-counter accumulator, then one fold of the vote vector into the
-    * fingerprint. (64 separate per-bit aggregates would re-evaluate the
-    * tokenize+hash subtree 64 times per row — higher-order functions are
-    * interpreted, so that costs 64× real work, not a codegen CSE away.)
+    * small Hamming distance. Native codegen expression — one tight loop per
+    * row (o.a.s.sql.graft.SimHash64); the HOF formulation paid interpreted
+    * dispatch per (token × 64 bits).
     */
-  def simhash(text: Column): Column = {
-    val hashes = transform(Text.tokens(text), t => xxhash64(t))
-    val zeros = array_repeat(lit(0), 64)
-    // bit index is a lambda variable (Column), so go through call_function:
-    // the Catalyst ShiftLeft expression accepts a Column bit count even
-    // though the Scala functions.shiftleft overload is Int-only.
-    def bit1(b: Column): Column = call_function("shiftleft", lit(1L), b)
-    val votes = aggregate(hashes, zeros, (acc, h) =>
-      zip_with(acc, sequence(lit(0), lit(63)), (a, b) =>
-        a + when(h.bitwiseAND(bit1(b)) =!= 0, 1).otherwise(-1)))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)), (v, b) =>
-        when(v > 0, bit1(b)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
-  }
+  def simhash(text: Column): Column =
+    org.apache.spark.sql.graft.HashFunctions.simhash64(Text.tokens(text))
 
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

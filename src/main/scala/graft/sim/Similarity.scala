@@ -63,19 +63,22 @@ object Similarity {
               col("rank").cast("long").as("rank"))
   }
 
-  /** Signed-random-projection bucket id: `nPlanes` pseudo-random hyperplanes
-    * whose component weights are derived from xxhash64(plane, dim, seed) —
-    * fully deterministic, no fitted model to ship. Bit p of the bucket =
-    * sign of <v, plane_p>.
+  /** Signed-random-projection bucket id: `nPlanes` pseudo-random ±1
+    * hyperplanes, fully deterministic (seeded), no fitted model to ship.
+    * Bit p of the bucket = sign of <v, plane_p>.
+    *
+    * The hyperplane weights are row-independent, so they are materialized
+    * as LITERAL arrays (constant-folded once by Catalyst) and each
+    * projection is one native codegen DotProduct — the previous
+    * formulation re-derived every weight per row per element with an
+    * interpreted hash. `maxDim` bounds the literal length; DotProduct
+    * iterates the common prefix, so any vector dim ≤ maxDim works.
     */
-  def srpBucket(v: Column, nPlanes: Int, seed: Int = 42): Column = {
+  def srpBucket(v: Column, nPlanes: Int, seed: Int = 42, maxDim: Int = 512): Column = {
     val bits = (0 until nPlanes).map { p =>
-      // weight_j = ±1 from the parity of a hash of (seed, plane, dim index)
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, j) =>
-          x * (pmod(xxhash64(lit(seed), lit(p), j), lit(2)) * 2 - 1).cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      val rnd = new scala.util.Random(seed.toLong * 1000003L + p)
+      val weights = array((0 until maxDim).map(_ => lit(if (rnd.nextBoolean()) 1.0 else -1.0)): _*)
+      when(VectorFunctions.dotNative(v, weights) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

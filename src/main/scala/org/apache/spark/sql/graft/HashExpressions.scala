@@ -1,0 +1,150 @@
+// Spark namespace for the same reason as VectorExpressions (private[sql]
+// Column bridge + codegen plumbing). Public API: graft.dedup.Dedup /
+// graft.text.Text delegate here.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop implementations shared by interpreted eval and codegen (the
+  * generated code just calls these static methods — one invocation per row,
+  * no per-element expression-tree eval, unlike the higher-order-function
+  * formulation which pays interpreted lambda dispatch per element).
+  *
+  * Hashing: xxhash64 of the UTF-8 bytes; the k MinHash "permutations" use
+  * the standard two-hash mix g_i(s) = h1(s) + i·h2(s)
+  * (Kirsch-Mitzenmacher), so each shingle is hashed twice total instead of
+  * k times.
+  */
+object HashImpl {
+
+  private def xx(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+
+  /** MinHash signature of a deduplicated shingle array; empty input →
+    * all Long.MaxValue (same guard as the HOF formulation).
+    */
+  def minhash(shingles: ArrayData, k: Int, seed: Long): ArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = shingles.numElements()
+    var j = 0
+    while (j < n) {
+      if (!shingles.isNullAt(j)) {
+        val s = shingles.getUTF8String(j)
+        val h1 = xx(s, seed)
+        val h2 = xx(s, seed + 1)
+        var i = 0
+        while (i < k) {
+          val g = h1 + i * h2
+          if (g < sig(i)) sig(i) = g
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** One bucket hash per LSH band: bucket_b = xxhash over the band's
+    * rowsPerBand minhash values (mixed as longs, no string concat).
+    */
+  def lshBands(shingles: ArrayData, bands: Int, rowsPerBand: Int, seed: Long): ArrayData = {
+    val sig = minhash(shingles, bands * rowsPerBand, seed)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0x9E3779B97F4A7C15L ^ seed
+      var r = 0
+      while (r < rowsPerBand) {
+        val v = sig.getLong(b * rowsPerBand + r)
+        h = java.lang.Long.rotateLeft(h ^ (v * 0xC2B2AE3D27D4EB4FL), 27) * 0x9E3779B97F4A7C15L
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash over the token array: ±1 vote per bit of each token's
+    * hash; sign of the vote is the fingerprint bit.
+    */
+  def simhash(tokens: ArrayData, seed: Long): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var j = 0
+    while (j < n) {
+      if (!tokens.isNullAt(j)) {
+        val h = xx(tokens.getUTF8String(j), seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+}
+
+abstract class StringArrayHashExpression extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+}
+
+case class MinHashSignature(child: Expression, k: Int, seed: Long = 42L)
+  extends StringArrayHashExpression {
+  override def prettyName: String = "graft_minhash"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.minhash(input.asInstanceOf[ArrayData], k, seed)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.HashImpl.minhash($c, $k, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class LshBandBuckets(child: Expression, bands: Int, rowsPerBand: Int, seed: Long = 42L)
+  extends StringArrayHashExpression {
+  override def prettyName: String = "graft_lsh_bands"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.lshBands(input.asInstanceOf[ArrayData], bands, rowsPerBand, seed)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.HashImpl.lshBands($c, $bands, $rowsPerBand, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SimHash64(child: Expression, seed: Long = 42L)
+  extends StringArrayHashExpression {
+  override def prettyName: String = "graft_simhash"
+  override def dataType: DataType = LongType
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.simhash(input.asInstanceOf[ArrayData], seed)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.HashImpl.simhash($c, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashFunctions {
+  def minhashSignature(shingles: Column, k: Int): Column =
+    ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(shingles), k))
+  def lshBandBuckets(shingles: Column, bands: Int, rowsPerBand: Int): Column =
+    ExpressionUtils.column(LshBandBuckets(ExpressionUtils.expression(shingles), bands, rowsPerBand))
+  def simhash64(tokens: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+}
