@@ -98,6 +98,19 @@ object SparkEntry {
     "w4_multiday_groups" -> ((s, d) => Analytics.multiDayGroups(Tables.events(s, d), "ts", "event_type")),
     "w5_rolling_avg" -> ((s, d) => Analytics.rollingAvg(Tables.events(s, d), "ts", "event_type", "value")),
 
+    // As-of join: each error event enriched with the user's latest prior
+    // purchase value (point-in-time correctness — no lookahead).
+    "w6_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      Analytics.asofJoin(errors, purchases, Seq("user_id"), "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+                round(col("asof_value"), 4).as("last_purchase_value"))
+    }),
+
     // ----------------------------------------------------------- top-k
     "o1_topk_per_group" -> ((s, d) =>
       Analytics.topKPerGroup(
@@ -397,6 +410,13 @@ object SparkEntry {
     "w4_multiday_groups" ->
       """SELECT event_type, count(DISTINCT CAST(ts AS DATE)) AS n_days
         |FROM events GROUP BY event_type HAVING count(DISTINCT CAST(ts AS DATE)) > 1""".stripMargin,
+
+    "w6_asof_join" ->
+      """SELECT l.event_id, l.user_id,
+        |  round(r.value, 4) AS last_purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
     "o1_topk_per_group" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,

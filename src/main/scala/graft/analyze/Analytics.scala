@@ -216,6 +216,38 @@ object Analytics {
       .filter(col("n_days") > 1)
       .orderBy(key)
 
+  /** As-of (point-in-time) join — for each left row, the single latest
+    * right row with right.ts <= left.ts within the same key (the canonical
+    * time-series enrichment operator; Spark has no built-in, DuckDB spells
+    * it ASOF JOIN).
+    *
+    * Spark-first realization (custom-operator ladder (a): compose built-in
+    * ops): tag both sides, UNION them, and run one `last(_, ignoreNulls)`
+    * window ordered by (ts, side) per key — right rows sort before left
+    * rows at equal ts, so the match is inclusive. ONE shuffle on the key,
+    * no range-explosion, no per-row subquery; at 100 TB this is a single
+    * sort-based window over the co-partitioned union, which beats any
+    * equi+filter range join by orders of magnitude when right is dense.
+    * Right (key, ts) pairs must be unique for determinism (true for event
+    * streams keyed at ns precision; add a tiebreaker column otherwise).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+               valueCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val l = left.withColumn("__is_l", lit(1))
+    val r = right.select(keys.map(col) ++ Seq(col(tsCol)) ++
+        valueCols.map(c => col(c).as(prefix + c)): _*)
+      .withColumn("__is_l", lit(0))
+    val combined = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__is_l").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(combined) { (d, c) =>
+        d.withColumn(prefix + c, last(col(prefix + c), ignoreNulls = true).over(w))
+      }
+      .filter(col("__is_l") === 1)
+      .drop("__is_l")
+  }
+
   /** Skew-resistant aggregation (100 TB posture, SURVEY §4.2 "salting for
     * skew"): two-stage group-by with a random-free deterministic salt
     * derived from a secondary column's hash. Works for any decomposable

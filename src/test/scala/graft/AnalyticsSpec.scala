@@ -121,4 +121,25 @@ class AnalyticsSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
     assert(salted === direct)
   }
+
+  test("asofJoin: latest right row at-or-before each left ts, per key") {
+    val left = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), 100L),
+      ("u1", ts("2024-01-01 12:00:00"), 101L),
+      ("u2", ts("2024-01-01 10:00:00"), 200L),
+      ("u3", ts("2024-01-01 10:00:00"), 300L)  // no right rows at all
+    ).toDF("k", "t", "lid")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:00:00"), 1.0),
+      ("u1", ts("2024-01-01 11:00:00"), 2.0),
+      ("u1", ts("2024-01-01 13:00:00"), 9.0),  // future: never matched
+      ("u2", ts("2024-01-01 10:00:00"), 5.0)   // equal ts: inclusive match
+    ).toDF("k", "t", "v")
+    val got = Analytics.asofJoin(left, right, Seq("k"), "t", Seq("v"))
+      .collect().map(r => r.getAs[Long]("lid") -> Option(r.getAs[Any]("asof_v"))).toMap
+    assert(got(100L) === Some(1.0)) // 10:00 -> 09:00 value
+    assert(got(101L) === Some(2.0)) // 12:00 -> 11:00, not 13:00
+    assert(got(200L) === Some(5.0)) // inclusive at equal ts
+    assert(got(300L) === None)      // no prior right row -> null
+  }
 }
