@@ -56,4 +56,29 @@ class SourcesSpec extends SparkTestBase {
   test("S6 missing directory -> None, no exception") {
     assert(LatestSnapshot.latestFile(spark, "/tmp/definitely/not/here") === None)
   }
+
+  test("DataSourceV2 polling stream: micro-batches, per-city partitions, deterministic rows") {
+    val q = spark.readStream
+      .format("graft.sources.v2.PollingSource")
+      .option("cities", "London,Tokyo")
+      .option("rowsPerBatch", "3")
+      .load()
+      .writeStream.format("memory").queryName("polls")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("polls").collect()
+      assert(rows.nonEmpty)
+      assert(rows.map(_.getAs[String]("city")).toSet === Set("London", "Tokyo"))
+      // deterministic synthetic payload: poll 0 London always identical
+      val london0 = rows.filter(r => r.getAs[Long]("poll_id") == 0L && r.getAs[String]("city") == "London")
+      assert(london0.length === 1)
+      assert(london0(0).getAs[Double]("temperature") ===
+        graft.sources.v2.PollingSource.ObservationGen.tempFor(0L, "London"))
+      // event time advances with the offset
+      val ts = rows.filter(_.getAs[String]("city") == "London")
+        .map(_.getAs[java.sql.Timestamp]("ts").getTime).sorted
+      assert(ts.distinct.length === ts.length)
+    } finally q.stop()
+  }
 }
