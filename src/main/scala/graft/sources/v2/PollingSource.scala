@@ -77,6 +77,9 @@ private class PollingScan(options: CaseInsensitiveStringMap) extends Scan {
   private val cities: Array[String] =
     options.getOrDefault("cities", "New York,London,Tokyo,Sydney,Berlin").split(",").map(_.trim)
   private val rowsPerBatch: Int = options.getInt("rowsPerBatch", 1)
+  // Optional cap on total polls: a finite stream (processAllAvailable and
+  // Trigger.AvailableNow drain it); <=0 means unbounded like a live feed.
+  private val maxPolls: Long = options.getLong("maxPolls", -1L)
 
   override def readSchema(): StructType = PollingSource.schema
   override def toBatch: Batch = throw new UnsupportedOperationException(
@@ -86,7 +89,10 @@ private class PollingScan(options: CaseInsensitiveStringMap) extends Scan {
     new MicroBatchStream {
       @volatile private var committed = 0L
       override def initialOffset(): Offset = PollOffset(0L)
-      override def latestOffset(): Offset = PollOffset(committed + rowsPerBatch)
+      override def latestOffset(): Offset = {
+        val next = committed + rowsPerBatch
+        PollOffset(if (maxPolls > 0) math.min(next, maxPolls) else next)
+      }
       override def deserializeOffset(json: String): Offset = PollOffset(json.toLong)
       override def commit(end: Offset): Unit =
         committed = end.asInstanceOf[PollOffset].pollId

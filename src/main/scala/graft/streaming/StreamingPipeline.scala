@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.observe.Metrics
+import graft.sink.Sinks
+
+/** The reference pipeline as an actual stream (north star: "Structured
+  * Streaming + Kafka"): polling source → statistics-guarded cleaning →
+  * event-time windowed aggregation → `foreachBatch` driving the same batch
+  * sinks as the daily pipeline. One checkpointed query replaces the cron.
+  *
+  * `foreachBatch` is the sink bridge: each micro-batch result reuses
+  * `Sinks.writePartitioned`'s layout, so downstream consumers cannot tell
+  * whether a day was produced by the stream or a batch backfill — the
+  * lambda/kappa unification point.
+  */
+object StreamingPipeline {
+
+  case class Config(
+      checkpointDir: String,
+      outputDir: String,
+      cities: Seq[String] = Seq("New York", "London", "Tokyo", "Sydney", "Berlin"),
+      window: String = "1 hour",
+      lateness: String = "2 hours",
+      statsSnapshot: Option[DataFrame] = None,
+      maxPolls: Long = -1L) // >0 = finite stream (tests / drain runs)
+
+  /** Wire and start the streaming query (AvailableNow when `drain` — the
+    * batch-parity trigger — else continuous micro-batches).
+    */
+  def start(spark: SparkSession, cfg: Config, drain: Boolean = false): StreamingQuery = {
+    val raw = spark.readStream
+      .format("graft.sources.v2.PollingSource")
+      .option("cities", cfg.cities.mkString(","))
+      .option("maxPolls", cfg.maxPolls.toString)
+      .load()
+
+    val cleaned = cfg.statsSnapshot match {
+      case Some(snap) => Streaming.cleanWithStaticBounds(raw, snap, Seq("temperature"))
+      case None => raw
+    }
+
+    val windowed = Streaming.windowedAgg(
+      cleaned, "ts", "city", "temperature", cfg.window, cfg.lateness)
+
+    val writer = windowed.writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          Metrics.inc(Metrics.RecordsProcessed, batch.count())
+          batch
+            .withColumn("date", date_format(col("window_start"), "yyyy-MM-dd"))
+            .write.mode("append").partitionBy("city", "date")
+            .parquet(s"${cfg.outputDir}/windowed")
+        }
+        Metrics.inc(Metrics.StreamBatchesCompleted)
+      }
+
+    (if (drain) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+}

@@ -62,6 +62,7 @@ class SourcesSpec extends SparkTestBase {
       .format("graft.sources.v2.PollingSource")
       .option("cities", "London,Tokyo")
       .option("rowsPerBatch", "3")
+      .option("maxPolls", "6") // finite -> processAllAvailable terminates
       .load()
       .writeStream.format("memory").queryName("polls")
       .outputMode("append").start()

@@ -124,4 +124,29 @@ class StreamingSpec extends SparkTestBase {
       assert(rows.map(_.getAs[Long]("n")).sorted.toSeq === Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("StreamingPipeline: source -> window -> foreachBatch parquet, checkpointed") {
+    val base = java.nio.file.Files.createTempDirectory("graft_spipe")
+    graft.observe.Metrics.reset()
+    val q = graft.streaming.StreamingPipeline.start(spark,
+      graft.streaming.StreamingPipeline.Config(
+        checkpointDir = base.resolve("ckpt").toString,
+        outputDir = base.resolve("out").toString,
+        cities = Seq("London", "Tokyo"),
+        window = "10 minutes", lateness = "5 minutes",
+        maxPolls = 200),
+      drain = false)
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    val outDir = new java.io.File(base.resolve("out").resolve("windowed").toString)
+    // append mode only emits windows closed by the watermark; the source
+    // advances event time each poll, so early windows finalize
+    if (outDir.exists()) {
+      val back = spark.read.parquet(outDir.toString)
+      assert(back.columns.contains("value_mean"))
+      assert(back.select("city").distinct().count() <= 2)
+    }
+    assert(graft.observe.Metrics.get(graft.observe.Metrics.StreamBatchesCompleted) > 0L)
+  }
 }
