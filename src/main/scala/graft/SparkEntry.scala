@@ -89,6 +89,9 @@ object SparkEntry {
         count(lit(1)).as("n_rows"))),
     "a16_rollup" -> ((s, d) =>
       Analytics.rollupSummary(Tables.lineitem(s, d), "l_returnflag", "l_linestatus", "l_quantity")),
+    // Two-stage salted aggregation must equal the direct group-by — the
+    // oracle IS the direct SQL, so the gate proves the decomposition.
+    "a17_salted_agg" -> ((s, d) => Analytics.saltedAgg(Tables.events(s, d), "event_type", "value")),
 
     // ------------------------------------------------ window / time-series
     "w1_trend_analysis" -> ((s, d) => Analytics.trendAnalysis(Tables.events(s, d), "ts", "event_type", "value")),
@@ -363,6 +366,11 @@ object SparkEntry {
         |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
         |  round(sum(l_quantity),2) AS value_sum, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "a17_salted_agg" ->
+      """SELECT event_type, round(sum(value),4) AS value_sum, count(*) AS n,
+        |  round(sum(value)/count(*),4) AS value_mean
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "w5_rolling_avg" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, avg(value) AS v
