@@ -157,6 +157,14 @@ object SparkEntry {
              round(sum(col("l_quantity")), 2).as("qty"),
              count(lit(1)).as("n"))),
 
+    "j6_supplier_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+             count(lit(1)).as("n"))),
+
     // ------------------------------------------------- cleaning composite
     // §2.9 two-pass clean on events.value, summarized per group so the
     // verified output is small but pins the full bounds→null→median chain.
@@ -458,6 +466,14 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "j6_supplier_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
 
     "c1_two_pass_clean" ->
       """WITH b AS (SELECT quantile_cont(value,0.05) AS q1, quantile_cont(value,0.95) AS q3 FROM events),

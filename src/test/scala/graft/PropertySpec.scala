@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.analyze.Analytics
+import graft.dedup.Dedup
+import graft.text.Text
+
+/** Property-style invariants over ScalaCheck-generated data (SURVEY §5.2
+  * point 4): telescoping diffs, percentile monotonicity, Jaccard metric
+  * axioms, MinHash estimate vs true Jaccard.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(1234)
+
+  test("W1 telescoping: sum of daily diffs == last - first per group") {
+    // generated per-city daily series
+    val rows = for {
+      city <- Seq("a", "b", "c")
+      day <- 1 to 20
+    } yield (city, Timestamp.valueOf(f"2024-01-$day%02d 06:00:00"), rng.nextDouble() * 30)
+    val df = rows.toDF("city", "t", "temp")
+
+    val daily = df.groupBy($"city", to_date($"t").as("d")).agg(avg($"temp").as("v"))
+    val firstLast = daily.groupBy("city")
+      .agg(expr("min_by(v, d)").as("first"), expr("max_by(v, d)").as("last"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("city").orderBy("d")
+    val sumDiffs = daily.withColumn("chg", $"v" - lag("v", 1).over(w))
+      .filter($"chg".isNotNull)
+      .groupBy("city").agg(sum($"chg").as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    sumDiffs.foreach { case (city, s) =>
+      val (first, last) = firstLast(city)
+      assert(math.abs(s - (last - first)) < 1e-9)
+    }
+  }
+
+  test("A8 percentile bounds: q_lo <= q_hi and fence contains the IQR band") {
+    val xs = Gen.listOfN(500, Gen.choose(-1e4, 1e4)).sample.get
+    val b = Analytics.percentileBounds(xs.toDF("v"), Seq("v")).collect()(0)
+    val (qlo, qhi, lb, ub) = (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+    assert(qlo <= qhi)
+    assert(lb <= qlo && qhi <= ub)
+  }
+
+  test("Jaccard axioms: self=1, symmetric, bounded [0,1]") {
+    val docs = Gen.listOfN(30,
+      Gen.listOfN(12, Gen.oneOf("spark", "data", "row", "fast", "slow", "table", "query"))
+        .map(_.mkString(" "))).sample.get
+    val pairs = for (a <- docs.take(6); b <- docs.take(6)) yield (a, b)
+    val df = pairs.toDF("ta", "tb")
+      .select(Text.wordShingles($"ta", 2).as("sa"), Text.wordShingles($"tb", 2).as("sb"),
+              ($"ta" === $"tb").as("same"))
+      .select(Dedup.ngramJaccard($"sa", $"sb").as("jab"),
+              Dedup.ngramJaccard($"sb", $"sa").as("jba"), $"same")
+      .collect()
+    df.foreach { r =>
+      if (!r.isNullAt(0)) {
+        val (jab, jba) = (r.getDouble(0), r.getDouble(1))
+        assert(jab === jba)                    // symmetry
+        assert(jab >= 0.0 && jab <= 1.0)       // bounds
+        if (r.getBoolean(2)) assert(jab === 1.0) // identity
+      }
+    }
+  }
+
+  test("MinHash band-collision probability tracks Jaccard (S-curve direction)") {
+    // near-identical pair vs unrelated pair: the near pair must share
+    // strictly more LSH buckets
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok40", "tokX") // ~0.95 shingle overlap
+    val far = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "text")
+    val buckets = Dedup.lshBuckets(df, "id", "text", shingleSize = 2, bands = 16, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    def shared(i: Long, j: Long) = {
+      val bi = buckets.filter(_._1 == i).map(b => (b._2, b._3)).toSet
+      val bj = buckets.filter(_._1 == j).map(b => (b._2, b._3)).toSet
+      (bi intersect bj).size
+    }
+    assert(shared(1L, 2L) > shared(1L, 3L))
+    assert(shared(1L, 3L) === 0)
+  }
+
+  test("simhash hamming distance respects similarity ordering") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = base.replace("w60", "zz")
+    val far = (200 to 260).map(i => s"w$i").mkString(" ")
+    val sigs = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "text")
+      .select($"id", Dedup.simhash($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(1L, 2L) < ham(1L, 3L))
+  }
+}
