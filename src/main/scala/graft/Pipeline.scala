@@ -67,6 +67,13 @@ object Pipeline {
         analyses.foreach { case (name, df) =>
           df.write.mode("overwrite").json(s"${cfg.outputPath}/analysis/$name")
         }
+        // the reference's single nested weather_analysis_*.json document
+        if (!cfg.skipAnalyze) {
+          val doc = graft.analyze.AnalysisDoc.build(processed)
+          val p = java.nio.file.Paths.get(cfg.outputPath, "analysis_doc.json")
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.writeString(p, doc)
+        }
         Metrics.inc(Metrics.LoadSuccesses)
       }
       Result(Some(processed), analyses)

@@ -115,15 +115,45 @@ object Similarity {
     * centroid array, native expression inside), search is one equi-join on
     * cell id + exact re-rank. Corpus shuffles once, on the cell key.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbes: Int = 2,
-              idCol: String = "vec_id", vecCol: String = "embedding",
-              queryIdCol: String = "query_id"): DataFrame = {
+  /** Deterministic sampled centroids, optionally refined with Lloyd
+    * iterations: assign (argmax cosine, broadcast) → per-cell per-dim mean
+    * (posexplode + two-key groupBy — no driver-side vectors until the
+    * final nCells×dim collect, which is tiny by construction). Empty cells
+    * keep their previous centroid. Every step is deterministic.
+    */
+  def kmeansCentroids(corpus: DataFrame, nCells: Int, iters: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Array[Seq[Double]] = {
     import graft.functions.VectorFunctions.cosineNative
-    val cents: Array[Seq[Double]] = corpus
+    var cents: Array[Seq[Double]] = corpus
       .orderBy(col(idCol)).limit(nCells)
       .select(toDouble(col(vecCol)))
       .collect().map(_.getSeq[Double](0))
+    val vecs = corpus.select(toDouble(col(vecCol)).as("__v"))
+    for (_ <- 1 to iters) {
+      val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
+      val scored = zip_with(centArr, sequence(lit(0), lit(cents.length - 1)), (c, i) =>
+        struct((-coalesce(cosineNative(c, col("__v")), lit(-2.0))).as("neg"), i.as("cell")))
+      val means = vecs
+        .withColumn("__cell", array_min(scored).getField("cell"))
+        .select(col("__cell"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy("__cell", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
+    }
+    cents
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbes: Int = 2, kmeansIters: Int = 0,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              queryIdCol: String = "query_id"): DataFrame = {
+    import graft.functions.VectorFunctions.cosineNative
+    val cents = kmeansCentroids(corpus, nCells, kmeansIters, idCol, vecCol)
     val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
 
     // scored cells: array<struct<neg_cos, cell>>; array_min = argmax cosine

@@ -38,6 +38,9 @@ class PipelineSpec extends SparkTestBase {
     // sinks exist on disk, partition layout in place
     assert(new java.io.File(s"${base.resolve("processed")}/city=london").exists())
     assert(new java.io.File(s"${base.resolve("output")}/summary_csv").exists())
+    val doc = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"${base.resolve("output")}/analysis_doc.json"))
+    assert(doc.contains("\"warmest_city\":\"london\""))
     // reference-named metrics moved
     assert(Metrics.get(Metrics.PipelineRuns) === 1L)
     assert(Metrics.get(Metrics.LoadSuccesses) === 1L)

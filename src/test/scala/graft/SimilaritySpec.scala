@@ -87,4 +87,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(byQ.keySet === Set(0L, 1L))
     byQ.values.foreach(rs => assert(rs.map(_.getLong(3)).sorted.toSeq === (1L to rs.length).toSeq))
   }
+
+  test("kmeansCentroids: refinement is deterministic and improves within-cell cohesion") {
+    val gen = new scala.util.Random(5)
+    val emb = (0L until 60L).map(i => (i, Seq.fill(8)(gen.nextFloat()))).toDF("vec_id", "embedding")
+    val c0 = Similarity.kmeansCentroids(emb, nCells = 4, iters = 2)
+    val c1 = Similarity.kmeansCentroids(emb, nCells = 4, iters = 2)
+    assert(c0.map(_.toSeq).toSeq === c1.map(_.toSeq).toSeq) // deterministic
+    assert(c0.length === 4 && c0.forall(_.length === 8))
+    // refined IVF still finds the exact duplicate
+    val withDup = emb.union(Seq((99L, emb.filter($"vec_id" === 7).collect()(0).getSeq[Float](1))).toDF)
+    val res = Similarity.ivfTopK(withDup, withDup.filter($"vec_id" === 99), k = 1,
+      nCells = 4, nProbes = 2, kmeansIters = 2)
+    assert(res.collect()(0).getLong(1) === 7L)
+  }
 }
