@@ -121,6 +121,14 @@ object SparkEntry {
           "l_returnflag", "l_extendedprice", 3, Seq("l_orderkey", "l_linenumber"))
         .withColumn("rnk", col("rnk").cast("long"))),
 
+    // Global top-k: orderBy+limit compiles to TakeOrderedAndProject —
+    // per-partition partial top-k, no full sort (the 100 TB-correct shape).
+    "o2_global_topk" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(10)),
+
     // ----------------------------------------------------------- joins
     // Broadcast the small dims (region 5 rows, nation 25); the fact side
     // never shuffles for the dim lookups — only for the final group-by.
@@ -442,6 +450,10 @@ object SparkEntry {
         |                           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
         |      FROM lineitem)
         |WHERE rn <= 3""".stripMargin,
+
+    "o2_global_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
 
     "j1_broadcast_join" ->
       """SELECT r_name, round(sum(o_totalprice),2) AS revenue, count(*) AS n

@@ -149,4 +149,38 @@ class StreamingSpec extends SparkTestBase {
     }
     assert(graft.observe.Metrics.get(graft.observe.Metrics.StreamBatchesCompleted) > 0L)
   }
+
+  test("streaming windowedAgg over real events parquet equals batch dailyAgg") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.Tables.events(spark, dir)
+    // physical schema: ts is TIMESTAMP(NANOS) -> read as long, rebuild (as Tables.events)
+    val physical = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    // streaming file source needs a directory; stage the single parquet file
+    val staged = java.nio.file.Files.createTempDirectory("graft_ev_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val stream = graft.streaming.Streaming.parquetStream(spark, staged.toString, physical)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = graft.streaming.Streaming.windowedAgg(stream, "ts", "event_type", "value")
+      .writeStream.format("memory").queryName("ev_win")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ev_win")
+        .select(date_format($"window_start", "yyyy-MM-dd").as("date"), $"event_type",
+                round($"value_mean", 6).as("m"), $"n")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+      val batched = batch.groupBy(date_format(to_date($"ts"), "yyyy-MM-dd").as("date"), $"event_type")
+        .agg(round(avg($"value"), 6).as("m"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+      assert(streamed === batched)
+    } finally q.stop()
+  }
 }
