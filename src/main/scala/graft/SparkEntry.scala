@@ -100,6 +100,9 @@ object SparkEntry {
         Seq("click", "error", "purchase", "signup", "view"))),
     "w4_multiday_groups" -> ((s, d) => Analytics.multiDayGroups(Tables.events(s, d), "ts", "event_type")),
     "w5_rolling_avg" -> ((s, d) => Analytics.rollingAvg(Tables.events(s, d), "ts", "event_type", "value")),
+    "w7_rank_ntile" -> ((s, d) => Analytics.rankAndNtile(Tables.events(s, d), "ts", "event_type", "value")),
+    "w8_sessionize" -> ((s, d) =>
+      Analytics.sessionSummary(Tables.events(s, d), "user_id", "ts", "value", gapMinutes = 1440)),
 
     // As-of join: each error event enriched with the user's latest prior
     // purchase value (point-in-time correctness — no lookahead).
@@ -450,6 +453,30 @@ object SparkEntry {
         |                           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
         |      FROM lineitem)
         |WHERE rn <= 3""".stripMargin,
+
+    "w7_rank_ntile" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, avg(value) AS v
+        |               FROM events GROUP BY event_type, CAST(ts AS DATE))
+        |SELECT strftime(d, '%Y-%m-%d') AS date, event_type, round(v,4) AS value_mean,
+        |  CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY v DESC, d) AS BIGINT) AS rnk,
+        |  CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY v DESC, d) AS BIGINT) AS quartile
+        |FROM daily""".stripMargin,
+
+    "w8_sessionize" ->
+      """WITH t AS (SELECT user_id, ts, value,
+        |  CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) -
+        |            CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT)
+        |       > 1440*60 THEN 1 ELSE 0 END AS nw
+        |  FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |  CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM t)
+        |SELECT user_id, session_id, count(*) AS n,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  round(avg(value),4) AS value_mean
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "o2_global_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem

@@ -216,6 +216,49 @@ object Analytics {
       .filter(col("n_days") > 1)
       .orderBy(key)
 
+  /** Batch sessionization (gaps-and-islands): assign a session id per key
+    * where a gap > `gapMinutes` of event-time silence starts a new session
+    * — the batch twin of Streaming.sessionAgg, and SQL-expressible for the
+    * oracle. Two windows over one shuffle on the key.
+    */
+  def sessionize(df: DataFrame, key: String, ts: String,
+                 gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts)
+    val newSession = when(
+      col(ts).cast("long") - lag(col(ts), 1).over(w).cast("long") > gapMinutes * 60L, 1
+    ).otherwise(0)
+    df.withColumn("__new", newSession)
+      .withColumn("session_id", sum(col("__new")).over(
+        Window.partitionBy(key).orderBy(ts)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .drop("__new")
+  }
+
+  /** Per-key session summary built on [[sessionize]]. */
+  def sessionSummary(df: DataFrame, key: String, ts: String, value: String,
+                     gapMinutes: Int = 30): DataFrame =
+    sessionize(df, key, ts, gapMinutes)
+      .groupBy(col(key), col("session_id"))
+      .agg(count(lit(1)).as("n"),
+           date_format(min(col(ts)), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+           date_format(max(col(ts)), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+           r(avg(col(value))).as("value_mean"))
+
+  /** Rank family coverage (SURVEY §2.5 notes the reference has none):
+    * dense_rank + ntile quartile per group over the daily mean.
+    */
+  def rankAndNtile(df: DataFrame, ts: String, key: String, value: String,
+                   buckets: Int = 4): DataFrame = {
+    val daily = df.groupBy(col(key), to_date(col(ts)).as("d"))
+      .agg(avg(col(value)).as("v"))
+    val w = Window.partitionBy(key).orderBy(col("v").desc, col("d").asc)
+    daily.select(
+      date_format(col("d"), "yyyy-MM-dd").as("date"), col(key),
+      r(col("v")).as("value_mean"),
+      dense_rank().over(w).cast("long").as("rnk"),
+      ntile(buckets).over(w).cast("long").as("quartile"))
+  }
+
   /** As-of (point-in-time) join — for each left row, the single latest
     * right row with right.ts <= left.ts within the same key (the canonical
     * time-series enrichment operator; Spark has no built-in, DuckDB spells

@@ -157,6 +157,49 @@ object Dedup {
       .select(col("id1"), col("id2"), round(ngramJaccard(col("__sh1"), col("__sh2")), 4).as("jaccard"))
   }
 
+  // ----------------------------------------------------- dup clustering
+
+  /** Connected components over a near-dup pair table (id1 < id2) by
+    * iterative minimum-label propagation: every id converges to the
+    * smallest id in its component. Output: (id, label).
+    *
+    * Each iteration is two joins + an aggregate on the (small) pair/label
+    * tables — the standard DataFrame-iterative shape; `localCheckpoint`
+    * cuts the growing lineage so plan size stays O(1) per iteration.
+    * Iterations needed = graph diameter (near-dup clusters are shallow;
+    * maxIter 10 covers diameter 2^10 via doubling-free propagation).
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id1"), col("id2"))
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    var labels = edges.select(col("id1").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("id2") === labels("id"))
+        .groupBy(edges("id1").as("id")).agg(min(col("label")).as("__nl"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Drop every non-representative member of each near-dup cluster (keep
+    * the smallest id); rows never paired are kept untouched.
+    */
+  def dropDupClusterMembers(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val nonReps = dupClusters(pairs).filter(col("id") =!= col("label")).select("id")
+    df.join(nonReps, df(idCol) === nonReps("id"), "left_anti")
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-dup pairs: SRP-LSH buckets → exact cosine within

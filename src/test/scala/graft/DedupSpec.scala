@@ -78,4 +78,21 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("dupClusters: min-label propagation finds connected components") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (7L, 9L), (3L, 7L))
+      .toDF("id1", "id2")
+    val labels = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // {1,2,3,7,9} all label 1 (3-7 bridges); {4,5} label 4
+    assert(Seq(1L, 2L, 3L, 7L, 9L).forall(labels(_) === 1L))
+    assert(labels(4L) === 4L && labels(5L) === 4L)
+  }
+
+  test("dropDupClusterMembers keeps one representative per cluster + singletons") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val kept = Dedup.dropDupClusterMembers(docs, "id", pairs)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L, 5L)) // 2,3 dropped; 4,5 unpaired stay
+  }
 }
