@@ -91,6 +91,24 @@ object Streaming {
   def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join: match right rows to left rows on `key`
+    * when the right event time falls within [left - within, left]. Both
+    * sides carry watermarks so the join state is bounded (Spark purges
+    * buffered rows once they can no longer match). Column names must be
+    * disjoint apart from the key.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   within: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, within)
+    val r = right.withWatermark(rightTs, within).withColumnRenamed(key, "__rkey")
+    l.join(r,
+      col(key) === col("__rkey") &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $within") &&
+        col(rightTs) <= col(leftTs),
+      "inner").drop("__rkey")
+  }
+
   /** Per-key running day-over-day change (the streaming twin of W1
     * trendAnalysis, analyze.py:246-251) via flatMapGroupsWithState:
     * state = last (date, daily-sum, daily-count) per key; emits one change

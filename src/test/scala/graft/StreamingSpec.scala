@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.streaming.Streaming
 
 case class Ev(ts: Timestamp, k: String, v: Double)
+case class Click(cts: Timestamp, k: String, page: String)
 
 class StreamingSpec extends SparkTestBase {
   import spark.implicits._
@@ -181,6 +182,27 @@ class StreamingSpec extends SparkTestBase {
         .agg(round(avg($"value"), 6).as("m"), count(lit(1)).as("n"))
         .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3))).toMap
       assert(streamed === batched)
+    } finally q.stop()
+  }
+
+  test("intervalJoin: stream-stream join within the time bound, state watermark-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Ev]
+    val clicks = MemoryStream[Click]
+    val joined = Streaming.intervalJoin(
+      purchases.toDF(), clicks.toDF(), "k", "ts", "cts", within = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    try {
+      purchases.addData(Ev(ts("2024-01-01 10:00:00"), "u1", 99.0))
+      clicks.addData(
+        Click(ts("2024-01-01 09:45:00"), "u1", "product"),  // within 30 min before
+        Click(ts("2024-01-01 08:00:00"), "u1", "home"),     // too early
+        Click(ts("2024-01-01 10:10:00"), "u1", "receipt"),  // after purchase
+        Click(ts("2024-01-01 09:50:00"), "u2", "other"))    // different key
+      q.processAllAvailable()
+      val pages = spark.table("ij").select("page").collect().map(_.getString(0)).toSet
+      assert(pages === Set("product"))
     } finally q.stop()
   }
 }
