@@ -179,12 +179,58 @@ object Similarity {
 
   /** Per-label centroid summary over the embedding column: vector mean via
     * posexplode + two-key groupBy (scales to any dimension/cardinality —
-    * no driver-side vectors), plus count.
+    * no driver-side vectors), plus count. SQL-expressible → the oracled
+    * variant; [[labelCentroidsTyped]] is the shuffle-light twin.
     */
   def labelCentroids(df: DataFrame, labelCol: String = "label",
                      vecCol: String = "embedding"): DataFrame = {
     val exploded = df.select(col(labelCol), posexplode(toDouble(col(vecCol))).as(Seq("pos", "x")))
     exploded.groupBy(col(labelCol), col("pos"))
       .agg(avg(col("x")).as("mean_x"), count(lit(1)).as("n"))
+  }
+
+  /** Typed `Aggregator` buffer (sum vector, count): element-wise vector
+    * mean with map-side partial aggregation — the shuffle carries ONE
+    * (dim-length sum vector, count) per label per partition instead of
+    * posexplode's dim × N rows. At 100 TB with dim=1024 that is a ~1000×
+    * shuffle-byte reduction; this is the custom-aggregate rung of the
+    * extension ladder (Aggregator[IN, BUF, OUT], SURVEY §2.11).
+    */
+  class VectorMeanAggregator(dim: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
+    override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
+    override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
+      val (sum, n) = b
+      var i = 0
+      val m = math.min(dim, v.length)
+      while (i < m) { sum(i) += v(i); i += 1 }
+      (sum, n + 1)
+    }
+    override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim) { a._1(i) += b._1(i); i += 1 }
+      (a._1, a._2 + b._2)
+    }
+    override def finish(b: (Array[Double], Long)): Seq[Double] =
+      if (b._2 == 0L) Seq.empty else b._1.map(_ / b._2).toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Centroid per label via [[VectorMeanAggregator]]; output one row per
+    * label with the full mean vector.
+    */
+  def labelCentroidsTyped(df: DataFrame, dim: Int, labelCol: String = "label",
+                          vecCol: String = "embedding"): DataFrame = {
+    import df.sparkSession.implicits._
+    val agg = new VectorMeanAggregator(dim)
+    df.select(col(labelCol).cast("int"), col(vecCol))
+      .as[(Int, Seq[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("centroid"))
+      .toDF(labelCol, "centroid")
   }
 }

@@ -101,4 +101,19 @@ class SimilaritySpec extends SparkTestBase {
       nCells = 4, nProbes = 2, kmeansIters = 2)
     assert(res.collect()(0).getLong(1) === 7L)
   }
+
+  test("labelCentroidsTyped (Aggregator) equals posexplode labelCentroids") {
+    val gen = new scala.util.Random(9)
+    val emb = (0L until 50L).map(i => (i, Seq.fill(6)(gen.nextFloat()), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val viaExplode = Similarity.labelCentroids(emb)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val typed = Similarity.labelCentroidsTyped(emb, dim = 6)
+      .collect().flatMap { r =>
+        val label = r.getInt(0)
+        r.getSeq[Double](1).zipWithIndex.map { case (m, pos) => (label, pos) -> m }
+      }.toMap
+    assert(typed.keySet === viaExplode.keySet)
+    typed.foreach { case (k, m) => assert(math.abs(m - viaExplode(k)) < 1e-12) }
+  }
 }
