@@ -87,20 +87,52 @@ private class PollingScan(options: CaseInsensitiveStringMap) extends Scan {
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MicroBatchStream {
-      @volatile private var committed = 0L
+      // High-water mark = furthest offset PLANNED (not committed): the
+      // engine only calls source.commit(N) while constructing batch N+1,
+      // so gating availability on commit() deadlocks after one batch
+      // (no new data -> no next batch -> no commit -> no new data).
+      //
+      // The mark is persisted under the source's own checkpoint dir and
+      // recovered on construction: on restart the engine may call
+      // latestOffset() BEFORE handing us any checkpointed offset, and a
+      // fresh mark of 0 would move the query backward (observed: replayed
+      // polls). This is exactly what the checkpointLocation argument is
+      // for; real connectors derive latestOffset from the external system,
+      // which is monotonic across restarts for the same reason.
+      private val fs = {
+        val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+        new org.apache.hadoop.fs.Path(checkpointLocation).getFileSystem(conf)
+      }
+      private val hwPath = new org.apache.hadoop.fs.Path(checkpointLocation, "graft-highwater")
+      @volatile private var highWater: Long =
+        if (fs.exists(hwPath)) {
+          val in = fs.open(hwPath)
+          try in.readLong() finally in.close()
+        } else 0L
+      private def bump(o: Long): Unit = synchronized {
+        if (o > highWater) {
+          highWater = o
+          val out = fs.create(hwPath, true)
+          try out.writeLong(o) finally out.close()
+        }
+      }
       override def initialOffset(): Offset = PollOffset(0L)
       override def latestOffset(): Offset = {
-        val next = committed + rowsPerBatch
+        val next = highWater + rowsPerBatch
         PollOffset(if (maxPolls > 0) math.min(next, maxPolls) else next)
       }
-      override def deserializeOffset(json: String): Offset = PollOffset(json.toLong)
-      override def commit(end: Offset): Unit =
-        committed = end.asInstanceOf[PollOffset].pollId
+      override def deserializeOffset(json: String): Offset = {
+        val o = json.toLong
+        bump(o)
+        PollOffset(o)
+      }
+      override def commit(end: Offset): Unit = ()
       override def stop(): Unit = ()
 
       override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
         val s = start.asInstanceOf[PollOffset].pollId
         val e = end.asInstanceOf[PollOffset].pollId
+        bump(e)
         // one partition per city — endpoint polls parallelize across tasks
         cities.map(c => PollPartition(c, s, e): InputPartition)
       }
