@@ -40,12 +40,14 @@ object Text {
   }
 
   /** Fraction of tokens that are stopwords (quality signal: natural prose
-    * has 0.2-0.5; keyword spam and code have ~0).
+    * has 0.2-0.5; keyword spam and code have ~0). Counting is the native
+    * CountInSet expression (hash-set probe per token in a codegen loop).
     */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val t = tokens(text)
     when(size(t) === 0, lit(null)).otherwise(
-      size(filter(t, x => x.isin(stopwords.map(lit(_)): _*))).cast("double") / size(t))
+      org.apache.spark.sql.graft.HashFunctions.countInSet(t, stopwords)
+        .cast("double") / size(t))
   }
 
   /** Fraction of non-whitespace characters that are punctuation. */
@@ -92,9 +94,10 @@ object Text {
   def langId(text: Column, markers: Map[String, Seq[String]] = defaultMarkers): Column = {
     val t = tokens(text)
     // struct(score desc → negate, lang asc) so array_min = argmax(score) with
-    // lexicographic tie-break; deterministic under any partitioning.
+    // lexicographic tie-break; deterministic under any partitioning. Marker
+    // counting is the native CountInSet loop, one pass per language.
     val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val score = size(filter(t, x => x.isin(words.map(lit(_)): _*)))
+      val score = org.apache.spark.sql.graft.HashFunctions.countInSet(t, words)
       struct((-score).as("neg"), lit(lang).as("lang"), score.as("score"))
     }
     val best = array_min(array(scored: _*))

@@ -140,7 +140,49 @@ case class SimHash64(child: Expression, seed: Long = 42L)
     copy(child = newChild)
 }
 
+/** Count of array elements contained in a fixed string set — the hot loop
+  * of marker-based language ID and stopword ratios. One hash-set probe per
+  * element in a tight loop (vs an interpreted `filter(x -> x.isin(...))`
+  * lambda per element). The set is built once per partition via the lazy
+  * val inside the expression instance.
+  */
+case class CountInSet(child: Expression, set: Seq[String])
+  extends StringArrayHashExpression {
+  override def prettyName: String = "graft_count_in_set"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  @transient private lazy val lookup: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](set.size * 2)
+    set.foreach(x => s.add(UTF8String.fromString(x)))
+    s
+  }
+
+  def countIn(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && lookup.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    countIn(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("countInSetExpr", this, classOf[CountInSet].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.countIn($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashFunctions {
+  def countInSet(arr: Column, set: Seq[String]): Column =
+    ExpressionUtils.column(CountInSet(ExpressionUtils.expression(arr), set))
   def minhashSignature(shingles: Column, k: Int): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(shingles), k))
   def lshBandBuckets(shingles: Column, bands: Int, rowsPerBand: Int): Column =
