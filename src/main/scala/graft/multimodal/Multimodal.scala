@@ -85,12 +85,16 @@ object Multimodal {
     * decodes at each timestamp; the sampling plan — a generator producing
     * n rows per input row, no shuffle — is the part that matters at scale.
     */
-  def sampleFrames(media: DataFrame, n: Int): DataFrame =
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    // sequence(0, n-1) with n <= 0 would produce a DESCENDING [0, -1]
+    // sequence and emit garbage frames
+    require(n > 0, s"sampleFrames needs n > 0, got $n")
     media.filter(col("kind") === "video")
       .select(col("media_id"), col("meta.duration_ms").as("duration_ms"))
       .select(col("media_id"),
         posexplode(transform(sequence(lit(0), lit(n - 1)),
           i => floor(col("duration_ms") * i / n).cast("long"))).as(Seq("frame_idx", "frame_ms")))
+  }
 
   /** Metadata-only resize plan: computes target dims preserving aspect
     * ratio entirely from `meta` (no bytes read — check the scan's
@@ -105,10 +109,12 @@ object Multimodal {
         round(h * scale).cast("int").as("target_height"))
   }
 
-  /** Size-aware spread: repartition so each partition carries roughly
-    * `targetBytesPerPartition` of blob payload — a handful of 4K videos
-    * otherwise lands in one task while thumbnails finish instantly
-    * (the classic blob-skew problem).
+  /** Size-aware spread: pick a partition COUNT from total blob volume and
+    * round-robin rows across it. This bounds expected bytes/partition; it
+    * does not weigh individual rows, so a pathological pair of huge blobs
+    * can still share a partition (probability ~1/parts) — acceptable for
+    * the skew this guards against, and avoiding it entirely would need a
+    * size-keyed range partitioner over a second full pass.
     */
   def spreadBySize(media: DataFrame, targetBytesPerPartition: Long = 128L << 20): DataFrame = {
     val totalBytes = media.select(sum(length(col("bytes")))).collect()(0) match {

@@ -47,6 +47,7 @@ object Metrics {
   val SparkRecordsRead = "spark_records_read"
   val StreamBatchesCompleted = "stream_batches_completed"
   val StreamRowsProcessed = "stream_rows_processed"
+  val StreamWindowsWritten = "weather_stream_windows_written"
 
   /** Batch-side listener: counts jobs/tasks and input records from Spark's
     * task metrics — `weather_records_processed` comes from the engine, not

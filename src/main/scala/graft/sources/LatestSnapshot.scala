@@ -19,14 +19,26 @@ object LatestSnapshot {
   /** Newest file under `dir` matching `suffix`, by modification time;
     * deterministic tie-break on path name.
     */
-  def latestFile(spark: SparkSession, dir: String, suffix: String = ""): Option[String] = {
+  def latestFile(spark: SparkSession, dir: String, suffix: String = ""): Option[String] =
+    latestEntry(spark, dir, suffix, dirs = false)
+
+  /** Newest sub-DIRECTORY under `dir` — Spark writes each parquet/CSV
+    * snapshot as a directory of part files, so snapshot resolution must
+    * look for directories, not files.
+    */
+  def latestDir(spark: SparkSession, dir: String, suffix: String = ""): Option[String] =
+    latestEntry(spark, dir, suffix, dirs = true)
+
+  private def latestEntry(spark: SparkSession, dir: String, suffix: String,
+                          dirs: Boolean): Option[String] = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return None
-    val files = fs.listStatus(path).filter(_.isFile)
+    val entries = fs.listStatus(path)
+      .filter(e => if (dirs) e.isDirectory else e.isFile)
       .filter(_.getPath.getName.endsWith(suffix))
-    if (files.isEmpty) None
-    else Some(files.maxBy(f => (f.getModificationTime, f.getPath.toString)).getPath.toString)
+    if (entries.isEmpty) None
+    else Some(entries.maxBy(e => (e.getModificationTime, e.getPath.toString)).getPath.toString)
   }
 
   /** S6: read the latest CSV snapshot with an explicit schema (the
@@ -38,7 +50,10 @@ object LatestSnapshot {
       spark.read.schema(schema).option("header", "true").csv(f)
     }
 
-  /** Latest parquet snapshot (our canonical store variant). */
+  /** Latest parquet snapshot: each snapshot is a DIRECTORY of part files
+    * (the shape `df.write.parquet` produces); reading the directory picks
+    * up every part.
+    */
   def readLatestParquet(spark: SparkSession, dir: String): Option[DataFrame] =
-    latestFile(spark, dir, ".parquet").map(spark.read.parquet(_))
+    latestDir(spark, dir).map(spark.read.parquet(_))
 }

@@ -112,8 +112,13 @@ private class PollingScan(options: CaseInsensitiveStringMap) extends Scan {
       private def bump(o: Long): Unit = synchronized {
         if (o > highWater) {
           highWater = o
-          val out = fs.create(hwPath, true)
+          // write-then-rename: a crash mid-write must not leave a
+          // truncated file that breaks every future restart
+          val tmp = new org.apache.hadoop.fs.Path(checkpointLocation, "graft-highwater.tmp")
+          val out = fs.create(tmp, true)
           try out.writeLong(o) finally out.close()
+          fs.delete(hwPath, false)
+          fs.rename(tmp, hwPath)
         }
       }
       override def initialOffset(): Offset = PollOffset(0L)

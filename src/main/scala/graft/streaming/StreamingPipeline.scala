@@ -4,17 +4,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.observe.Metrics
-import graft.sink.Sinks
 
 /** The reference pipeline as an actual stream (north star: "Structured
   * Streaming + Kafka"): polling source → statistics-guarded cleaning →
   * event-time windowed aggregation → `foreachBatch` driving the same batch
   * sinks as the daily pipeline. One checkpointed query replaces the cron.
   *
-  * `foreachBatch` is the sink bridge: each micro-batch result reuses
-  * `Sinks.writePartitioned`'s layout, so downstream consumers cannot tell
-  * whether a day was produced by the stream or a batch backfill — the
-  * lambda/kappa unification point.
+  * `foreachBatch` is the sink bridge: each micro-batch appends the same
+  * (city, date)-partitioned parquet layout `Sinks.writePartitioned`
+  * produces (append here, overwrite there — a batch backfill can replace
+  * exactly the partitions a stream wrote), so downstream consumers cannot
+  * tell whether a day came from the stream or a backfill.
   */
 object StreamingPipeline {
 
@@ -49,14 +49,21 @@ object StreamingPipeline {
       .option("checkpointLocation", cfg.checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          Metrics.inc(Metrics.RecordsProcessed, batch.count())
-          batch
-            .withColumn("date", date_format(col("window_start"), "yyyy-MM-dd"))
-            .write.mode("append").partitionBy("city", "date")
-            .parquet(s"${cfg.outputDir}/windowed")
-        }
-        Metrics.inc(Metrics.StreamBatchesCompleted)
+        // persist: count + write must not re-execute the stateful agg
+        batch.persist()
+        try {
+          val n = batch.count()
+          if (n > 0) {
+            // pipeline-owned counter; the generic batch/stream counters
+            // come from the Metrics listeners, never from here (double
+            // counting when both are wired)
+            Metrics.inc(Metrics.StreamWindowsWritten, n)
+            batch
+              .withColumn("date", date_format(col("window_start"), "yyyy-MM-dd"))
+              .write.mode("append").partitionBy("city", "date")
+              .parquet(s"${cfg.outputDir}/windowed")
+          }
+        } finally batch.unpersist()
       }
 
     (if (drain) writer.trigger(Trigger.AvailableNow()) else writer).start()

@@ -102,4 +102,19 @@ class SourcesSpec extends SparkTestBase {
     val second = run()            // fresh source instance, same checkpoint
     assert(second === 4L)         // no duplicates, no stall, no replays
   }
+
+  test("S6 readLatestParquet resolves snapshot DIRECTORIES (Spark write shape)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_snap")
+    import spark.implicits._
+    Seq(1).toDF("x").write.parquet(base.resolve("snap_a").toString)
+    Thread.sleep(20)
+    Seq(2, 3).toDF("x").write.parquet(base.resolve("snap_b").toString)
+    java.nio.file.Files.setLastModifiedTime(base.resolve("snap_a"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000))
+    java.nio.file.Files.setLastModifiedTime(base.resolve("snap_b"),
+      java.nio.file.attribute.FileTime.fromMillis(2000000))
+    val latest = LatestSnapshot.readLatestParquet(spark, base.toString)
+    assert(latest.isDefined)
+    assert(latest.get.count() === 2) // newest snapshot, ALL part files
+  }
 }

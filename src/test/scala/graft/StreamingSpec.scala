@@ -142,13 +142,13 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
     val outDir = new java.io.File(base.resolve("out").resolve("windowed").toString)
     // append mode only emits windows closed by the watermark; the source
-    // advances event time each poll, so early windows finalize
-    if (outDir.exists()) {
-      val back = spark.read.parquet(outDir.toString)
-      assert(back.columns.contains("value_mean"))
-      assert(back.select("city").distinct().count() <= 2)
-    }
-    assert(graft.observe.Metrics.get(graft.observe.Metrics.StreamBatchesCompleted) > 0L)
+    // advances event time each poll (200 polls x 1 min vs 10 min windows
+    // + 5 min lateness), so early windows must have finalized and written
+    assert(outDir.exists())
+    val back = spark.read.parquet(outDir.toString)
+    assert(back.columns.contains("value_mean"))
+    assert(back.select("city").distinct().count() <= 2)
+    assert(graft.observe.Metrics.get(graft.observe.Metrics.StreamWindowsWritten) > 0L)
   }
 
   test("streaming windowedAgg over real events parquet equals batch dailyAgg") {
