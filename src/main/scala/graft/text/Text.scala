@@ -105,22 +105,21 @@ object Text {
   }
 
   /** Word n-gram shingles (space-joined), deduplicated — the standard
-    * MinHash/Jaccard input. Docs shorter than n shingle to [] not [partial].
+    * MinHash/Jaccard input. Docs shorter than n shingle to [] not
+    * [partial]. Native codegen expression: tokenize + window + dedup in
+    * one loop per row (the HOF formulation paid interpreted dispatch per
+    * token per shingle and was the last hot interpreted span in the dedup
+    * pipeline).
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) < n, array().cast("array<string>")).otherwise(
-      array_distinct(transform(
-        sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + 1, lit(n))))))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.HashFunctions.wordShingles(text, n)
 
-  /** Character n-gram shingles, deduplicated. */
+  /** Character n-gram shingles, deduplicated (native loop; counts UTF-16
+    * units like Java substring — identical to code points for the BMP
+    * text this corpus contains).
+    */
   def charShingles(text: Column, n: Int): Column =
-    when(length(text) < n, array().cast("array<string>")).otherwise(
-      array_distinct(transform(
-        sequence(lit(1), length(text) - n + 1),
-        i => substring(text, i.cast("int"), lit(n)))))
+    org.apache.spark.sql.graft.HashFunctions.charShingles(text, n)
 
   /** Document fingerprint: min-of-k-gram-hashes (a 1-wide MinHash — the
     * rolling-hash winnowing fingerprint's Spark-native analog). Two docs

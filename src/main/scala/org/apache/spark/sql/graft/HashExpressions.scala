@@ -140,6 +140,75 @@ case class SimHash64(child: Expression, seed: Long = 42L)
     copy(child = newChild)
 }
 
+object ShingleImpl {
+  /** Whitespace-tokenize then emit deduplicated space-joined word n-grams,
+    * first-occurrence order (matches tokens → transform → concat_ws →
+    * array_distinct exactly). Docs shorter than n shingle to []. */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Deduplicated character n-grams, first-occurrence order (matches the
+    * substring/transform/array_distinct formulation, which windows over
+    * CHARACTERS, not bytes). */
+  def charShingles(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    if (s.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](s.length * 2)
+    var i = 0
+    while (i + n <= s.length) { seen.add(s.substring(i, i + n)); i += 1 }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+abstract class StringShingleExpression extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+}
+
+case class WordShingles(child: Expression, n: Int) extends StringShingleExpression {
+  override def prettyName: String = "graft_word_shingles"
+  protected override def nullSafeEval(input: Any): Any =
+    ShingleImpl.wordShingles(input.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.ShingleImpl.wordShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class CharShingles(child: Expression, n: Int) extends StringShingleExpression {
+  override def prettyName: String = "graft_char_shingles"
+  protected override def nullSafeEval(input: Any): Any =
+    ShingleImpl.charShingles(input.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.ShingleImpl.charShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Count of array elements contained in a fixed string set — the hot loop
   * of marker-based language ID and stopword ratios. One hash-set probe per
   * element in a tight loop (vs an interpreted `filter(x -> x.isin(...))`
@@ -183,6 +252,10 @@ case class CountInSet(child: Expression, set: Seq[String])
 object HashFunctions {
   def countInSet(arr: Column, set: Seq[String]): Column =
     ExpressionUtils.column(CountInSet(ExpressionUtils.expression(arr), set))
+  def wordShingles(text: Column, n: Int): Column =
+    ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), n))
+  def charShingles(text: Column, n: Int): Column =
+    ExpressionUtils.column(CharShingles(ExpressionUtils.expression(text), n))
   def minhashSignature(shingles: Column, k: Int): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(shingles), k))
   def lshBandBuckets(shingles: Column, bands: Int, rowsPerBand: Int): Column =
