@@ -29,13 +29,30 @@ object GraftFunctions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
 
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
   val all: Seq[(String, ExpressionInfo, Builder)] = Seq(
     ("graft_cosine",
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two vectors, null on zero norm"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
     ("graft_dot",
       info("graft_dot", "graft_dot(a, b) - dot product of two vectors"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    ("graft_simhash",
+      info("graft_simhash", "graft_simhash(tokens) - 64-bit SimHash of a string array"),
+      (children: Seq[Expression]) => SimHash64(children.head)),
+    ("graft_minhash",
+      info("graft_minhash", "graft_minhash(shingles, k) - k-element MinHash signature"),
+      (children: Seq[Expression]) => MinHashSignature(children(0), litInt(children(1), "k"))),
+    ("graft_word_shingles",
+      info("graft_word_shingles", "graft_word_shingles(text, n) - deduplicated word n-grams"),
+      (children: Seq[Expression]) => WordShingles(children(0), litInt(children(1), "n"))),
+    ("graft_char_shingles",
+      info("graft_char_shingles", "graft_char_shingles(text, n) - deduplicated char n-grams"),
+      (children: Seq[Expression]) => CharShingles(children(0), litInt(children(1), "n"))))
 
   /** Register into an already-running session's function registry. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

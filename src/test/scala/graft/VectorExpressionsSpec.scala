@@ -58,4 +58,16 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(r.getDouble(0) === 1.0)
     assert(r.getDouble(1) === 11.0)
   }
+
+  test("SQL surface: text-signature functions callable after registration") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_simhash(array('a','b')) sh, " +
+      "size(graft_minhash(graft_word_shingles('a b c d', 2), 8)) ksig, " +
+      "graft_word_shingles('a b c', 2) ws, " +
+      "graft_char_shingles('abc', 2) cs").collect()(0)
+    assert(r.getSeq[String](2) === Seq("a b", "b c"))
+    assert(r.getSeq[String](3) === Seq("ab", "bc"))
+    assert(r.getInt(1) === 8)
+  }
 }
