@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-quality regression gates (the .explain discipline as tests):
+  * filters must reach the parquet scan, projections must prune the read
+  * schema, dims must broadcast, top-k must use the partial group-limit.
+  * These shapes are what make the same query text survive a 100 TB input;
+  * a silent regression here would still pass every value-correctness gate.
+  */
+class PlanQualitySpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: shipdate filter pushed into the parquet scan; columns pruned") {
+    val plan = executedPlan(SparkEntry.queries("q1_pricing_summary")(spark, dir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey")) // untouched column not read
+  }
+
+  test("j1: dimension joins are broadcast, no shuffle on the fact side for lookups") {
+    val plan = executedPlan(SparkEntry.queries("j1_broadcast_join")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("o1: per-group top-k uses partial WindowGroupLimit before the shuffle") {
+    val plan = executedPlan(SparkEntry.queries("o1_topk_per_group")(spark, dir))
+    assert(plan.contains("WindowGroupLimit"))
+    assert(plan.contains("Partial"))
+  }
+
+  test("o2: global top-k is TakeOrderedAndProject, not a full sort") {
+    val plan = executedPlan(SparkEntry.queries("o2_global_topk")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("t1: documents scan reads only (doc_id, text)") {
+    val plan = executedPlan(SparkEntry.queries("t1_doc_stats")(spark, dir))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"))
+  }
+
+  test("s1: query side broadcasts; native cosine appears in the plan") {
+    val plan = executedPlan(SparkEntry.queries("s1_brute_topk")(spark, dir))
+    assert(plan.contains("Broadcast"))
+    assert(plan.contains("graft_cosine"))
+  }
+
+  test("aggregations run partial+final (map-side combine)") {
+    val plan = executedPlan(SparkEntry.queries("a2_group_agg")(spark, dir))
+    assert(plan.contains("partial_avg") || plan.contains("HashAggregate"))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2) // partial + final
+  }
+}
