@@ -32,13 +32,40 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite).json(path)
 
   /** S9 analog: partitioned parquet replaces the SQLite table + indexes.
-    * Literal JDBC parity stays available via `df.write.jdbc(url, table,
-    * props)` when a JDBC URL exists; partition pruning on (city, date) is
-    * the index replacement that scales.
+    * Partition pruning on (city, date) is the index replacement that
+    * scales; [[writeJdbc]] keeps literal single-node parity.
     */
   def writePartitioned(df: DataFrame, path: String,
                        partitionCols: Seq[String] = Seq("city", "date")): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  /** S9 literal parity (load.py:107-155): relational sink via JDBC with
+    * the reference's `if_exists='replace'` semantics plus the two B-tree
+    * indexes it creates (idx on city, idx on date — load.py:143-144).
+    * Index DDL runs over a plain JDBC connection after the write; Spark's
+    * JDBC writer handles the table itself. Works against any JDBC target
+    * (embedded Derby in tests; the reference's SQLite via a sqlite JDBC
+    * driver in production).
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                indexCols: Seq[String] = Seq("city", "date")): Unit = {
+    // string columns must become VARCHAR, not the dialect's default
+    // CLOB/TEXT — CLOB can't be indexed (the whole point of S9)
+    val varchars = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(f => s"${f.name} VARCHAR(255)").mkString(", ")
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (varchars.nonEmpty) writer.option("createTableColumnTypes", varchars) else writer)
+      .jdbc(url, table, new java.util.Properties())
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      indexCols.foreach { c =>
+        st.executeUpdate(s"""CREATE INDEX idx_${table}_$c ON $table ("$c")""")
+      }
+      st.close()
+    } finally conn.close()
+  }
 
   /** S12: nested analysis-result JSON (analyze.py:292-306) — one JSON
     * object per group assembled with struct/to_json, written as JSON lines.

@@ -58,4 +58,22 @@ class SinksSpec extends SparkTestBase {
     val london = back.filter($"city" === "london").collect()(0).getAs[String]("result")
     assert(london.contains("\"mean_temp\":11.0"))
   }
+
+  test("S9 literal parity: JDBC sink (embedded Derby) + post-write indexes") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_derby")
+    val url = s"jdbc:derby:${dbDir}/weather;create=true"
+    Sinks.writeJdbc(df, url, "weather_data")
+    val back = spark.read.jdbc(url, "weather_data", new java.util.Properties())
+    assert(back.count() === 3)
+    assert(back.columns.map(_.toLowerCase).sorted.toSeq === Seq("city", "date", "temperature"))
+    // the two reference indexes exist (Derby system catalog)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT CONGLOMERATENAME FROM SYS.SYSCONGLOMERATES WHERE ISINDEX")
+      val idx = Iterator.continually(rs).takeWhile(_.next()).map(_.getString(1)).toSet
+      assert(idx.exists(_.toLowerCase.contains("idx_weather_data_city")))
+      assert(idx.exists(_.toLowerCase.contains("idx_weather_data_date")))
+    } finally conn.close()
+  }
 }
