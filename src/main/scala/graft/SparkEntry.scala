@@ -230,6 +230,10 @@ object SparkEntry {
       Tables.documents(s, d).select(col("doc_id"), Text.subwordCount(col("text")).cast("long").as("n_subwords"))),
     "t5_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
+    // winnowing fingerprint census — rolling-hash keyed, rows-only
+    "t7_winnow" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        size(Text.winnowFingerprints(col("text"))).cast("long").as("n_fingerprints"))),
     "t6_char_shingles" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), size(Text.charShingles(col("text"), 5)).cast("long").as("n_shingles"))),

@@ -131,6 +131,16 @@ object Text {
       array_min(transform(sh, s => xxhash64(s))))
   }
 
+  /** Winnowing fingerprints (rolling k-gram hash, window minima — the
+    * literal MOSS scheme): any two docs sharing a substring of length
+    * ≥ w+k-1 share at least one fingerprint. Native codegen loop;
+    * overlap of fingerprint sets = containment estimate for plagiarism /
+    * near-dup detection at substring granularity (vs wordShingles'
+    * whole-doc Jaccard).
+    */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    org.apache.spark.sql.graft.HashFunctions.winnow(text, k, w)
+
   /** Per-document stats projection used by the documents-table queries. */
   def docStats(df: DataFrame, textCol: String, stopwords: Seq[String]): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))

@@ -184,6 +184,69 @@ object ShingleImpl {
   }
 }
 
+object WinnowImpl {
+  /** MOSS-style winnowing fingerprints: hash every k-gram with a rolling
+    * polynomial hash, slide a window of `w` consecutive k-gram hashes and
+    * record each window's minimum (rightmost on ties — robust winnowing).
+    * Guarantee: any two documents sharing a substring of length >= w+k-1
+    * share at least one fingerprint. Output: sorted distinct minima.
+    */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val n = s.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    // rolling polynomial hash of k-grams (Rabin-Karp)
+    val B = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    val hashes = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      hashes(i) = h
+      i += 1
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    val windows = math.max(1, n - w + 1)
+    var start = 0
+    while (start < windows) {
+      var minIdx = start
+      var j = start + 1
+      val end = math.min(start + w, n)
+      while (j < end) {
+        if (hashes(j) <= hashes(minIdx)) minIdx = j // rightmost minimum
+        j += 1
+      }
+      sel.add(hashes(minIdx))
+      start += 1
+    }
+    val out = new Array[Any](sel.size)
+    val it = sel.iterator()
+    var z = 0
+    while (it.hasNext) { out(z) = it.next().longValue(); z += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Winnowing document fingerprints (rolling k-gram hash + window minima). */
+case class Winnow(child: Expression, k: Int, w: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+  protected override def nullSafeEval(input: Any): Any =
+    WinnowImpl.winnow(input.asInstanceOf[UTF8String], k, w)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.WinnowImpl.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 abstract class StringShingleExpression extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -256,6 +319,8 @@ object HashFunctions {
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), n))
   def charShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(CharShingles(ExpressionUtils.expression(text), n))
+  def winnow(text: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(Winnow(ExpressionUtils.expression(text), k, w))
   def minhashSignature(shingles: Column, k: Int): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(shingles), k))
   def lshBandBuckets(shingles: Column, bands: Int, rowsPerBand: Int): Column =

@@ -80,4 +80,21 @@ class TextSpec extends SparkTestBase {
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
     assert(q(0) > q(1))
   }
+
+  test("winnowFingerprints: deterministic; shared long substring -> shared fingerprint") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val shifted = "PREFIX padding words here " + base   // contains base as substring
+    val unrelated = "completely different content with no overlap whatsoever at all ok"
+    val df = Seq((1L, base), (2L, shifted), (3L, unrelated), (4L, base)).toDF("id", "t")
+    val fps = df.select($"id", Text.winnowFingerprints($"t").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) === fps(4L))                      // deterministic
+    assert((fps(1L) intersect fps(2L)).nonEmpty)     // winnowing guarantee
+    val overlapNear = (fps(1L) intersect fps(2L)).size.toDouble / fps(1L).size
+    val overlapFar = (fps(1L) intersect fps(3L)).size.toDouble / fps(1L).size
+    assert(overlapNear > overlapFar)
+    // short doc -> empty fingerprint set, no crash
+    assert(Seq("ab").toDF("t").select(Text.winnowFingerprints($"t"))
+      .collect()(0).getSeq[Long](0).isEmpty)
+  }
 }
