@@ -300,7 +300,11 @@ object Analytics {
     * Results are identical to the direct aggregation (spec-asserted).
     */
   def saltedAgg(df: DataFrame, key: String, value: String, salt: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(xxhash64(col(value)), lit(salt)))
+    // salt from the partition id, NOT from the value: a hot key with
+    // constant/low-cardinality values would otherwise hash to one salt and
+    // get no skew relief. The final merge is value-order-free (sum/count),
+    // so partition-dependent salting never changes the result.
+    val salted = df.withColumn("__salt", pmod(spark_partition_id(), lit(salt)))
     val partial = salted.groupBy(col(key), col("__salt"))
       .agg(sum(col(value)).as("__sum"), count(lit(1)).as("__n"))
     partial.groupBy(col(key))
@@ -328,14 +332,16 @@ object Analytics {
 
   /** Rollup summary (extension — SURVEY §2.4 notes grouping sets as a
     * built-in away): subtotals per (k1, k2), per k1, and grand total.
-    * Null grouping cells are labelled 'ALL' so the output is
-    * oracle-comparable without null-ordering pitfalls.
+    * Subtotal rows are labelled via the `grouping()` indicator, NOT
+    * `coalesce` — a genuine null key value must stay distinguishable from
+    * a rollup subtotal or the two collapse into conflicting 'ALL' rows.
     */
   def rollupSummary(df: DataFrame, k1: String, k2: String, value: String): DataFrame =
     df.rollup(col(k1), col(k2))
-      .agg(r(sum(col(value)), 2).as("value_sum"), count(lit(1)).as("n"))
-      .select(coalesce(col(k1), lit("ALL")).as(k1),
-              coalesce(col(k2), lit("ALL")).as(k2),
+      .agg(r(sum(col(value)), 2).as("value_sum"), count(lit(1)).as("n"),
+           grouping(col(k1)).as("__g1"), grouping(col(k2)).as("__g2"))
+      .select(when(col("__g1") === 1, lit("ALL")).otherwise(col(k1)).as(k1),
+              when(col("__g2") === 1, lit("ALL")).otherwise(col(k2)).as(k2),
               col("value_sum"), col("n"))
 
   /** O4/A3-style top-k per group (rank via one window). `tieBreakers` must

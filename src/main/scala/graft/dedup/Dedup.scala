@@ -64,6 +64,11 @@ object Dedup {
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
                  shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame =
     df.select(col(idCol), Text.wordShingles(col(textCol), shingleSize).as("__sh"))
+      // docs too short to shingle share ONE degenerate signature; banding
+      // them would put every short doc in the same bucket in every band —
+      // a quadratic hot-bucket in the candidate self-join and pure false
+      // positives. They simply cannot be MinHash candidates.
+      .filter(size(col("__sh")) > 0)
       .select(col(idCol),
         posexplode(org.apache.spark.sql.graft.HashFunctions
           .lshBandBuckets(col("__sh"), bands, rowsPerBand)).as(Seq("band", "bucket")))
@@ -120,7 +125,11 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol), simhash(col(textCol)).as("__sim"))
+    // token-less docs all hash to fingerprint 0: they would pair with each
+    // other at hamming 0 (false positives, no verify stage here) and form
+    // one hot bucket per chunk — exclude them from blocking entirely
+    val sigs = df.filter(size(Text.tokens(col(textCol))) > 0)
+      .select(col(idCol), simhash(col(textCol)).as("__sim"))
     val chunked = sigs.select(col(idCol), col("__sim"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
@@ -163,11 +172,13 @@ object Dedup {
     * iterative minimum-label propagation: every id converges to the
     * smallest id in its component. Output: (id, label).
     *
-    * Each iteration is two joins + an aggregate on the (small) pair/label
-    * tables — the standard DataFrame-iterative shape; `localCheckpoint`
-    * cuts the growing lineage so plan size stays O(1) per iteration.
-    * Iterations needed = graph diameter (near-dup clusters are shallow;
-    * maxIter 10 covers diameter 2^10 via doubling-free propagation).
+    * Each iteration is one hop of neighbor-min propagation PLUS one
+    * pointer-jump (label := label-of-label), so label reach doubles per
+    * iteration: maxIter 10 genuinely covers component diameters up to
+    * ~2^10. `localCheckpoint` cuts the growing lineage so plan size stays
+    * O(1) per iteration. Throws if still unconverged at maxIter rather
+    * than silently returning a partial clustering (a wrong dedup keeps
+    * duplicate training data).
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("id1"), col("id2"))
@@ -180,15 +191,23 @@ object Dedup {
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, edges("id2") === labels("id"))
         .groupBy(edges("id1").as("id")).agg(min(col("label")).as("__nl"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val hop = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
+      // pointer jump: follow my label's label (path halving -> doubling reach)
+      val next = hop.as("a")
+        .join(hop.select(col("id").as("__lid"), col("label").as("__ll")).as("b"),
+          col("a.label") === col("__lid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.label"), coalesce(col("__ll"), col("a.label"))).as("label"))
         .localCheckpoint()
       converged = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.label") =!= col("o.label")).isEmpty
       labels = next
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters did not converge in $maxIter iterations; raise maxIter")
     labels
   }
 

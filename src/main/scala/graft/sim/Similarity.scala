@@ -44,6 +44,19 @@ object Similarity {
   def l2Dist(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
 
+  /** Shared output contract of every top-k variant: rank per query by
+    * (cos desc, neighbor_id asc) — a total order — keep k, round the
+    * published cosine. One definition so the three search paths cannot
+    * drift apart.
+    */
+  private def rankTopK(scored: DataFrame, queryIdCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(queryIdCol).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("neighbor_id"), round(col("cos"), 4).as("cos"),
+              col("rank").cast("long").as("rank"))
+  }
+
   /** Exact brute-force top-k neighbors for each query vector.
     * `queries` MUST be small (it is broadcast); corpus side streams.
     * Output: (query_id, neighbor_id, cos) with rank ≤ k,
@@ -56,11 +69,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__cv"))
     val scored = c.join(broadcast(q), col(queryIdCol) =!= col("neighbor_id"))
       .withColumn("cos", VectorFunctions.cosineNative(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(queryIdCol).orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col("neighbor_id"), round(col("cos"), 4).as("cos"),
-              col("rank").cast("long").as("rank"))
+    rankTopK(scored, queryIdCol, k)
   }
 
   /** Signed-random-projection bucket id: `nPlanes` pseudo-random ±1
@@ -97,11 +106,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("__bucket"))
       .filter(col(queryIdCol) =!= col("neighbor_id"))
       .withColumn("cos", VectorFunctions.cosineNative(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(queryIdCol).orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col("neighbor_id"), round(col("cos"), 4).as("cos"),
-              col("rank").cast("long").as("rank"))
+    rankTopK(scored, queryIdCol, k)
   }
 
   /** IVF (inverted-file) ANN top-k — the centroid-bucketed alternative to
@@ -170,11 +175,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("__cell"))
       .filter(col(queryIdCol) =!= col("neighbor_id"))
       .withColumn("cos", cosineNative(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(queryIdCol).orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col("neighbor_id"), round(col("cos"), 4).as("cos"),
-              col("rank").cast("long").as("rank"))
+    rankTopK(scored, queryIdCol, k)
   }
 
   /** Per-label centroid summary over the embedding column: vector mean via
@@ -225,6 +226,12 @@ object Similarity {
   def labelCentroidsTyped(df: DataFrame, dim: Int, labelCol: String = "label",
                           vecCol: String = "embedding"): DataFrame = {
     import df.sparkSession.implicits._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    // the typed path keys on Int; a silent cast of e.g. string labels
+    // would null them and crash the encoder mid-job
+    val lt = df.schema(labelCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(lt),
+      s"labelCentroidsTyped needs an integral label column, got $lt (use labelCentroids)")
     val agg = new VectorMeanAggregator(dim)
     df.select(col(labelCol).cast("int"), col(vecCol))
       .as[(Int, Seq[Float])]

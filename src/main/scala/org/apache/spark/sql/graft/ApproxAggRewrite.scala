@@ -44,7 +44,11 @@ case class ApproxAggRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         ae.copy(aggregateFunction = new ApproximatePercentile(
           m.child, Literal(0.5d), Literal(accuracy)))
       case ae @ AggregateExpression(p: Percentile, _, false, _, _)
-          if p.child.dataType == DoubleType && p.frequencyExpression.foldable =>
+          if p.child.dataType == DoubleType &&
+            p.frequencyExpression == Literal(1L) =>
+        // only the default frequency (weight 1 per row) — percentile_approx
+        // has no frequency arg, so rewriting a weighted percentile would
+        // silently drop the weights, a wrong answer rather than a sketch
         ae.copy(aggregateFunction = new ApproximatePercentile(
           p.child, p.percentageExpression, Literal(accuracy)))
       case ae @ AggregateExpression(c: Count, _, true, _, _) if c.children.size == 1 =>
