@@ -109,17 +109,6 @@ object Similarity {
     rankTopK(scored, queryIdCol, k)
   }
 
-  /** IVF (inverted-file) ANN top-k — the centroid-bucketed alternative to
-    * SRP-LSH: partition the corpus into `nCells` Voronoi cells around
-    * centroid vectors, search only the `nProbes` cells nearest each query.
-    *
-    * Centroids here are a deterministic sample (the lowest `nCells` ids) —
-    * a k-means refinement would improve cell balance but changes nothing
-    * structurally: train is a tiny driver-side collect (nCells ≈ √N rows),
-    * assignment is one broadcast pass over the corpus (argmax cosine vs the
-    * centroid array, native expression inside), search is one equi-join on
-    * cell id + exact re-rank. Corpus shuffles once, on the cell key.
-    */
   /** Deterministic sampled centroids, optionally refined with Lloyd
     * iterations: assign (argmax cosine, broadcast) → per-cell per-dim mean
     * (posexplode + two-key groupBy — no driver-side vectors until the
@@ -153,6 +142,15 @@ object Similarity {
     cents
   }
 
+  /** IVF (inverted-file) ANN top-k — the centroid-bucketed alternative to
+    * SRP-LSH: partition the corpus into `nCells` Voronoi cells around
+    * centroid vectors (optionally k-means-refined), search only the
+    * `nProbes` cells nearest each query. Train is a tiny driver-side
+    * collect (nCells ≈ √N rows), assignment is one broadcast pass over the
+    * corpus (argmax cosine vs the centroid array, native expression
+    * inside), search is one equi-join on cell id + exact re-rank. Corpus
+    * shuffles once, on the cell key.
+    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbes: Int = 2, kmeansIters: Int = 0,
               idCol: String = "vec_id", vecCol: String = "embedding",

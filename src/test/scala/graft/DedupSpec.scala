@@ -95,4 +95,24 @@ class DedupSpec extends SparkTestBase {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 4L, 5L)) // 2,3 dropped; 4,5 unpaired stay
   }
+
+  test("LSH banding and simhash blocking exclude unsigned degenerate docs") {
+    val short = Seq((1L, "one two"), (2L, "three four"), (3L, ""), (4L, "   "))
+      .toDF("id", "text")
+    // < shingleSize words -> no shingles -> no buckets (would otherwise
+    // all collide into one degenerate bucket per band)
+    assert(Dedup.lshBuckets(short, "id", "text", shingleSize = 3).count() === 0)
+    // token-less docs must not pair at hamming 0
+    assert(Dedup.simhashNearDups(short, "id", "text", maxHamming = 3)
+      .filter($"id1" === 3L || $"id2" === 3L || $"id1" === 4L || $"id2" === 4L)
+      .count() === 0)
+  }
+
+  test("dupClusters converges on a long chain (pointer jumping)") {
+    // path 0-1-2-...-25: diameter 25 >> 10 plain-propagation hops
+    val chain = (0L until 25L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val labels = Dedup.dupClusters(chain, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet === Set(0L))
+  }
 }
