@@ -86,7 +86,10 @@ object Similarity {
   def srpBucket(v: Column, nPlanes: Int, seed: Int = 42, maxDim: Int = 512): Column = {
     val bits = (0 until nPlanes).map { p =>
       val rnd = new scala.util.Random(seed.toLong * 1000003L + p)
-      val weights = array((0 until maxDim).map(_ => lit(if (rnd.nextBoolean()) 1.0 else -1.0)): _*)
+      // typedLit: one Literal(ArrayData) node — no per-row array assembly
+      // and no reliance on ConstantFolding collapsing a 512-wide
+      // CreateArray
+      val weights = typedLit((0 until maxDim).map(_ => if (rnd.nextBoolean()) 1.0 else -1.0))
       when(VectorFunctions.dotNative(v, weights) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
