@@ -92,6 +92,8 @@ object SparkEntry {
     // Two-stage salted aggregation must equal the direct group-by — the
     // oracle IS the direct SQL, so the gate proves the decomposition.
     "a17_salted_agg" -> ((s, d) => Analytics.saltedAgg(Tables.events(s, d), "event_type", "value")),
+    "a18_cube" -> ((s, d) =>
+      Analytics.cubeSummary(Tables.lineitem(s, d), "l_returnflag", "l_linestatus", "l_quantity")),
 
     // ------------------------------------------------ window / time-series
     "w1_trend_analysis" -> ((s, d) => Analytics.trendAnalysis(Tables.events(s, d), "ts", "event_type", "value")),
@@ -133,6 +135,21 @@ object SparkEntry {
         .limit(10)),
 
     // ----------------------------------------------------------- joins
+    // TPC-H Q3 shape: selective filters on both join sides (pushed to the
+    // scans), 3-way join, group, global top-k by revenue.
+    "q3_shipping_priority" -> ((s, d) =>
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)),
+
     // Broadcast the small dims (region 5 rows, nation 25); the fact side
     // never shuffles for the dim lookups — only for the final group-by.
     "j1_broadcast_join" -> ((s, d) =>
@@ -389,6 +406,24 @@ object SparkEntry {
         |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS l_linestatus,
         |  round(sum(l_quantity),2) AS value_sum, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "a18_cube" ->
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS l_returnflag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS l_linestatus,
+        |  round(sum(l_quantity),2) AS value_sum, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderpriority,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "a17_salted_agg" ->
       """SELECT event_type, round(sum(value),4) AS value_sum, count(*) AS n,

@@ -344,6 +344,17 @@ object Analytics {
               when(col("__g2") === 1, lit("ALL")).otherwise(col(k2)).as(k2),
               col("value_sum"), col("n"))
 
+  /** Cube summary: all 2^k grouping-set combinations with 'ALL' labels
+    * via grouping() (same null-vs-subtotal discipline as rollupSummary).
+    */
+  def cubeSummary(df: DataFrame, k1: String, k2: String, value: String): DataFrame =
+    df.cube(col(k1), col(k2))
+      .agg(r(sum(col(value)), 2).as("value_sum"), count(lit(1)).as("n"),
+           grouping(col(k1)).as("__g1"), grouping(col(k2)).as("__g2"))
+      .select(when(col("__g1") === 1, lit("ALL")).otherwise(col(k1)).as(k1),
+              when(col("__g2") === 1, lit("ALL")).otherwise(col(k2)).as(k2),
+              col("value_sum"), col("n"))
+
   /** O4/A3-style top-k per group (rank via one window). `tieBreakers` must
     * make (value desc, tieBreakers asc) a total order within each group —
     * row_number over a non-total order is nondeterministic (SURVEY §5.2).
