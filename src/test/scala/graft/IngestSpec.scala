@@ -63,4 +63,14 @@ class IngestSpec extends SparkTestBase {
     // categorical defaults intact, no nulls in cleaned numerics
     assert(out.filter($"temperature".isNull).count() === 0)
   }
+
+  test("transform imputes missing numerics with post-fence medians") {
+    // tokyo's record lacks feels_like/temp_max etc -> nulls -> imputed
+    val out = Ingest.transform(readRaw(goodEpoch, noDtIso))
+    val tokyo = out.filter($"city" === "Tokyo").collect()(0)
+    // imputed from the only non-null value (london's 13.6 / 16.1 / ...)
+    assert(tokyo.getAs[Double]("feels_like") === 13.6)
+    assert(tokyo.getAs[Double]("temp_max") === 16.1)
+    assert(out.columns.forall(c => out.filter(col(c).isNull).count() === 0))
+  }
 }

@@ -205,4 +205,21 @@ class StreamingSpec extends SparkTestBase {
       assert(pages === Set("product"))
     } finally q.stop()
   }
+
+  test("windowedAgg in update mode emits revised aggregates as data arrives") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streaming.windowedAgg(mem.toDF(), "ts", "k", "v")
+      .writeStream.format("memory").queryName("win_upd")
+      .outputMode("update").start()
+    try {
+      mem.addData(Ev(ts("2024-01-01 01:00:00"), "a", 10.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 02:00:00"), "a", 30.0))
+      q.processAllAvailable()
+      // update mode re-emits the revised window; latest row carries n=2
+      val ns = spark.table("win_upd").select("n").collect().map(_.getLong(0))
+      assert(ns.contains(1L) && ns.contains(2L))
+    } finally q.stop()
+  }
 }
