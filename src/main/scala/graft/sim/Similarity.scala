@@ -44,6 +44,18 @@ object Similarity {
   def l2Dist(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
 
+  /** Pre-normalize an embedding column to unit length (null-safe: zero
+    * vectors stay zero). For repeated-query workloads this converts every
+    * cosine into a plain dot product — normalize the 100 TB corpus ONCE at
+    * ingest, then each search pass skips both norms.
+    */
+  def withUnitNorm(df: DataFrame, vecCol: String, outCol: String = "unit_embedding"): DataFrame =
+    df.withColumn("__norm", sqrt(VectorFunctions.dotNative(col(vecCol), col(vecCol))))
+      .withColumn(outCol,
+        when(col("__norm") === 0.0, toDouble(col(vecCol)))
+          .otherwise(transform(col(vecCol), x => x.cast("double") / col("__norm"))))
+      .drop("__norm")
+
   /** Shared output contract of every top-k variant: rank per query by
     * (cos desc, neighbor_id asc) — a total order — keep k, round the
     * published cosine. One definition so the three search paths cannot

@@ -116,4 +116,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(typed.keySet === viaExplode.keySet)
     typed.foreach { case (k, m) => assert(math.abs(m - viaExplode(k)) < 1e-12) }
   }
+
+  test("withUnitNorm: dot of unit vectors equals cosine of originals") {
+    val gen = new scala.util.Random(21)
+    val emb = (0L until 10L).map(i => (i, Seq.fill(8)(gen.nextFloat()))).toDF("vec_id", "embedding")
+    val unit = Similarity.withUnitNorm(emb, "embedding")
+    val a = unit.filter($"vec_id" === 1).select($"unit_embedding".as("ua"),
+      Similarity.toDouble($"embedding").as("va"))
+    val b = unit.filter($"vec_id" === 2).select($"unit_embedding".as("ub"),
+      Similarity.toDouble($"embedding").as("vb"))
+    val r = a.crossJoin(b).select(
+      graft.functions.VectorFunctions.dotNative($"ua", $"ub").as("dotUnit"),
+      graft.functions.VectorFunctions.cosineNative($"va", $"vb").as("cosOrig")).collect()(0)
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    // zero vector stays zero, no NaN
+    val z = Similarity.withUnitNorm(Seq((9L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding"), "embedding")
+      .select("unit_embedding").collect()(0).getSeq[Double](0)
+    assert(z === Seq(0.0, 0.0))
+  }
 }
