@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants that don't need a SparkSession: the
+  * oracle_sql.json escaper and the queries/oracle map consistency rules
+  * the gate depends on.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  test("JsonEscape: quotes, backslashes, and every control char survive json parsing") {
+    val nasty = "SELECT 'a\"b' AS x,\n\t c FROM t WHERE s = '\\d+' \r\n -- "
+    val escaped = JsonEscape(nasty)
+    // minimal JSON parse: the escaped form must round-trip via a real parser
+    // (use Jackson from Spark's classpath — the driver uses python json.load)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val parsed = mapper.readTree(s"""{"sql": $escaped}""").get("sql").asText()
+    assert(parsed === nasty)
+  }
+
+  test("every oracle key has a registered query (no orphan oracle entries)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+  }
+
+  test("oracle coverage: every non-hash-keyed query carries an oracle") {
+    // rows-only set is a deliberate, documented whitelist — anything new
+    // must either get an oracle or be added here with justification
+    val rowsOnlyByDesign = Set(
+      "a15_approx_distinct",   // HLL sketch, engine-specific estimate
+      "d3_lsh_buckets",        // xxhash-keyed
+      "d4_simhash_sigs",       // xxhash-keyed
+      "t5_fingerprint",        // xxhash-keyed
+      "t7_winnow",             // rolling-hash-keyed
+      "s2_ann_topk",           // SRP-bucket (hash-derived planes)
+      "s4_ivf_topk",           // centroid-sample dependent
+      "e1_embedding_neardups") // SRP-bucket
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled === rowsOnlyByDesign,
+      s"unexpected rows-only queries: ${unoracled -- rowsOnlyByDesign}; " +
+      s"stale whitelist: ${rowsOnlyByDesign -- unoracled}")
+  }
+
+  test("query names follow the documented prefix convention") {
+    val prefixes = Set("q", "a", "w", "o", "j", "c", "f", "t", "d", "s", "e")
+    SparkEntry.queries.keys.foreach { k =>
+      assert(prefixes.contains(k.take(1)), s"unexpected query name shape: $k")
+    }
+  }
+}
