@@ -178,6 +178,19 @@ object SparkEntry {
 
     // TPC-H Q4 shape: EXISTS with a correlated inequality -> left-semi
     // join on the key with the extra predicate in the join condition.
+    // TPC-H Q14 shape: conditional revenue share — ratio of two sums over
+    // one join, dim side broadcastable.
+    "q14_promo_share" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          sum(when(col("p_type").startsWith("PROMO"),
+                   col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) * 100.0 /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_share"),
+          count(lit(1)).as("n"))),
+
     "q4_priority_check" -> ((s, d) => {
       val o = Tables.orders(s, d)
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -297,6 +310,8 @@ object SparkEntry {
       Tables.documents(s, d).select(col("doc_id"), Text.subwordCount(col("text")).cast("long").as("n_subwords"))),
     "t5_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
+    "t8_vocabulary" -> ((s, d) =>
+      Text.vocabulary(Tables.documents(s, d), "text", topK = 50)),
     // winnowing fingerprint census — rolling-hash keyed, rows-only
     "t7_winnow" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -724,6 +739,22 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[^\s[:punct:]]+|[[:punct:]]')) AS BIGINT) AS n_subwords
         |FROM documents""".stripMargin,
+
+    "t8_vocabulary" ->
+      """SELECT token, count(*) AS occurrences FROM (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY occurrences DESC, token LIMIT 50""".stripMargin,
+
+    "q14_promo_share" ->
+      """SELECT round(
+        |  sum(CASE WHEN p_type LIKE 'PROMO%'
+        |      THEN l_extendedprice*(1-l_discount) ELSE 0.0 END) * 100.0 /
+        |  sum(l_extendedprice*(1-l_discount)), 4) AS promo_share,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'""".stripMargin,
 
     "t6_char_shingles" ->
       """SELECT doc_id, CAST(CASE WHEN len(text) < 5 THEN 0 ELSE

@@ -141,6 +141,18 @@ object Text {
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     org.apache.spark.sql.graft.HashFunctions.winnow(text, k, w)
 
+  /** Corpus vocabulary: token → document frequency + total occurrences,
+    * descending. The generator (explode) runs map-side; ONE shuffle on the
+    * token — the canonical vocab-building job for tokenizer training.
+    * Top-k via orderBy+limit keeps the final step a partial top-k.
+    */
+  def vocabulary(df: DataFrame, textCol: String, topK: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("token").asc)
+      .limit(topK)
+
   /** Per-document stats projection used by the documents-table queries. */
   def docStats(df: DataFrame, textCol: String, stopwords: Seq[String]): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
