@@ -312,6 +312,8 @@ object SparkEntry {
       Tables.documents(s, d).select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
     "t8_vocabulary" -> ((s, d) =>
       Text.vocabulary(Tables.documents(s, d), "text", topK = 50)),
+    "t9_tfidf" -> ((s, d) =>
+      Text.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)),
     // winnowing fingerprint census — rolling-hash keyed, rows-only
     "t7_winnow" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -745,6 +747,18 @@ object SparkEntry {
         |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY occurrences DESC, token LIMIT 50""".stripMargin,
+
+    "t9_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+        |nn AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, token, tf, round(tf * ln((n+1.0)/(df+1.0)), 6) AS tfidf
+        |FROM tf JOIN dfreq USING (token), nn
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY tf * ln((n+1.0)/(df+1.0)) DESC, token) <= 3""".stripMargin,
 
     "q14_promo_share" ->
       """SELECT round(

@@ -153,6 +153,27 @@ object Text {
       .orderBy(col("occurrences").desc, col("token").asc)
       .limit(topK)
 
+  /** Top-k TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))).
+    * Plan: one explode (map-side) feeding two aggregations — per-doc term
+    * frequency and per-token document frequency — joined back on the token
+    * (vocab-sized, broadcastable), corpus size as a broadcast 1-row cross
+    * join, then a per-doc window for the top k. Deterministic tie-break
+    * (score desc, token asc).
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy("token").agg(countDistinct(col(idCol)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .withColumn("__score", col("tf") * log((col("__n") + 1.0) / (col("df") + 1.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("__score").desc, col("token").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(idCol), col("token"), col("tf"), round(col("__score"), 6).as("tfidf"))
+  }
+
   /** Per-document stats projection used by the documents-table queries. */
   def docStats(df: DataFrame, textCol: String, stopwords: Seq[String]): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
