@@ -328,6 +328,9 @@ object SparkEntry {
     "d3_lsh_buckets" -> ((s, d) => Dedup.lshBuckets(Tables.documents(s, d), "doc_id", "text")),
     "d4_simhash_sigs" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"), Dedup.simhash(col("text")).as("simhash64"))),
+    "d6_curation_funnel" -> ((s, d) =>
+      Dedup.curationFunnel(Tables.documents(s, d), "doc_id", "text", "source",
+        minQuality = 0.5, lang = "en")),
     "d5_jaccard_pairs" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = docs.select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
@@ -784,6 +787,37 @@ object SparkEntry {
     "d2_exact_dedup" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""".stripMargin,
+
+    "d6_curation_funnel" ->
+      """WITH t AS (SELECT doc_id, text, source,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tok
+        |  FROM documents),
+        |scored AS (SELECT doc_id, text, source,
+        |  round(
+        |    least(len(tok)/100.0, 1.0)*0.4 +
+        |    coalesce(len(list_distinct(tok))*1.0/nullif(len(tok),0), 0.0)*0.4 +
+        |    (1.0 - least(coalesce(
+        |       len(regexp_replace(text, '[^[:punct:]]', '', 'g'))*1.0 /
+        |       nullif(len(regexp_replace(text, '\s', '', 'g')), 0), 0.0)*5.0, 1.0))*0.2,
+        |    6) AS q,
+        |  len(list_filter(tok, x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de,
+        |  len(list_filter(tok, x -> x IN ('the','and','of','to','is','a'))) AS s_en,
+        |  len(list_filter(tok, x -> x IN ('el','la','los','que','es','y'))) AS s_es,
+        |  len(list_filter(tok, x -> x IN ('le','la','les','est','et','une'))) AS s_fr,
+        |  len(list_filter(tok, x -> x IN ('的','是','了','在','我','不'))) AS s_zh
+        |  FROM t),
+        |gated AS (SELECT doc_id, text, source, q FROM scored
+        |  WHERE q >= 0.5 AND
+        |    CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+        |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |      WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |      WHEN s_fr >= s_zh THEN 'fr'
+        |      ELSE 'zh' END = 'en'),
+        |deduped AS (SELECT source, q FROM gated
+        |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+        |SELECT source, count(*) AS kept_docs, round(avg(q),4) AS avg_quality
+        |FROM deduped GROUP BY source""".stripMargin,
 
     "d5_jaccard_pairs" ->
       """WITH sh AS (SELECT doc_id,

@@ -166,6 +166,25 @@ object Dedup {
       .select(col("id1"), col("id2"), round(ngramJaccard(col("__sh1"), col("__sh2")), 4).as("jaccard"))
   }
 
+  /** End-to-end training-data curation funnel: quality gate → language
+    * gate → exact dedup → per-source yield summary. One composition of
+    * already-verified operators — the shape of a real corpus-curation job,
+    * where each stage only narrows the previous one and nothing but the
+    * final summary materializes.
+    */
+  def curationFunnel(df: DataFrame, idCol: String, textCol: String,
+                     sourceCol: String, minQuality: Double,
+                     lang: String): DataFrame = {
+    val gated = df
+      .withColumn("__q", Text.qualityScore(col(textCol)))
+      .withColumn("__lang", Text.langId(col(textCol)))
+      .filter(col("__q") >= minQuality && col("__lang") === lang)
+    exactDedup(gated, idCol, textCol)
+      .groupBy(sourceCol)
+      .agg(count(lit(1)).as("kept_docs"),
+           round(avg(col("__q")), 4).as("avg_quality"))
+  }
+
   // ----------------------------------------------------- dup clustering
 
   /** Connected components over a near-dup pair table (id1 < id2) by
