@@ -115,4 +115,17 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.values.toSet === Set(0L))
   }
+
+  test("curationFunnel: gates on quality+language, dedups, summarizes yield") {
+    val corpus = Seq(
+      (1L, "the cat is on the mat and it sits with a hat near the flat door today fine", "s1"),
+      (2L, "the cat is on the mat and it sits with a hat near the flat door today fine", "s2"), // dup of 1
+      (3L, "der hund ist nicht das haus und der baum", "s1"),  // german -> gated out
+      (4L, "x x x x x x x x x x x x x x x x", "s2")            // low diversity -> low quality
+    ).toDF("id", "text", "source")
+    val out = Dedup.curationFunnel(corpus, "id", "text", "source",
+      minQuality = 0.4, lang = "en")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("s1" -> 1L)) // only doc 1 survives (2 deduped, 3 lang, 4 quality)
+  }
 }

@@ -97,4 +97,22 @@ class TextSpec extends SparkTestBase {
     assert(Seq("ab").toDF("t").select(Text.winnowFingerprints($"t"))
       .collect()(0).getSeq[Long](0).isEmpty)
   }
+
+  test("vocabulary: top-k tokens with deterministic tie-break") {
+    val df = Seq("a b a", "b a c").toDF("t")
+    val v = Text.vocabulary(df, "t", topK = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(v.toSeq === Seq(("a", 3L), ("b", 2L)))
+  }
+
+  test("tfidfTopTerms: corpus-common terms score below doc-specific terms") {
+    val df = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common rare2"),
+      (3L, "common other")).toDF("doc_id", "t")
+    val top = Text.tfidfTopTerms(df, "doc_id", "t", k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(1L) === "rare1")  // unique term beats the everywhere-term
+    assert(top(2L) === "rare2")
+  }
 }
