@@ -176,6 +176,37 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
              count(lit(1)).as("n"))),
 
+    // TPC-H Q10 shape: returned-item revenue per customer, 4-way join +
+    // global top-k.
+    "q10_returned_items" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        // exact decimal sum: with only ~30 items per group the float sum
+        // can land ON a half-cent boundary and round differently per
+        // engine's summation order; decimal arithmetic is order-free
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)") *
+                       (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+               .cast("double"), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)),
+
+    // TPC-H Q18 shape: HAVING on a grouped sum, then global top-k.
+    "q18_large_orders" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+        .filter(col("total_qty") > 150)
+        .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+        .limit(20)),
+
     // TPC-H Q4 shape: EXISTS with a correlated inequality -> left-semi
     // join on the key with the extra predicate in the join condition.
     // TPC-H Q14 shape: conditional revenue share — ratio of two sums over
@@ -590,6 +621,27 @@ object SparkEntry {
     "o2_global_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |    (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE),2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT o_orderkey, o_custkey, round(sum(l_quantity),2) AS total_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_custkey
+        |HAVING round(sum(l_quantity),2) > 150
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "q4_priority_check" ->
       """SELECT o_orderpriority, count(*) AS order_count
