@@ -207,6 +207,22 @@ object SparkEntry {
         .orderBy(col("total_qty").desc, col("o_orderkey").asc)
         .limit(20)),
 
+    // TPC-H Q17 shape: correlated scalar subquery (per-part average
+    // threshold), decorrelated into an aggregate join. Decimal sum: the
+    // filtered set is small enough for half-cent boundary sensitivity.
+    "q17_small_quantity" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val threshold = li.groupBy(col("l_partkey").as("t_partkey"))
+        .agg((avg(col("l_quantity")) * 0.2).as("t_threshold"))
+      li.join(Tables.part(s, d).filter(col("p_brand") === "Brand#23"),
+          col("l_partkey") === col("p_partkey"))
+        .join(threshold, col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("t_threshold"))
+        .agg(round((sum(col("l_extendedprice").cast("decimal(18,6)")) /
+                    lit(7.0).cast("decimal(18,6)")).cast("double"), 2).as("avg_yearly"),
+             count(lit(1)).as("n"))
+    }),
+
     // TPC-H Q4 shape: EXISTS with a correlated inequality -> left-semi
     // join on the key with the extra predicate in the join condition.
     // TPC-H Q14 shape: conditional revenue share — ratio of two sums over
@@ -642,6 +658,15 @@ object SparkEntry {
         |GROUP BY o_orderkey, o_custkey
         |HAVING round(sum(l_quantity),2) > 150
         |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q17_small_quantity" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) /
+        |    CAST(7.0 AS DECIMAL(18,6)) AS DOUBLE), 2) AS avg_yearly,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
 
     "q4_priority_check" ->
       """SELECT o_orderpriority, count(*) AS order_count
