@@ -207,6 +207,43 @@ object SparkEntry {
         .orderBy(col("total_qty").desc, col("o_orderkey").asc)
         .limit(20)),
 
+    // TPC-H Q13 shape: LEFT OUTER aggregate join — customers BY how many
+    // orders they have, including zero (the only outer-join aggregate
+    // distribution in the suite).
+    "q13_order_distribution" -> ((s, d) => {
+      val perCust = Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count")) // count skips nulls
+      perCust.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q16 shape: anti-join exclusion + per-group count distinct.
+    "q16_part_suppliers" -> ((s, d) => {
+      val excluded = Tables.supplier(s, d)
+        .filter(col("s_name").contains("Supplier#00000001")).select("s_suppkey")
+      Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+        .join(Tables.part(s, d).filter(col("p_size") <= 15),
+          col("l_partkey") === col("p_partkey"))
+        .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q19 shape: disjunction of conjunctive predicates — Catalyst
+    // extracts the common l_quantity bounds for scan pushdown.
+    "q19_discounted_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30)))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)") *
+               (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+             .cast("double"), 2).as("revenue"),
+             count(lit(1)).as("n"))),
+
     // TPC-H Q17 shape: correlated scalar subquery (per-part average
     // threshold), decorrelated into an aggregate join. Decimal sum: the
     // filtered set is small enough for half-cent boundary sensitivity.
@@ -658,6 +695,32 @@ object SparkEntry {
         |GROUP BY o_orderkey, o_custkey
         |HAVING round(sum(l_quantity),2) > 150
         |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+
+    "q16_part_suppliers" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 15
+        |  AND NOT EXISTS (SELECT 1 FROM supplier
+        |                  WHERE s_suppkey = l_suppkey
+        |                    AND s_name LIKE '%Supplier#00000001%')
+        |GROUP BY p_brand, p_size""".stripMargin,
+
+    "q19_discounted_revenue" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |    (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE),2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "q17_small_quantity" ->
       """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) /
