@@ -207,6 +207,19 @@ object SparkEntry {
         .orderBy(col("total_qty").desc, col("o_orderkey").asc)
         .limit(20)),
 
+    // TPC-H Q22 shape: uncorrelated scalar-subquery threshold feeding a
+    // grouped aggregate (broadcast 1-row cross join, no collect).
+    "q22_wealthy_segments" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("__avg_bal"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("__avg_bal"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+             round(sum(col("c_acctbal").cast("decimal(18,6)")).cast("double"), 2).as("totacctbal"))
+    }),
+
     // TPC-H Q13 shape: LEFT OUTER aggregate join — customers BY how many
     // orders they have, including zero (the only outer-join aggregate
     // distribution in the suite).
@@ -695,6 +708,13 @@ object SparkEntry {
         |GROUP BY o_orderkey, o_custkey
         |HAVING round(sum(l_quantity),2) > 150
         |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q22_wealthy_segments" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE),2) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "q13_order_distribution" ->
       """SELECT c_count, count(*) AS custdist FROM (
