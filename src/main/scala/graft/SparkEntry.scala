@@ -207,6 +207,18 @@ object SparkEntry {
         .orderBy(col("total_qty").desc, col("o_orderkey").asc)
         .limit(20)),
 
+    // TPC-H Q20 shape: two-level IN chain -> nested left-semi joins
+    // (suppliers that ship any 'red %' part).
+    "q20_red_part_suppliers" -> ((s, d) => {
+      val redParts = Tables.part(s, d)
+        .filter(col("p_name").startsWith("red ")).select("p_partkey")
+      val shippers = Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+        .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      Tables.supplier(s, d)
+        .join(shippers.select("l_suppkey"), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    }),
+
     // TPC-H Q22 shape: uncorrelated scalar-subquery threshold feeding a
     // grouped aggregate (broadcast 1-row cross join, no collect).
     "q22_wealthy_segments" -> ((s, d) => {
@@ -708,6 +720,12 @@ object SparkEntry {
         |GROUP BY o_orderkey, o_custkey
         |HAVING round(sum(l_quantity),2) > 150
         |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q20_red_part_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red %'))""".stripMargin,
 
     "q22_wealthy_segments" ->
       """SELECT c_mktsegment, count(*) AS numcust,

@@ -222,4 +222,29 @@ class StreamingSpec extends SparkTestBase {
       assert(ns.contains(1L) && ns.contains(2L))
     } finally q.stop()
   }
+
+  test("windowedAgg drops events that arrive later than the watermark allows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streaming.windowedAgg(mem.toDF(), "ts", "k", "v",
+      window = "10 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("win_late")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(ts("2024-01-01 01:00:00"), "a", 1.0))
+      q.processAllAvailable()
+      // advance event time far past 01:10 + lateness -> closes that window
+      mem.addData(Ev(ts("2024-01-01 03:00:00"), "a", 2.0))
+      q.processAllAvailable()
+      // now a VERY late event for the long-closed 01:20 window
+      mem.addData(Ev(ts("2024-01-01 01:20:00"), "a", 99.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 05:00:00"), "a", 3.0))
+      q.processAllAvailable()
+      val windows = spark.table("win_late")
+        .collect().map(_.getAs[java.sql.Timestamp]("window_start").toString).toSet
+      assert(windows.contains("2024-01-01 01:00:00.0")) // on-time window emitted
+      assert(!windows.contains("2024-01-01 01:20:00.0")) // late event dropped
+    } finally q.stop()
+  }
 }
