@@ -207,6 +207,25 @@ object SparkEntry {
         .orderBy(col("total_qty").desc, col("o_orderkey").asc)
         .limit(20)),
 
+    // TPC-H Q15 shape: aggregate, then join back to the aggregate's own
+    // max — the top-supplier view. Decimal revenue so the equality join
+    // on the max is exact on both engines.
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)") *
+               (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+             .cast("double"), 2).as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("__max_rev"))
+      Tables.supplier(s, d)
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(maxRev))
+        .filter(col("total_revenue") === col("__max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    }),
+
     // TPC-H Q20 shape: two-level IN chain -> nested left-semi joins
     // (suppliers that ship any 'red %' part).
     "q20_red_part_suppliers" -> ((s, d) => {
@@ -720,6 +739,19 @@ object SparkEntry {
         |GROUP BY o_orderkey, o_custkey
         |HAVING round(sum(l_quantity),2) > 150
         |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |      (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE),2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
 
     "q20_red_part_suppliers" ->
       """SELECT s_suppkey, s_name FROM supplier
