@@ -341,6 +341,139 @@ object SparkEntry {
           sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("high_line_count"),
           sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("low_line_count"))),
 
+    // TPC-H Q7 shape: volume shipping between two nations — the nation dim
+    // joins TWICE (supplier's and customer's nation) with a disjunctive
+    // nation-pair predicate, the classic join-reorder probe. Both nation
+    // copies broadcast; the two fact-fact joins shuffle on their keys.
+    "q7_nation_volume" -> ((s, d) => {
+      val n1 = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation")))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("s_nkey"))
+        .join(n2, col("c_nationkey") === col("c_nkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+                (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+                 year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)") *
+                       (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+               .cast("double"), 2).as("revenue"))
+    }),
+
+    // TPC-H Q8 shape: market share — a ratio of two conditional sums over
+    // an 8-way join with year extraction; nation joins twice (customer's
+    // region gate, supplier's share attribution).
+    "q8_market_share" -> ((s, d) => {
+      val n1 = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nkey"), col("n_regionkey").as("c_rkey")))
+      val n2 = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
+      val vol = col("l_extendedprice").cast("decimal(18,6)") *
+                (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_type") === "PROMO"),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("c_nationkey") === col("c_nkey"))
+        .join(broadcast(Tables.region(s, d)), col("c_rkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .join(n2, col("s_nationkey") === col("s_nkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0).cast("decimal(18,6)")))
+            .cast("double") /
+          sum(vol).cast("double"), 6).as("mkt_share"),
+          count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q9 shape: product-type profit by (nation, year) — part-name
+    // filter, supplier-nation attribution, year extraction; the profit
+    // proxy omits ps_supplycost (no partsupp table in the testdata).
+    "q9_product_profit" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_name").contains("bolt")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+                 year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)") *
+                       (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+               .cast("double"), 2).as("profit"),
+             count(lit(1)).as("n"))),
+
+    // TPC-H Q21 shape: EXISTS + NOT EXISTS chain over the same fact —
+    // suppliers who were the LAST to ship in a multi-supplier finished
+    // order (l_shipdate stands in for receipt-vs-commit lateness; the
+    // testdata has no l_commitdate/l_receiptdate). Semi-join proves
+    // another supplier exists in the order; anti-join proves none shipped
+    // later.
+    "q21_waiting_suppliers" -> ((s, d) => {
+      val l1 = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F").select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val l2 = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("lo2"), col("l_suppkey").as("ls2"))
+      val l3 = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("lo3"), col("l_suppkey").as("ls3"),
+                col("l_shipdate").as("ld3"))
+      l1.join(l2, col("l_orderkey") === col("lo2") && col("l_suppkey") =!= col("ls2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("lo3") && col("l_suppkey") =!= col("ls3") &&
+                  col("ld3") > col("l_shipdate"), "left_anti")
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q11 shape: group HAVING against a GLOBAL scalar aggregate —
+    // parts whose revenue exceeds 1.2x the MEAN part revenue (1-row
+    // broadcast threshold, no collect). The threshold is relative to the
+    // mean, not a fixed fraction of the total, so the row count is
+    // scale-invariant (TPC-H divides its Q11 fraction by SF for the same
+    // reason); `value > 1.2*avg` is phrased as `value*n > total*1.2` to
+    // keep every comparison in exact decimal arithmetic.
+    "q11_important_parts" -> ((s, d) => {
+      val vol = col("l_extendedprice").cast("decimal(18,6)") *
+                (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
+      val perPart = Tables.lineitem(s, d).groupBy("l_partkey").agg(sum(vol).as("__value"))
+      val global = perPart.agg(sum(col("__value")).as("__total"),
+                               count(lit(1)).as("__nparts"))
+      perPart.crossJoin(broadcast(global))
+        .filter(col("__value") * col("__nparts") >
+                col("__total") * lit(1.2).cast("decimal(18,6)"))
+        .select(col("l_partkey"), round(col("__value").cast("double"), 2).as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey").asc)
+    }),
+
+    // TPC-H Q2 shape: correlated MIN subquery — for each small part, the
+    // supplier(s) whose line price equals that part's minimum, decorrelated
+    // into an aggregate join back on the part key.
+    "q2_min_cost_supplier" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_partkey", "l_suppkey", "l_extendedprice")
+      val minPrice = li.groupBy(col("l_partkey").as("m_partkey"))
+        .agg(min(col("l_extendedprice")).as("m_price"))
+      li.join(Tables.part(s, d).filter(col("p_size") === 5), col("l_partkey") === col("p_partkey"))
+        .join(minPrice, col("l_partkey") === col("m_partkey") &&
+                        col("l_extendedprice") === col("m_price"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+                round(col("l_extendedprice"), 2).as("min_price"))
+        .distinct()
+        .orderBy(col("p_partkey").asc, col("s_suppkey").asc)
+    }),
+
     // Broadcast the small dims (region 5 rows, nation 25); the fact side
     // never shuffles for the dim lookups — only for the final group-by.
     "j1_broadcast_join" -> ((s, d) =>
@@ -838,6 +971,97 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |    (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE),2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(
+        |    CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |           (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |      (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE),
+        |    6) AS mkt_share,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+        |GROUP BY year(o_orderdate)""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |    (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE),2) AS profit,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |        (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS value
+        |  FROM lineitem GROUP BY l_partkey),
+        |g AS (SELECT sum(value) AS total, count(*) AS nparts FROM v)
+        |SELECT l_partkey, round(CAST(value AS DOUBLE),2) AS part_value
+        |FROM v, g
+        |WHERE value * nparts > total * CAST(1.2 AS DECIMAL(18,6))
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """SELECT DISTINCT p_partkey, s_suppkey, s_name,
+        |  round(l_extendedprice,2) AS min_price
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE p_size = 5
+        |  AND l_extendedprice = (SELECT min(l2.l_extendedprice) FROM lineitem l2
+        |                         WHERE l2.l_partkey = p_partkey)
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
 
     "j1_broadcast_join" ->
       """SELECT r_name, round(sum(o_totalprice),2) AS revenue, count(*) AS n

@@ -39,17 +39,30 @@ object Tables {
   def supplier(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame       = apply(spark, dir, "part")
   /** documents/embeddings are CPU-dense per-row workloads (shingling,
-    * hashing, vector math in interpreted higher-order functions), and at
-    * test SFs each arrives as ONE parquet file → one scan partition → one
-    * busy core. `spread` widens the scan to the cluster's parallelism so
-    * per-row work distributes; it's a no-op whenever the scan already has
-    * enough partitions (the 100 TB case — thousands of file splits), so it
-    * never coalesces real-scale inputs.
+    * hashing, vector math), and at test SFs each arrives as ONE parquet
+    * file with ONE row group → one busy core. `spread` widens to the
+    * cluster's parallelism so per-row work distributes.
+    *
+    * Why a repartition and not a smaller `spark.sql.files.maxPartitionBytes`:
+    * parquet assigns a row group to whichever byte-range split contains its
+    * midpoint, so splitting a single-row-group file just yields N-1 empty
+    * partitions — only a shuffle can spread it. The decision comes from
+    * driver-side file metadata (a cheap FS listing), not from `df.rdd`,
+    * which would force physical planning outside the optimized path. At
+    * real scale (total bytes ≥ parallelism × maxPartitionBytes, i.e. the
+    * scan already produces enough splits) this is a no-op — the exchange
+    * exists only for degenerate tiny inputs.
     */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  private def spread(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = apply(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism.toLong
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val totalBytes =
+      if (fs.exists(path)) fs.getContentSummary(path).getLength else Long.MaxValue
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    if (totalBytes >= target * maxSplit) df else df.repartition(target.toInt)
   }
-  def documents(spark: SparkSession, dir: String): DataFrame  = spread(apply(spark, dir, "documents"))
-  def embeddings(spark: SparkSession, dir: String): DataFrame = spread(apply(spark, dir, "embeddings"))
+  def documents(spark: SparkSession, dir: String): DataFrame  = spread(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = spread(spark, dir, "embeddings")
 }

@@ -76,12 +76,19 @@ object Metrics {
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
   }
 
-  /** Install both listeners on a session (idempotent per listener object). */
-  def install(spark: SparkSession): (JobMetricsListener, StreamMetricsListener) = {
-    val j = new JobMetricsListener
-    val s = new StreamMetricsListener
-    spark.sparkContext.addSparkListener(j)
-    spark.streams.addListener(s)
-    (j, s)
-  }
+  private val installed =
+    new ConcurrentHashMap[SparkSession, (JobMetricsListener, StreamMetricsListener)]()
+
+  /** Install both listeners on a session. Truly idempotent: repeated calls
+    * on the same session return the already-registered pair instead of
+    * stacking duplicates that would double-count every event.
+    */
+  def install(spark: SparkSession): (JobMetricsListener, StreamMetricsListener) =
+    installed.computeIfAbsent(spark, s => {
+      val j = new JobMetricsListener
+      val st = new StreamMetricsListener
+      s.sparkContext.addSparkListener(j)
+      s.streams.addListener(st)
+      (j, st)
+    })
 }

@@ -113,12 +113,16 @@ private class PollingScan(options: CaseInsensitiveStringMap) extends Scan {
         if (o > highWater) {
           highWater = o
           // write-then-rename: a crash mid-write must not leave a
-          // truncated file that breaks every future restart
+          // truncated file that breaks every future restart. The rename
+          // overwrites the destination atomically (FileContext.rename with
+          // OVERWRITE) — a delete-then-rename pair would have a window
+          // where neither file exists and a crash there replays polls.
           val tmp = new org.apache.hadoop.fs.Path(checkpointLocation, "graft-highwater.tmp")
           val out = fs.create(tmp, true)
           try out.writeLong(o) finally out.close()
-          fs.delete(hwPath, false)
-          fs.rename(tmp, hwPath)
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, fs.getConf)
+          fc.rename(fc.makeQualified(tmp), fc.makeQualified(hwPath),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
         }
       }
       override def initialOffset(): Offset = PollOffset(0L)

@@ -30,11 +30,25 @@ import org.apache.spark.sql.types.DoubleType
   */
 case class ApproxAggRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 
+  // Defensive parses: a malformed conf value must degrade to the default
+  // (with a log line), not throw from inside the optimizer and fail every
+  // query in the session.
   private def enabled: Boolean =
-    session.conf.getOption("spark.graft.approx.aggregates").exists(_.toBoolean)
+    session.conf.getOption("spark.graft.approx.aggregates").exists { v =>
+      v.toBooleanOption.getOrElse {
+        logWarning(s"ignoring malformed spark.graft.approx.aggregates='$v' (want true/false)")
+        false
+      }
+    }
   private def accuracy: Int =
     session.conf.getOption("spark.graft.approx.aggregates.accuracy")
-      .map(_.toInt).getOrElse(ApproximatePercentile.DEFAULT_PERCENTILE_ACCURACY)
+      .flatMap { v =>
+        val parsed = v.toIntOption.filter(_ > 0)
+        if (parsed.isEmpty)
+          logWarning(s"ignoring malformed spark.graft.approx.aggregates.accuracy='$v' (want positive int)")
+        parsed
+      }
+      .getOrElse(ApproximatePercentile.DEFAULT_PERCENTILE_ACCURACY)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan

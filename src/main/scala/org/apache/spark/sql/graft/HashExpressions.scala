@@ -169,13 +169,15 @@ object ShingleImpl {
 
   /** Deduplicated character n-grams, first-occurrence order (matches the
     * substring/transform/array_distinct formulation, which windows over
-    * CHARACTERS, not bytes). */
+    * CHARACTERS, not bytes). Windows over Unicode CODE POINTS, not UTF-16
+    * units — supplementary chars (emoji, rare CJK) count as one and
+    * surrogate pairs never split, matching DuckDB's code-point substr. */
   def charShingles(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toString
-    if (s.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String](s.length * 2)
+    val cps = text.toString.codePoints().toArray
+    if (cps.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](cps.length * 2)
     var i = 0
-    while (i + n <= s.length) { seen.add(s.substring(i, i + n)); i += 1 }
+    while (i + n <= cps.length) { seen.add(new String(cps, i, n)); i += 1 }
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var k = 0
@@ -192,8 +194,10 @@ object WinnowImpl {
     * share at least one fingerprint. Output: sorted distinct minima.
     */
   def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val s = text.toString
-    val n = s.length - k + 1
+    // k-grams over Unicode code points (same convention as charShingles):
+    // supplementary chars are one symbol, surrogate pairs never split
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length - k + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
     // rolling polynomial hash of k-grams (Rabin-Karp)
     val B = 1000003L
@@ -203,11 +207,11 @@ object WinnowImpl {
     val hashes = new Array[Long](n)
     var h = 0L
     i = 0
-    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    while (i < k) { h = h * B + cps(i); i += 1 }
     hashes(0) = h
     i = 1
     while (i < n) {
-      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      h = (h - cps(i - 1) * pow) * B + cps(i + k - 1)
       hashes(i) = h
       i += 1
     }

@@ -31,9 +31,13 @@ abstract class VectorBinaryExpression extends BinaryExpression with ImplicitCast
   override def dataType: DataType = DoubleType
 }
 
-/** dot(a, b) = Σ a_i·b_i over the common prefix of the two arrays. */
+/** dot(a, b) = Σ a_i·b_i over the common prefix of the two arrays.
+  * A null element in either array makes the result null — the same
+  * propagation `aggregate(zip_with(a, b, _*_), 0d, _+_)` exhibits.
+  */
 case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "graft_dot"
+  override def nullable: Boolean = true
 
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -41,7 +45,10 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getDouble(i) * y.getDouble(i); i += 1
+    }
     dot
   }
 
@@ -50,13 +57,20 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
+         |boolean $anyNull = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
          |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = $acc;
+         |if ($anyNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $acc;
+         |}
        """.stripMargin
     })
 
@@ -78,6 +92,7 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
@@ -95,15 +110,18 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |boolean $anyNull = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
          |  double $xi = $a.getDouble($i);
          |  double $yi = $b.getDouble($i);
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |if ($na == 0.0 || $nb == 0.0) {
+         |if ($anyNull || $na == 0.0 || $nb == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
