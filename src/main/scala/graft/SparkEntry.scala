@@ -23,7 +23,8 @@ import graft.text.Text
   * Naming convention: `aN_*` = aggregations (SURVEY §2.4), `wN_*` = window /
   * time-series (§2.5), `oN_*` = sort/top-k (§2.6), `jN_*` = joins (§2.3),
   * `fN_*` = scalar functions (§2.8), `c1` = cleaning composite (§2.9),
-  * `tN_*` = text analysis, `dN_*` = dedup, `sN/e1` = embedding similarity.
+  * `tN_*` = text analysis, `dN_*` = dedup, `sN/e1` = embedding similarity,
+  * `mN_*` = multimodal (metadata-only plans over the synthetic media table).
   */
 object SparkEntry {
 
@@ -598,14 +599,37 @@ object SparkEntry {
       Dedup.jaccardForPairs(docs, pairs, "doc_id", "text")
     }),
 
+    // ---------------------------------------------------- multimodal
+    // Metadata-only resize plan over the synthetic media parquet (derived
+    // deterministically from documents, so DuckDB recomputes it in SQL):
+    // the scan's ReadSchema excludes `bytes` — filters/projections on the
+    // typed meta struct never touch a blob (PlanQualitySpec gate).
+    "m1_resize_plan" -> ((s, d) =>
+      graft.multimodal.Multimodal.resizePlan(
+        graft.multimodal.Multimodal.syntheticMediaTable(s, d), maxSide = 512)),
+    // Frame-sampling plan for the video assets: a generator emitting n
+    // evenly-spaced pseudo-frames per row — n rows out per row in, no
+    // shuffle, still metadata-only.
+    "m2_frame_plan" -> ((s, d) =>
+      graft.multimodal.Multimodal.sampleFrames(
+          graft.multimodal.Multimodal.syntheticMediaTable(s, d), n = 4)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+                col("frame_ms"))),
+
     // --------------------------------------------- embedding similarity
     "s1_brute_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
     }),
+    // Multi-table SRP-LSH (5 planes x 16 tables): recall@5 ~0.78 vs brute
+    // force on the sf0.01 embeddings at ~50% candidate fraction —
+    // parameters gated by SimilaritySpec's recall floor (0.6). Synthetic
+    // uniform vectors are LSH's worst case; clustered real embeddings get
+    // far better selectivity at the same recall.
     "s2_ann_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.annTopK(emb, emb.filter(col("vec_id") < 8), k = 5, nPlanes = 6)
+      Similarity.annTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+        nPlanes = 5, nTables = 16, maxDim = 64)
     }),
     // IVF cell assignment depends on the centroid sample; deterministic
     // but not ANSI-SQL-expressible compactly -> rows-only check, semantics
@@ -1266,6 +1290,29 @@ object SparkEntry {
         |    ELSE len(list_intersect(a.sh, b.sh))*1.0 /
         |         len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "m1_resize_plan" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'video' ELSE 'audio' END AS kind,
+        |    CAST(200 + doc_id % 1600 AS INT) AS width,
+        |    CAST(100 + doc_id % 900 AS INT) AS height
+        |  FROM documents)
+        |SELECT media_id, width, height,
+        |  CAST(round(width * least(512.0/greatest(width, height), 1.0)) AS INT) AS target_width,
+        |  CAST(round(height * least(512.0/greatest(width, height), 1.0)) AS INT) AS target_height
+        |FROM m WHERE kind = 'image'""".stripMargin,
+
+    "m2_frame_plan" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'video' ELSE 'audio' END AS kind,
+        |    CAST((doc_id % 60 + 1) * 1000 AS BIGINT) AS duration_ms
+        |  FROM documents)
+        |SELECT media_id, i AS frame_idx,
+        |  CAST(floor(duration_ms * i / 4.0) AS BIGINT) AS frame_ms
+        |FROM m, range(0, 4) t(i)
+        |WHERE kind = 'video'""".stripMargin,
 
     "s1_brute_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,

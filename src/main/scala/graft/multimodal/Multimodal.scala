@@ -109,6 +109,42 @@ object Multimodal {
         round(h * scale).cast("int").as("target_height"))
   }
 
+  /** Deterministic synthetic media table derived from the `documents`
+    * testdata (no media table ships with the driver data): media_id =
+    * doc_id, kind cycles image/video/audio, bytes = the document text
+    * (stands in for real pixels/samples), metadata derived arithmetically
+    * from doc_id — so a SQL oracle can recompute every metadata value
+    * without reading a byte of the blobs. Written to parquet once per sf
+    * dir and read back, so downstream metadata-only queries go through a
+    * REAL parquet scan whose ReadSchema provably excludes `bytes`
+    * (PlanQualitySpec gate).
+    */
+  private val genLock = new Object
+  def syntheticMediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_media_${Integer.toHexString(sfDir.hashCode)}").getAbsolutePath
+    genLock.synchronized {
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        graft.Tables(spark, sfDir, "documents")
+          .select(
+            col("doc_id").as("media_id"),
+            element_at(
+              array(lit("image"), lit("video"), lit("audio")),
+              (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+            col("text").cast("binary").as("bytes"),
+            struct(
+              (lit(200) + col("doc_id") % 1600).cast("int").as("width"),
+              (lit(100) + col("doc_id") % 900).cast("int").as("height"),
+              lit(16000).as("sample_rate"),
+              ((col("doc_id") % 60 + 1) * 1000).cast("long").as("duration_ms"),
+              lit("synthetic").as("format")).as("meta"))
+          .write.mode("overwrite").parquet(out)
+      }
+    }
+    spark.read.schema(mediaSchema).parquet(out)
+  }
+
   /** Size-aware spread: pick a partition COUNT from total blob volume and
     * round-robin rows across it. This bounds expected bytes/partition; it
     * does not weigh individual rows, so a pathological pair of huge blobs

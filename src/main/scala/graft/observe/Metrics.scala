@@ -76,6 +76,60 @@ object Metrics {
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
   }
 
+  /** All reference-named metrics (the set the Grafana dashboard queries). */
+  val referenceNames: Seq[String] = Seq(
+    PipelineRuns, PipelineFailures, ExtractSuccesses, ExtractFailures,
+    RecordsProcessed, OutliersDetected, AnalysisRuns, LoadSuccesses,
+    SparkJobsCompleted, SparkTasksCompleted, SparkRecordsRead,
+    StreamBatchesCompleted, StreamRowsProcessed, StreamWindowsWritten)
+
+  /** Register the counters as a Spark metrics Source (gauges named after
+    * the reference's Prometheus metrics) — scrape-able through whatever
+    * sink the cluster's metrics.properties wires, incl. Spark's built-in
+    * PrometheusServlet. Idempotent per JVM.
+    */
+  def installSource(): org.apache.spark.sql.graft.GraftMetricsSource =
+    org.apache.spark.sql.graft.GraftMetricsSource.register(referenceNames, get _)
+
+  /** Prometheus text-format exposition of the current counter values —
+    * the body the reference's metrics HTTP server returns
+    * (utils.py:161-173, scraped per monitoring/prometheus.yml).
+    */
+  def exposition(): String =
+    snapshot().toSeq.sortBy(_._1).map { case (k, v) =>
+      s"# TYPE $k counter\n$k $v"
+    }.mkString("", "\n", "\n")
+
+  @volatile private var httpServer: Option[com.sun.net.httpserver.HttpServer] = None
+
+  /** Serve [[exposition]] at /metrics (reference twin: prometheus_client
+    * `start_http_server`, utils.py:161-173; port from config.yaml:38).
+    * Returns the bound port (pass 0 for ephemeral). Idempotent.
+    */
+  def serveHttp(port: Int = 0): Int = synchronized {
+    httpServer match {
+      case Some(s) => s.getAddress.getPort
+      case None =>
+        val srv = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress(port), 0)
+        srv.createContext("/metrics", (ex: com.sun.net.httpserver.HttpExchange) => {
+          val body = exposition().getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          ex.getResponseHeaders.add("Content-Type",
+            "text/plain; version=0.0.4; charset=utf-8")
+          ex.sendResponseHeaders(200, body.length)
+          val os = ex.getResponseBody
+          try os.write(body) finally os.close()
+        })
+        srv.start()
+        httpServer = Some(srv)
+        srv.getAddress.getPort
+    }
+  }
+
+  def stopHttp(): Unit = synchronized {
+    httpServer.foreach(_.stop(0)); httpServer = None
+  }
+
   private val installed =
     new ConcurrentHashMap[SparkSession, (JobMetricsListener, StreamMetricsListener)]()
 

@@ -25,17 +25,36 @@ object StreamingPipeline {
       window: String = "1 hour",
       lateness: String = "2 hours",
       statsSnapshot: Option[DataFrame] = None,
-      maxPolls: Long = -1L) // >0 = finite stream (tests / drain runs)
+      maxPolls: Long = -1L, // >0 = finite stream (tests / drain runs)
+      // Kafka source branch (the north star's named ingestion path):
+      // bootstrap set -> consume `kafkaTopic` in wire format and decode
+      // with KafkaWire.decodeFlat instead of using the polling source.
+      kafkaBootstrap: Option[String] = None,
+      kafkaTopic: String = "weather",
+      // Test seam: a pre-built wire-format streaming DataFrame (e.g. a
+      // MemoryStream of binary key/value rows) run through the SAME
+      // decode + window + sink path as a real topic — the broker is the
+      // only thing it bypasses.
+      wireSource: Option[DataFrame] = None)
 
   /** Wire and start the streaming query (AvailableNow when `drain` — the
     * batch-parity trigger — else continuous micro-batches).
     */
   def start(spark: SparkSession, cfg: Config, drain: Boolean = false): StreamingQuery = {
-    val raw = spark.readStream
-      .format("graft.sources.v2.PollingSource")
-      .option("cities", cfg.cities.mkString(","))
-      .option("maxPolls", cfg.maxPolls.toString)
-      .load()
+    val raw = (cfg.wireSource, cfg.kafkaBootstrap) match {
+      case (Some(wire), _) =>
+        graft.sources.KafkaWire.decodeFlat(wire)
+          .select(col("city"), col("timestamp").as("ts"), col("temperature"))
+      case (None, Some(bootstrap)) =>
+        graft.sources.KafkaWire.decodeFlat(
+            graft.sources.KafkaWire.stream(spark, bootstrap, cfg.kafkaTopic))
+          .select(col("city"), col("timestamp").as("ts"), col("temperature"))
+      case _ => spark.readStream
+        .format("graft.sources.v2.PollingSource")
+        .option("cities", cfg.cities.mkString(","))
+        .option("maxPolls", cfg.maxPolls.toString)
+        .load()
+    }
 
     val cleaned = cfg.statsSnapshot match {
       case Some(snap) => Streaming.cleanWithStaticBounds(raw, snap, Seq("temperature"))

@@ -48,6 +48,43 @@ class PipelineSpec extends SparkTestBase {
     assert(Metrics.get(Metrics.RecordsProcessed) > 0L)
   }
 
+  test("metrics Source registers and gauges report the counters; repeated install is a no-op") {
+    Metrics.reset()
+    val (j1, s1) = Metrics.install(spark)
+    val (j2, s2) = Metrics.install(spark)
+    assert(j1 eq j2)
+    assert(s1 eq s2) // same listener pair — no double counting
+    val src = Metrics.installSource()
+    assert(Metrics.installSource() eq src) // idempotent per JVM
+    assert(src.sourceName === "graft_weather")
+    // run a job; the listener feeds the counter and the gauge must see it
+    Tables.lineitem(spark, "/root/testdata/sf0.001").count()
+    val gauge = src.metricRegistry.getGauges.get(Metrics.RecordsProcessed)
+    assert(gauge != null, "weather_records_processed gauge missing from Source")
+    // listener events are delivered async; poll briefly
+    val deadline = System.nanoTime() + 10000000000L
+    while (gauge.getValue.asInstanceOf[Long] == 0L && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(gauge.getValue.asInstanceOf[Long] > 0L)
+    Metrics.referenceNames.foreach(n =>
+      assert(src.metricRegistry.getGauges.containsKey(n), s"gauge $n missing"))
+  }
+
+  test("Prometheus HTTP exposition serves the reference metric names") {
+    Metrics.inc(Metrics.RecordsProcessed, 5L)
+    val port = Metrics.serveHttp(0)
+    try {
+      assert(Metrics.serveHttp(0) === port) // idempotent, same server
+      val body = scala.io.Source.fromURL(
+        s"http://127.0.0.1:$port/metrics").mkString
+      assert(body.contains("weather_records_processed"))
+      assert(body.linesIterator.exists(l =>
+        l.startsWith("weather_records_processed ") &&
+        l.split(" ")(1).toLong >= 5L))
+      assert(body.contains("# TYPE weather_records_processed counter"))
+    } finally Metrics.stopHttp()
+  }
+
   test("skip flags short-circuit phases (main.py:140-147 analog)") {
     val base = Files.createTempDirectory("graft_pipe_skip")
     val rawDir = base.resolve("raw").toString

@@ -60,4 +60,42 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("partial_avg") || plan.contains("HashAggregate"))
     assert("HashAggregate".r.findAllIn(plan).size >= 2) // partial + final
   }
+
+  test("q5: nation/region dims broadcast; region filter reaches the region scan") {
+    val plan = executedPlan(SparkEntry.queries("q5_local_volume")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"))
+    // the ASIA filter is written post-join in the fluent chain; Catalyst
+    // must push it through the broadcast joins into the region scan
+    assert(plan.contains("EqualTo(r_name,ASIA)"))
+  }
+
+  test("q18: HAVING on grouped sum keeps partial+final agg, single fact shuffle") {
+    val plan = executedPlan(SparkEntry.queries("q18_large_orders")(spark, dir))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2) // partial + final
+    // top-k after the HAVING filter must stay TakeOrderedAndProject
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("d3: LSH banding runs the native codegen expression, not HOF transform") {
+    val plan = executedPlan(SparkEntry.queries("d3_lsh_buckets")(spark, dir))
+    assert(plan.contains("graft_lsh_bands"))
+    // the round-2 formulation computed bands via interpreted
+    // transform(...aggregate...) lambdas — ~150x slower; its reappearance
+    // in the hot path is a perf regression even with identical output
+    assert(!plan.contains("transform(minhash"))
+  }
+
+  test("q7: both nation copies broadcast; disjunctive pair filter above them") {
+    val plan = executedPlan(SparkEntry.queries("q7_nation_volume")(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"))
+  }
+
+  test("m1: media metadata query never reads the bytes column") {
+    val df = SparkEntry.queries("m1_resize_plan")(spark, dir)
+    val plan = executedPlan(df)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("meta"))
+    assert(!readSchema.contains("bytes")) // blob column pruned at the scan
+  }
 }

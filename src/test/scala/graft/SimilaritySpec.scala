@@ -117,6 +117,46 @@ class SimilaritySpec extends SparkTestBase {
     typed.foreach { case (k, m) => assert(math.abs(m - viaExplode(k)) < 1e-12) }
   }
 
+  /** recall@k of an approximate result against the exact brute-force
+    * top-k: |approx ∩ exact| / |exact|, averaged over queries.
+    */
+  private def recallAtK(approx: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double = {
+    val per = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    per.sum / per.size
+  }
+
+  private def topkSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  test("ANN recall gate: SRP and IVF recall@5 vs brute force on real embeddings") {
+    // The driver checks s2/s4 rows-only (bucket assignment is hash-keyed,
+    // not SQL-expressible); THIS is the quality gate — a bucketing bug that
+    // silently returned near-random neighbors would pass row counts but
+    // crater recall. Same parameters as the registered queries
+    // (s2: nPlanes=5 nTables=16, s4: nCells=16 nProbes=2), sf0.01
+    // embeddings, 16 queries. Everything is seeded, so the measured recall
+    // is exactly reproducible — no flake margin needed in the floor.
+    //
+    // Measured on this data (uniform 64-dim vectors — LSH's worst case):
+    // single-table SRP nPlanes=6 gives recall 0.06 (which this gate
+    // caught); 5 planes x 16 OR-amplified tables gives 0.78 at ~50%
+    // candidate fraction; IVF 16 cells / 2 probes gives 0.93 at ~12.5%.
+    // More tables / more probes push recall toward 1 at proportional
+    // candidate cost.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.filter($"vec_id" < 16)
+    val exact = topkSets(Similarity.bruteForceTopK(emb, queries, k = 5))
+    val srp = topkSets(Similarity.annTopK(emb, queries, k = 5, nPlanes = 5, nTables = 16))
+    val ivf = topkSets(Similarity.ivfTopK(emb, queries, k = 5, nCells = 16, nProbes = 2))
+    val srpRecall = recallAtK(srp, exact)
+    val ivfRecall = recallAtK(ivf, exact)
+    info(f"recall@5: srp=$srpRecall%.3f ivf=$ivfRecall%.3f")
+    assert(srpRecall >= 0.6, s"SRP recall@5 $srpRecall below floor 0.6")
+    assert(ivfRecall >= 0.6, s"IVF recall@5 $ivfRecall below floor 0.6")
+  }
+
   test("withUnitNorm: dot of unit vectors equals cosine of originals") {
     val gen = new scala.util.Random(21)
     val emb = (0L until 10L).map(i => (i, Seq.fill(8)(gen.nextFloat()))).toDF("vec_id", "embedding")

@@ -7,6 +7,10 @@ import graft.streaming.Streaming
 
 case class Ev(ts: Timestamp, k: String, v: Double)
 case class Click(cts: Timestamp, k: String, page: String)
+/** A row in Kafka's wire shape (KafkaWire.wireSchema). */
+case class KRec(key: Array[Byte], value: Array[Byte], topic: String,
+                partition: Int, offset: Long, timestamp: Timestamp,
+                timestampType: Int)
 
 class StreamingSpec extends SparkTestBase {
   import spark.implicits._
@@ -183,6 +187,103 @@ class StreamingSpec extends SparkTestBase {
         .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3))).toMap
       assert(streamed === batched)
     } finally q.stop()
+  }
+
+  /** An OpenWeatherMap-shaped JSON payload as Kafka value bytes. */
+  private def owmPayload(city: String, epoch: Long, temp: Double): Array[Byte] =
+    s"""{"dt":$epoch,"city_name":"$city","country_code":"XX",
+       |"main":{"temp":$temp,"feels_like":$temp,"temp_min":$temp,"temp_max":$temp,
+       |"pressure":1000.0,"humidity":50.0},
+       |"wind":{"speed":1.0,"deg":90.0},
+       |"weather":[{"main":"Clear","description":"clear sky"}]}"""
+      .stripMargin.replaceAll("\n", "").getBytes("UTF-8")
+
+  private def kRec(city: String, epoch: Long, temp: Double, offset: Long): KRec =
+    KRec(city.getBytes("UTF-8"), owmPayload(city, epoch, temp),
+      "weather", 0, offset, new Timestamp(epoch * 1000L), 0)
+
+  test("Kafka-wire decode + windowed agg matches the batch twin end-to-end") {
+    implicit val sqlCtx = spark.sqlContext
+    val epoch = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000L
+    val recs = Seq(
+      kRec("London", epoch + 60, 10.0, 0),
+      kRec("London", epoch + 120, 20.0, 1),
+      kRec("London", epoch + 4000, 30.0, 2), // second 1-hour window
+      kRec("Tokyo", epoch + 90, 5.0, 3))
+    // streaming path: MemoryStream of wire rows -> decodeFlat -> window
+    val mem = MemoryStream[KRec]
+    val flat = graft.sources.KafkaWire.decodeFlat(mem.toDF())
+      .select($"city", $"timestamp".as("ts"), $"temperature")
+    val q = Streaming.windowedAgg(flat, "ts", "city", "temperature",
+      window = "1 hour", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("kafka_win")
+      .outputMode("complete").start()
+    try {
+      mem.addData(recs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("kafka_win")
+        .select($"window_start", $"city", $"value_mean", $"n")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3)))
+        .toMap
+      // batch twin: same wire rows as a static DataFrame through the SAME
+      // decode, aggregated with a batch window()
+      val batchWire = spark.createDataFrame(
+        spark.sparkContext.parallelize(recs.map(r => org.apache.spark.sql.Row(
+          r.key, r.value, r.topic, r.partition, r.offset, r.timestamp, r.timestampType))),
+        graft.sources.KafkaWire.wireSchema)
+      val batched = graft.sources.KafkaWire.decodeFlat(batchWire)
+        .groupBy(window($"timestamp", "1 hour"), $"city")
+        .agg(avg($"temperature").as("value_mean"), count(lit(1)).as("n"))
+        .select($"window.start", $"city", $"value_mean", $"n")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3)))
+        .toMap
+      assert(streamed === batched)
+      assert(streamed.size === 3) // (London w1, London w2, Tokyo w1)
+    } finally q.stop()
+  }
+
+  test("Kafka-wire decode tolerates corrupt payloads (dropped by required-keys filter)") {
+    implicit val sqlCtx = spark.sqlContext
+    val epoch = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000L
+    val good = kRec("London", epoch + 60, 10.0, 0)
+    val corrupt = KRec("London".getBytes("UTF-8"), "{not json at all".getBytes("UTF-8"),
+      "weather", 0, 1, new Timestamp(epoch * 1000L), 0)
+    val mem = MemoryStream[KRec]
+    val q = graft.sources.KafkaWire.decodeFlat(mem.toDF())
+      .writeStream.format("memory").queryName("kafka_corrupt")
+      .outputMode("append").start()
+    try {
+      mem.addData(good, corrupt)
+      q.processAllAvailable()
+      val rows = spark.table("kafka_corrupt").collect()
+      assert(rows.length === 1) // corrupt row filtered, query alive
+      assert(rows.head.getAs[String]("city") === "London")
+      assert(rows.head.getAs[Double]("temperature") === 10.0)
+    } finally q.stop()
+  }
+
+  test("StreamingPipeline kafka branch: wire source -> decode -> window -> parquet") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_kpipe")
+    val epoch = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000L
+    val mem = MemoryStream[KRec]
+    val q = graft.streaming.StreamingPipeline.start(spark,
+      graft.streaming.StreamingPipeline.Config(
+        checkpointDir = base.resolve("ckpt").toString,
+        outputDir = base.resolve("out").toString,
+        window = "10 minutes", lateness = "5 minutes",
+        wireSource = Some(mem.toDF())),
+      drain = false)
+    try {
+      mem.addData((0 until 60).map(i =>
+        kRec("London", epoch + i * 60L, 10.0 + i, i.toLong)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // 60 one-minute-apart events over 10-min windows with 5-min lateness:
+    // early windows closed and appended to the partitioned sink
+    val back = spark.read.parquet(base.resolve("out").resolve("windowed").toString)
+    assert(back.columns.contains("value_mean"))
+    assert(back.select("city").distinct().collect().map(_.getString(0)).toSeq === Seq("London"))
   }
 
   test("intervalJoin: stream-stream join within the time bound, state watermark-bounded") {
