@@ -584,7 +584,27 @@ object SparkEntry {
       Tables.documents(s, d)
         .select(col("doc_id"), size(Text.charShingles(col("text"), 5)).cast("long").as("n_shingles"))),
 
+    // Benchmark-decontamination scrub: word-boundary denylist hits counted
+    // and redacted, publish the hit count + cleaned length per doc.
+    "t10_decontaminate" -> ((s, d) =>
+      Text.decontaminate(Tables.documents(s, d), "text", Seq("spark", "query"))
+        .select(col("doc_id"), col("n_hits"),
+                length(col("clean_text")).cast("long").as("n_clean_chars"))),
+
+    // Concatenate-then-chunk packing plan: per-source running token offset
+    // and the training-window id each document starts in.
+    "t11_chunk_plan" -> ((s, d) =>
+      Text.chunkPlan(Tables.documents(s, d), "source", "doc_id", "text",
+        contextLen = 2048)),
+
     // ------------------------------------------------------------- dedup
+    // Content-hash train/val/test split census: md5-keyed so the oracle
+    // (and any other engine) recomputes the identical assignment.
+    "d7_hash_split" -> ((s, d) =>
+      graft.dedup.Dedup.hashSplit(Tables.documents(s, d), "text")
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n"))),
+
     "d1_exact_dup_stats" -> ((s, d) => Dedup.exactDupStats(Tables.documents(s, d), "text")),
     "d2_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")),
     "d3_lsh_buckets" -> ((s, d) => Dedup.lshBuckets(Tables.documents(s, d), "doc_id", "text")),
@@ -1236,6 +1256,34 @@ object SparkEntry {
         |  len(list_distinct(list_transform(range(1, len(text)-5+2), i -> substr(text, i, 5))))
         |  END AS BIGINT) AS n_shingles
         |FROM documents""".stripMargin,
+
+    "t10_decontaminate" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(spark|query)\b')) AS BIGINT) AS n_hits,
+        |  CAST(len(regexp_replace(text, '\b(spark|query)\b', '[REDACTED]', 'g')) AS BIGINT) AS n_clean_chars
+        |FROM documents""".stripMargin,
+
+    "t11_chunk_plan" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT source, doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset,
+        |  CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS chunk_id
+        |FROM t""".stripMargin,
+
+    "d7_hash_split" ->
+      """WITH b AS (SELECT source,
+        |    CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'validation'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM b GROUP BY source, split""".stripMargin,
 
     "d1_exact_dup_stats" ->
       """SELECT count(*) AS total_docs, count(DISTINCT text) AS distinct_docs,

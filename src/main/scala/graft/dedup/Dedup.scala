@@ -185,6 +185,24 @@ object Dedup {
            round(avg(col("__q")), 4).as("avg_quality"))
   }
 
+  /** Deterministic content-hash train/validation/test assignment: bucket =
+    * first 32 bits of md5(content) mod 100, split by cumulative
+    * percentage. Keying on CONTENT (not row position or RNG) is what makes
+    * the split stable across reshuffles, re-ingestions and engine changes
+    * — and puts exact duplicates in the same split, so train never leaks a
+    * copy of a validation document. md5 (not xxhash64) so any engine can
+    * recompute the assignment — the DuckDB oracle does.
+    */
+  def hashSplit(df: DataFrame, contentCol: String,
+                trainPct: Int = 80, validationPct: Int = 10): DataFrame = {
+    require(trainPct + validationPct < 100, "train+validation must leave room for test")
+    val bucket = pmod(conv(substring(md5(col(contentCol)), 1, 8), 16, 10).cast("long"), lit(100))
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + validationPct, "validation")
+        .otherwise("test"))
+  }
+
   // ----------------------------------------------------- dup clustering
 
   /** Connected components over a near-dup pair table (id1 < id2) by

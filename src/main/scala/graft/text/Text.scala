@@ -114,9 +114,9 @@ object Text {
   def wordShingles(text: Column, n: Int): Column =
     org.apache.spark.sql.graft.HashFunctions.wordShingles(text, n)
 
-  /** Character n-gram shingles, deduplicated (native loop; counts UTF-16
-    * units like Java substring — identical to code points for the BMP
-    * text this corpus contains).
+  /** Character n-gram shingles, deduplicated (native loop; windows over
+    * Unicode code points, so supplementary characters count as one and
+    * surrogate pairs never split).
     */
   def charShingles(text: Column, n: Int): Column =
     org.apache.spark.sql.graft.HashFunctions.charShingles(text, n)
@@ -172,6 +172,40 @@ object Text {
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(col(idCol), col("token"), col("tf"), round(col("__score"), 6).as("tfidf"))
+  }
+
+  /** Benchmark-contamination / denylist scrub: replace word-boundary
+    * matches of the denylisted terms and report how many were hit — the
+    * decontamination pass every training corpus runs against eval-set
+    * strings. Pure map-side regex (scan-dominated at 100 TB); the pattern
+    * is one alternation compiled once per task.
+    */
+  def decontaminate(df: DataFrame, textCol: String, denylist: Seq[String],
+                    replacement: String = "[REDACTED]"): DataFrame = {
+    require(denylist.nonEmpty, "decontaminate needs a non-empty denylist")
+    val pattern = denylist.map(java.util.regex.Pattern.quote)
+      .mkString("\\b(", "|", ")\\b")
+    df.withColumn("n_hits", regexp_count(col(textCol), lit(pattern)).cast("long"))
+      .withColumn("clean_text", regexp_replace(col(textCol), pattern, replacement))
+  }
+
+  /** Concatenate-then-chunk plan (the GPT-style packing shape): documents
+    * are laid out in a deterministic order (doc id) within each shard
+    * (`source`), the running token offset places each doc in the token
+    * stream, and chunk_id = floor(start_offset / contextLen) says which
+    * training window its first token lands in. The window partitions by
+    * shard, so no global single-partition sort exists — each shard's
+    * running sum parallelizes independently (at 100 TB, shards are the
+    * unit of packing exactly so this stays true).
+    */
+  def chunkPlan(df: DataFrame, shardCol: String, idCol: String, textCol: String,
+                contextLen: Int = 2048): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(shardCol), col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_id", floor(col("start_offset") / lit(contextLen)).cast("long"))
   }
 
   /** Per-document stats projection used by the documents-table queries. */

@@ -128,4 +128,18 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out === Map("s1" -> 1L)) // only doc 1 survives (2 deduped, 3 lang, 4 quality)
   }
+
+  test("hashSplit: content-keyed, duplicate-consistent, percentages roughly honored") {
+    val docs = (0 until 400).map(i => (i.toLong, s"document body number $i")).toDF("id", "text")
+    val split = Dedup.hashSplit(docs, "text")
+    val byId = split.collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    // deterministic: same content -> same split, independent of row identity
+    val dup = Seq((999L, "document body number 7")).toDF("id", "text")
+    assert(Dedup.hashSplit(dup, "text").collect()(0).getAs[String]("split") === byId(7L))
+    // all three splits populated, train dominates (80/10/10 over 400 docs)
+    val counts = byId.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet === Set("train", "validation", "test"))
+    assert(counts("train") > counts("validation") && counts("train") > counts("test"))
+    assert(counts("train") > 400 * 6 / 10) // loose bound, not a flake magnet
+  }
 }

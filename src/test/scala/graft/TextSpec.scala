@@ -115,4 +115,34 @@ class TextSpec extends SparkTestBase {
     assert(top(1L) === "rare1")  // unique term beats the everywhere-term
     assert(top(2L) === "rare2")
   }
+
+  test("decontaminate: word-boundary hits counted and replaced, substrings untouched") {
+    val df = Seq(
+      (1L, "leak the benchmark answer here"),
+      (2L, "benchmarking is not a benchmark hit"), // 'benchmarking' must NOT match
+      (3L, "clean document")).toDF("id", "t")
+    val out = Text.decontaminate(df, "t", Seq("benchmark", "answer"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[String]("clean_text"))).toMap
+    assert(out(1L)._1 === 2L)
+    assert(out(1L)._2 === "leak the [REDACTED] [REDACTED] here")
+    assert(out(2L)._1 === 1L)
+    assert(out(2L)._2 === "benchmarking is not a [REDACTED] hit")
+    assert(out(3L) === ((0L, "clean document")))
+  }
+
+  test("chunkPlan: running offsets partition per shard; chunk boundary at contextLen") {
+    val df = Seq(
+      ("s1", 1L, "a b c"),        // 3 tokens, offset 0, chunk 0
+      ("s1", 2L, "d e"),          // offset 3, chunk 0
+      ("s1", 3L, "f g h i"),      // offset 5, chunk 1 (contextLen=5)
+      ("s2", 9L, "x y z")).toDF("source", "doc_id", "t") // fresh shard: offset 0
+    val out = Text.chunkPlan(df, "source", "doc_id", "t", contextLen = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("start_offset"), r.getAs[Long]("chunk_id"))).toMap
+    assert(out(("s1", 1L)) === ((3L, 0L, 0L)))
+    assert(out(("s1", 2L)) === ((2L, 3L, 0L)))
+    assert(out(("s1", 3L)) === ((4L, 5L, 1L)))
+    assert(out(("s2", 9L)) === ((3L, 0L, 0L))) // shards pack independently
+  }
 }
