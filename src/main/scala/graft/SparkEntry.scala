@@ -664,7 +664,7 @@ object SparkEntry {
                 round(col("mean_x"), 4).as("mean_x"), col("n"))),
     "e1_embedding_neardups" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.2, nPlanes = 6))
+        threshold = 0.2, nPlanes = 6, maxDim = 64))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables). Shared determinism

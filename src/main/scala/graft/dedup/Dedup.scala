@@ -263,9 +263,10 @@ object Dedup {
     * MinHash, on the vector column.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, nPlanes: Int = 8): DataFrame = {
+                        threshold: Double, nPlanes: Int = 8,
+                        maxDim: Int = 512): DataFrame = {
     val v = df.select(col(idCol), Similarity.toDouble(col(vecCol)).as("__v"))
-      .withColumn("__bucket", Similarity.srpBucket(col("__v"), nPlanes))
+      .withColumn("__bucket", Similarity.srpBucket(col("__v"), nPlanes, maxDim = maxDim))
     val l = v.select(col("__bucket"), col(idCol).as("id1"), col("__v").as("__v1"))
     val r = v.select(col("__bucket"), col(idCol).as("id2"), col("__v").as("__v2"))
     l.join(r, Seq("__bucket"))

@@ -86,4 +86,35 @@ object KafkaWire {
     */
   def decodeFlat(records: DataFrame): DataFrame =
     Ingest.flatten(decode(records, dropMeta = true))
+
+  /** The publish side: flat observations → Kafka wire rows (key = city
+    * bytes — so a topic partition keys by city and per-city order is
+    * preserved, matching the per-city poll loop — value = the owm-shaped
+    * JSON). Inverse of [[decodeFlat]] at whole-second timestamps:
+    * `decodeFlat(encode(flat)) == flat` (StreamingSpec round-trip).
+    * Writing the result to a real topic is `.writeStream.format("kafka")`
+    * — connector-only, like [[stream]].
+    */
+  def encode(flat: DataFrame, topic: String = "weather"): DataFrame =
+    flat.select(
+      col("city").cast("binary").as("key"),
+      to_json(struct(
+        unix_timestamp(col("timestamp")).as("dt"),
+        col("city").as("city_name"),
+        col("country").as("country_code"),
+        struct(
+          col("temperature").as("temp"), col("feels_like"),
+          col("temp_min"), col("temp_max"),
+          col("pressure"), col("humidity")).as("main"),
+        struct(col("wind_speed").as("speed"),
+               col("wind_direction").as("deg")).as("wind"),
+        array(struct(
+          col("weather_condition").as("main"),
+          col("weather_description").as("description"))).as("weather")))
+        .cast("binary").as("value"),
+      lit(topic).as("topic"),
+      lit(0).as("partition"),
+      monotonically_increasing_id().as("offset"),
+      col("timestamp").as("timestamp"),
+      lit(0).as("timestampType"))
 }

@@ -91,6 +91,15 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"))
   }
 
+  test("t11: chunk plan's running sum partitions by shard, never a global sort") {
+    val plan = executedPlan(SparkEntry.queries("t11_chunk_plan")(spark, dir))
+    // the packing window must hash-partition on the shard key; a window
+    // over a global order would plan Exchange SinglePartition — one task
+    // does all the work, the anti-scale shape this query exists to avoid
+    assert(plan.contains("hashpartitioning(source"))
+    assert(!plan.contains("SinglePartition"))
+  }
+
   test("m1: media metadata query never reads the bytes column") {
     val df = SparkEntry.queries("m1_resize_plan")(spark, dir)
     val plan = executedPlan(df)

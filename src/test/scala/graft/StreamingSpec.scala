@@ -262,6 +262,25 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("KafkaWire encode/decode round-trip: decodeFlat(encode(flat)) == flat") {
+    val flat = Seq(
+      ("London", "GB", ts("2024-01-01 10:00:00"), 10.5, 9.0, 8.0, 12.0,
+       1013.0, 70.0, 3.5, 180.0, "Clear", "clear sky"),
+      ("Tokyo", "JP", ts("2024-01-01 11:30:00"), 5.0, 3.0, 2.0, 7.0,
+       1020.0, 55.0, 1.0, 90.0, "Rain", "light rain"))
+      .toDF("city", "country", "timestamp", "temperature", "feels_like",
+        "temp_min", "temp_max", "pressure", "humidity", "wind_speed",
+        "wind_direction", "weather_condition", "weather_description")
+    val wire = graft.sources.KafkaWire.encode(flat)
+    assert(wire.schema.fieldNames.toSeq ===
+      graft.sources.KafkaWire.wireSchema.fieldNames.toSeq)
+    val back = graft.sources.KafkaWire.decodeFlat(wire)
+    assert(back.columns.toSeq === flat.columns.toSeq)
+    val a = flat.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
   test("StreamingPipeline kafka branch: wire source -> decode -> window -> parquet") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_kpipe")
