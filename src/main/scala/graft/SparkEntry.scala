@@ -208,9 +208,14 @@ object SparkEntry {
         .orderBy(col("total_qty").desc, col("o_orderkey").asc)
         .limit(20)),
 
-    // TPC-H Q15 shape: aggregate, then join back to the aggregate's own
-    // max — the top-supplier view. Decimal revenue so the equality join
-    // on the max is exact on both engines.
+    // TPC-H Q15 shape: aggregate, then compare to the aggregate's own max
+    // — the top-supplier view. Decimal revenue so the max-equality is
+    // exact on both engines. The max comes from an empty-partition window
+    // OVER THE AGGREGATE (supplier-cardinality rows, dim-scale, so the
+    // single-partition window is safe) instead of re-aggregating rev —
+    // Catalyst doesn't reuse the rev subplan across a second reference
+    // (no ReusedExchange in the audit), so the agg+crossJoin form scanned
+    // lineitem twice.
     "q15_top_supplier" -> ((s, d) => {
       val rev = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -219,11 +224,12 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)") *
                (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
              .cast("double"), 2).as("total_revenue"))
-      val maxRev = rev.agg(max(col("total_revenue")).as("__max_rev"))
-      Tables.supplier(s, d)
-        .join(rev, col("s_suppkey") === col("l_suppkey"))
-        .crossJoin(broadcast(maxRev))
+      val top = rev
+        .withColumn("__max_rev",
+          max(col("total_revenue")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
         .filter(col("total_revenue") === col("__max_rev"))
+      Tables.supplier(s, d)
+        .join(top, col("s_suppkey") === col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     }),
 

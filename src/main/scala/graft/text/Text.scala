@@ -163,7 +163,11 @@ object Text {
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
     val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = tok.groupBy("token").agg(countDistinct(col(idCol)).as("df"))
+    // document frequency FROM tf (one row per (doc, token) ⇒ row count per
+    // token == distinct-doc count): the tf subtree's exchange is reused
+    // for this branch instead of a second explode + count-distinct shuffle
+    // over the raw token stream
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("__n"))
     val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
       .withColumn("__score", col("tf") * log((col("__n") + 1.0) / (col("df") + 1.0)))
