@@ -52,7 +52,17 @@ object GraftFunctions {
       (children: Seq[Expression]) => WordShingles(children(0), litInt(children(1), "n"))),
     ("graft_char_shingles",
       info("graft_char_shingles", "graft_char_shingles(text, n) - deduplicated char n-grams"),
-      (children: Seq[Expression]) => CharShingles(children(0), litInt(children(1), "n"))))
+      (children: Seq[Expression]) => CharShingles(children(0), litInt(children(1), "n"))),
+    ("graft_lsh_bands",
+      info("graft_lsh_bands",
+        "graft_lsh_bands(shingles, bands, rowsPerBand) - LSH band bucket ids from a shingle array"),
+      (children: Seq[Expression]) => LshBandBuckets(children(0),
+        litInt(children(1), "bands"), litInt(children(2), "rowsPerBand"))),
+    ("graft_winnow",
+      info("graft_winnow",
+        "graft_winnow(text, k, w) - MOSS winnowing fingerprints (k-gram hashes, window-w minima)"),
+      (children: Seq[Expression]) => Winnow(children(0),
+        litInt(children(1), "k"), litInt(children(2), "w"))))
 
   /** Register into an already-running session's function registry. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

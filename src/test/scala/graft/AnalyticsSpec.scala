@@ -142,4 +142,20 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got(200L) === Some(5.0)) // inclusive at equal ts
     assert(got(300L) === None)      // no prior right row -> null
   }
+
+  test("a15 invariant: HLL approx distinct within 10% of exact on real data") {
+    // the driver can only rows-check a15 (sketch estimates are
+    // engine-specific); this pins the ACCURACY. HLL is deterministic for
+    // a given input, so the bound cannot flake.
+    val r = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .agg(org.apache.spark.sql.functions.countDistinct(
+             org.apache.spark.sql.functions.col("l_partkey")).as("exact"),
+           org.apache.spark.sql.functions.approx_count_distinct(
+             org.apache.spark.sql.functions.col("l_partkey")).as("approx"))
+      .collect()(0)
+    val exact = r.getLong(0); val approx = r.getLong(1)
+    assert(exact > 0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"HLL estimate $approx vs exact $exact exceeds 10% error")
+  }
 }

@@ -70,4 +70,13 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(r.getSeq[String](3) === Seq("ab", "bc"))
     assert(r.getInt(1) === 8)
   }
+
+  test("SQL surface: graft_lsh_bands and graft_winnow callable after registration") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT size(graft_lsh_bands(graft_word_shingles('a b c d e', 2), 4, 2)) nb, " +
+      "size(graft_winnow('abcdefghijklmnop', 4, 3)) nw").collect()(0)
+    assert(r.getInt(0) === 4)  // one bucket per band
+    assert(r.getInt(1) > 0)    // non-empty fingerprint set
+  }
 }
