@@ -611,6 +611,15 @@ object SparkEntry {
         .groupBy("source", "split")
         .agg(count(lit(1)).as("n"))),
 
+    // Weighted source mixing census: down-sample named sources to target
+    // mixture fractions, content-hash-keyed (reproducible + duplicate-
+    // consistent).
+    "d8_source_mix" -> ((s, d) =>
+      graft.dedup.Dedup.weightedSourceSample(Tables.documents(s, d),
+          "source", "text", Map("src0" -> 0.5, "src1" -> 0.1))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"))),
+
     "d1_exact_dup_stats" -> ((s, d) => Dedup.exactDupStats(Tables.documents(s, d), "text")),
     "d2_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")),
     "d3_lsh_buckets" -> ((s, d) => Dedup.lshBuckets(Tables.documents(s, d), "doc_id", "text")),
@@ -1290,6 +1299,16 @@ object SparkEntry {
         |       ELSE 'test' END AS split,
         |  count(*) AS n
         |FROM b GROUP BY source, split""".stripMargin,
+
+    "d8_source_mix" ->
+      """WITH b AS (SELECT source,
+        |    CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 1000000 AS bucket
+        |  FROM documents)
+        |SELECT source, count(*) AS n FROM b
+        |WHERE bucket < (CASE source WHEN 'src0' THEN 0.5
+        |                            WHEN 'src1' THEN 0.1
+        |                            ELSE 1.0 END) * 1000000
+        |GROUP BY source""".stripMargin,
 
     "d1_exact_dup_stats" ->
       """SELECT count(*) AS total_docs, count(DISTINCT text) AS distinct_docs,

@@ -203,6 +203,27 @@ object Dedup {
         .otherwise("test"))
   }
 
+  /** Deterministic weighted source mixing (training mixture weights): keep
+    * a document iff its content-hash bucket falls below its source's
+    * sampling fraction. Content-keyed like [[hashSplit]], so the sample is
+    * reproducible across engines/reshuffles and duplicate texts are kept
+    * or dropped together; pure map-side filter, pushes to the scan.
+    * Sources absent from `fractions` keep `defaultFraction`.
+    */
+  def weightedSourceSample(df: DataFrame, sourceCol: String, contentCol: String,
+                           fractions: Map[String, Double],
+                           defaultFraction: Double = 1.0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      "sampling fractions must be in [0,1]")
+    val resolution = 1000000L
+    val bucket = pmod(conv(substring(md5(col(contentCol)), 1, 8), 16, 10).cast("long"),
+      lit(resolution))
+    val frac = fractions.toSeq.sortBy(_._1).foldLeft(lit(defaultFraction)) {
+      case (acc, (s, f)) => when(col(sourceCol) === s, lit(f)).otherwise(acc)
+    }
+    df.filter(bucket < frac * resolution)
+  }
+
   // ----------------------------------------------------- dup clustering
 
   /** Connected components over a near-dup pair table (id1 < id2) by

@@ -41,9 +41,12 @@ object Streaming {
     * must declare (SURVEY §7.4 risk 4).
     */
   def windowedAgg(stream: DataFrame, ts: String, key: String, value: String,
-                  window: String = "1 day", lateness: String = "1 hour"): DataFrame =
-    stream
-      .withWatermark(ts, lateness)
+                  window: String = "1 day", lateness: String = "1 hour",
+                  setWatermark: Boolean = true): DataFrame =
+    // setWatermark=false when an upstream stateful operator (e.g.
+    // dedupWithinWatermark) already declared the watermark on `ts` —
+    // redefining it above a second stateful operator is disallowed
+    (if (setWatermark) stream.withWatermark(ts, lateness) else stream)
       .groupBy(functions.windowCol(col(ts), window), col(key))
       .agg(
         avg(col(value)).as("value_mean"),

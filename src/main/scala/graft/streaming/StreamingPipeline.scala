@@ -35,7 +35,12 @@ object StreamingPipeline {
       // MemoryStream of binary key/value rows) run through the SAME
       // decode + window + sink path as a real topic — the broker is the
       // only thing it bypasses.
-      wireSource: Option[DataFrame] = None)
+      wireSource: Option[DataFrame] = None,
+      // Keys for watermark-bounded streaming dedup before the window —
+      // fixes the reference's duplicate-poll duplication (its transform
+      // re-reads ALL raw files, transform.py:64-66). E.g. Seq("city","ts")
+      // drops redelivered observations; None = keep every record.
+      dedupKeys: Option[Seq[String]] = None)
 
   /** Wire and start the streaming query (AvailableNow when `drain` — the
     * batch-parity trigger — else continuous micro-batches).
@@ -56,13 +61,19 @@ object StreamingPipeline {
         .load()
     }
 
-    val cleaned = cfg.statsSnapshot match {
-      case Some(snap) => Streaming.cleanWithStaticBounds(raw, snap, Seq("temperature"))
+    val deduped = cfg.dedupKeys match {
+      case Some(keys) => Streaming.dedupWithinWatermark(raw, "ts", cfg.lateness, keys)
       case None => raw
     }
 
+    val cleaned = cfg.statsSnapshot match {
+      case Some(snap) => Streaming.cleanWithStaticBounds(deduped, snap, Seq("temperature"))
+      case None => deduped
+    }
+
     val windowed = Streaming.windowedAgg(
-      cleaned, "ts", "city", "temperature", cfg.window, cfg.lateness)
+      cleaned, "ts", "city", "temperature", cfg.window, cfg.lateness,
+      setWatermark = cfg.dedupKeys.isEmpty) // dedup already declared it
 
     val writer = windowed.writeStream
       .option("checkpointLocation", cfg.checkpointDir)

@@ -142,4 +142,20 @@ class DedupSpec extends SparkTestBase {
     assert(counts("train") > counts("validation") && counts("train") > counts("test"))
     assert(counts("train") > 400 * 6 / 10) // loose bound, not a flake magnet
   }
+
+  test("weightedSourceSample: per-source fractions honored, content-consistent, default keeps all") {
+    val docs = (0 until 300).map(i =>
+      (i.toLong, s"doc body $i", s"src${i % 3}")).toDF("id", "text", "source")
+    val mixed = Dedup.weightedSourceSample(docs, "source", "text",
+      Map("src0" -> 0.5, "src1" -> 0.0))
+    val bySrc = mixed.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("src1"))            // fraction 0 -> dropped entirely
+    assert(bySrc("src2") === 100L)             // default 1.0 -> all kept
+    assert(bySrc("src0") > 20L && bySrc("src0") < 80L) // ~50%, hash-determined
+    // deterministic: same call -> identical kept set
+    val again = Dedup.weightedSourceSample(docs, "source", "text",
+      Map("src0" -> 0.5, "src1" -> 0.0)).select("id").collect().map(_.getLong(0)).toSet
+    assert(again === mixed.select("id").collect().map(_.getLong(0)).toSet)
+  }
 }

@@ -305,6 +305,33 @@ class StreamingSpec extends SparkTestBase {
     assert(back.select("city").distinct().collect().map(_.getString(0)).toSeq === Seq("London"))
   }
 
+  test("StreamingPipeline dedupKeys: redelivered wire records count once in windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_kdedup")
+    val epoch = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000L
+    val mem = MemoryStream[KRec]
+    val q = graft.streaming.StreamingPipeline.start(spark,
+      graft.streaming.StreamingPipeline.Config(
+        checkpointDir = base.resolve("ckpt").toString,
+        outputDir = base.resolve("out").toString,
+        window = "10 minutes", lateness = "5 minutes",
+        wireSource = Some(mem.toDF()),
+        dedupKeys = Some(Seq("city", "ts"))),
+      drain = false)
+    try {
+      // each observation delivered TWICE (at-least-once redelivery), plus
+      // enough later events to close the early windows
+      val obs = (0 until 40).map(i => kRec("London", epoch + i * 60L, 10.0 + i, i.toLong))
+      mem.addData((obs ++ obs): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(base.resolve("out").resolve("windowed").toString)
+    // without dedup every closed 10-min window would have n=20 (10 obs x2);
+    // with (city, ts)-keyed dedup each counts once
+    val ns = back.collect().map(_.getAs[Long]("n")).toSet
+    assert(ns === Set(10L), s"expected deduped windows of 10, got $ns")
+  }
+
   test("intervalJoin: stream-stream join within the time bound, state watermark-bounded") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[Ev]
