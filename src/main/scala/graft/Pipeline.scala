@@ -23,7 +23,8 @@ object Pipeline {
       outputPath: String,
       skipTransform: Boolean = false,
       skipAnalyze: Boolean = false,
-      skipLoad: Boolean = false)
+      skipLoad: Boolean = false,
+      writeFigures: Boolean = true) // S13: the 5 SVG charts (analyze.py:308-491)
 
   case class Result(
       processed: Option[DataFrame],
@@ -73,6 +74,9 @@ object Pipeline {
           val p = java.nio.file.Paths.get(cfg.outputPath, "analysis_doc.json")
           java.nio.file.Files.createDirectories(p.getParent)
           java.nio.file.Files.writeString(p, doc)
+          // S13: the reference's 5 figures (SVG here — no plot libs needed)
+          if (cfg.writeFigures)
+            graft.sink.Figures.writeFigures(processed, s"${cfg.outputPath}/figures")
         }
         Metrics.inc(Metrics.LoadSuccesses)
       }

@@ -41,6 +41,9 @@ class PipelineSpec extends SparkTestBase {
     val doc = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"${base.resolve("output")}/analysis_doc.json"))
     assert(doc.contains("\"warmest_city\":\"london\""))
+    // S13: the 5 figure SVGs render alongside the analysis doc
+    val figDir = new java.io.File(s"${base.resolve("output")}/figures")
+    assert(figDir.list().count(_.endsWith(".svg")) === 5)
     // reference-named metrics moved
     assert(Metrics.get(Metrics.PipelineRuns) === 1L)
     assert(Metrics.get(Metrics.LoadSuccesses) === 1L)
