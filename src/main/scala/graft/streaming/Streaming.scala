@@ -42,12 +42,15 @@ object Streaming {
     */
   def windowedAgg(stream: DataFrame, ts: String, key: String, value: String,
                   window: String = "1 day", lateness: String = "1 hour",
-                  setWatermark: Boolean = true): DataFrame =
+                  setWatermark: Boolean = true,
+                  slide: Option[String] = None): DataFrame =
     // setWatermark=false when an upstream stateful operator (e.g.
     // dedupWithinWatermark) already declared the watermark on `ts` —
-    // redefining it above a second stateful operator is disallowed
+    // redefining it above a second stateful operator is disallowed.
+    // slide=Some(s) makes the window SLIDING (each event contributes to
+    // window/s overlapping windows); None = tumbling.
     (if (setWatermark) stream.withWatermark(ts, lateness) else stream)
-      .groupBy(functions.windowCol(col(ts), window), col(key))
+      .groupBy(functions.windowCol(col(ts), window, slide), col(key))
       .agg(
         avg(col(value)).as("value_mean"),
         min(col(value)).as("value_min"),
@@ -60,8 +63,12 @@ object Streaming {
   private object functions {
     // window() name-clashes with expressions.Window in wildcard imports;
     // isolate the builtin call.
-    def windowCol(ts: org.apache.spark.sql.Column, w: String): org.apache.spark.sql.Column =
-      org.apache.spark.sql.functions.window(ts, w)
+    def windowCol(ts: org.apache.spark.sql.Column, w: String,
+                  slide: Option[String] = None): org.apache.spark.sql.Column =
+      slide match {
+        case Some(s) => org.apache.spark.sql.functions.window(ts, w, s)
+        case None => org.apache.spark.sql.functions.window(ts, w)
+      }
   }
 
   /** Session windows (north-star extension, no reference counterpart):

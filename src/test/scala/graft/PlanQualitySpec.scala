@@ -100,6 +100,17 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("SinglePartition"))
   }
 
+  test("global: no registered query plans a CartesianProduct") {
+    // 1-row statistics joins compile to BroadcastNestedLoopJoin (fine);
+    // an actual CartesianProduct anywhere means a join lost its keys —
+    // the single worst thing a 100 TB plan can contain.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = executedPlan(fn(spark, dir))
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
+  }
+
   test("m1: media metadata query never reads the bytes column") {
     val df = SparkEntry.queries("m1_resize_plan")(spark, dir)
     val plan = executedPlan(df)

@@ -353,6 +353,23 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowedAgg sliding: each event contributes to window/slide overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streaming.windowedAgg(mem.toDF(), "ts", "k", "v",
+      window = "10 minutes", lateness = "5 minutes", slide = Some("5 minutes"))
+      .writeStream.format("memory").queryName("win_slide")
+      .outputMode("complete").start()
+    try {
+      mem.addData(Ev(ts("2024-01-01 01:07:00"), "a", 10.0))
+      q.processAllAvailable()
+      val starts = spark.table("win_slide")
+        .collect().map(_.getAs[java.sql.Timestamp]("window_start").toString).toSet
+      // a 01:07 event falls in [01:00,01:10) and [01:05,01:15)
+      assert(starts === Set("2024-01-01 01:00:00.0", "2024-01-01 01:05:00.0"))
+    } finally q.stop()
+  }
+
   test("windowedAgg in update mode emits revised aggregates as data arrives") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
