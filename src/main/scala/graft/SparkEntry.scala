@@ -460,7 +460,10 @@ object SparkEntry {
       perPart.crossJoin(broadcast(global))
         .filter(col("__value") * col("__nparts") >
                 col("__total") * lit(1.2).cast("decimal(18,6)"))
-        .select(col("l_partkey"), round(col("__value").cast("double"), 2).as("part_value"))
+        // round the EXACT decimal, then cast: rounding after the double
+        // cast hits shortest-repr boundary values (x.xx5 stored as
+        // x.xx4999...) that Spark rounds up and DuckDB rounds down
+        .select(col("l_partkey"), round(col("__value"), 2).cast("double").as("part_value"))
         .orderBy(col("part_value").desc, col("l_partkey").asc)
     }),
 
@@ -673,10 +676,13 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
     }),
+    // stable 4-digit rounding (see Analytics.stableMean4): scale before
+    // round so the boundary is dyadic, +0.0 normalizes negative zero
     "s3_label_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d))
         .select(col("label"), col("pos").cast("long").as("pos"),
-                round(col("mean_x"), 4).as("mean_x"), col("n"))),
+                (round(col("mean_x") * 10000) / 10000.0 + lit(0.0)).as("mean_x"),
+                col("n"))),
     "e1_embedding_neardups" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.2, nPlanes = 6, maxDim = 64))
@@ -726,8 +732,9 @@ object SparkEntry {
 
     "a4_daily_agg" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date, event_type,
-        |  round(avg(value),4) AS value_mean, round(min(value),4) AS value_min,
-        |  round(max(value),4) AS value_max
+        |  round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000)
+        |    / 10000.0 + 0.0 AS value_mean,
+        |  round(min(value),4) AS value_min, round(max(value),4) AS value_max
         |FROM events GROUP BY CAST(ts AS DATE), event_type""".stripMargin,
 
     "a5_value_counts" ->
@@ -821,10 +828,12 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "w5_rolling_avg" ->
-      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, avg(value) AS v
-        |               FROM events GROUP BY event_type, CAST(ts AS DATE))
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, avg(value) AS v,
+        |    round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000)
+        |      / 10000.0 + 0.0 AS vm
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE))
         |SELECT strftime(d, '%Y-%m-%d') AS date, event_type,
-        |  round(v,4) AS value_mean,
+        |  vm AS value_mean,
         |  round(avg(v) OVER (PARTITION BY event_type ORDER BY d
         |                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),4) AS rolling_mean
         |FROM daily""".stripMargin,
@@ -854,14 +863,17 @@ object SparkEntry {
         |FROM chg WHERE chg IS NOT NULL GROUP BY event_type""".stripMargin,
 
     "w3_pivot_daily" ->
-      """SELECT strftime(d, '%Y-%m-%d') AS date,
-        |  round(avg(value) FILTER (WHERE event_type = 'click'),4) AS click,
-        |  round(avg(value) FILTER (WHERE event_type = 'error'),4) AS error,
-        |  round(avg(value) FILTER (WHERE event_type = 'purchase'),4) AS purchase,
-        |  round(avg(value) FILTER (WHERE event_type = 'signup'),4) AS signup,
-        |  round(avg(value) FILTER (WHERE event_type = 'view'),4) AS view
-        |FROM (SELECT CAST(ts AS DATE) AS d, event_type, value FROM events)
-        |GROUP BY d""".stripMargin,
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, event_type,
+        |  round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000)
+        |    / 10000.0 + 0.0 AS vm
+        |  FROM events GROUP BY CAST(ts AS DATE), event_type)
+        |SELECT strftime(d, '%Y-%m-%d') AS date,
+        |  max(vm) FILTER (WHERE event_type = 'click') AS click,
+        |  max(vm) FILTER (WHERE event_type = 'error') AS error,
+        |  max(vm) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  max(vm) FILTER (WHERE event_type = 'signup') AS signup,
+        |  max(vm) FILTER (WHERE event_type = 'view') AS view
+        |FROM daily GROUP BY d""".stripMargin,
 
     "w4_multiday_groups" ->
       """SELECT event_type, count(DISTINCT CAST(ts AS DATE)) AS n_days
@@ -884,9 +896,11 @@ object SparkEntry {
         |WHERE rn <= 3""".stripMargin,
 
     "w7_rank_ntile" ->
-      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, avg(value) AS v
-        |               FROM events GROUP BY event_type, CAST(ts AS DATE))
-        |SELECT strftime(d, '%Y-%m-%d') AS date, event_type, round(v,4) AS value_mean,
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, avg(value) AS v,
+        |    round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000)
+        |      / 10000.0 + 0.0 AS vm
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE))
+        |SELECT strftime(d, '%Y-%m-%d') AS date, event_type, vm AS value_mean,
         |  CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY v DESC, d) AS BIGINT) AS rnk,
         |  CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY v DESC, d) AS BIGINT) AS quartile
         |FROM daily""".stripMargin,
@@ -904,7 +918,8 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-        |  round(avg(value),4) AS value_mean
+        |  round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000)
+        |    / 10000.0 + 0.0 AS value_mean
         |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "o2_global_topk" ->
@@ -1106,7 +1121,7 @@ object SparkEntry {
         |        (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS value
         |  FROM lineitem GROUP BY l_partkey),
         |g AS (SELECT sum(value) AS total, count(*) AS nparts FROM v)
-        |SELECT l_partkey, round(CAST(value AS DOUBLE),2) AS part_value
+        |SELECT l_partkey, CAST(round(value, 2) AS DOUBLE) AS part_value
         |FROM v, g
         |WHERE value * nparts > total * CAST(1.2 AS DECIMAL(18,6))
         |ORDER BY part_value DESC, l_partkey""".stripMargin,
@@ -1401,7 +1416,9 @@ object SparkEntry {
 
     "s3_label_centroids" ->
       """SELECT label, CAST(i-1 AS BIGINT) AS pos,
-        |  round(avg(CAST(embedding[i] AS DOUBLE)),4) AS mean_x, count(*) AS n
+        |  round((CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE)
+        |        / count(*)) * 10000) / 10000.0 + 0.0 AS mean_x,
+        |  count(*) AS n
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY label, i""".stripMargin
   )

@@ -25,6 +25,22 @@ object Analytics {
     */
   private def r(c: Column, scale: Int = 4): Column = round(c, scale)
 
+  /** Mean of `value` rounded to 4 digits with ENGINE-STABLE boundary
+    * behavior, for use inside an agg. Three divergence sources in a plain
+    * `round(avg(x), 4)` vs a sequential oracle, all observed at sf0.1:
+    * (1) double summation order differs per partitioning → decimal
+    * accumulation (exact, order-free); (2) `round(double, 4)` disagrees
+    * between engines when the true mean sits on a .00005 boundary stored
+    * as ...4999 binary (Spark rounds the shortest decimal repr, DuckDB the
+    * binary value) → scale by 1e4 FIRST so the only round boundary is an
+    * exactly-representable dyadic .5, which every engine rounds away from
+    * zero; (3) -0.0 vs 0.0 → the final `+ 0.0`.
+    * DuckDB twin (operation order must match exactly):
+    * `round((CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)/count(*))*10000)/10000.0 + 0.0`
+    */
+  private[graft] def stableMean4(value: Column, dec: String = "decimal(18,6)"): Column =
+    round(sum(value.cast(dec)).cast("double") / count(lit(1)) * 10000) / 10000.0 + lit(0.0)
+
   /** A1 (analyze.py:146-183): global multi-aggregate basic stats.
     * count, ts range, min/max/mean/median of value.
     * `median` is exact (Spark 3.4+); at 100 TB flip `exact=false` for the
@@ -72,7 +88,7 @@ object Analytics {
     */
   def dailyAgg(df: DataFrame, ts: String, key: String, value: String): DataFrame =
     df.groupBy(to_date(col(ts)).as("d"), col(key))
-      .agg(r(avg(col(value))).as("value_mean"),
+      .agg(stableMean4(col(value)).as("value_mean"),
            r(min(col(value))).as("value_min"),
            r(max(col(value))).as("value_max"))
       .select(date_format(col("d"), "yyyy-MM-dd").as("date"), col(key),
@@ -206,7 +222,7 @@ object Analytics {
                  keyValues: Seq[String]): DataFrame =
     df.groupBy(to_date(col(ts)).as("d"))
       .pivot(key, keyValues)
-      .agg(r(avg(col(value))))
+      .agg(stableMean4(col(value)))
       .select(date_format(col("d"), "yyyy-MM-dd").as("date") +: keyValues.map(col): _*)
       .orderBy("date")
 
@@ -242,7 +258,7 @@ object Analytics {
       .agg(count(lit(1)).as("n"),
            date_format(min(col(ts)), "yyyy-MM-dd HH:mm:ss").as("session_start"),
            date_format(max(col(ts)), "yyyy-MM-dd HH:mm:ss").as("session_end"),
-           r(avg(col(value))).as("value_mean"))
+           stableMean4(col(value)).as("value_mean"))
 
   /** Rank family coverage (SURVEY §2.5 notes the reference has none):
     * dense_rank + ntile quartile per group over the daily mean.
@@ -250,11 +266,11 @@ object Analytics {
   def rankAndNtile(df: DataFrame, ts: String, key: String, value: String,
                    buckets: Int = 4): DataFrame = {
     val daily = df.groupBy(col(key), to_date(col(ts)).as("d"))
-      .agg(avg(col(value)).as("v"))
+      .agg(avg(col(value)).as("v"), stableMean4(col(value)).as("value_mean"))
     val w = Window.partitionBy(key).orderBy(col("v").desc, col("d").asc)
     daily.select(
       date_format(col("d"), "yyyy-MM-dd").as("date"), col(key),
-      r(col("v")).as("value_mean"),
+      col("value_mean"),
       dense_rank().over(w).cast("long").as("rnk"),
       ntile(buckets).over(w).cast("long").as("quartile"))
   }
@@ -322,11 +338,11 @@ object Analytics {
   def rollingAvg(df: DataFrame, ts: String, key: String, value: String,
                  days: Int = 7): DataFrame = {
     val daily = df.groupBy(col(key), to_date(col(ts)).as("d"))
-      .agg(avg(col(value)).as("v"))
+      .agg(avg(col(value)).as("v"), stableMean4(col(value)).as("value_mean"))
     val w = Window.partitionBy(key).orderBy("d").rowsBetween(-(days - 1), 0)
     daily.withColumn("rolling_mean", r(avg(col("v")).over(w)))
       .select(date_format(col("d"), "yyyy-MM-dd").as("date"), col(key),
-              r(col("v")).as("value_mean"), col("rolling_mean"))
+              col("value_mean"), col("rolling_mean"))
       .orderBy(col(key), col("date"))
   }
 

@@ -222,8 +222,13 @@ object Similarity {
   def labelCentroids(df: DataFrame, labelCol: String = "label",
                      vecCol: String = "embedding"): DataFrame = {
     val exploded = df.select(col(labelCol), posexplode(toDouble(col(vecCol))).as(Seq("pos", "x")))
+    // order-free mean: decimal(20,10) accumulation (float inputs carry
+    // <10 significant decimal digits, so the cast is value-faithful and
+    // identical across engines); a plain double avg sums in partition
+    // order and drifts in the last digits vs a sequential oracle
     exploded.groupBy(col(labelCol), col("pos"))
-      .agg(avg(col("x")).as("mean_x"), count(lit(1)).as("n"))
+      .agg((sum(col("x").cast("decimal(20,10)")).cast("double") / count(lit(1))).as("mean_x"),
+           count(lit(1)).as("n"))
   }
 
   /** Typed `Aggregator` buffer (sum vector, count): element-wise vector
