@@ -193,8 +193,8 @@ object SparkEntry {
         // can land ON a half-cent boundary and round differently per
         // engine's summation order; decimal arithmetic is order-free
         .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)") *
-                       (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
-               .cast("double"), 2).as("revenue"))
+                       (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))), 2)
+               .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)),
 
@@ -222,8 +222,8 @@ object SparkEntry {
                 col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy("l_suppkey")
         .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)") *
-               (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
-             .cast("double"), 2).as("total_revenue"))
+               (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))), 2)
+             .cast("double").as("total_revenue"))
       val top = rev
         .withColumn("__max_rev",
           max(col("total_revenue")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
@@ -255,7 +255,7 @@ object SparkEntry {
         .filter(col("c_acctbal") > col("__avg_bal"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("numcust"),
-             round(sum(col("c_acctbal").cast("decimal(18,6)")).cast("double"), 2).as("totacctbal"))
+             round(sum(col("c_acctbal").cast("decimal(18,6)")), 2).cast("double").as("totacctbal"))
     }),
 
     // TPC-H Q13 shape: LEFT OUTER aggregate join — customers BY how many
@@ -291,8 +291,8 @@ object SparkEntry {
           (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20)) ||
           (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30)))
         .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)") *
-               (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
-             .cast("double"), 2).as("revenue"),
+               (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))), 2)
+             .cast("double").as("revenue"),
              count(lit(1)).as("n"))),
 
     // TPC-H Q17 shape: correlated scalar subquery (per-part average
@@ -370,8 +370,8 @@ object SparkEntry {
         .groupBy(col("supp_nation"), col("cust_nation"),
                  year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)") *
-                       (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
-               .cast("double"), 2).as("revenue"))
+                       (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))), 2)
+               .cast("double").as("revenue"))
     }),
 
     // TPC-H Q8 shape: market share — a ratio of two conditional sums over
@@ -415,8 +415,8 @@ object SparkEntry {
         .groupBy(col("n_name").as("nation"),
                  year(col("o_orderdate")).cast("long").as("o_year"))
         .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)") *
-                       (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
-               .cast("double"), 2).as("profit"),
+                       (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))), 2)
+               .cast("double").as("profit"),
              count(lit(1)).as("n"))),
 
     // TPC-H Q21 shape: EXISTS + NOT EXISTS chain over the same fact —
@@ -449,8 +449,11 @@ object SparkEntry {
     // broadcast threshold, no collect). The threshold is relative to the
     // mean, not a fixed fraction of the total, so the row count is
     // scale-invariant (TPC-H divides its Q11 fraction by SF for the same
-    // reason); `value > 1.2*avg` is phrased as `value*n > total*1.2` to
-    // keep every comparison in exact decimal arithmetic.
+    // reason). The comparison runs in DOUBLE on both engines with the
+    // identical operation order — the exact decimal sums convert to the
+    // same doubles everywhere, and IEEE `cmp` on identical doubles cannot
+    // diverge (a decimal `value*n > total*1.2` would overflow
+    // decimal(38) precision and get silently rounded at scale 6).
     "q11_important_parts" -> ((s, d) => {
       val vol = col("l_extendedprice").cast("decimal(18,6)") *
                 (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
@@ -458,8 +461,8 @@ object SparkEntry {
       val global = perPart.agg(sum(col("__value")).as("__total"),
                                count(lit(1)).as("__nparts"))
       perPart.crossJoin(broadcast(global))
-        .filter(col("__value") * col("__nparts") >
-                col("__total") * lit(1.2).cast("decimal(18,6)"))
+        .filter(col("__value").cast("double") >
+                col("__total").cast("double") * 1.2 / col("__nparts"))
         // round the EXACT decimal, then cast: rounding after the double
         // cast hits shortest-repr boundary values (x.xx5 stored as
         // x.xx4999...) that Spark rounds up and DuckDB rounds down
@@ -928,8 +931,8 @@ object SparkEntry {
 
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
-        |    (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE),2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |    (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -950,8 +953,8 @@ object SparkEntry {
     "q15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,
-        |    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
-        |      (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE),2) AS total_revenue
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |      (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -968,7 +971,7 @@ object SparkEntry {
 
     "q22_wealthy_segments" ->
       """SELECT c_mktsegment, count(*) AS numcust,
-        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE),2) AS totacctbal
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
         |FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
         |GROUP BY c_mktsegment""".stripMargin,
@@ -991,8 +994,8 @@ object SparkEntry {
         |GROUP BY p_brand, p_size""".stripMargin,
 
     "q19_discounted_revenue" ->
-      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
-        |    (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE),2) AS revenue,
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |    (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
         |  count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11)
@@ -1049,8 +1052,8 @@ object SparkEntry {
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
-        |    (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE),2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |    (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1087,8 +1090,8 @@ object SparkEntry {
 
     "q9_product_profit" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
-        |    (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE),2) AS profit,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |    (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS profit,
         |  count(*) AS n
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
@@ -1123,7 +1126,7 @@ object SparkEntry {
         |g AS (SELECT sum(value) AS total, count(*) AS nparts FROM v)
         |SELECT l_partkey, CAST(round(value, 2) AS DOUBLE) AS part_value
         |FROM v, g
-        |WHERE value * nparts > total * CAST(1.2 AS DECIMAL(18,6))
+        |WHERE CAST(value AS DOUBLE) > CAST(total AS DOUBLE) * 1.2 / nparts
         |ORDER BY part_value DESC, l_partkey""".stripMargin,
 
     "q2_min_cost_supplier" ->
@@ -1320,9 +1323,9 @@ object SparkEntry {
         |    CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 1000000 AS bucket
         |  FROM documents)
         |SELECT source, count(*) AS n FROM b
-        |WHERE bucket < (CASE source WHEN 'src0' THEN 0.5
-        |                            WHEN 'src1' THEN 0.1
-        |                            ELSE 1.0 END) * 1000000
+        |WHERE bucket < (CASE source WHEN 'src0' THEN 500000
+        |                            WHEN 'src1' THEN 100000
+        |                            ELSE 1000000 END)
         |GROUP BY source""".stripMargin,
 
     "d1_exact_dup_stats" ->

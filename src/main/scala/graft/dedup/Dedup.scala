@@ -218,10 +218,15 @@ object Dedup {
     val resolution = 1000000L
     val bucket = pmod(conv(substring(md5(col(contentCol)), 1, 8), 16, 10).cast("long"),
       lit(resolution))
-    val frac = fractions.toSeq.sortBy(_._1).foldLeft(lit(defaultFraction)) {
-      case (acc, (s, f)) => when(col(sourceCol) === s, lit(f)).otherwise(acc)
+    // thresholds as exact LONGs computed once at plan time: `frac * 1e6`
+    // in double arithmetic puts 0.1*1e6 at 100000.00000000001, so the
+    // boundary bucket would pass here but fail a decimal-arithmetic
+    // oracle — integer comparison has no boundary at all
+    def thr(f: Double): Long = math.round(f * resolution)
+    val threshold = fractions.toSeq.sortBy(_._1).foldLeft(lit(thr(defaultFraction))) {
+      case (acc, (s, f)) => when(col(sourceCol) === s, lit(thr(f))).otherwise(acc)
     }
-    df.filter(bucket < frac * resolution)
+    df.filter(bucket < threshold)
   }
 
   // ----------------------------------------------------- dup clustering

@@ -121,9 +121,12 @@ object Multimodal {
     */
   private val genLock = new Object
   def syntheticMediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    // cache dir keyed by the SANITIZED FULL PATH, not a hashCode — two sf
+    // dirs can never collide onto the same cache. The lock is JVM-local by
+    // design: the driver's harness runs Verify/Bench/tests sequentially.
     val out = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_media_${Integer.toHexString(sfDir.hashCode)}").getAbsolutePath
+      "graft_media_" + sfDir.replaceAll("[^A-Za-z0-9.-]", "_")).getAbsolutePath
     genLock.synchronized {
       if (!new java.io.File(out, "_SUCCESS").exists()) {
         graft.Tables(spark, sfDir, "documents")

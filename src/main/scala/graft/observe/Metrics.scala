@@ -104,14 +104,16 @@ object Metrics {
 
   /** Serve [[exposition]] at /metrics (reference twin: prometheus_client
     * `start_http_server`, utils.py:161-173; port from config.yaml:38).
-    * Returns the bound port (pass 0 for ephemeral). Idempotent.
+    * Returns the bound port (pass 0 for ephemeral). Idempotent. Binds
+    * loopback by default — exposing internal counters on every interface
+    * is an opt-in (`host` param), not a side effect.
     */
-  def serveHttp(port: Int = 0): Int = synchronized {
+  def serveHttp(port: Int = 0, host: String = "127.0.0.1"): Int = synchronized {
     httpServer match {
       case Some(s) => s.getAddress.getPort
       case None =>
         val srv = com.sun.net.httpserver.HttpServer.create(
-          new java.net.InetSocketAddress(port), 0)
+          new java.net.InetSocketAddress(host, port), 0)
         srv.createContext("/metrics", (ex: com.sun.net.httpserver.HttpExchange) => {
           val body = exposition().getBytes(java.nio.charset.StandardCharsets.UTF_8)
           ex.getResponseHeaders.add("Content-Type",
@@ -130,19 +132,25 @@ object Metrics {
     httpServer.foreach(_.stop(0)); httpServer = None
   }
 
+  // weak keys: a stopped/dereferenced session must be collectable — a
+  // strong static map would leak every session a long-lived JVM creates
   private val installed =
-    new ConcurrentHashMap[SparkSession, (JobMetricsListener, StreamMetricsListener)]()
+    new java.util.WeakHashMap[SparkSession, (JobMetricsListener, StreamMetricsListener)]()
 
   /** Install both listeners on a session. Truly idempotent: repeated calls
     * on the same session return the already-registered pair instead of
     * stacking duplicates that would double-count every event.
     */
   def install(spark: SparkSession): (JobMetricsListener, StreamMetricsListener) =
-    installed.computeIfAbsent(spark, s => {
-      val j = new JobMetricsListener
-      val st = new StreamMetricsListener
-      s.sparkContext.addSparkListener(j)
-      s.streams.addListener(st)
-      (j, st)
-    })
+    installed.synchronized {
+      Option(installed.get(spark)).getOrElse {
+        val j = new JobMetricsListener
+        val st = new StreamMetricsListener
+        spark.sparkContext.addSparkListener(j)
+        spark.streams.addListener(st)
+        val pair = (j, st)
+        installed.put(spark, pair)
+        pair
+      }
+    }
 }

@@ -109,27 +109,45 @@ object Figures {
       Files.write(p, content.getBytes(StandardCharsets.UTF_8))
       p.toString
     }
+    // 7 chart queries share the clean table's lineage — cache it for the
+    // duration of the sink instead of re-running read+transform per chart
+    clean.persist()
+    try writeFiguresImpl(clean, dir, scatterSample, save)
+    finally clean.unpersist()
+  }
+
+  private def writeFiguresImpl(clean: DataFrame, dir: String, scatterSample: Int,
+                               save: (String, String) => String): Seq[String] = {
     // 1. avg temperature by city, desc (analyze.py:343 bar chart)
     val byCity = clean.groupBy("city").agg(avg(col("temperature")).as("m"))
+      .filter(col("m").isNotNull) // all-null temps for a city -> no bar, not an NPE
       .orderBy(col("m").desc, col("city"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
     // 2. daily avg temperature per city (time-series lines)
     val daily = clean
       .groupBy(col("city"), to_date(col("timestamp")).as("d"))
       .agg(avg(col("temperature")).as("m"))
+      .filter(col("m").isNotNull && col("d").isNotNull)
       .orderBy(col("city"), col("d"))
       .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (c, rows) => c -> rows.map(t => t._2 -> t._3).toSeq }
-    // 3. temperature histogram: 10 fixed-width bins computed engine-side
+    // 3. temperature histogram: 10 fixed-width bins computed engine-side.
+    // min/max over ZERO rows (or all-null temperature) aggregates to null
+    // — render an empty histogram instead of NPEing the load phase
     val mm = clean.agg(min(col("temperature")), max(col("temperature"))).collect()(0)
-    val (tLo, tHi) = (mm.getDouble(0), mm.getDouble(1))
-    val width = if (tHi == tLo) 1.0 else (tHi - tLo) / 10.0
-    val hist = clean
-      .select(least(floor((col("temperature") - tLo) / width), lit(9)).cast("int").as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("n"))
-      .orderBy("bin")
-      .collect().map(r => (tLo + r.getInt(0) * width, r.getLong(1))).toSeq
+    val hist =
+      if (mm.isNullAt(0) || mm.isNullAt(1)) Seq.empty[(Double, Long)]
+      else {
+        val (tLo, tHi) = (mm.getDouble(0), mm.getDouble(1))
+        val width = if (tHi == tLo) 1.0 else (tHi - tLo) / 10.0
+        clean
+          .select(least(floor((col("temperature") - tLo) / width), lit(9)).cast("int").as("bin"))
+          .filter(col("bin").isNotNull)
+          .groupBy("bin").agg(count(lit(1)).as("n"))
+          .orderBy("bin")
+          .collect().map(r => (tLo + r.getInt(0) * width, r.getLong(1))).toSeq
+      }
     // 4. weather condition distribution (analyze.py:404's value_counts bar)
     val conds = clean.groupBy("weather_condition").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("weather_condition"))

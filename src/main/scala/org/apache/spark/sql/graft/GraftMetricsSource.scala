@@ -27,15 +27,21 @@ object GraftMetricsSource {
   @volatile private var registered: Option[GraftMetricsSource] = None
 
   /** Register once per JVM with Spark's metrics system; idempotent (the
-    * metrics system throws on duplicate source names).
+    * metrics system throws on duplicate source names). A call before the
+    * SparkEnv exists returns an UNREGISTERED source and does NOT cache it,
+    * so the next call (with a live env) still registers.
     */
   def register(names: Seq[String], read: String => Long): GraftMetricsSource =
     synchronized {
       registered.getOrElse {
         val s = new GraftMetricsSource(names, read)
-        Option(SparkEnv.get).foreach(_.metricsSystem.registerSource(s))
-        registered = Some(s)
-        s
+        Option(SparkEnv.get) match {
+          case Some(env) =>
+            env.metricsSystem.registerSource(s)
+            registered = Some(s)
+            s
+          case None => s
+        }
       }
     }
 }

@@ -56,4 +56,16 @@ class FiguresSpec extends SparkTestBase {
     paths.foreach(p => assert(!java.nio.file.Files.readString(
       java.nio.file.Paths.get(p)).contains("NaN")))
   }
+
+  test("writeFigures on ZERO rows renders empty charts instead of crashing the load phase") {
+    // min/max over no rows aggregate to null — a raw dir whose records are
+    // all corrupt/filtered must not NPE the pipeline (the sink is on by
+    // default in Pipeline.Config)
+    val empty = cleanTable.filter("temperature > 1e9")
+    val dir = java.nio.file.Files.createTempDirectory("graft_figs_empty").toString
+    val paths = Figures.writeFigures(empty, dir)
+    assert(paths.size === 5)
+    val factory = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    paths.foreach(p => factory.newDocumentBuilder().parse(new java.io.File(p)))
+  }
 }
