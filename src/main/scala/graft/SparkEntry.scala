@@ -31,6 +31,23 @@ object SparkEntry {
   /** Stopword list shared by the doc-stats query and its oracle. */
   private val stopwords = Seq("the", "and", "of", "to", "is", "a", "in", "it")
 
+  import org.apache.spark.sql.Column
+
+  /** The TPC-H revenue term in exact decimal: money aggregates accumulate
+    * order-free (partition-order double sums drift at the rounding digit
+    * over 1e5+ rows) and round exactly, the way TPC-H's DECIMAL schema
+    * mandates. DuckDB twin:
+    * `sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))`.
+    */
+  private def volDec: Column =
+    col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
+
+  /** Exact decimal sum, rounded in decimal (no double boundary), published
+    * as double. DuckDB twin: `CAST(round(sum(<dec>), 2) AS DOUBLE)`.
+    */
+  private def decSum2(c: Column): Column = round(sum(c), 2).cast("double")
+
   /** Flagship query (TPC-H Q1 pricing summary shape) on sf=0.001;
     * driver smoke-checks rows>0.
     */
@@ -49,14 +66,17 @@ object SparkEntry {
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
+        // money terms in exact decimal (TPC-H's own schema type): sums
+        // accumulate order-free, round in decimal, publish as double;
+        // means use the scaled-round stable form (see Analytics.stableMean4)
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          decSum2(col("l_extendedprice").cast("decimal(18,6)")).as("sum_base_price"),
+          decSum2(volDec).as("sum_disc_price"),
+          decSum2(volDec * (lit(1).cast("decimal(18,6)") + col("l_tax").cast("decimal(18,6)"))).as("sum_charge"),
+          (round(sum(col("l_quantity").cast("decimal(18,6)")).cast("double") / count(lit(1)) * 10000) / 10000.0 + lit(0.0)).as("avg_qty"),
+          (round(sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double") / count(lit(1)) * 10000) / 10000.0 + lit(0.0)).as("avg_price"),
+          (round(sum(col("l_discount").cast("decimal(18,6)")).cast("double") / count(lit(1)) * 1000000) / 1000000.0 + lit(0.0)).as("avg_disc"),
           count(lit(1)).as("count_order"))),
 
     // ------------------------------------------------------- aggregations
@@ -147,7 +167,7 @@ object SparkEntry {
           .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp")),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy("l_orderkey", "o_orderpriority")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(decSum2(volDec).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)),
 
@@ -159,7 +179,9 @@ object SparkEntry {
                 col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
                 col("l_discount").between(0.03, 0.05) &&
                 col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)") *
+                       col("l_discount").cast("decimal(18,6)")), 2)
+               .cast("double").as("revenue"),
              count(lit(1)).as("n"))),
 
     // TPC-H Q5 shape: 5-way join through the full dimension chain with a
@@ -174,7 +196,7 @@ object SparkEntry {
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA")
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(decSum2(volDec).as("revenue"),
              count(lit(1)).as("n"))),
 
     // TPC-H Q10 shape: returned-item revenue per customer, 4-way join +
@@ -306,8 +328,11 @@ object SparkEntry {
           col("l_partkey") === col("p_partkey"))
         .join(threshold, col("l_partkey") === col("t_partkey"))
         .filter(col("l_quantity") < col("t_threshold"))
-        .agg(round((sum(col("l_extendedprice").cast("decimal(18,6)")) /
-                    lit(7.0).cast("decimal(18,6)")).cast("double"), 2).as("avg_yearly"),
+        // stable rounding: exact decimal sum -> identical double on both
+        // engines -> scaled round at a dyadic boundary (decimal/decimal
+        // division would round the quotient at engine-specific scales)
+        .agg((round(sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+                / 7.0 * 100) / 100.0 + lit(0.0)).as("avg_yearly"),
              count(lit(1)).as("n"))
     }),
 
@@ -495,14 +520,15 @@ object SparkEntry {
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
-        .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n"))),
+        .agg(decSum2(col("o_totalprice").cast("decimal(18,6)")).as("revenue"),
+             count(lit(1)).as("n"))),
     // Large-large equi-join: shuffle on the join key, AQE picks the
     // physical strategy (sort-merge at scale, broadcast at tiny SF).
     "j2_sortmerge_join" -> ((s, d) =>
       Tables.orders(s, d)
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderpriority")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(decSum2(volDec).as("revenue"),
              count(lit(1)).as("n"))),
     "j3_semi_join" -> ((s, d) =>
       Tables.customer(s, d)
@@ -518,7 +544,7 @@ object SparkEntry {
       Tables.lineitem(s, d)
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(decSum2(volDec).as("revenue"),
              round(sum(col("l_quantity")), 2).as("qty"),
              count(lit(1)).as("n"))),
 
@@ -527,7 +553,7 @@ object SparkEntry {
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(decSum2(volDec).as("revenue"),
              count(lit(1)).as("n"))),
 
     // ------------------------------------------------- cleaning composite
@@ -701,12 +727,14 @@ object SparkEntry {
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),2) AS sum_qty,
-        |  round(sum(l_extendedprice),2) AS sum_base_price,
-        |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        |  round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
-        |  round(avg(l_quantity),4) AS avg_qty,
-        |  round(avg(l_extendedprice),4) AS avg_price,
-        |  round(avg(l_discount),6) AS avg_disc,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |    (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) *
+        |    (CAST(1 AS DECIMAL(18,6)) + CAST(l_tax AS DECIMAL(18,6)))), 2) AS DOUBLE) AS sum_charge,
+        |  round((CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000) / 10000.0 + 0.0 AS avg_qty,
+        |  round((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000) / 10000.0 + 0.0 AS avg_price,
+        |  round((CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 1000000) / 1000000.0 + 0.0 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
@@ -815,7 +843,7 @@ object SparkEntry {
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderpriority,
-        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -843,7 +871,7 @@ object SparkEntry {
 
     "j5_brand_revenue" ->
       """SELECT p_brand,
-        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
         |  round(sum(l_quantity),2) AS qty, count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
@@ -1003,8 +1031,8 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "q17_small_quantity" ->
-      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) /
-        |    CAST(7.0 AS DECIMAL(18,6)) AS DOUBLE), 2) AS avg_yearly,
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    / 7.0 * 100) / 100.0 + 0.0 AS avg_yearly,
         |  count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_brand = 'Brand#23'
@@ -1030,7 +1058,8 @@ object SparkEntry {
         |GROUP BY l_linestatus""".stripMargin,
 
     "q6_forecast_revenue" ->
-      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS n
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |    CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue, count(*) AS n
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -1039,7 +1068,7 @@ object SparkEntry {
 
     "q5_local_volume" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue, count(*) AS n
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1141,7 +1170,9 @@ object SparkEntry {
         |ORDER BY p_partkey, s_suppkey""".stripMargin,
 
     "j1_broadcast_join" ->
-      """SELECT r_name, round(sum(o_totalprice),2) AS revenue, count(*) AS n
+      """SELECT r_name,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -1150,7 +1181,7 @@ object SparkEntry {
 
     "j2_sortmerge_join" ->
       """SELECT o_orderpriority,
-        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue, count(*) AS n
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
 
@@ -1166,7 +1197,7 @@ object SparkEntry {
 
     "j6_supplier_revenue" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue, count(*) AS n
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
