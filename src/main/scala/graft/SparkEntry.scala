@@ -562,7 +562,7 @@ object SparkEntry {
     "c1_two_pass_clean" -> ((s, d) =>
       Cleaning.twoPassClean(Tables.events(s, d), Seq("value"))
         .groupBy("event_type")
-        .agg(round(avg(col("value")), 4).as("value_mean"),
+        .agg(graft.analyze.Analytics.stableMean4(col("value")).as("value_mean"),
              round(min(col("value")), 4).as("value_min"),
              round(max(col("value")), 4).as("value_max"),
              count(lit(1)).as("n"))),
@@ -744,11 +744,13 @@ object SparkEntry {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS ts_min,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS ts_max,
         |  round(min(value),4) AS value_min, round(max(value),4) AS value_max,
-        |  round(avg(value),4) AS value_mean, round(median(value),4) AS value_median
+        |  round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000) / 10000.0 + 0.0 AS value_mean,
+        |  round(median(value),4) AS value_median
         |FROM events""".stripMargin,
 
     "a2_group_agg" ->
-      """SELECT event_type, round(avg(value),4) AS value_mean,
+      """SELECT event_type,
+        |  round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000) / 10000.0 + 0.0 AS value_mean,
         |  round(min(value),4) AS value_min, round(max(value),4) AS value_max,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
@@ -813,7 +815,8 @@ object SparkEntry {
       "SELECT DISTINCT event_type FROM events",
 
     "a12_global_means" ->
-      """SELECT count(*) AS record_count, round(avg(value),4) AS value_mean,
+      """SELECT count(*) AS record_count,
+        |  round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000) / 10000.0 + 0.0 AS value_mean,
         |  round(min(value),4) AS value_min, round(max(value),4) AS value_max
         |FROM events""".stripMargin,
 
@@ -854,8 +857,10 @@ object SparkEntry {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "a17_salted_agg" ->
-      """SELECT event_type, round(sum(value),4) AS value_sum, count(*) AS n,
-        |  round(sum(value)/count(*),4) AS value_mean
+      """SELECT event_type,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS value_sum,
+        |  count(*) AS n,
+        |  round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000) / 10000.0 + 0.0 AS value_mean
         |FROM events GROUP BY event_type""".stripMargin,
 
     "w5_rolling_avg" ->
@@ -886,10 +891,13 @@ object SparkEntry {
     "w1_trend_analysis" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, avg(value) AS v
         |               FROM events GROUP BY event_type, CAST(ts AS DATE)),
-        |chg AS (SELECT event_type, v - lag(v) OVER (PARTITION BY event_type ORDER BY d) AS chg
+        |chg AS (SELECT event_type,
+        |          CAST(v - lag(v) OVER (PARTITION BY event_type ORDER BY d) AS DECIMAL(18,6)) AS chg
         |        FROM daily)
-        |SELECT event_type, round(avg(chg),4) AS avg_daily_change,
-        |  round(max(chg),4) AS max_increase, round(min(chg),4) AS max_decrease,
+        |SELECT event_type,
+        |  round((CAST(sum(chg) AS DOUBLE) / count(*)) * 10000) / 10000.0 + 0.0 AS avg_daily_change,
+        |  round(CAST(max(chg) AS DOUBLE),4) AS max_increase,
+        |  round(CAST(min(chg) AS DOUBLE),4) AS max_decrease,
         |  CASE WHEN sum(chg) > 0 THEN 'warming' ELSE 'cooling' END AS overall_trend
         |FROM chg WHERE chg IS NOT NULL GROUP BY event_type""".stripMargin,
 
@@ -1211,7 +1219,9 @@ object SparkEntry {
         |           FROM events, bb),
         |m AS (SELECT median(v) AS med FROM nulled),
         |clean AS (SELECT event_type, coalesce(v, med) AS v FROM nulled, m)
-        |SELECT event_type, round(avg(v),4) AS value_mean, round(min(v),4) AS value_min,
+        |SELECT event_type,
+        |  round((CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000) / 10000.0 + 0.0 AS value_mean,
+        |  round(min(v),4) AS value_min,
         |  round(max(v),4) AS value_max, count(*) AS n
         |FROM clean GROUP BY event_type""".stripMargin,
 
@@ -1396,7 +1406,8 @@ object SparkEntry {
         |      ELSE 'zh' END = 'en'),
         |deduped AS (SELECT source, q FROM gated
         |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
-        |SELECT source, count(*) AS kept_docs, round(avg(q),4) AS avg_quality
+        |SELECT source, count(*) AS kept_docs,
+        |  round((CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000) / 10000.0 + 0.0 AS avg_quality
         |FROM deduped GROUP BY source""".stripMargin,
 
     "d5_jaccard_pairs" ->

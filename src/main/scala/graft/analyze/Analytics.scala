@@ -54,7 +54,7 @@ object Analytics {
       date_format(max(col(ts)), "yyyy-MM-dd HH:mm:ss").as("ts_max"),
       r(min(col(value))).as("value_min"),
       r(max(col(value))).as("value_max"),
-      r(avg(col(value))).as("value_mean"),
+      stableMean4(col(value)).as("value_mean"),
       r(med).as("value_median"))
   }
 
@@ -63,7 +63,7 @@ object Analytics {
     */
   def groupMultiAgg(df: DataFrame, key: String, value: String): DataFrame =
     df.groupBy(key).agg(
-        r(avg(col(value))).as("value_mean"),
+        stableMean4(col(value)).as("value_mean"),
         r(min(col(value))).as("value_min"),
         r(max(col(value))).as("value_max"),
         count(lit(1)).as("n"))
@@ -178,7 +178,7 @@ object Analytics {
   /** A12 (weather_pipeline_dag.py:219-228): simple global means. */
   def globalMeans(df: DataFrame, value: String): DataFrame =
     df.agg(count(lit(1)).as("record_count"),
-           r(avg(col(value))).as("value_mean"),
+           stableMean4(col(value)).as("value_mean"),
            r(min(col(value))).as("value_min"),
            r(max(col(value))).as("value_max"))
 
@@ -202,12 +202,19 @@ object Analytics {
     val daily = df.groupBy(col(key), to_date(col(ts)).as("d"))
       .agg(avg(col(value)).as("v"))
     val w = Window.partitionBy(key).orderBy("d")
-    val withChg = daily.withColumn("chg", col("v") - lag("v", 1).over(w))
+    // quantize the diff at 1e-6 before aggregating: the daily means it
+    // differences carry ~1e-13 engine/partition drift, and the quantized
+    // decimal absorbs it so every agg (incl. the sign classifier, whose
+    // telescoped sum must hit an exact 0 for the reference's zero-sum
+    // edge) is engine-stable
+    val withChg = daily
+      .withColumn("chg", (col("v") - lag("v", 1).over(w)).cast("decimal(18,6)"))
       .filter(col("chg").isNotNull)
     withChg.groupBy(key).agg(
-        r(avg(col("chg"))).as("avg_daily_change"),
-        r(max(col("chg"))).as("max_increase"),
-        r(min(col("chg"))).as("max_decrease"),
+        (round(sum(col("chg")).cast("double") / count(lit(1)) * 10000) / 10000.0 + lit(0.0))
+          .as("avg_daily_change"),
+        r(max(col("chg")).cast("double")).as("max_increase"),
+        r(min(col("chg")).cast("double")).as("max_decrease"),
         when(sum(col("chg")) > 0, "warming").otherwise("cooling").as("overall_trend"))
       .orderBy(key)
   }
@@ -322,11 +329,12 @@ object Analytics {
     // so partition-dependent salting never changes the result.
     val salted = df.withColumn("__salt", pmod(spark_partition_id(), lit(salt)))
     val partial = salted.groupBy(col(key), col("__salt"))
-      .agg(sum(col(value)).as("__sum"), count(lit(1)).as("__n"))
+      .agg(sum(col(value).cast("decimal(18,6)")).as("__sum"), count(lit(1)).as("__n"))
     partial.groupBy(col(key))
-      .agg(r(sum(col("__sum"))).as("value_sum"),
+      .agg(round(sum(col("__sum")), 4).cast("double").as("value_sum"),
            sum(col("__n")).as("n"),
-           r(sum(col("__sum")) / sum(col("__n"))).as("value_mean"))
+           (round(sum(col("__sum")).cast("double") / sum(col("__n")) * 10000) / 10000.0
+             + lit(0.0)).as("value_mean"))
   }
 
   /** W5 (extension — SURVEY §2.5 notes rolling averages as the natural

@@ -182,7 +182,9 @@ object Dedup {
     exactDedup(gated, idCol, textCol)
       .groupBy(sourceCol)
       .agg(count(lit(1)).as("kept_docs"),
-           round(avg(col("__q")), 4).as("avg_quality"))
+           // engine-stable mean (see Analytics.stableMean4): per-source
+           // groups are small enough that an exact .xxxx5 mean is likely
+           graft.analyze.Analytics.stableMean4(col("__q")).as("avg_quality"))
   }
 
   /** Deterministic content-hash train/validation/test assignment: bucket =
