@@ -31,6 +31,16 @@ object Sinks {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC sink (format-parity extension): the columnar alternative where a
+    * consumer's stack prefers ORC over parquet — same vectorized read,
+    * pushdown and partitioning behavior under Spark.
+    */
+  def writeOrc(df: DataFrame, path: String,
+               partitionCols: Seq[String] = Seq.empty): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
+  }
+
   /** S9 analog: partitioned parquet replaces the SQLite table + indexes.
     * Partition pruning on (city, date) is the index replacement that
     * scales; [[writeJdbc]] keeps literal single-node parity.

@@ -107,16 +107,22 @@ object Streaming {
     * buffered rows once they can no longer match). Column names must be
     * disjoint apart from the key.
     */
+  /** `joinType` "inner" (default) or "left_outer": outer emits the
+    * unmatched left row with null right columns once the watermark proves
+    * no match can still arrive — the harder semantics (results for a left
+    * row are withheld until its join window expires).
+    */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String,
-                   within: String = "1 hour"): DataFrame = {
+                   within: String = "1 hour",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, within)
     val r = right.withWatermark(rightTs, within).withColumnRenamed(key, "__rkey")
     l.join(r,
       col(key) === col("__rkey") &&
         col(rightTs) >= col(leftTs) - expr(s"INTERVAL $within") &&
         col(rightTs) <= col(leftTs),
-      "inner").drop("__rkey")
+      joinType).drop("__rkey")
   }
 
   /** Per-key running day-over-day change (the streaming twin of W1

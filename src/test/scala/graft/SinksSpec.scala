@@ -76,4 +76,18 @@ class SinksSpec extends SparkTestBase {
       assert(idx.exists(_.toLowerCase.contains("idx_weather_data_date")))
     } finally conn.close()
   }
+
+  test("ORC sink round-trips with partition pruning (format parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val df = Seq(("london", "2024-01-01", 10.0), ("tokyo", "2024-01-01", 5.0),
+                 ("london", "2024-01-02", 12.0))
+      .toDF("city", "date", "temperature")
+    graft.sink.Sinks.writeOrc(df, dir, Seq("city"))
+    val back = spark.read.orc(dir)
+    assert(back.count() === 3)
+    assert(back.filter($"city" === "london").count() === 2)
+    // partition column prunes at the scan like the parquet sink
+    val plan = back.filter($"city" === "london").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(city"))
+  }
 }

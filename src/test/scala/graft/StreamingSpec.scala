@@ -370,6 +370,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("intervalJoin left_outer: unmatched left rows emit with nulls after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Ev]
+    val clicks = MemoryStream[Click]
+    val joined = Streaming.intervalJoin(
+      purchases.toDF(), clicks.toDF(), "k", "ts", "cts",
+      within = "30 minutes", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ij_outer")
+      .outputMode("append").start()
+    try {
+      purchases.addData(
+        Ev(ts("2024-01-01 10:00:00"), "u1", 99.0),   // will match
+        Ev(ts("2024-01-01 10:00:00"), "u2", 50.0))   // never matches
+      clicks.addData(Click(ts("2024-01-01 09:45:00"), "u1", "product"))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past u2's join window so the engine
+      // can prove no match is coming and emit the null row
+      purchases.addData(Ev(ts("2024-01-01 14:00:00"), "zz", 0.0))
+      clicks.addData(Click(ts("2024-01-01 14:00:00"), "zz", "late"))
+      q.processAllAvailable()
+      purchases.addData(Ev(ts("2024-01-01 15:00:00"), "zz", 0.0))
+      clicks.addData(Click(ts("2024-01-01 15:00:00"), "zz", "later"))
+      q.processAllAvailable()
+      val rows = spark.table("ij_outer").select("k", "page")
+        .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      assert(rows("u1") === Some("product")) // matched within the bound
+      assert(rows.contains("u2"))
+      assert(rows("u2") === None)            // unmatched -> emitted with null
+    } finally q.stop()
+  }
+
   test("windowedAgg in update mode emits revised aggregates as data arrives") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
