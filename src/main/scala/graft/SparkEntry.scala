@@ -155,6 +155,30 @@ object SparkEntry {
         .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
         .limit(10)),
 
+    // Explicit set operations (§2.7): customers active in BOTH years
+    // (INTERSECT) and in 1996 but not 1997 (EXCEPT); Catalyst plans these
+    // as semi/anti joins over the distinct key sets.
+    "o3_set_ops" -> ((s, d) => {
+      def custIn(year: Int) = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+        .select("o_custkey")
+      val both = custIn(1996).intersect(custIn(1997))
+        .agg(count(lit(1)).as("n")).select(lit("both_years").as("kind"), col("n"))
+      val only96 = custIn(1996).except(custIn(1997))
+        .agg(count(lit(1)).as("n")).select(lit("only_1996").as("kind"), col("n"))
+      both.unionByName(only96).orderBy("kind")
+    }),
+
+    // Grouped percentiles: exact per-group p50/p95 (a8's global bounds,
+    // per key) — the grouped-quantile shape every monitoring rollup needs.
+    "a19_grouped_percentiles" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+             round(percentile(col("value"), lit(0.95)), 4).as("p95"),
+             count(lit(1)).as("n"))),
+
     // ----------------------------------------------------------- joins
     // TPC-H Q3 shape: selective filters on both join sides (pushed to the
     // scans), 3-way join, group, global top-k by revenue.
@@ -843,6 +867,25 @@ object SparkEntry {
         |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS l_linestatus,
         |  round(sum(l_quantity),2) AS value_sum, count(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "o3_set_ops" ->
+      """WITH c96 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |c97 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT 'both_years' AS kind,
+        |  (SELECT count(*) FROM (SELECT * FROM c96 INTERSECT SELECT * FROM c97)) AS n
+        |UNION ALL
+        |SELECT 'only_1996' AS kind,
+        |  (SELECT count(*) FROM (SELECT * FROM c96 EXCEPT SELECT * FROM c97)) AS n
+        |ORDER BY kind""".stripMargin,
+
+    "a19_grouped_percentiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.95), 4) AS p95, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderpriority,
