@@ -646,6 +646,11 @@ object SparkEntry {
       Tables.documents(s, d)
         .select(col("doc_id"), size(Text.charShingles(col("text"), 5)).cast("long").as("n_shingles"))),
 
+    // Gopher-style repetition census: top-3-gram fraction per doc — the
+    // standard boilerplate/loop-spam quality rule.
+    "t12_repetition" -> ((s, d) =>
+      Text.repetitionStats(Tables.documents(s, d), "doc_id", "text", n = 3)),
+
     // Benchmark-decontamination scrub: word-boundary denylist hits counted
     // and redacted, publish the hit count + cleaned length per doc.
     "t10_decontaminate" -> ((s, d) =>
@@ -1373,6 +1378,20 @@ object SparkEntry {
         |  len(list_distinct(list_transform(range(1, len(text)-5+2), i -> substr(text, i, 5))))
         |  END AS BIGINT) AS n_shingles
         |FROM documents""".stripMargin,
+
+    "t12_repetition" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)-3+2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM tok WHERE len(t) >= 3),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_ngrams,
+        |  CAST(max(cnt) AS BIGINT) AS top_ngram_count,
+        |  round((CAST(max(cnt) AS DOUBLE) / sum(cnt)) * 10000) / 10000.0 + 0.0 AS rep_ratio
+        |FROM c GROUP BY doc_id""".stripMargin,
 
     "t10_decontaminate" ->
       """SELECT doc_id,

@@ -178,6 +178,30 @@ object Text {
       .select(col(idCol), col("token"), col("tf"), round(col("__score"), 6).as("tfidf"))
   }
 
+  /** Word n-grams WITH duplicates (repetition-analysis input — the
+    * duplicate count is the signal; [[wordShingles]] is the deduplicated
+    * MinHash input).
+    */
+  def wordNgrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.HashFunctions.wordShingles(text, n, distinct = false)
+
+  /** Gopher-style repetition stats: the fraction of a document's n-grams
+    * taken by its single most-repeated n-gram — boilerplate, keyword spam
+    * and generation loops score high; natural prose stays near 1/n_ngrams.
+    * One map-side explode, one shuffle on (doc, gram), then a tiny
+    * per-doc rollup; the published ratio uses the engine-stable scaled
+    * round (ratio of identical integers on both engines).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val grams = df.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
+    grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(idCol)
+      .agg(sum(col("cnt")).as("n_ngrams"),
+           max(col("cnt")).as("top_ngram_count"))
+      .withColumn("rep_ratio",
+        round(col("top_ngram_count").cast("double") / col("n_ngrams") * 10000) / 10000.0 + lit(0.0))
+  }
+
   /** Benchmark-contamination / denylist scrub: replace word-boundary
     * matches of the denylisted terms and report how many were hit — the
     * decontamination pass every training corpus runs against eval-set

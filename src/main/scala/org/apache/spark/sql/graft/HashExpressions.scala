@@ -141,15 +141,16 @@ case class SimHash64(child: Expression, seed: Long = 42L)
 }
 
 object ShingleImpl {
-  /** Whitespace-tokenize then emit deduplicated space-joined word n-grams,
-    * first-occurrence order (matches tokens → transform → concat_ws →
-    * array_distinct exactly). Docs shorter than n shingle to []. */
-  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+  /** Whitespace-tokenize then emit space-joined word n-grams. With
+    * `distinct` (the MinHash/Jaccard input convention) duplicates collapse
+    * in first-occurrence order (matches tokens → transform → concat_ws →
+    * array_distinct exactly); without, every occurrence is kept — the
+    * repetition-analysis input, where the duplicate COUNT is the signal.
+    * Docs shorter than n shingle to []. */
+  def wordShingles(text: UTF8String, n: Int, distinct: Boolean = true): ArrayData = {
     val toks = text.toString.split("\\s+").filter(_.nonEmpty)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
-    var i = 0
-    while (i + n <= toks.length) {
+    def gram(i: Int): String = {
       val sb = new java.lang.StringBuilder()
       var j = 0
       while (j < n) {
@@ -157,14 +158,24 @@ object ShingleImpl {
         sb.append(toks(i + j))
         j += 1
       }
-      seen.add(sb.toString)
-      i += 1
+      sb.toString
     }
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
-    new GenericArrayData(out)
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+      var i = 0
+      while (i + n <= toks.length) { seen.add(gram(i)); i += 1 }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(out)
+    } else {
+      val m = toks.length - n + 1
+      val out = new Array[Any](m)
+      var i = 0
+      while (i < m) { out(i) = UTF8String.fromString(gram(i)); i += 1 }
+      new GenericArrayData(out)
+    }
   }
 
   /** Deduplicated character n-grams, first-occurrence order (matches the
@@ -256,12 +267,14 @@ abstract class StringShingleExpression extends UnaryExpression with ImplicitCast
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 }
 
-case class WordShingles(child: Expression, n: Int) extends StringShingleExpression {
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
+  extends StringShingleExpression {
   override def prettyName: String = "graft_word_shingles"
   protected override def nullSafeEval(input: Any): Any =
-    ShingleImpl.wordShingles(input.asInstanceOf[UTF8String], n)
+    ShingleImpl.wordShingles(input.asInstanceOf[UTF8String], n, distinct)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.ShingleImpl.wordShingles($c, $n)")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ShingleImpl.wordShingles($c, $n, $distinct)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -319,8 +332,8 @@ case class CountInSet(child: Expression, set: Seq[String])
 object HashFunctions {
   def countInSet(arr: Column, set: Seq[String]): Column =
     ExpressionUtils.column(CountInSet(ExpressionUtils.expression(arr), set))
-  def wordShingles(text: Column, n: Int): Column =
-    ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), n))
+  def wordShingles(text: Column, n: Int, distinct: Boolean = true): Column =
+    ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), n, distinct))
   def charShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(CharShingles(ExpressionUtils.expression(text), n))
   def winnow(text: Column, k: Int, w: Int): Column =

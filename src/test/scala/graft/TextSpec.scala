@@ -116,6 +116,25 @@ class TextSpec extends SparkTestBase {
     assert(top(2L) === "rare2")
   }
 
+  test("repetitionStats: loop spam scores near 1, varied prose near 1/n_ngrams") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now buy now buy now"), // pure loop
+      (2L, "one two three four five six seven eight nine ten"), // all distinct
+      (3L, "ab")).toDF("doc_id", "t")                           // < n tokens -> no row
+    val out = Text.repetitionStats(docs, "doc_id", "t", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_ngrams"), r.getAs[Long]("top_ngram_count"), r.getAs[Double]("rep_ratio"))).toMap
+    // doc 1: 12 tokens -> 10 3-grams; 'buy now buy'x5 or 'now buy now'x5 tops
+    assert(out(1L)._1 === 10L && out(1L)._2 === 5L && out(1L)._3 === 0.5)
+    assert(out(2L)._1 === 8L && out(2L)._2 === 1L && out(2L)._3 === 0.125)
+    assert(!out.contains(3L))
+    // wordNgrams keeps duplicates; wordShingles dedups
+    val grams = docs.filter($"doc_id" === 1L)
+      .select(Text.wordNgrams($"t", 3), Text.wordShingles($"t", 3)).collect()(0)
+    assert(grams.getSeq[String](0).length === 10)
+    assert(grams.getSeq[String](1).length === 2)
+  }
+
   test("decontaminate: word-boundary hits counted and replaced, substrings untouched") {
     val df = Seq(
       (1L, "leak the benchmark answer here"),
