@@ -127,6 +127,12 @@ object SparkEntry {
     "w8_sessionize" -> ((s, d) =>
       Analytics.sessionSummary(Tables.events(s, d), "user_id", "ts", "value", gapMinutes = 1440)),
 
+    // RANGE-frame rolling window: per user, trailing 10 minutes of EVENT
+    // TIME (not rows) — the frame type w5's ROWS rolling can't express.
+    "w9_range_rolling" -> ((s, d) =>
+      Analytics.rangeRolling(Tables.events(s, d), "user_id", "ts", "value",
+        rangeSeconds = 600)),
+
     // As-of join: each error event enriched with the user's latest prior
     // purchase value (point-in-time correctness — no lookahead).
     "w6_asof_join" -> ((s, d) => {
@@ -972,6 +978,14 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') l
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "w9_range_rolling" ->
+      """SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  count(*) OVER w AS n_window,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE) AS window_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "o1_topk_per_group" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,

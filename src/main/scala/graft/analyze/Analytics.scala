@@ -354,6 +354,26 @@ object Analytics {
       .orderBy(col(key), col("date"))
   }
 
+  /** Trailing time-RANGE rolling aggregate (extension): per key, for every
+    * event, the count and exact decimal sum of values in the trailing
+    * `rangeSeconds` of EVENT TIME — a RANGE frame over the epoch, not a
+    * ROWS frame, so sparse/bursty keys aggregate their true time window
+    * regardless of row density (rowsBetween cannot express this). The
+    * frame sum accumulates in decimal so sliding-frame arithmetic (Spark's
+    * incremental add vs an oracle's segment tree) cannot drift.
+    */
+  def rangeRolling(df: DataFrame, key: String, ts: String, value: String,
+                   rangeSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(key)
+      .orderBy(unix_timestamp(col(ts)))
+      .rangeBetween(-rangeSeconds, 0)
+    df.select(col(key), col(ts),
+        count(lit(1)).over(w).as("n_window"),
+        round(sum(col(value).cast("decimal(18,6)")).over(w), 2)
+          .cast("double").as("window_sum"))
+      .withColumn(ts, date_format(col(ts), "yyyy-MM-dd HH:mm:ss"))
+  }
+
   /** Rollup summary (extension — SURVEY §2.4 notes grouping sets as a
     * built-in away): subtotals per (k1, k2), per k1, and grand total.
     * Subtotal rows are labelled via the `grouping()` indicator, NOT

@@ -143,6 +143,21 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got(300L) === None)      // no prior right row -> null
   }
 
+  test("rangeRolling frames by event TIME, not row count") {
+    val df = Seq(
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 2.0), // within 10 min of first
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 4.0)  // far gap: alone in frame
+    ).toDF("user_id", "ts", "value")
+    val out = Analytics.rangeRolling(df, "user_id", "ts", "value", rangeSeconds = 600)
+      .collect().map(r => r.getString(1) -> (r.getAs[Long]("n_window"), r.getAs[Double]("window_sum"))).toMap
+    assert(out("2024-01-01 10:00:00") === ((1L, 1.0)))
+    assert(out("2024-01-01 10:05:00") === ((2L, 3.0))) // time-range includes 10:00
+    // a ROWS(-1,0) frame would count 2 here; the TIME range correctly sees
+    // only itself after the 55-minute gap
+    assert(out("2024-01-01 11:00:00") === ((1L, 4.0)))
+  }
+
   test("a15 invariant: HLL approx distinct within 10% of exact on real data") {
     // the driver can only rows-check a15 (sketch estimates are
     // engine-specific); this pins the ACCURACY. HLL is deterministic for
