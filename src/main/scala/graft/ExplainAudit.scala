@@ -1,19 +1,67 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.charset.StandardCharsets
+
+/** Plan-shape ledger generator: dumps the EXECUTED (post-AQE) plan of each
+  * named registered query to `docs/plans/<name>.txt`, so plan regressions
+  * are diffable in review instead of discovered as bench noise. Run via
+  * `scripts/refresh_plans.sh` (or `sbt "runMain graft.ExplainAudit q1 ..."`);
+  * with no args it audits the standing ledger list below — the most
+  * expensive queries of the round-4/5 benches, the ones whose plan shape
+  * carries the 100 TB argument.
+  *
+  * The dump is the executedPlan `toString` with per-run noise (plan ids,
+  * codegen ids, exchange ids) scrubbed, so a diff only fires on structural
+  * change: a new exchange, a lost pushdown, a join strategy flip.
+  */
 object ExplainAudit {
+
+  /** Slowest / most structurally load-bearing queries (bench r4/r5). */
+  val ledger: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q8_market_share",
+    "q21_waiting_suppliers", "o1_topk_per_group",
+    "c1_two_pass_clean", "a6_mode_per_day",
+    "d2_exact_dedup", "d6_curation_funnel", "d7_hash_split", "d8_source_mix",
+    "t9_tfidf", "s2_ann_topk", "s3_label_centroids", "e1_embedding_neardups",
+    "w9_range_rolling", "o3_set_ops")
+
+  /** Strip per-run ids so the ledger diffs on structure only. */
+  private[graft] def scrub(plan: String): String =
+    plan
+      .replaceAll("#\\d+[A-Za-z]*", "#x")        // expression ids
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("\\[id=#x\\]", "[id=#x]")
+      .replaceAll("\\(\\d+\\)", "(n)")            // codegen stage ids
+      .replaceAll("cachedrdd_\\d+", "cachedrdd_x")
+      .replaceAll("/root/testdata/sf[0-9.]+", "<sf>")
+
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "docs/plans")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val names = if (args.nonEmpty) args.toSeq else ledger
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.01"
-    for (q <- Seq("q1_pricing_summary", "j1_broadcast_join", "j2_sortmerge_join", "o1_topk_per_group", "t1_doc_stats")) {
-      println(s"===== $q")
-      val df = SparkEntry.queries(q)(spark, d)
-      df.collect() // force AQE final plan
-      println(df.queryExecution.executedPlan.toString.take(3500))
+    Files.createDirectories(Paths.get(outDir))
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case None => System.err.println(s"[ExplainAudit] unknown query: $name")
+        case Some(fn) =>
+          val df = fn(spark, sfDir)
+          df.collect() // finalize AQE so the dumped plan is the executed one
+          val txt = scrub(df.queryExecution.executedPlan.toString)
+          Files.write(Paths.get(outDir, s"$name.txt"),
+            txt.getBytes(StandardCharsets.UTF_8),
+            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      }
     }
     spark.stop()
   }

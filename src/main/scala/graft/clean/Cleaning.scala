@@ -1,6 +1,6 @@
 package graft.clean
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The reference's statistics-dependent cleaning composite
@@ -64,13 +64,51 @@ object Cleaning {
     imputed.drop(cols.map(c => s"__${c}_med"): _*)
   }
 
-  /** Full §2.9 composite: outlier-null → median-impute → categorical fill. */
+  /** Full §2.9 composite: outlier-null → median-impute → categorical fill.
+    *
+    * NOT phrased as nullOutliers-then-imputeMedians: that shape aggregates
+    * the post-nulling intermediate, so the medians job re-evaluates the
+    * whole nulling projection (a second full pass over wide rows, or a
+    * cache of the entire table). Instead the post-nulling median of column
+    * c is computed directly off the BASE table as
+    * `median(CASE WHEN in-fence THEN c END)` — aggregate-ignores-nulls
+    * makes it identical to the median of the nulled column — with the
+    * 1-row bounds frame broadcast in. The bounds subtree is byte-identical
+    * in the medians job and the final projection, so ReuseExchange runs it
+    * once. Net: bounds pass + conditional-medians pass + final map-side
+    * projection; nothing materialized, nothing cached — the shape that
+    * holds at 100 TB.
+    */
   def twoPassClean(df: DataFrame, numericCols: Seq[String],
                    categoricalDefaults: Map[String, String] = Map.empty,
                    lo: Double = 0.05, hi: Double = 0.95, k: Double = 1.5,
                    exact: Boolean = true): DataFrame = {
-    val nulled = nullOutliers(df, numericCols, lo, hi, k, exact)
-    val imputed = imputeMedians(nulled, numericCols, exact)
-    if (categoricalDefaults.isEmpty) imputed else imputed.na.fill(categoricalDefaults)
+    if (numericCols.isEmpty) {
+      return if (categoricalDefaults.isEmpty) df else df.na.fill(categoricalDefaults)
+    }
+    def pct(c: Column, p: Double) =
+      if (exact) percentile(c, lit(p)) else percentile_approx(c, lit(p), lit(10000))
+    val boundAggs = numericCols.flatMap { c =>
+      val q1 = pct(col(c), lo); val q3 = pct(col(c), hi)
+      Seq((q1 - lit(k) * (q3 - q1)).as(s"__${c}_lb"),
+          (q3 + lit(k) * (q3 - q1)).as(s"__${c}_ub"))
+    }
+    val bounds = df.agg(boundAggs.head, boundAggs.tail: _*)
+    def fenced(c: String): Column =
+      when(col(c) < col(s"__${c}_lb") || col(c) > col(s"__${c}_ub"), lit(null))
+        .otherwise(col(c))
+    val medAggs = numericCols.map { c =>
+      val m = if (exact) median(fenced(c))
+              else percentile_approx(fenced(c), lit(0.5), lit(10000))
+      m.as(s"__${c}_med")
+    }
+    val meds = df.crossJoin(broadcast(bounds)).agg(medAggs.head, medAggs.tail: _*)
+    val joined = df.crossJoin(broadcast(bounds)).crossJoin(broadcast(meds))
+    val imputed = numericCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, coalesce(fenced(c), col(s"__${c}_med")))
+    }
+    val out = imputed.drop(
+      numericCols.flatMap(c => Seq(s"__${c}_lb", s"__${c}_ub", s"__${c}_med")): _*)
+    if (categoricalDefaults.isEmpty) out else out.na.fill(categoricalDefaults)
   }
 }

@@ -22,12 +22,25 @@ object Dedup {
 
   // ---------------------------------------------------------------- exact
 
-  /** Exact dedup: keep the lowest id per identical text. One shuffle on the
-    * 128-bit content hash (never on the text itself).
+  /** Exact dedup: keep the lowest-id row per identical text.
+    *
+    * Phrased as `groupBy(md5(text)).agg(min_by(struct(*), id))`, NOT as a
+    * row_number window over the hash: the window shape shuffles EVERY row
+    * (text included) and then sorts each partition, because window
+    * functions cannot partial-aggregate. min_by partial-aggregates
+    * map-side, so the exchange carries at most one candidate row per
+    * distinct content per map task — on a dup-heavy corpus that is ~the
+    * output, the lower bound (the keeper rows have to cross the wire
+    * exactly once to be grouped with their duplicates) — and no sort of
+    * document rows exists anywhere in the plan. A narrow
+    * `groupBy(hash).agg(min(id))` + join-back would shuffle the full rows
+    * AGAIN on the join key, which is strictly worse.
     */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val allCols = df.columns.map(col)
+    df.groupBy(md5(col(textCol)).as("__h"))
+      .agg(min_by(struct(allCols: _*), col(idCol)).as("__keep"))
+      .select(df.columns.map(c => col(s"__keep.$c")): _*)
   }
 
   /** Exact-dup census: total docs, distinct contents, dup rows removed. */

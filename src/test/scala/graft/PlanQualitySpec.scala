@@ -111,6 +111,52 @@ class PlanQualitySpec extends SparkTestBase {
     assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
   }
 
+  test("d2: exact dedup partial-aggregates map-side; no window over full rows") {
+    // the r4 shape was row_number() over Window.partitionBy(md5(text)) —
+    // every row (text included) through one exchange, no map-side
+    // reduction, because window functions cannot partial-aggregate. The
+    // min_by shape must keep a partial agg before the exchange (at most
+    // one candidate row per distinct content per map task crosses the
+    // wire) and no Window node anywhere.
+    val plan = executedPlan(SparkEntry.queries("d2_exact_dedup")(spark, dir))
+    assert(plan.contains("partial_min_by"))
+    assert(!plan.contains("Window"))
+  }
+
+  test("d6: curation funnel inherits the aggregate dedup shape, not a window") {
+    val plan = executedPlan(SparkEntry.queries("d6_curation_funnel")(spark, dir))
+    assert(plan.contains("partial_min_by"))
+    assert(!plan.contains("Window"))
+  }
+
+  test("d7/d8: hash-split and source-mix scan only (text, source), agg is partial+final") {
+    for (q <- Seq("d7_hash_split", "d8_source_mix")) {
+      val plan = executedPlan(SparkEntry.queries(q)(spark, dir))
+      val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+      assert(readSchema.contains("text") && readSchema.contains("source"), q)
+      assert(!readSchema.contains("doc_id") && !readSchema.contains("lang") &&
+             !readSchema.contains("n_chars"), q) // untouched columns pruned
+      assert(plan.contains("partial_count"), q) // map-side combine
+    }
+    // d8's sampling predicate is a pure map-side filter evaluated at the
+    // scan (DataFilters), so rejected rows never reach the exchange
+    val d8 = executedPlan(SparkEntry.queries("d8_source_mix")(spark, dir))
+    assert(d8.contains("PushedFilters: [IsNotNull(text)]"))
+  }
+
+  test("w9: range-rolling is one keyed window, never a single-partition sort") {
+    val plan = executedPlan(SparkEntry.queries("w9_range_rolling")(spark, dir))
+    assert(plan.contains("hashpartitioning(user_id"))
+    assert(plan.contains("RangeFrame"))
+    assert(!plan.contains("SinglePartition")) // a global window would be one
+  }
+
+  test("o3: INTERSECT/EXCEPT compile to semi/anti joins, not nested loops") {
+    val plan = executedPlan(SparkEntry.queries("o3_set_ops")(spark, dir))
+    assert(plan.contains("LeftSemi"))
+    assert(plan.contains("LeftAnti"))
+  }
+
   test("m1: media metadata query never reads the bytes column") {
     val df = SparkEntry.queries("m1_resize_plan")(spark, dir)
     val plan = executedPlan(df)
