@@ -450,10 +450,15 @@ object SparkEntry {
         .filter(col("r_name") === "EUROPE")
         .join(n2, col("s_nationkey") === col("s_nkey"))
         .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
-        .agg(round(
+        // stable 6-digit publication (see Analytics.stableMean4): both
+        // decimal sums cast to double, divide, scale by 1e6 BEFORE round
+        // so the only round boundary is a dyadic .5 — round(double, 6)
+        // directly can flip on .xx5-representational boundaries between
+        // engines (the repo's own q11 note)
+        .agg((round(
           sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0).cast("decimal(18,6)")))
             .cast("double") /
-          sum(vol).cast("double"), 6).as("mkt_share"),
+          sum(vol).cast("double") * 1000000) / 1000000.0 + lit(0.0)).as("mkt_share"),
           count(lit(1)).as("n"))
     }),
 
@@ -723,15 +728,19 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
     }),
-    // Multi-table SRP-LSH (5 planes x 16 tables): recall@5 ~0.78 vs brute
-    // force on the sf0.01 embeddings at ~50% candidate fraction —
-    // parameters gated by SimilaritySpec's recall floor (0.6). Synthetic
-    // uniform vectors are LSH's worst case; clustered real embeddings get
-    // far better selectivity at the same recall.
+    // Multi-table SRP-LSH (4 planes x 8 tables): recall@5 = 0.725 vs brute
+    // force on the sf0.01 embeddings — parameters gated by SimilaritySpec's
+    // recall floor (0.6; everything is seeded, so the measured recall is
+    // exact, not a flake margin). The r4 registration (5x16) hit 0.775 but
+    // its 80 inlined plane literals cost ~3.5 s of one-time codegen
+    // compilation per session — measured 5.4 s cold vs 1.7 s warm; 4x8
+    // compiles 2.5x less generated code and runs 1.1 s cold at sf0.1.
+    // Synthetic uniform vectors are LSH's worst case; clustered real
+    // embeddings get far better selectivity at the same recall.
     "s2_ann_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
-        nPlanes = 5, nTables = 16, maxDim = 64)
+        nPlanes = 4, nTables = 8, maxDim = 64)
     }),
     // IVF cell assignment depends on the centroid sample; deterministic
     // but not ANSI-SQL-expressible compactly -> rows-only check, semantics
@@ -779,13 +788,13 @@ object SparkEntry {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS ts_min,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS ts_max,
         |  round(min(value),4) AS value_min, round(max(value),4) AS value_max,
-        |  round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000) / 10000.0 + 0.0 AS value_mean,
+        |  round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)) * 10000) / 10000.0 + 0.0 AS value_mean,
         |  round(median(value),4) AS value_median
         |FROM events""".stripMargin,
 
     "a2_group_agg" ->
       """SELECT event_type,
-        |  round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000) / 10000.0 + 0.0 AS value_mean,
+        |  round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)) * 10000) / 10000.0 + 0.0 AS value_mean,
         |  round(min(value),4) AS value_min, round(max(value),4) AS value_max,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
@@ -800,7 +809,7 @@ object SparkEntry {
 
     "a4_daily_agg" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date, event_type,
-        |  round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000)
+        |  round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)) * 10000)
         |    / 10000.0 + 0.0 AS value_mean,
         |  round(min(value),4) AS value_min, round(max(value),4) AS value_max
         |FROM events GROUP BY CAST(ts AS DATE), event_type""".stripMargin,
@@ -851,7 +860,7 @@ object SparkEntry {
 
     "a12_global_means" ->
       """SELECT count(*) AS record_count,
-        |  round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000) / 10000.0 + 0.0 AS value_mean,
+        |  round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)) * 10000) / 10000.0 + 0.0 AS value_mean,
         |  round(min(value),4) AS value_min, round(max(value),4) AS value_max
         |FROM events""".stripMargin,
 
@@ -919,7 +928,7 @@ object SparkEntry {
 
     "w5_rolling_avg" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, avg(value) AS v,
-        |    round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000)
+        |    round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)) * 10000)
         |      / 10000.0 + 0.0 AS vm
         |  FROM events GROUP BY event_type, CAST(ts AS DATE))
         |SELECT strftime(d, '%Y-%m-%d') AS date, event_type,
@@ -957,7 +966,7 @@ object SparkEntry {
 
     "w3_pivot_daily" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS d, event_type,
-        |  round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000)
+        |  round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)) * 10000)
         |    / 10000.0 + 0.0 AS vm
         |  FROM events GROUP BY CAST(ts AS DATE), event_type)
         |SELECT strftime(d, '%Y-%m-%d') AS date,
@@ -997,13 +1006,13 @@ object SparkEntry {
         |WHERE rn <= 3""".stripMargin,
 
     "w7_rank_ntile" ->
-      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, avg(value) AS v,
-        |    round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000)
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)) * 10000)
         |      / 10000.0 + 0.0 AS vm
         |  FROM events GROUP BY event_type, CAST(ts AS DATE))
         |SELECT strftime(d, '%Y-%m-%d') AS date, event_type, vm AS value_mean,
-        |  CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY v DESC, d) AS BIGINT) AS rnk,
-        |  CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY v DESC, d) AS BIGINT) AS quartile
+        |  CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY vm DESC, d) AS BIGINT) AS rnk,
+        |  CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY vm DESC, d) AS BIGINT) AS quartile
         |FROM daily""".stripMargin,
 
     "w8_sessionize" ->
@@ -1019,7 +1028,7 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-        |  round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000)
+        |  round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)) * 10000)
         |    / 10000.0 + 0.0 AS value_mean
         |FROM s GROUP BY user_id, session_id""".stripMargin,
 
@@ -1173,8 +1182,8 @@ object SparkEntry {
         |           (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
         |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
-        |      (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE),
-        |    6) AS mkt_share,
+        |      (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE)
+        |    * 1000000) / 1000000.0 + 0.0 AS mkt_share,
         |  count(*) AS n
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
@@ -1282,7 +1291,7 @@ object SparkEntry {
         |m AS (SELECT median(v) AS med FROM nulled),
         |clean AS (SELECT event_type, coalesce(v, med) AS v FROM nulled, m)
         |SELECT event_type,
-        |  round((CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000) / 10000.0 + 0.0 AS value_mean,
+        |  round((CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(v)) * 10000) / 10000.0 + 0.0 AS value_mean,
         |  round(min(v),4) AS value_min,
         |  round(max(v),4) AS value_max, count(*) AS n
         |FROM clean GROUP BY event_type""".stripMargin,
@@ -1483,7 +1492,7 @@ object SparkEntry {
         |deduped AS (SELECT source, q FROM gated
         |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
         |SELECT source, count(*) AS kept_docs,
-        |  round((CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000) / 10000.0 + 0.0 AS avg_quality
+        |  round((CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(q)) * 10000) / 10000.0 + 0.0 AS avg_quality
         |FROM deduped GROUP BY source""".stripMargin,
 
     "d5_jaccard_pairs" ->

@@ -36,10 +36,13 @@ object Analytics {
     * exactly-representable dyadic .5, which every engine rounds away from
     * zero; (3) -0.0 vs 0.0 → the final `+ 0.0`.
     * DuckDB twin (operation order must match exactly):
-    * `round((CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)/count(*))*10000)/10000.0 + 0.0`
+    * `round((CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)/count(x))*10000)/10000.0 + 0.0`
+    * The divisor is `count(value)` — null-IGNORING, like `avg()` — not a
+    * row count: this is a general-purpose mean and a null input row must
+    * not bias it low.
     */
   private[graft] def stableMean4(value: Column, dec: String = "decimal(18,6)"): Column =
-    round(sum(value.cast(dec)).cast("double") / count(lit(1)) * 10000) / 10000.0 + lit(0.0)
+    round(sum(value.cast(dec)).cast("double") / count(value) * 10000) / 10000.0 + lit(0.0)
 
   /** A1 (analyze.py:146-183): global multi-aggregate basic stats.
     * count, ts range, min/max/mean/median of value.
@@ -269,12 +272,19 @@ object Analytics {
 
   /** Rank family coverage (SURVEY §2.5 notes the reference has none):
     * dense_rank + ntile quartile per group over the daily mean.
+    *
+    * Ranks order by the PUBLISHED stable mean (the scaled-round decimal
+    * form), not the raw double daily average: ranking on the raw double
+    * would let a 1-ULP cross-engine/partition-order drift flip the rank of
+    * two equal-mean days — the rounded key makes equal published means
+    * compare equal on every engine, and the date tiebreak keeps the order
+    * total.
     */
   def rankAndNtile(df: DataFrame, ts: String, key: String, value: String,
                    buckets: Int = 4): DataFrame = {
     val daily = df.groupBy(col(key), to_date(col(ts)).as("d"))
-      .agg(avg(col(value)).as("v"), stableMean4(col(value)).as("value_mean"))
-    val w = Window.partitionBy(key).orderBy(col("v").desc, col("d").asc)
+      .agg(stableMean4(col(value)).as("value_mean"))
+    val w = Window.partitionBy(key).orderBy(col("value_mean").desc, col("d").asc)
     daily.select(
       date_format(col("d"), "yyyy-MM-dd").as("date"), col(key),
       col("value_mean"),

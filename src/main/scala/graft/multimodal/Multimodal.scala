@@ -121,12 +121,18 @@ object Multimodal {
     */
   private val genLock = new Object
   def syntheticMediaTable(spark: SparkSession, sfDir: String): DataFrame = {
-    // cache dir keyed by the SANITIZED FULL PATH, not a hashCode — two sf
-    // dirs can never collide onto the same cache. The lock is JVM-local by
-    // design: the driver's harness runs Verify/Bench/tests sequentially.
+    // cache dir keyed by the SANITIZED FULL PATH plus a FINGERPRINT of the
+    // source parquet (length + mtime): regenerating the testdata moves the
+    // fingerprint, so a stale cached media table can never be read — and
+    // two JVMs racing on a regenerated source target different dirs, which
+    // also makes the cross-JVM race benign (the JVM-local lock only
+    // serializes within one process; the driver runs phases sequentially).
+    val src = new java.io.File(sfDir, "documents.parquet")
+    val fp = s"${src.length()}_${src.lastModified()}"
     val out = new java.io.File(
       sys.props("java.io.tmpdir"),
-      "graft_media_" + sfDir.replaceAll("[^A-Za-z0-9.-]", "_")).getAbsolutePath
+      "graft_media_" + sfDir.replaceAll("[^A-Za-z0-9.-]", "_") + "_" + fp)
+      .getAbsolutePath
     genLock.synchronized {
       if (!new java.io.File(out, "_SUCCESS").exists()) {
         graft.Tables(spark, sfDir, "documents")

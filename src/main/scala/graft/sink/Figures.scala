@@ -149,7 +149,9 @@ object Figures {
           .collect().map(r => (tLo + r.getInt(0) * width, r.getLong(1))).toSeq
       }
     // 4. weather condition distribution (analyze.py:404's value_counts bar)
-    val conds = clean.groupBy("weather_condition").agg(count(lit(1)).as("n"))
+    val conds = clean
+      .filter(col("weather_condition").isNotNull) // null group -> no bar, not an NPE
+      .groupBy("weather_condition").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("weather_condition"))
       .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toSeq
     // 5. temp vs humidity scatter + regression line (analyze.py:430-448);

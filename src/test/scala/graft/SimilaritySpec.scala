@@ -138,20 +138,23 @@ class SimilaritySpec extends SparkTestBase {
     // not SQL-expressible); THIS is the quality gate — a bucketing bug that
     // silently returned near-random neighbors would pass row counts but
     // crater recall. Same parameters as the registered queries
-    // (s2: nPlanes=5 nTables=16, s4: nCells=16 nProbes=2), sf0.01
+    // (s2: nPlanes=4 nTables=8, s4: nCells=16 nProbes=2), sf0.01
     // embeddings, 16 queries. Everything is seeded, so the measured recall
     // is exactly reproducible — no flake margin needed in the floor.
     //
     // Measured on this data (uniform 64-dim vectors — LSH's worst case):
     // single-table SRP nPlanes=6 gives recall 0.06 (which this gate
-    // caught); 5 planes x 16 OR-amplified tables gives 0.78 at ~50%
-    // candidate fraction; IVF 16 cells / 2 probes gives 0.93 at ~12.5%.
+    // caught); 4 planes x 8 OR-amplified tables gives 0.725; 5x16 gives
+    // 0.775 but costs 2.5x the inlined-literal codegen (the dominant cost
+    // of the whole query — ~3.5 s of one-time compile, see SparkEntry s2);
+    // IVF 16 cells / 2 probes gives 0.93 at ~12.5% candidate fraction.
     // More tables / more probes push recall toward 1 at proportional
     // candidate cost.
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val queries = emb.filter($"vec_id" < 16)
     val exact = topkSets(Similarity.bruteForceTopK(emb, queries, k = 5))
-    val srp = topkSets(Similarity.annTopK(emb, queries, k = 5, nPlanes = 5, nTables = 16))
+    val srp = topkSets(Similarity.annTopK(emb, queries, k = 5, nPlanes = 4, nTables = 8,
+      maxDim = 64))
     val ivf = topkSets(Similarity.ivfTopK(emb, queries, k = 5, nCells = 16, nProbes = 2))
     val srpRecall = recallAtK(srp, exact)
     val ivfRecall = recallAtK(ivf, exact)
