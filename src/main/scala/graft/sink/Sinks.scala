@@ -77,6 +77,30 @@ object Sinks {
     } finally conn.close()
   }
 
+  /** Bucketed parquet table (SURVEY §4.2 "bucketing for co-located
+    * joins"): persist pre-hash-distributed (and optionally pre-sorted)
+    * data so every later equi-join or aggregation on the bucket key plans
+    * ZERO exchanges — the shuffle is paid once at write time instead of
+    * once per downstream query. This is the storage-level scale lever for
+    * a 100 TB fact table that is joined on the same key by many
+    * consumers; partitioned parquet ([[writePartitioned]]) prunes
+    * point-lookups, bucketing removes join/agg shuffles. Both sides of a
+    * join must use the same bucket count and key. `saveAsTable` is
+    * required (bucket metadata lives in the catalog; a plain
+    * `.parquet(path)` write cannot record it); `path` makes the table
+    * external so the data outlives the session catalog.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCols: Seq[String],
+                    nBuckets: Int, path: Option[String] = None,
+                    sortCols: Seq[String] = Seq.empty): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed needs at least one bucket column")
+    val base = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    val sorted = if (sortCols.nonEmpty) base.sortBy(sortCols.head, sortCols.tail: _*) else base
+    val located = path.fold(sorted)(p => sorted.option("path", p))
+    located.saveAsTable(tableName)
+  }
+
   /** S12: nested analysis-result JSON (analyze.py:292-306) — one JSON
     * object per group assembled with struct/to_json, written as JSON lines.
     * The reference's single nested dict is the collect()-free equivalent of

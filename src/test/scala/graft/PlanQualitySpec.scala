@@ -157,6 +157,40 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("LeftAnti"))
   }
 
+  test("bucketed tables: equi-join on the bucket key plans zero exchanges") {
+    // SURVEY §4.2: bucketing pays the shuffle once at write time; every
+    // downstream join/agg on the bucket key must then run shuffle-free.
+    // Broadcast is disabled for the assertion — at 100 TB neither side
+    // broadcasts, so the plan under test is the sort-merge join the
+    // cluster would actually run.
+    import org.apache.spark.sql.functions.col
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.sink.Sinks.writeBucketed(
+        Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice"),
+        "li_bucketed", Seq("l_orderkey"), nBuckets = 4,
+        path = Some(s"$wh/li"), sortCols = Seq("l_orderkey"))
+      graft.sink.Sinks.writeBucketed(
+        Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+        "ord_bucketed", Seq("o_orderkey"), nBuckets = 4,
+        path = Some(s"$wh/ord"), sortCols = Seq("o_orderkey"))
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "o_orderpriority", "l_extendedprice")
+      val plan = executedPlan(joined)
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed join must not re-shuffle either side")
+      assert(plan.contains("SelectedBucketsCount")) // scan really is bucketed
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
   test("m1: media metadata query never reads the bytes column") {
     val df = SparkEntry.queries("m1_resize_plan")(spark, dir)
     val plan = executedPlan(df)
