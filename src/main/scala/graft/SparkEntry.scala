@@ -675,6 +675,32 @@ object SparkEntry {
       Text.chunkPlan(Tables.documents(s, d), "source", "doc_id", "text",
         contextLen = 2048)),
 
+    // PII scrub over a deterministically-dirtied column: the testdata text
+    // contains no PII at all (pure word soup), so an email/phone/IPv4 is
+    // derived from doc_id identically in both engines — a zero-hit oracle
+    // would pin nothing. Patterns are RE2-safe so DuckDB compiles the
+    // byte-identical regex.
+    "t13_pii_scrub" -> ((s, d) =>
+      Text.piiScrub(
+        Tables.documents(s, d).withColumn("dirty", concat(
+          col("text"), lit(" Contact doc"), col("doc_id").cast("string"),
+          lit("@example.com call 555-"),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".1"))),
+        "doc_id", "dirty")),
+
+    // C4 line rules over a 4-line synthetic document (real line, short
+    // line, boilerplate line, markup line) — exactly one line survives,
+    // and the full kept text is string-compared against the oracle.
+    "t14_c4_lines" -> ((s, d) =>
+      Text.c4LineFilter(
+        Tables.documents(s, d).withColumn("dirty", concat(
+          substring(col("text"), 1, 120),
+          lit(" end.\nshort\nPlease enable javascript and accept our cookie policy.\n{ \"nav\": 1 }"))),
+        "doc_id", "dirty", minWords = 5)),
+
     // ------------------------------------------------------------- dedup
     // Content-hash train/val/test split census: md5-keyed so the oracle
     // (and any other engine) recomputes the identical assignment.
@@ -1432,6 +1458,44 @@ object SparkEntry {
         |  CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS chunk_id
         |FROM t""".stripMargin,
+
+    "t13_pii_scrub" ->
+      """WITH dirty AS (SELECT doc_id,
+        |  text || ' Contact doc' || CAST(doc_id AS VARCHAR) || '@example.com call 555-' ||
+        |  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' ||
+        |  CAST(doc_id % 256 AS VARCHAR) || '.1' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
+        |FROM dirty""".stripMargin,
+
+    "t14_c4_lines" ->
+      """WITH dirty AS (SELECT doc_id,
+        |  substr(text, 1, 120) || ' end.' || chr(10) || 'short' || chr(10) ||
+        |  'Please enable javascript and accept our cookie policy.' || chr(10) ||
+        |  '{ "nav": 1 }' AS t
+        |  FROM documents),
+        |f AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM dirty),
+        |k AS (SELECT doc_id, ls,
+        |  list_filter(ls, l ->
+        |    len(list_filter(string_split_regex(l, '\s+'), w -> len(w) > 0)) >= 5
+        |    AND regexp_matches(l, '[.!?"]\s*$')
+        |    AND NOT contains(l, '{') AND NOT contains(l, '}')
+        |    AND NOT contains(lower(l), 'javascript')
+        |    AND NOT contains(lower(l), 'cookie')
+        |    AND NOT contains(lower(l), 'lorem ipsum')) AS keep
+        |  FROM f)
+        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(keep) AS BIGINT) AS n_kept,
+        |  array_to_string(keep, chr(10)) AS clean_text
+        |FROM k""".stripMargin,
 
     "d7_hash_split" ->
       """WITH b AS (SELECT source,

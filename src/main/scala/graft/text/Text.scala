@@ -242,4 +242,64 @@ object Text {
       .withColumn("avg_token_len", round(avgTokenLen(col(textCol)), 4))
       .withColumn("stopword_ratio", round(stopwordRatio(col(textCol), stopwords), 4))
       .withColumn("type_token_ratio", round(typeTokenRatio(col(textCol)), 4))
+
+  // ---------------------------------------------------------- pii scrub
+
+  /** RE2-safe PII patterns — no lookaround, no backreferences, so the
+    * DuckDB/RE2 oracle compiles the byte-identical pattern Spark's Java
+    * regex does and both engines agree on every match.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrub (the redaction pass a training corpus runs before release):
+    * per-category match counts plus the redacted text. Counts are measured
+    * on the ORIGINAL text per category, so they are order-independent;
+    * redaction applies email → phone → IPv4 sequentially with DIGIT-FREE
+    * placeholders, so an earlier redaction can neither create nor destroy
+    * a later category's match. Pure map-side regex — scan-dominated at
+    * 100 TB, no shuffle.
+    */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(emailPattern), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(phonePattern), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(t, lit(ipv4Pattern), lit(0))).cast("long").as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, emailPattern, "<EMAIL>"),
+          phonePattern, "<PHONE>"),
+        ipv4Pattern, "<IP>").as("clean_text"))
+  }
+
+  // ------------------------------------------------------ C4 line rules
+
+  /** C4-style line-level cleaning (Raffel et al. 2020, §2.2 — the rules
+    * behind the C4 corpus): keep a line iff it (a) has at least `minWords`
+    * whitespace-delimited words, (b) ends in terminal punctuation, (c)
+    * contains no curly brace (code/markup), and (d) carries none of the
+    * boilerplate markers (javascript / cookie / lorem ipsum,
+    * case-insensitive). Emits the kept lines rejoined plus per-document
+    * line accounting, so the drop rate is auditable. One pass of array
+    * lambdas over the line split — map-side, codegen'd, RE2-safe.
+    */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 5): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    def keep(l: Column): Column =
+      (size(filter(split(l, "\\s+"), w => length(w) > 0)) >= minWords) &&
+        l.rlike("[.!?\"]\\s*$") &&
+        !l.contains("{") && !l.contains("}") &&
+        !lower(l).contains("javascript") && !lower(l).contains("cookie") &&
+        !lower(l).contains("lorem ipsum")
+    val kept = filter(lines, keep(_))
+    df.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, "\n").as("clean_text"))
+  }
 }

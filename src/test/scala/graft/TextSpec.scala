@@ -164,4 +164,48 @@ class TextSpec extends SparkTestBase {
     assert(out(("s1", 3L)) === ((4L, 5L, 1L)))
     assert(out(("s2", 9L)) === ((3L, 0L, 0L))) // shards pack independently
   }
+
+  test("piiScrub: counts per category on the original text; sequential redaction") {
+    val df = Seq(
+      (1L, "mail a@b.org and c.d+x@e.co.uk, call 555-123-4567, host 10.0.0.1"),
+      (2L, "no pii here at all"),
+      (3L, "ip 192.168.255.3 twice 192.168.255.3")).toDF("id", "t")
+    val out = Text.piiScrub(df, "id", "t").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") === 2L)
+    assert(out(1L).getAs[Long]("n_phones") === 1L)
+    assert(out(1L).getAs[Long]("n_ips") === 1L)
+    assert(out(1L).getAs[String]("clean_text") ===
+      "mail <EMAIL> and <EMAIL>, call <PHONE>, host <IP>")
+    assert(out(2L).getAs[Long]("n_emails") === 0L)
+    assert(out(2L).getAs[String]("clean_text") === "no pii here at all")
+    assert(out(3L).getAs[Long]("n_ips") === 2L)
+    assert(out(3L).getAs[String]("clean_text") === "ip <IP> twice <IP>")
+  }
+
+  test("c4LineFilter: word minimum, terminal punctuation, braces, boilerplate markers") {
+    val doc =
+      "This is a real sentence with enough words in it.\n" + // kept
+      "too short.\n" +                                        // < 5 words
+      "this long line has many words but no terminal punctuation\n" +
+      "Please enable JavaScript and accept our Cookie policy today ok.\n" + // marker
+      "function f() { return 1; }\n" +                        // braces
+      "A second real sentence also survives the filter!"      // kept (ends !)
+    val out = Text.c4LineFilter(Seq((7L, doc)).toDF("id", "t"), "id", "t").collect()(0)
+    assert(out.getAs[Long]("n_lines") === 6L)
+    assert(out.getAs[Long]("n_kept") === 2L)
+    assert(out.getAs[String]("clean_text") ===
+      "This is a real sentence with enough words in it.\n" +
+      "A second real sentence also survives the filter!")
+  }
+
+  test("c4LineFilter: single-line and empty documents") {
+    val df = Seq((1L, "One good sentence with several words here."),
+                 (2L, "")).toDF("id", "t")
+    val out = Text.c4LineFilter(df, "id", "t").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_kept") === 1L)
+    assert(out(2L).getAs[Long]("n_kept") === 0L)
+    assert(out(2L).getAs[String]("clean_text") === "")
+  }
 }
