@@ -180,10 +180,17 @@ object Dedup {
   }
 
   /** End-to-end training-data curation funnel: quality gate → language
-    * gate → exact dedup → per-source yield summary. One composition of
-    * already-verified operators — the shape of a real corpus-curation job,
-    * where each stage only narrows the previous one and nothing but the
-    * final summary materializes.
+    * gate → exact dedup → per-source yield summary. The shape of a real
+    * corpus-curation job, where each stage only narrows the previous one
+    * and nothing but the final summary materializes.
+    *
+    * The dedup stage does NOT reuse [[exactDedup]]: that operator must
+    * output full keeper rows, so its exchange carries the documents. Here
+    * the summary only needs each keeper's (source, quality), so the
+    * min_by struct is projected down to exactly those two fields BEFORE
+    * the shuffle — the exchange carries (16-byte hash, source, double)
+    * per distinct content per map task, never a byte of text, at any
+    * corpus size.
     */
   def curationFunnel(df: DataFrame, idCol: String, textCol: String,
                      sourceCol: String, minQuality: Double,
@@ -192,12 +199,16 @@ object Dedup {
       .withColumn("__q", Text.qualityScore(col(textCol)))
       .withColumn("__lang", Text.langId(col(textCol)))
       .filter(col("__q") >= minQuality && col("__lang") === lang)
-    exactDedup(gated, idCol, textCol)
-      .groupBy(sourceCol)
+    gated
+      .select(md5(col(textCol)).as("__h"), col(idCol).as("__id"),
+              struct(col(sourceCol), col("__q")).as("__sq"))
+      .groupBy("__h")
+      .agg(min_by(col("__sq"), col("__id")).as("__k"))
+      .groupBy(col(s"__k.$sourceCol").as(sourceCol))
       .agg(count(lit(1)).as("kept_docs"),
            // engine-stable mean (see Analytics.stableMean4): per-source
            // groups are small enough that an exact .xxxx5 mean is likely
-           graft.analyze.Analytics.stableMean4(col("__q")).as("avg_quality"))
+           graft.analyze.Analytics.stableMean4(col("__k.__q")).as("avg_quality"))
   }
 
   /** Deterministic content-hash train/validation/test assignment: bucket =

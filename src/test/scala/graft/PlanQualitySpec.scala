@@ -123,10 +123,14 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("Window"))
   }
 
-  test("d6: curation funnel inherits the aggregate dedup shape, not a window") {
+  test("d6: curation funnel dedups via a narrow aggregate — no window, no text in the agg") {
     val plan = executedPlan(SparkEntry.queries("d6_curation_funnel")(spark, dir))
     assert(plan.contains("partial_min_by"))
     assert(!plan.contains("Window"))
+    // the funnel's dedup only needs (source, quality) per keeper, so the
+    // min_by payload — and therefore the shuffle — must not carry the text
+    val aggLines = plan.linesIterator.filter(_.contains("min_by")).toSeq
+    assert(aggLines.nonEmpty && aggLines.forall(!_.contains("text#")))
   }
 
   test("d7/d8: hash-split and source-mix scan only (text, source), agg is partial+final") {
