@@ -775,6 +775,27 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
     }),
+    // Cross-table join of the two LLM extension tables: documents enriched
+    // with their embedding's L2 norm, summarized per source. The norm is
+    // computed in double (native codegen dot) and quantized to
+    // decimal(20,10) BEFORE the mean so summation is order-free and
+    // engine-stable (same discipline as s3). At corpus scale both sides
+    // are big: the id equi-join is a sort-merge shuffle on the key unless
+    // both tables are bucketed on it (Sinks.writeBucketed), which makes it
+    // exchange-free; at test scale AQE broadcasts the smaller side.
+    "s5_doc_embedding_join" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        sqrt(graft.functions.VectorFunctions.dotNative(
+          Similarity.toDouble(col("embedding")),
+          Similarity.toDouble(col("embedding")))).as("__norm"))
+      docs.join(emb, col("doc_id") === col("vec_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          (round(sum(col("__norm").cast("decimal(20,10)")).cast("double") / count(lit(1)) * 10000) / 10000.0 + lit(0.0)).as("avg_norm"),
+          (round(sum(col("label").cast("decimal(18,6)")).cast("double") / count(lit(1)) * 10000) / 10000.0 + lit(0.0)).as("avg_label"))
+    }),
+
     // stable 4-digit rounding (see Analytics.stableMean4): scale before
     // round so the boundary is dyadic, +0.0 normalizes negative zero
     "s3_label_centroids" -> ((s, d) =>
@@ -1614,6 +1635,16 @@ object SparkEntry {
         |        / count(*)) * 10000) / 10000.0 + 0.0 AS mean_x,
         |  count(*) AS n
         |FROM embeddings, range(1, 65) t(i)
-        |GROUP BY label, i""".stripMargin
+        |GROUP BY label, i""".stripMargin,
+
+    "s5_doc_embedding_join" ->
+      """SELECT source, count(*) AS n_docs,
+        |  round((CAST(sum(CAST(sqrt(coalesce(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0.0)) AS DECIMAL(20,10))) AS DOUBLE)
+        |    / count(*)) * 10000) / 10000.0 + 0.0 AS avg_norm,
+        |  round((CAST(sum(CAST(label AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*)) * 10000) / 10000.0 + 0.0 AS avg_label
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |GROUP BY source""".stripMargin
   )
 }
