@@ -141,4 +141,45 @@ class PropertySpec extends SparkTestBase {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(ids25.subsetOf(ids50))
   }
+
+  test("exactDedup: one keeper per distinct text, always the minimum id; idempotent") {
+    // random corpus with heavy duplication: 40 distinct texts over 300 rows
+    val texts = (0 until 40).map(i => s"text body number ${i % 40} with words")
+    val rows = (0 until 300).map(i => (rng.nextLong().abs, texts(rng.nextInt(40))))
+    val df = rows.toDF("id", "text")
+    val out = Dedup.exactDedup(df, "id", "text").collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    val expectedMin = rows.groupBy(_._2).map { case (t, rs) => t -> rs.map(_._1).min }
+    assert(out === expectedMin) // exactly the distinct texts, each with min id
+    // idempotence: dedup of a deduplicated frame is a no-op
+    val once = Dedup.exactDedup(df, "id", "text")
+    val twice = Dedup.exactDedup(once, "id", "text")
+    assert(twice.collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      once.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
+  test("twoPassClean == literal nullOutliers-then-imputeMedians composition") {
+    // pins the single-pass conditional-median rewrite against the textbook
+    // two-step composition on data with outliers AND pre-existing nulls
+    val base = Gen.listOfN(400, Gen.choose(-50.0, 50.0)).sample.get.map(Option(_))
+    val dirty = base ++ Seq(Some(1e9), Some(-1e9), None, None)
+    val df = rng.shuffle(dirty).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val composed = graft.clean.Cleaning.imputeMedians(
+      graft.clean.Cleaning.nullOutliers(df, Seq("v")), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fused = graft.clean.Cleaning.twoPassClean(df, Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fused === composed)
+  }
+
+  test("stableMean4 ignores nulls (avg semantics), not a row-count mean") {
+    val df = Seq(Some(1.0), Some(2.0), Some(3.0), None, None).toDF("v")
+    val got = df.agg(Analytics.stableMean4($"v")).collect()(0).getDouble(0)
+    assert(got === 2.0) // (1+2+3)/3, NOT /5
+    // equal to the mean over the pre-filtered non-null frame
+    val filtered = Seq(1.0, 2.0, 3.0).toDF("v")
+      .agg(Analytics.stableMean4($"v")).collect()(0).getDouble(0)
+    assert(got === filtered)
+  }
 }
