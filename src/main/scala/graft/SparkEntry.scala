@@ -748,6 +748,11 @@ object SparkEntry {
           graft.multimodal.Multimodal.syntheticMediaTable(s, d), n = 4)
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
                 col("frame_ms"))),
+    // Audio-chunking arithmetic for the audio assets — windows + total
+    // samples from metadata alone, still never reading a blob byte.
+    "m3_audio_windows" -> ((s, d) =>
+      graft.multimodal.Multimodal.audioWindows(
+        graft.multimodal.Multimodal.syntheticMediaTable(s, d), windowMs = 5000)),
 
     // --------------------------------------------- embedding similarity
     "s1_brute_topk" -> ((s, d) => {
@@ -1616,6 +1621,18 @@ object SparkEntry {
         |  CAST(floor(duration_ms * i / 4.0) AS BIGINT) AS frame_ms
         |FROM m, range(0, 4) t(i)
         |WHERE kind = 'video'""".stripMargin,
+
+    "m3_audio_windows" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'video' ELSE 'audio' END AS kind,
+        |    CAST(16000 AS INT) AS sample_rate,
+        |    CAST((doc_id % 60 + 1) * 1000 AS BIGINT) AS duration_ms
+        |  FROM documents)
+        |SELECT media_id, sample_rate, duration_ms,
+        |  CAST(ceil(duration_ms / 5000.0) AS BIGINT) AS n_windows,
+        |  CAST(duration_ms * sample_rate / 1000 AS BIGINT) AS n_samples
+        |FROM m WHERE kind = 'audio'""".stripMargin,
 
     "s1_brute_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,

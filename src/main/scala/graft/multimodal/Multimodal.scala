@@ -96,6 +96,22 @@ object Multimodal {
           i => floor(col("duration_ms") * i / n).cast("long"))).as(Seq("frame_idx", "frame_ms")))
   }
 
+  /** Audio chunking plan for audio rows: from (sample_rate, duration_ms)
+    * alone, the number of fixed-length windows and the total sample count
+    * — the batching arithmetic a feature extractor (fbank/MFCC) needs
+    * before touching a byte. Pure metadata projection: the scan never
+    * reads `bytes` (same PlanQualitySpec pruning discipline as m1/m2).
+    */
+  def audioWindows(media: DataFrame, windowMs: Int = 5000): DataFrame = {
+    require(windowMs > 0, s"audioWindows needs windowMs > 0, got $windowMs")
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.duration_ms").as("duration_ms"),
+        ceil(col("meta.duration_ms").cast("double") / windowMs).cast("long").as("n_windows"),
+        (col("meta.duration_ms") * col("meta.sample_rate") / 1000L).cast("long").as("n_samples"))
+  }
+
   /** Metadata-only resize plan: computes target dims preserving aspect
     * ratio entirely from `meta` (no bytes read — check the scan's
     * ReadSchema). The byte-producing resize is the decode stub's twin.

@@ -55,6 +55,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(!readSchema.contains("bytes"))
   }
 
+  test("audioWindows: window count rounds up; sample count exact; audio rows only") {
+    val m = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "audio", null, meta(sr = 16000, dur = 7000L)), // 1.4 -> 2 windows
+        Row(2L, "audio", null, meta(sr = 8000, dur = 5000L)),  // exactly 1 window
+        Row(3L, "video", Array[Byte](1), meta(dur = 9000L)))), // not audio
+      Multimodal.mediaSchema)
+    val out = Multimodal.audioWindows(m, windowMs = 5000).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_samples"))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((2L, 112000L))) // ceil(7000/5000)=2; 7000*16000/1000
+    assert(out(2L) === ((1L, 40000L)))
+  }
+
   test("spreadBySize partitions by payload volume") {
     val spread = Multimodal.spreadBySize(media, targetBytesPerPartition = 2L)
     assert(spread.rdd.getNumPartitions >= 3) // ~8 payload bytes / 2 per part
