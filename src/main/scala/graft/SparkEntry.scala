@@ -486,17 +486,36 @@ object SparkEntry {
     // another supplier exists in the order; anti-join proves none shipped
     // later.
     "q21_waiting_suppliers" -> ((s, d) => {
-      val l1 = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
-        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F").select("o_orderkey"),
-          col("l_orderkey") === col("o_orderkey"), "left_semi")
-      val l2 = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("lo2"), col("l_suppkey").as("ls2"))
-      val l3 = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("lo3"), col("l_suppkey").as("ls3"),
-                col("l_shipdate").as("ld3"))
-      l1.join(l2, col("l_orderkey") === col("lo2") && col("l_suppkey") =!= col("ls2"), "left_semi")
-        .join(l3, col("l_orderkey") === col("lo3") && col("l_suppkey") =!= col("ls3") &&
-                  col("ld3") > col("l_shipdate"), "left_anti")
+      // Single-scan window rewrite of the EXISTS / NOT EXISTS chain (the
+      // oracle stays the literal three-reference SQL, so the driver gate
+      // proves the rewrite). A row "waits" iff its order is F-status, the
+      // order has >= 2 suppliers, and NO other supplier shipped later —
+      // i.e. l_shipdate >= max(shipdate over the order's OTHER suppliers).
+      // That max is derived from per-supplier maxima: with t1 = best
+      // supplier max in the order, t2 = best among the rest, a given
+      // supplier's "other max" is t1 unless it alone holds t1 (then t2).
+      // The literal form scans the fact three times and runs two fact-fact
+      // semi/anti joins; this shape scans it ONCE — the (ok, sk) exchange
+      // feeds both the per-supplier aggregate and the join probe
+      // (ReuseExchange), and the t1/t2 windows run over the tiny aggregate.
+      val fOrders = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey")
+      val rows = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val perSupp = rows.groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .agg(max(col("l_shipdate")).as("smax"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("ok")
+      val ps = perSupp
+        .withColumn("nsupp", count(lit(1)).over(w))
+        .withColumn("t1", max(col("smax")).over(w))
+        .withColumn("cnt_t1", sum(when(col("smax") === col("t1"), 1).otherwise(0)).over(w))
+        .withColumn("t2", max(when(col("smax") < col("t1"), col("smax"))).over(w))
+        .select(col("ok"), col("sk"), col("nsupp"),
+          when(col("cnt_t1") >= 2 || col("smax") =!= col("t1"), col("t1"))
+            .otherwise(col("t2")).as("max_other"))
+      rows
+        .join(ps, col("l_orderkey") === col("ok") && col("l_suppkey") === col("sk"))
+        .filter(col("nsupp") >= 2 && col("l_shipdate") >= col("max_other"))
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name")
         .agg(count(lit(1)).as("numwait"))
