@@ -737,6 +737,13 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("n"))),
 
+    // Per-source cap census: at most 15 docs per source by content-hash
+    // order (unbiased, engine-recomputable) — summarized as kept counts.
+    "d9_source_cap" -> ((s, d) =>
+      Dedup.perSourceCap(Tables.documents(s, d), "source", "doc_id", "text", cap = 15)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"),
+                               min(col("doc_id")).as("min_kept_id"))),
+
     "d1_exact_dup_stats" -> ((s, d) => Dedup.exactDupStats(Tables.documents(s, d), "text")),
     "d2_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")),
     "d3_lsh_buckets" -> ((s, d) => Dedup.lshBuckets(Tables.documents(s, d), "doc_id", "text")),
@@ -1567,6 +1574,14 @@ object SparkEntry {
       """SELECT count(*) AS total_docs, count(DISTINCT text) AS distinct_docs,
         |  count(*) - count(DISTINCT text) AS dup_docs
         |FROM documents""".stripMargin,
+
+    "d9_source_cap" ->
+      """WITH ranked AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT), doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept, min(doc_id) AS min_kept_id
+        |FROM ranked WHERE rn <= 15 GROUP BY source""".stripMargin,
 
     "d2_exact_dedup" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents

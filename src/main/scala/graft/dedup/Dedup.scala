@@ -255,6 +255,27 @@ object Dedup {
     df.filter(bucket < threshold)
   }
 
+  /** Deterministic per-source cap: keep at most `cap` documents per
+    * source, chosen by CONTENT-HASH order (then id, so the order is
+    * total) — an unbiased, reshuffle-stable "at most N per source" sample,
+    * the counterpart of [[weightedSourceSample]]'s fractional mixing.
+    * Hash order means the kept set is a uniform sample of the source and
+    * is stable across engines and re-ingestions; taking "first N by id"
+    * would bias toward old documents. One window per source partition;
+    * rank ≤ cap compiles to the partial WindowGroupLimit, so each map
+    * task keeps at most `cap` rows per source before the shuffle.
+    */
+  def perSourceCap(df: DataFrame, sourceCol: String, idCol: String,
+                   contentCol: String, cap: Int): DataFrame = {
+    require(cap > 0, s"perSourceCap needs cap > 0, got $cap")
+    val hashKey = conv(substring(md5(col(contentCol)), 1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(hashKey.asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
   // ----------------------------------------------------- dup clustering
 
   /** Connected components over a near-dup pair table (id1 < id2) by

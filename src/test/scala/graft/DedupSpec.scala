@@ -116,6 +116,23 @@ class DedupSpec extends SparkTestBase {
     assert(labels.values.toSet === Set(0L))
   }
 
+  test("perSourceCap: at most N per source, deterministic hash order, stable across reshuffles") {
+    val docs = (0 until 60).map(i => (i.toLong, s"document body $i", s"s${i % 3}"))
+      .toDF("id", "text", "source")
+    val capped = Dedup.perSourceCap(docs, "source", "id", "text", cap = 7)
+    val bySource = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource === Map("s0" -> 7L, "s1" -> 7L, "s2" -> 7L))
+    // determinism: the kept ID SET is identical under a different physical layout
+    val ids1 = capped.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Dedup.perSourceCap(docs.repartition(7), "source", "id", "text", cap = 7)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+    // under-cap sources keep everything
+    val tiny = Seq((1L, "a doc", "s")).toDF("id", "text", "source")
+    assert(Dedup.perSourceCap(tiny, "source", "id", "text", cap = 5).count() === 1)
+  }
+
   test("curationFunnel: gates on quality+language, dedups, summarizes yield") {
     val corpus = Seq(
       (1L, "the cat is on the mat and it sits with a hat near the flat door today fine", "s1"),
