@@ -744,6 +744,14 @@ object SparkEntry {
         .groupBy("source").agg(count(lit(1)).as("n_kept"),
                                min(col("doc_id")).as("min_kept_id"))),
 
+    // Interleaved training order: first 100 global positions of the
+    // round-robin source mix (sources src0..src19 -> index = suffix).
+    "d10_interleave" -> ((s, d) =>
+      Dedup.interleaveOrder(Tables.documents(s, d), "source", "doc_id", "text",
+          nSources = 20, sourceIndex = substring(col("source"), 4, 8).cast("int"))
+        .select(col("pos"), col("source"), col("doc_id"))
+        .orderBy("pos").limit(100)),
+
     "d1_exact_dup_stats" -> ((s, d) => Dedup.exactDupStats(Tables.documents(s, d), "text")),
     "d2_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")),
     "d3_lsh_buckets" -> ((s, d) => Dedup.lshBuckets(Tables.documents(s, d), "doc_id", "text")),
@@ -1574,6 +1582,15 @@ object SparkEntry {
       """SELECT count(*) AS total_docs, count(DISTINCT text) AS distinct_docs,
         |  count(*) - count(DISTINCT text) AS dup_docs
         |FROM documents""".stripMargin,
+
+    "d10_interleave" ->
+      """WITH ranked AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT), doc_id) AS rn
+        |  FROM documents)
+        |SELECT CAST((rn - 1) * 20 + CAST(substr(source, 4, 8) AS INT) AS BIGINT) AS pos,
+        |  source, doc_id
+        |FROM ranked ORDER BY pos LIMIT 100""".stripMargin,
 
     "d9_source_cap" ->
       """WITH ranked AS (SELECT source, doc_id,

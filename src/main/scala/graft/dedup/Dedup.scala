@@ -276,6 +276,27 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Deterministic interleaved training order: ranks each source's
+    * documents by content hash (stable, unbiased — same key discipline as
+    * [[perSourceCap]]) and assigns the global position
+    * `(rank-1) * nSources + sourceIndex`, a round-robin interleave — so a
+    * sequential reader sees sources evenly mixed instead of
+    * source-clustered (the batch-composition property training cares
+    * about; a source-sorted corpus gives each batch one domain).
+    * Positions are globally unique when `sourceIndex` < nSources. One
+    * window shuffle on the source key; writing the corpus ordered by
+    * `pos` is then a plain range-partitioned sort.
+    */
+  def interleaveOrder(df: DataFrame, sourceCol: String, idCol: String,
+                      contentCol: String, nSources: Int,
+                      sourceIndex: Column): DataFrame = {
+    require(nSources > 0, s"interleaveOrder needs nSources > 0, got $nSources")
+    val hashKey = conv(substring(md5(col(contentCol)), 1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy(col(sourceCol)).orderBy(hashKey.asc, col(idCol).asc)
+    df.withColumn("pos",
+        (row_number().over(w) - 1).cast("long") * nSources + sourceIndex.cast("long"))
+  }
+
   // ----------------------------------------------------- dup clustering
 
   /** Connected components over a near-dup pair table (id1 < id2) by

@@ -133,6 +133,20 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.perSourceCap(tiny, "source", "id", "text", cap = 5).count() === 1)
   }
 
+  test("interleaveOrder: round-robin positions, globally unique, source-balanced prefix") {
+    val docs = (0 until 90).map(i => (i.toLong, s"doc body $i", s"s${i % 3}"))
+      .toDF("id", "text", "source")
+    val idx = org.apache.spark.sql.functions.substring(
+      org.apache.spark.sql.functions.col("source"), 2, 4).cast("int")
+    val out = Dedup.interleaveOrder(docs, "source", "id", "text",
+        nSources = 3, sourceIndex = idx)
+      .select("pos", "source").collect()
+    assert(out.map(_.getLong(0)).toSet.size === 90) // positions globally unique
+    // every window of 3 consecutive positions holds all 3 sources
+    val first30 = out.sortBy(_.getLong(0)).take(30).map(_.getString(1))
+    first30.grouped(3).foreach(g => assert(g.toSet === Set("s0", "s1", "s2")))
+  }
+
   test("curationFunnel: gates on quality+language, dedups, summarizes yield") {
     val corpus = Seq(
       (1L, "the cat is on the mat and it sits with a hat near the flat door today fine", "s1"),
