@@ -193,8 +193,15 @@ object SparkEntry {
         .join(Tables.orders(s, d)
           .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
           col("c_custkey") === col("o_custkey"))
+        // fact-fact join pinned to sort-merge: at any interesting scale the
+        // filtered lineitem side exceeds every broadcast threshold, so SMJ
+        // is the plan a cluster runs — and a fact-side hash relation is
+        // never a build side we want (AQE at sf0.1 would broadcast the
+        // ~100k-row filtered fact; measured slower here too: the
+        // single-threaded broadcast build costs more than the shuffle)
         .join(Tables.lineitem(s, d)
-          .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp")),
+          .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+          .hint("merge"),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy("l_orderkey", "o_orderpriority")
         .agg(decSum2(volDec).as("revenue"))
