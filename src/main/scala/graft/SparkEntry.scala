@@ -717,6 +717,17 @@ object SparkEntry {
           lit(".1"))),
         "doc_id", "dirty")),
 
+    // URL/domain census over a deterministically-dirtied column (testdata
+    // has no URLs): each doc gains one URL whose domain derives from
+    // doc_id, so the corpus-level domain distribution is oracle-checkable.
+    "t15_domain_census" -> ((s, d) =>
+      Text.domainCensus(
+        Tables.documents(s, d).withColumn("dirty", concat(
+          col("text"), lit(" see https://site"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".example.org/path?q=1 and more"))),
+        "dirty")
+        .orderBy(col("n").desc, col("domain"))),
+
     // C4 line rules over a 4-line synthetic document (real line, short
     // line, boilerplate line, markup line) — exactly one line survives,
     // and the full kept text is string-compared against the oracle.
@@ -1542,6 +1553,16 @@ object SparkEntry {
         |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
         |FROM dirty""".stripMargin,
+
+    "t15_domain_census" ->
+      """WITH dirty AS (SELECT doc_id,
+        |  text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |  '.example.org/path?q=1 and more' AS t
+        |  FROM documents)
+        |SELECT d AS domain, count(*) AS n
+        |FROM (SELECT unnest(regexp_extract_all(t, 'https?://([^\s/?#]+)', 1)) AS d
+        |      FROM dirty)
+        |GROUP BY d ORDER BY n DESC, d""".stripMargin,
 
     "t14_c4_lines" ->
       """WITH dirty AS (SELECT doc_id,
