@@ -6,5 +6,8 @@
 # the diff like code.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-sbt -batch "runMain graft.ExplainAudit" "$@"
+# query names ride inside the runMain string (separate sbt args would be
+# parsed as sbt commands); cpus pinned so regeneration matches the
+# committed ledger regardless of the caller's SPARK_GRAFT_CPUS
+SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.ExplainAudit $*"
 git --no-pager diff --stat docs/plans || true

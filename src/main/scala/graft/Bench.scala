@@ -20,6 +20,10 @@ object Bench {
       Tables.lineitem(spark, sfDir).limit(1).count()
     } catch { case _: Throwable => () }
     // Optional args: bench only the named queries (driver passes none).
+    // Unknown names warn loudly — a silent empty filter would produce a
+    // zero-timing "successful" bench that reads as a real run.
+    args.filterNot(SparkEntry.queries.contains)
+      .foreach(n => System.err.println(s"[Bench] unknown query: $n"))
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }

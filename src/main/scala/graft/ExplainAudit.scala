@@ -27,13 +27,16 @@ object ExplainAudit {
     "t9_tfidf", "s2_ann_topk", "s3_label_centroids", "e1_embedding_neardups",
     "w9_range_rolling", "o3_set_ops")
 
-  /** Strip per-run ids so the ledger diffs on structure only. */
+  /** Strip per-run ids AND configuration-dependent partition counts so
+    * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS
+    * must not rewrite every `hashpartitioning(..., N)` in the ledger).
+    */
   private[graft] def scrub(plan: String): String =
     plan
       .replaceAll("#\\d+[A-Za-z]*", "#x")        // expression ids
       .replaceAll("plan_id=\\d+", "plan_id=x")
-      .replaceAll("\\[id=#x\\]", "[id=#x]")
       .replaceAll("\\(\\d+\\)", "(n)")            // codegen stage ids
+      .replaceAll("(partitioning\\([^)]*), \\d+\\)", "$1, n)")
       .replaceAll("cachedrdd_\\d+", "cachedrdd_x")
       .replaceAll("/root/testdata/sf[0-9.]+", "<sf>")
 

@@ -138,17 +138,26 @@ object Multimodal {
   private val genLock = new Object
   def syntheticMediaTable(spark: SparkSession, sfDir: String): DataFrame = {
     // cache dir keyed by the SANITIZED FULL PATH plus a FINGERPRINT of the
-    // source parquet (length + mtime): regenerating the testdata moves the
-    // fingerprint, so a stale cached media table can never be read — and
-    // two JVMs racing on a regenerated source target different dirs, which
-    // also makes the cross-JVM race benign (the JVM-local lock only
-    // serializes within one process; the driver runs phases sequentially).
-    val src = new java.io.File(sfDir, "documents.parquet")
-    val fp = s"${src.length()}_${src.lastModified()}"
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_media_" + sfDir.replaceAll("[^A-Za-z0-9.-]", "_") + "_" + fp)
-      .getAbsolutePath
+    // source parquet (total bytes + latest mtime, via the Hadoop FS so a
+    // directory-style parquet fingerprints correctly and a MISSING source
+    // fails loudly instead of degrading to 0_0): regenerating the testdata
+    // moves the fingerprint, so a stale cached media table can never be
+    // read — and two JVMs racing on a regenerated source target different
+    // dirs, which also makes the cross-JVM race benign (the JVM-local lock
+    // only serializes within one process). Older fingerprints of the same
+    // source are deleted below so regenerations don't accumulate copies.
+    val srcPath = new org.apache.hadoop.fs.Path(sfDir, "documents.parquet")
+    val fs = srcPath.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(srcPath), s"syntheticMediaTable: no documents parquet at $srcPath")
+    val summary = fs.getContentSummary(srcPath)
+    val mtime = fs.getFileStatus(srcPath).getModificationTime
+    val fp = s"${summary.getLength}_$mtime"
+    val prefix = "graft_media_" + sfDir.replaceAll("[^A-Za-z0-9.-]", "_") + "_"
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix) && f.getName != prefix + fp)
+      .foreach(stale => org.apache.commons.io.FileUtils.deleteQuietly(stale))
+    val out = new java.io.File(tmp, prefix + fp).getAbsolutePath
     genLock.synchronized {
       if (!new java.io.File(out, "_SUCCESS").exists()) {
         graft.Tables(spark, sfDir, "documents")
