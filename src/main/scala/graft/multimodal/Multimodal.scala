@@ -154,8 +154,13 @@ object Multimodal {
     val fp = s"${summary.getLength}_$mtime"
     val prefix = "graft_media_" + sfDir.replaceAll("[^A-Za-z0-9.-]", "_") + "_"
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    // reap stale fingerprints, but only ones idle > 1 h: deleting a
+    // just-superseded dir immediately could yank it from under a
+    // concurrent JVM that resolved its path before the regeneration
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
     Option(tmp.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith(prefix) && f.getName != prefix + fp)
+      .filter(f => f.getName.startsWith(prefix) && f.getName != prefix + fp &&
+                   f.lastModified() < cutoff)
       .foreach(stale => org.apache.commons.io.FileUtils.deleteQuietly(stale))
     val out = new java.io.File(tmp, prefix + fp).getAbsolutePath
     genLock.synchronized {
