@@ -32,17 +32,27 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver keeps only the last ~2000 chars of stdout. Per-query
+    // times are rounded to ms (bench noise is >>1ms) and the headline
+    // fields go LAST so a front-truncated tail still shows the total.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = "{\"queries\":" + qs +
+      s""","sf":"$sfDir","n_queries":${results.size},"metric":"total","unit":"sec","value":${f"$total%.3f"}}"""
     println(json)
-    // also persist to a file so the driver can parse the JSON robustly
-    // instead of recovering it from the sbt stdout tail
-    val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
-    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    java.nio.file.Files.write(out, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Persist the full JSON to tracked + untracked paths so the complete
+    // per-query data survives even when the stdout tail clips the line.
+    Seq(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"),
+      "docs/bench_full.json"
+    ).distinct.foreach { p =>
+      try {
+        val out = java.nio.file.Paths.get(p)
+        Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(out, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

@@ -214,6 +214,37 @@ object Similarity {
     rankTopK(scored, queryIdCol, k)
   }
 
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * vector-index compression step (4× smaller than float32, 8× smaller
+    * than the double compute form): per vector, `scale = max(|x|)` and
+    * `q_i = floor(x_i·127/scale + 0.5)` (half-up; saturates only at the
+    * max element by construction). Published as a compact per-vector
+    * summary (scale + integer checksums) rather than the raw int array so
+    * the result is hash-comparable. Everything is map-side — at 100 TB
+    * this is a pure scan+project pass, no shuffle.
+    *
+    * Determinism: `scale` is a max over float→double casts (bit-exact in
+    * any engine); `floor(x·127/scale + 0.5)` is floor over one IEEE
+    * multiply+divide+add — identical bits everywhere, unlike `round()`
+    * whose half-way tie handling differs between engines (Spark rounds
+    * the shortest decimal repr, DuckDB the binary value). Zero vectors
+    * quantize to all-zero with scale 0.
+    */
+  def int8Quantize(df: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol), toDouble(col(vecCol)).as("__v"))
+      .withColumn("__scale", array_max(transform(col("__v"), x => abs(x))))
+      .withColumn("__q", transform(col("__v"), x =>
+        when(col("__scale") === 0.0, lit(0))
+          .otherwise(floor(x * lit(127.0) / col("__scale") + lit(0.5)).cast("int"))))
+      .select(
+        col(idCol),
+        col("__scale").as("scale"),
+        aggregate(col("__q"), lit(0L), (acc, q) => acc + q).as("q_sum"),
+        array_min(col("__q")).as("q_min"),
+        array_max(col("__q")).as("q_max"),
+        size(filter(col("__q"), q => abs(q) === 127)).cast("long").as("n_saturated"))
+
   /** Per-label centroid summary over the embedding column: vector mean via
     * posexplode + two-key groupBy (scales to any dimension/cardinality —
     * no driver-side vectors), plus count. SQL-expressible → the oracled
