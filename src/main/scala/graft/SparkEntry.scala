@@ -862,7 +862,15 @@ object SparkEntry {
                 col("n"))),
     "e1_embedding_neardups" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.2, nPlanes = 6, maxDim = 64))
+        threshold = 0.2, nPlanes = 6, maxDim = 64)),
+    // Symmetric int8 quantization summary (scale + integer checksums of the
+    // quantized array): the standard vector-index compression step, published
+    // as a hash-comparable per-vector projection. Pure map-side scan — at
+    // 100 TB this is one pass, zero shuffle. floor(x+0.5) half-up is chosen
+    // over round() because the latter's tie handling differs between engines
+    // (see Similarity.int8Quantize doc).
+    "s6_int8_quantize" -> ((s, d) =>
+      Similarity.int8Quantize(Tables.embeddings(s, d)))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables). Shared determinism
@@ -1741,6 +1749,24 @@ object SparkEntry {
         |  round((CAST(sum(CAST(label AS DECIMAL(18,6))) AS DOUBLE)
         |    / count(*)) * 10000) / 10000.0 + 0.0 AS avg_label
         |FROM documents JOIN embeddings ON doc_id = vec_id
-        |GROUP BY source""".stripMargin
+        |GROUP BY source""".stripMargin,
+
+    "s6_int8_quantize" ->
+      """WITH v AS (SELECT vec_id,
+        |       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        |     FROM embeddings),
+        |s AS (SELECT vec_id, dv,
+        |       list_max(list_transform(dv, x -> abs(x))) AS scale FROM v),
+        |q AS (SELECT vec_id, scale,
+        |       CASE WHEN scale = 0 THEN list_transform(dv, x -> CAST(0 AS INT))
+        |            ELSE list_transform(dv, x -> CAST(floor(x * 127.0 / scale + 0.5) AS INT))
+        |       END AS qv
+        |     FROM s)
+        |SELECT vec_id, scale,
+        |  CAST(coalesce(list_sum(qv), 0) AS BIGINT) AS q_sum,
+        |  list_min(qv) AS q_min,
+        |  list_max(qv) AS q_max,
+        |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_saturated
+        |FROM q""".stripMargin
   )
 }

@@ -163,6 +163,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivfRecall >= 0.6, s"IVF recall@5 $ivfRecall below floor 0.6")
   }
 
+  test("int8Quantize: zero vector, saturation, bounds, scale invariance") {
+    val emb = Seq(
+      (0L, Seq(0.0f, 0.0f, 0.0f)),  // zero vector -> scale 0, all-zero q
+      (1L, Seq(1.0f, -2.0f, 4.0f)), // mixed signs, max positive
+      (2L, Seq(0.5f, -1.0f, 2.0f)), // = vec1 * 0.5, exactly representable
+      (3L, Seq(-3.0f, 1.5f, 0.0f))  // max-|x| element is negative
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.int8Quantize(emb).collect().map(row => row.getLong(0) -> row).toMap
+
+    // zero vector: scale 0 and an all-zero quantized array
+    assert(r(0L).getDouble(1) === 0.0)
+    assert(r(0L).getLong(2) === 0L && r(0L).getInt(3) === 0 && r(0L).getInt(4) === 0)
+    assert(r(0L).getLong(5) === 0L)
+
+    // hand-computed vec1 (scale 4): q = (32, -63, 127)
+    assert(r(1L).getDouble(1) === 4.0)
+    assert(r(1L).getLong(2) === 96L)   // 32 - 63 + 127
+    assert(r(1L).getInt(3) === -63 && r(1L).getInt(4) === 127)
+
+    // every non-zero vector saturates at its max-|x| element by construction
+    Seq(1L, 2L, 3L).foreach(id => assert(r(id).getLong(5) >= 1L, s"vec $id n_saturated"))
+    // quantized values stay in the int8 symmetric range
+    r.values.foreach { row =>
+      assert(row.getInt(3) >= -127 && row.getInt(4) <= 127)
+    }
+    // scale invariance: vec2 = vec1 * 0.5 (exact in float) -> identical
+    // quantized summary, only scale differs
+    assert(r(2L).getDouble(1) === 2.0)
+    Seq(2, 3, 4, 5).foreach(i => assert(r(1L).get(i) === r(2L).get(i), s"col $i"))
+    // a negative max-|x| element saturates at -127, never -128
+    assert(r(3L).getInt(3) === -127)
+  }
+
   test("withUnitNorm: dot of unit vectors equals cosine of originals") {
     val gen = new scala.util.Random(21)
     val emb = (0L until 10L).map(i => (i, Seq.fill(8)(gen.nextFloat()))).toDF("vec_id", "embedding")
