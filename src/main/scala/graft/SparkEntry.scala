@@ -870,7 +870,17 @@ object SparkEntry {
     // over round() because the latter's tie handling differs between engines
     // (see Similarity.int8Quantize doc).
     "s6_int8_quantize" -> ((s, d) =>
-      Similarity.int8Quantize(Tables.embeddings(s, d)))
+      Similarity.int8Quantize(Tables.embeddings(s, d))),
+    // SRP-LSH with the int8 prefilter in the candidate path: quantized
+    // 1-byte vectors ride the bucket-join shuffle, integer-dot prefilter,
+    // exact rescore only for the top-32 per query. Hash-bucketed like s2
+    // -> rows-only driver check; SimilaritySpec gates recall >= 0.6 AND
+    // the counted exact-comparison reduction vs the plain SRP path.
+    "s7_ann_int8" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.annTopKInt8(emb, emb.filter(col("vec_id") < 8), k = 5,
+        nPlanes = 4, nTables = 8, rerank = 32, maxDim = 64)
+    })
   )
 
   /** DuckDB oracle SQL per query (same parquet tables). Shared determinism

@@ -34,6 +34,7 @@ class ContractSpec extends AnyFunSuite {
       "t7_winnow",             // rolling-hash-keyed
       "s2_ann_topk",           // SRP-bucket (hash-derived planes)
       "s4_ivf_topk",           // centroid-sample dependent
+      "s7_ann_int8",           // SRP-bucket + int8 prefilter (recall + cost gated in SimilaritySpec)
       "e1_embedding_neardups") // SRP-bucket
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled === rowsOnlyByDesign,

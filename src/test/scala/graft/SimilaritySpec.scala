@@ -163,6 +163,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivfRecall >= 0.6, s"IVF recall@5 $ivfRecall below floor 0.6")
   }
 
+  test("annTopKInt8: int8 prefilter keeps recall and cuts exact-rescore cost") {
+    // Same parameters as registered s7_ann_int8. Two claims gated here:
+    // (1) recall survives the int8 prefilter (quantizing a unit vector
+    // perturbs each element by <= 1/254, so top-32-of-candidates by
+    // integer dot still contains the true top-5), and (2) the exact
+    // rescore runs on at most nQueries*rerank rows where the plain SRP
+    // path exact-scores EVERY deduped candidate pair.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.filter($"vec_id" < 16)
+    val exact = topkSets(Similarity.bruteForceTopK(emb, queries, k = 5))
+    val int8 = topkSets(Similarity.annTopKInt8(emb, queries, k = 5,
+      nPlanes = 4, nTables = 8, rerank = 32, maxDim = 64))
+    val recall = recallAtK(int8, exact)
+    // exact comparisons in the plain path = all candidate pairs (k high
+    // enough to keep every scored row)
+    val fullComparisons = Similarity.annTopK(emb, queries, k = Int.MaxValue,
+      nPlanes = 4, nTables = 8, maxDim = 64).count()
+    val int8Comparisons = 16L * 32L // nQueries * rerank upper bound
+    info(f"recall@5=$recall%.3f exact-comparisons: full=$fullComparisons int8<=$int8Comparisons")
+    assert(recall >= 0.6, s"int8-prefiltered recall@5 $recall below floor 0.6")
+    assert(int8Comparisons * 2 < fullComparisons,
+      s"int8 prefilter should cut exact comparisons >2x (full=$fullComparisons)")
+  }
+
   test("int8Quantize: zero vector, saturation, bounds, scale invariance") {
     val emb = Seq(
       (0L, Seq(0.0f, 0.0f, 0.0f)),  // zero vector -> scale 0, all-zero q
