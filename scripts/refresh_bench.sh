@@ -1,0 +1,13 @@
+#!/usr/bin/env bash
+# Deliberate bench snapshot: run the bench uncontended and copy the full
+# JSON into the tracked docs/bench_full.json. Run this with NOTHING else
+# on the box (no sbt test, no Verify) — contention inflates single-shot
+# query times 1.5-10x (see README "Benchmark methodology").
+set -euo pipefail
+cd "$(dirname "$0")/.."
+export SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
+export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
+export SPARK_GRAFT_BENCH_BEST_OF="${SPARK_GRAFT_BENCH_BEST_OF:-2}"
+sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' | sed 's/^\[info\] //'
+cp target/bench.json docs/bench_full.json
+echo "snapshot written to docs/bench_full.json (best_of=$SPARK_GRAFT_BENCH_BEST_OF)"

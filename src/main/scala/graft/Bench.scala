@@ -1,9 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 object Bench {
+  /** Locale-pinned fixed-point formatting: the default-locale f"" emits
+    * comma decimals (0,527) on e.g. de_DE and breaks the driver's JSON
+    * parse of the bench line.
+    */
+  private def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Repeat each query N times and keep the fastest: contention from
+    // anything else on the box (sbt test, a concurrent Verify) inflates
+    // single-shot times 1.5-10x per query (round-6 driver bench read
+    // 98 s for code that benches 64 s alone). min-of-N is the standard
+    // robust estimator for that one-sided noise. Default 1 keeps the
+    // driver's wall-clock budget unchanged.
+    val bestOf = sys.env.getOrElse("SPARK_GRAFT_BENCH_BEST_OF", "1").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,7 +33,7 @@ object Bench {
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
       Tables.lineitem(spark, sfDir).limit(1).count()
-    } catch { case _: Throwable => () }
+    } catch { case NonFatal(_) => () }
     // Optional args: bench only the named queries (driver passes none).
     // Unknown names warn loudly — a silent empty filter would produce a
     // zero-timing "successful" bench that reads as a real run.
@@ -28,30 +43,41 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to bestOf).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case NonFatal(e) =>
+            System.err.println(s"[Bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            -1L
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     // The driver keeps only the last ~2000 chars of stdout. Per-query
     // times are rounded to ms (bench noise is >>1ms) and the headline
     // fields go LAST so a front-truncated tail still shows the total.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val sfLabel = java.nio.file.Paths.get(sfDir).getFileName.toString
     val json = "{\"queries\":" + qs +
-      s""","sf":"$sfDir","n_queries":${results.size},"metric":"total","unit":"sec","value":${f"$total%.3f"}}"""
+      s""","sf":"$sfLabel","best_of":$bestOf,"n_queries":${results.size},"metric":"total","unit":"sec","value":${f3(total)}}"""
     println(json)
-    // Persist the full JSON to tracked + untracked paths so the complete
-    // per-query data survives even when the stdout tail clips the line.
-    Seq(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"),
-      "docs/bench_full.json"
-    ).distinct.foreach { p =>
-      try {
-        val out = java.nio.file.Paths.get(p)
-        Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
-        java.nio.file.Files.write(out, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      } catch { case _: Throwable => () }
+    // Persist the full JSON to an UNTRACKED path so the complete
+    // per-query data survives a clipped stdout tail without dirtying the
+    // working tree on every driver run; scripts/refresh_bench.sh copies
+    // it into docs/bench_full.json for deliberate snapshot commits.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    try {
+      val out = java.nio.file.Paths.get(outPath)
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(out, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      // a failed persist plus a clipped stdout is the whole failure mode
+      // these files guard against — make it diagnosable, never silent
+      case NonFatal(e) =>
+        System.err.println(s"[Bench] failed to write $outPath: $e")
     }
     spark.stop()
   }
