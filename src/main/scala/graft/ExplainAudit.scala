@@ -18,14 +18,22 @@ import java.nio.charset.StandardCharsets
   */
 object ExplainAudit {
 
-  /** Slowest / most structurally load-bearing queries (bench r4/r5). */
+  /** Slowest / most structurally load-bearing queries (bench r4/r5),
+    * plus the round-6 driver-bench contention outliers (q11, j4, q2, t8,
+    * t2 read 3-10x their uncontended time with zero code changes behind
+    * them) — with their executed plans in the ledger, the next such
+    * "regression" is diffable against a committed structure in minutes
+    * instead of re-litigated from timings.
+    */
   val ledger: Seq[String] = Seq(
-    "q1_pricing_summary", "q3_shipping_priority", "q8_market_share",
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q8_market_share", "q11_important_parts",
     "q21_waiting_suppliers", "o1_topk_per_group",
     "c1_two_pass_clean", "a6_mode_per_day",
     "d2_exact_dedup", "d6_curation_funnel", "d7_hash_split", "d8_source_mix",
-    "t9_tfidf", "s2_ann_topk", "s3_label_centroids", "e1_embedding_neardups",
-    "w9_range_rolling", "o3_set_ops")
+    "j4_anti_join", "t2_lang_id", "t8_vocabulary",
+    "t9_tfidf", "s2_ann_topk", "s3_label_centroids", "s7_ann_int8",
+    "e1_embedding_neardups", "w9_range_rolling", "o3_set_ops")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS
@@ -38,6 +46,9 @@ object ExplainAudit {
       .replaceAll("\\(\\d+\\)", "(n)")            // codegen stage ids
       .replaceAll("(partitioning\\([^)]*), \\d+\\)", "$1, n)")
       .replaceAll("cachedrdd_\\d+", "cachedrdd_x")
+      // lambda-variable counters are global per-session, so an unrelated
+      // new lambda elsewhere renumbers every plan — not structural
+      .replaceAll("lambda x_\\d+", "lambda x_n")
       .replaceAll("/root/testdata/sf[0-9.]+", "<sf>")
 
   def main(args: Array[String]): Unit = {

@@ -151,16 +151,17 @@ object Similarity {
     * compression put to work inside the search path.
     *
     * Both sides are unit-normalized (cosine becomes a plain dot) and
-    * symmetric-int8-quantized; the bucket join's corpus side then carries
-    * the 1-byte-per-element quantized vector instead of the 8-byte double
-    * vector — 8× fewer shuffle bytes per candidate, which matters because
-    * the (query, candidate) pair stream is the dominant shuffle of the
-    * whole search at corpus scale. Candidates are scored with an integer
-    * dot product (`q_a·q_b · scale_c` is order-equivalent to the approx
-    * cosine per query since `scale_q` is a per-query constant), only the
-    * top `rerank` per query survive, and the exact-cosine rescore joins
-    * those nQueries·rerank ids back to the full-precision corpus — a
-    * narrow second join instead of exact math on every candidate.
+    * symmetric-int8-quantized; candidates are scored with an integer dot
+    * product (`q_a·q_b · scale_c` is order-equivalent to the approx
+    * cosine per query since `scale_q` is a per-query constant) in the
+    * same map stage as the broadcast bucket join, so the (query,
+    * candidate) pair shuffle — the dominant shuffle of the whole search
+    * at corpus scale — carries one 8-byte score per pair instead of the
+    * full vector (annTopK ships the 8·dim-byte double vector per pair).
+    * Only the top `rerank` per query survive, and the exact-cosine
+    * rescore joins those nQueries·rerank ids back to the full-precision
+    * corpus — a narrow second join instead of exact math on every
+    * candidate.
     *
     * Quantization error of a unit vector is ≤ 1/254 per element, so the
     * int8 ordering only confuses near-ties; `rerank ≫ k` absorbs that
@@ -186,16 +187,23 @@ object Similarity {
       col("__scale").as("__sc"), explode(buckets(col("__u"))).as("__bucket"))
     val q = q8(qUnit).select(col(idCol).as(queryIdCol), col("__q").as("__qq"),
       explode(buckets(col("__u"))).as("__bucket"))
-    val candidates = c.join(broadcast(q), Seq("__bucket"))
-      .filter(col(queryIdCol) =!= col("neighbor_id"))
-      .dropDuplicates(queryIdCol, "neighbor_id")
     val dotInt = aggregate(
       zip_with(col("__qq"), col("__qc"), (x, y) => x.cast("int") * y.cast("int")),
       lit(0L), (acc, v) => acc + v)
+    // Score BEFORE the cross-table dedup: the int8 vectors then never
+    // shuffle at all (the bucket join is a map-side broadcast join and
+    // the score is projected in the same stage), and the pair dedup is a
+    // hash-aggregate whose exchange carries one double per distinct pair
+    // — dropDuplicates here would instead SortAggregate first(<array>)s
+    // and ship the quantized vectors through two exchanges.
+    val candidates = c.join(broadcast(q), Seq("__bucket"))
+      .filter(col(queryIdCol) =!= col("neighbor_id"))
+      .withColumn("__approx", dotInt * col("__sc"))
+      .groupBy(col(queryIdCol), col("neighbor_id"))
+      .agg(max(col("__approx")).as("__approx"))
     val wPre = Window.partitionBy(queryIdCol)
       .orderBy(col("__approx").desc, col("neighbor_id").asc)
     val survivors = candidates
-      .withColumn("__approx", dotInt * col("__sc"))
       .withColumn("__prerank", row_number().over(wPre))
       .filter(col("__prerank") <= rerank)
       .select(col(queryIdCol), col("neighbor_id"))
