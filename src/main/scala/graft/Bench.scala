@@ -6,7 +6,7 @@ object Bench {
     * comma decimals (0,527) on e.g. de_DE and breaks the driver's JSON
     * parse of the bench line.
     */
-  private def f3(v: Double): String =
+  private[graft] def f3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {

@@ -21,13 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  /** event/document queries only — the probe does not upscale the TPC-H
-    * star or the embeddings.
-    */
+  /** event/document probe set (SPARK_GRAFT_PROBE=events, the default). */
   val probeQueries: Seq[String] = Seq(
     "a2_group_agg", "a4_daily_agg", "w8_sessionize", "w9_range_rolling",
     "c1_two_pass_clean", "d2_exact_dedup", "d6_curation_funnel",
     "d7_hash_split", "d9_source_cap", "t3_quality_score")
+
+  /** TPC-H probe set (SPARK_GRAFT_PROBE=tpch): the fact-heavy headline
+    * shapes — pure fact agg (q1), fact⋈fact⋈dim top-k (q3), 5-way profit
+    * rollup (q9), the single-scan window rewrite (q21).
+    */
+  val tpchProbeQueries: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q9_product_profit",
+    "q21_waiting_suppliers")
 
   def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(out)
@@ -50,10 +56,44 @@ object ScaleProbe {
     fs.create(new org.apache.hadoop.fs.Path(s"$out/_DONE")).close()
   }
 
+  /** TPC-H upscale: replicate orders + lineitem with per-replica orderkey
+    * offsets (the orders⋈lineitem join structure is preserved — each
+    * replica is a disjoint block of orders), while the dimension tables
+    * are copied UNCHANGED. Fact-per-dimension density therefore grows
+    * factor× — the shape a 100 TB warehouse actually has (more facts per
+    * customer/supplier/part, not proportionally more dimensions), and the
+    * one that stresses the fact-side shuffles and the broadcast decisions.
+    */
+  def generateTpch(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/_DONE"))) return
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val okMax = orders.agg(max("o_orderkey")).collect()(0).getLong(0) + 1
+    spark.range(factor).crossJoin(orders)
+      .withColumn("o_orderkey", col("o_orderkey") + col("id") * okMax)
+      .drop("id")
+      .repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    spark.range(factor).crossJoin(li)
+      .withColumn("l_orderkey", col("l_orderkey") + col("id") * okMax)
+      .drop("id")
+      .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    fs.create(new org.apache.hadoop.fs.Path(s"$out/_DONE")).close()
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val out = s"target/scale_probe/x$factor"
+    val probeSet = sys.env.getOrElse("SPARK_GRAFT_PROBE", "events")
+    val out = probeSet match {
+      case "tpch" => s"target/scale_probe/tpch_x$factor"
+      case _      => s"target/scale_probe/x$factor"
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -63,7 +103,10 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, out, factor)
+    val selected = probeSet match {
+      case "tpch" => generateTpch(spark, src, out, factor); tpchProbeQueries
+      case _      => generate(spark, src, out, factor); probeQueries
+    }
     // min of two runs: the first pays one-time codegen compilation, which
     // at probe sizes can exceed the query itself and would masquerade as
     // super-linear growth
@@ -75,16 +118,19 @@ object ScaleProbe {
       }
       math.min(once, once)
     }
-    val rows = probeQueries.map { q =>
+    val rows = selected.map { q =>
       val base = time(src, q)
       val scaled = time(out, q)
       (q, base, scaled)
     }
+    // Locale-pinned formatting (Bench.f3) — default-locale %f breaks the
+    // JSON on comma-decimal locales
     val json = rows.map { case (q, b, s) =>
-      f""""$q":{"base":$b%.3f,"scaled":$s%.3f,"ratio":${s / b}%.2f}"""
-    }.mkString(s"""{"factor":$factor,"queries":{""", ",", "}}")
+      s""""$q":{"base":${Bench.f3(b)},"scaled":${Bench.f3(s)},"ratio":${Bench.f3(s / b)}}"""
+    }.mkString(s"""{"probe":"$probeSet","factor":$factor,"queries":{""", ",", "}}")
     println(json)
-    java.nio.file.Files.write(java.nio.file.Paths.get("target/scale_probe.json"),
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"target/scale_probe_${probeSet}_x$factor.json"),
       json.getBytes("UTF-8"))
     spark.stop()
   }
