@@ -184,19 +184,20 @@ object Multimodal {
     spark.read.schema(mediaSchema).parquet(out)
   }
 
-  /** Size-aware spread: pick a partition COUNT from total blob volume and
-    * round-robin rows across it. This bounds expected bytes/partition; it
-    * does not weigh individual rows, so a pathological pair of huge blobs
-    * can still share a partition (probability ~1/parts) — acceptable for
-    * the skew this guards against, and avoiding it entirely would need a
-    * size-keyed range partitioner over a second full pass.
+  /** Size-aware spread via AQE rebalance: partition sizing comes from the
+    * RUNTIME shuffle statistics (which include the blob bytes) — oversized
+    * partitions are split, small ones coalesced toward the advisory size.
+    * No synchronous driver-side sum job and no fixed partition count (the
+    * previous formulation collected a scalar and repartition(n)'d), so the
+    * decision scales with the data it actually sees.
+    *
+    * Note: `advisoryPartitionSizeInBytes` is a session conf — the setting
+    * persists for the session (it also governs AQE coalescing elsewhere);
+    * callers who care should save/restore around the write.
     */
   def spreadBySize(media: DataFrame, targetBytesPerPartition: Long = 128L << 20): DataFrame = {
-    val totalBytes = media.select(sum(length(col("bytes")))).collect()(0) match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
-    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerPartition).toInt)
-    media.repartition(parts)
+    media.sparkSession.conf
+      .set("spark.sql.adaptive.advisoryPartitionSizeInBytes", targetBytesPerPartition.toString)
+    media.hint("rebalance")
   }
 }

@@ -71,8 +71,15 @@ class MultimodalSpec extends SparkTestBase {
   }
 
   test("spreadBySize partitions by payload volume") {
-    val spread = Multimodal.spreadBySize(media, targetBytesPerPartition = 2L)
-    assert(spread.rdd.getNumPartitions >= 3) // ~8 payload bytes / 2 per part
-    assert(spread.count() === 4)
+    val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prev = spark.conf.getOption(key)
+    try {
+      val spread = Multimodal.spreadBySize(media, targetBytesPerPartition = 2L)
+      assert(spread.rdd.getNumPartitions >= 3) // AQE splits ~8 payload bytes / 2 per part
+      assert(spread.count() === 4)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 }
