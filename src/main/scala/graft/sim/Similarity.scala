@@ -168,6 +168,37 @@ object Similarity {
     * (SimilaritySpec gates recall ≥ 0.6 at rerank = 32, k = 5 alongside
     * the counted-comparisons reduction).
     */
+  /** int8Quantize semantics applied to the unit vector in `__u`:
+    * scale = max|x|, half-up, stored as a 1-byte-per-element tinyint
+    * array — the compact candidate-stream form shared by the int8 ANN
+    * variants.
+    */
+  private def q8(df: DataFrame): DataFrame =
+    df.withColumn("__scale", array_max(transform(col("__u"), x => abs(x))))
+      .withColumn("__q", transform(col("__u"), x =>
+        when(col("__scale") === 0.0, lit(0))
+          .otherwise(floor(x * lit(127.0) / col("__scale") + lit(0.5))).cast("tinyint")))
+
+  /** Integer dot of the quantized pair columns `__qq`·`__qc` (int math,
+    * long accumulator — tinyint×tinyint would overflow at 127²).
+    */
+  private def int8Dot: Column = aggregate(
+    zip_with(col("__qq"), col("__qc"), (x, y) => x.cast("int") * y.cast("int")),
+    lit(0L), (acc, v) => acc + v)
+
+  /** Exact-cosine rescore of the pruned (query, neighbor) id pairs: two
+    * narrow joins back to the full-precision unit vectors, then the shared
+    * top-k contract.
+    */
+  private def rescoreTopK(survivors: DataFrame, cUnit: DataFrame, qUnit: DataFrame,
+                          idCol: String, queryIdCol: String, k: Int): DataFrame = {
+    val scored = survivors
+      .join(cUnit.select(col(idCol).as("neighbor_id"), col("__u").as("__cv")), Seq("neighbor_id"))
+      .join(broadcast(qUnit.select(col(idCol).as(queryIdCol), col("__u").as("__qv"))), Seq(queryIdCol))
+      .withColumn("cos", VectorFunctions.dotNative(col("__qv"), col("__cv")))
+    rankTopK(scored, queryIdCol, k)
+  }
+
   def annTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int,
                   nPlanes: Int = 4, nTables: Int = 8, rerank: Int = 32,
                   idCol: String = "vec_id", vecCol: String = "embedding",
@@ -175,21 +206,12 @@ object Similarity {
     def buckets(v: Column): Column = array((0 until nTables).map { t =>
       struct(lit(t).as("t"), srpBucket(v, nPlanes, seed = 42 + 7919 * t, maxDim = maxDim).as("b"))
     }: _*)
-    // int8Quantize semantics on the unit vector: scale = max|x|, half-up
     val cUnit = withUnitNorm(corpus.select(col(idCol), col(vecCol)), vecCol, "__u")
     val qUnit = withUnitNorm(queries.select(col(idCol), col(vecCol)), vecCol, "__u")
-    def q8(df: DataFrame): DataFrame =
-      df.withColumn("__scale", array_max(transform(col("__u"), x => abs(x))))
-        .withColumn("__q", transform(col("__u"), x =>
-          when(col("__scale") === 0.0, lit(0))
-            .otherwise(floor(x * lit(127.0) / col("__scale") + lit(0.5))).cast("tinyint")))
     val c = q8(cUnit).select(col(idCol).as("neighbor_id"), col("__q").as("__qc"),
       col("__scale").as("__sc"), explode(buckets(col("__u"))).as("__bucket"))
     val q = q8(qUnit).select(col(idCol).as(queryIdCol), col("__q").as("__qq"),
       explode(buckets(col("__u"))).as("__bucket"))
-    val dotInt = aggregate(
-      zip_with(col("__qq"), col("__qc"), (x, y) => x.cast("int") * y.cast("int")),
-      lit(0L), (acc, v) => acc + v)
     // Score BEFORE the cross-table dedup: the int8 vectors then never
     // shuffle at all (the bucket join is a map-side broadcast join and
     // the score is projected in the same stage), and the pair dedup is a
@@ -198,7 +220,7 @@ object Similarity {
     // and ship the quantized vectors through two exchanges.
     val candidates = c.join(broadcast(q), Seq("__bucket"))
       .filter(col(queryIdCol) =!= col("neighbor_id"))
-      .withColumn("__approx", dotInt * col("__sc"))
+      .withColumn("__approx", int8Dot * col("__sc"))
       .groupBy(col(queryIdCol), col("neighbor_id"))
       .agg(max(col("__approx")).as("__approx"))
     val wPre = Window.partitionBy(queryIdCol)
@@ -207,11 +229,46 @@ object Similarity {
       .withColumn("__prerank", row_number().over(wPre))
       .filter(col("__prerank") <= rerank)
       .select(col(queryIdCol), col("neighbor_id"))
-    val scored = survivors
-      .join(cUnit.select(col(idCol).as("neighbor_id"), col("__u").as("__cv")), Seq("neighbor_id"))
-      .join(broadcast(qUnit.select(col(idCol).as(queryIdCol), col("__u").as("__qv"))), Seq(queryIdCol))
-      .withColumn("cos", VectorFunctions.dotNative(col("__qv"), col("__cv")))
-    rankTopK(scored, queryIdCol, k)
+    rescoreTopK(survivors, cUnit, qUnit, idCol, queryIdCol, k)
+  }
+
+  /** IVF ANN with the same int8 prefilter as [[annTopKInt8]]: cell
+    * assignment is cosine-based and therefore norm-invariant, so it is
+    * computed on the unit vectors; the cell join's corpus side carries
+    * the 1-byte quantized form, candidates are ranked by the integer dot,
+    * and only `rerank` per query reach the exact rescore. A corpus vector
+    * lives in exactly one cell and a query probes distinct cells, so no
+    * pair dedup is needed — the prefilter window is the only pair-stream
+    * shuffle.
+    */
+  def ivfTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int,
+                  nCells: Int = 16, nProbes: Int = 2, kmeansIters: Int = 0,
+                  rerank: Int = 32,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  queryIdCol: String = "query_id"): DataFrame = {
+    import graft.functions.VectorFunctions.cosineNative
+    val cents = kmeansCentroids(corpus, nCells, kmeansIters, idCol, vecCol)
+    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
+    def cellScores(v: Column): Column =
+      zip_with(centArr, sequence(lit(0), lit(cents.length - 1)), (c, i) =>
+        struct((-coalesce(cosineNative(c, v), lit(-2.0))).as("neg"), i.as("cell")))
+    val cUnit = withUnitNorm(corpus.select(col(idCol), col(vecCol)), vecCol, "__u")
+    val qUnit = withUnitNorm(queries.select(col(idCol), col(vecCol)), vecCol, "__u")
+    val c = q8(cUnit).select(col(idCol).as("neighbor_id"), col("__q").as("__qc"),
+      col("__scale").as("__sc"),
+      array_min(cellScores(col("__u"))).getField("cell").as("__cell"))
+    val q = q8(qUnit).select(col(idCol).as(queryIdCol), col("__q").as("__qq"),
+      explode(transform(slice(array_sort(cellScores(col("__u"))), 1, nProbes),
+        s => s.getField("cell"))).as("__cell"))
+    val wPre = Window.partitionBy(queryIdCol)
+      .orderBy(col("__approx").desc, col("neighbor_id").asc)
+    val survivors = c.join(broadcast(q), Seq("__cell"))
+      .filter(col(queryIdCol) =!= col("neighbor_id"))
+      .withColumn("__approx", int8Dot * col("__sc"))
+      .withColumn("__prerank", row_number().over(wPre))
+      .filter(col("__prerank") <= rerank)
+      .select(col(queryIdCol), col("neighbor_id"))
+    rescoreTopK(survivors, cUnit, qUnit, idCol, queryIdCol, k)
   }
 
   /** Deterministic sampled centroids, optionally refined with Lloyd

@@ -187,6 +187,27 @@ class SimilaritySpec extends SparkTestBase {
       s"int8 prefilter should cut exact comparisons >2x (full=$fullComparisons)")
   }
 
+  test("ivfTopKInt8: int8 prefilter keeps IVF recall and caps the exact rescore") {
+    // Same parameters as registered s4 plus rerank=32: cell assignment is
+    // cosine-based (norm-invariant), so recall should track plain IVF
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.filter($"vec_id" < 16)
+    val exact = topkSets(Similarity.bruteForceTopK(emb, queries, k = 5))
+    // rerank=16: IVF's probed-cell candidate stream is already narrow
+    // (~60/query here), so the prefilter budget is set below half of it —
+    // at corpus scale cells grow with N and the cut grows proportionally
+    val ivf8 = topkSets(Similarity.ivfTopKInt8(emb, queries, k = 5,
+      nCells = 16, nProbes = 2, rerank = 16))
+    val recall = recallAtK(ivf8, exact)
+    // plain IVF exact-scores every probed-cell candidate
+    val fullComparisons = Similarity.ivfTopK(emb, queries, k = Int.MaxValue,
+      nCells = 16, nProbes = 2).count()
+    info(f"recall@5=$recall%.3f exact-comparisons: full=$fullComparisons int8<=${16 * 16}")
+    assert(recall >= 0.6, s"int8-prefiltered IVF recall@5 $recall below floor 0.6")
+    assert(16L * 16L * 2 < fullComparisons,
+      s"int8 prefilter should cut exact comparisons >2x (full=$fullComparisons)")
+  }
+
   test("int8Quantize: zero vector, saturation, bounds, scale invariance") {
     val emb = Seq(
       (0L, Seq(0.0f, 0.0f, 0.0f)),  // zero vector -> scale 0, all-zero q
