@@ -133,6 +133,20 @@ class PlanQualitySpec extends SparkTestBase {
     assert(aggLines.nonEmpty && aggLines.forall(!_.contains("text#")))
   }
 
+  test("s7: int8 ANN pair dedup is a hash aggregate; quantized arrays never shuffle") {
+    // The pair-stream dedup must stay groupBy().agg(max(<double>)) — a
+    // partial+final HashAggregate whose exchange carries one score per
+    // candidate. dropDuplicates here planned a SortAggregate carrying
+    // first(<quantized array>) through two exchanges (caught in the r7
+    // ledger review); this pins the fix.
+    val plan = executedPlan(SparkEntry.queries("s7_ann_int8")(spark, dir))
+    assert(plan.contains("partial_max"))
+    assert(!plan.contains("SortAggregate"))
+    // no aggregate buffers over the int8 vector columns
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Aggregate") && (l.contains("__qc#") || l.contains("__qq#"))))
+  }
+
   test("d7/d8: hash-split and source-mix scan only (text, source), agg is partial+final") {
     for (q <- Seq("d7_hash_split", "d8_source_mix")) {
       val plan = executedPlan(SparkEntry.queries(q)(spark, dir))
