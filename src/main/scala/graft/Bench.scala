@@ -16,9 +16,11 @@ object Bench {
     // anything else on the box (sbt test, a concurrent Verify) inflates
     // single-shot times 1.5-10x per query (round-6 driver bench read
     // 98 s for code that benches 64 s alone). min-of-N is the standard
-    // robust estimator for that one-sided noise. Default 1 keeps the
-    // driver's wall-clock budget unchanged.
-    val bestOf = sys.env.getOrElse("SPARK_GRAFT_BENCH_BEST_OF", "1").toInt.max(1)
+    // robust estimator for that one-sided noise. Default 2: one repeat
+    // roughly doubles bench wall-clock (~1 min) but makes the recorded
+    // number reproducible within ~10% instead of hostage to whatever
+    // else the box was doing; the JSON records best_of for transparency.
+    val bestOf = sys.env.getOrElse("SPARK_GRAFT_BENCH_BEST_OF", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
