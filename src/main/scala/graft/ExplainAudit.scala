@@ -27,7 +27,7 @@ object ExplainAudit {
     */
   val ledger: Seq[String] = Seq(
     "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q8_market_share", "q11_important_parts",
+    "q8_market_share", "q9_product_profit", "q11_important_parts",
     "q21_waiting_suppliers", "o1_topk_per_group",
     "c1_two_pass_clean", "a6_mode_per_day",
     "d2_exact_dedup", "d6_curation_funnel", "d7_hash_split", "d8_source_mix",
@@ -48,7 +48,12 @@ object ExplainAudit {
       .replaceAll("cachedrdd_\\d+", "cachedrdd_x")
       // lambda-variable counters are global per-session, so an unrelated
       // new lambda elsewhere renumbers every plan — not structural
-      .replaceAll("lambda x_\\d+", "lambda x_n")
+      .replaceAll("lambda [a-z]+_\\d+", "lambda v_n")
+      // AQE stage ids follow scheduling order, not plan structure
+      .replaceAll("QueryStage \\d+", "QueryStage n")
+      // Spark elides long expression strings at a context-dependent cut
+      // point; normalize the truncated tail so a 2-char drift can't diff
+      .replaceAll("[^\\s\\[,]*\\.\\.\\.", "<trunc>")
       .replaceAll("/root/testdata/sf[0-9.]+", "<sf>")
 
   def main(args: Array[String]): Unit = {
