@@ -12,4 +12,6 @@ object VectorFunctions {
   def dotNative(a: Column, b: Column): Column = Impl.dotNative(a, b)
   /** Cosine similarity (null on zero norms), codegen'd single pass. */
   def cosineNative(a: Column, b: Column): Column = Impl.cosineNative(a, b)
+  /** Integer dot over int8 arrays (array<tinyint> → bigint), codegen'd. */
+  def int8DotNative(a: Column, b: Column): Column = Impl.int8DotNative(a, b)
 }

@@ -179,12 +179,13 @@ object Similarity {
         when(col("__scale") === 0.0, lit(0))
           .otherwise(floor(x * lit(127.0) / col("__scale") + lit(0.5))).cast("tinyint")))
 
-  /** Integer dot of the quantized pair columns `__qq`·`__qc` (int math,
-    * long accumulator — tinyint×tinyint would overflow at 127²).
+  /** Integer dot of the quantized pair columns `__qq`·`__qc` — native
+    * codegen expression (the HOF `aggregate(zip_with(...))` form pays
+    * boxed lambda dispatch per element, on the hottest row stream of the
+    * whole search).
     */
-  private def int8Dot: Column = aggregate(
-    zip_with(col("__qq"), col("__qc"), (x, y) => x.cast("int") * y.cast("int")),
-    lit(0L), (acc, v) => acc + v)
+  private def int8Dot: Column =
+    VectorFunctions.int8DotNative(col("__qq"), col("__qc"))
 
   /** Exact-cosine rescore of the pruned (query, neighbor) id pairs: two
     * narrow joins back to the full-precision unit vectors, then the shared

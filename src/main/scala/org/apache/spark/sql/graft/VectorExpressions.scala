@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, ByteType, DataType, DoubleType, LongType}
 
 /** Native codegen vector math (north-star similarity path).
   *
@@ -133,10 +133,67 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer dot over int8-quantized vectors (array<tinyint> → bigint):
+  * the prefilter scorer of the int8 ANN paths. Each product widens to
+  * int (tinyint·tinyint saturates at ±16129, far inside int) and
+  * accumulates into a long — overflow-free for any realistic dimension
+  * (2^47 elements would be needed to overflow). Same tight-loop codegen
+  * shape as [[DotProduct]]; the HOF formulation paid boxed lambda
+  * dispatch per element on the hottest row stream of the search.
+  */
+case class Int8DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(ByteType), ArrayType(ByteType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_int8"
+  override def nullable: Boolean = true
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getByte(i).toInt * y.getByte(i).toInt; i += 1
+    }
+    dot
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val anyNull = ctx.freshName("anyNull")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
+         |  $acc += ((int) $a.getByte($i)) * ((int) $b.getByte($i));
+         |}
+         |if ($anyNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points for the native expressions. */
 object VectorFunctions {
   def dotNative(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def cosineNative(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def int8DotNative(a: Column, b: Column): Column =
+    ExpressionUtils.column(Int8DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -37,6 +37,22 @@ class VectorExpressionsSpec extends SparkTestBase {
     both.foreach(r => assert(r.getDouble(0) === r.getDouble(1))) // exact equality
   }
 
+  test("native int8 dot matches the HOF formulation and handles negatives/saturation") {
+    val gen = new scala.util.Random(17)
+    val rows = (0 until 40).map { _ =>
+      (Seq.fill(64)((gen.nextInt(255) - 127).toByte), Seq.fill(64)((gen.nextInt(255) - 127).toByte))
+    } :+ ((Seq[Byte](127, -127, 0), Seq[Byte](127, 127, 5)))
+    val df = rows.toDF("qa", "qb")
+    val both = df.select(
+      VectorFunctions.int8DotNative($"qa", $"qb").as("native"),
+      aggregate(zip_with($"qa", $"qb", (x, y) => x.cast("int") * y.cast("int")),
+        lit(0L), (acc, v) => acc + v).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // the hand-pinned saturation row: 127*127 + (-127)*127 + 0*5 = 0
+    assert(both.last.getLong(0) === 0L)
+  }
+
   test("native expression participates in whole-stage codegen") {
     // literal input constant-folds to a LocalTableScan; use range so a
     // real projection stage exists
