@@ -41,6 +41,9 @@ object GraftFunctions {
     ("graft_dot",
       info("graft_dot", "graft_dot(a, b) - dot product of two vectors"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    ("graft_dot_int8",
+      info("graft_dot_int8", "graft_dot_int8(a, b) - integer dot product of two int8 (tinyint) vectors"),
+      (children: Seq[Expression]) => Int8DotProduct(children(0), children(1))),
     ("graft_simhash",
       info("graft_simhash", "graft_simhash(tokens) - 64-bit SimHash of a string array"),
       (children: Seq[Expression]) => SimHash64(children.head)),
