@@ -196,7 +196,11 @@ object Similarity {
     val scored = survivors
       .join(cUnit.select(col(idCol).as("neighbor_id"), col("__u").as("__cv")), Seq("neighbor_id"))
       .join(broadcast(qUnit.select(col(idCol).as(queryIdCol), col("__u").as("__qv"))), Seq(queryIdCol))
-      .withColumn("cos", VectorFunctions.dotNative(col("__qv"), col("__cv")))
+      // cosineNative, not dotNative: on unit vectors they agree to the
+      // published 4-decimal rounding, but cosine stays NULL for a
+      // degenerate zero vector — the same contract as bruteForceTopK /
+      // annTopK, so the int8 variants can't diverge on that edge
+      .withColumn("cos", VectorFunctions.cosineNative(col("__qv"), col("__cv")))
     rankTopK(scored, queryIdCol, k)
   }
 
