@@ -35,6 +35,15 @@ object ScaleProbe {
     "q1_pricing_summary", "q3_shipping_priority", "q9_product_profit",
     "q21_waiting_suppliers")
 
+  /** Embedding probe set (SPARK_GRAFT_PROBE=emb): exact scan (s6), brute
+    * force (s1, expected ~linear in corpus), and the three bucketed ANN
+    * paths. e1 is excluded: an all-corpus near-dup self-join is
+    * quadratic-per-bucket by design and not a per-query search shape.
+    */
+  val embProbeQueries: Seq[String] = Seq(
+    "s6_int8_quantize", "s1_brute_topk", "s2_ann_topk", "s4_ivf_topk",
+    "s7_ann_int8")
+
   def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -86,12 +95,36 @@ object ScaleProbe {
     fs.create(new org.apache.hadoop.fs.Path(s"$out/_DONE")).close()
   }
 
+  /** Embedding upscale: replicate with offset vec_ids and a DETERMINISTIC
+    * per-(replica, dimension) float perturbation (±0.03 max on unit-ish
+    * 64-dim vectors). Plain replication would make every vector an exact
+    * duplicate of its replicas — all replicas collide in every LSH/IVF
+    * bucket and the probe would measure a pathological duplicate corpus,
+    * not a larger one. The perturbation keeps the value distribution
+    * while giving replicas distinct signatures.
+    */
+  def generateEmb(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/_DONE"))) return
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val vMax = emb.agg(max("vec_id")).collect()(0).getLong(0) + 1
+    spark.range(factor).crossJoin(emb)
+      .withColumn("embedding", transform(col("embedding"), (x, i) =>
+        (x + ((pmod(col("id") * 31 + i * 7, lit(7)) - 3) * lit(0.01f))).cast("float")))
+      .withColumn("vec_id", col("vec_id") + col("id") * vMax)
+      .drop("id")
+      .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    fs.create(new org.apache.hadoop.fs.Path(s"$out/_DONE")).close()
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val probeSet = sys.env.getOrElse("SPARK_GRAFT_PROBE", "events")
     val out = probeSet match {
       case "tpch" => s"target/scale_probe/tpch_x$factor"
+      case "emb"  => s"target/scale_probe/emb_x$factor"
       case _      => s"target/scale_probe/x$factor"
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -105,6 +138,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val selected = probeSet match {
       case "tpch" => generateTpch(spark, src, out, factor); tpchProbeQueries
+      case "emb"  => generateEmb(spark, src, out, factor); embProbeQueries
       case _      => generate(spark, src, out, factor); probeQueries
     }
     // min of two runs: the first pays one-time codegen compilation, which
@@ -122,7 +156,27 @@ object ScaleProbe {
       val base = time(src, q)
       val scaled = time(out, q)
       (q, base, scaled)
-    }
+    } ++ (if (probeSet != "emb") Seq.empty else {
+      // Parameter-scaling twin for the SRP path: with FIXED nPlanes the
+      // candidate stream grows ∝ N (each bucket holds factor× more
+      // vectors), so the registered-parameter entries above scale
+      // ~linearly by construction. The index knob that restores
+      // per-bucket density is nPlanes += log2(factor); this entry
+      // measures s2's shape with exactly that adjustment (base side
+      // keeps the registered 4 planes).
+      val planes = 4 + math.round(math.log(factor.toDouble) / math.log(2.0)).toInt
+      def annAt(dir: String, p: Int): Double = {
+        def once: Double = {
+          val emb = Tables.embeddings(spark, dir)
+          val t0 = System.nanoTime()
+          graft.sim.Similarity.annTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+            nPlanes = p, nTables = 8, maxDim = 64).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        math.min(once, once)
+      }
+      Seq((s"s2_ann_planes$planes", annAt(src, 4), annAt(out, planes)))
+    })
     // Locale-pinned formatting (Bench.f3) — default-locale %f breaks the
     // JSON on comma-decimal locales
     val json = rows.map { case (q, b, s) =>

@@ -811,19 +811,19 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
     }),
-    // Multi-table SRP-LSH (4 planes x 8 tables): recall@5 = 0.725 vs brute
-    // force on the sf0.01 embeddings — parameters gated by SimilaritySpec's
-    // recall floor (0.6; everything is seeded, so the measured recall is
-    // exact, not a flake margin). The r4 registration (5x16) hit 0.775 but
-    // its 80 inlined plane literals cost ~3.5 s of one-time codegen
-    // compilation per session — measured 5.4 s cold vs 1.7 s warm; 4x8
-    // compiles 2.5x less generated code and runs 1.1 s cold at sf0.1.
-    // Synthetic uniform vectors are LSH's worst case; clustered real
-    // embeddings get far better selectivity at the same recall.
+    // Multi-table SRP-LSH (4 planes x 12 tables, native SrpBucket — plane
+    // weights derived per element from a splitmix64 word, no inlined
+    // literals): recall@5 = 0.800 vs brute force on the sf0.01 embeddings,
+    // gated by SimilaritySpec's recall floor (0.6; everything is seeded,
+    // so the measured recall is exact, not a flake margin). Candidate
+    // budget = nTables·N/2^nPlanes = 0.75N per query at these parameters —
+    // synthetic uniform vectors are LSH's worst case; clustered real
+    // embeddings get far better selectivity at the same recall, and the
+    // corpus-growth knob (more planes) is now O(1) codegen cost.
     "s2_ann_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
-        nPlanes = 4, nTables = 8, maxDim = 64)
+        nPlanes = 4, nTables = 12, maxDim = 64)
     }),
     // IVF cell assignment depends on the centroid sample; deterministic
     // but not ANSI-SQL-expressible compactly -> rows-only check, semantics
@@ -879,7 +879,7 @@ object SparkEntry {
     "s7_ann_int8" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.annTopKInt8(emb, emb.filter(col("vec_id") < 8), k = 5,
-        nPlanes = 4, nTables = 8, rerank = 32, maxDim = 64)
+        nPlanes = 4, nTables = 12, rerank = 32, maxDim = 64)
     })
   )
 

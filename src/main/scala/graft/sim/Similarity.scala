@@ -88,24 +88,20 @@ object Similarity {
     * hyperplanes, fully deterministic (seeded), no fitted model to ship.
     * Bit p of the bucket = sign of <v, plane_p>.
     *
-    * The hyperplane weights are row-independent, so they are materialized
-    * as LITERAL arrays (constant-folded once by Catalyst) and each
-    * projection is one native codegen DotProduct — the previous
-    * formulation re-derived every weight per row per element with an
-    * interpreted hash. `maxDim` bounds the literal length; DotProduct
-    * iterates the common prefix, so any vector dim ≤ maxDim works.
+    * Native expression (o.a.s.sql.graft.SrpBucket): plane weights derive
+    * per (seed, element) from one splitmix64 word whose bit p is plane
+    * p's ±1 — one hash + nPlanes add/subs per element, O(1) codegen size.
+    * The previous formulation inlined nPlanes·nTables·maxDim literal
+    * doubles into the generated code; its one-time codegen dominated the
+    * registered query and it fell off the codegen cliff entirely when
+    * nPlanes was scaled with the corpus (8 tables × 11 planes ran 2.5×
+    * slower than 4 planes at 100× corpus despite 128× fewer candidates).
+    *
+    * `maxDim` is retained for API stability and ignored — weights are
+    * derived for exactly the elements present.
     */
-  def srpBucket(v: Column, nPlanes: Int, seed: Int = 42, maxDim: Int = 512): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val rnd = new scala.util.Random(seed.toLong * 1000003L + p)
-      // typedLit: one Literal(ArrayData) node — no per-row array assembly
-      // and no reliance on ConstantFolding collapsing a 512-wide
-      // CreateArray
-      val weights = typedLit((0 until maxDim).map(_ => if (rnd.nextBoolean()) 1.0 else -1.0))
-      when(VectorFunctions.dotNative(v, weights) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def srpBucket(v: Column, nPlanes: Int, seed: Int = 42, maxDim: Int = 512): Column =
+    org.apache.spark.sql.graft.VectorFunctions.srpBucketNative(v, nPlanes, seed)
 
   /** ANN top-k: SRP-bucket both sides, join on bucket, exact re-rank.
     *

@@ -6,7 +6,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -188,6 +188,74 @@ case class Int8DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object SrpImpl {
+  /** splitmix64 finalizer — the standard public-domain 64-bit integer mix
+    * (Steele/Lea/Flood, "Fast Splittable Pseudorandom Number Generators").
+    */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** SRP bucket: bit p of the result = sign of <v, plane_p> where
+    * plane_p's weight for element i is ±1 taken from bit p of one
+    * splitmix64 word per (seed, i). One hash + nPlanes add/subs per
+    * element — no materialized plane vectors at all.
+    */
+  def bucket(v: ArrayData, nPlanes: Int, seed: Int): Long = {
+    val n = v.numElements()
+    val acc = new Array[Double](nPlanes)
+    var i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      val bits = mix((seed.toLong << 32) ^ i)
+      var p = 0
+      while (p < nPlanes) {
+        if (((bits >>> p) & 1L) == 1L) acc(p) += x else acc(p) -= x
+        p += 1
+      }
+      i += 1
+    }
+    var b = 0L
+    var p = 0
+    while (p < nPlanes) {
+      if (acc(p) >= 0) b |= 1L << p
+      p += 1
+    }
+    b
+  }
+}
+
+/** Signed-random-projection bucket id (LSH for cosine). The previous
+  * formulation materialized every hyperplane as a typedLit array and
+  * emitted one DotProduct per plane — nPlanes·nTables·dim doubles inlined
+  * into the generated code, which dominated the query at registered
+  * parameters (~seconds of one-time codegen) and fell off the codegen
+  * cliff entirely once the corpus-growth knob (more planes) pushed past
+  * ~64 planes (measured: 8 tables × 11 planes ran 2.5× SLOWER than 4
+  * planes at 100× corpus, despite 128× fewer candidates). This expression
+  * derives weights on the fly — codegen size is O(1) in planes and dim.
+  */
+case class SrpBucket(child: Expression, nPlanes: Int, seed: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  require(nPlanes >= 1 && nPlanes <= 63, s"nPlanes must be in [1, 63], got $nPlanes")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_srp_bucket"
+
+  protected override def nullSafeEval(input: Any): Any =
+    SrpImpl.bucket(input.asInstanceOf[ArrayData], nPlanes, seed)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.SrpImpl.bucket($c, $nPlanes, $seed)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native expressions. */
 object VectorFunctions {
   def dotNative(a: Column, b: Column): Column =
@@ -196,4 +264,6 @@ object VectorFunctions {
     ExpressionUtils.column(CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def int8DotNative(a: Column, b: Column): Column =
     ExpressionUtils.column(Int8DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def srpBucketNative(v: Column, nPlanes: Int, seed: Int): Column =
+    ExpressionUtils.column(SrpBucket(ExpressionUtils.expression(v), nPlanes, seed))
 }

@@ -142,18 +142,17 @@ class SimilaritySpec extends SparkTestBase {
     // embeddings, 16 queries. Everything is seeded, so the measured recall
     // is exactly reproducible — no flake margin needed in the floor.
     //
-    // Measured on this data (uniform 64-dim vectors — LSH's worst case):
-    // single-table SRP nPlanes=6 gives recall 0.06 (which this gate
-    // caught); 4 planes x 8 OR-amplified tables gives 0.725; 5x16 gives
-    // 0.775 but costs 2.5x the inlined-literal codegen (the dominant cost
-    // of the whole query — ~3.5 s of one-time compile, see SparkEntry s2);
-    // IVF 16 cells / 2 probes gives 0.93 at ~12.5% candidate fraction.
-    // More tables / more probes push recall toward 1 at proportional
-    // candidate cost.
+    // Measured on this data (uniform 64-dim vectors — LSH's worst case)
+    // with the native splitmix-weight SrpBucket: single-table SRP
+    // nPlanes=6 gives recall ~0.06 (which this gate caught); 4 planes x
+    // 8 tables gives 0.587, x 12 gives 0.800, x 16 gives 0.925 at
+    // candidate budget nTables·N/2^nPlanes; IVF 16 cells / 2 probes
+    // gives 0.93 at ~12.5% candidate fraction. More tables / more
+    // probes push recall toward 1 at proportional candidate cost.
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val queries = emb.filter($"vec_id" < 16)
     val exact = topkSets(Similarity.bruteForceTopK(emb, queries, k = 5))
-    val srp = topkSets(Similarity.annTopK(emb, queries, k = 5, nPlanes = 4, nTables = 8,
+    val srp = topkSets(Similarity.annTopK(emb, queries, k = 5, nPlanes = 4, nTables = 12,
       maxDim = 64))
     val ivf = topkSets(Similarity.ivfTopK(emb, queries, k = 5, nCells = 16, nProbes = 2))
     val srpRecall = recallAtK(srp, exact)
@@ -174,12 +173,12 @@ class SimilaritySpec extends SparkTestBase {
     val queries = emb.filter($"vec_id" < 16)
     val exact = topkSets(Similarity.bruteForceTopK(emb, queries, k = 5))
     val int8 = topkSets(Similarity.annTopKInt8(emb, queries, k = 5,
-      nPlanes = 4, nTables = 8, rerank = 32, maxDim = 64))
+      nPlanes = 4, nTables = 12, rerank = 32, maxDim = 64))
     val recall = recallAtK(int8, exact)
     // exact comparisons in the plain path = all candidate pairs (k high
     // enough to keep every scored row)
     val fullComparisons = Similarity.annTopK(emb, queries, k = Int.MaxValue,
-      nPlanes = 4, nTables = 8, maxDim = 64).count()
+      nPlanes = 4, nTables = 12, maxDim = 64).count()
     val int8Comparisons = 16L * 32L // nQueries * rerank upper bound
     info(f"recall@5=$recall%.3f exact-comparisons: full=$fullComparisons int8<=$int8Comparisons")
     assert(recall >= 0.6, s"int8-prefiltered recall@5 $recall below floor 0.6")
