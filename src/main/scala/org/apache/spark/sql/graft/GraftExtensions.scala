@@ -44,6 +44,11 @@ object GraftFunctions {
     ("graft_dot_int8",
       info("graft_dot_int8", "graft_dot_int8(a, b) - integer dot product of two int8 (tinyint) vectors"),
       (children: Seq[Expression]) => Int8DotProduct(children(0), children(1))),
+    ("graft_srp_bucket",
+      info("graft_srp_bucket",
+        "graft_srp_bucket(v, nPlanes, seed) - signed-random-projection LSH bucket id"),
+      (children: Seq[Expression]) => SrpBucket(children(0),
+        litInt(children(1), "nPlanes"), litInt(children(2), "seed"))),
     ("graft_simhash",
       info("graft_simhash", "graft_simhash(tokens) - 64-bit SimHash of a string array"),
       (children: Seq[Expression]) => SimHash64(children.head)),

@@ -133,6 +133,16 @@ class PlanQualitySpec extends SparkTestBase {
     assert(aggLines.nonEmpty && aggLines.forall(!_.contains("text#")))
   }
 
+  test("s2: SRP bucketing is the native expression, no inlined plane literals") {
+    // the typedLit-plane formulation inlined nPlanes*nTables*dim doubles
+    // into the generated code and became the per-row bottleneck at 100x
+    // corpus (26.9s vs 1.7s native, docs/SCALE_PROBE.md) — pin the native
+    // expression and the absence of wide literal arrays
+    val plan = executedPlan(SparkEntry.queries("s2_ann_topk")(spark, dir))
+    assert(plan.contains("graft_srp_bucket"))
+    assert(!plan.contains("[-1.0,") && !plan.contains("[1.0,"))
+  }
+
   test("s7: int8 ANN pair dedup is a hash aggregate; quantized arrays never shuffle") {
     // The pair-stream dedup must stay groupBy().agg(max(<double>)) — a
     // partial+final HashAggregate whose exchange carries one score per

@@ -71,10 +71,12 @@ class VectorExpressionsSpec extends SparkTestBase {
     val r = spark.sql(
       "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) c, " +
       "graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) d, " +
-      "graft_dot_int8(array(127Y, -2Y), array(127Y, 3Y)) q").collect()(0)
+      "graft_dot_int8(array(127Y, -2Y), array(127Y, 3Y)) q, " +
+      "graft_srp_bucket(array(0.5d, -1.5d, 2.0d), 8, 42) b").collect()(0)
     assert(r.getDouble(0) === 1.0)
     assert(r.getDouble(1) === 11.0)
     assert(r.getLong(2) === 16129L - 6L)
+    assert(r.getLong(3) >= 0L && r.getLong(3) < 256L)
   }
 
   test("SQL surface: text-signature functions callable after registration") {
