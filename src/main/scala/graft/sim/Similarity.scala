@@ -123,10 +123,8 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding",
               queryIdCol: String = "query_id", nTables: Int = 1,
               maxDim: Int = 512): DataFrame = {
-    // size maxDim to the real vector dim when known: nTables x nPlanes
-    // plane literals of maxDim doubles are inlined into the generated
-    // code, so an oversized default inflates codegen (and its compile
-    // time) by maxDim/dim
+    // maxDim is retained for API stability; the native SrpBucket derives
+    // weights per element, so no literal sizing exists anymore
     def buckets(v: Column): Column = array((0 until nTables).map { t =>
       struct(lit(t).as("t"), srpBucket(v, nPlanes, seed = 42 + 7919 * t, maxDim = maxDim).as("b"))
     }: _*)
