@@ -8,6 +8,11 @@ cd "$(dirname "$0")/.."
 export SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
 export SPARK_GRAFT_BENCH_BEST_OF="${SPARK_GRAFT_BENCH_BEST_OF:-2}"
-sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' | sed 's/^\[info\] //'
+# remove the old artifact first so a failed persist can never be
+# silently re-snapshotted as fresh; keep Bench's stderr diagnostics
+# (query/persist failures are reported there) instead of discarding them
+rm -f target/bench.json
+sbt -batch "runMain graft.Bench" 2>target/bench.stderr.log | grep '"metric"' | sed 's/^\[info\] //'
+grep '^\[Bench\]' target/bench.stderr.log >&2 || true
 cp target/bench.json docs/bench_full.json
 echo "snapshot written to docs/bench_full.json (best_of=$SPARK_GRAFT_BENCH_BEST_OF)"

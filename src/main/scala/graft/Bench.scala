@@ -45,16 +45,22 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
     val results = selected.map { case (name, fn) =>
-      val times = (1 to bestOf).map { _ =>
+      // min over SUCCESSFUL reps only: a rep that throws fast must not
+      // record its tiny time-to-exception as the query's best time. A
+      // query that fails every rep records -1 so the JSON marks it
+      // failed instead of fast.
+      val times = (1 to bestOf).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
           case NonFatal(e) =>
             System.err.println(s"[Bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            -1L
+            None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     // The driver keeps only the last ~2000 chars of stdout. Per-query
     // times are rounded to ms (bench noise is >>1ms) and the headline

@@ -109,9 +109,14 @@ object ScaleProbe {
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/_DONE"))) return
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val vMax = emb.agg(max("vec_id")).collect()(0).getLong(0) + 1
+    // the multiplier on the dimension index must be coprime to the
+    // modulus or the per-dimension term vanishes (an earlier i*7 mod 7
+    // collapsed to a constant-per-replica shift, leaving replicas with
+    // id ≡ 1 (mod 7) bit-exact duplicates); 31·id + 5·i mod 7 varies
+    // with BOTH replica and dimension
     spark.range(factor).crossJoin(emb)
       .withColumn("embedding", transform(col("embedding"), (x, i) =>
-        (x + ((pmod(col("id") * 31 + i * 7, lit(7)) - 3) * lit(0.01f))).cast("float")))
+        (x + ((pmod(col("id") * 31 + i * 5, lit(7)) - 3) * lit(0.01f))).cast("float")))
       .withColumn("vec_id", col("vec_id") + col("id") * vMax)
       .drop("id")
       .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
@@ -165,12 +170,14 @@ object ScaleProbe {
       // measures s2's shape with exactly that adjustment (base side
       // keeps the registered 4 planes).
       val planes = 4 + math.round(math.log(factor.toDouble) / math.log(2.0)).toInt
+      // nTables = 12 matches the registered s2 exactly, so the only
+      // variable between this row and the s2 row is the plane count
       def annAt(dir: String, p: Int): Double = {
         def once: Double = {
           val emb = Tables.embeddings(spark, dir)
           val t0 = System.nanoTime()
           graft.sim.Similarity.annTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
-            nPlanes = p, nTables = 8, maxDim = 64).count()
+            nPlanes = p, nTables = 12, maxDim = 64).count()
           (System.nanoTime() - t0) / 1e9
         }
         math.min(once, once)

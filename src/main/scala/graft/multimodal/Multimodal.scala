@@ -196,8 +196,21 @@ object Multimodal {
     * callers who care should save/restore around the write.
     */
   def spreadBySize(media: DataFrame, targetBytesPerPartition: Long = 128L << 20): DataFrame = {
-    media.sparkSession.conf
-      .set("spark.sql.adaptive.advisoryPartitionSizeInBytes", targetBytesPerPartition.toString)
-    media.hint("rebalance")
+    val spark = media.sparkSession
+    if (spark.conf.get("spark.sql.adaptive.enabled", "true").toBoolean) {
+      spark.conf
+        .set("spark.sql.adaptive.advisoryPartitionSizeInBytes", targetBytesPerPartition.toString)
+      media.hint("rebalance")
+    } else {
+      // without AQE the REBALANCE hint degenerates to a plain round-robin
+      // at the default partition count and the size bound is silently
+      // lost — fall back to the explicit count-from-total-bytes pass
+      val totalBytes = media.select(sum(length(col("bytes")))).collect()(0) match {
+        case r if r.isNullAt(0) => 0L
+        case r                  => r.getLong(0)
+      }
+      val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerPartition).toInt)
+      media.repartition(parts)
+    }
   }
 }

@@ -162,16 +162,27 @@ object Similarity {
     * (SimilaritySpec gates recall ≥ 0.6 at rerank = 32, k = 5 alongside
     * the counted-comparisons reduction).
     */
-  /** int8Quantize semantics applied to the unit vector in `__u`:
-    * scale = max|x|, half-up, stored as a 1-byte-per-element tinyint
-    * array — the compact candidate-stream form shared by the int8 ANN
-    * variants.
+  /** THE symmetric-int8 contract, in one place: per-vector scale and the
+    * floor-based half-up quantized array (engine-stable — mirrored by the
+    * s6 DuckDB oracle SQL). `elemType` is "int" for the published
+    * [[int8Quantize]] summary (DuckDB compares INTs) and "tinyint" for
+    * the 1-byte candidate-stream form of the ANN variants.
+    */
+  private[sim] def int8Scale(v: Column): Column =
+    array_max(transform(v, x => abs(x)))
+
+  private[sim] def int8Array(v: Column, scale: Column, elemType: String): Column =
+    transform(v, x =>
+      when(scale === 0.0, lit(0))
+        .otherwise(floor(x * lit(127.0) / scale + lit(0.5))).cast(elemType))
+
+  /** int8 quantization applied to the unit vector in `__u`, stored as a
+    * 1-byte-per-element tinyint array — the compact candidate-stream form
+    * shared by the int8 ANN variants.
     */
   private def q8(df: DataFrame): DataFrame =
-    df.withColumn("__scale", array_max(transform(col("__u"), x => abs(x))))
-      .withColumn("__q", transform(col("__u"), x =>
-        when(col("__scale") === 0.0, lit(0))
-          .otherwise(floor(x * lit(127.0) / col("__scale") + lit(0.5))).cast("tinyint")))
+    df.withColumn("__scale", int8Scale(col("__u")))
+      .withColumn("__q", int8Array(col("__u"), col("__scale"), "tinyint"))
 
   /** Integer dot of the quantized pair columns `__qq`·`__qc` — native
     * codegen expression (the HOF `aggregate(zip_with(...))` form pays
@@ -356,10 +367,8 @@ object Similarity {
   def int8Quantize(df: DataFrame, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame =
     df.select(col(idCol), toDouble(col(vecCol)).as("__v"))
-      .withColumn("__scale", array_max(transform(col("__v"), x => abs(x))))
-      .withColumn("__q", transform(col("__v"), x =>
-        when(col("__scale") === 0.0, lit(0))
-          .otherwise(floor(x * lit(127.0) / col("__scale") + lit(0.5)).cast("int"))))
+      .withColumn("__scale", int8Scale(col("__v")))
+      .withColumn("__q", int8Array(col("__v"), col("__scale"), "int"))
       .select(
         col(idCol),
         col("__scale").as("scale"),

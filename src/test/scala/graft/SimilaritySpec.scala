@@ -175,15 +175,20 @@ class SimilaritySpec extends SparkTestBase {
     val int8 = topkSets(Similarity.annTopKInt8(emb, queries, k = 5,
       nPlanes = 4, nTables = 12, rerank = 32, maxDim = 64))
     val recall = recallAtK(int8, exact)
-    // exact comparisons in the plain path = all candidate pairs (k high
-    // enough to keep every scored row)
+    // exact comparisons in the plain path = all candidate pairs; in the
+    // int8 path = rows actually reaching the exact rescore. Both are
+    // MEASURED via k = MaxValue (rankTopK then keeps one row per scored
+    // pair) — a regression that dropped the prerank filter would inflate
+    // the measured count and fail here, not slip past a constant.
     val fullComparisons = Similarity.annTopK(emb, queries, k = Int.MaxValue,
       nPlanes = 4, nTables = 12, maxDim = 64).count()
-    val int8Comparisons = 16L * 32L // nQueries * rerank upper bound
-    info(f"recall@5=$recall%.3f exact-comparisons: full=$fullComparisons int8<=$int8Comparisons")
+    val int8Comparisons = Similarity.annTopKInt8(emb, queries, k = Int.MaxValue,
+      nPlanes = 4, nTables = 12, rerank = 32, maxDim = 64).count()
+    info(f"recall@5=$recall%.3f exact-comparisons: full=$fullComparisons int8=$int8Comparisons")
     assert(recall >= 0.6, s"int8-prefiltered recall@5 $recall below floor 0.6")
+    assert(int8Comparisons <= 16L * 32L, "prerank must cap rescore at nQueries*rerank")
     assert(int8Comparisons * 2 < fullComparisons,
-      s"int8 prefilter should cut exact comparisons >2x (full=$fullComparisons)")
+      s"int8 prefilter should cut exact comparisons >2x (full=$fullComparisons, int8=$int8Comparisons)")
   }
 
   test("ivfTopKInt8: int8 prefilter keeps IVF recall and caps the exact rescore") {
@@ -198,13 +203,17 @@ class SimilaritySpec extends SparkTestBase {
     val ivf8 = topkSets(Similarity.ivfTopKInt8(emb, queries, k = 5,
       nCells = 16, nProbes = 2, rerank = 16))
     val recall = recallAtK(ivf8, exact)
-    // plain IVF exact-scores every probed-cell candidate
+    // plain IVF exact-scores every probed-cell candidate; the int8 path's
+    // rescore count is MEASURED (k = MaxValue keeps one row per pair)
     val fullComparisons = Similarity.ivfTopK(emb, queries, k = Int.MaxValue,
       nCells = 16, nProbes = 2).count()
-    info(f"recall@5=$recall%.3f exact-comparisons: full=$fullComparisons int8<=${16 * 16}")
+    val int8Comparisons = Similarity.ivfTopKInt8(emb, queries, k = Int.MaxValue,
+      nCells = 16, nProbes = 2, rerank = 16).count()
+    info(f"recall@5=$recall%.3f exact-comparisons: full=$fullComparisons int8=$int8Comparisons")
     assert(recall >= 0.6, s"int8-prefiltered IVF recall@5 $recall below floor 0.6")
-    assert(16L * 16L * 2 < fullComparisons,
-      s"int8 prefilter should cut exact comparisons >2x (full=$fullComparisons)")
+    assert(int8Comparisons <= 16L * 16L, "prerank must cap rescore at nQueries*rerank")
+    assert(int8Comparisons * 2 < fullComparisons,
+      s"int8 prefilter should cut exact comparisons >2x (full=$fullComparisons, int8=$int8Comparisons)")
   }
 
   test("int8Quantize: zero vector, saturation, bounds, scale invariance") {
