@@ -35,6 +35,7 @@ class ContractSpec extends AnyFunSuite {
       "s2_ann_topk",           // SRP-bucket (hash-derived planes)
       "s4_ivf_topk",           // centroid-sample dependent
       "s7_ann_int8",           // SRP-bucket + int8 prefilter (recall + cost gated in SimilaritySpec)
+      "s8_ivf_int8",           // centroid-sample dependent + int8 prefilter (gated in SimilaritySpec)
       "e1_embedding_neardups") // SRP-bucket
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled === rowsOnlyByDesign,

@@ -157,6 +157,20 @@ class PlanQualitySpec extends SparkTestBase {
       l.contains("Aggregate") && (l.contains("__qc#") || l.contains("__qq#"))))
   }
 
+  test("s8: int8 IVF prerank shuffle carries scores only, not quantized arrays") {
+    // The prerank window repartitions the candidate pairs by query id.
+    // Column pruning must have dropped the tinyint vectors (__qc/__qq) by
+    // then — the integer dot is projected map-side in the broadcast-join
+    // stage — so the only pair-stream exchange ships (query, neighbor,
+    // score). A regression here (e.g. scoring moved above the window)
+    // re-ships 1-byte-per-dim arrays through the dominant shuffle.
+    val plan = executedPlan(SparkEntry.queries("s8_ivf_int8")(spark, dir))
+    assert(plan.contains("Window"))
+    assert(!plan.linesIterator.exists(l =>
+      (l.contains("Exchange") || l.contains("Sort ")) &&
+        (l.contains("__qc#") || l.contains("__qq#"))))
+  }
+
   test("d7/d8: hash-split and source-mix scan only (text, source), agg is partial+final") {
     for (q <- Seq("d7_hash_split", "d8_source_mix")) {
       val plan = executedPlan(SparkEntry.queries(q)(spark, dir))

@@ -7,7 +7,7 @@ import graft.sim.Similarity
 /** One measured property per rows-only (no-SQL-oracle) query on the REAL
   * sf0.01 corpus. The driver can only count these queries' rows (their
   * outputs are xxhash/sketch-keyed by design), so each one carries a
-  * semantic gate here; s2/s4/s7 are covered by SimilaritySpec's recall
+  * semantic gate here; s2/s4/s7/s8 are covered by SimilaritySpec's recall
   * and counted-comparison gates.
   */
 class RowsOnlyGateSpec extends SparkTestBase {
