@@ -14,4 +14,8 @@ object VectorFunctions {
   def cosineNative(a: Column, b: Column): Column = Impl.cosineNative(a, b)
   /** Integer dot over int8 arrays (array<tinyint> → bigint), codegen'd. */
   def int8DotNative(a: Column, b: Column): Column = Impl.int8DotNative(a, b)
+  /** One-pass symmetric int8 quantization (array<double> → array<tinyint>). */
+  def int8QuantizeNative(v: Column): Column = Impl.int8QuantizeNative(v)
+  /** L∞ norm max|x_i| (the int8 quantization scale), codegen'd. */
+  def maxAbsNative(v: Column): Column = Impl.maxAbsNative(v)
 }

@@ -141,48 +141,49 @@ object Similarity {
     rankTopK(scored, queryIdCol, k)
   }
 
-  /** SRP-LSH ANN with an int8 prefilter stage — [[int8Quantize]]'s
-    * compression put to work inside the search path.
+  /** SRP-LSH ANN with an int8 prefilter stage — the standard
+    * vector-index compression put to work inside the search path.
     *
-    * Both sides are unit-normalized (cosine becomes a plain dot) and
-    * symmetric-int8-quantized; candidates are scored with an integer dot
-    * product (`q_a·q_b · scale_c` is order-equivalent to the approx
-    * cosine per query since `scale_q` is a per-query constant) in the
-    * same map stage as the broadcast bucket join, so the (query,
-    * candidate) pair shuffle — the dominant shuffle of the whole search
-    * at corpus scale — carries one 8-byte score per pair instead of the
-    * full vector (annTopK ships the 8·dim-byte double vector per pair).
-    * Only the top `rerank` per query survive, and the exact-cosine
-    * rescore joins those nQueries·rerank ids back to the full-precision
-    * corpus — a narrow second join instead of exact math on every
-    * candidate.
+    * Symmetric int8 quantization is SCALE-INVARIANT
+    * (u_i·127/max|u| = x_i·127/max|x|), so both sides quantize the RAW
+    * vectors — no unit-norm pass exists anywhere in these paths.
+    * Candidates are scored with an integer dot in the same map stage as
+    * the broadcast bucket join; `int8dot(q_q, q_c) · (max|x_c|/‖x_c‖)`
+    * orders candidates per query like the approximate cosine (the
+    * remaining factor `127²/(max|x_q|·‖x_c‖·…)` reduces to a per-query
+    * constant), so the (query, candidate) pair shuffle — the dominant
+    * shuffle of the whole search at corpus scale — carries one 8-byte
+    * score per pair instead of the full vector (annTopK ships the
+    * 8·dim-byte double vector per pair). Only the top `rerank` per query
+    * survive, and the exact-cosine rescore joins those nQueries·rerank
+    * ids back to the full-precision corpus — a narrow second join
+    * instead of exact math on every candidate.
     *
-    * Quantization error of a unit vector is ≤ 1/254 per element, so the
-    * int8 ordering only confuses near-ties; `rerank ≫ k` absorbs that
+    * All per-row vector math is native codegen ([[VectorFunctions]]).
+    * The previous formulation derived a unit vector and quantized it
+    * with HOF transforms whose lambdas captured the norm/scale aliases;
+    * HOFs are interpreted (CodegenFallback) and projection collapse
+    * inlines the captured alias, so the norm — itself a full pass —
+    * re-evaluated per ELEMENT: O(dim²) boxed ops per row, measured
+    * ~5 ms/row at dim 64 (a 0.6 s search ran in 4 s).
+    *
+    * Quantization error is ≤ max|x|/254 per element, so the int8
+    * ordering only confuses near-ties; `rerank ≫ k` absorbs that
     * (SimilaritySpec gates recall ≥ 0.6 at rerank = 32, k = 5 alongside
     * the counted-comparisons reduction).
     */
-  /** THE symmetric-int8 contract, in one place: per-vector scale and the
-    * floor-based half-up quantized array (engine-stable — mirrored by the
-    * s6 DuckDB oracle SQL). `elemType` is "int" for the published
-    * [[int8Quantize]] summary (DuckDB compares INTs) and "tinyint" for
-    * the 1-byte candidate-stream form of the ANN variants.
+  /** The two int8 candidate columns, derived from the raw vector in one
+    * native pass each: the quantized tinyint array and the score
+    * correction max|x|/‖x‖ (0 for the zero vector, whose quantized form
+    * is all-zero anyway). The float→double widening is the implicit
+    * input cast of the native expressions — no HOF anywhere.
     */
-  private[sim] def int8Scale(v: Column): Column =
-    array_max(transform(v, x => abs(x)))
-
-  private[sim] def int8Array(v: Column, scale: Column, elemType: String): Column =
-    transform(v, x =>
-      when(scale === 0.0, lit(0))
-        .otherwise(floor(x * lit(127.0) / scale + lit(0.5))).cast(elemType))
-
-  /** int8 quantization applied to the unit vector in `__u`, stored as a
-    * 1-byte-per-element tinyint array — the compact candidate-stream form
-    * shared by the int8 ANN variants.
-    */
-  private def q8(df: DataFrame): DataFrame =
-    df.withColumn("__scale", int8Scale(col("__u")))
-      .withColumn("__q", int8Array(col("__u"), col("__scale"), "tinyint"))
+  private def int8Candidate(v: Column): (Column, Column) = {
+    val q = VectorFunctions.int8QuantizeNative(v)
+    val sc = when(VectorFunctions.maxAbsNative(v) === 0.0, lit(0.0))
+      .otherwise(VectorFunctions.maxAbsNative(v) / sqrt(VectorFunctions.dotNative(v, v)))
+    (q, sc)
+  }
 
   /** Integer dot of the quantized pair columns `__qq`·`__qc` — native
     * codegen expression (the HOF `aggregate(zip_with(...))` form pays
@@ -193,18 +194,18 @@ object Similarity {
     VectorFunctions.int8DotNative(col("__qq"), col("__qc"))
 
   /** Exact-cosine rescore of the pruned (query, neighbor) id pairs: two
-    * narrow joins back to the full-precision unit vectors, then the shared
-    * top-k contract.
+    * narrow joins back to the full-precision vectors, then the shared
+    * top-k contract. cosineNative (norm-invariant, so raw vectors are
+    * fine) stays NULL for a degenerate zero vector — the same contract
+    * as bruteForceTopK / annTopK, so the int8 variants can't diverge on
+    * that edge.
     */
-  private def rescoreTopK(survivors: DataFrame, cUnit: DataFrame, qUnit: DataFrame,
-                          idCol: String, queryIdCol: String, k: Int): DataFrame = {
+  private def rescoreTopK(survivors: DataFrame, corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, queryIdCol: String,
+                          k: Int): DataFrame = {
     val scored = survivors
-      .join(cUnit.select(col(idCol).as("neighbor_id"), col("__u").as("__cv")), Seq("neighbor_id"))
-      .join(broadcast(qUnit.select(col(idCol).as(queryIdCol), col("__u").as("__qv"))), Seq(queryIdCol))
-      // cosineNative, not dotNative: on unit vectors they agree to the
-      // published 4-decimal rounding, but cosine stays NULL for a
-      // degenerate zero vector — the same contract as bruteForceTopK /
-      // annTopK, so the int8 variants can't diverge on that edge
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as(queryIdCol), col(vecCol).as("__qv"))), Seq(queryIdCol))
       .withColumn("cos", VectorFunctions.cosineNative(col("__qv"), col("__cv")))
     rankTopK(scored, queryIdCol, k)
   }
@@ -216,12 +217,11 @@ object Similarity {
     def buckets(v: Column): Column = array((0 until nTables).map { t =>
       struct(lit(t).as("t"), srpBucket(v, nPlanes, seed = 42 + 7919 * t, maxDim = maxDim).as("b"))
     }: _*)
-    val cUnit = withUnitNorm(corpus.select(col(idCol), col(vecCol)), vecCol, "__u")
-    val qUnit = withUnitNorm(queries.select(col(idCol), col(vecCol)), vecCol, "__u")
-    val c = q8(cUnit).select(col(idCol).as("neighbor_id"), col("__q").as("__qc"),
-      col("__scale").as("__sc"), explode(buckets(col("__u"))).as("__bucket"))
-    val q = q8(qUnit).select(col(idCol).as(queryIdCol), col("__q").as("__qq"),
-      explode(buckets(col("__u"))).as("__bucket"))
+    val (q8c, sc) = int8Candidate(col(vecCol))
+    val c = corpus.select(col(idCol).as("neighbor_id"), q8c.as("__qc"),
+      sc.as("__sc"), explode(buckets(col(vecCol))).as("__bucket"))
+    val q = queries.select(col(idCol).as(queryIdCol), q8c.as("__qq"),
+      explode(buckets(col(vecCol))).as("__bucket"))
     // Score BEFORE the cross-table dedup: the int8 vectors then never
     // shuffle at all (the bucket join is a map-side broadcast join and
     // the score is projected in the same stage), and the pair dedup is a
@@ -239,17 +239,18 @@ object Similarity {
       .withColumn("__prerank", row_number().over(wPre))
       .filter(col("__prerank") <= rerank)
       .select(col(queryIdCol), col("neighbor_id"))
-    rescoreTopK(survivors, cUnit, qUnit, idCol, queryIdCol, k)
+    rescoreTopK(survivors, corpus, queries, idCol, vecCol, queryIdCol, k)
   }
 
   /** IVF ANN with the same int8 prefilter as [[annTopKInt8]]: cell
-    * assignment is cosine-based and therefore norm-invariant, so it is
-    * computed on the unit vectors; the cell join's corpus side carries
-    * the 1-byte quantized form, candidates are ranked by the integer dot,
-    * and only `rerank` per query reach the exact rescore. A corpus vector
-    * lives in exactly one cell and a query probes distinct cells, so no
-    * pair dedup is needed — the prefilter window is the only pair-stream
-    * shuffle.
+    * assignment is cosine-based and therefore norm-invariant, so it runs
+    * directly on the raw vectors (same expression as [[ivfTopK]]); the
+    * cell join's corpus side carries the 1-byte quantized form,
+    * candidates are ranked by the integer dot, and only `rerank` per
+    * query reach the exact rescore. A corpus vector lives in exactly one
+    * cell and a query probes distinct cells, so no pair dedup is needed —
+    * the prefilter window is the only pair-stream shuffle, and it is
+    * projected down to (query, neighbor, score) before the exchange.
     */
   def ivfTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int,
                   nCells: Int = 16, nProbes: Int = 2, kmeansIters: Int = 0,
@@ -262,23 +263,23 @@ object Similarity {
     def cellScores(v: Column): Column =
       zip_with(centArr, sequence(lit(0), lit(cents.length - 1)), (c, i) =>
         struct((-coalesce(cosineNative(c, v), lit(-2.0))).as("neg"), i.as("cell")))
-    val cUnit = withUnitNorm(corpus.select(col(idCol), col(vecCol)), vecCol, "__u")
-    val qUnit = withUnitNorm(queries.select(col(idCol), col(vecCol)), vecCol, "__u")
-    val c = q8(cUnit).select(col(idCol).as("neighbor_id"), col("__q").as("__qc"),
-      col("__scale").as("__sc"),
-      array_min(cellScores(col("__u"))).getField("cell").as("__cell"))
-    val q = q8(qUnit).select(col(idCol).as(queryIdCol), col("__q").as("__qq"),
-      explode(transform(slice(array_sort(cellScores(col("__u"))), 1, nProbes),
+    val (q8c, sc) = int8Candidate(col(vecCol))
+    val c = corpus.select(col(idCol).as("neighbor_id"), q8c.as("__qc"),
+      sc.as("__sc"),
+      array_min(cellScores(col(vecCol))).getField("cell").as("__cell"))
+    val q = queries.select(col(idCol).as(queryIdCol), q8c.as("__qq"),
+      explode(transform(slice(array_sort(cellScores(col(vecCol))), 1, nProbes),
         s => s.getField("cell"))).as("__cell"))
     val wPre = Window.partitionBy(queryIdCol)
       .orderBy(col("__approx").desc, col("neighbor_id").asc)
     val survivors = c.join(broadcast(q), Seq("__cell"))
       .filter(col(queryIdCol) =!= col("neighbor_id"))
-      .withColumn("__approx", int8Dot * col("__sc"))
+      .select(col(queryIdCol), col("neighbor_id"),
+        (int8Dot * col("__sc")).as("__approx"))
       .withColumn("__prerank", row_number().over(wPre))
       .filter(col("__prerank") <= rerank)
       .select(col(queryIdCol), col("neighbor_id"))
-    rescoreTopK(survivors, cUnit, qUnit, idCol, queryIdCol, k)
+    rescoreTopK(survivors, corpus, queries, idCol, vecCol, queryIdCol, k)
   }
 
   /** Deterministic sampled centroids, optionally refined with Lloyd
@@ -364,6 +365,21 @@ object Similarity {
     * the shortest decimal repr, DuckDB the binary value). Zero vectors
     * quantize to all-zero with scale 0.
     */
+  /** The symmetric-int8 contract in Column form: per-vector scale and the
+    * floor-based half-up quantized array (engine-stable — mirrored by the
+    * s6 DuckDB oracle SQL). This HOF form exists for the oracled
+    * [[int8Quantize]] summary, whose published ints DuckDB re-derives;
+    * the ANN candidate paths use the native one-pass twin
+    * (`VectorFunctions.int8QuantizeNative`, bit-identical math).
+    */
+  private[sim] def int8Scale(v: Column): Column =
+    array_max(transform(v, x => abs(x)))
+
+  private[sim] def int8Array(v: Column, scale: Column, elemType: String): Column =
+    transform(v, x =>
+      when(scale === 0.0, lit(0))
+        .otherwise(floor(x * lit(127.0) / scale + lit(0.5))).cast(elemType))
+
   def int8Quantize(df: DataFrame, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame =
     df.select(col(idCol), toDouble(col(vecCol)).as("__v"))

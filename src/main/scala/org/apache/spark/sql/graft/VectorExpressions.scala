@@ -188,6 +188,118 @@ case class Int8DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object Int8Impl {
+  /** Symmetric int8 quantization of one vector in two tight passes:
+    * m = max|x|, then q_i = floor(x_i·127/m + 0.5) (half-up; bounded in
+    * [−127, 127] by construction — x_i = ±m hits exactly ±127). Zero
+    * vectors quantize to all-zero. A null element nulls the whole result
+    * (same propagation as the sibling vector expressions). Same math as
+    * `Similarity.int8Array` — this is the allocation-light native form
+    * for the ANN candidate hot path.
+    */
+  def quantize(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val a = math.abs(v.getDouble(i)); if (a > m) m = a
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (m != 0.0) {
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(v.getDouble(i) * 127.0 / m + 0.5).toByte
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** array<double> → array<tinyint>: one-pass symmetric int8 quantization
+  * (see [[Int8Impl.quantize]]). The HOF formulation
+  * (`transform(v, x -> floor(x·127/max_abs + 0.5))`) is interpreted AND
+  * captures the per-vector scale alias — projection collapse inlines the
+  * capture, so interpreted eval re-derives the scale (another full HOF
+  * pass) per ELEMENT: O(dim²) boxed ops per row, measured ~5 ms/row at
+  * dim 64 on the s7/s8 candidate streams.
+  */
+case class Int8QuantizeVec(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "graft_int8_quantize"
+  override def nullable: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any =
+    Int8Impl.quantize(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = org.apache.spark.sql.graft.Int8Impl.quantize($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** L∞ norm: max|x_i|, 0.0 for an empty array, null on a null element —
+  * the quantization scale of [[Int8QuantizeVec]] published as a scalar
+  * (the ANN paths divide it by the L2 norm for the per-vector score
+  * correction). Tight-loop codegen like [[DotProduct]].
+  */
+case class MaxAbs(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_linf"
+  override def nullable: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val a = math.abs(v.getDouble(i)); if (a > m) m = a
+      i += 1
+    }
+    m
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val a = ctx.freshName("a")
+      val anyNull = ctx.freshName("anyNull")
+      s"""
+         |int $n = $c.numElements();
+         |double $m = 0.0;
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($c.isNullAt($i)) { $anyNull = true; break; }
+         |  double $a = java.lang.Math.abs($c.getDouble($i));
+         |  if ($a > $m) { $m = $a; }
+         |}
+         |if ($anyNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $m;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SrpImpl {
   /** splitmix64 finalizer — the standard public-domain 64-bit integer mix
     * (Steele/Lea/Flood, "Fast Splittable Pseudorandom Number Generators").
@@ -266,4 +378,8 @@ object VectorFunctions {
     ExpressionUtils.column(Int8DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def srpBucketNative(v: Column, nPlanes: Int, seed: Int): Column =
     ExpressionUtils.column(SrpBucket(ExpressionUtils.expression(v), nPlanes, seed))
+  def int8QuantizeNative(v: Column): Column =
+    ExpressionUtils.column(Int8QuantizeVec(ExpressionUtils.expression(v)))
+  def maxAbsNative(v: Column): Column =
+    ExpressionUtils.column(MaxAbs(ExpressionUtils.expression(v)))
 }
