@@ -372,10 +372,10 @@ object Similarity {
     * the ANN candidate paths use the native one-pass twin
     * (`VectorFunctions.int8QuantizeNative`, bit-identical math).
     */
-  private[sim] def int8Scale(v: Column): Column =
+  private[graft] def int8Scale(v: Column): Column =
     array_max(transform(v, x => abs(x)))
 
-  private[sim] def int8Array(v: Column, scale: Column, elemType: String): Column =
+  private[graft] def int8Array(v: Column, scale: Column, elemType: String): Column =
     transform(v, x =>
       when(scale === 0.0, lit(0))
         .otherwise(floor(x * lit(127.0) / scale + lit(0.5))).cast(elemType))

@@ -44,6 +44,13 @@ object GraftFunctions {
     ("graft_dot_int8",
       info("graft_dot_int8", "graft_dot_int8(a, b) - integer dot product of two int8 (tinyint) vectors"),
       (children: Seq[Expression]) => Int8DotProduct(children(0), children(1))),
+    ("graft_int8_quantize",
+      info("graft_int8_quantize",
+        "graft_int8_quantize(v) - symmetric int8 quantization: floor(x*127/max_abs + 0.5) as array<tinyint>"),
+      (children: Seq[Expression]) => Int8QuantizeVec(children.head)),
+    ("graft_linf",
+      info("graft_linf", "graft_linf(v) - L-infinity norm max(abs(x_i)) of a vector"),
+      (children: Seq[Expression]) => MaxAbs(children.head)),
     ("graft_srp_bucket",
       info("graft_srp_bucket",
         "graft_srp_bucket(v, nPlanes, seed) - signed-random-projection LSH bucket id"),

@@ -53,6 +53,36 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(both.last.getLong(0) === 0L)
   }
 
+  test("native int8 quantize matches the HOF contract bit-for-bit; maxAbs is its scale") {
+    val gen = new scala.util.Random(23)
+    val rows = (0 until 40).map(_ => Tuple1(Seq.fill(64)(gen.nextFloat() * 2f - 1f))) :+
+      Tuple1(Seq.fill(8)(0.0f)) // zero vector -> all-zero, scale 0
+    val df = rows.toDF("v")
+    val both = df.select(
+      VectorFunctions.int8QuantizeNative($"v").as("native"),
+      Similarity.int8Array(Similarity.toDouble($"v"),
+        Similarity.int8Scale(Similarity.toDouble($"v")), "tinyint").as("hof"),
+      VectorFunctions.maxAbsNative($"v").as("linf"),
+      Similarity.int8Scale(Similarity.toDouble($"v")).as("hofScale"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Byte](0) === r.getSeq[Byte](1))
+      assert(r.getDouble(2) === r.getDouble(3))
+      // saturation bound: every element in [-127, 127]; max element saturates
+      val q = r.getSeq[Byte](0)
+      assert(q.forall(b => b >= -127 && b <= 127))
+      if (r.getDouble(2) != 0.0) assert(q.exists(b => math.abs(b.toInt) == 127))
+    }
+    assert(both.last.getSeq[Byte](0).forall(_ == 0.toByte))
+  }
+
+  test("native int8 quantize/maxAbs: null element nulls the result") {
+    val df = Seq(Tuple1(Seq[java.lang.Double](1.0, null, 2.0))).toDF("v")
+    val r = df.select(VectorFunctions.int8QuantizeNative($"v"),
+      VectorFunctions.maxAbsNative($"v")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("native expression participates in whole-stage codegen") {
     // literal input constant-folds to a LocalTableScan; use range so a
     // real projection stage exists
@@ -72,11 +102,15 @@ class VectorExpressionsSpec extends SparkTestBase {
       "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) c, " +
       "graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) d, " +
       "graft_dot_int8(array(127Y, -2Y), array(127Y, 3Y)) q, " +
-      "graft_srp_bucket(array(0.5d, -1.5d, 2.0d), 8, 42) b").collect()(0)
+      "graft_srp_bucket(array(0.5d, -1.5d, 2.0d), 8, 42) b, " +
+      "graft_int8_quantize(array(0.5d, -1.0d)) q8, " +
+      "graft_linf(array(0.5d, -1.0d)) li").collect()(0)
     assert(r.getDouble(0) === 1.0)
     assert(r.getDouble(1) === 11.0)
     assert(r.getLong(2) === 16129L - 6L)
     assert(r.getLong(3) >= 0L && r.getLong(3) < 256L)
+    assert(r.getSeq[Byte](4) === Seq[Byte](64, -127))
+    assert(r.getDouble(5) === 1.0)
   }
 
   test("SQL surface: text-signature functions callable after registration") {
