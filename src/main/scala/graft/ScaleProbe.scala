@@ -42,7 +42,7 @@ object ScaleProbe {
     */
   val embProbeQueries: Seq[String] = Seq(
     "s6_int8_quantize", "s1_brute_topk", "s2_ann_topk", "s4_ivf_topk",
-    "s7_ann_int8")
+    "s7_ann_int8", "s8_ivf_int8")
 
   def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(out)

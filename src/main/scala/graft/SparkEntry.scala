@@ -770,6 +770,13 @@ object SparkEntry {
         .select(col("pos"), col("source"), col("doc_id"))
         .orderBy("pos").limit(100)),
 
+    // Seeded epoch shuffle: shard round-robin on id, seeded-hash order
+    // within shard — the reproducible training-order layout. Fully
+    // SQL-expressible (md5-hex recipe shared with d10) -> oracled.
+    "d11_epoch_shuffle" -> ((s, d) =>
+      Dedup.epochShuffle(Tables.documents(s, d), "doc_id", seed = 7, nShards = 4)
+        .select(col("doc_id"), col("shard"), col("pos"))),
+
     "d1_exact_dup_stats" -> ((s, d) => Dedup.exactDupStats(Tables.documents(s, d), "text")),
     "d2_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")),
     "d3_lsh_buckets" -> ((s, d) => Dedup.lshBuckets(Tables.documents(s, d), "doc_id", "text")),
@@ -1647,6 +1654,13 @@ object SparkEntry {
         |SELECT CAST((rn - 1) * 20 + CAST(substr(source, 4, 8) AS INT) AS BIGINT) AS pos,
         |  source, doc_id
         |FROM ranked ORDER BY pos LIMIT 100""".stripMargin,
+
+    "d11_epoch_shuffle" ->
+      """SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY doc_id % 4
+        |    ORDER BY CAST(concat('0x', substr(md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 12)) AS BIGINT),
+        |      doc_id) AS BIGINT) AS pos
+        |FROM documents""".stripMargin,
 
     "d9_source_cap" ->
       """WITH ranked AS (SELECT source, doc_id,

@@ -297,6 +297,37 @@ object Dedup {
         (row_number().over(w) - 1).cast("long") * nSources + sourceIndex.cast("long"))
   }
 
+  /** Seeded epoch shuffle: a reproducible global training order. Shard
+    * round-robin on id, then order each shard by a seeded keyed hash —
+    * the standard shard-and-shuffle layout (readers stream shards in
+    * shard order; a new seed re-permutes every shard for the next epoch,
+    * with no data movement until the write). Reference analog: the
+    * random-free, rerun-stable ordering discipline of the reference's
+    * loads (/root/reference/src/load.py:139-154 always writes
+    * deterministic orders); the seed generalizes it to per-epoch
+    * permutations.
+    *
+    * Scale shape: one keyed window per shard — shard count is chosen so
+    * N/nShards rows sort in executor memory (the same sizing as training
+    * shard files, a few GB each); materializing the order is then a plain
+    * `partitionBy(shard)` write with an in-file sort on `pos`. No global
+    * sort, no single-partition window anywhere.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, seed: Int,
+                   nShards: Int): DataFrame = {
+    require(nShards > 0, s"epochShuffle needs nShards > 0, got $nShards")
+    // 48-bit hex prefix of the seeded md5 — the same engine-stable hash
+    // recipe as interleaveOrder (DuckDB: CAST(concat('0x', substr(..)))
+    val key = conv(substring(
+      md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 12), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__key").asc, col(idCol).asc)
+    df.withColumn("shard", pmod(col(idCol), lit(nShards)).cast("int"))
+      .withColumn("__key", key)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__key")
+  }
+
   // ----------------------------------------------------- dup clustering
 
   /** Connected components over a near-dup pair table (id1 < id2) by

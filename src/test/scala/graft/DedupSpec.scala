@@ -147,6 +147,30 @@ class DedupSpec extends SparkTestBase {
     first30.grouped(3).foreach(g => assert(g.toSet === Set("s0", "s1", "s2")))
   }
 
+  test("epochShuffle: deterministic per seed, seed re-permutes, shard positions contiguous") {
+    val corpus = (0 until 80).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+    val e1 = Dedup.epochShuffle(corpus, "id", seed = 7, nShards = 4)
+      .select("id", "shard", "pos").collect()
+    val e1b = Dedup.epochShuffle(corpus, "id", seed = 7, nShards = 4)
+      .select("id", "shard", "pos").collect()
+    // same seed -> bit-identical order (rerun-stable epoch)
+    assert(e1.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1) ===
+           e1b.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1))
+    // shards are the id round-robin; positions contiguous 1..shardSize
+    e1.groupBy(_.getInt(1)).foreach { case (shard, rows) =>
+      assert(rows.forall(r => (r.getLong(0) % 4).toInt == shard))
+      assert(rows.map(_.getLong(2)).sorted === (1L to rows.length).toArray)
+    }
+    // a different seed re-permutes: some doc must change position
+    val e2 = Dedup.epochShuffle(corpus, "id", seed = 8, nShards = 4)
+      .select("id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val moved = e1.count(r => e2(r.getLong(0)) != r.getLong(2))
+    assert(moved > 40, s"seed change should re-permute most docs, moved only $moved/80")
+    // and the intra-shard order is not the id order (it actually shuffles)
+    val shard0 = e1.filter(_.getInt(1) == 0).sortBy(_.getLong(2)).map(_.getLong(0))
+    assert(shard0 !== shard0.sorted)
+  }
+
   test("curationFunnel: gates on quality+language, dedups, summarizes yield") {
     val corpus = Seq(
       (1L, "the cat is on the mat and it sits with a hat near the flat door today fine", "s1"),
