@@ -53,7 +53,13 @@ object Similarity {
     df.withColumn("__norm", sqrt(VectorFunctions.dotNative(col(vecCol), col(vecCol))))
       .withColumn(outCol,
         when(col("__norm") === 0.0, toDouble(col(vecCol)))
-          .otherwise(transform(col(vecCol), x => x.cast("double") / col("__norm"))))
+          // zip_with against a repeated-norm array instead of a lambda
+          // CAPTURE of __norm: projection collapse inlines captured
+          // aliases into the (interpreted) lambda, re-deriving the norm
+          // per element — O(dim²) per row; as an argument it evaluates
+          // once per row
+          .otherwise(zip_with(col(vecCol), array_repeat(col("__norm"), size(col(vecCol))),
+            (x, n) => x.cast("double") / n)))
       .drop("__norm")
 
   /** Shared output contract of every top-k variant: rank per query by
@@ -365,12 +371,12 @@ object Similarity {
     * the shortest decimal repr, DuckDB the binary value). Zero vectors
     * quantize to all-zero with scale 0.
     */
-  /** The symmetric-int8 contract in Column form: per-vector scale and the
-    * floor-based half-up quantized array (engine-stable — mirrored by the
-    * s6 DuckDB oracle SQL). This HOF form exists for the oracled
-    * [[int8Quantize]] summary, whose published ints DuckDB re-derives;
-    * the ANN candidate paths use the native one-pass twin
-    * (`VectorFunctions.int8QuantizeNative`, bit-identical math).
+  /** The symmetric-int8 contract in readable Column form: per-vector
+    * scale and the floor-based half-up quantized array (engine-stable —
+    * mirrored by the s6 DuckDB oracle SQL). Production paths all use the
+    * native one-pass twin (`VectorFunctions.int8QuantizeNative` /
+    * `maxAbsNative`); VectorExpressionsSpec pins the two forms
+    * bit-for-bit so this stays the executable specification.
     */
   private[graft] def int8Scale(v: Column): Column =
     array_max(transform(v, x => abs(x)))
@@ -383,14 +389,21 @@ object Similarity {
   def int8Quantize(df: DataFrame, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame =
     df.select(col(idCol), toDouble(col(vecCol)).as("__v"))
-      .withColumn("__scale", int8Scale(col("__v")))
-      .withColumn("__q", int8Array(col("__v"), col("__scale"), "int"))
+      // native one-pass quantize/scale (bit-identical to the HOF contract
+      // [[int8Scale]]/[[int8Array]], which VectorExpressionsSpec pins):
+      // the HOF form's captured-scale lambda re-derived the scale per
+      // element once projection collapse inlined it — O(dim²) interpreted
+      // ops per row, which at dim 1024 would contradict this operator's
+      // pure-scan claim. The summary HOFs below reference only the
+      // materialized __q array — linear
+      .withColumn("__scale", VectorFunctions.maxAbsNative(col("__v")))
+      .withColumn("__q", VectorFunctions.int8QuantizeNative(col("__v")))
       .select(
         col(idCol),
         col("__scale").as("scale"),
         aggregate(col("__q"), lit(0L), (acc, q) => acc + q).as("q_sum"),
-        array_min(col("__q")).as("q_min"),
-        array_max(col("__q")).as("q_max"),
+        array_min(col("__q")).cast("int").as("q_min"),
+        array_max(col("__q")).cast("int").as("q_max"),
         size(filter(col("__q"), q => abs(q) === 127)).cast("long").as("n_saturated"))
 
   /** Per-label centroid summary over the embedding column: vector mean via
