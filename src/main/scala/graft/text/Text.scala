@@ -164,9 +164,14 @@ object Text {
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
     val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     // document frequency FROM tf (one row per (doc, token) ⇒ row count per
-    // token == distinct-doc count): the tf subtree's exchange is reused
-    // for this branch instead of a second explode + count-distinct shuffle
-    // over the raw token stream
+    // token == distinct-doc count). In the executed plan only the scan's
+    // spread exchange is reused — the tokenize/explode subtree runs once
+    // per branch, a deliberate 2× constant: both branches partial-
+    // aggregate map-side (hot tokens reduce to one row per map task
+    // before any exchange), whereas the single-pass alternative — a
+    // count() window over Window.partitionBy(token) on tf — ships every
+    // (doc, token) row of a hot token into one partition, a skew trap at
+    // corpus scale
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("__n"))
     val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
