@@ -888,11 +888,11 @@ object SparkEntry {
       Similarity.annTopKInt8(emb, emb.filter(col("vec_id") < 8), k = 5,
         nPlanes = 4, nTables = 12, rerank = 32, maxDim = 64)
     }),
-    // IVF with the same int8 prefilter: cell assignment on unit vectors
-    // (norm-invariant), probed-cell candidates scored by integer dot,
-    // top-rerank exact rescore. Centroid-sample dependent like s4 ->
-    // rows-only; SimilaritySpec gates recall >= 0.6 and the measured
-    // exact-comparison reduction vs plain IVF.
+    // IVF with the same int8 prefilter: cell assignment on the raw
+    // vectors (cosine is norm-invariant), probed-cell candidates scored
+    // by integer dot, top-rerank exact rescore. Centroid-sample dependent
+    // like s4 -> rows-only; SimilaritySpec gates recall >= 0.6 and the
+    // measured exact-comparison reduction vs plain IVF.
     "s8_ivf_int8" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopKInt8(emb, emb.filter(col("vec_id") < 8), k = 5,

@@ -322,7 +322,10 @@ object Dedup {
       md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 12), 16, 10)
       .cast("long")
     val w = Window.partitionBy(col("shard")).orderBy(col("__key").asc, col(idCol).asc)
-    df.withColumn("shard", pmod(col(idCol), lit(nShards)).cast("int"))
+    // % (sign-of-dividend remainder), not pmod: DuckDB's % in the d11
+    // oracle is a remainder, and pmod(-1, 4)=3 vs -1 % 4 = -1 would
+    // silently diverge the shard assignment on a negative id
+    df.withColumn("shard", (col(idCol) % lit(nShards)).cast("int"))
       .withColumn("__key", key)
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__key")

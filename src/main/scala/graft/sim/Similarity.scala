@@ -205,14 +205,30 @@ object Similarity {
     * fine) stays NULL for a degenerate zero vector — the same contract
     * as bruteForceTopK / annTopK, so the int8 variants can't diverge on
     * that edge.
+    *
+    * The corpus side is a SECOND scan of the embedding table, by design:
+    * it cannot reuse the candidate branch's exchange (the explode infers
+    * a `size(buckets) > 0` filter into that branch's scan —
+    * InferFiltersFromGenerate — so the subtrees never canonically
+    * match), and a fresh map-side scan against the broadcast survivor
+    * set is the correct production shape anyway: no shuffle, prunes to
+    * (id, vec), and the only alternative at 100 TB would be caching the
+    * corpus. AQE picks the build side by size (tiny corpus at test
+    * scale, tiny survivors at corpus scale).
     */
-  private def rescoreTopK(survivors: DataFrame, corpus: DataFrame, queries: DataFrame,
+  private def rescoreTopK(survivors: DataFrame, corpusBase: DataFrame, queriesBase: DataFrame,
                           idCol: String, vecCol: String, queryIdCol: String,
                           k: Int): DataFrame = {
-    val scored = survivors
-      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")), Seq("neighbor_id"))
-      .join(broadcast(queries.select(col(idCol).as(queryIdCol), col(vecCol).as("__qv"))), Seq(queryIdCol))
-      .withColumn("cos", VectorFunctions.cosineNative(col("__qv"), col("__cv")))
+    // SubqueryAlias qualifiers (eliminated before optimization, so they
+    // cannot perturb exchange-reuse canonicalization) — survivors derives
+    // from both bases, so bare dataframe-refs are ambiguous self-joins
+    val scored = survivors.as("s")
+      .join(corpusBase.as("c"), col("s.neighbor_id") === col(s"c.$idCol"))
+      .join(broadcast(queriesBase.as("q")), col(s"s.$queryIdCol") === col(s"q.$idCol"))
+      .withColumn("cos",
+        VectorFunctions.cosineNative(col(s"q.$vecCol"), col(s"c.$vecCol")))
+      .select(col(s"s.$queryIdCol").as(queryIdCol),
+        col("s.neighbor_id").as("neighbor_id"), col("cos"))
     rankTopK(scored, queryIdCol, k)
   }
 
@@ -224,10 +240,20 @@ object Similarity {
       struct(lit(t).as("t"), srpBucket(v, nPlanes, seed = 42 + 7919 * t, maxDim = maxDim).as("b"))
     }: _*)
     val (q8c, sc) = int8Candidate(col(vecCol))
-    val c = corpus.select(col(idCol).as("neighbor_id"), q8c.as("__qc"),
-      sc.as("__sc"), explode(buckets(col(vecCol))).as("__bucket"))
-    val q = queries.select(col(idCol).as(queryIdCol), q8c.as("__qq"),
-      explode(buckets(col(vecCol))).as("__bucket"))
+    val cBase = corpus.select(col(idCol), col(vecCol))
+    val qBase = queries.select(col(idCol), col(vecCol))
+    // quantize/scale and the bucket ARRAY are materialized BELOW the
+    // explode (the Generate's child projection): in one select with the
+    // generator they land in the projection above it and re-evaluate
+    // once per exploded row — nTables× redundant O(dim) work per vector
+    // on the hottest map stage (caught in the plan ledger review)
+    val c = cBase.select(col(idCol).as("neighbor_id"), q8c.as("__qc"),
+        sc.as("__sc"), buckets(col(vecCol)).as("__bs"))
+      .select(col("neighbor_id"), col("__qc"), col("__sc"),
+        explode(col("__bs")).as("__bucket"))
+    val q = qBase.select(col(idCol).as(queryIdCol), q8c.as("__qq"),
+        buckets(col(vecCol)).as("__bs"))
+      .select(col(queryIdCol), col("__qq"), explode(col("__bs")).as("__bucket"))
     // Score BEFORE the cross-table dedup: the int8 vectors then never
     // shuffle at all (the bucket join is a map-side broadcast join and
     // the score is projected in the same stage), and the pair dedup is a
@@ -245,7 +271,7 @@ object Similarity {
       .withColumn("__prerank", row_number().over(wPre))
       .filter(col("__prerank") <= rerank)
       .select(col(queryIdCol), col("neighbor_id"))
-    rescoreTopK(survivors, corpus, queries, idCol, vecCol, queryIdCol, k)
+    rescoreTopK(survivors, cBase, qBase, idCol, vecCol, queryIdCol, k)
   }
 
   /** IVF ANN with the same int8 prefilter as [[annTopKInt8]]: cell
@@ -270,12 +296,17 @@ object Similarity {
       zip_with(centArr, sequence(lit(0), lit(cents.length - 1)), (c, i) =>
         struct((-coalesce(cosineNative(c, v), lit(-2.0))).as("neg"), i.as("cell")))
     val (q8c, sc) = int8Candidate(col(vecCol))
-    val c = corpus.select(col(idCol).as("neighbor_id"), q8c.as("__qc"),
+    val cBase = corpus.select(col(idCol), col(vecCol))
+    val qBase = queries.select(col(idCol), col(vecCol))
+    val c = cBase.select(col(idCol).as("neighbor_id"), q8c.as("__qc"),
       sc.as("__sc"),
       array_min(cellScores(col(vecCol))).getField("cell").as("__cell"))
-    val q = queries.select(col(idCol).as(queryIdCol), q8c.as("__qq"),
-      explode(transform(slice(array_sort(cellScores(col(vecCol))), 1, nProbes),
-        s => s.getField("cell"))).as("__cell"))
+    // probe-cell array materialized below the explode (same Generate
+    // placement rule as annTopKInt8)
+    val q = qBase.select(col(idCol).as(queryIdCol), q8c.as("__qq"),
+        transform(slice(array_sort(cellScores(col(vecCol))), 1, nProbes),
+          s => s.getField("cell")).as("__cells"))
+      .select(col(queryIdCol), col("__qq"), explode(col("__cells")).as("__cell"))
     val wPre = Window.partitionBy(queryIdCol)
       .orderBy(col("__approx").desc, col("neighbor_id").asc)
     val survivors = c.join(broadcast(q), Seq("__cell"))
@@ -285,7 +316,7 @@ object Similarity {
       .withColumn("__prerank", row_number().over(wPre))
       .filter(col("__prerank") <= rerank)
       .select(col(queryIdCol), col("neighbor_id"))
-    rescoreTopK(survivors, corpus, queries, idCol, vecCol, queryIdCol, k)
+    rescoreTopK(survivors, cBase, qBase, idCol, vecCol, queryIdCol, k)
   }
 
   /** Deterministic sampled centroids, optionally refined with Lloyd

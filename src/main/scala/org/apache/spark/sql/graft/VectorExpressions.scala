@@ -203,7 +203,12 @@ object Int8Impl {
     var i = 0
     while (i < n) {
       if (v.isNullAt(i)) return null
-      val a = math.abs(v.getDouble(i)); if (a > m) m = a
+      val a = math.abs(v.getDouble(i))
+      // NaN must become (and stay) the max — Spark's array_max ordering
+      // treats NaN as greatest, and the HOF contract then floors
+      // x·127/NaN to NaN whose byte cast is 0; `a > m` alone is always
+      // false for NaN and would silently quantize around it
+      if (a.isNaN || a > m) m = a
       i += 1
     }
     val out = new Array[Byte](n)
@@ -247,10 +252,13 @@ case class Int8QuantizeVec(child: Expression)
     copy(child = newChild)
 }
 
-/** L∞ norm: max|x_i|, 0.0 for an empty array, null on a null element —
-  * the quantization scale of [[Int8QuantizeVec]] published as a scalar
-  * (the ANN paths divide it by the L2 norm for the per-vector score
-  * correction). Tight-loop codegen like [[DotProduct]].
+/** L∞ norm: max|x_i| — the quantization scale of [[Int8QuantizeVec]]
+  * published as a scalar (the ANN paths divide it by the L2 norm for the
+  * per-vector score correction). Matches the HOF contract
+  * `array_max(transform(v, abs))` on every edge: null for an EMPTY array
+  * and on a null element, NaN as the greatest value (a single NaN
+  * element makes the norm NaN — `>` alone would skip it). Tight-loop
+  * codegen like [[DotProduct]].
   */
 case class MaxAbs(child: Expression)
   extends UnaryExpression with ImplicitCastInputTypes {
@@ -262,11 +270,13 @@ case class MaxAbs(child: Expression)
   protected override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    if (n == 0) return null
     var m = 0.0
     var i = 0
     while (i < n) {
       if (v.isNullAt(i)) return null
-      val a = math.abs(v.getDouble(i)); if (a > m) m = a
+      val a = math.abs(v.getDouble(i))
+      if (a.isNaN || a > m) m = a
       i += 1
     }
     m
@@ -282,11 +292,11 @@ case class MaxAbs(child: Expression)
       s"""
          |int $n = $c.numElements();
          |double $m = 0.0;
-         |boolean $anyNull = false;
+         |boolean $anyNull = ($n == 0);
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($c.isNullAt($i)) { $anyNull = true; break; }
          |  double $a = java.lang.Math.abs($c.getDouble($i));
-         |  if ($a > $m) { $m = $a; }
+         |  if (java.lang.Double.isNaN($a) || $a > $m) { $m = $a; }
          |}
          |if ($anyNull) {
          |  ${ev.isNull} = true;

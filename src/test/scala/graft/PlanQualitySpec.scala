@@ -155,6 +155,14 @@ class PlanQualitySpec extends SparkTestBase {
     // no aggregate buffers over the int8 vector columns
     assert(!plan.linesIterator.exists(l =>
       l.contains("Aggregate") && (l.contains("__qc#") || l.contains("__qq#"))))
+    // quantize/scale/buckets materialize BELOW the explode: the Generate
+    // lists __qc as pass-through; a Generate whose projection recomputes
+    // graft_int8_quantize pays nTables x O(dim) per vector (caught in
+    // the r7 ledger review)
+    val gens = plan.linesIterator.filter(_.contains("Generate explode")).toSeq
+    assert(gens.nonEmpty)
+    assert(gens.exists(_.contains("__qc#")))
+    assert(!gens.exists(_.contains("graft_int8_quantize")))
   }
 
   test("s8: int8 IVF prerank shuffle carries scores only, not quantized arrays") {
@@ -169,6 +177,11 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.linesIterator.exists(l =>
       (l.contains("Exchange") || l.contains("Sort ")) &&
         (l.contains("__qc#") || l.contains("__qq#"))))
+    // the probe-cell explode passes the quantized query vector through
+    // instead of recomputing it per probed cell
+    val gens = plan.linesIterator.filter(_.contains("Generate explode")).toSeq
+    assert(gens.exists(_.contains("__qq#")))
+    assert(!gens.exists(_.contains("graft_int8_quantize")))
   }
 
   test("d7/d8: hash-split and source-mix scan only (text, source), agg is partial+final") {

@@ -192,7 +192,7 @@ class SimilaritySpec extends SparkTestBase {
   }
 
   test("ivfTopKInt8: int8 prefilter keeps IVF recall and caps the exact rescore") {
-    // Same parameters as registered s4 plus rerank=32: cell assignment is
+    // Same parameters as registered s8 (rerank=16): cell assignment is
     // cosine-based (norm-invariant), so recall should track plain IVF
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val queries = emb.filter($"vec_id" < 16)

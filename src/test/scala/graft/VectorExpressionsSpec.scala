@@ -83,6 +83,26 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("native int8 quantize/maxAbs: NaN and empty-array edges match the HOF contract") {
+    // array_max treats NaN as greatest -> scale NaN, every quantized
+    // element floors NaN whose byte cast is 0; empty array -> null scale
+    val df = Seq(
+      Seq(1.0, Double.NaN, -3.0),
+      Seq.empty[Double]).map(Tuple1(_)).toDF("v")
+    val rows = df.select(
+      VectorFunctions.maxAbsNative($"v").as("native_scale"),
+      Similarity.int8Scale($"v").as("hof_scale"),
+      VectorFunctions.int8QuantizeNative($"v").as("native_q"),
+      Similarity.int8Array($"v", Similarity.int8Scale($"v"), "tinyint").as("hof_q")).collect()
+    val nan = rows(0)
+    assert(nan.getDouble(0).isNaN && nan.getDouble(1).isNaN)
+    assert(nan.getSeq[Byte](2) === nan.getSeq[Byte](3))
+    assert(nan.getSeq[Byte](2) === Seq[Byte](0, 0, 0))
+    val empty = rows(1)
+    assert(empty.isNullAt(0) && empty.isNullAt(1))
+    assert(empty.getSeq[Byte](2).isEmpty && empty.getSeq[Byte](3).isEmpty)
+  }
+
   test("native expression participates in whole-stage codegen") {
     // literal input constant-folds to a LocalTableScan; use range so a
     // real projection stage exists
