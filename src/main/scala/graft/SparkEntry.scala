@@ -700,6 +700,13 @@ object SparkEntry {
     "t11_chunk_plan" -> ((s, d) =>
       Text.chunkPlan(Tables.documents(s, d), "source", "doc_id", "text",
         contextLen = 2048)),
+    // Sliding-window chunking (overlap = 4 tokens at these parameters):
+    // the RAG/embedding complement of t11's concat-and-chunk. Small
+    // window/stride so the sf0.01 docs (~30 tokens) produce real
+    // multi-chunk plans. Pure map-side sequence+posexplode.
+    "t16_chunk_overlap" -> ((s, d) =>
+      Text.chunkPlanOverlap(Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = 16, stride = 12)),
 
     // PII scrub over a deterministically-dirtied column: the testdata text
     // contains no PII at all (pure word soup), so an email/phone/IPv4 is
@@ -1571,6 +1578,20 @@ object SparkEntry {
         |  CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS chunk_id
         |FROM t""".stripMargin,
+
+    "t16_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens <= 16 THEN CAST(1 AS BIGINT)
+        |         ELSE CAST(ceil((n_tokens - 16) / 12.0) AS BIGINT) + 1 END AS nc
+        |  FROM t),
+        |e AS (SELECT doc_id, n_tokens, unnest(range(0, nc)) AS i FROM c)
+        |SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i * 12 AS BIGINT) AS start_token,
+        |  least(CAST(i * 12 + 16 AS BIGINT), n_tokens) AS end_token
+        |FROM e""".stripMargin,
 
     "t13_pii_scrub" ->
       """WITH dirty AS (SELECT doc_id,

@@ -241,6 +241,30 @@ object Text {
       .withColumn("chunk_id", floor(col("start_offset") / lit(contextLen)).cast("long"))
   }
 
+  /** Sliding-window chunk plan (the RAG/embedding-pipeline shape, the
+    * overlapping complement of [[chunkPlan]]): windows of `chunkTokens`
+    * tokens advancing by `stride` (< chunkTokens ⇒ consecutive chunks
+    * overlap by chunkTokens − stride, so no boundary-spanning content is
+    * lost to a cut). n_chunks = 1 for docs that fit one window, else
+    * ⌈(n − W)/S⌉ + 1 — the last window always reaches the final token.
+    * Map-side: a per-row `sequence` + `posexplode`, no shuffle at all —
+    * at 100 TB this is a pure scan pass emitting ~n/S rows per doc.
+    */
+  def chunkPlanOverlap(df: DataFrame, idCol: String, textCol: String,
+                       chunkTokens: Int = 512, stride: Int = 384): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      s"need 0 < stride <= chunkTokens, got stride=$stride chunkTokens=$chunkTokens")
+    val n = tokenCount(col(textCol)).cast("long")
+    val nChunks = when(n <= chunkTokens, lit(1L))
+      .otherwise(ceil((n - chunkTokens).cast("double") / stride).cast("long") + 1L)
+    df.select(col(idCol), n.as("n_tokens"), nChunks.as("__nc"))
+      .select(col(idCol), col("n_tokens"),
+        posexplode(sequence(lit(0L), col("__nc") - 1L)).as(Seq("chunk_idx", "__i")))
+      .select(col(idCol), col("n_tokens"), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("__i") * stride).as("start_token"),
+        least(col("__i") * stride + chunkTokens, col("n_tokens")).as("end_token"))
+  }
+
   /** Per-document stats projection used by the documents-table queries. */
   def docStats(df: DataFrame, textCol: String, stopwords: Seq[String]): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))

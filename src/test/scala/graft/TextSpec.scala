@@ -165,6 +165,30 @@ class TextSpec extends SparkTestBase {
     assert(out(("s2", 9L)) === ((3L, 0L, 0L))) // shards pack independently
   }
 
+  test("chunkPlanOverlap: full token coverage, fixed overlap, tail reaches last token") {
+    val df = Seq(
+      (1L, (1 to 30).map(i => s"w$i").mkString(" ")),  // 30 tokens: 3 chunks at W=16,S=12
+      (2L, (1 to 16).map(i => s"w$i").mkString(" ")),  // exactly W: 1 chunk
+      (3L, (1 to 17).map(i => s"w$i").mkString(" ")),  // W+1: 2 chunks
+      (4L, "")).toDF("doc_id", "text")                 // empty: one (0,0) chunk
+    val out = Text.chunkPlanOverlap(df, "doc_id", "text", chunkTokens = 16, stride = 12)
+      .collect().groupBy(_.getLong(0))
+    def spans(id: Long) = out(id).sortBy(_.getLong(2))
+      .map(r => (r.getLong(3), r.getLong(4)))
+    assert(spans(1L) === Seq((0L, 16L), (12L, 28L), (24L, 30L)))
+    assert(spans(2L) === Seq((0L, 16L)))
+    assert(spans(3L) === Seq((0L, 16L), (12L, 17L)))
+    assert(spans(4L) === Seq((0L, 0L)))
+    // coverage property: every token index of doc 1 falls in >= 1 span;
+    // consecutive non-tail spans overlap by exactly W - S = 4
+    val s1 = spans(1L)
+    assert((0 until 30).forall(i => s1.exists { case (a, b) => i >= a && i < b }))
+    s1.sliding(2).foreach {
+      case Array((_, e0), (a1, _)) => assert(e0 - a1 === 4L)
+      case _ => ()
+    }
+  }
+
   test("piiScrub: counts per category on the original text; sequential redaction") {
     val df = Seq(
       (1L, "mail a@b.org and c.d+x@e.co.uk, call 555-123-4567, host 10.0.0.1"),
