@@ -700,6 +700,11 @@ object SparkEntry {
     "t11_chunk_plan" -> ((s, d) =>
       Text.chunkPlan(Tables.documents(s, d), "source", "doc_id", "text",
         contextLen = 2048)),
+    // Unigram-LM quality score (mean token log-prob under the corpus's
+    // own unigram distribution) — the SQL-able stand-in for a perplexity
+    // filter. Decimal-accumulated mean -> engine-stable.
+    "t17_unigram_logprob" -> ((s, d) =>
+      Text.unigramLogProb(Tables.documents(s, d), "doc_id", "text")),
     // Sliding-window chunking (overlap = 4 tokens at these parameters):
     // the RAG/embedding complement of t11's concat-and-chunk. Small
     // window/stride so the sf0.01 docs (~30 tokens) produce real
@@ -1578,6 +1583,17 @@ object SparkEntry {
         |  CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS chunk_id
         |FROM t""".stripMargin,
+
+    "t17_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |tot AS (SELECT sum(c) AS t FROM cnt),
+        |s AS (SELECT doc_id, ln(c * 1.0 / t) AS lp FROM tok JOIN cnt USING (token) CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(CAST(lp AS DECIMAL(20,10))) AS DOUBLE) / count(*) * 10000) / 10000.0 + 0.0 AS avg_logprob
+        |FROM s GROUP BY doc_id""".stripMargin,
 
     "t16_chunk_overlap" ->
       """WITH t AS (SELECT doc_id,

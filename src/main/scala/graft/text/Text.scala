@@ -265,6 +265,33 @@ object Text {
         least(col("__i") * stride + chunkTokens, col("n_tokens")).as("end_token"))
   }
 
+  /** Unigram log-probability quality score — the SQL-expressible proxy
+    * of the classic LM-perplexity corpus filter (CCNet-style): score a
+    * document by the mean log probability of its tokens under the
+    * corpus's own unigram distribution. Machine-generated keyword spam
+    * and rare-token noise score low; common prose scores high.
+    *
+    * Plan shape: one tokenize/explode feeds the vocabulary count
+    * (partial-aggregated map-side, vocabulary-sized result — AQE
+    * broadcasts it back against the token stream), the corpus total is a
+    * 1-row broadcast, and the per-doc mean is one keyed shuffle. The
+    * published mean accumulates in decimal(20,10) so a 1-ulp `ln`
+    * divergence between engines vanishes before the sum (same
+    * determinism discipline as s3/s5).
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val cnt = tok.groupBy("token").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("t"))
+    tok.join(cnt, "token")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", log(col("c") * lit(1.0) / col("t")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        (round(sum(col("lp").cast("decimal(20,10)")).cast("double")
+          / count(lit(1)) * 10000) / 10000.0 + lit(0.0)).as("avg_logprob"))
+  }
+
   /** Per-document stats projection used by the documents-table queries. */
   def docStats(df: DataFrame, textCol: String, stopwords: Seq[String]): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))

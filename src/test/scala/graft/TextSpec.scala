@@ -165,6 +165,21 @@ class TextSpec extends SparkTestBase {
     assert(out(("s2", 9L)) === ((3L, 0L, 0L))) // shards pack independently
   }
 
+  test("unigramLogProb: common-token docs outscore rare-token docs; counts match") {
+    val df = Seq(
+      (1L, "the the the the"),          // only common tokens
+      (2L, "the zzz"),                  // one rare token
+      (3L, "zzz2 zzz3 zzz4")).toDF("doc_id", "text") // all singletons
+    val out = Text.unigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 === 4L && out(2L)._1 === 2L && out(3L)._1 === 3L)
+    // 'the' has corpus prob 5/9; singletons 1/9 — doc 1 must score highest,
+    // doc 3 (all singletons) lowest
+    assert(out(1L)._2 > out(2L)._2 && out(2L)._2 > out(3L)._2)
+    assert(math.abs(out(1L)._2 - math.log(5.0 / 9.0)) < 1e-4)
+    assert(math.abs(out(3L)._2 - math.log(1.0 / 9.0)) < 1e-4)
+  }
+
   test("chunkPlanOverlap: full token coverage, fixed overlap, tail reaches last token") {
     val df = Seq(
       (1L, (1 to 30).map(i => s"w$i").mkString(" ")),  // 30 tokens: 3 chunks at W=16,S=12
