@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import graft.analyze.Analytics
 import graft.dedup.Dedup
+import graft.functions.VectorFunctions
+import graft.sim.Similarity
 import graft.text.Text
 
 /** Property-style invariants over ScalaCheck-generated data (SURVEY §5.2
@@ -15,6 +17,35 @@ class PropertySpec extends SparkTestBase {
   import spark.implicits._
 
   private val rng = new scala.util.Random(1234)
+
+  test("native vector exprs == HOF twins bit-for-bit on random vectors incl. extremes") {
+    // The native expressions accumulate in the same ascending-index order
+    // as the sequential HOF forms, so equality must be EXACT (compare by
+    // Double.compare to catch -0.0/NaN), across magnitudes up to the
+    // overflow edge — both forms share left-to-right IEEE evaluation
+    val dimGen = Gen.choose(1, 80)
+    val valGen = Gen.choose(-1e6, 1e6)
+    val pairs = (0 until 50).map { _ =>
+      val d = dimGen.sample.get
+      (List.fill(d)(valGen.sample.get), List.fill(d)(valGen.sample.get))
+    } ++ Seq(
+      (List(0.0, 0.0), List(1.0, -1.0)),            // zero norm -> null cosine
+      (List(1e300, -1e300), List(1e-300, 5.0)),     // norm overflow edge
+      (List(-0.0, 2.0), List(2.0, -0.0)))           // negative zero
+    val rows = pairs.toDF("a", "b").select(
+      VectorFunctions.dotNative($"a", $"b").as("nd"), Similarity.dot($"a", $"b").as("hd"),
+      VectorFunctions.cosineNative($"a", $"b").as("nc"), Similarity.cosine($"a", $"b").as("hc"),
+      VectorFunctions.maxAbsNative($"a").as("nm"), Similarity.int8Scale($"a").as("hm"),
+      VectorFunctions.int8QuantizeNative($"a").as("nq"),
+      Similarity.int8Array($"a", Similarity.int8Scale($"a"), "tinyint").as("hq")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) === 0)
+      assert(r.isNullAt(2) === r.isNullAt(3))
+      if (!r.isNullAt(2)) assert(java.lang.Double.compare(r.getDouble(2), r.getDouble(3)) === 0)
+      assert(java.lang.Double.compare(r.getDouble(4), r.getDouble(5)) === 0)
+      assert(r.getSeq[Byte](6) === r.getSeq[Byte](7))
+    }
+  }
 
   test("W1 telescoping: sum of daily diffs == last - first per group") {
     // generated per-city daily series
