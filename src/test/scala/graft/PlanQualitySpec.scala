@@ -184,6 +184,18 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!gens.exists(_.contains("graft_int8_quantize")))
   }
 
+  test("d11: epoch shuffle windows per shard — no single-partition sort") {
+    // the reproducible-training-order claim rests on per-shard windows;
+    // a regression to a global row_number() would plan
+    // 'Window [...], []' (empty partition spec) and serialize the corpus
+    val plan = executedPlan(SparkEntry.queries("d11_epoch_shuffle")(spark, dir))
+    assert(plan.contains("Window"))
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("windowspecdefinition") && l.contains("], [],")),
+      "epoch shuffle must not plan an unpartitioned window")
+    assert(plan.contains("hashpartitioning(shard"))
+  }
+
   test("d7/d8: hash-split and source-mix scan only (text, source), agg is partial+final") {
     for (q <- Seq("d7_hash_split", "d8_source_mix")) {
       val plan = executedPlan(SparkEntry.queries(q)(spark, dir))
