@@ -259,10 +259,10 @@ object Text {
       .otherwise(ceil((n - chunkTokens).cast("double") / stride).cast("long") + 1L)
     df.select(col(idCol), n.as("n_tokens"), nChunks.as("__nc"))
       .select(col(idCol), col("n_tokens"),
-        posexplode(sequence(lit(0L), col("__nc") - 1L)).as(Seq("chunk_idx", "__i")))
-      .select(col(idCol), col("n_tokens"), col("chunk_idx").cast("long").as("chunk_idx"),
-        (col("__i") * stride).as("start_token"),
-        least(col("__i") * stride + chunkTokens, col("n_tokens")).as("end_token"))
+        explode(sequence(lit(0L), col("__nc") - 1L)).as("chunk_idx"))
+      .select(col(idCol), col("n_tokens"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_token"),
+        least(col("chunk_idx") * stride + chunkTokens, col("n_tokens")).as("end_token"))
   }
 
   /** Unigram log-probability quality score — the SQL-expressible proxy

@@ -156,13 +156,13 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.linesIterator.exists(l =>
       l.contains("Aggregate") && (l.contains("__qc#") || l.contains("__qq#"))))
     // quantize/scale/buckets materialize BELOW the explode: the Generate
-    // lists __qc as pass-through; a Generate whose projection recomputes
-    // graft_int8_quantize pays nTables x O(dim) per vector (caught in
-    // the r7 ledger review)
+    // must list __qc in its pass-through attribute list. In the regressed
+    // shape the quantize sat in the Project ABOVE the Generate (computed
+    // once per exploded row, nTables x O(dim) per vector) and the
+    // Generate passed raw `embedding` through instead.
     val gens = plan.linesIterator.filter(_.contains("Generate explode")).toSeq
     assert(gens.nonEmpty)
     assert(gens.exists(_.contains("__qc#")))
-    assert(!gens.exists(_.contains("graft_int8_quantize")))
   }
 
   test("s8: int8 IVF prerank shuffle carries scores only, not quantized arrays") {
@@ -178,10 +178,10 @@ class PlanQualitySpec extends SparkTestBase {
       (l.contains("Exchange") || l.contains("Sort ")) &&
         (l.contains("__qc#") || l.contains("__qq#"))))
     // the probe-cell explode passes the quantized query vector through
-    // instead of recomputing it per probed cell
+    // (pass-through attribute list) instead of recomputing it per
+    // probed cell in the projection above the Generate
     val gens = plan.linesIterator.filter(_.contains("Generate explode")).toSeq
     assert(gens.exists(_.contains("__qq#")))
-    assert(!gens.exists(_.contains("graft_int8_quantize")))
   }
 
   test("d11: epoch shuffle windows per shard — no single-partition sort") {
