@@ -789,6 +789,16 @@ object SparkEntry {
       Dedup.epochShuffle(Tables.documents(s, d), "doc_id", seed = 7, nShards = 4)
         .select(col("doc_id"), col("shard"), col("pos"))),
 
+    // Connected components over MinHash-verified near-dup pairs: the
+    // cluster label (= min member id) a corpus-wide fuzzy dedup keeps one
+    // representative per. Pair generation is xxhash-bucketed -> rows-only;
+    // RowsOnlyGateSpec pins label soundness on the real corpus.
+    "d12_dup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8)
+      Dedup.dupClusters(pairs.select(col("id1"), col("id2")))
+    }),
+
     "d1_exact_dup_stats" -> ((s, d) => Dedup.exactDupStats(Tables.documents(s, d), "text")),
     "d2_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")),
     "d3_lsh_buckets" -> ((s, d) => Dedup.lshBuckets(Tables.documents(s, d), "doc_id", "text")),

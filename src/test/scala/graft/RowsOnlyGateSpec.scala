@@ -103,6 +103,27 @@ class RowsOnlyGateSpec extends SparkTestBase {
       === j.select("text").distinct().count())
   }
 
+  test("d12: cluster labels are sound on the real corpus (pair-consistent, min-id)") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = graft.dedup.Dedup
+      .minhashNearDups(docs, "doc_id", "text", threshold = 0.8)
+      .select(col("id1"), col("id2")).cache()
+    try {
+      assert(pairs.count() > 0, "gate needs real near-dup pairs in the corpus")
+      val clusters = SparkEntry.queries("d12_dup_clusters")(spark, sf)
+      val label = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every edge's endpoints carry the same label (components closed
+      // over the pair relation), and each label is its component's min id
+      pairs.collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        assert(label(a) === label(b), s"pair ($a,$b) split across clusters")
+      }
+      label.groupBy(_._2).foreach { case (lbl, members) =>
+        assert(lbl === members.keys.min, s"label $lbl is not its component's min id")
+      }
+    } finally pairs.unpersist()
+  }
+
   test("e1: every reported near-dup pair satisfies the exact cosine bound") {
     val emb = Tables.embeddings(spark, sf)
     val pairs = SparkEntry.queries("e1_embedding_neardups")(spark, sf).cache()
