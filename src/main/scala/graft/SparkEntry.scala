@@ -700,6 +700,15 @@ object SparkEntry {
     "t11_chunk_plan" -> ((s, d) =>
       Text.chunkPlan(Tables.documents(s, d), "source", "doc_id", "text",
         contextLen = 2048)),
+    // Bloom-filter eval-set decontamination: every 97th doc stands in as
+    // the benchmark; the corpus streams past its shingle sketch with no
+    // join. Bloom bit layout is engine-internal -> rows-only; the gate
+    // proves no-false-negatives + bounded FP rate vs the exact join.
+    "t18_bloom_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Text.bloomDecontaminate(docs, "doc_id", "text",
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0), "text", n = 5, fpp = 0.001)
+    }),
     // Unigram-LM quality score (mean token log-prob under the corpus's
     // own unigram distribution) — the SQL-able stand-in for a perplexity
     // filter. Decimal-accumulated mean -> engine-stable.

@@ -265,6 +265,43 @@ object Text {
         least(col("chunk_idx") * stride + chunkTokens, col("n_tokens")).as("end_token"))
   }
 
+  /** Benchmark n-gram contamination check via a Bloom filter — the
+    * no-shuffle scale path of eval-set decontamination (the GPT-3/PaLM
+    * recipe: flag any training document sharing an n-gram shingle with a
+    * benchmark). The benchmark's distinct shingles build a few-MB Bloom
+    * sketch at the driver (`stat.bloomFilter`, public API — bounded by
+    * the benchmark, never the corpus); the corpus then streams past the
+    * sketch in one map-side pass, counting its shingles that might be
+    * benchmark shingles. No join, no corpus shuffle, no UDF — the probe
+    * is a native codegen expression.
+    *
+    * Bloom semantics published honestly: `n_flagged`/`contaminated` can
+    * over-count by the filter's false-positive rate but NEVER miss real
+    * contamination — exactly the safe direction for a decontamination
+    * gate (RowsOnlyGateSpec measures both properties against the exact
+    * join on the real corpus).
+    */
+  def bloomDecontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                         benchmark: DataFrame, benchTextCol: String,
+                         n: Int = 5, fpp: Double = 0.001): DataFrame = {
+    val grams = benchmark
+      .select(explode(wordShingles(col(benchTextCol), n)).as("g")).distinct()
+    // driver-side scalar + sketch build: sized by the BENCHMARK (eval
+    // sets are small by definition), independent of corpus size
+    val expected = math.max(grams.count(), 1L)
+    val bloom = grams.stat.bloomFilter("g", expected, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val bytes = bos.toByteArray
+    corpus.select(col(idCol), wordShingles(col(textCol), n).as("__gs"))
+      .select(col(idCol),
+        size(col("__gs")).cast("long").as("n_grams"),
+        size(filter(col("__gs"),
+          g => org.apache.spark.sql.graft.BloomFunctions.bloomContains(g, bytes)))
+          .cast("long").as("n_flagged"))
+      .withColumn("contaminated", col("n_flagged") > 0)
+  }
+
   /** Unigram log-probability quality score — the SQL-expressible proxy
     * of the classic LM-perplexity corpus filter (CCNet-style): score a
     * document by the mean log probability of its tokens under the

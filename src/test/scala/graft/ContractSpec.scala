@@ -31,6 +31,7 @@ class ContractSpec extends AnyFunSuite {
       "d3_lsh_buckets",        // xxhash-keyed
       "d4_simhash_sigs",       // xxhash-keyed
       "d12_dup_clusters",      // components over xxhash-bucketed pairs (gated in RowsOnlyGateSpec)
+      "t18_bloom_decontaminate", // bloom bit layout is engine-internal (gated in RowsOnlyGateSpec)
       "t5_fingerprint",        // xxhash-keyed
       "t7_winnow",             // rolling-hash-keyed
       "s2_ann_topk",           // SRP-bucket (hash-derived planes)

@@ -124,6 +124,34 @@ class RowsOnlyGateSpec extends SparkTestBase {
     } finally pairs.unpersist()
   }
 
+  test("t18: bloom decontamination never misses real contamination; FP rate bounded") {
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    // ground truth: exact shingle-overlap join (what the bloom replaces)
+    val benchGrams = bench
+      .select(explode(Text.wordShingles(col("text"), 5)).as("g")).distinct()
+    val exact = docs
+      .select(col("doc_id"), explode(Text.wordShingles(col("text"), 5)).as("g"))
+      .join(benchGrams, "g").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val flagged = SparkEntry.queries("t18_bloom_decontaminate")(spark, sf)
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // Bloom guarantee: exactly-contaminated docs are ALWAYS flagged
+    assert((exact -- flagged).isEmpty,
+      s"bloom missed truly contaminated docs: ${(exact -- flagged).take(5)}")
+    // and the benchmark docs themselves are contaminated by construction
+    assert(exact.nonEmpty)
+    // FP bound: per-doc FP probability compounds over ~n_grams probes;
+    // at fpp=0.001 and ~30 shingles/doc, expect ~3% false-doc rate —
+    // assert a 10% ceiling so a broken probe (flagging everything)
+    // fails loudly while bloom-expected noise passes
+    val total = docs.count()
+    val fpDocs = (flagged -- exact).size
+    assert(fpDocs <= 0.1 * total,
+      s"bloom false-positive doc rate too high: $fpDocs of $total")
+  }
+
   test("e1: every reported near-dup pair satisfies the exact cosine bound") {
     val emb = Tables.embeddings(spark, sf)
     val pairs = SparkEntry.queries("e1_embedding_neardups")(spark, sf).cache()

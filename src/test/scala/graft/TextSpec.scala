@@ -165,6 +165,22 @@ class TextSpec extends SparkTestBase {
     assert(out(("s2", 9L)) === ((3L, 0L, 0L))) // shards pack independently
   }
 
+  test("bloomDecontaminate: benchmark overlap flagged, disjoint docs clean, short docs zero-gram") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // contains bench 5-gram
+      (2L, "one two three four five six seven"),     // disjoint vocabulary
+      (3L, "tiny doc")).toDF("doc_id", "text")        // < 5 tokens: no shingles
+    val bench = Seq((99L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val out = Text.bloomDecontaminate(corpus, "doc_id", "text", bench, "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L)._3, "doc sharing a benchmark 5-gram must be contaminated")
+    assert(out(1L)._2 >= 1L)
+    assert(out(3L) === ((0L, 0L, false)))             // no shingles -> clean
+    // doc 2 is clean modulo bloom FP; at fpp=0.001 over 3 shingles a hit
+    // is ~0.3% — accept either but its flagged count must stay below doc 1's
+    assert(out(2L)._2 <= out(1L)._2)
+  }
+
   test("unigramLogProb: common-token docs outscore rare-token docs; counts match") {
     val df = Seq(
       (1L, "the the the the"),          // only common tokens
