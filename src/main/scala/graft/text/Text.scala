@@ -247,7 +247,7 @@ object Text {
     * overlap by chunkTokens − stride, so no boundary-spanning content is
     * lost to a cut). n_chunks = 1 for docs that fit one window, else
     * ⌈(n − W)/S⌉ + 1 — the last window always reaches the final token.
-    * Map-side: a per-row `sequence` + `posexplode`, no shuffle at all —
+    * Map-side: a per-row `sequence` + `explode`, no shuffle at all —
     * at 100 TB this is a pure scan pass emitting ~n/S rows per doc.
     */
   def chunkPlanOverlap(df: DataFrame, idCol: String, textCol: String,
@@ -280,25 +280,40 @@ object Text {
     * contamination — exactly the safe direction for a decontamination
     * gate (RowsOnlyGateSpec measures both properties against the exact
     * join on the real corpus).
+    *
+    * The sketch builds with a plain `treeAggregate` of
+    * `BloomFilter.create(expected, fpp)` merges rather than
+    * `stat.bloomFilter`: the SQL aggregate under the latter silently
+    * clamps to `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`
+    * (64M bits default, ≈4.5M items at this fpp), degrading the realized
+    * FP rate without warning, and NPEs on a zero-shingle benchmark. The
+    * direct build honors `fpp` at any benchmark size (the sketch is
+    * ~2.1 MB per million shingles at fpp=0.001) and an empty benchmark
+    * yields an empty filter — every doc comes back clean.
     */
   def bloomDecontaminate(corpus: DataFrame, idCol: String, textCol: String,
                          benchmark: DataFrame, benchTextCol: String,
                          n: Int = 5, fpp: Double = 0.001): DataFrame = {
     val grams = benchmark
       .select(explode(wordShingles(col(benchTextCol), n)).as("g")).distinct()
-    // driver-side scalar + sketch build: sized by the BENCHMARK (eval
-    // sets are small by definition), independent of corpus size
-    val expected = math.max(grams.count(), 1L)
-    val bloom = grams.stat.bloomFilter("g", expected, fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(bos)
-    val bytes = bos.toByteArray
+      .cache() // two actions below: the sizing count and the sketch build
+    val bytes = try {
+      val expected = math.max(grams.count(), 1L)
+      val bloom = grams.toDF("g").rdd.treeAggregate(
+        org.apache.spark.util.sketch.BloomFilter.create(expected, fpp))(
+        (f, row) => {
+          f.putBinary(row.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)); f
+        },
+        (a, b) => { a.mergeInPlace(b); a })
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    } finally grams.unpersist()
     corpus.select(col(idCol), wordShingles(col(textCol), n).as("__gs"))
       .select(col(idCol),
         size(col("__gs")).cast("long").as("n_grams"),
-        size(filter(col("__gs"),
-          g => org.apache.spark.sql.graft.BloomFunctions.bloomContains(g, bytes)))
-          .cast("long").as("n_flagged"))
+        org.apache.spark.sql.graft.BloomFunctions
+          .bloomCountContained(col("__gs"), bytes).as("n_flagged"))
       .withColumn("contaminated", col("n_flagged") > 0)
   }
 

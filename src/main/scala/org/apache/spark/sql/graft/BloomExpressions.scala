@@ -47,8 +47,52 @@ case class BloomMightContainString(child: Expression, bloomBytes: Array[Byte])
     copy(child = newChild)
 }
 
-/** Column-API entry point. */
+/** Count of a string array's elements that might be in the Bloom filter
+  * — the hot-path form of the probe. `size(filter(arr, g =>
+  * bloomContains(g)))` would route through ArrayFilter, a
+  * CodegenFallback HOF: interpreted dispatch per element plus an
+  * intermediate filtered array allocated just to measure it. This is one
+  * tight loop per row. Null elements count as not-contained (shingle
+  * arrays never contain them).
+  */
+case class BloomCountContained(child: Expression, bloomBytes: Array[Byte])
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_bloom_count"
+
+  @transient private lazy val filter: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+
+  def countContained(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = arr.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) &&
+          filter.mightContainBinary(arr.getUTF8String(i).getBytes)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    countContained(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomCounter", this, classOf[BloomCountContained].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.countContained($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-API entry points. */
 object BloomFunctions {
   def bloomContains(c: Column, bloomBytes: Array[Byte]): Column =
     ExpressionUtils.column(BloomMightContainString(ExpressionUtils.expression(c), bloomBytes))
+  def bloomCountContained(c: Column, bloomBytes: Array[Byte]): Column =
+    ExpressionUtils.column(BloomCountContained(ExpressionUtils.expression(c), bloomBytes))
 }

@@ -103,6 +103,31 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(empty.getSeq[Byte](2).isEmpty && empty.getSeq[Byte](3).isEmpty)
   }
 
+  test("bloom probe expressions: membership, counting, empty-filter all-clean") {
+    import org.apache.spark.sql.graft.BloomFunctions
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(10, 0.001)
+    Seq("alpha", "beta", "gamma").foreach(s =>
+      bloom.putBinary(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val bos = new java.io.ByteArrayOutputStream(); bloom.writeTo(bos)
+    val bytes = bos.toByteArray
+    val empty = { // zero-insert filter: every probe must come back false
+      val f = org.apache.spark.util.sketch.BloomFilter.create(1, 0.001)
+      val b = new java.io.ByteArrayOutputStream(); f.writeTo(b); b.toByteArray
+    }
+    val df = Seq(Tuple1(Seq("alpha", "delta", "gamma", "epsilon"))).toDF("gs")
+    val r = df.select(
+      BloomFunctions.bloomCountContained($"gs", bytes).as("cnt"),
+      BloomFunctions.bloomCountContained($"gs", empty).as("cntEmpty"),
+      BloomFunctions.bloomContains(element_at($"gs", 1), bytes).as("hit"),
+      BloomFunctions.bloomContains(element_at($"gs", 2), bytes).as("miss")).collect()(0)
+    // no false negatives: both inserted members count; at fpp=0.001 the
+    // two non-members are (deterministically, fixed hash seed) clean
+    assert(r.getLong(0) === 2L)
+    assert(r.getLong(1) === 0L)
+    assert(r.getBoolean(2) === true)
+    assert(r.getBoolean(3) === false)
+  }
+
   test("native expression participates in whole-stage codegen") {
     // literal input constant-folds to a LocalTableScan; use range so a
     // real projection stage exists
