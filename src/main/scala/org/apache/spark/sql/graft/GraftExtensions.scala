@@ -12,7 +12,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   *   spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions
   *
-  * or programmatically for an existing session via [[GraftFunctions.register]].
+  * (a STATIC conf — it applies only when the first session of the JVM is
+  * created; submit it with the job, don't set it on a live session), or
+  * `SparkSession.builder.withExtensions(new GraftExtensions())` when a
+  * SparkContext already exists (GraftExtensionsSpec drives this path), or
+  * piecemeal on a live session via [[GraftFunctions.register]] +
+  * [[GraftOptimizations.install]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
