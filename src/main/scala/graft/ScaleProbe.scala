@@ -25,7 +25,9 @@ object ScaleProbe {
   val probeQueries: Seq[String] = Seq(
     "a2_group_agg", "a4_daily_agg", "w8_sessionize", "w9_range_rolling",
     "c1_two_pass_clean", "d2_exact_dedup", "d6_curation_funnel",
-    "d7_hash_split", "d9_source_cap", "t3_quality_score")
+    "d7_hash_split", "d9_source_cap", "t3_quality_score",
+    "d11_epoch_shuffle", "t16_chunk_overlap", "t17_unigram_logprob",
+    "t18_bloom_decontaminate")
 
   /** TPC-H probe set (SPARK_GRAFT_PROBE=tpch): the fact-heavy headline
     * shapes — pure fact agg (q1), fact⋈fact⋈dim top-k (q3), 5-way profit
