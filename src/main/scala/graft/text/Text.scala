@@ -323,10 +323,14 @@ object Text {
     * corpus's own unigram distribution. Machine-generated keyword spam
     * and rare-token noise score low; common prose scores high.
     *
-    * Plan shape: one tokenize/explode feeds the vocabulary count
-    * (partial-aggregated map-side, vocabulary-sized result — AQE
-    * broadcasts it back against the token stream), the corpus total is a
-    * 1-row broadcast, and the per-doc mean is one keyed shuffle. The
+    * Plan shape: the tokenize/explode subtree runs once per branch
+    * (vocabulary count and token stream) — the same deliberate 2×
+    * constant as [[tfidfTopTerms]], chosen because both branches
+    * partial-aggregate map-side; a single-pass window-over-token form
+    * would ship every occurrence of a hot token into one partition. The
+    * vocabulary count's exchange IS reused for the corpus total
+    * (ReusedExchange, pinned in the plan ledger), which then broadcasts
+    * as a 1-row frame; the per-doc mean is one keyed shuffle. The
     * published mean accumulates in decimal(20,10) so a 1-ulp `ln`
     * divergence between engines vanishes before the sum (same
     * determinism discipline as s3/s5).
