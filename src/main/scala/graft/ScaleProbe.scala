@@ -163,7 +163,46 @@ object ScaleProbe {
       val base = time(src, q)
       val scaled = time(out, q)
       (q, base, scaled)
-    } ++ (if (probeSet != "emb") Seq.empty else {
+    } ++ (if (probeSet != "tpch") Seq.empty else {
+      // Bucketed-join twin for the probe's superlinear rows: q3/q21 grow
+      // ~10x at 100x facts because the fact-fact sort-merge join re-sorts
+      // both sides every run (n log n). Bucketing + in-bucket sorting
+      // pays that shuffle+sort ONCE at write; these entries measure the
+      // same join-aggregate shape from plain parquet vs bucketed tables,
+      // plus the one-time bucket-write cost, all at the scaled size.
+      // (base = plain, scaled = bucketed, so ratio < 1 IS the speedup.)
+      import graft.sink.Sinks
+      def joinShape(li: org.apache.spark.sql.DataFrame,
+                    ord: org.apache.spark.sql.DataFrame): Long =
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderdate"))
+          .agg(sum(col("l_extendedprice")).as("rev"))
+          .count()
+      def once(f: => Long): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val liP = spark.read.parquet(s"$out/lineitem.parquet")
+        .select("l_orderkey", "l_extendedprice")
+      val ordP = spark.read.parquet(s"$out/orders.parquet")
+        .select("o_orderkey", "o_orderdate")
+      val plain = math.min(once(joinShape(liP, ordP)), once(joinShape(liP, ordP)))
+      spark.sql("DROP TABLE IF EXISTS probe_li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS probe_ord_bucketed")
+      val writeCost = once {
+        Sinks.writeBucketed(liP, "probe_li_bucketed", Seq("l_orderkey"),
+          nBuckets = cpus.toInt, path = Some(s"$out/li_bucketed"),
+          sortCols = Seq("l_orderkey"))
+        Sinks.writeBucketed(ordP, "probe_ord_bucketed", Seq("o_orderkey"),
+          nBuckets = cpus.toInt, path = Some(s"$out/ord_bucketed"),
+          sortCols = Seq("o_orderkey"))
+        0L
+      }
+      def bucketedOnce: Double =
+        once(joinShape(spark.table("probe_li_bucketed"), spark.table("probe_ord_bucketed")))
+      val bucketed = math.min(bucketedOnce, bucketedOnce)
+      Seq(("fact_join_bucketed_vs_plain", plain, bucketed),
+          ("fact_bucket_write_once", writeCost, writeCost))
+    }) ++ (if (probeSet != "emb") Seq.empty else {
       // Parameter-scaling twin for the SRP path: with FIXED nPlanes the
       // candidate stream grows ∝ N (each bucket holds factor× more
       // vectors), so the registered-parameter entries above scale
