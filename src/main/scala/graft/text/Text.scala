@@ -269,7 +269,7 @@ object Text {
     * no-shuffle scale path of eval-set decontamination (the GPT-3/PaLM
     * recipe: flag any training document sharing an n-gram shingle with a
     * benchmark). The benchmark's distinct shingles build a few-MB Bloom
-    * sketch at the driver (`stat.bloomFilter`, public API — bounded by
+    * sketch at the driver (a public-API `BloomFilter` treeAggregate — bounded by
     * the benchmark, never the corpus); the corpus then streams past the
     * sketch in one map-side pass, counting its shingles that might be
     * benchmark shingles. No join, no corpus shuffle, no UDF — the probe
@@ -299,7 +299,7 @@ object Text {
       .cache() // two actions below: the sizing count and the sketch build
     val bytes = try {
       val expected = math.max(grams.count(), 1L)
-      val bloom = grams.toDF("g").rdd.treeAggregate(
+      val bloom = grams.rdd.treeAggregate(
         org.apache.spark.util.sketch.BloomFilter.create(expected, fpp))(
         (f, row) => {
           f.putBinary(row.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)); f

@@ -12,19 +12,22 @@ import org.apache.spark.sql.types.{AbstractDataType, BooleanType, DataType, Stri
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
-/** Membership probe against a Bloom filter built at the driver
-  * (`df.stat.bloomFilter`, public sketch API) and shipped to executors
-  * inside the expression — the no-shuffle decontamination primitive: the
-  * corpus side never joins, it streams past a few-MB sketch.
+/** Membership probe against a Bloom filter built at the driver (a
+  * `treeAggregate` of `BloomFilter.create` merges — see
+  * `Text.bloomDecontaminate` for why not `stat.bloomFilter`) and shipped
+  * to executors inside the expression — the no-shuffle decontamination
+  * primitive: the corpus side never joins, it streams past a few-MB
+  * sketch.
   *
   * Probes via `mightContainBinary` on the UTF8 bytes — the exact
-  * counterpart of the builder's `putString`/`putBinary(utf8)` path, so
-  * build and probe agree byte-for-byte. Bloom guarantees no false
-  * negatives; the false-positive rate is the builder's `fpp`.
+  * counterpart of the builder's `putBinary(utf8)` — so build and probe
+  * agree byte-for-byte. Bloom guarantees no false negatives; the
+  * false-positive rate is the builder's `fpp`.
   *
-  * The filter deserializes once per executor (transient lazy) and the
-  * generated code calls it through a bound reference — no UDF, no boxed
-  * lambda in the probe loop.
+  * The task ships only `bloomBytes` (referencing the materialized filter
+  * from codegen would serialize the sketch a second time); each task
+  * lazily deserializes it once and the generated code probes through a
+  * bound reference to this expression — no UDF, no boxed lambda.
   */
 case class BloomMightContainString(child: Expression, bloomBytes: Array[Byte])
   extends UnaryExpression with ImplicitCastInputTypes {
@@ -35,12 +38,14 @@ case class BloomMightContainString(child: Expression, bloomBytes: Array[Byte])
   @transient private lazy val filter: BloomFilter =
     BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
 
+  def contains(s: UTF8String): Boolean = filter.mightContainBinary(s.getBytes)
+
   protected override def nullSafeEval(input: Any): Any =
-    filter.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+    contains(input.asInstanceOf[UTF8String])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bloomFilter", filter, classOf[BloomFilter].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.mightContainBinary($c.getBytes())")
+    val ref = ctx.addReferenceObj("bloomProbe", this, classOf[BloomMightContainString].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.contains($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -56,9 +61,7 @@ case class BloomMightContainString(child: Expression, bloomBytes: Array[Byte])
   * arrays never contain them).
   */
 case class BloomCountContained(child: Expression, bloomBytes: Array[Byte])
-  extends UnaryExpression with ImplicitCastInputTypes {
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(org.apache.spark.sql.types.ArrayType(StringType))
+  extends StringArrayHashExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "graft_bloom_count"
 
