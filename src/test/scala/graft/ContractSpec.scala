@@ -8,6 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ContractSpec extends AnyFunSuite {
 
+  test("flagship entry returns rows at sf0.001 (the driver's smoke contract)") {
+    assert(SparkEntry.entry(SparkTestBase.session).count() > 0)
+  }
+
   test("JsonEscape: quotes, backslashes, and every control char survive json parsing") {
     val nasty = "SELECT 'a\"b' AS x,\n\t c FROM t WHERE s = '\\d+' \r\n -- "
     val escaped = JsonEscape(nasty)
