@@ -344,10 +344,22 @@ object Dedup {
     * O(1) per iteration. Throws if still unconverged at maxIter rather
     * than silently returning a partial clustering (a wrong dedup keeps
     * duplicate training data).
+    *
+    * Convergence is read off the SAME frame the checkpoint materializes:
+    * the iteration's start label rides along as `__old`, so the check is
+    * a filter scan over the checkpointed blocks — not (as previously) a
+    * separate labels⋈next join action, which re-planned both sides and
+    * added a third job per iteration on the bench's most expensive query.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // checkpoint the symmetrized edge list ONCE: `pairs` is typically the
+    // output of a full candidate-generation pipeline (LSH banding + exact
+    // verify over the corpus), and every iteration references edges in
+    // the propagation join — without the materialization each of the
+    // ~log(diameter) iterations would re-run the entire upstream pipeline
     val edges = pairs.select(col("id1"), col("id2"))
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .localCheckpoint()
     var labels = edges.select(col("id1").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -357,18 +369,17 @@ object Dedup {
       val neighborMin = edges.join(labels, edges("id2") === labels("id"))
         .groupBy(edges("id1").as("id")).agg(min(col("label")).as("__nl"))
       val hop = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
       // pointer jump: follow my label's label (path halving -> doubling reach)
       val next = hop.as("a")
         .join(hop.select(col("id").as("__lid"), col("label").as("__ll")).as("b"),
           col("a.label") === col("__lid"), "left")
-        .select(col("a.id").as("id"),
+        .select(col("a.id").as("id"), col("a.__old").as("__old"),
           least(col("a.label"), coalesce(col("__ll"), col("a.label"))).as("label"))
         .localCheckpoint()
-      converged = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("__old")).isEmpty
+      labels = next.select(col("id"), col("label"))
       i += 1
     }
     if (!converged) throw new IllegalStateException(

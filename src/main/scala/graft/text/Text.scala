@@ -164,15 +164,21 @@ object Text {
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
     val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     // document frequency FROM tf (one row per (doc, token) ⇒ row count per
-    // token == distinct-doc count). In the executed plan only the scan's
-    // spread exchange is reused — the tokenize/explode subtree runs once
-    // per branch, a deliberate 2× constant: both branches partial-
-    // aggregate map-side (hot tokens reduce to one row per map task
-    // before any exchange), whereas the single-pass alternative — a
-    // count() window over Window.partitionBy(token) on tf — ships every
+    // token == distinct-doc count). The count is phrased against the tf
+    // VALUE (`tf > 0` is true on every row, but the optimizer cannot
+    // prove it) because a plain count(1) lets column pruning strip the
+    // count function out of this branch's copy of the tf aggregate — the
+    // two tf subtrees then stop being canonically equal and each plans
+    // its own tokenize/explode (a silent 2× constant; a bare count(tf)
+    // doesn't help either: RewriteNonNullableCount folds it back to
+    // count(1)). With the reference pinned, the executed plan reuses the
+    // (doc, token) exchange and the corpus tokenizes ONCE (ledger-pinned).
+    // The single-pass window alternative (count() over
+    // Window.partitionBy(token)) stays rejected: it ships every
     // (doc, token) row of a hot token into one partition, a skew trap at
-    // corpus scale
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // corpus scale, and windows get no AQE skew splitting.
+    val dfreq = tf.groupBy("token")
+      .agg(count(when(col("tf") > 0, lit(1))).as("df"))
     val n = df.agg(count(lit(1)).as("__n"))
     val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
       .withColumn("__score", col("tf") * log((col("__n") + 1.0) / (col("df") + 1.0)))
@@ -323,29 +329,39 @@ object Text {
     * corpus's own unigram distribution. Machine-generated keyword spam
     * and rare-token noise score low; common prose scores high.
     *
-    * Plan shape: the tokenize/explode subtree runs once per branch
-    * (vocabulary count and token stream) — the same deliberate 2×
-    * constant as [[tfidfTopTerms]], chosen because both branches
-    * partial-aggregate map-side; a single-pass window-over-token form
-    * would ship every occurrence of a hot token into one partition. The
-    * vocabulary count's exchange IS reused for the corpus total
-    * (ReusedExchange, pinned in the plan ledger), which then broadcasts
-    * as a 1-row frame; the per-doc mean is one keyed shuffle. The
-    * published mean accumulates in decimal(20,10) so a 1-ulp `ln`
-    * divergence between engines vanishes before the sum (same
-    * determinism discipline as s3/s5).
+    * Plan shape: ONE tokenize/explode pass. Documents reduce to the
+    * per-(doc, token) count table `tf` first; the corpus vocabulary then
+    * derives from `tf` as `sum(tf) GROUP BY token` — and because that
+    * consumer keeps the tf VALUE, column pruning cannot rewrite the tf
+    * aggregate underneath it, the two tf subtrees stay canonically equal,
+    * and the executed plan reuses the (doc, token) exchange
+    * (ReusedExchange, pinned in the plan ledger — a single Generate).
+    * The earlier two-branch form paid the tokenize twice AND joined the
+    * raw occurrence stream; joining `tf` instead also shrinks the
+    * token-keyed join input to one row per (doc, token) — a hot token
+    * arrives once per document, not once per occurrence. The join is
+    * still token-keyed, so a corpus-dominating token concentrates in one
+    * partition IF it shuffles — but `cnt` is vocabulary-sized (broadcasts
+    * at any realistic vocabulary), and when both sides are too big AQE's
+    * skew-join splitting applies to the join — an option a
+    * Window.partitionBy(token) single-pass form would not have. The
+    * per-doc mean weights each token's log-prob by tf in exact decimal
+    * (decimal(20,10)·tf ≡ tf-fold decimal sum, so the oracle — which sums
+    * per occurrence — matches bit-for-bit), keeping the published mean
+    * engine-stable (same determinism discipline as s3/s5).
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
-    val cnt = tok.groupBy("token").agg(count(lit(1)).as("c"))
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy("token").agg(sum(col("tf")).as("c"))
     val tot = cnt.agg(sum(col("c")).as("t"))
-    tok.join(cnt, "token")
+    tf.join(cnt, "token")
       .crossJoin(broadcast(tot))
       .withColumn("lp", log(col("c") * lit(1.0) / col("t")))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).cast("long").as("n_tokens"),
-        (round(sum(col("lp").cast("decimal(20,10)")).cast("double")
-          / count(lit(1)) * 10000) / 10000.0 + lit(0.0)).as("avg_logprob"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        (round(sum(col("lp").cast("decimal(20,10)") * col("tf")).cast("double")
+          / sum(col("tf")) * 10000) / 10000.0 + lit(0.0)).as("avg_logprob"))
   }
 
   /** Per-document stats projection used by the documents-table queries. */
