@@ -12,6 +12,24 @@ import org.apache.spark.sql.types.{AbstractDataType, BooleanType, DataType, Stri
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
+/** Content-keyed wrapper for the serialized sketch bytes. A bare
+  * `Array[Byte]` case-class field compares by ARRAY IDENTITY, so two
+  * semantically identical probe expressions would never compare equal —
+  * canonicalization, common-subexpression elimination and exchange reuse
+  * could then never unify two references to the same sketch, and a plan
+  * probing the same sketch twice would ship two multi-MB copies in the
+  * task binary. `equals` compares content; `hashCode` is memoized once
+  * (the sketch can be MBs — a per-call scan would make every
+  * canonicalization pass O(sketch bytes)).
+  */
+final class BloomSketchBytes(val bytes: Array[Byte]) extends Serializable {
+  override def equals(o: Any): Boolean = o match {
+    case b: BloomSketchBytes => (b eq this) || java.util.Arrays.equals(bytes, b.bytes)
+    case _ => false
+  }
+  override lazy val hashCode: Int = java.util.Arrays.hashCode(bytes)
+}
+
 /** Membership probe against a Bloom filter built at the driver (a
   * `treeAggregate` of `BloomFilter.create` merges — see
   * `Text.bloomDecontaminate` for why not `stat.bloomFilter`) and shipped
@@ -29,14 +47,14 @@ import org.apache.spark.util.sketch.BloomFilter
   * lazily deserializes it once and the generated code probes through a
   * bound reference to this expression — no UDF, no boxed lambda.
   */
-case class BloomMightContainString(child: Expression, bloomBytes: Array[Byte])
+case class BloomMightContainString(child: Expression, sketch: BloomSketchBytes)
   extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_bloom_contains"
 
   @transient private lazy val filter: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+    BloomFilter.readFrom(new ByteArrayInputStream(sketch.bytes))
 
   def contains(s: UTF8String): Boolean = filter.mightContainBinary(s.getBytes)
 
@@ -60,13 +78,13 @@ case class BloomMightContainString(child: Expression, bloomBytes: Array[Byte])
   * tight loop per row. Null elements count as not-contained (shingle
   * arrays never contain them).
   */
-case class BloomCountContained(child: Expression, bloomBytes: Array[Byte])
+case class BloomCountContained(child: Expression, sketch: BloomSketchBytes)
   extends StringArrayHashExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "graft_bloom_count"
 
   @transient private lazy val filter: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+    BloomFilter.readFrom(new ByteArrayInputStream(sketch.bytes))
 
   def countContained(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     val n = arr.numElements()
@@ -92,10 +110,14 @@ case class BloomCountContained(child: Expression, bloomBytes: Array[Byte])
     copy(child = newChild)
 }
 
-/** Column-API entry points. */
+/** Column-API entry points (wrap the raw bytes in the content-keyed
+  * [[BloomSketchBytes]] so equal sketches make equal expressions).
+  */
 object BloomFunctions {
   def bloomContains(c: Column, bloomBytes: Array[Byte]): Column =
-    ExpressionUtils.column(BloomMightContainString(ExpressionUtils.expression(c), bloomBytes))
+    ExpressionUtils.column(BloomMightContainString(
+      ExpressionUtils.expression(c), new BloomSketchBytes(bloomBytes)))
   def bloomCountContained(c: Column, bloomBytes: Array[Byte]): Column =
-    ExpressionUtils.column(BloomCountContained(ExpressionUtils.expression(c), bloomBytes))
+    ExpressionUtils.column(BloomCountContained(
+      ExpressionUtils.expression(c), new BloomSketchBytes(bloomBytes)))
 }

@@ -193,9 +193,12 @@ object Int8Impl {
     * m = max|x|, then q_i = floor(x_i·127/m + 0.5) (half-up; bounded in
     * [−127, 127] by construction — x_i = ±m hits exactly ±127). Zero
     * vectors quantize to all-zero. A null element nulls the whole result
-    * (same propagation as the sibling vector expressions). Same math as
-    * `Similarity.int8Array` — this is the allocation-light native form
-    * for the ANN candidate hot path.
+    * (same propagation as the sibling vector expressions; the HOF twin
+    * `Similarity.int8Array` instead inherits array_max's null-SKIPPING
+    * scale and yields a per-element null — see the MaxAbs doc for why the
+    * native behavior is the deliberate one). Same math as
+    * `Similarity.int8Array` on null-free input — this is the
+    * allocation-light native form for the ANN candidate hot path.
     */
   def quantize(v: ArrayData): ArrayData = {
     val n = v.numElements()
@@ -255,10 +258,17 @@ case class Int8QuantizeVec(child: Expression)
 /** L∞ norm: max|x_i| — the quantization scale of [[Int8QuantizeVec]]
   * published as a scalar (the ANN paths divide it by the L2 norm for the
   * per-vector score correction). Matches the HOF contract
-  * `array_max(transform(v, abs))` on every edge: null for an EMPTY array
-  * and on a null element, NaN as the greatest value (a single NaN
-  * element makes the norm NaN — `>` alone would skip it). Tight-loop
-  * codegen like [[DotProduct]].
+  * `array_max(transform(v, abs))` on the empty array (null) and on NaN
+  * (greatest value — a single NaN element makes the norm NaN; `>` alone
+  * would skip it), but DELIBERATELY diverges on a null ELEMENT: the
+  * native forms null the whole result (the propagation every sibling
+  * vector expression uses — a vector with a missing component has no
+  * meaningful norm), whereas `array_max` SKIPS null elements, so the HOF
+  * pair would yield scale 2.0 for [1.0, null, 2.0] and a per-element
+  * null in the quantized array. VectorExpressionsSpec pins both
+  * behaviors side by side; embeddings carry no null elements, so no
+  * production path sees the divergence. Tight-loop codegen like
+  * [[DotProduct]].
   */
 case class MaxAbs(child: Expression)
   extends UnaryExpression with ImplicitCastInputTypes {

@@ -76,11 +76,21 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(both.last.getSeq[Byte](0).forall(_ == 0.toByte))
   }
 
-  test("native int8 quantize/maxAbs: null element nulls the result") {
+  test("native int8 quantize/maxAbs: null element nulls the result (HOF twin diverges by design)") {
     val df = Seq(Tuple1(Seq[java.lang.Double](1.0, null, 2.0))).toDF("v")
     val r = df.select(VectorFunctions.int8QuantizeNative($"v"),
       VectorFunctions.maxAbsNative($"v")).collect()(0)
     assert(r.isNullAt(0) && r.isNullAt(1))
+    // the null-ELEMENT edge is the one edge where the two forms are
+    // deliberately different (MaxAbs doc): array_max SKIPS null elements,
+    // so the HOF scale sees 2.0 and the HOF array nulls only element 1 —
+    // pin the divergence so a silent behavior change in either form fails
+    val hof = df.select(
+      Similarity.int8Scale($"v").as("hof_scale"),
+      Similarity.int8Array($"v", Similarity.int8Scale($"v"), "tinyint").as("hof_q")).collect()(0)
+    assert(hof.getDouble(0) === 2.0)
+    val hofQ = hof.getSeq[java.lang.Byte](1)
+    assert(hofQ(0) === 64.toByte && hofQ(1) === null && hofQ(2) === 127.toByte)
   }
 
   test("native int8 quantize/maxAbs: NaN and empty-array edges match the HOF contract") {
@@ -126,6 +136,33 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(r.getLong(1) === 0L)
     assert(r.getBoolean(2) === true)
     assert(r.getBoolean(3) === false)
+  }
+
+  test("bloom probes with equal-content sketches compare equal (CSE/canonicalization-able)") {
+    // a bare Array[Byte] field keys equality on array IDENTITY, which
+    // would make two references to the same sketch permanently unequal —
+    // no common-subexpression elimination, and one sketch copy shipped
+    // per expression instance. BloomSketchBytes restores content equality;
+    // distinct sketches must still compare unequal.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.{BloomCountContained, BloomMightContainString, BloomSketchBytes}
+    val f = org.apache.spark.util.sketch.BloomFilter.create(10, 0.001)
+    f.putBinary("alpha".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val bos = new java.io.ByteArrayOutputStream(); f.writeTo(bos)
+    val bytes = bos.toByteArray
+    val e1 = BloomMightContainString(Literal("g"), new BloomSketchBytes(bytes.clone()))
+    val e2 = BloomMightContainString(Literal("g"), new BloomSketchBytes(bytes.clone()))
+    assert(e1 === e2 && e1.hashCode === e2.hashCode && e1.semanticEquals(e2))
+    val other = {
+      val g = org.apache.spark.util.sketch.BloomFilter.create(10, 0.001)
+      g.putBinary("beta".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val b = new java.io.ByteArrayOutputStream(); g.writeTo(b)
+      BloomMightContainString(Literal("g"), new BloomSketchBytes(b.toByteArray))
+    }
+    assert(e1 !== other)
+    val c1 = BloomCountContained(Literal.create(Seq("g")), new BloomSketchBytes(bytes.clone()))
+    val c2 = BloomCountContained(Literal.create(Seq("g")), new BloomSketchBytes(bytes.clone()))
+    assert(c1 === c2 && c1.semanticEquals(c2))
   }
 
   test("native expression participates in whole-stage codegen") {
