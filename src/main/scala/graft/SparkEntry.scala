@@ -617,6 +617,29 @@ object SparkEntry {
         .agg(decSum2(volDec).as("revenue"),
              count(lit(1)).as("n"))),
 
+    // The q18 fact⋈fact shape over the BUCKETED fact-table mirror
+    // (BucketedMirror.ensure builds-or-reuses it; one-time orderkey
+    // shuffle+sort at write): both scans report
+    // HashPartitioning(orderkey, 16) and their in-bucket sort, so the
+    // sort-merge join plans with ZERO exchanges and ZERO sorts, and the
+    // (o_orderkey, o_custkey) aggregate rides the same distribution —
+    // the whole query is scan → SMJ → agg → TakeOrdered with no shuffle
+    // anywhere (PlanQualitySpec-gated). The probe measured this layout
+    // at 2.1× on the 60 M⋈15 M join (docs/SCALE_PROBE.md); `merge` hint
+    // pins the strategy AQE would pick at any interesting scale, so the
+    // gated plan is the one a cluster runs. Oracle = the q18 SQL: the
+    // mirror must be CONTENT-INVISIBLE — same rows, different layout.
+    "j7_bucketed_large_orders" -> ((s, d) => {
+      val ord = graft.sink.BucketedMirror.ensure(s, d, "orders", "o_orderkey")
+      val li = graft.sink.BucketedMirror.ensure(s, d, "lineitem", "l_orderkey")
+      ord.join(li.hint("merge"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+        .filter(col("total_qty") > 150)
+        .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
     // ------------------------------------------------- cleaning composite
     // §2.9 two-pass clean on events.value, summarized per group so the
     // verified output is small but pins the full bounds→null→median chain.
@@ -1221,6 +1244,15 @@ object SparkEntry {
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q18_large_orders" ->
+      """SELECT o_orderkey, o_custkey, round(sum(l_quantity),2) AS total_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_custkey
+        |HAVING round(sum(l_quantity),2) > 150
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    // deliberately the q18 SQL verbatim: the bucketed mirror is a LAYOUT
+    // change only, so the oracle proves it alters no row anywhere
+    "j7_bucketed_large_orders" ->
       """SELECT o_orderkey, o_custkey, round(sum(l_quantity),2) AS total_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey, o_custkey

@@ -258,6 +258,27 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("j7: bucketed-mirror fact join plans zero exchanges and zero sorts") {
+    // The registered first-class surface of the bucketed-layout lever
+    // (the standalone writeBucketed gate above proves the mechanism on a
+    // throwaway table; this pins the REGISTERED query): both fact scans
+    // must come from the bucketed mirror (SelectedBucketsCount), the
+    // sort-merge join must consume the write-time distribution AND
+    // in-bucket sort order (no Exchange hashpartitioning, no Sort), and
+    // the aggregate must ride the same distribution. One shuffle here
+    // would re-pay at every run exactly what the mirror paid once.
+    val plan = executedPlan(SparkEntry.queries("j7_bucketed_large_orders")(spark, dir))
+    assert(plan.contains("SortMergeJoin"))
+    assert(plan.contains("SelectedBucketsCount"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "bucketed mirror join must not re-shuffle either side")
+    // no Sort OPERATOR may appear (the SortMergeJoin node name itself
+    // contains the substring, so match the operator's "Sort [" form)
+    assert(!"""(?m)\bSort \[""".r.findFirstIn(plan).isDefined,
+      "bucketed mirror join must consume the write-time in-bucket sort")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("skewed join: AQE splits the hot partition (the §4.2 skew claim, proven)") {
     // one key holds ~97% of the left side; with broadcast off this is the
     // classic straggler join. The repo's scale posture says AQE handles it
