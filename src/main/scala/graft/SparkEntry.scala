@@ -888,7 +888,9 @@ object SparkEntry {
     }),
     // IVF cell assignment depends on the centroid sample; deterministic
     // but not ANSI-SQL-expressible compactly -> rows-only check, semantics
-    // covered by SimilaritySpec.
+    // covered by SimilaritySpec. nCells/nProbes auto-size from the corpus
+    // count (√N cells, N^(1/4)/2 probes) so the probed fraction SHRINKS
+    // as the corpus grows instead of freezing at N/nCells.
     "s4_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
@@ -946,11 +948,12 @@ object SparkEntry {
     // vectors (cosine is norm-invariant), probed-cell candidates scored
     // by integer dot, top-rerank exact rescore. Centroid-sample dependent
     // like s4 -> rows-only; SimilaritySpec gates recall >= 0.6 and the
-    // measured exact-comparison reduction vs plain IVF.
+    // measured exact-comparison reduction vs plain IVF. Cells/probes
+    // auto-size like s4 (√N / N^(1/4)/2).
     "s8_ivf_int8" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopKInt8(emb, emb.filter(col("vec_id") < 8), k = 5,
-        nCells = 16, nProbes = 2, rerank = 16)
+        rerank = 16)
     })
   )
 

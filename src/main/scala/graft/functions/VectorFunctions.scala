@@ -18,4 +18,11 @@ object VectorFunctions {
   def int8QuantizeNative(v: Column): Column = Impl.int8QuantizeNative(v)
   /** L∞ norm max|x_i| (the int8 quantization scale), codegen'd. */
   def maxAbsNative(v: Column): Column = Impl.maxAbsNative(v)
+  /** Ids of the `nProbes` nearest centroids by cosine (cos desc, id asc) —
+    * IVF cell assignment (nProbes = 1) and probe selection in one codegen'd
+    * expression; the centroid matrix ships as a task reference object, not
+    * as inlined literals.
+    */
+  def nearestCellsNative(v: Column, centroids: Seq[Seq[Double]], nProbes: Int): Column =
+    Impl.nearestCellsNative(v, centroids, nProbes)
 }

@@ -274,6 +274,41 @@ object Similarity {
     rescoreTopK(survivors, cBase, qBase, idCol, vecCol, queryIdCol, k)
   }
 
+  /** nCells ≈ √N — the classic IVF balance point: each of the √N cells
+    * holds ~√N vectors, so a probe scans nProbes·√N candidates instead of
+    * a fixed fraction of the corpus (a STATIC cell count means every
+    * probe scans N/nCells — at 100 TB an "index" that reads 1/16th of the
+    * corpus per query is a scan with extra steps). Floor 16 keeps tiny
+    * test corpora partitioned like the fixed default used to; ceiling
+    * 4096 bounds the centroid matrix the tasks ship (4096 × dim 1024
+    * doubles = 32 MB) and the O(nCells·dim) per-row assignment loop —
+    * past it, shard the corpus and give each shard its own quantizer
+    * (the persisted-index territory of [[graft.sink.BucketedMirror]]).
+    */
+  def autoCells(n: Long): Int =
+    math.max(16, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** nProbes ≈ √nCells/2 (= N^(1/4)/2 under [[autoCells]]): probes grow
+    * with the cell count but the probed FRACTION nProbes/nCells shrinks
+    * as 1/√nCells — candidate work per query is nProbes·N/nCells ≈
+    * N^(3/4)/2, sublinear, while recall holds because finer cells put
+    * the true neighbors in the first few probes (measured in
+    * docs/SCALE_PROBE.md: recall column at ×100). Floor 2 matches the
+    * old fixed default.
+    */
+  def autoProbes(nCells: Int): Int =
+    math.max(2, math.ceil(math.sqrt(nCells.toDouble) / 2.0).toInt)
+
+  /** Resolve (nCells, nProbes): explicit values win; 0 = auto-size from
+    * the corpus count (one count job — against parquet that is a
+    * metadata read, negligible next to the search itself).
+    */
+  private def resolveCells(corpus: DataFrame, nCells: Int, nProbes: Int): (Int, Int) = {
+    val cells = if (nCells > 0) nCells else autoCells(corpus.count())
+    val probes = if (nProbes > 0) nProbes else autoProbes(cells)
+    (cells, probes)
+  }
+
   /** IVF ANN with the same int8 prefilter as [[annTopKInt8]]: cell
     * assignment is cosine-based and therefore norm-invariant, so it runs
     * directly on the raw vectors (same expression as [[ivfTopK]]); the
@@ -283,29 +318,28 @@ object Similarity {
     * cell and a query probes distinct cells, so no pair dedup is needed —
     * the prefilter window is the only pair-stream shuffle, and it is
     * projected down to (query, neighbor, score) before the exchange.
+    *
+    * nCells/nProbes default to 0 = auto-sized ([[autoCells]] /
+    * [[autoProbes]]): √N cells, N^(1/4)/2 probes.
     */
   def ivfTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int,
-                  nCells: Int = 16, nProbes: Int = 2, kmeansIters: Int = 0,
+                  nCells: Int = 0, nProbes: Int = 0, kmeansIters: Int = 0,
                   rerank: Int = 32,
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   queryIdCol: String = "query_id"): DataFrame = {
-    import graft.functions.VectorFunctions.cosineNative
-    val cents = kmeansCentroids(corpus, nCells, kmeansIters, idCol, vecCol)
-    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
-    def cellScores(v: Column): Column =
-      zip_with(centArr, sequence(lit(0), lit(cents.length - 1)), (c, i) =>
-        struct((-coalesce(cosineNative(c, v), lit(-2.0))).as("neg"), i.as("cell")))
+    val (cells, probes) = resolveCells(corpus, nCells, nProbes)
+    val cents = kmeansCentroids(corpus, cells, kmeansIters, idCol, vecCol)
+      .map(_.toSeq).toSeq
     val (q8c, sc) = int8Candidate(col(vecCol))
     val cBase = corpus.select(col(idCol), col(vecCol))
     val qBase = queries.select(col(idCol), col(vecCol))
     val c = cBase.select(col(idCol).as("neighbor_id"), q8c.as("__qc"),
       sc.as("__sc"),
-      array_min(cellScores(col(vecCol))).getField("cell").as("__cell"))
+      VectorFunctions.nearestCellsNative(col(vecCol), cents, 1).getItem(0).as("__cell"))
     // probe-cell array materialized below the explode (same Generate
     // placement rule as annTopKInt8)
     val q = qBase.select(col(idCol).as(queryIdCol), q8c.as("__qq"),
-        transform(slice(array_sort(cellScores(col(vecCol))), 1, nProbes),
-          s => s.getField("cell")).as("__cells"))
+        VectorFunctions.nearestCellsNative(col(vecCol), cents, probes).as("__cells"))
       .select(col(queryIdCol), col("__qq"), explode(col("__cells")).as("__cell"))
     val wPre = Window.partitionBy(queryIdCol)
       .orderBy(col("__approx").desc, col("neighbor_id").asc)
@@ -320,26 +354,24 @@ object Similarity {
   }
 
   /** Deterministic sampled centroids, optionally refined with Lloyd
-    * iterations: assign (argmax cosine, broadcast) → per-cell per-dim mean
-    * (posexplode + two-key groupBy — no driver-side vectors until the
-    * final nCells×dim collect, which is tiny by construction). Empty cells
-    * keep their previous centroid. Every step is deterministic.
+    * iterations: assign (argmax cosine, native [[VectorFunctions
+    * .nearestCellsNative]]) → per-cell per-dim mean (posexplode + two-key
+    * groupBy — no driver-side vectors until the final nCells×dim collect,
+    * which is tiny by construction). Empty cells keep their previous
+    * centroid. Every step is deterministic.
     */
   def kmeansCentroids(corpus: DataFrame, nCells: Int, iters: Int,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): Array[Seq[Double]] = {
-    import graft.functions.VectorFunctions.cosineNative
     var cents: Array[Seq[Double]] = corpus
       .orderBy(col(idCol)).limit(nCells)
       .select(toDouble(col(vecCol)))
       .collect().map(_.getSeq[Double](0))
     val vecs = corpus.select(toDouble(col(vecCol)).as("__v"))
     for (_ <- 1 to iters) {
-      val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
-      val scored = zip_with(centArr, sequence(lit(0), lit(cents.length - 1)), (c, i) =>
-        struct((-coalesce(cosineNative(c, col("__v")), lit(-2.0))).as("neg"), i.as("cell")))
       val means = vecs
-        .withColumn("__cell", array_min(scored).getField("cell"))
+        .withColumn("__cell",
+          VectorFunctions.nearestCellsNative(col("__v"), cents.map(_.toSeq).toSeq, 1).getItem(0))
         .select(col("__cell"), posexplode(col("__v")).as(Seq("pos", "x")))
         .groupBy("__cell", "pos").agg(avg(col("x")).as("m"))
         .collect()
@@ -357,29 +389,30 @@ object Similarity {
     * centroid vectors (optionally k-means-refined), search only the
     * `nProbes` cells nearest each query. Train is a tiny driver-side
     * collect (nCells ≈ √N rows), assignment is one broadcast pass over the
-    * corpus (argmax cosine vs the centroid array, native expression
-    * inside), search is one equi-join on cell id + exact re-rank. Corpus
-    * shuffles once, on the cell key.
+    * corpus (argmax cosine, native codegen'd [[VectorFunctions
+    * .nearestCellsNative]] — the centroid matrix rides along as a task
+    * reference object, never as plan literals), search is one equi-join
+    * on cell id + exact re-rank. Corpus shuffles once, on the cell key.
+    *
+    * nCells/nProbes default to 0 = auto-sized ([[autoCells]] /
+    * [[autoProbes]]): √N cells of ~√N vectors each, N^(1/4)/2 probes —
+    * candidate work per query ≈ N^(3/4)/2 instead of the fixed-fraction
+    * N/nCells a static cell count degrades to.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbes: Int = 2, kmeansIters: Int = 0,
+              nCells: Int = 0, nProbes: Int = 0, kmeansIters: Int = 0,
               idCol: String = "vec_id", vecCol: String = "embedding",
               queryIdCol: String = "query_id"): DataFrame = {
     import graft.functions.VectorFunctions.cosineNative
-    val cents = kmeansCentroids(corpus, nCells, kmeansIters, idCol, vecCol)
-    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
-
-    // scored cells: array<struct<neg_cos, cell>>; array_min = argmax cosine
-    def cellScores(v: Column): Column =
-      zip_with(centArr, sequence(lit(0), lit(cents.length - 1)), (c, i) =>
-        struct((-coalesce(cosineNative(c, v), lit(-2.0))).as("neg"), i.as("cell")))
-
+    val (cells, probes) = resolveCells(corpus, nCells, nProbes)
+    val cents = kmeansCentroids(corpus, cells, kmeansIters, idCol, vecCol)
+      .map(_.toSeq).toSeq
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__cv"))
-      .withColumn("__cell", array_min(cellScores(col("__cv"))).getField("cell"))
+      .withColumn("__cell",
+        VectorFunctions.nearestCellsNative(col("__cv"), cents, 1).getItem(0))
     val q = queries.select(col(idCol).as(queryIdCol), toDouble(col(vecCol)).as("__qv"))
       .withColumn("__cell",
-        explode(transform(slice(array_sort(cellScores(col("__qv"))), 1, nProbes),
-          s => s.getField("cell"))))
+        explode(VectorFunctions.nearestCellsNative(col("__qv"), cents, probes)))
     val scored = c.join(broadcast(q), Seq("__cell"))
       .filter(col(queryIdCol) =!= col("neighbor_id"))
       .withColumn("cos", cosineNative(col("__qv"), col("__cv")))

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, ByteType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, ByteType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native codegen vector math (north-star similarity path).
   *
@@ -388,6 +388,116 @@ case class SrpBucket(child: Expression, nPlanes: Int, seed: Int)
     copy(child = newChild)
 }
 
+object IvfImpl {
+  /** The `nProbes` nearest centroids of `v` by cosine, ids ordered
+    * (cos desc, id asc). One tight pass: the query norm once, then one
+    * fused dot per centroid against the precomputed centroid norms.
+    * Degenerate scores (zero norm on either side, a null element, NaN)
+    * sink to sentinels below any real cosine (−2 / −3), so a zero query
+    * vector deterministically probes cells 0..nProbes−1 — the exact
+    * behavior of the HOF formulation this replaces
+    * (`array_sort(zip_with(cents, seq, struct(-coalesce(cos, -2), i)))`),
+    * which VectorExpressionsSpec pins side by side.
+    */
+  def nearest(v: ArrayData, cents: Array[Array[Double]], norms: Array[Double],
+              nProbes: Int): ArrayData = {
+    val nc = cents.length
+    val probes = math.min(nProbes, nc)
+    val n = v.numElements()
+    val x = new Array[Double](n)
+    var nv = 0.0
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) {
+      if (v.isNullAt(i)) hasNull = true
+      else { val xi = v.getDouble(i); x(i) = xi; nv += xi * xi }
+      i += 1
+    }
+    val vnorm = math.sqrt(nv)
+    val score = new Array[Double](nc)
+    var c = 0
+    while (c < nc) {
+      val cent = cents(c)
+      val s =
+        if (hasNull || vnorm == 0.0 || norms(c) == 0.0) -2.0
+        else {
+          val m = math.min(n, cent.length)
+          var dot = 0.0
+          var j = 0
+          while (j < m) { dot += x(j) * cent(j); j += 1 }
+          dot / (vnorm * norms(c))
+        }
+      // NaN compares false under >, which would make a NaN-scored cell
+      // unselectable; pin it below the zero-norm sentinel instead (the
+      // HOF struct ordering likewise sorts NaN last)
+      score(c) = if (s.isNaN) -3.0 else s
+      c += 1
+    }
+    // selection over nc cells per probe: nProbes is small (≤ ~32 even at
+    // the 4096-cell ceiling), so O(probes·nc) beats a full sort
+    val out = new Array[Int](probes)
+    val taken = new Array[Boolean](nc)
+    var p = 0
+    while (p < probes) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      var j = 0
+      while (j < nc) {
+        if (!taken(j) && score(j) > bestS) { bestS = score(j); best = j }
+        j += 1
+      }
+      taken(best) = true
+      out(p) = best
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** array<double> → array<int>: ids of the `nProbes` nearest centroids by
+  * cosine (IVF cell assignment / probe selection). The centroid matrix is
+  * a constructor field — Seq-of-Seq so case-class equality is CONTENT
+  * equality (CSE and canonicalization can unify the corpus-assign and
+  * query-probe occurrences; an Array field would compare by identity,
+  * the BloomSketchBytes lesson) — and is handed to codegen once per task
+  * as a reference object, NOT inlined literals. The previous HOF
+  * formulation inlined nCells·dim literal doubles into the plan and
+  * evaluated interpreted per row; at the √N auto-sizing this expression
+  * enables (448 cells at the ×100 probe) that would be ~28k literal
+  * nodes and ~28k boxed ops per row. Here assignment is a JIT'd
+  * O(nCells·dim) primitive loop with O(1) codegen size.
+  */
+case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], nProbes: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  require(nProbes >= 1, s"nProbes must be >= 1, got $nProbes")
+  require(centroids.nonEmpty, "NearestCells needs at least one centroid")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_cells"
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val norms: Array[Double] =
+    matrix.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+
+  protected override def nullSafeEval(input: Any): Any =
+    IvfImpl.nearest(input.asInstanceOf[ArrayData], matrix, norms, nProbes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("ivfCents", matrix, "double[][]")
+    val nm = ctx.addReferenceObj("ivfNorms", norms, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.IvfImpl.nearest($c, $m, $nm, $nProbes)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native expressions. */
 object VectorFunctions {
   def dotNative(a: Column, b: Column): Column =
@@ -402,4 +512,6 @@ object VectorFunctions {
     ExpressionUtils.column(Int8QuantizeVec(ExpressionUtils.expression(v)))
   def maxAbsNative(v: Column): Column =
     ExpressionUtils.column(MaxAbs(ExpressionUtils.expression(v)))
+  def nearestCellsNative(v: Column, centroids: Seq[Seq[Double]], nProbes: Int): Column =
+    ExpressionUtils.column(NearestCells(ExpressionUtils.expression(v), centroids, nProbes))
 }

@@ -138,23 +138,24 @@ class SimilaritySpec extends SparkTestBase {
     // not SQL-expressible); THIS is the quality gate — a bucketing bug that
     // silently returned near-random neighbors would pass row counts but
     // crater recall. Same parameters as the registered queries
-    // (s2: nPlanes=4 nTables=8, s4: nCells=16 nProbes=2), sf0.01
-    // embeddings, 16 queries. Everything is seeded, so the measured recall
-    // is exactly reproducible — no flake margin needed in the floor.
+    // (s2: nPlanes=4 nTables=8, s4: auto-sized cells/probes — at this
+    // corpus √500 → 23 cells, 3 probes), sf0.01 embeddings, 16 queries.
+    // Everything is seeded, so the measured recall is exactly
+    // reproducible — no flake margin needed in the floor.
     //
     // Measured on this data (uniform 64-dim vectors — LSH's worst case)
     // with the native splitmix-weight SrpBucket: single-table SRP
     // nPlanes=6 gives recall ~0.06 (which this gate caught); 4 planes x
     // 8 tables gives 0.587, x 12 gives 0.800, x 16 gives 0.925 at
-    // candidate budget nTables·N/2^nPlanes; IVF 16 cells / 2 probes
-    // gives 0.93 at ~12.5% candidate fraction. More tables / more
-    // probes push recall toward 1 at proportional candidate cost.
+    // candidate budget nTables·N/2^nPlanes; IVF at the auto sizing
+    // (23 cells / 3 probes, ~13% candidate fraction) gives 0.913. More
+    // tables / more probes push recall toward 1 at proportional cost.
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val queries = emb.filter($"vec_id" < 16)
     val exact = topkSets(Similarity.bruteForceTopK(emb, queries, k = 5))
     val srp = topkSets(Similarity.annTopK(emb, queries, k = 5, nPlanes = 4, nTables = 12,
       maxDim = 64))
-    val ivf = topkSets(Similarity.ivfTopK(emb, queries, k = 5, nCells = 16, nProbes = 2))
+    val ivf = topkSets(Similarity.ivfTopK(emb, queries, k = 5))
     val srpRecall = recallAtK(srp, exact)
     val ivfRecall = recallAtK(ivf, exact)
     info(f"recall@5: srp=$srpRecall%.3f ivf=$ivfRecall%.3f")
@@ -192,28 +193,58 @@ class SimilaritySpec extends SparkTestBase {
   }
 
   test("ivfTopKInt8: int8 prefilter keeps IVF recall and caps the exact rescore") {
-    // Same parameters as registered s8 (rerank=16): cell assignment is
-    // cosine-based (norm-invariant), so recall should track plain IVF
+    // Same parameters as registered s8 (auto cells/probes, rerank=16):
+    // cell assignment is cosine-based (norm-invariant), so recall tracks
+    // plain IVF
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val queries = emb.filter($"vec_id" < 16)
     val exact = topkSets(Similarity.bruteForceTopK(emb, queries, k = 5))
     // rerank=16: IVF's probed-cell candidate stream is already narrow
-    // (~60/query here), so the prefilter budget is set below half of it —
-    // at corpus scale cells grow with N and the cut grows proportionally
-    val ivf8 = topkSets(Similarity.ivfTopKInt8(emb, queries, k = 5,
-      nCells = 16, nProbes = 2, rerank = 16))
+    // (~65/query at the auto sizing here), so the prefilter budget sits
+    // below a quarter of it — at corpus scale the candidate stream grows
+    // ~N^(3/4) while rerank stays fixed, so the cut only sharpens
+    val ivf8 = topkSets(Similarity.ivfTopKInt8(emb, queries, k = 5, rerank = 16))
     val recall = recallAtK(ivf8, exact)
     // plain IVF exact-scores every probed-cell candidate; the int8 path's
     // rescore count is MEASURED (k = MaxValue keeps one row per pair)
-    val fullComparisons = Similarity.ivfTopK(emb, queries, k = Int.MaxValue,
-      nCells = 16, nProbes = 2).count()
+    val fullComparisons = Similarity.ivfTopK(emb, queries, k = Int.MaxValue).count()
     val int8Comparisons = Similarity.ivfTopKInt8(emb, queries, k = Int.MaxValue,
-      nCells = 16, nProbes = 2, rerank = 16).count()
+      rerank = 16).count()
     info(f"recall@5=$recall%.3f exact-comparisons: full=$fullComparisons int8=$int8Comparisons")
     assert(recall >= 0.6, s"int8-prefiltered IVF recall@5 $recall below floor 0.6")
     assert(int8Comparisons <= 16L * 16L, "prerank must cap rescore at nQueries*rerank")
     assert(int8Comparisons * 2 < fullComparisons,
       s"int8 prefilter should cut exact comparisons >2x (full=$fullComparisons, int8=$int8Comparisons)")
+  }
+
+  test("IVF auto-sizing: cells grow as √N and the probed fraction shrinks") {
+    // unit contract: √N between the floor and the ceiling
+    assert(Similarity.autoCells(500) === 23)
+    assert(Similarity.autoCells(200000) === 448)
+    assert(Similarity.autoCells(4) === 16) // floor keeps tiny corpora partitioned
+    assert(Similarity.autoCells(1000000000000L) === 4096) // matrix-size ceiling
+    // cell count grows monotonically with corpus size…
+    val cells = Seq(500L, 2000L, 200000L, 20000000L).map(Similarity.autoCells)
+    assert(cells === cells.sorted && cells.distinct === cells, s"cells must grow: $cells")
+    // …probes grow too, but the probed FRACTION nProbes/nCells shrinks —
+    // the property the static nCells=16 default lacked (it scanned a
+    // fixed 1/8 of the corpus per query at any scale)
+    val fracs = cells.map(c => Similarity.autoProbes(c).toDouble / c)
+    assert(fracs === fracs.sorted.reverse, s"probed fraction must shrink: $fracs")
+    // end-to-end: the candidate fraction a query actually scans drops
+    // between the two real corpora (500 → 23 cells/3 probes ≈ 13%;
+    // 2000 → 45/4 ≈ 8.9%), measured via k = MaxValue (one row per
+    // scored pair)
+    def fraction(dir: String): Double = {
+      val emb = Tables.embeddings(spark, dir)
+      val n = emb.count()
+      val q = emb.filter($"vec_id" < 16)
+      Similarity.ivfTopK(emb, q, k = Int.MaxValue).count().toDouble / (16.0 * (n - 1))
+    }
+    val f001 = fraction("/root/testdata/sf0.01")
+    val f01 = fraction("/root/testdata/sf0.1")
+    info(f"auto-sized candidate fraction: sf0.01=$f001%.3f sf0.1=$f01%.3f")
+    assert(f01 < f001, s"auto-sizing must shrink the scanned fraction as N grows ($f001 -> $f01)")
   }
 
   test("int8Quantize: zero vector, saturation, bounds, scale invariance") {

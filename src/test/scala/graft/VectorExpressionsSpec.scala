@@ -165,6 +165,42 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(c1 === c2 && c1.semanticEquals(c2))
   }
 
+  test("nearestCells matches the HOF argsort formulation incl. zero-vector and tie edges") {
+    // the executable spec of the IVF cell assignment: the native
+    // expression must order cells exactly like the HOF
+    // array_sort(struct(-coalesce(cos, -2), cell)) formulation it
+    // replaced — cos desc, cell asc on ties, zero/degenerate vectors
+    // sinking every cell to the -2 sentinel (→ cells 0..nProbes-1)
+    val gen = new scala.util.Random(13)
+    val cents: Seq[Seq[Double]] =
+      (0 until 7).map(_ => Seq.fill(16)(gen.nextDouble() - 0.5)) :+
+        Seq.fill(16)(0.0) // a zero-norm CENTROID must sink, not NaN
+    val rows = (0 until 40).map(_ => Tuple1(Seq.fill(16)(gen.nextDouble() - 0.5))) :+
+      Tuple1(Seq.fill(16)(0.0)) :+      // zero-norm query vector
+      Tuple1(cents(3))                  // exact centroid hit
+    val df = rows.toDF("v")
+    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val scored = zip_with(centArr, sequence(lit(0), lit(cents.length - 1)), (c, i) =>
+      struct((-coalesce(VectorFunctions.cosineNative(c, $"v"), lit(-2.0))).as("neg"),
+        i.as("cell")))
+    val nProbes = 3
+    val both = df.select(
+      VectorFunctions.nearestCellsNative($"v", cents, nProbes).as("native"),
+      transform(slice(array_sort(scored), 1, nProbes), s => s.getField("cell")).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Int](0) === r.getSeq[Int](1))
+    }
+    // duplicated centroids tie -> lower cell id first, deterministically
+    val dup = cents.updated(5, cents(1))
+    val tied = df.limit(5).select(
+      VectorFunctions.nearestCellsNative($"v", dup, dup.length).as("n")).collect()
+    tied.foreach { r =>
+      val order = r.getSeq[Int](0)
+      assert(order.indexOf(1) < order.indexOf(5), s"tie must break by cell id: $order")
+    }
+  }
+
   test("native expression participates in whole-stage codegen") {
     // literal input constant-folds to a LocalTableScan; use range so a
     // real projection stage exists
