@@ -203,6 +203,57 @@ object ScaleProbe {
       Seq(("fact_join_bucketed_vs_plain", plain, bucketed),
           ("fact_bucket_write_once", writeCost, writeCost))
     }) ++ (if (probeSet != "emb") Seq.empty else {
+      // Recall at scale, not just latency: a bucketed ANN that gets
+      // faster by silently returning worse neighbors is not an index.
+      // recall@5 vs exact brute force on the registered 8-query sample,
+      // at BOTH sizes (base = sf0.1, scaled = x factor) — the auto-sized
+      // IVF paths change their cell count with N, so recall must be
+      // re-proven at the size the cells were sized for. (ratio here is
+      // scaled/base recall; ~1.0 means the index quality survived the
+      // upscale.)
+      import graft.sim.{IvfIndex, Similarity}
+      def recallAt(dir: String): Seq[(String, Double)] = {
+        val emb = Tables.embeddings(spark, dir)
+        val queries = emb.filter(col("vec_id") < 8)
+        def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+          df.collect().groupBy(_.getLong(0))
+            .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        val exact = sets(Similarity.bruteForceTopK(emb, queries, k = 5))
+        def recall(approx: Map[Long, Set[Long]]): Double = {
+          val per = exact.map { case (q, truth) =>
+            approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+          }
+          per.sum / per.size
+        }
+        // registered parameters, verbatim from SparkEntry (s4/s8 through
+        // the persisted index, exactly like the registered queries)
+        val (assigned, cents) = IvfIndex.ensure(spark, dir, emb)
+        Seq(
+          "recall_s2_ann_topk" -> recall(sets(Similarity.annTopK(emb, queries, k = 5,
+            nPlanes = 4, nTables = 12, maxDim = 64))),
+          "recall_s7_ann_int8" -> recall(sets(Similarity.annTopKInt8(emb, queries, k = 5,
+            nPlanes = 4, nTables = 12, rerank = 32, maxDim = 64))),
+          "recall_s4_ivf_topk" -> recall(sets(
+            Similarity.ivfTopKAssigned(assigned, cents, queries, k = 5))),
+          "recall_s8_ivf_int8" -> recall(sets(
+            Similarity.ivfTopKInt8Assigned(assigned, cents, queries, k = 5, rerank = 16))))
+      }
+      val base = recallAt(src).toMap
+      recallAt(out).map { case (name, scaled) => (name, base(name), scaled) }
+    }) ++ (if (probeSet != "emb") Seq.empty else {
+      // One-time IVF index build cost, reported like fact_bucket_write_once
+      // (the s4/s8 query rows above measured a WARM index: their first rep
+      // built it, min-of-2 keeps the warm run). base = build at sf0.1,
+      // scaled = build at x factor — the ratio is the build's own growth.
+      import graft.sim.IvfIndex
+      def build(dir: String): Double = {
+        IvfIndex.drop(dir)
+        val t0 = System.nanoTime()
+        IvfIndex.ensure(spark, dir, Tables.embeddings(spark, dir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq(("ivf_index_build_once", build(src), build(out)))
+    }) ++ (if (probeSet != "emb") Seq.empty else {
       // Parameter-scaling twin for the SRP path: with FIXED nPlanes the
       // candidate stream grows ∝ N (each bucket holds factor× more
       // vectors), so the registered-parameter entries above scale

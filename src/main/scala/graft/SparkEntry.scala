@@ -890,10 +890,14 @@ object SparkEntry {
     // but not ANSI-SQL-expressible compactly -> rows-only check, semantics
     // covered by SimilaritySpec. nCells/nProbes auto-size from the corpus
     // count (√N cells, N^(1/4)/2 probes) so the probed fraction SHRINKS
-    // as the corpus grows instead of freezing at N/nCells.
+    // as the corpus grows instead of freezing at N/nCells; the assigned,
+    // cell-PARTITIONED corpus is a persisted index (IvfIndex, built once
+    // per corpus like the j7 bucketed mirror) and the search scan prunes
+    // to the probed cells via dynamic partition pruning.
     "s4_ivf_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+      val (assigned, cents) = graft.sim.IvfIndex.ensure(s, d, Tables.embeddings(s, d))
+      Similarity.ivfTopKAssigned(assigned, cents,
+        Tables.embeddings(s, d).filter(col("vec_id") < 8), k = 5)
     }),
     // Cross-table join of the two LLM extension tables: documents enriched
     // with their embedding's L2 norm, summarized per source. The norm is
@@ -948,12 +952,14 @@ object SparkEntry {
     // vectors (cosine is norm-invariant), probed-cell candidates scored
     // by integer dot, top-rerank exact rescore. Centroid-sample dependent
     // like s4 -> rows-only; SimilaritySpec gates recall >= 0.6 and the
-    // measured exact-comparison reduction vs plain IVF. Cells/probes
-    // auto-size like s4 (√N / N^(1/4)/2).
+    // measured exact-comparison reduction vs plain IVF. Shares s4's
+    // persisted auto-sized index (the __qc/__sc columns were assigned in
+    // the same build pass); the probe scan prunes to probed cells via
+    // dynamic partition pruning.
     "s8_ivf_int8" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Similarity.ivfTopKInt8(emb, emb.filter(col("vec_id") < 8), k = 5,
-        rerank = 16)
+      val (assigned, cents) = graft.sim.IvfIndex.ensure(s, d, Tables.embeddings(s, d))
+      Similarity.ivfTopKInt8Assigned(assigned, cents,
+        Tables.embeddings(s, d).filter(col("vec_id") < 8), k = 5, rerank = 16)
     })
   )
 

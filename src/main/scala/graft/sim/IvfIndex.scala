@@ -1,0 +1,92 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Build-or-reuse the persisted IVF index of an embedding corpus — the
+  * vector-search sibling of [[graft.sink.BucketedMirror]]: pay the
+  * index-build scans ONCE per corpus (count → √N centroids → the
+  * O(N·nCells·dim) cell-assignment + int8-quantization pass), persist
+  * the assigned frame partitioned BY CELL, and every later search runs
+  * the pure probe path. Measured at the ×100 probe corpus (200 k × 64-d),
+  * the build is ~2 s of the ~2.7 s end-to-end run — an "index" that is
+  * rebuilt per query batch is mostly build.
+  *
+  * The cell partitioning is the 100 TB point: a search joins the corpus
+  * to a BROADCAST probe-cell list, so Spark's dynamic partition pruning
+  * drops every unprobed cell directory at scan time — a query batch
+  * probing p cells of C reads p/C of the corpus bytes, not all of them
+  * (the gate in PlanQualitySpec pins `dynamicpruning` in the s8 scan).
+  *
+  * Reuse ladder (same as BucketedMirror): files on disk with `_SUCCESS`
+  * → read them back; nothing → build (the one-time scans). The index
+  * lives under target/ivf_index/<sf-tag> (untracked; deleting it forces
+  * a rebuild — on a real cluster this is a warehouse table keyed by
+  * corpus snapshot). Builds are serialized per JVM: Verify constructs
+  * queries from a 4-thread pool and s4/s8 share one index.
+  *
+  * Reference analog: the SQLite index built once per load so later
+  * lookups don't scan (/root/reference/src/load.py:143-144) — here the
+  * "index" is Voronoi cell layout instead of a B-tree.
+  */
+object IvfIndex {
+
+  private def tag(dir: String): String =
+    new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** Bump when the index format or assignment semantics change: reuse is
+    * keyed only by source dir, so an index persisted by OLDER code would
+    * otherwise silently serve stale cells.
+    */
+  private val version = "v1"
+
+  /** Index root for a source dir (exposed so ScaleProbe can time a fresh
+    * build explicitly).
+    */
+  def root(dir: String): java.io.File =
+    new java.io.File(s"target/ivf_index/$version/${tag(dir)}").getAbsoluteFile
+
+  /** Delete the persisted index (forces the next ensure to rebuild). */
+  def drop(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(root(dir))
+  }
+
+  /** The (assigned corpus, centroids) pair for `<dir>`'s corpus:
+    * columns (idCol, vecCol, __qc, __sc, __cell) with __cell as the
+    * PARTITION column. `corpus` is only scanned on a cold build.
+    */
+  def ensure(spark: SparkSession, dir: String, corpus: => DataFrame,
+             idCol: String = "vec_id", vecCol: String = "embedding"
+            ): (DataFrame, Seq[Seq[Double]]) = synchronized {
+    val base = root(dir)
+    val corpusPath = new java.io.File(base, "corpus").getPath
+    val centsPath = new java.io.File(base, "centroids").getPath
+    if (!new java.io.File(corpusPath, "_SUCCESS").isFile ||
+        !new java.io.File(centsPath, "_SUCCESS").isFile) {
+      val df = corpus
+      val cells = Similarity.autoCells(df.count())
+      val cents = Similarity.kmeansCentroids(df, cells, 0, idCol, vecCol)
+        .map(_.toSeq).toSeq
+      // centroids persist beside the corpus: probe selection must use the
+      // EXACT quantizer the cells were assigned with, across JVMs
+      import spark.implicits._
+      cents.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(centsPath)
+      // repartition by the cell id first: the hash layout puts each cell's
+      // rows in exactly one task, so partitionBy writes ONE file per cell
+      // directory (the BucketedMirror alignment trick)
+      Similarity.assignCells(df, cents, idCol, vecCol)
+        .repartition(cents.length, col("__cell"))
+        .write.mode("overwrite").partitionBy("__cell").parquet(corpusPath)
+    }
+    val cents = spark.read.parquet(centsPath)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+      .map(_._2).toSeq
+    (spark.read.parquet(corpusPath), cents)
+  }
+}

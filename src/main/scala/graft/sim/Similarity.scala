@@ -184,7 +184,7 @@ object Similarity {
     * is all-zero anyway). The float→double widening is the implicit
     * input cast of the native expressions — no HOF anywhere.
     */
-  private def int8Candidate(v: Column): (Column, Column) = {
+  private[graft] def int8Candidate(v: Column): (Column, Column) = {
     val q = VectorFunctions.int8QuantizeNative(v)
     val sc = when(VectorFunctions.maxAbsNative(v) === 0.0, lit(0.0))
       .otherwise(VectorFunctions.maxAbsNative(v) / sqrt(VectorFunctions.dotNative(v, v)))
@@ -330,12 +330,43 @@ object Similarity {
     val (cells, probes) = resolveCells(corpus, nCells, nProbes)
     val cents = kmeansCentroids(corpus, cells, kmeansIters, idCol, vecCol)
       .map(_.toSeq).toSeq
+    ivfTopKInt8Assigned(assignCells(corpus, cents, idCol, vecCol), cents,
+      queries, k, probes, rerank, idCol, vecCol, queryIdCol)
+  }
+
+  /** The IVF index frame of a corpus: the input columns plus the int8
+    * candidate pair (__qc quantized vector, __sc score correction) and
+    * the assigned Voronoi cell — everything the int8 search path needs,
+    * derived in ONE map-side pass. This is the frame
+    * [[graft.sim.IvfIndex]] persists so the assignment scan (O(N·nCells·
+    * dim), the dominant cost of an end-to-end run) is paid once per
+    * corpus instead of once per query batch.
+    */
+  def assignCells(corpus: DataFrame, cents: Seq[Seq[Double]],
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val (q8c, sc) = int8Candidate(col(vecCol))
-    val cBase = corpus.select(col(idCol), col(vecCol))
-    val qBase = queries.select(col(idCol), col(vecCol))
-    val c = cBase.select(col(idCol).as("neighbor_id"), q8c.as("__qc"),
-      sc.as("__sc"),
+    corpus.select(col(idCol), col(vecCol), q8c.as("__qc"), sc.as("__sc"),
       VectorFunctions.nearestCellsNative(col(vecCol), cents, 1).getItem(0).as("__cell"))
+  }
+
+  /** [[ivfTopKInt8]] over a pre-assigned corpus (columns: idCol, vecCol,
+    * __qc, __sc, __cell — the [[assignCells]] / [[IvfIndex]] frame):
+    * the pure SEARCH path. nProbes ≤ 0 auto-sizes from the centroid
+    * count. When the assigned frame is the persisted cell-partitioned
+    * index, the broadcast cell join lets dynamic partition pruning drop
+    * every unprobed cell at scan time — at 100 TB the scan reads
+    * nProbes·|queries| cells, not the corpus.
+    */
+  def ivfTopKInt8Assigned(assigned: DataFrame, cents: Seq[Seq[Double]],
+                          queries: DataFrame, k: Int,
+                          nProbes: Int = 0, rerank: Int = 32,
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          queryIdCol: String = "query_id"): DataFrame = {
+    val probes = if (nProbes > 0) nProbes else autoProbes(cents.length)
+    val (q8c, _) = int8Candidate(col(vecCol))
+    val qBase = queries.select(col(idCol), col(vecCol))
+    val c = assigned.select(col(idCol).as("neighbor_id"), col("__qc"),
+      col("__sc"), col("__cell"))
     // probe-cell array materialized below the explode (same Generate
     // placement rule as annTopKInt8)
     val q = qBase.select(col(idCol).as(queryIdCol), q8c.as("__qq"),
@@ -350,7 +381,8 @@ object Similarity {
       .withColumn("__prerank", row_number().over(wPre))
       .filter(col("__prerank") <= rerank)
       .select(col(queryIdCol), col("neighbor_id"))
-    rescoreTopK(survivors, cBase, qBase, idCol, vecCol, queryIdCol, k)
+    rescoreTopK(survivors, assigned.select(col(idCol), col(vecCol)), qBase,
+      idCol, vecCol, queryIdCol, k)
   }
 
   /** Deterministic sampled centroids, optionally refined with Lloyd
@@ -403,13 +435,27 @@ object Similarity {
               nCells: Int = 0, nProbes: Int = 0, kmeansIters: Int = 0,
               idCol: String = "vec_id", vecCol: String = "embedding",
               queryIdCol: String = "query_id"): DataFrame = {
-    import graft.functions.VectorFunctions.cosineNative
     val (cells, probes) = resolveCells(corpus, nCells, nProbes)
     val cents = kmeansCentroids(corpus, cells, kmeansIters, idCol, vecCol)
       .map(_.toSeq).toSeq
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__cv"))
-      .withColumn("__cell",
-        VectorFunctions.nearestCellsNative(col("__cv"), cents, 1).getItem(0))
+    val assigned = corpus.select(col(idCol), col(vecCol),
+      VectorFunctions.nearestCellsNative(col(vecCol), cents, 1).getItem(0).as("__cell"))
+    ivfTopKAssigned(assigned, cents, queries, k, probes, idCol, vecCol, queryIdCol)
+  }
+
+  /** [[ivfTopK]] over a pre-assigned corpus (columns: idCol, vecCol,
+    * __cell — a projection of the [[assignCells]] / [[IvfIndex]] frame):
+    * the exact-scoring SEARCH path. nProbes ≤ 0 auto-sizes from the
+    * centroid count.
+    */
+  def ivfTopKAssigned(assigned: DataFrame, cents: Seq[Seq[Double]],
+                      queries: DataFrame, k: Int, nProbes: Int = 0,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      queryIdCol: String = "query_id"): DataFrame = {
+    import graft.functions.VectorFunctions.cosineNative
+    val probes = if (nProbes > 0) nProbes else autoProbes(cents.length)
+    val c = assigned.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("__cv"), col("__cell"))
     val q = queries.select(col(idCol).as(queryIdCol), toDouble(col(vecCol)).as("__qv"))
       .withColumn("__cell",
         explode(VectorFunctions.nearestCellsNative(col("__qv"), cents, probes)))

@@ -174,14 +174,29 @@ class PlanQualitySpec extends SparkTestBase {
     // re-ships 1-byte-per-dim arrays through the dominant shuffle.
     val plan = executedPlan(SparkEntry.queries("s8_ivf_int8")(spark, dir))
     assert(plan.contains("Window"))
+    // SHUFFLE exchanges and sorts must never carry the quantized arrays;
+    // the broadcast of the 8 quantized QUERY vectors is the design (and
+    // the DPP subquery re-renders that same BroadcastExchange) — exempt it
     assert(!plan.linesIterator.exists(l =>
-      (l.contains("Exchange") || l.contains("Sort ")) &&
+      ((l.contains("Exchange") && !l.contains("BroadcastExchange")) ||
+        l.contains("Sort ")) &&
         (l.contains("__qc#") || l.contains("__qq#"))))
     // the probe-cell explode passes the quantized query vector through
     // (pass-through attribute list) instead of recomputing it per
     // probed cell in the projection above the Generate
     val gens = plan.linesIterator.filter(_.contains("Generate explode")).toSeq
     assert(gens.exists(_.contains("__qq#")))
+    // the persisted-index scan must (a) prune unprobed cell partitions via
+    // dynamic partition pruning — at 100 TB the scan reads the probed
+    // cells, not the corpus — and (b) read only (vec_id, __qc, __sc) in
+    // the candidate branch: the float embedding bytes stay on disk until
+    // the top-rerank rescore
+    assert(plan.contains("dynamicpruningexpression(__cell"),
+      "index scan must dynamic-partition-prune to the probed cells")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("ivf_index") &&
+        l.contains("ReadSchema: struct<vec_id:bigint,__qc:array<tinyint>,__sc:double>")),
+      "candidate branch must not read embedding bytes from the index")
   }
 
   test("d11: epoch shuffle windows per shard — no single-partition sort") {

@@ -247,6 +247,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(f01 < f001, s"auto-sizing must shrink the scanned fraction as N grows ($f001 -> $f01)")
   }
 
+  test("IvfIndex: builds once, reuses files, and indexed search equals the inline path") {
+    import graft.sim.IvfIndex
+    val gen = new scala.util.Random(17)
+    val emb = (0L until 80L).map(i => (i, Seq.fill(8)(gen.nextFloat())))
+      .toDF("vec_id", "embedding")
+    // only the basename keys the index location — a private tag keeps
+    // this test from racing the suites that ensure the real sf dirs
+    val fakeDir = "/x/ivf_spec_corpus"
+    IvfIndex.drop(fakeDir)
+    val (_, c1) = IvfIndex.ensure(spark, fakeDir, emb)
+    val success = new java.io.File(IvfIndex.root(fakeDir), "corpus/_SUCCESS")
+    assert(success.isFile)
+    val stamp = success.lastModified
+    // by-name corpus: the reuse path must not evaluate (or scan) it
+    val (a2, c2) = IvfIndex.ensure(spark, fakeDir,
+      { fail("cold corpus must not be evaluated on reuse"); emb })
+    assert(c1 === c2)
+    assert(success.lastModified === stamp, "reuse must not rewrite the index")
+    // the persisted index and the inline assignment are the SAME search
+    val queries = emb.filter($"vec_id" < 4)
+    assert(topkSets(Similarity.ivfTopKAssigned(a2, c2, queries, k = 3)) ===
+      topkSets(Similarity.ivfTopK(emb, queries, k = 3)))
+    assert(topkSets(Similarity.ivfTopKInt8Assigned(a2, c2, queries, k = 3, rerank = 8)) ===
+      topkSets(Similarity.ivfTopKInt8(emb, queries, k = 3, rerank = 8)))
+    IvfIndex.drop(fakeDir)
+  }
+
   test("int8Quantize: zero vector, saturation, bounds, scale invariance") {
     val emb = Seq(
       (0L, Seq(0.0f, 0.0f, 0.0f)),  // zero vector -> scale 0, all-zero q
