@@ -27,14 +27,16 @@ object ExplainAudit {
     */
   val ledger: Seq[String] = Seq(
     "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q8_market_share", "q9_product_profit", "q11_important_parts",
+    "q5_local_volume", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q11_important_parts",
     "q21_waiting_suppliers", "o1_topk_per_group",
     "c1_two_pass_clean", "a6_mode_per_day",
     "d2_exact_dedup", "d6_curation_funnel", "d7_hash_split", "d8_source_mix",
-    "j4_anti_join", "j7_bucketed_large_orders", "t2_lang_id", "t8_vocabulary",
+    "j4_anti_join", "j7_bucketed_large_orders", "j8_bucketed_shipping_priority",
+    "t2_lang_id", "t8_vocabulary",
     "t9_tfidf", "t17_unigram_logprob", "s2_ann_topk", "s3_label_centroids",
-    "s7_ann_int8", "s8_ivf_int8", "e1_embedding_neardups", "w9_range_rolling",
-    "o3_set_ops", "d11_epoch_shuffle")
+    "s7_ann_int8", "s8_ivf_int8", "e1_embedding_neardups", "w8_sessionize",
+    "w9_range_rolling", "o3_set_ops", "d11_epoch_shuffle")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS
@@ -56,6 +58,9 @@ object ExplainAudit {
       // point; normalize the truncated tail so a 2-char drift can't diff
       .replaceAll("[^\\s\\[,]*\\.\\.\\.", "<trunc>")
       .replaceAll("/root/testdata/sf[0-9.]+", "<sf>")
+      // persisted-artifact locations (ivf index, bucketed mirrors) are
+      // machine-local; structure is what the ledger pins
+      .replaceAll("file:[^\\s\\]]*/target/", "<target>/")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

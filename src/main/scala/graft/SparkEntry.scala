@@ -639,6 +639,27 @@ object SparkEntry {
         .orderBy(col("total_qty").desc, col("o_orderkey").asc)
         .limit(20)
     }),
+    // The mirror-REUSE claim made first-class: the q3 shape consumes the
+    // SAME orderkey mirrors j7 built — one layout shuffle serves every
+    // query on the key. The dim side broadcasts explicitly so the
+    // streamed (orders) side keeps its bucketing through the first join;
+    // the fact⋈fact SMJ then plans zero exchanges and zero sorts
+    // (PlanQualitySpec), and the group-by rides the same partitioning.
+    // Oracle = q3's verbatim SQL: layout must be content-invisible.
+    "j8_bucketed_shipping_priority" -> ((s, d) => {
+      val ord = graft.sink.BucketedMirror.ensure(s, d, "orders", "o_orderkey")
+      val li = graft.sink.BucketedMirror.ensure(s, d, "lineitem", "l_orderkey")
+      broadcast(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING"))
+        .join(ord.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(li.filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+          .hint("merge"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(decSum2(volDec).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
 
     // ------------------------------------------------- cleaning composite
     // §2.9 two-pass clean on events.value, summarized per group so the
@@ -1267,6 +1288,19 @@ object SparkEntry {
         |GROUP BY o_orderkey, o_custkey
         |HAVING round(sum(l_quantity),2) > 150
         |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    // verbatim q3 SQL: the bucketed layout must be content-invisible
+    "j8_bucketed_shipping_priority" ->
+      """SELECT l_orderkey, o_orderpriority,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q15_top_supplier" ->
       """WITH rev AS (

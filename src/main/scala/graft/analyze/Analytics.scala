@@ -245,7 +245,13 @@ object Analytics {
   /** Batch sessionization (gaps-and-islands): assign a session id per key
     * where a gap > `gapMinutes` of event-time silence starts a new session
     * — the batch twin of Streaming.sessionAgg, and SQL-expressible for the
-    * oracle. Two windows over one shuffle on the key.
+    * oracle. Two windows over one shuffle AND one sort on the key: both
+    * window specs share (key, ts ASC) so the second Window consumes the
+    * first's output order directly, and the session summary's group-by
+    * rides the same hash partitioning — the whole operator is
+    * scan → one exchange → one sort → two Windows → agg, pinned in the
+    * plan ledger (docs/plans/w8_sessionize.txt). Growth at ×100 per-user
+    * density is the per-user n·log n of that single sort.
     */
   def sessionize(df: DataFrame, key: String, ts: String,
                  gapMinutes: Int = 30): DataFrame = {

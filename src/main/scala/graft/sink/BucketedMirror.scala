@@ -33,23 +33,55 @@ import org.apache.spark.sql.functions.col
   */
 object BucketedMirror {
 
-  /** Buckets per mirror. At test SFs this over-partitions (16 buckets of
-    * ~40 k rows at sf0.1) but matches local[32]'s parallelism shape; on a
-    * real cluster size it as total-bytes / target-file-size (e.g. a
-    * 10 TB fact table at 1 GB bucket files → ~10k buckets) — both join
-    * sides must agree, which `ensure` guarantees by construction.
+  /** Floor bucket count. At test SFs every table sizes to this floor
+    * (16 buckets of ~40 k rows at sf0.1, matching local[32]'s parallelism
+    * shape); bigger tables grow past it via [[bucketsFor]].
     */
   val defaultBuckets = 16
+
+  /** Source bytes per bucket the derivation targets (~one comfortably
+    * compressed ≲that-size bucket file and one write/scan task per
+    * bucket).
+    */
+  val targetBucketBytes: Long = 256L * 1024 * 1024
+
+  /** Buckets for a table of `bytes`: bytes/target rounded UP to a power
+    * of two, floored at [[defaultBuckets]] — a 10 TB fact table lands at
+    * ~64 k buckets of ~160 MB. Power-of-two counts keep any two mirrors
+    * at integer-multiple ratios, so a join between differently-sized
+    * mirrors can still drop its exchanges via
+    * `spark.sql.bucketing.coalesceBucketsInJoin.enabled` (the coalesced
+    * side re-sorts, the shuffle stays gone); same-size tables — and
+    * everything at test SF — agree exactly and keep the zero-sort plan.
+    */
+  def bucketsFor(bytes: Long): Int = {
+    val needed = math.max(1L, (bytes + targetBucketBytes - 1) / targetBucketBytes)
+    var b = defaultBuckets
+    while (b < needed && b < (1 << 20)) b <<= 1
+    b
+  }
 
   private def tag(dir: String): String =
     new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
 
+  private def sourceBytes(dir: String, table: String): Long = {
+    def size(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.map(size).sum else f.length
+    size(new java.io.File(dir, s"$table.parquet"))
+  }
+
   /** Bucketed mirror of `<dir>/<table>.parquet` clustered+sorted on
     * `keyCol`; returns the catalog table, building or re-registering it
-    * only when needed.
+    * only when needed. `nBuckets ≤ 0` derives the count from the source
+    * size ([[bucketsFor]]); the mirror's path and catalog name embed the
+    * count, so a derivation change can never re-attach files written
+    * with a different bucket spec. Builds are serialized per JVM —
+    * Verify constructs queries from a thread pool and j7/j8 share the
+    * orderkey mirrors.
     */
   def ensure(spark: SparkSession, dir: String, table: String, keyCol: String,
-             nBuckets: Int = defaultBuckets): DataFrame = {
+             nBuckets: Int = 0): DataFrame = synchronized {
+    val buckets = if (nBuckets > 0) nBuckets else bucketsFor(sourceBytes(dir, table))
     // since Spark 3.0 a bucketed scan only PUBLISHES its in-bucket sort
     // order behind this flag (off by default because buckets holding
     // several files are each locally sorted but not sorted as a
@@ -61,21 +93,22 @@ object BucketedMirror {
     // sides per query: n·log(n) per run of exactly the work the mirror
     // paid at write time.
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    val name = s"graft_mirror_${table}_${tag(dir)}"
+    val name = s"graft_mirror_${table}_${tag(dir)}_b$buckets"
     if (!spark.catalog.tableExists(name)) {
-      val path = new java.io.File(s"target/bucketed_mirror/${tag(dir)}/$table").getAbsolutePath
+      val path = new java.io.File(
+        s"target/bucketed_mirror/${tag(dir)}/${table}_b$buckets").getAbsolutePath
       if (new java.io.File(path, "_SUCCESS").isFile) {
         // files survive the session catalog; re-attach them with the
         // bucket spec they were written with (same code path below)
         val schema = spark.read.parquet(path).schema
         spark.sql(
           s"""CREATE TABLE $name (${schema.toDDL}) USING PARQUET
-             |CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $nBuckets BUCKETS
+             |CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $buckets BUCKETS
              |LOCATION '$path'""".stripMargin)
       } else {
         Sinks.writeBucketed(
-          graft.Tables(spark, dir, table).repartition(nBuckets, col(keyCol)),
-          name, Seq(keyCol), nBuckets, path = Some(path), sortCols = Seq(keyCol))
+          graft.Tables(spark, dir, table).repartition(buckets, col(keyCol)),
+          name, Seq(keyCol), buckets, path = Some(path), sortCols = Seq(keyCol))
       }
     }
     spark.table(name)

@@ -494,6 +494,14 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], nProbes:
       s"org.apache.spark.sql.graft.IvfImpl.nearest($c, $m, $nm, $nProbes)")
   }
 
+  // the matrix must not render into plan strings: TreeNode's default
+  // stringification prints every constructor arg, and at the √N sizing
+  // that is tens of KB of doubles per occurrence — in every treeString,
+  // explain, AQE log line and ledger dump (a 400 KB ledger file before
+  // this override). Equality/canonicalization still use the full content.
+  override def toString: String =
+    s"$prettyName($child, ${centroids.length} cells, $nProbes probes)"
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -294,6 +294,55 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("j8: q3 shape reuses j7's mirrors — zero exchanges/sorts on the fact join") {
+    // the mirror doc's "one mirror serves every query on the key" as a
+    // gate: j8 is the q3 3-way shape consuming the SAME orderkey mirrors
+    // j7 built. The dim join broadcasts (customer side), so the streamed
+    // orders side keeps its bucketing; the fact⋈fact SMJ and the group-by
+    // both ride the write-time layout — the only exchange in the plan is
+    // the customer broadcast.
+    val plan = executedPlan(SparkEntry.queries("j8_bucketed_shipping_priority")(spark, dir))
+    assert(plan.contains("SortMergeJoin"))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("SelectedBucketsCount"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "mirror-backed q3 must not re-shuffle either fact side")
+    assert(!"""(?m)\bSort \[""".r.findFirstIn(plan).isDefined,
+      "mirror-backed q3 must consume the write-time in-bucket sort")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("plan ledger: every ExplainAudit.ledger entry has a committed plan file") {
+    // the ledger's whole point is that every gated plan shape is diffable
+    // in review; round 8 shipped a ledger entry (j7) whose file was never
+    // generated — this pins both directions so the drift can't recur
+    val files = Option(new java.io.File("docs/plans").listFiles).toSeq.flatten
+      .map(_.getName).filter(_.endsWith(".txt")).map(_.stripSuffix(".txt")).toSet
+    val missing = ExplainAudit.ledger.filterNot(files.contains)
+    assert(missing.isEmpty,
+      s"ledger entries without a committed plan file (run scripts/refresh_plans.sh): $missing")
+    val extra = files.filterNot(ExplainAudit.ledger.contains)
+    assert(extra.isEmpty, s"plan files no longer in the ledger: $extra")
+    ExplainAudit.ledger.foreach(q =>
+      assert(SparkEntry.queries.contains(q), s"ledger entry $q is not a registered query"))
+  }
+
+  test("BucketedMirror.bucketsFor: size-derived, power-of-two, floored") {
+    import graft.sink.BucketedMirror.{bucketsFor, defaultBuckets, targetBucketBytes}
+    // everything at test SF sits at the floor
+    assert(bucketsFor(0L) === defaultBuckets)
+    assert(bucketsFor(11L * 1024 * 1024) === defaultBuckets) // sf0.1 lineitem
+    assert(bucketsFor(defaultBuckets * targetBucketBytes) === defaultBuckets)
+    // growth: rounded UP to powers of two so two mirrors are always at
+    // integer-multiple ratios (coalesceBucketsInJoin-compatible)
+    assert(bucketsFor(defaultBuckets * targetBucketBytes + 1) === defaultBuckets * 2)
+    val tenTb = 10L * 1024 * 1024 * 1024 * 1024
+    assert(bucketsFor(tenTb) === 65536) // ~160 MB per bucket
+    val sizes = Seq(1L << 30, 1L << 34, 1L << 38, 1L << 42).map(bucketsFor)
+    assert(sizes === sizes.sorted, s"bucket count must grow with size: $sizes")
+    sizes.foreach(b => assert((b & (b - 1)) === 0, s"$b not a power of two"))
+  }
+
   test("skewed join: AQE splits the hot partition (the §4.2 skew claim, proven)") {
     // one key holds ~97% of the left side; with broadcast off this is the
     // classic straggler join. The repo's scale posture says AQE handles it
