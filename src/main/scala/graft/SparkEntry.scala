@@ -639,6 +639,53 @@ object SparkEntry {
         .orderBy(col("total_qty").desc, col("o_orderkey").asc)
         .limit(20)
     }),
+    // Third consumer of the SAME orderkey mirrors: the q21 shape.
+    // Everything fact-side keys on l_orderkey, so the bucketed layout
+    // carries the WHOLE chain without a fact shuffle — the F-order semi
+    // join, the (order, supplier) aggregate, the per-order stats, and the
+    // probe join all ride the write-time distribution; the only hash
+    // exchange left is the final tiny s_name aggregate (PlanQualitySpec
+    // counts exactly one).
+    //
+    // The probe join is deliberately SINGLE-key: q21's two-key
+    // (order, supplier) join-back would demand hashpartitioning(ok, sk)
+    // and re-shuffle BOTH sides — so the per-supplier frame reduces to a
+    // per-ORDER frame carrying sk_t1, the unique holder of the latest
+    // ship date when one exists, and each probe row derives its
+    // "max over OTHER suppliers" as: t1 unless THIS supplier uniquely
+    // holds t1 (then t2). Identical semantics, one fewer shuffled column
+    // set, and the bucket order satisfies the join sort on the rows side.
+    // Oracle = q21's verbatim three-reference SQL.
+    "j9_bucketed_waiting_suppliers" -> ((s, d) => {
+      val ord = graft.sink.BucketedMirror.ensure(s, d, "orders", "o_orderkey")
+      val li = graft.sink.BucketedMirror.ensure(s, d, "lineitem", "l_orderkey")
+      val fOrders = ord.filter(col("o_orderstatus") === "F").select("o_orderkey")
+      val rows = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(fOrders.hint("merge"), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val perSupp = rows.groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .agg(max(col("l_shipdate")).as("smax"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("ok")
+      val frame = perSupp
+        .withColumn("nsupp", count(lit(1)).over(w))
+        .withColumn("t1", max(col("smax")).over(w))
+        .withColumn("cnt_t1", sum(when(col("smax") === col("t1"), 1).otherwise(0)).over(w))
+        .withColumn("t2", max(when(col("smax") < col("t1"), col("smax"))).over(w))
+        .withColumn("sk_t1", max(when(col("smax") === col("t1"), col("sk"))).over(w))
+        .groupBy("ok") // per-ok constants -> one row per order, same layout
+        .agg(max(col("nsupp")).as("nsupp"), max(col("t1")).as("t1"),
+          max(col("cnt_t1")).as("cnt_t1"), max(col("t2")).as("t2"),
+          max(col("sk_t1")).as("sk_t1"))
+      rows
+        .join(frame.hint("merge"), col("l_orderkey") === col("ok"))
+        .filter(col("nsupp") >= 2 && col("l_shipdate") >=
+          when(col("cnt_t1") >= 2 || col("l_suppkey") =!= col("sk_t1"), col("t1"))
+            .otherwise(col("t2")))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(20)
+    }),
     // The mirror-REUSE claim made first-class: the q3 shape consumes the
     // SAME orderkey mirrors j7 built — one layout shuffle serves every
     // query on the key. The dim side broadcasts explicitly so the
@@ -1288,6 +1335,23 @@ object SparkEntry {
         |GROUP BY o_orderkey, o_custkey
         |HAVING round(sum(l_quantity),2) > 150
         |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    // verbatim q21 SQL: the bucketed layout must be content-invisible
+    "j9_bucketed_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
 
     // verbatim q3 SQL: the bucketed layout must be content-invisible
     "j8_bucketed_shipping_priority" ->

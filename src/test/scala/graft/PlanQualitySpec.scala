@@ -312,6 +312,22 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("j9: q21 shape on the mirrors — no fact-side shuffle, single-key probe join") {
+    // q21's literal two-key (order, supplier) join-back would demand
+    // hashpartitioning(ok, sk) and re-shuffle BOTH fact branches (the
+    // first cut of this query did exactly that); the per-order frame
+    // keeps the probe join on the bucket key, so the ONLY hash exchange
+    // in the whole plan is the final s_name aggregate over the survivors
+    val plan = executedPlan(SparkEntry.queries("j9_bucketed_waiting_suppliers")(spark, dir))
+    assert(plan.contains("SelectedBucketsCount"))
+    val exch = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.nonEmpty && exch.forall(_.contains("s_name#")),
+      s"only the final s_name aggregate may shuffle:\n${exch.mkString("\n")}")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("SortMergeJoin [l_orderkey#") && l.contains("], [ok#")),
+      "probe join must stay single-key on the bucket key")
+  }
+
   test("plan ledger: every ExplainAudit.ledger entry has a committed plan file") {
     // the ledger's whole point is that every gated plan shape is diffable
     // in review; round 8 shipped a ledger entry (j7) whose file was never
