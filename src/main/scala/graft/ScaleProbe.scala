@@ -277,9 +277,13 @@ object ScaleProbe {
       Seq((s"s2_ann_planes$planes", annAt(src, 4), annAt(out, planes)))
     })
     // Locale-pinned formatting (Bench.f3) — default-locale %f breaks the
-    // JSON on comma-decimal locales
+    // JSON on comma-decimal locales. A zero base (e.g. a recall row
+    // measuring a total miss) must emit ratio null, not the bare
+    // Infinity/NaN tokens %f produces — which would corrupt the JSON in
+    // exactly the failure case the row exists to report
     val json = rows.map { case (q, b, s) =>
-      s""""$q":{"base":${Bench.f3(b)},"scaled":${Bench.f3(s)},"ratio":${Bench.f3(s / b)}}"""
+      val ratio = if (b > 0) Bench.f3(s / b) else "null"
+      s""""$q":{"base":${Bench.f3(b)},"scaled":${Bench.f3(s)},"ratio":$ratio}"""
     }.mkString(s"""{"probe":"$probeSet","factor":$factor,"queries":{""", ",", "}}")
     println(json)
     java.nio.file.Files.write(

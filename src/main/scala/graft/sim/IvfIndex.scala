@@ -31,8 +31,18 @@ import org.apache.spark.sql.functions.col
   */
 object IvfIndex {
 
-  private def tag(dir: String): String =
-    new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+  /** Index key: readable basename + a hash of the FULL absolute path —
+    * basename alone would let two corpora at different paths with the
+    * same directory name silently serve each other's index (and the
+    * search rescores against the index's OWN vectors, so not even a
+    * recall gate over the caller's corpus would catch the substitution).
+    */
+  private def tag(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_") + "_" + hex
+  }
 
   /** Bump when the index format or assignment semantics change: reuse is
     * keyed only by source dir, so an index persisted by OLDER code would

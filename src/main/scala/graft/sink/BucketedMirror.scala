@@ -61,8 +61,16 @@ object BucketedMirror {
     b
   }
 
-  private def tag(dir: String): String =
-    new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+  /** Mirror key: readable basename + a hash of the FULL absolute path —
+    * basename alone would let two corpora at different paths with the
+    * same directory name silently serve each other's mirror.
+    */
+  private[graft] def tag(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_") + "_" + hex
+  }
 
   private def sourceBytes(dir: String, table: String): Long = {
     def size(f: java.io.File): Long =
@@ -93,6 +101,12 @@ object BucketedMirror {
     // sides per query: n·log(n) per run of exactly the work the mirror
     // paid at write time.
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    // size-derived counts can differ between two mirrors (power-of-two,
+    // so always integer multiples); this flag lets such joins coalesce
+    // the larger side instead of re-shuffling — up to the conf's
+    // maxBucketRatio (default 4, i.e. two size classes apart). Beyond
+    // that, pass nBuckets explicitly to pin both sides to one count.
+    spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
     val name = s"graft_mirror_${table}_${tag(dir)}_b$buckets"
     if (!spark.catalog.tableExists(name)) {
       val path = new java.io.File(

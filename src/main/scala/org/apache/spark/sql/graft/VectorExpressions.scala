@@ -470,7 +470,10 @@ object IvfImpl {
 case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], nProbes: Int)
   extends UnaryExpression with ImplicitCastInputTypes {
   require(nProbes >= 1, s"nProbes must be >= 1, got $nProbes")
-  require(centroids.nonEmpty, "NearestCells needs at least one centroid")
+  // an EMPTY centroid list (empty corpus) yields an empty probe array —
+  // explode produces no rows and getItem(0) is null, so the degenerate
+  // search returns empty instead of throwing (the HOF formulation's
+  // behavior, pinned in SimilaritySpec)
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_nearest_cells"

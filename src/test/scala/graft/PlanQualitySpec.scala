@@ -174,13 +174,18 @@ class PlanQualitySpec extends SparkTestBase {
     // re-ships 1-byte-per-dim arrays through the dominant shuffle.
     val plan = executedPlan(SparkEntry.queries("s8_ivf_int8")(spark, dir))
     assert(plan.contains("Window"))
-    // SHUFFLE exchanges and sorts must never carry the quantized arrays;
-    // the broadcast of the 8 quantized QUERY vectors is the design (and
-    // the DPP subquery re-renders that same BroadcastExchange) — exempt it
-    assert(!plan.linesIterator.exists(l =>
-      ((l.contains("Exchange") && !l.contains("BroadcastExchange")) ||
-        l.contains("Sort ")) &&
-        (l.contains("__qc#") || l.contains("__qq#"))))
+    // SHUFFLE exchanges and sorts must never carry the quantized arrays.
+    // Broadcasts: the 8-row quantized QUERY side (__qq) is the design —
+    // and the DPP subquery re-renders that same BroadcastExchange — but a
+    // broadcast carrying the CORPUS-side __qc would mean the whole
+    // quantized corpus ships to every executor; forbid that too
+    assert(!plan.linesIterator.exists { l =>
+      val exchangeOrSort = l.contains("Exchange") || l.contains("Sort ")
+      val broadcastOk = l.contains("BroadcastExchange") || l.contains("ReusedExchange")
+      exchangeOrSort &&
+        (if (broadcastOk) l.contains("__qc#")
+         else l.contains("__qc#") || l.contains("__qq#"))
+    })
     // the probe-cell explode passes the quantized query vector through
     // (pass-through attribute list) instead of recomputing it per
     // probed cell in the projection above the Generate

@@ -252,7 +252,7 @@ class SimilaritySpec extends SparkTestBase {
     val gen = new scala.util.Random(17)
     val emb = (0L until 80L).map(i => (i, Seq.fill(8)(gen.nextFloat())))
       .toDF("vec_id", "embedding")
-    // only the basename keys the index location — a private tag keeps
+    // the index key is basename + full-path hash; a private tag keeps
     // this test from racing the suites that ensure the real sf dirs
     val fakeDir = "/x/ivf_spec_corpus"
     IvfIndex.drop(fakeDir)
@@ -272,6 +272,15 @@ class SimilaritySpec extends SparkTestBase {
     assert(topkSets(Similarity.ivfTopKInt8Assigned(a2, c2, queries, k = 3, rerank = 8)) ===
       topkSets(Similarity.ivfTopKInt8(emb, queries, k = 3, rerank = 8)))
     IvfIndex.drop(fakeDir)
+  }
+
+  test("IVF on an empty corpus returns empty, not an error") {
+    // the HOF formulation's degenerate-input contract, preserved by the
+    // native path: zero centroids -> empty probe array -> empty result
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val queries = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.ivfTopK(empty, queries, k = 3).count() === 0)
+    assert(Similarity.ivfTopKInt8(empty, queries, k = 3).count() === 0)
   }
 
   test("int8Quantize: zero vector, saturation, bounds, scale invariance") {
