@@ -226,13 +226,14 @@ object ScaleProbe {
           per.sum / per.size
         }
         // registered parameters, verbatim from SparkEntry (s4/s8 through
-        // the persisted index, exactly like the registered queries)
+        // the persisted index, s2/s7 with auto-sized planes — exactly
+        // like the registered queries)
         val (assigned, cents) = IvfIndex.ensure(spark, dir, emb)
         Seq(
           "recall_s2_ann_topk" -> recall(sets(Similarity.annTopK(emb, queries, k = 5,
-            nPlanes = 4, nTables = 12, maxDim = 64))),
+            nTables = 12, maxDim = 64))),
           "recall_s7_ann_int8" -> recall(sets(Similarity.annTopKInt8(emb, queries, k = 5,
-            nPlanes = 4, nTables = 12, rerank = 32, maxDim = 64))),
+            nTables = 12, rerank = 32, maxDim = 64))),
           "recall_s4_ivf_topk" -> recall(sets(
             Similarity.ivfTopKAssigned(assigned, cents, queries, k = 5))),
           "recall_s8_ivf_int8" -> recall(sets(

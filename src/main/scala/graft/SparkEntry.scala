@@ -940,19 +940,22 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
     }),
-    // Multi-table SRP-LSH (4 planes x 12 tables, native SrpBucket — plane
-    // weights derived per element from a splitmix64 word, no inlined
-    // literals): recall@5 = 0.800 vs brute force on the sf0.01 embeddings,
-    // gated by SimilaritySpec's recall floor (0.6; everything is seeded,
-    // so the measured recall is exact, not a flake margin). Candidate
-    // budget = nTables·N/2^nPlanes = 0.75N per query at these parameters —
-    // synthetic uniform vectors are LSH's worst case; clustered real
-    // embeddings get far better selectivity at the same recall, and the
-    // corpus-growth knob (more planes) is now O(1) codegen cost.
+    // Multi-table SRP-LSH (auto-sized planes × 12 tables, native
+    // SrpBucket — plane weights derived per element from a splitmix64
+    // word, no inlined literals): recall@5 = 0.800 vs brute force on the
+    // sf0.01 embeddings, gated by SimilaritySpec's recall floor (0.6;
+    // everything is seeded, so the measured recall is exact, not a flake
+    // margin). Planes size as log₂(N/125) floored at 4 — identical to
+    // the old fixed 4 at the gated test corpora, but per-bucket
+    // occupancy (and so candidates per query-table) stays ~constant as
+    // the corpus grows instead of diluting ∝ N; a plane costs one hash
+    // bit per element (O(1) codegen). Synthetic uniform vectors are
+    // LSH's worst case; clustered real embeddings get far better
+    // selectivity at the same recall.
     "s2_ann_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
-        nPlanes = 4, nTables = 12, maxDim = 64)
+        nTables = 12, maxDim = 64)
     }),
     // IVF cell assignment depends on the centroid sample; deterministic
     // but not ANSI-SQL-expressible compactly -> rows-only check, semantics
@@ -1014,7 +1017,7 @@ object SparkEntry {
     "s7_ann_int8" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.annTopKInt8(emb, emb.filter(col("vec_id") < 8), k = 5,
-        nPlanes = 4, nTables = 12, rerank = 32, maxDim = 64)
+        nTables = 12, rerank = 32, maxDim = 64)
     }),
     // IVF with the same int8 prefilter: cell assignment on the raw
     // vectors (cosine is norm-invariant), probed-cell candidates scored

@@ -125,20 +125,53 @@ object Similarity {
     * the (query, candidate) pairs shuffle, for the cross-table dedup and
     * the final per-query rank.
     */
-  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8,
+  /** Target SRP bucket occupancy: planes are sized so each of the 2^p
+    * buckets holds ~this many vectors. One target serves both the exact
+    * and the int8-prefiltered path — measured at the ×100 probe (after
+    * the SrpBucketsGenerator removed the inferred-filter double bucket
+    * derivation), BOTH paths get monotonically faster as planes grow to
+    * this occupancy.
+    */
+  val srpTargetPerBucket = 125.0
+
+  /** nPlanes ≈ log₂(N / target), floor 4 (the recall-gated test sizing),
+    * ceiling 24 (2^24 buckets; SrpBucket's hard limit is 63) —
+    * per-bucket occupancy, and therefore candidate count per
+    * (query, table), stays ~constant as the corpus grows. The 100 TB
+    * failure mode of a FIXED plane count is candidates ∝ N (each bucket
+    * dilutes); the cost of a plane is one hash bit per element — O(1)
+    * codegen with the native SrpBucket, measured cheaper at ×100 than
+    * the diluted fixed-plane run (docs/SCALE_PROBE.md plane-scaling row).
+    */
+  def autoPlanes(n: Long): Int =
+    if (n <= 0) 4
+    else math.max(4, math.min(24,
+      math.ceil(math.log(n / srpTargetPerBucket) / math.log(2.0)).toInt))
+
+  /** nPlanes ≤ 0 auto-sizes from the corpus count ([[autoPlanes]]). */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 0,
               idCol: String = "vec_id", vecCol: String = "embedding",
               queryIdCol: String = "query_id", nTables: Int = 1,
               maxDim: Int = 512): DataFrame = {
+    val planes = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count())
     // maxDim is retained for API stability; the native SrpBucket derives
-    // weights per element, so no literal sizing exists anymore
-    def buckets(v: Column): Column = array((0 until nTables).map { t =>
-      struct(lit(t).as("t"), srpBucket(v, nPlanes, seed = 42 + 7919 * t, maxDim = maxDim).as("b"))
-    }: _*)
-    val q = queries.select(col(idCol).as(queryIdCol), toDouble(col(vecCol)).as("__qv"))
-      .withColumn("__bucket", explode(buckets(col("__qv"))))
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__cv"))
-      .withColumn("__bucket", explode(buckets(col("__cv"))))
-    val candidates = c.join(broadcast(q), Seq("__bucket"))
+    // weights per element, so no literal sizing exists anymore.
+    // Bucketing is the custom SrpBucketsGenerator, not
+    // explode(array(struct(...))): the builtin explode triggers
+    // InferFiltersFromGenerate, whose size(...)>0 filter collapses into
+    // the scan and re-derives ALL nTables buckets per row a second time —
+    // a cost ∝ nPlanes that at the ×100 probe ate the auto-sizing win
+    def withBuckets(df: DataFrame, keep: Seq[Column], v: Column): DataFrame =
+      df.select(keep :+
+        org.apache.spark.sql.graft.VectorFunctions
+          .srpBucketsNative(v, planes, nTables).as(Seq("__t", "__b")): _*)
+    val q = withBuckets(
+      queries.select(col(idCol).as(queryIdCol), toDouble(col(vecCol)).as("__qv")),
+      Seq(col(queryIdCol), col("__qv")), col("__qv"))
+    val c = withBuckets(
+      corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__cv")),
+      Seq(col("neighbor_id"), col("__cv")), col("__cv"))
+    val candidates = c.join(broadcast(q), Seq("__t", "__b"))
       .filter(col(queryIdCol) =!= col("neighbor_id"))
       // a pair colliding in several tables must score once, not L times
       .dropDuplicates(queryIdCol, "neighbor_id")
@@ -232,35 +265,37 @@ object Similarity {
     rankTopK(scored, queryIdCol, k)
   }
 
+  /** nPlanes ≤ 0 auto-sizes from the corpus count ([[autoPlanes]]). */
   def annTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int,
-                  nPlanes: Int = 4, nTables: Int = 8, rerank: Int = 32,
+                  nPlanes: Int = 0, nTables: Int = 8, rerank: Int = 32,
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   queryIdCol: String = "query_id", maxDim: Int = 512): DataFrame = {
-    def buckets(v: Column): Column = array((0 until nTables).map { t =>
-      struct(lit(t).as("t"), srpBucket(v, nPlanes, seed = 42 + 7919 * t, maxDim = maxDim).as("b"))
-    }: _*)
+    val planes = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count())
     val (q8c, sc) = int8Candidate(col(vecCol))
     val cBase = corpus.select(col(idCol), col(vecCol))
     val qBase = queries.select(col(idCol), col(vecCol))
-    // quantize/scale and the bucket ARRAY are materialized BELOW the
-    // explode (the Generate's child projection): in one select with the
-    // generator they land in the projection above it and re-evaluate
-    // once per exploded row — nTables× redundant O(dim) work per vector
-    // on the hottest map stage (caught in the plan ledger review)
+    // Bucketing via the custom SrpBucketsGenerator (see annTopK — the
+    // builtin explode's inferred size()>0 scan filter re-derived every
+    // bucket per row). The quantize/scale expressions materialize in a
+    // select BELOW the generator select: the analyzer keeps a generator
+    // select's other expressions in the projection ABOVE the Generate,
+    // where they would re-evaluate once per emitted (table, bucket) row —
+    // nTables× redundant O(dim) work per vector (caught in the r7 plan
+    // ledger review); as bare attributes they pass through instead.
+    def gen(v: Column): Column = org.apache.spark.sql.graft.VectorFunctions
+      .srpBucketsNative(v, planes, nTables).as(Seq("__t", "__b"))
     val c = cBase.select(col(idCol).as("neighbor_id"), q8c.as("__qc"),
-        sc.as("__sc"), buckets(col(vecCol)).as("__bs"))
-      .select(col("neighbor_id"), col("__qc"), col("__sc"),
-        explode(col("__bs")).as("__bucket"))
-    val q = qBase.select(col(idCol).as(queryIdCol), q8c.as("__qq"),
-        buckets(col(vecCol)).as("__bs"))
-      .select(col(queryIdCol), col("__qq"), explode(col("__bs")).as("__bucket"))
+        sc.as("__sc"), col(vecCol))
+      .select(col("neighbor_id"), col("__qc"), col("__sc"), gen(col(vecCol)))
+    val q = qBase.select(col(idCol).as(queryIdCol), q8c.as("__qq"), col(vecCol))
+      .select(col(queryIdCol), col("__qq"), gen(col(vecCol)))
     // Score BEFORE the cross-table dedup: the int8 vectors then never
     // shuffle at all (the bucket join is a map-side broadcast join and
     // the score is projected in the same stage), and the pair dedup is a
     // hash-aggregate whose exchange carries one double per distinct pair
     // — dropDuplicates here would instead SortAggregate first(<array>)s
     // and ship the quantized vectors through two exchanges.
-    val candidates = c.join(broadcast(q), Seq("__bucket"))
+    val candidates = c.join(broadcast(q), Seq("__t", "__b"))
       .filter(col(queryIdCol) =!= col("neighbor_id"))
       .withColumn("__approx", int8Dot * col("__sc"))
       .groupBy(col(queryIdCol), col("neighbor_id"))

@@ -6,11 +6,12 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, CollectionGenerator, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, ByteType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, ByteType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Native codegen vector math (north-star similarity path).
   *
@@ -509,6 +510,58 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], nProbes:
     copy(child = newChild)
 }
 
+/** Generator emitting one (table, bucket) row per LSH table for a vector —
+  * the multi-table SRP explode as a single custom [[CollectionGenerator]]
+  * instead of `explode(array(struct(t, srp_bucket(v)), ...))`.
+  *
+  * Two structural wins over the array+explode formulation, both measured
+  * at the ×100 probe corpus:
+  *  - `InferFiltersFromGenerate` only fires for the builtin explode/inline
+  *    generators, so no `size(buckets) > 0` filter lands on the scan.
+  *    With explode, projection collapse inlined the WHOLE nTables-struct
+  *    bucket computation into that inferred scan filter — every corpus
+  *    row paid the full O(nTables·nPlanes·dim) bucket derivation TWICE
+  *    (filter + projection), a cost ∝ planes that made plane auto-sizing
+  *    a net LOSS for the cheap-candidate int8 path.
+  *  - no nTables-wide struct array is materialized per row at all; the
+  *    input vector is evaluated once and the per-table buckets are
+  *    emitted directly.
+  *
+  * CodegenFallback is inherent to custom generators (GenerateExec only
+  * codegens the builtins); the per-table work is one static
+  * `SrpImpl.bucket` call, so the interpreted overhead is one row
+  * allocation per (row, table).
+  */
+case class SrpBucketsGenerator(child: Expression, nPlanes: Int, nTables: Int,
+                               baseSeed: Int = 42)
+  extends UnaryExpression with CollectionGenerator with CodegenFallback
+  with ImplicitCastInputTypes {
+  require(nPlanes >= 1 && nPlanes <= 63, s"nPlanes must be in [1, 63], got $nPlanes")
+  require(nTables >= 1, s"nTables must be >= 1, got $nTables")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def position: Boolean = false
+  override def inline: Boolean = false
+  override def collectionType: DataType = ArrayType(elementSchema)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("t", IntegerType, nullable = false),
+    StructField("b", LongType, nullable = false)))
+  override def prettyName: String = "graft_srp_buckets"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Nil
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      (0 until nTables).map { t =>
+        InternalRow(t, SrpImpl.bucket(arr, nPlanes, baseSeed + 7919 * t))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native expressions. */
 object VectorFunctions {
   def dotNative(a: Column, b: Column): Column =
@@ -525,4 +578,6 @@ object VectorFunctions {
     ExpressionUtils.column(MaxAbs(ExpressionUtils.expression(v)))
   def nearestCellsNative(v: Column, centroids: Seq[Seq[Double]], nProbes: Int): Column =
     ExpressionUtils.column(NearestCells(ExpressionUtils.expression(v), centroids, nProbes))
+  def srpBucketsNative(v: Column, nPlanes: Int, nTables: Int, baseSeed: Int = 42): Column =
+    ExpressionUtils.column(SrpBucketsGenerator(ExpressionUtils.expression(v), nPlanes, nTables, baseSeed))
 }

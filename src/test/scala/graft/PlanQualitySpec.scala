@@ -155,14 +155,21 @@ class PlanQualitySpec extends SparkTestBase {
     // no aggregate buffers over the int8 vector columns
     assert(!plan.linesIterator.exists(l =>
       l.contains("Aggregate") && (l.contains("__qc#") || l.contains("__qq#"))))
-    // quantize/scale/buckets materialize BELOW the explode: the Generate
-    // must list __qc in its pass-through attribute list. In the regressed
-    // shape the quantize sat in the Project ABOVE the Generate (computed
-    // once per exploded row, nTables x O(dim) per vector) and the
-    // Generate passed raw `embedding` through instead.
-    val gens = plan.linesIterator.filter(_.contains("Generate explode")).toSeq
-    assert(gens.nonEmpty)
+    // bucketing must be the custom generator (the builtin explode's
+    // InferFiltersFromGenerate collapsed a size()>0 filter into the scan
+    // that re-derived ALL buckets per row — cost ∝ planes, measured at
+    // the ×100 probe), and quantize/scale must materialize BELOW it: the
+    // Generate lists __qc in its pass-through attribute list. In the
+    // regressed shape the quantize sat in the Project ABOVE the Generate
+    // (computed once per emitted row, nTables x O(dim) per vector) and
+    // the Generate passed raw `embedding` through instead.
+    val gens = plan.linesIterator.filter(_.contains("Generate graft_srp_buckets")).toSeq
+    assert(gens.nonEmpty, "bucketing must use the SrpBucketsGenerator")
     assert(gens.exists(_.contains("__qc#")))
+    assert(!plan.contains("Generate explode"),
+      "no builtin explode may remain in the SRP path (inferred-filter trap)")
+    assert(!plan.contains("size(graft_srp_buckets"),
+      "no inferred size() filter may reach the scan")
   }
 
   test("s8: int8 IVF prerank shuffle carries scores only, not quantized arrays") {

@@ -153,7 +153,8 @@ class SimilaritySpec extends SparkTestBase {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val queries = emb.filter($"vec_id" < 16)
     val exact = topkSets(Similarity.bruteForceTopK(emb, queries, k = 5))
-    val srp = topkSets(Similarity.annTopK(emb, queries, k = 5, nPlanes = 4, nTables = 12,
+    // registered parameters: auto planes (= 4 at this corpus) × 12 tables
+    val srp = topkSets(Similarity.annTopK(emb, queries, k = 5, nTables = 12,
       maxDim = 64))
     val ivf = topkSets(Similarity.ivfTopK(emb, queries, k = 5))
     val srpRecall = recallAtK(srp, exact)
@@ -173,8 +174,9 @@ class SimilaritySpec extends SparkTestBase {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val queries = emb.filter($"vec_id" < 16)
     val exact = topkSets(Similarity.bruteForceTopK(emb, queries, k = 5))
+    // registered parameters: auto planes (= 4 at this corpus) × 12 tables
     val int8 = topkSets(Similarity.annTopKInt8(emb, queries, k = 5,
-      nPlanes = 4, nTables = 12, rerank = 32, maxDim = 64))
+      nTables = 12, rerank = 32, maxDim = 64))
     val recall = recallAtK(int8, exact)
     // exact comparisons in the plain path = all candidate pairs; in the
     // int8 path = rows actually reaching the exact rescore. Both are
@@ -245,6 +247,24 @@ class SimilaritySpec extends SparkTestBase {
     val f01 = fraction("/root/testdata/sf0.1")
     info(f"auto-sized candidate fraction: sf0.01=$f001%.3f sf0.1=$f01%.3f")
     assert(f01 < f001, s"auto-sizing must shrink the scanned fraction as N grows ($f001 -> $f01)")
+  }
+
+  test("SRP auto-sizing: planes grow as log2(N), keeping bucket occupancy constant") {
+    // at the gated test corpora auto == the old fixed 4 (so every recall
+    // number above is unchanged); past them the plane count grows with
+    // log2(N) and per-bucket occupancy N/2^planes stays ~bounded — the
+    // fixed-plane failure mode was candidates ∝ N
+    assert(Similarity.autoPlanes(500) === 4)
+    assert(Similarity.autoPlanes(2000) === 4)
+    assert(Similarity.autoPlanes(200000) === 11)
+    assert(Similarity.autoPlanes(0) === 4) // degenerate floor
+    assert(Similarity.autoPlanes(Long.MaxValue) === 24) // ceiling
+    val ns = Seq(2000L, 200000L, 20000000L)
+    val planes = ns.map(Similarity.autoPlanes)
+    assert(planes === planes.sorted, s"planes must grow: $planes")
+    val occupancy = ns.zip(planes).map { case (n, p) => n.toDouble / (1L << p) }
+    assert(occupancy.forall(o => o <= 2 * Similarity.srpTargetPerBucket),
+      s"bucket occupancy must stay bounded: $occupancy")
   }
 
   test("IvfIndex: builds once, reuses files, and indexed search equals the inline path") {
