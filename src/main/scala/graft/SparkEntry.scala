@@ -998,9 +998,12 @@ object SparkEntry {
         .select(col("label"), col("pos").cast("long").as("pos"),
                 (round(col("mean_x") * 10000) / 10000.0 + lit(0.0)).as("mean_x"),
                 col("n"))),
+    // auto-sized planes (log₂(N/125), floor 4): the bucket SELF-join's
+    // per-bucket cost is quadratic in occupancy, so a fixed plane count
+    // is the worst scale liability of the near-dup family
     "e1_embedding_neardups" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.2, nPlanes = 6, maxDim = 64)),
+        threshold = 0.2, maxDim = 64)),
     // Symmetric int8 quantization summary (scale + integer checksums of the
     // quantized array): the standard vector-index compression step, published
     // as a hash-comparable per-vector projection. Pure map-side scan — at

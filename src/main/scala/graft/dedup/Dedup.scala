@@ -402,10 +402,15 @@ object Dedup {
     * MinHash, on the vector column.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, nPlanes: Int = 8,
+                        threshold: Double, nPlanes: Int = 0,
                         maxDim: Int = 512): DataFrame = {
+    // nPlanes <= 0 auto-sizes as log2(N/target) (Similarity.autoPlanes):
+    // for a bucket SELF-join the stakes are quadratic — per-bucket work
+    // is (N/2^p)², so a FIXED plane count blows up as N² while constant
+    // occupancy keeps total verify work ~N·occ/2
+    val planes = if (nPlanes > 0) nPlanes else Similarity.autoPlanes(df.count())
     val v = df.select(col(idCol), Similarity.toDouble(col(vecCol)).as("__v"))
-      .withColumn("__bucket", Similarity.srpBucket(col("__v"), nPlanes, maxDim = maxDim))
+      .withColumn("__bucket", Similarity.srpBucket(col("__v"), planes, maxDim = maxDim))
     val l = v.select(col("__bucket"), col(idCol).as("id1"), col("__v").as("__v1"))
     val r = v.select(col("__bucket"), col(idCol).as("id2"), col("__v").as("__v2"))
     l.join(r, Seq("__bucket"))
