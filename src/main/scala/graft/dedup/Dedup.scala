@@ -408,7 +408,7 @@ object Dedup {
     // for a bucket SELF-join the stakes are quadratic — per-bucket work
     // is (N/2^p)², so a FIXED plane count blows up as N² while constant
     // occupancy keeps total verify work ~N·occ/2
-    val planes = if (nPlanes > 0) nPlanes else Similarity.autoPlanes(df.count())
+    val planes = Similarity.resolvePlanes(df, nPlanes)
     val v = df.select(col(idCol), Similarity.toDouble(col(vecCol)).as("__v"))
       .withColumn("__bucket", Similarity.srpBucket(col("__v"), planes, maxDim = maxDim))
     val l = v.select(col("__bucket"), col(idCol).as("id1"), col("__v").as("__v1"))

@@ -109,22 +109,6 @@ object Similarity {
   def srpBucket(v: Column, nPlanes: Int, seed: Int = 42, maxDim: Int = 512): Column =
     org.apache.spark.sql.graft.VectorFunctions.srpBucketNative(v, nPlanes, seed)
 
-  /** ANN top-k: SRP-bucket both sides, join on bucket, exact re-rank.
-    *
-    * `nTables` is the classic LSH OR-amplification: L independent hash
-    * tables (different plane seeds); a corpus vector is a candidate if it
-    * shares a bucket with the query in ANY table. Per-table collision
-    * probability for angle θ is (1-θ/π)^nPlanes, so recall =
-    * 1-(1-p^nPlanes)^L — a single table (the pre-gate default) gives
-    * p^nPlanes ≈ 6% recall@5 on 64-dim data with weakly-correlated
-    * neighbors, which is why the SimilaritySpec recall gate exists.
-    * Candidate cost ≈ nTables · |corpus| / 2^nPlanes per query.
-    *
-    * Scale shape: the corpus side explodes its nTables bucket ids
-    * map-side and joins the BROADCAST query side — no corpus shuffle; only
-    * the (query, candidate) pairs shuffle, for the cross-table dedup and
-    * the final per-query rank.
-    */
   /** Target SRP bucket occupancy: planes are sized so each of the 2^p
     * buckets holds ~this many vectors. One target serves both the exact
     * and the int8-prefiltered path — measured at the ×100 probe (after
@@ -148,12 +132,35 @@ object Similarity {
     else math.max(4, math.min(24,
       math.ceil(math.log(n / srpTargetPerBucket) / math.log(2.0)).toInt))
 
-  /** nPlanes ≤ 0 auto-sizes from the corpus count ([[autoPlanes]]). */
+  /** Resolve the SRP plane count: an explicit value wins; ≤ 0 = auto-size
+    * from the corpus count (one count job, the [[resolveCells]] pattern).
+    */
+  private[graft] def resolvePlanes(corpus: DataFrame, nPlanes: Int): Int =
+    if (nPlanes > 0) nPlanes else autoPlanes(corpus.count())
+
+  /** ANN top-k: SRP-bucket both sides, join on bucket, exact re-rank.
+    *
+    * `nTables` is the classic LSH OR-amplification: L independent hash
+    * tables (different plane seeds); a corpus vector is a candidate if it
+    * shares a bucket with the query in ANY table. Per-table collision
+    * probability for angle θ is (1-θ/π)^nPlanes, so recall =
+    * 1-(1-p^nPlanes)^L — a single table (the pre-gate default) gives
+    * p^nPlanes ≈ 6% recall@5 on 64-dim data with weakly-correlated
+    * neighbors, which is why the SimilaritySpec recall gate exists.
+    * Candidate cost ≈ nTables · |corpus| / 2^nPlanes per query.
+    *
+    * Scale shape: the corpus side emits its nTables bucket ids map-side
+    * (custom generator, no corpus shuffle) and joins the BROADCAST query
+    * side; only the (query, candidate) pairs shuffle, for the cross-table
+    * dedup and the final per-query rank.
+    *
+    * nPlanes ≤ 0 auto-sizes from the corpus count ([[autoPlanes]]).
+    */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 0,
               idCol: String = "vec_id", vecCol: String = "embedding",
               queryIdCol: String = "query_id", nTables: Int = 1,
               maxDim: Int = 512): DataFrame = {
-    val planes = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count())
+    val planes = resolvePlanes(corpus, nPlanes)
     // maxDim is retained for API stability; the native SrpBucket derives
     // weights per element, so no literal sizing exists anymore.
     // Bucketing is the custom SrpBucketsGenerator, not
@@ -239,15 +246,17 @@ object Similarity {
     * as bruteForceTopK / annTopK, so the int8 variants can't diverge on
     * that edge.
     *
-    * The corpus side is a SECOND scan of the embedding table, by design:
-    * it cannot reuse the candidate branch's exchange (the explode infers
-    * a `size(buckets) > 0` filter into that branch's scan —
-    * InferFiltersFromGenerate — so the subtrees never canonically
-    * match), and a fresh map-side scan against the broadcast survivor
-    * set is the correct production shape anyway: no shuffle, prunes to
-    * (id, vec), and the only alternative at 100 TB would be caching the
-    * corpus. AQE picks the build side by size (tiny corpus at test
-    * scale, tiny survivors at corpus scale).
+    * Corpus-side reuse: since the SrpBucketsGenerator replaced the
+    * builtin explode (no more InferFiltersFromGenerate filter on the
+    * candidate branch's scan), the rescore's corpus subtree canonically
+    * MATCHES the candidate branch below the bucketing, so when an
+    * exchange exists there (e.g. the test tables' repartition) Spark
+    * plans a ReusedExchange carrying only (id, vec) — one corpus scan
+    * total, visible in docs/plans/s7_ann_int8.txt. Without such an
+    * exchange the branch is a fresh map-side scan pruned to (id, vec);
+    * either way nothing corpus-sized shuffles for the rescore, and AQE
+    * picks the build side by size (tiny corpus at test scale, tiny
+    * survivors at corpus scale).
     */
   private def rescoreTopK(survivors: DataFrame, corpusBase: DataFrame, queriesBase: DataFrame,
                           idCol: String, vecCol: String, queryIdCol: String,
@@ -270,7 +279,7 @@ object Similarity {
                   nPlanes: Int = 0, nTables: Int = 8, rerank: Int = 32,
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   queryIdCol: String = "query_id", maxDim: Int = 512): DataFrame = {
-    val planes = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count())
+    val planes = resolvePlanes(corpus, nPlanes)
     val (q8c, sc) = int8Candidate(col(vecCol))
     val cBase = corpus.select(col(idCol), col(vecCol))
     val qBase = queries.select(col(idCol), col(vecCol))

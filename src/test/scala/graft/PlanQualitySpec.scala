@@ -167,9 +167,8 @@ class PlanQualitySpec extends SparkTestBase {
     assert(gens.nonEmpty, "bucketing must use the SrpBucketsGenerator")
     assert(gens.exists(_.contains("__qc#")))
     assert(!plan.contains("Generate explode"),
-      "no builtin explode may remain in the SRP path (inferred-filter trap)")
-    assert(!plan.contains("size(graft_srp_buckets"),
-      "no inferred size() filter may reach the scan")
+      "no builtin explode may remain in the SRP path (inferred-filter trap: " +
+        "InferFiltersFromGenerate would put size(<all buckets>)>0 on the scan)")
   }
 
   test("s8: int8 IVF prerank shuffle carries scores only, not quantized arrays") {

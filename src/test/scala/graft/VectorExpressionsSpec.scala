@@ -201,6 +201,36 @@ class VectorExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("srpBuckets generator matches the per-table scalar srp_bucket formulation") {
+    // the executable seed contract of the multi-table generator: table t's
+    // bucket must equal srp_bucket(v, planes, 42 + 7919*t) — a regression
+    // in the seed spacing or table indexing would still produce 12
+    // distinct tables (recall floor blind) but silently rewrite every
+    // registered s2/s7 bucket assignment
+    val gen = new scala.util.Random(23)
+    val rows = (0L until 30L).map(i => (i, Seq.fill(16)(gen.nextDouble() - 0.5)))
+    val df = rows.toDF("id", "v")
+    val nPlanes = 5
+    val nTables = 7
+    val viaGen = df.select(col("id"),
+        org.apache.spark.sql.graft.VectorFunctions
+          .srpBucketsNative($"v", nPlanes, nTables).as(Seq("t", "b")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val viaScalar = (0 until nTables).flatMap { t =>
+      df.select(col("id"),
+          graft.sim.Similarity.srpBucket($"v", nPlanes, seed = 42 + 7919 * t))
+        .collect().map(r => (r.getLong(0), t) -> r.getLong(1))
+    }.toMap
+    assert(viaGen.size === 30 * nTables)
+    assert(viaGen === viaScalar)
+    // a null vector emits no rows (it can never match any bucket)
+    val withNull = Seq((1L, Some(Seq(1.0, 2.0))), (2L, None)).toDF("id", "v")
+    val out = withNull.select(col("id"),
+      org.apache.spark.sql.graft.VectorFunctions
+        .srpBucketsNative($"v", 4, 3).as(Seq("t", "b"))).collect()
+    assert(out.map(_.getLong(0)).distinct.toSeq === Seq(1L))
+  }
+
   test("native expression participates in whole-stage codegen") {
     // literal input constant-folds to a LocalTableScan; use range so a
     // real projection stage exists
