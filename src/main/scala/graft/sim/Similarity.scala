@@ -411,11 +411,14 @@ object Similarity {
     val qBase = queries.select(col(idCol), col(vecCol))
     val c = assigned.select(col(idCol).as("neighbor_id"), col("__qc"),
       col("__sc"), col("__cell"))
-    // probe-cell array materialized below the explode (same Generate
-    // placement rule as annTopKInt8)
-    val q = qBase.select(col(idCol).as(queryIdCol), q8c.as("__qq"),
-        VectorFunctions.nearestCellsNative(col(vecCol), cents, probes).as("__cells"))
-      .select(col(queryIdCol), col("__qq"), explode(col("__cells")).as("__cell"))
+    // probe cells via the custom generator (exploding the scalar's array
+    // let InferFiltersFromGenerate re-run the whole probe selection in
+    // the scan filter); quantize materializes BELOW it, attributes pass
+    // through (same placement rule as annTopKInt8)
+    val q = qBase.select(col(idCol).as(queryIdCol), q8c.as("__qq"), col(vecCol))
+      .select(col(queryIdCol), col("__qq"),
+        org.apache.spark.sql.graft.VectorFunctions
+          .nearestCellsGenNative(col(vecCol), cents, probes).as("__cell"))
     val wPre = Window.partitionBy(queryIdCol)
       .orderBy(col("__approx").desc, col("neighbor_id").asc)
     val survivors = c.join(broadcast(q), Seq("__cell"))
@@ -500,9 +503,11 @@ object Similarity {
     val probes = if (nProbes > 0) nProbes else autoProbes(cents.length)
     val c = assigned.select(col(idCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("__cv"), col("__cell"))
+    // custom generator, not explode-of-array (see ivfTopKInt8Assigned)
     val q = queries.select(col(idCol).as(queryIdCol), toDouble(col(vecCol)).as("__qv"))
-      .withColumn("__cell",
-        explode(VectorFunctions.nearestCellsNative(col("__qv"), cents, probes)))
+      .select(col(queryIdCol), col("__qv"),
+        org.apache.spark.sql.graft.VectorFunctions
+          .nearestCellsGenNative(col("__qv"), cents, probes).as("__cell"))
     val scored = c.join(broadcast(q), Seq("__cell"))
       .filter(col(queryIdCol) =!= col("neighbor_id"))
       .withColumn("cos", cosineNative(col("__qv"), col("__cv")))

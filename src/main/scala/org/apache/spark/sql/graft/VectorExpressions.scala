@@ -510,6 +510,52 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], nProbes:
     copy(child = newChild)
 }
 
+/** Generator emitting the `nProbes` nearest cell ids as rows — the IVF
+  * probe-side twin of [[NearestCells]] (which stays the corpus-assignment
+  * form: nProbes = 1, no explode, no trap). Exploding the scalar's array
+  * let `InferFiltersFromGenerate` put `size(graft_nearest_cells(v)) > 0`
+  * on the query scan, re-running the full O(nCells·dim) probe selection
+  * per row a second time; custom generators are exempt (the
+  * [[SrpBucketsGenerator]] lesson). Same matrix handling as the scalar:
+  * content-comparable constructor field, elided from plan strings.
+  */
+case class NearestCellsGenerator(child: Expression, centroids: Seq[Seq[Double]], nProbes: Int)
+  extends UnaryExpression with CollectionGenerator with CodegenFallback
+  with ImplicitCastInputTypes {
+  require(nProbes >= 1, s"nProbes must be >= 1, got $nProbes")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def position: Boolean = false
+  override def inline: Boolean = false
+  override def collectionType: DataType = ArrayType(elementSchema)
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("cell", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_nearest_cells_gen"
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val norms: Array[Double] =
+    matrix.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Nil
+    else {
+      val cells = IvfImpl.nearest(v.asInstanceOf[ArrayData], matrix, norms, nProbes)
+      (0 until cells.numElements()).map(i => InternalRow(cells.getInt(i)))
+    }
+  }
+
+  override def toString: String =
+    s"$prettyName($child, ${centroids.length} cells, $nProbes probes)"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Generator emitting one (table, bucket) row per LSH table for a vector —
   * the multi-table SRP explode as a single custom [[CollectionGenerator]]
   * instead of `explode(array(struct(t, srp_bucket(v)), ...))`.
@@ -580,4 +626,6 @@ object VectorFunctions {
     ExpressionUtils.column(NearestCells(ExpressionUtils.expression(v), centroids, nProbes))
   def srpBucketsNative(v: Column, nPlanes: Int, nTables: Int, baseSeed: Int = 42): Column =
     ExpressionUtils.column(SrpBucketsGenerator(ExpressionUtils.expression(v), nPlanes, nTables, baseSeed))
+  def nearestCellsGenNative(v: Column, centroids: Seq[Seq[Double]], nProbes: Int): Column =
+    ExpressionUtils.column(NearestCellsGenerator(ExpressionUtils.expression(v), centroids, nProbes))
 }

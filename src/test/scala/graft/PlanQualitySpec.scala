@@ -192,11 +192,16 @@ class PlanQualitySpec extends SparkTestBase {
         (if (broadcastOk) l.contains("__qc#")
          else l.contains("__qc#") || l.contains("__qq#"))
     })
-    // the probe-cell explode passes the quantized query vector through
-    // (pass-through attribute list) instead of recomputing it per
-    // probed cell in the projection above the Generate
-    val gens = plan.linesIterator.filter(_.contains("Generate explode")).toSeq
+    // the probe-cell Generate is the custom generator (exploding the
+    // scalar's array let InferFiltersFromGenerate re-run the whole
+    // O(nCells·dim) probe selection inside the query scan's filter) and
+    // passes the quantized query vector through (pass-through attribute
+    // list) instead of recomputing it per probed cell
+    val gens = plan.linesIterator.filter(_.contains("Generate graft_nearest_cells_gen")).toSeq
+    assert(gens.nonEmpty, "probe cells must come from NearestCellsGenerator")
     assert(gens.exists(_.contains("__qq#")))
+    assert(!plan.contains("size(graft_nearest_cells"),
+      "no inferred size() filter may re-run probe selection in the scan")
     // the persisted-index scan must (a) prune unprobed cell partitions via
     // dynamic partition pruning — at 100 TB the scan reads the probed
     // cells, not the corpus — and (b) read only (vec_id, __qc, __sc) in

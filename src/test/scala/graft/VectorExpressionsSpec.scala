@@ -199,6 +199,20 @@ class VectorExpressionsSpec extends SparkTestBase {
       val order = r.getSeq[Int](0)
       assert(order.indexOf(1) < order.indexOf(5), s"tie must break by cell id: $order")
     }
+    // the generator twin (probe-side) emits exactly the scalar's array as
+    // rows, in order — one contract, two shapes. rid materializes in its
+    // own select FIRST: computed beside the generator it would land above
+    // the Generate and number emitted rows instead of input rows
+    val based = df.select(monotonically_increasing_id().as("rid"), $"v")
+    val scalarRows = based.select($"rid",
+        VectorFunctions.nearestCellsNative($"v", cents, nProbes).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val genRows = based.select($"rid",
+        org.apache.spark.sql.graft.VectorFunctions
+          .nearestCellsGenNative($"v", cents, nProbes).as("cell"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (rid, rs) => rid -> rs.map(_.getInt(1)).toSeq }
+    assert(genRows === scalarRows)
   }
 
   test("srpBuckets generator matches the per-table scalar srp_bucket formulation") {
