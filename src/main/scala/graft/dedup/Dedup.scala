@@ -76,12 +76,14 @@ object Dedup {
     */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
                  shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame =
+    // docs too short to shingle cannot be MinHash candidates; that
+    // exclusion lives in the EXPRESSION (lshBands of an empty shingle
+    // set is an empty array, so the explode emits nothing) rather than
+    // an explicit size(__sh) > 0 filter — the filter form collapsed
+    // into the scan and re-derived the shingles once per row just to
+    // test emptiness (the same inferred/collapsed-filter trap the SRP
+    // and IVF generators close)
     df.select(col(idCol), Text.wordShingles(col(textCol), shingleSize).as("__sh"))
-      // docs too short to shingle share ONE degenerate signature; banding
-      // them would put every short doc in the same bucket in every band —
-      // a quadratic hot-bucket in the candidate self-join and pure false
-      // positives. They simply cannot be MinHash candidates.
-      .filter(size(col("__sh")) > 0)
       .select(col(idCol),
         posexplode(org.apache.spark.sql.graft.HashFunctions
           .lshBandBuckets(col("__sh"), bands, rowsPerBand)).as(Seq("band", "bucket")))

@@ -55,6 +55,15 @@ object HashImpl {
     * rowsPerBand minhash values (mixed as longs, no string concat).
     */
   def lshBands(shingles: ArrayData, bands: Int, rowsPerBand: Int, seed: Long): ArrayData = {
+    // an empty shingle set has NO bands, not a degenerate constant
+    // signature: every too-short doc would otherwise share one bucket in
+    // every band — a quadratic hot-bucket of pure false positives in the
+    // candidate self-join. Encoding the exclusion in the expression (an
+    // exploded empty array emits nothing) instead of an explicit
+    // size(shingles) > 0 filter also keeps the shingling single-pass:
+    // the filter form collapsed into the scan and re-derived the
+    // shingles per row just to test emptiness.
+    if (shingles.numElements() == 0) return new GenericArrayData(Array.empty[Any])
     val sig = minhash(shingles, bands * rowsPerBand, seed)
     val out = new Array[Long](bands)
     var b = 0
