@@ -23,6 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object HashImpl {
 
+  // immutable zero-element array, shared: short docs are common enough in
+  // a crawl that a per-row allocation on the no-bands path would be hot
+  private val EMPTY_BANDS = new GenericArrayData(Array.empty[Any])
+
   private def xx(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
 
@@ -63,7 +67,7 @@ object HashImpl {
     // size(shingles) > 0 filter also keeps the shingling single-pass:
     // the filter form collapsed into the scan and re-derived the
     // shingles per row just to test emptiness.
-    if (shingles.numElements() == 0) return new GenericArrayData(Array.empty[Any])
+    if (shingles.numElements() == 0) return EMPTY_BANDS
     val sig = minhash(shingles, bands * rowsPerBand, seed)
     val out = new Array[Long](bands)
     var b = 0

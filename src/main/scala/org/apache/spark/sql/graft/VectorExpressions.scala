@@ -390,6 +390,26 @@ case class SrpBucket(child: Expression, nPlanes: Int, seed: Int)
 }
 
 object IvfImpl {
+  /** The (matrix, L2 norms) pair both cell expressions derive from their
+    * centroid field — ONE derivation so the corpus-assignment scalar and
+    * the probe generator can never disagree on norm handling.
+    */
+  def centroidMatrix(centroids: Seq[Seq[Double]]): (Array[Array[Double]], Array[Double]) = {
+    val matrix = centroids.map(_.toArray).toArray
+    val norms = matrix.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    (matrix, norms)
+  }
+
+  /** [[nearestIds]] packed as the scalar expression's array result. */
+  def nearest(v: ArrayData, cents: Array[Array[Double]], norms: Array[Double],
+              nProbes: Int): ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(nearestIds(v, cents, norms, nProbes))
+
   /** The `nProbes` nearest centroids of `v` by cosine, ids ordered
     * (cos desc, id asc). One tight pass: the query norm once, then one
     * fused dot per centroid against the precomputed centroid norms.
@@ -400,8 +420,8 @@ object IvfImpl {
     * (`array_sort(zip_with(cents, seq, struct(-coalesce(cos, -2), i)))`),
     * which VectorExpressionsSpec pins side by side.
     */
-  def nearest(v: ArrayData, cents: Array[Array[Double]], norms: Array[Double],
-              nProbes: Int): ArrayData = {
+  def nearestIds(v: ArrayData, cents: Array[Array[Double]], norms: Array[Double],
+                 nProbes: Int): Array[Int] = {
     val nc = cents.length
     val probes = math.min(nProbes, nc)
     val n = v.numElements()
@@ -451,7 +471,7 @@ object IvfImpl {
       out(p) = best
       p += 1
     }
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    out
   }
 }
 
@@ -479,14 +499,7 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], nProbes:
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_nearest_cells"
 
-  @transient private lazy val matrix: Array[Array[Double]] =
-    centroids.map(_.toArray).toArray
-  @transient private lazy val norms: Array[Double] =
-    matrix.map { c =>
-      var s = 0.0; var i = 0
-      while (i < c.length) { s += c(i) * c(i); i += 1 }
-      math.sqrt(s)
-    }
+  @transient private lazy val (matrix, norms) = IvfImpl.centroidMatrix(centroids)
 
   protected override def nullSafeEval(input: Any): Any =
     IvfImpl.nearest(input.asInstanceOf[ArrayData], matrix, norms, nProbes)
@@ -531,22 +544,13 @@ case class NearestCellsGenerator(child: Expression, centroids: Seq[Seq[Double]],
     StructType(Seq(StructField("cell", IntegerType, nullable = false)))
   override def prettyName: String = "graft_nearest_cells_gen"
 
-  @transient private lazy val matrix: Array[Array[Double]] =
-    centroids.map(_.toArray).toArray
-  @transient private lazy val norms: Array[Double] =
-    matrix.map { c =>
-      var s = 0.0; var i = 0
-      while (i < c.length) { s += c(i) * c(i); i += 1 }
-      math.sqrt(s)
-    }
+  @transient private lazy val (matrix, norms) = IvfImpl.centroidMatrix(centroids)
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val v = child.eval(input)
     if (v == null) Nil
-    else {
-      val cells = IvfImpl.nearest(v.asInstanceOf[ArrayData], matrix, norms, nProbes)
-      (0 until cells.numElements()).map(i => InternalRow(cells.getInt(i)))
-    }
+    else IvfImpl.nearestIds(v.asInstanceOf[ArrayData], matrix, norms, nProbes)
+      .toSeq.map(InternalRow(_))
   }
 
   override def toString: String =
