@@ -18,6 +18,36 @@ class PropertySpec extends SparkTestBase {
 
   private val rng = new scala.util.Random(1234)
 
+  test("index auto-sizing laws: monotone in N, bounded occupancy, clamped") {
+    // the growth contracts behind the √N cells / log₂(N/target) planes
+    // auto-sizing, over generated corpus sizes rather than fixed points
+    val nGen = Gen.choose(1L, 4000000000000L)
+    val ns = (0 until 200).map(_ => nGen.sample.get)
+    for (Seq(a, b) <- ns.sorted.sliding(2) if a != b) {
+      assert(Similarity.autoCells(a) <= Similarity.autoCells(b),
+        s"autoCells must be monotone: $a -> $b")
+      assert(Similarity.autoPlanes(a) <= Similarity.autoPlanes(b),
+        s"autoPlanes must be monotone: $a -> $b")
+    }
+    ns.foreach { n =>
+      val cells = Similarity.autoCells(n)
+      assert(cells >= 16 && cells <= 4096)
+      // within the clamp band, cells ~ √N means occupancy ~ √N too —
+      // never more than ~2·√N (ceil slack)
+      if (cells > 16 && cells < 4096)
+        assert(n.toDouble / cells <= 2 * math.sqrt(n.toDouble), s"occupancy blew up at n=$n")
+      val planes = Similarity.autoPlanes(n)
+      assert(planes >= 4 && planes <= 24)
+      // within the clamp band the bucket occupancy stays near the target
+      if (planes > 4 && planes < 24)
+        assert(n.toDouble / (1L << planes) <= 2 * Similarity.srpTargetPerBucket,
+          s"bucket occupancy blew up at n=$n")
+      val probes = Similarity.autoProbes(cells)
+      assert(probes >= 2 && probes <= cells,
+        s"probes must stay within the cell count at n=$n")
+    }
+  }
+
   test("native vector exprs == HOF twins bit-for-bit on random vectors incl. extremes") {
     // The native expressions accumulate in the same ascending-index order
     // as the sequential HOF forms, so equality must be EXACT (compare by
