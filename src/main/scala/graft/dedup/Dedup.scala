@@ -142,8 +142,13 @@ object Dedup {
                       maxHamming: Int = 3): DataFrame = {
     // token-less docs all hash to fingerprint 0: they would pair with each
     // other at hamming 0 (false positives, no verify stage here) and form
-    // one hot bucket per chunk — exclude them from blocking entirely
-    val sigs = df.filter(size(Text.tokens(col(textCol))) > 0)
+    // one hot bucket per chunk — exclude them from blocking entirely.
+    // The predicate is `rlike "\S"`, EXACTLY equivalent to
+    // size(tokens(text)) > 0 (tokens = whitespace split, empties dropped)
+    // but without deriving the token array in a filter that collapses
+    // into the scan — the simhash projection above it is the only
+    // tokenize pass (the d3 single-pass discipline)
+    val sigs = df.filter(col(textCol).rlike("\\S"))
       .select(col(idCol), simhash(col(textCol)).as("__sim"))
     val chunked = sigs.select(col(idCol), col("__sim"),
       explode(array((0 until 4).map { c =>
