@@ -21,12 +21,12 @@ object Bench {
     // number reproducible within ~10% instead of hostage to whatever
     // else the box was doing; the JSON records best_of for transparency.
     val bestOf = sys.env.getOrElse("SPARK_GRAFT_BENCH_BEST_OF", "2").toInt.max(1)
-    val spark = SparkSession.builder()
+    val spark = graft.sink.BucketedMirror.withSessionConfs(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen compiler, shuffle machinery, parquet

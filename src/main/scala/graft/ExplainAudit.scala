@@ -67,12 +67,12 @@ object ExplainAudit {
     val outDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "docs/plans")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val names = if (args.nonEmpty) args.toSeq else ledger
-    val spark = SparkSession.builder()
+    val spark = graft.sink.BucketedMirror.withSessionConfs(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))

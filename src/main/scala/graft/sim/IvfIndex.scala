@@ -31,17 +31,21 @@ import org.apache.spark.sql.functions.col
   */
 object IvfIndex {
 
-  /** Index key: readable basename + a hash of the FULL absolute path —
-    * basename alone would let two corpora at different paths with the
-    * same directory name silently serve each other's index (and the
-    * search rescores against the index's OWN vectors, so not even a
-    * recall gate over the caller's corpus would catch the substitution).
+  /** Index key: readable basename + a hash of the FULL absolute path + a
+    * content stamp of the source files. The path hash keeps two corpora
+    * at different paths with the same directory name from silently
+    * serving each other's index; the [[graft.ContentStamp]] keeps a
+    * corpus REGENERATED at the same path from silently serving the old
+    * one (the search rescores against the index's OWN persisted vectors,
+    * so not even a recall gate over the caller's corpus would catch
+    * either substitution).
     */
   private def tag(dir: String): String = {
     val abs = new java.io.File(dir).getAbsolutePath
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_") + "_" + hex
+    new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_") +
+      "_" + hex + "_" + graft.ContentStamp(dir)
   }
 
   /** Bump when the index format or assignment semantics change: reuse is
@@ -78,7 +82,15 @@ object IvfIndex {
     if (!new java.io.File(corpusPath, "_SUCCESS").isFile ||
         !new java.io.File(centsPath, "_SUCCESS").isFile) {
       val df = corpus
-      val cells = Similarity.autoCells(df.count())
+      val n = df.count()
+      if (n == 0) {
+        // nothing to persist: an empty parquet dir can't be read back
+        // (no footer to infer a schema from), and repartition(0 cells)
+        // throws — return the inline paths' empty-corpus contract
+        // (empty assigned frame, no centroids) without writing an index
+        return (Similarity.assignCells(df, Seq.empty, idCol, vecCol), Seq.empty)
+      }
+      val cells = Similarity.autoCells(n)
       val cents = Similarity.kmeansCentroids(df, cells, 0, idCol, vecCol)
         .map(_.toSeq).toSeq
       // centroids persist beside the corpus: probe selection must use the

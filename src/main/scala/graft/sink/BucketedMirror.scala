@@ -61,9 +61,42 @@ object BucketedMirror {
     b
   }
 
+  /** Planning confs the mirror's zero-exchange/zero-sort plans rely on,
+    * applied ONCE at session construction by every graft entrypoint
+    * (Verify / Bench / ExplainAudit / ScaleProbe / the test base) — NOT
+    * mutated from ensure(): a session-wide flag flipped mid-call made
+    * unrelated queries plan differently before vs after the first mirror
+    * query of the session. A session missing them stays correct, just
+    * slower: scans stop publishing the write-time in-bucket sort (each
+    * consumer SMJ re-sorts) and mixed-bucket-count joins re-shuffle.
+    *
+    * - `bucketedTableScan.outputOrdering`: since Spark 3.0 a bucketed
+    *   scan only publishes its sort order behind this flag (off by
+    *   default because multi-file buckets are only per-file sorted). Our
+    *   writer guarantees one file per bucket by construction (the
+    *   repartition alignment in [[ensure]]), and Spark re-verifies that
+    *   per scan even with the flag on — a bucket that gained a second
+    *   file falls back to sorting, it cannot return wrong rows.
+    * - `coalesceBucketsInJoin.enabled`: size-derived counts can differ
+    *   between two mirrors (power-of-two, so always integer multiples);
+    *   this lets such joins coalesce the larger side instead of
+    *   re-shuffling — up to the conf's maxBucketRatio (default 4). Beyond
+    *   that, pass nBuckets explicitly to pin both sides to one count.
+    */
+  val sessionConfs: Map[String, String] = Map(
+    "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true",
+    "spark.sql.bucketing.coalesceBucketsInJoin.enabled" -> "true")
+
+  /** Fold [[sessionConfs]] into a session builder (the one-line hook the
+    * entrypoints use).
+    */
+  def withSessionConfs(b: SparkSession.Builder): SparkSession.Builder =
+    sessionConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
   /** Mirror key: readable basename + a hash of the FULL absolute path —
     * basename alone would let two corpora at different paths with the
-    * same directory name silently serve each other's mirror.
+    * same directory name silently serve each other's mirror. (Content
+    * staleness is keyed per TABLE, not here — see [[ensure]].)
     */
   private[graft] def tag(dir: String): String = {
     val abs = new java.io.File(dir).getAbsolutePath
@@ -72,10 +105,18 @@ object BucketedMirror {
     new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_") + "_" + hex
   }
 
-  private def sourceBytes(dir: String, table: String): Long = {
-    def size(f: java.io.File): Long =
-      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.map(size).sum else f.length
-    size(new java.io.File(dir, s"$table.parquet"))
+  /** Size through the Hadoop FileSystem of the path's scheme — the same
+    * stack the table is read with — so hdfs:/s3a: sources size correctly
+    * (a java.io.File walk returns 0 for any non-local dir, silently
+    * flooring the derivation at 16 buckets: exactly the
+    * under-partitioning it exists to prevent). A missing table fails
+    * loudly here instead of as a confusing empty-mirror read later.
+    */
+  private def sourceBytes(spark: SparkSession, dir: String, table: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir, s"$table.parquet")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"bucketed-mirror source does not exist: $p")
+    fs.getContentSummary(p).getLength
   }
 
   /** Bucketed mirror of `<dir>/<table>.parquet` clustered+sorted on
@@ -89,28 +130,19 @@ object BucketedMirror {
     */
   def ensure(spark: SparkSession, dir: String, table: String, keyCol: String,
              nBuckets: Int = 0): DataFrame = synchronized {
-    val buckets = if (nBuckets > 0) nBuckets else bucketsFor(sourceBytes(dir, table))
-    // since Spark 3.0 a bucketed scan only PUBLISHES its in-bucket sort
-    // order behind this flag (off by default because buckets holding
-    // several files are each locally sorted but not sorted as a
-    // partition). Our writer guarantees one file per bucket by
-    // construction (the repartition alignment above), and Spark
-    // re-verifies that per scan even with the flag on — a bucket that
-    // gained a second file just falls back to sorting, it cannot return
-    // wrong rows. Without the flag every consumer SMJ re-sorts both
-    // sides per query: n·log(n) per run of exactly the work the mirror
-    // paid at write time.
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    // size-derived counts can differ between two mirrors (power-of-two,
-    // so always integer multiples); this flag lets such joins coalesce
-    // the larger side instead of re-shuffling — up to the conf's
-    // maxBucketRatio (default 4, i.e. two size classes apart). Beyond
-    // that, pass nBuckets explicitly to pin both sides to one count.
-    spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
-    val name = s"graft_mirror_${table}_${tag(dir)}_b$buckets"
+    val buckets = if (nBuckets > 0) nBuckets else bucketsFor(sourceBytes(spark, dir, table))
+    // the planning flags the mirror plans rely on live in [[sessionConfs]]
+    // and are applied at session construction, not mutated here
+    // content stamp per TABLE: a source regenerated at the same path gets
+    // a new stamp → new catalog name + path → rebuild, instead of the
+    // path-keyed reuse silently serving the stale mirror
+    val stamp = graft.ContentStamp(
+      new org.apache.hadoop.fs.Path(dir, s"$table.parquet").toString,
+      spark.sessionState.newHadoopConf())
+    val name = s"graft_mirror_${table}_${tag(dir)}_b${buckets}_s$stamp"
     if (!spark.catalog.tableExists(name)) {
       val path = new java.io.File(
-        s"target/bucketed_mirror/${tag(dir)}/${table}_b$buckets").getAbsolutePath
+        s"target/bucketed_mirror/${tag(dir)}/${table}_b${buckets}_s$stamp").getAbsolutePath
       if (new java.io.File(path, "_SUCCESS").isFile) {
         // files survive the session catalog; re-attach them with the
         // bucket spec they were written with (same code path below)

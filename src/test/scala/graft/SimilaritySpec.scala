@@ -294,6 +294,32 @@ class SimilaritySpec extends SparkTestBase {
     IvfIndex.drop(fakeDir)
   }
 
+  test("IvfIndex: a regenerated source corpus changes the index key (content stamp)") {
+    // the reuse tag embeds a (path, length, mtime) stamp of the source
+    // files: content regenerated at the SAME path must route to a fresh
+    // index directory — the indexed search rescores against the index's
+    // own persisted vectors, so a stale index is undetectable downstream
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_stamp").toFile
+    val f = new java.io.File(tmp, "data.bin")
+    java.nio.file.Files.writeString(f.toPath, "v1")
+    val r1 = graft.sim.IvfIndex.root(tmp.getPath)
+    java.nio.file.Files.writeString(f.toPath, "v2-regenerated")
+    val r2 = graft.sim.IvfIndex.root(tmp.getPath)
+    assert(r1 !== r2, "index root must change when source content changes")
+  }
+
+  test("IvfIndex.ensure on an empty corpus returns empty searches, not an error") {
+    // kmeans on zero rows yields zero centroids; the persisted path used
+    // to throw at repartition(0) while the inline paths return empty —
+    // ensure() now short-circuits to the same empty-corpus contract
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val queries = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val (a, c) = graft.sim.IvfIndex.ensure(spark, "/x/ivf_empty_spec", empty)
+    assert(c.isEmpty)
+    assert(Similarity.ivfTopKAssigned(a, c, queries, k = 3).count() === 0)
+    assert(Similarity.ivfTopKInt8Assigned(a, c, queries, k = 3).count() === 0)
+  }
+
   test("IVF on an empty corpus returns empty, not an error") {
     // the HOF formulation's degenerate-input contract, preserved by the
     // native path: zero centroids -> empty probe array -> empty result

@@ -90,4 +90,28 @@ class SinksSpec extends SparkTestBase {
     val plan = back.filter($"city" === "london").queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(city"))
   }
+
+  test("BucketedMirror: regenerated source data forces a rebuild, not stale reuse") {
+    // reuse is keyed by (path, bucket count, CONTENT stamp): overwriting
+    // the source table at the same path must invalidate the mirror — a
+    // path-only key silently served the old rows, and every downstream
+    // gate reads the mirror itself, so nothing else could catch it
+    val dir = Files.createTempDirectory("graft_mirror_stamp").toString
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$dir/t.parquet")
+    assert(graft.sink.BucketedMirror.ensure(spark, dir, "t", "k").count() === 1)
+    Seq((2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    assert(graft.sink.BucketedMirror.ensure(spark, dir, "t", "k").count() === 2,
+      "mirror must rebuild when the source content changes")
+  }
+
+  test("BucketedMirror: a missing source table fails loudly at ensure()") {
+    // the java.io.File size walk returned 0 for anything non-local or
+    // absent and silently floored the bucket derivation; the Hadoop-FS
+    // path errors out at the call site instead
+    val dir = Files.createTempDirectory("graft_mirror_missing").toString
+    intercept[IllegalArgumentException] {
+      graft.sink.BucketedMirror.ensure(spark, dir, "no_such_table", "k")
+    }
+  }
 }
