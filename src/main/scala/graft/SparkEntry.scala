@@ -952,10 +952,16 @@ object SparkEntry {
     // bit per element (O(1) codegen). Synthetic uniform vectors are
     // LSH's worst case; clustered real embeddings get far better
     // selectivity at the same recall.
+    // Searches the persisted SrpIndex (built once per corpus like the
+    // IVF index and the bucketed mirrors): the per-run whole-corpus
+    // bucket+quantize pass — the dominant ANN cost at 100 TB — moves to
+    // the one-time build, the probe scan prunes to the probed
+    // bucket-groups via dynamic partition pruning, and the result rows
+    // are identical to the inline path (parity + recall gated in
+    // SimilaritySpec).
     "s2_ann_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Similarity.annTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
-        nTables = 12, maxDim = 64)
+      val idx = graft.sim.SrpIndex.ensure(s, d, Tables.embeddings(s, d), nTables = 12)
+      Similarity.annTopKIndexed(idx, Tables.embeddings(s, d).filter(col("vec_id") < 8), k = 5)
     }),
     // IVF cell assignment depends on the centroid sample; deterministic
     // but not ANSI-SQL-expressible compactly -> rows-only check, semantics
@@ -1017,10 +1023,12 @@ object SparkEntry {
     // exact rescore only for the top-32 per query. Hash-bucketed like s2
     // -> rows-only driver check; SimilaritySpec gates recall >= 0.6 AND
     // the counted exact-comparison reduction vs the plain SRP path.
+    // Shares s2's persisted SrpIndex; the quantized pair (__qc, __sc)
+    // rides the index scan instead of a per-run corpus quantize pass.
     "s7_ann_int8" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Similarity.annTopKInt8(emb, emb.filter(col("vec_id") < 8), k = 5,
-        nTables = 12, rerank = 32, maxDim = 64)
+      val idx = graft.sim.SrpIndex.ensure(s, d, Tables.embeddings(s, d), nTables = 12)
+      Similarity.annTopKInt8Indexed(idx,
+        Tables.embeddings(s, d).filter(col("vec_id") < 8), k = 5, rerank = 32)
     }),
     // IVF with the same int8 prefilter: cell assignment on the raw
     // vectors (cosine is norm-invariant), probed-cell candidates scored

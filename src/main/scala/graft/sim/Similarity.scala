@@ -318,6 +318,76 @@ object Similarity {
     rescoreTopK(survivors, cBase, qBase, idCol, vecCol, queryIdCol, k)
   }
 
+  /** [[annTopK]] over a persisted [[SrpIndex]] — the pure SEARCH path:
+    * plane count, bucket assignments, and the group partitioning all come
+    * from the index, so the corpus is never re-bucketed (and never even
+    * COUNTED — inline auto-sizing needs a count job per run). The
+    * candidate branch reads only (neighbor_id, __t, __b) from the
+    * buckets frame, the broadcast probe join carries the partition-group
+    * key so dynamic partition pruning drops every unprobed bucket-group
+    * at scan time, and the exact cosine joins the deduped candidate ids
+    * back to the one-row-per-vector full-precision frame. Emits exactly
+    * the rows the inline path emits (same planes/tables/seed → same
+    * candidate pairs → same scores; parity gated in SimilaritySpec).
+    */
+  def annTopKIndexed(idx: SrpIndex.Handle, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     queryIdCol: String = "query_id"): DataFrame = {
+    val q = queries
+      .select(col(idCol).as(queryIdCol), toDouble(col(vecCol)).as("__qv"))
+      .select(col(queryIdCol), col("__qv"),
+        org.apache.spark.sql.graft.VectorFunctions
+          .srpBucketsNative(col("__qv"), idx.planes, idx.nTables).as(Seq("__t", "__b")))
+      .withColumn("__grp", SrpIndex.grpOf(col("__t"), col("__b"), idx.groups))
+    val candidates = idx.buckets.select("neighbor_id", "__t", "__b", "__grp")
+      .join(broadcast(q), Seq("__t", "__b", "__grp"))
+      .filter(col(queryIdCol) =!= col("neighbor_id"))
+      // a pair colliding in several tables must score once, not L times
+      .dropDuplicates(queryIdCol, "neighbor_id")
+    val scored = candidates
+      .join(idx.vectors.select(col(idCol).as("neighbor_id"),
+        toDouble(col(vecCol)).as("__cv")), Seq("neighbor_id"))
+      .withColumn("cos", VectorFunctions.cosineNative(col("__qv"), col("__cv")))
+    rankTopK(scored, queryIdCol, k)
+  }
+
+  /** [[annTopKInt8]] over a persisted [[SrpIndex]]: the quantized pair
+    * (__qc, __sc) comes straight off the index scan — the inline path's
+    * whole-corpus quantize+bucket pass disappears — and the probe join
+    * prunes to the probed bucket-groups like [[annTopKIndexed]]. The
+    * integer-dot prefilter, pair dedup, prerank window, and top-rerank
+    * exact rescore are the inline shapes unchanged (same values → same
+    * survivors → same rows; parity gated in SimilaritySpec).
+    */
+  def annTopKInt8Indexed(idx: SrpIndex.Handle, queries: DataFrame, k: Int,
+                         rerank: Int = 32,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         queryIdCol: String = "query_id"): DataFrame = {
+    val (q8c, _) = int8Candidate(col(vecCol))
+    val qBase = queries.select(col(idCol), col(vecCol))
+    // quantize materializes BELOW the generator select (attribute
+    // pass-through — same placement rule as annTopKInt8)
+    val q = qBase.select(col(idCol).as(queryIdCol), q8c.as("__qq"), col(vecCol))
+      .select(col(queryIdCol), col("__qq"),
+        org.apache.spark.sql.graft.VectorFunctions
+          .srpBucketsNative(col(vecCol), idx.planes, idx.nTables).as(Seq("__t", "__b")))
+      .withColumn("__grp", SrpIndex.grpOf(col("__t"), col("__b"), idx.groups))
+    val candidates = idx.buckets
+      .join(broadcast(q), Seq("__t", "__b", "__grp"))
+      .filter(col(queryIdCol) =!= col("neighbor_id"))
+      .withColumn("__approx", int8Dot * col("__sc"))
+      .groupBy(col(queryIdCol), col("neighbor_id"))
+      .agg(max(col("__approx")).as("__approx"))
+    val wPre = Window.partitionBy(queryIdCol)
+      .orderBy(col("__approx").desc, col("neighbor_id").asc)
+    val survivors = candidates
+      .withColumn("__prerank", row_number().over(wPre))
+      .filter(col("__prerank") <= rerank)
+      .select(col(queryIdCol), col("neighbor_id"))
+    rescoreTopK(survivors, idx.vectors.select(col(idCol), col(vecCol)), qBase,
+      idCol, vecCol, queryIdCol, k)
+  }
+
   /** nCells ≈ √N — the classic IVF balance point: each of the √N cells
     * holds ~√N vectors, so a probe scans nProbes·√N candidates instead of
     * a fixed fraction of the corpus (a STATIC cell count means every

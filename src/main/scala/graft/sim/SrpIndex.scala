@@ -1,0 +1,168 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Build-or-reuse the persisted SRP-LSH index of an embedding corpus —
+  * the multi-table sibling of [[IvfIndex]]: pay the per-corpus scans ONCE
+  * (count → auto-sized planes → the nTables bucket derivations + int8
+  * quantization pass), persist the exploded (vector × table) bucket
+  * assignments partitioned by a bounded BUCKET-GROUP key, and every later
+  * search runs the pure probe path. Without it, s2/s7-style searches
+  * re-bucket and re-quantize the whole corpus per query batch — at 100 TB
+  * that corpus pass, not the candidate math, is the dominant ANN cost.
+  *
+  * Layout (under target/srp_index/v1/<tag>/t<nTables>):
+  *  - `buckets`:  (neighbor_id, __qc, __sc, __t, __b) partitioned by
+  *    `__grp = pmod(xxhash64(__t, __b), groups)` — N·nTables narrow rows
+  *    (8-byte id + 1-byte-per-dim quantized vector + one double; the raw
+  *    float vectors are deliberately NOT replicated per table). A search
+  *    joins this to a BROADCAST probe list on (__t, __b, __grp), so
+  *    dynamic partition pruning drops every bucket-group the query batch
+  *    never probes at scan time — the same 100 TB shape as the IVF cell
+  *    pruning (gated in PlanQualitySpec). `groups` bounds the directory
+  *    count the way [[Similarity.autoCells]] bounds cells: √(N·nTables)
+  *    clamped to [16, 4096]; a batch probing |queries|·nTables buckets
+  *    reads at most that many groups of the corpus.
+  *  - `vectors`:  (vec_id, embedding) — ONE row per vector, the
+  *    full-precision side the exact cosine (s2) and the top-rerank
+  *    rescore (s7) join back to by id.
+  *  - `meta`:     (planes, tables, groups, n) — the quantizer geometry.
+  *    Probes must hash with the EXACT plane count the corpus was
+  *    bucketed with, across JVMs; reading it here also means an indexed
+  *    search never runs the corpus-count job that inline auto-sizing
+  *    needs.
+  *
+  * Reuse ladder and keying follow [[IvfIndex]]: `_SUCCESS` files on disk
+  * → read back; nothing → build. The tag embeds basename + full-path
+  * hash + [[graft.ContentStamp]], so a corpus regenerated at the same
+  * path forces a rebuild. Builds are serialized per JVM (Verify runs the
+  * query constructors from a 4-thread pool; s2 and s7 share one index).
+  *
+  * Reference analog: the SQLite index built once per load
+  * (/root/reference/src/load.py:143-144) — here the "index" is L hash
+  * tables of sign-pattern buckets instead of a B-tree.
+  */
+object SrpIndex {
+
+  /** The persisted index handle: everything a search needs without
+    * touching the source corpus.
+    */
+  final case class Handle(buckets: DataFrame, vectors: DataFrame,
+                          planes: Int, nTables: Int, groups: Int)
+
+  private def tag(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_") +
+      "_" + hex + "_" + graft.ContentStamp(dir)
+  }
+
+  /** Bump when the layout or bucketing semantics change. */
+  private val version = "v1"
+
+  /** Target rows per bucket-group partition. Groups are DIRECTORIES (one
+    * file each, the repartition alignment): too many of them at small
+    * corpora means hundreds of sub-kilobyte files whose open cost
+    * dominates the probe scan — measured at sf0.1, a √rows sizing made
+    * 245 groups of ~245 rows and DOUBLED the indexed search time vs
+    * inline. 64 k narrow rows is a few MB per file; small corpora sit at
+    * the 16-group floor, and the 4096 ceiling (the directory-count bound,
+    * same as [[Similarity.autoCells]]) is what a 100 TB corpus hits —
+    * there a query batch probing |queries|·nTables buckets reads at most
+    * that many of the 4096 groups.
+    */
+  val targetRowsPerGroup = 65536L
+
+  /** Bucket-group count for an exploded frame of `rows` = N·nTables:
+    * rows/[[targetRowsPerGroup]] clamped to [16, 4096].
+    */
+  def autoGroups(rows: Long): Int =
+    math.max(16, math.min(4096,
+      math.ceil(rows.toDouble / targetRowsPerGroup).toInt))
+
+  /** The group key both sides derive from a (table, bucket) pair. One
+    * definition so the probe side can never hash differently from the
+    * persisted layout.
+    */
+  private[sim] def grpOf(t: org.apache.spark.sql.Column,
+                         b: org.apache.spark.sql.Column, groups: Int) =
+    pmod(xxhash64(t, b), lit(groups.toLong)).cast("int")
+
+  def root(dir: String, nTables: Int): java.io.File =
+    new java.io.File(s"target/srp_index/$version/${tag(dir)}/t$nTables").getAbsoluteFile
+
+  /** Delete the persisted index (forces the next ensure to rebuild). */
+  def drop(dir: String, nTables: Int): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(root(dir, nTables))
+  }
+
+  /** Build-or-reuse the index for `<dir>`'s corpus. `corpus` is only
+    * evaluated (and scanned) on a cold build.
+    */
+  def ensure(spark: SparkSession, dir: String, corpus: => DataFrame, nTables: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"
+            ): Handle = synchronized {
+    val base = root(dir, nTables)
+    val bucketsPath = new java.io.File(base, "buckets").getPath
+    val vectorsPath = new java.io.File(base, "vectors").getPath
+    val metaPath = new java.io.File(base, "meta").getPath
+    if (!new java.io.File(bucketsPath, "_SUCCESS").isFile ||
+        !new java.io.File(vectorsPath, "_SUCCESS").isFile ||
+        !new java.io.File(metaPath, "_SUCCESS").isFile) {
+      val df = corpus
+      val n = df.count()
+      if (n == 0) {
+        // nothing to persist (an empty parquet dir can't be read back);
+        // hand out the inline paths' empty-corpus contract directly
+        val empty = emptyBuckets(df, idCol, vecCol)
+        return Handle(empty, df.select(col(idCol), col(vecCol)),
+          Similarity.autoPlanes(0), nTables, 16)
+      }
+      val planes = Similarity.autoPlanes(n)
+      val groups = autoGroups(n * nTables)
+      import spark.implicits._
+      Seq((planes, nTables, groups, n)).toDF("planes", "tables", "groups", "n")
+        .coalesce(1).write.mode("overwrite").parquet(metaPath)
+      // one corpus pass derives everything the candidate side ever needs:
+      // int8 pair below the generator (attributes pass through the
+      // Generate; computing them above it would re-run the O(dim)
+      // quantize once per emitted table row), buckets via the custom
+      // generator (no InferFiltersFromGenerate re-derivation in the scan)
+      val (q8c, sc) = Similarity.int8Candidate(col(vecCol))
+      val assigned = df
+        .select(col(idCol).as("neighbor_id"), q8c.as("__qc"), sc.as("__sc"), col(vecCol))
+        .select(col("neighbor_id"), col("__qc"), col("__sc"),
+          org.apache.spark.sql.graft.VectorFunctions
+            .srpBucketsNative(Similarity.toDouble(col(vecCol)), planes, nTables)
+            .as(Seq("__t", "__b")))
+        .withColumn("__grp", grpOf(col("__t"), col("__b"), groups))
+      // repartition by the group key first so each group's rows land in
+      // exactly one task → ONE file per partition directory (the
+      // BucketedMirror / IvfIndex alignment trick)
+      assigned.repartition(groups, col("__grp"))
+        .write.mode("overwrite").partitionBy("__grp").parquet(bucketsPath)
+      // the full-precision side, once per vector — exact scoring and the
+      // rescore join here by id instead of shipping 8·dim-byte doubles
+      // through the nTables-replicated bucket frame
+      df.select(col(idCol), col(vecCol)).write.mode("overwrite").parquet(vectorsPath)
+    }
+    val meta = spark.read.parquet(metaPath).collect()(0)
+    Handle(spark.read.parquet(bucketsPath), spark.read.parquet(vectorsPath),
+      meta.getAs[Int]("planes"), meta.getAs[Int]("tables"), meta.getAs[Int]("groups"))
+  }
+
+  /** Empty frame with the buckets schema (for the empty-corpus path). */
+  private def emptyBuckets(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val (q8c, sc) = Similarity.int8Candidate(col(vecCol))
+    df.select(col(idCol).as("neighbor_id"), q8c.as("__qc"), sc.as("__sc"),
+        org.apache.spark.sql.graft.VectorFunctions
+          .srpBucketsNative(Similarity.toDouble(col(vecCol)), 4, 1).as(Seq("__t", "__b")))
+      .withColumn("__grp", grpOf(col("__t"), col("__b"), 16))
+  }
+}

@@ -141,6 +141,19 @@ class PlanQualitySpec extends SparkTestBase {
     val plan = executedPlan(SparkEntry.queries("s2_ann_topk")(spark, dir))
     assert(plan.contains("graft_srp_bucket"))
     assert(!plan.contains("[-1.0,") && !plan.contains("[1.0,"))
+    // the corpus side comes from the persisted SrpIndex: (a) the probe
+    // scan prunes unprobed bucket-groups via dynamic partition pruning —
+    // at 100 TB the scan reads the probed groups, not the corpus — and
+    // (b) the candidate branch reads only the id and bucket keys: no
+    // quantized arrays, no embedding bytes, until the exact-cosine join
+    // back to the one-row-per-vector frame
+    // the scan carrying the DPP filter IS the index scan (Location paths
+    // are truncated in plan strings, so key on the filter, not the path)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("dynamicpruningexpression(__grp") &&
+        l.contains("ReadSchema: struct<neighbor_id:bigint,__t:int,__b:bigint>")),
+      "index scan must DPP-prune to the probed bucket-groups and read " +
+        "only (neighbor_id, __t, __b)")
   }
 
   test("s7: int8 ANN pair dedup is a hash aggregate; quantized arrays never shuffle") {
@@ -155,20 +168,30 @@ class PlanQualitySpec extends SparkTestBase {
     // no aggregate buffers over the int8 vector columns
     assert(!plan.linesIterator.exists(l =>
       l.contains("Aggregate") && (l.contains("__qc#") || l.contains("__qq#"))))
-    // bucketing must be the custom generator (the builtin explode's
-    // InferFiltersFromGenerate collapsed a size()>0 filter into the scan
-    // that re-derived ALL buckets per row — cost ∝ planes, measured at
-    // the ×100 probe), and quantize/scale must materialize BELOW it: the
-    // Generate lists __qc in its pass-through attribute list. In the
-    // regressed shape the quantize sat in the Project ABOVE the Generate
-    // (computed once per emitted row, nTables x O(dim) per vector) and
-    // the Generate passed raw `embedding` through instead.
+    // the QUERY side still buckets live: it must be the custom generator
+    // (the builtin explode's InferFiltersFromGenerate collapsed a
+    // size()>0 filter into the scan that re-derived ALL buckets per row —
+    // cost ∝ planes, measured at the ×100 probe), with the quantized
+    // query vector materialized BELOW it (attribute pass-through). The
+    // CORPUS side must NOT bucket at all anymore — its buckets come off
+    // the persisted SrpIndex scan.
     val gens = plan.linesIterator.filter(_.contains("Generate graft_srp_buckets")).toSeq
-    assert(gens.nonEmpty, "bucketing must use the SrpBucketsGenerator")
-    assert(gens.exists(_.contains("__qc#")))
+    assert(gens.nonEmpty, "query bucketing must use the SrpBucketsGenerator")
+    assert(gens.exists(_.contains("__qq#")))
     assert(!plan.contains("Generate explode"),
       "no builtin explode may remain in the SRP path (inferred-filter trap: " +
         "InferFiltersFromGenerate would put size(<all buckets>)>0 on the scan)")
+    // persisted-index probe shape (the s8/__cell pattern on bucket-groups):
+    // prune unprobed groups at scan time, and read the quantized pair plus
+    // bucket keys only — the float embedding bytes stay on disk until the
+    // top-rerank rescore against the one-row-per-vector frame
+    // the scan carrying the DPP filter IS the index scan (Location paths
+    // are truncated in plan strings, so key on the filter, not the path)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("dynamicpruningexpression(__grp") && l.contains(
+        "ReadSchema: struct<neighbor_id:bigint,__qc:array<tinyint>,__sc:double,__t:int,__b:bigint>")),
+      "index scan must DPP-prune to the probed bucket-groups and read " +
+        "(id, quantized pair, bucket keys) only — no embedding bytes")
   }
 
   test("s8: int8 IVF prerank shuffle carries scores only, not quantized arrays") {

@@ -294,6 +294,52 @@ class SimilaritySpec extends SparkTestBase {
     IvfIndex.drop(fakeDir)
   }
 
+  test("SrpIndex: builds once, reuses files, and indexed search equals the inline path") {
+    import graft.sim.SrpIndex
+    val gen = new scala.util.Random(29)
+    val emb = (0L until 90L).map(i => (i, Seq.fill(8)(gen.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val fakeDir = "/x/srp_spec_corpus"
+    SrpIndex.drop(fakeDir, nTables = 4)
+    val h1 = SrpIndex.ensure(spark, fakeDir, emb, nTables = 4)
+    val success = new java.io.File(SrpIndex.root(fakeDir, 4), "buckets/_SUCCESS")
+    assert(success.isFile)
+    val stamp = success.lastModified
+    // planes persisted = the auto sizing at this corpus; reuse must not
+    // re-evaluate (or re-scan) the by-name corpus
+    assert(h1.planes === graft.sim.Similarity.autoPlanes(90))
+    val h2 = SrpIndex.ensure(spark, fakeDir,
+      { fail("cold corpus must not be evaluated on reuse"); emb }, nTables = 4)
+    assert((h2.planes, h2.nTables, h2.groups) === ((h1.planes, h1.nTables, h1.groups)))
+    assert(success.lastModified === stamp, "reuse must not rewrite the index")
+    // the persisted index and the inline paths are the SAME search —
+    // exact variant and int8-prefiltered variant both
+    val queries = emb.filter($"vec_id" < 4)
+    assert(topkSets(Similarity.annTopKIndexed(h2, queries, k = 3)) ===
+      topkSets(Similarity.annTopK(emb, queries, k = 3, nTables = 4)))
+    assert(topkSets(Similarity.annTopKInt8Indexed(h2, queries, k = 3, rerank = 8)) ===
+      topkSets(Similarity.annTopKInt8(emb, queries, k = 3, nTables = 4, rerank = 8)))
+    SrpIndex.drop(fakeDir, nTables = 4)
+  }
+
+  test("SrpIndex.ensure on an empty corpus returns empty searches, not an error") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val queries = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val h = graft.sim.SrpIndex.ensure(spark, "/x/srp_empty_spec", empty, nTables = 4)
+    assert(Similarity.annTopKIndexed(h, queries, k = 3).count() === 0)
+    assert(Similarity.annTopKInt8Indexed(h, queries, k = 3).count() === 0)
+  }
+
+  test("SrpIndex.autoGroups: bounded directory count, full files per group") {
+    import graft.sim.SrpIndex.{autoGroups, targetRowsPerGroup}
+    assert(autoGroups(0) === 16)            // floor
+    assert(autoGroups(60000) === 16)        // sf0.1 × 12 tables stays at floor
+    assert(autoGroups(32L * targetRowsPerGroup) === 32)
+    assert(autoGroups(Long.MaxValue) === 4096) // directory-count ceiling
+    val gs = Seq(1000L, 10000000L, 1000000000L).map(autoGroups)
+    assert(gs === gs.sorted, s"groups must grow with rows: $gs")
+  }
+
   test("IvfIndex: a regenerated source corpus changes the index key (content stamp)") {
     // the reuse tag embeds a (path, length, mtime) stamp of the source
     // files: content regenerated at the SAME path must route to a fresh
