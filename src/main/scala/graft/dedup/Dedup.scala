@@ -352,11 +352,13 @@ object Dedup {
     * than silently returning a partial clustering (a wrong dedup keeps
     * duplicate training data).
     *
-    * Convergence is read off the SAME frame the checkpoint materializes:
-    * the iteration's start label rides along as `__old`, so the check is
-    * a filter scan over the checkpointed blocks — not (as previously) a
-    * separate labels⋈next join action, which re-planned both sides and
-    * added a third job per iteration on the bench's most expensive query.
+    * Two fixed costs are elided: the seed FUSES iteration 1's hop into
+    * the init aggregation (from identity labels the neighbor-min is just
+    * min(neighbor id)), and convergence is decided on the materialized
+    * HOP frame (start label rides along as `__old`) BEFORE the
+    * pointer-jump self-join — a stable hop forces equal labels across
+    * every edge, so the jump of the final iteration was a provably-no-op
+    * join every call used to pay.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     // checkpoint the symmetrized edge list ONCE: `pairs` is typically the
@@ -367,27 +369,47 @@ object Dedup {
     val edges = pairs.select(col("id1"), col("id2"))
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .localCheckpoint()
-    var labels = edges.select(col("id1").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed = the first hop FUSED into the init: from identity labels,
+    // iteration 1's neighbor-min is just min(neighbor id), so
+    // least(id, min(id2)) computes it in the same aggregation that used
+    // to build the identity frame (one distinct saved, one whole
+    // hop-join iteration saved)
+    var labels = edges.groupBy(col("id1"))
+      .agg(least(col("id1"), min(col("id2"))).as("label"))
+      .select(col("id1").as("id"), col("label"))
       .localCheckpoint()
     var converged = false
-    var i = 0
+    var i = 1
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, edges("id2") === labels("id"))
         .groupBy(edges("id1").as("id")).agg(min(col("label")).as("__nl"))
+      // materialize the hop and decide convergence on IT, before the
+      // pointer jump: a stable hop already implies labels are constant
+      // across every edge (no change means min-neighbor-label >= own on
+      // both endpoints, hence equal), i.e. each component is uniformly
+      // at its min id — the jump could only re-derive the same frame, so
+      // the final iteration used to pay a provably-no-op self-join.
+      // Checkpointing the hop also lets the jump's self-join read the
+      // materialized blocks twice instead of re-planning the hop twice.
       val hop = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
-      // pointer jump: follow my label's label (path halving -> doubling reach)
-      val next = hop.as("a")
-        .join(hop.select(col("id").as("__lid"), col("label").as("__ll")).as("b"),
-          col("a.label") === col("__lid"), "left")
-        .select(col("a.id").as("id"), col("a.__old").as("__old"),
-          least(col("a.label"), coalesce(col("__ll"), col("a.label"))).as("label"))
         .localCheckpoint()
-      converged = next.filter(col("label") =!= col("__old")).isEmpty
-      labels = next.select(col("id"), col("label"))
-      i += 1
+      converged = hop.filter(col("label") =!= col("__old")).isEmpty
+      if (converged) {
+        labels = hop.select(col("id"), col("label"))
+      } else {
+        // pointer jump: follow my label's label (path halving -> doubling
+        // reach; with the hop, label reach doubles per iteration, so
+        // maxIter 10 covers component diameters up to ~2^10)
+        labels = hop.as("a")
+          .join(hop.select(col("id").as("__lid"), col("label").as("__ll")).as("b"),
+            col("a.label") === col("__lid"), "left")
+          .select(col("a.id").as("id"),
+            least(col("a.label"), coalesce(col("__ll"), col("a.label"))).as("label"))
+          .localCheckpoint()
+        i += 1
+      }
     }
     if (!converged) throw new IllegalStateException(
       s"dupClusters did not converge in $maxIter iterations; raise maxIter")

@@ -329,28 +329,60 @@ object Text {
     * corpus's own unigram distribution. Machine-generated keyword spam
     * and rare-token noise score low; common prose scores high.
     *
-    * Plan shape: ONE tokenize/explode pass. Documents reduce to the
-    * per-(doc, token) count table `tf` first; the corpus vocabulary then
-    * derives from `tf` as `sum(tf) GROUP BY token` — and because that
-    * consumer keeps the tf VALUE, column pruning cannot rewrite the tf
-    * aggregate underneath it, the two tf subtrees stay canonically equal,
-    * and the executed plan reuses the (doc, token) exchange
-    * (ReusedExchange, pinned in the plan ledger — a single Generate).
-    * The earlier two-branch form paid the tokenize twice AND joined the
-    * raw occurrence stream; joining `tf` instead also shrinks the
-    * token-keyed join input to one row per (doc, token) — a hot token
-    * arrives once per document, not once per occurrence. The join is
-    * still token-keyed, so a corpus-dominating token concentrates in one
-    * partition IF it shuffles — but `cnt` is vocabulary-sized (broadcasts
-    * at any realistic vocabulary), and when both sides are too big AQE's
-    * skew-join splitting applies to the join — an option a
-    * Window.partitionBy(token) single-pass form would not have. The
-    * per-doc mean weights each token's log-prob by tf in exact decimal
-    * (decimal(20,10)·tf ≡ tf-fold decimal sum, so the oracle — which sums
-    * per occurrence — matches bit-for-bit), keeping the published mean
-    * engine-stable (same determinism discipline as s3/s5).
+    * Plan shape — the t18 Bloom discipline applied to the LM score: the
+    * corpus unigram distribution is VOCABULARY-sized, so it is built once
+    * (map-side-reduced count, one tiny collect) and shipped inside a
+    * native expression ([[org.apache.spark.sql.graft.UnigramLogProbSum]])
+    * instead of joined. Scoring is then a pure map pass: each document's
+    * token array is row-local, so the per-doc mean needs NO (doc, token)
+    * explode, no token-keyed join (a corpus-dominating token is a skew
+    * hazard only if tokens ever shuffle — here they don't), and no
+    * per-doc aggregation exchange. Two scans total at any corpus size.
+    * The mean is decimal-exact per occurrence (the expression quantizes
+    * each token's log-prob through Spark's own double→decimal(20,10)
+    * cast before the order-free decimal sum), so the DuckDB oracle —
+    * which sums per occurrence — matches bit-for-bit (same determinism
+    * discipline as s3/s5). [[unigramLogProbJoined]] keeps the relational
+    * shape for vocabularies too big to ship.
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // pass 1 — the corpus unigram distribution, reduced map-side to one
+    // row per vocabulary token and collected: the model is
+    // vocabulary-sized, the same budget class as the t18 Bloom sketch
+    val cnt = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val total = cnt.map(_._2).sum
+    // log computed once per DISTINCT token, with the exact expression the
+    // relational twin evaluates per pair: log(c * 1.0 / t) in IEEE double
+    val lp = cnt.map { case (t, c) => t -> math.log(c * 1.0 / total) }.toMap
+    // pass 2 — pure map-side scoring: each document streams past the
+    // driver-built model (native expression, decimal-exact per
+    // occurrence), no token-keyed join, no (doc, token) shuffle. The
+    // per-doc aggregate happens INSIDE the row (the token array is
+    // row-local), so the whole query is two scans and one tiny collect.
+    // Zero-token docs are dropped to match the relational/oracle
+    // semantics (their group never exists after the explode).
+    df.select(col(idCol),
+        org.apache.spark.sql.graft.UnigramFunctions
+          .unigramLogProbSum(tokens(col(textCol)), lp).as("__s"))
+      // drop zero-token docs BEFORE the mean: ANSI division would throw
+      // on n_tokens = 0 (and the relational/oracle semantics drop them
+      // anyway — their group never exists after the explode)
+      .filter(col("__s.n_tokens") > 0)
+      .select(col(idCol), col("__s.n_tokens").as("n_tokens"),
+        (round(col("__s.lp_sum").cast("double") / col("__s.n_tokens") * 10000)
+          / 10000.0 + lit(0.0)).as("avg_logprob"))
+  }
+
+  /** The relational twin of [[unigramLogProb]] — token-explode, join the
+    * tf table to the derived vocabulary counts, decimal-weighted mean.
+    * Kept as the executable cross-check (TextSpec pins the two forms
+    * equal) and as the fallback for vocabularies too large to collect:
+    * the model path ships the whole vocabulary in the task binary, this
+    * one broadcasts-or-shuffles it through a join (AQE handles the skew).
+    */
+  def unigramLogProbJoined(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val cnt = tf.groupBy("token").agg(sum(col("tf")).as("c"))

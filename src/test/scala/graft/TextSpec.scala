@@ -196,6 +196,26 @@ class TextSpec extends SparkTestBase {
     assert(math.abs(out(3L)._2 - math.log(1.0 / 9.0)) < 1e-4)
   }
 
+  test("unigramLogProb: model path equals the relational twin bit-for-bit") {
+    // the registered t17 streams docs past a driver-built model (native
+    // decimal-exact expression); the joined form is the executable
+    // specification — any drift in the decimal quantization, the log
+    // expression, or the zero-token drop shows up here as a value diff
+    // on real data (the sf0.001 documents), not just on toy rows
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Text.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val b = Text.unigramLogProbJoined(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(a === b)
+    // zero-token docs are dropped by BOTH forms (the group never exists)
+    val withEmpty = Seq((1L, "a b"), (2L, "   ")).toDF("doc_id", "text")
+    assert(Text.unigramLogProb(withEmpty, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
+    assert(Text.unigramLogProbJoined(withEmpty, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
+  }
+
   test("chunkPlanOverlap: full token coverage, fixed overlap, tail reaches last token") {
     val df = Seq(
       (1L, (1 to 30).map(i => s"w$i").mkString(" ")),  // 30 tokens: 3 chunks at W=16,S=12
