@@ -55,6 +55,17 @@ object SparkEntry {
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   /** events with the reference's derived `date` string column (F6). */
+  /** Where d13 materializes its LSH candidate set, keyed by the sf dir's
+    * basename: the oracle SQL replays the verify stage in DuckDB over
+    * this exact dump, so the path must be (a) absolute — the driver's
+    * DuckDB cwd is not the repo — and (b) derivable statically for the
+    * correctness sf (the driver contract runs Verify at sf0.01,
+    * TESTDATA.md); a bench run at another sf writes its own directory.
+    */
+  private def d13CandidatesPath(dir: String): String =
+    new java.io.File(
+      "target/d13_candidates/" + new java.io.File(dir).getName).getAbsolutePath
+
   private def eventsWithDate(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .withColumn("date", date_format(to_date(col("ts")), "yyyy-MM-dd"))
@@ -897,6 +908,25 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8)
       Dedup.dupClusters(pairs.select(col("id1"), col("id2")))
+    }),
+
+    // The LSH pipeline's VERIFY stage, oracled end-to-end: candidate
+    // GENERATION is xxhash-keyed (rows-only by nature, like d3/d4), but
+    // once the Spark-produced candidate set is materialized to parquet,
+    // the verify stage — exact n-gram Jaccard over exactly those pairs,
+    // threshold on the rounded value — is plain SQL. The DuckDB oracle
+    // reads the SAME dumped candidates and replays the verify; the
+    // output (the exact pair table d12 clusters) hash-matches. This
+    // shrinks the rows-only set to pure-signature queries.
+    "d13_lsh_verified_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val path = d13CandidatesPath(d)
+      Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      // verify over the read-back dump, not the in-memory frame: Spark
+      // and the oracle then provably score the IDENTICAL pair set
+      Dedup.jaccardForPairs(docs, s.read.parquet(path), "doc_id", "text")
+        .filter(col("jaccard") >= 0.8)
     }),
 
     "d1_exact_dup_stats" -> ((s, d) => Dedup.exactDupStats(Tables.documents(s, d), "text")),
@@ -1928,6 +1958,28 @@ object SparkEntry {
         |    ELSE len(list_intersect(a.sh, b.sh))*1.0 /
         |         len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    // replays the verify stage over the candidate set d13's Spark run
+    // materialized (absolute path; the driver's correctness gate runs at
+    // sf0.01 — see d13CandidatesPath). Shingling + Jaccard are the d5
+    // expressions verbatim; the threshold filters the ROUNDED value,
+    // exactly as the Spark side does.
+    "d13_lsh_verified_pairs" ->
+      s"""WITH c AS (SELECT id1, id2
+        |  FROM '${d13CandidatesPath("/root/testdata/sf0.01")}/*.parquet'),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    range(1, greatest(len(tok)-3+2, 1)),
+        |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS tok
+        |        FROM documents)),
+        |j AS (SELECT c.id1, c.id2,
+        |  round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN NULL
+        |    ELSE len(list_intersect(a.sh, b.sh))*1.0 /
+        |         len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
+        |  FROM c JOIN sh a ON a.doc_id = c.id1 JOIN sh b ON b.doc_id = c.id2)
+        |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin,
 
     "m1_resize_plan" ->
       """WITH m AS (SELECT doc_id AS media_id,

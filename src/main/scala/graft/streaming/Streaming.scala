@@ -94,6 +94,32 @@ object Streaming {
     stream.withWatermark(ts, lateness)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming NEAR-dup dedup within the watermark: the state key is the
+    * record's 64-bit SimHash signature of `textCol` (the SAME native
+    * SimHash64 expression the batch near-dup surface keys on —
+    * [[graft.dedup.Dedup.simhash]]), optionally scoped by `extraKeys`.
+    * Exact-key dedup misses the reference's real idempotence gap: a
+    * re-poll re-serializes the SAME observation with cosmetic differences
+    * (jittered capture timestamp, reordered/extra metadata tokens —
+    * transform.py:64-66 re-reads ALL raw files), so no exact column set
+    * matches the redelivery. A token-majority signature is stable under
+    * those edits; a redelivered near-identical record therefore hits the
+    * same state key and is dropped, with state still bounded by the
+    * watermark delay. Batch twin: grouping the same records by
+    * `Dedup.simhash(text)` keeps the same survivors (StreamingSpec pins
+    * the parity).
+    *
+    * The signature rides the dedup as a derived column and is dropped
+    * after — downstream schema is unchanged.
+    */
+  def nearDupDedupWithinWatermark(stream: DataFrame, ts: String, lateness: String,
+                                  textCol: String,
+                                  extraKeys: Seq[String] = Nil): DataFrame =
+    stream.withColumn("__simhash", graft.dedup.Dedup.simhash(col(textCol)))
+      .withWatermark(ts, lateness)
+      .dropDuplicatesWithinWatermark(extraKeys :+ "__simhash")
+      .drop("__simhash")
+
   /** Stream ⋈ static dimension (broadcast): the streaming analog of the
     * reference's extract-time city enrichment (extract.py:124-127). The
     * dim is broadcast per micro-batch; no stream-side shuffle.

@@ -40,20 +40,32 @@ object StreamingPipeline {
       // fixes the reference's duplicate-poll duplication (its transform
       // re-reads ALL raw files, transform.py:64-66). E.g. Seq("city","ts")
       // drops redelivered observations; None = keep every record.
-      dedupKeys: Option[Seq[String]] = None)
+      dedupKeys: Option[Seq[String]] = None,
+      // NEAR-dup branch: when set, the dedup state keys on the SimHash
+      // SIGNATURE of this column (scoped per city) instead of exact
+      // columns — a re-poll that re-serializes the same observation with
+      // cosmetic text differences or a jittered capture timestamp
+      // matches no exact key set but keeps its token-majority signature,
+      // so the redelivery is dropped within the watermark
+      // (Streaming.nearDupDedupWithinWatermark; batch twin =
+      // Dedup.simhash). Takes precedence over dedupKeys.
+      dedupSignatureOf: Option[String] = None)
 
   /** Wire and start the streaming query (AvailableNow when `drain` — the
     * batch-parity trigger — else continuous micro-batches).
     */
   def start(spark: SparkSession, cfg: Config, drain: Boolean = false): StreamingQuery = {
+    // the signature column rides along only when the near-dup branch
+    // needs it (dropped again right after the dedup)
+    val decodeCols = Seq(col("city"), col("timestamp").as("ts"), col("temperature")) ++
+      cfg.dedupSignatureOf.filterNot(Set("city", "ts", "temperature")).map(col)
     val raw = (cfg.wireSource, cfg.kafkaBootstrap) match {
       case (Some(wire), _) =>
-        graft.sources.KafkaWire.decodeFlat(wire)
-          .select(col("city"), col("timestamp").as("ts"), col("temperature"))
+        graft.sources.KafkaWire.decodeFlat(wire).select(decodeCols: _*)
       case (None, Some(bootstrap)) =>
         graft.sources.KafkaWire.decodeFlat(
             graft.sources.KafkaWire.stream(spark, bootstrap, cfg.kafkaTopic))
-          .select(col("city"), col("timestamp").as("ts"), col("temperature"))
+          .select(decodeCols: _*)
       case _ => spark.readStream
         .format("graft.sources.v2.PollingSource")
         .option("cities", cfg.cities.mkString(","))
@@ -61,9 +73,14 @@ object StreamingPipeline {
         .load()
     }
 
-    val deduped = cfg.dedupKeys match {
-      case Some(keys) => Streaming.dedupWithinWatermark(raw, "ts", cfg.lateness, keys)
-      case None => raw
+    val deduped = (cfg.dedupSignatureOf, cfg.dedupKeys) match {
+      case (Some(textCol), _) =>
+        Streaming.nearDupDedupWithinWatermark(raw, "ts", cfg.lateness, textCol,
+          extraKeys = Seq("city")).drop(Seq(textCol).filterNot(
+            Set("city", "ts", "temperature")): _*)
+      case (None, Some(keys)) =>
+        Streaming.dedupWithinWatermark(raw, "ts", cfg.lateness, keys)
+      case _ => raw
     }
 
     val cleaned = cfg.statsSnapshot match {
@@ -73,7 +90,8 @@ object StreamingPipeline {
 
     val windowed = Streaming.windowedAgg(
       cleaned, "ts", "city", "temperature", cfg.window, cfg.lateness,
-      setWatermark = cfg.dedupKeys.isEmpty) // dedup already declared it
+      // either dedup branch already declared the watermark
+      setWatermark = cfg.dedupKeys.isEmpty && cfg.dedupSignatureOf.isEmpty)
 
     val writer = windowed.writeStream
       .option("checkpointLocation", cfg.checkpointDir)

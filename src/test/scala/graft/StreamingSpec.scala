@@ -7,6 +7,8 @@ import graft.streaming.Streaming
 
 case class Ev(ts: Timestamp, k: String, v: Double)
 case class Click(cts: Timestamp, k: String, page: String)
+/** A textful record for the streaming near-dup surface. */
+case class TDoc(ts: Timestamp, id: Long, text: String)
 /** A row in Kafka's wire shape (KafkaWire.wireSchema). */
 case class KRec(key: Array[Byte], value: Array[Byte], topic: String,
                 partition: Int, offset: Long, timestamp: Timestamp,
@@ -190,16 +192,18 @@ class StreamingSpec extends SparkTestBase {
   }
 
   /** An OpenWeatherMap-shaped JSON payload as Kafka value bytes. */
-  private def owmPayload(city: String, epoch: Long, temp: Double): Array[Byte] =
+  private def owmPayload(city: String, epoch: Long, temp: Double,
+                         desc: String = "clear sky"): Array[Byte] =
     s"""{"dt":$epoch,"city_name":"$city","country_code":"XX",
        |"main":{"temp":$temp,"feels_like":$temp,"temp_min":$temp,"temp_max":$temp,
        |"pressure":1000.0,"humidity":50.0},
        |"wind":{"speed":1.0,"deg":90.0},
-       |"weather":[{"main":"Clear","description":"clear sky"}]}"""
+       |"weather":[{"main":"Clear","description":"$desc"}]}"""
       .stripMargin.replaceAll("\n", "").getBytes("UTF-8")
 
-  private def kRec(city: String, epoch: Long, temp: Double, offset: Long): KRec =
-    KRec(city.getBytes("UTF-8"), owmPayload(city, epoch, temp),
+  private def kRec(city: String, epoch: Long, temp: Double, offset: Long,
+                   desc: String = "clear sky"): KRec =
+    KRec(city.getBytes("UTF-8"), owmPayload(city, epoch, temp, desc),
       "weather", 0, offset, new Timestamp(epoch * 1000L), 0)
 
   test("Kafka-wire decode + windowed agg matches the batch twin end-to-end") {
@@ -330,6 +334,82 @@ class StreamingSpec extends SparkTestBase {
     // with (city, ts)-keyed dedup each counts once
     val ns = back.collect().map(_.getAs[Long]("n")).toSet
     assert(ns === Set(10L), s"expected deduped windows of 10, got $ns")
+  }
+
+  test("nearDupDedupWithinWatermark: near-identical redelivery dropped; batch twin agrees") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.Dedup
+    // 5 distinct tokens x 9 occurrences: every SimHash bit's majority
+    // margin is >= 9, so ONE extra token cannot flip any bit — the
+    // redelivered text provably keeps the signature. The fixture property
+    // is asserted through the batch expression (the state-key equality
+    // the stream relies on), so a tokenizer/hash change fails loudly here
+    // instead of silently weakening the test.
+    val base = Seq.fill(9)("alpha beta gamma delta epsilon").mkString(" ")
+    val redelivered = base + " retry"
+    val unrelated = "totally different content words entirely other topic"
+    def sig(s: String) = Seq(s).toDF("text")
+      .select(Dedup.simhash($"text")).collect()(0).getLong(0)
+    assert(sig(base) === sig(redelivered), "fixture: signature must survive one token")
+    assert(sig(base) !== sig(unrelated), "fixture: unrelated text must differ")
+    val mem = MemoryStream[TDoc]
+    val q = Streaming.nearDupDedupWithinWatermark(mem.toDF(), "ts", "1 hour", "text")
+      .writeStream.format("memory").queryName("neardup_wm")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        TDoc(ts("2024-01-01 01:00:00"), 1L, base),
+        TDoc(ts("2024-01-01 01:05:00"), 2L, redelivered), // near-identical re-poll
+        TDoc(ts("2024-01-01 01:10:00"), 3L, unrelated))
+      q.processAllAvailable()
+      val kept = spark.table("neardup_wm").select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 3L), "near-identical redelivery must be dropped")
+      // batch twin: grouping the same records by Dedup.simhash keeps the
+      // same survivors — stream state key == batch dedup key
+      val batch = Seq((1L, base), (2L, redelivered), (3L, unrelated))
+        .toDF("id", "text")
+        .groupBy(Dedup.simhash($"text")).agg(min($"id").as("id"))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(batch === kept)
+    } finally q.stop()
+  }
+
+  test("StreamingPipeline dedupSignatureOf: jittered re-polls count once in windows") {
+    implicit val sqlCtx = spark.sqlContext
+    // the reference's ACTUAL idempotence gap: a re-poll re-serializes the
+    // same observation with a jittered capture timestamp and cosmetic
+    // payload edits (transform.py re-reads all raw files), so exact
+    // (city, ts) keys do NOT match the redelivery — only the signature
+    // branch drops it
+    val base = java.nio.file.Files.createTempDirectory("graft_ksig")
+    val epoch = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000L
+    def desc(i: Int) = Seq.fill(9)(s"obs$i pressure london reading window").mkString(" ")
+    val mem = MemoryStream[KRec]
+    val q = graft.streaming.StreamingPipeline.start(spark,
+      graft.streaming.StreamingPipeline.Config(
+        checkpointDir = base.resolve("ckpt").toString,
+        outputDir = base.resolve("out").toString,
+        window = "10 minutes", lateness = "5 minutes",
+        wireSource = Some(mem.toDF()),
+        dedupSignatureOf = Some("weather_description")),
+      drain = false)
+    try {
+      val first = (0 until 40).map(i =>
+        kRec("London", epoch + i * 60L, 10.0 + i, i.toLong, desc(i)))
+      // redelivery: +7s capture jitter, one extra metadata token — same
+      // observation, no exact key match, same token-majority signature
+      val repolled = (0 until 40).map(i =>
+        kRec("London", epoch + i * 60L + 7L, 10.0 + i, 100L + i, desc(i) + " retry"))
+      mem.addData((first ++ repolled): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(base.resolve("out").resolve("windowed").toString)
+    // without the signature branch every closed 10-min window would hold
+    // n=20 (10 observations x 2 deliveries — the jittered ts defeats
+    // exact keys); signature-keyed state counts each observation once
+    val ns = back.collect().map(_.getAs[Long]("n")).toSet
+    assert(ns === Set(10L), s"expected signature-deduped windows of 10, got $ns")
   }
 
   test("intervalJoin: stream-stream join within the time bound, state watermark-bounded") {
