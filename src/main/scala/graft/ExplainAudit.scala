@@ -35,8 +35,9 @@ object ExplainAudit {
     "j4_anti_join", "j7_bucketed_large_orders", "j8_bucketed_shipping_priority",
     "j9_bucketed_waiting_suppliers", "t2_lang_id", "t8_vocabulary",
     "t9_tfidf", "t17_unigram_logprob", "s2_ann_topk", "s3_label_centroids",
-    "s7_ann_int8", "s8_ivf_int8", "e1_embedding_neardups", "w8_sessionize",
-    "w9_range_rolling", "o3_set_ops", "d11_epoch_shuffle")
+    "s4_ivf_topk", "s7_ann_int8", "s8_ivf_int8", "e1_embedding_neardups",
+    "w8_sessionize", "w9_range_rolling", "o3_set_ops", "d11_epoch_shuffle",
+    "d13_lsh_verified_pairs")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS
@@ -62,10 +63,32 @@ object ExplainAudit {
       // machine-local; structure is what the ledger pins
       .replaceAll("file:[^\\s\\]]*/target/", "<target>/")
 
+  /** Header line carrying the query's uncontended bench time, sourced from
+    * the committed deliberate snapshot (docs/bench_full.json, best-of-2,
+    * sf0.1, idle box) — so a reader of the ledger can separate box drift
+    * from structural regression without re-running anything. The line is
+    * timing METADATA, not plan structure: a ledger diff that touches only
+    * this line means the bench snapshot moved, not the plan.
+    */
+  private[graft] def benchHeader(name: String, benchJson: String): String = {
+    val entry = ("\"" + java.util.regex.Pattern.quote(name) + "\"\\s*:\\s*([0-9.]+)").r
+    val sf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
+    val bo = "\"best_of\"\\s*:\\s*(\\d+)".r
+    val secs = entry.findFirstMatchIn(benchJson).map(_.group(1)).getOrElse("n/a")
+    val sfTag = sf.findFirstMatchIn(benchJson).map(_.group(1)).getOrElse("?")
+    val boTag = bo.findFirstMatchIn(benchJson).map(_.group(1)).getOrElse("?")
+    s"== uncontended_s=$secs ($sfTag best-of-$boTag idle box; docs/bench_full.json) ==\n"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val outDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "docs/plans")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val benchJson =
+      try new String(Files.readAllBytes(Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "docs/bench_full.json"))),
+        StandardCharsets.UTF_8)
+      catch { case _: java.io.IOException => "" }
     val names = if (args.nonEmpty) args.toSeq else ledger
     val spark = graft.sink.BucketedMirror.withSessionConfs(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -82,7 +105,8 @@ object ExplainAudit {
         case Some(fn) =>
           val df = fn(spark, sfDir)
           df.collect() // finalize AQE so the dumped plan is the executed one
-          val txt = scrub(df.queryExecution.executedPlan.toString)
+          val txt = benchHeader(name, benchJson) +
+            scrub(df.queryExecution.executedPlan.toString)
           Files.write(Paths.get(outDir, s"$name.txt"),
             txt.getBytes(StandardCharsets.UTF_8),
             StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
