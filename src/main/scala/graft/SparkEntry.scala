@@ -66,6 +66,13 @@ object SparkEntry {
     new java.io.File(
       "target/d13_candidates/" + new java.io.File(dir).getName).getAbsolutePath
 
+  /** e2's SRP candidate-pair dump — same contract as [[d13CandidatesPath]]
+    * (absolute, sf-keyed; the oracle replays the verify stage over it).
+    */
+  private def e2CandidatesPath(dir: String): String =
+    new java.io.File(
+      "target/e2_candidates/" + new java.io.File(dir).getName).getAbsolutePath
+
   private def eventsWithDate(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .withColumn("date", date_format(to_date(col("ts")), "yyyy-MM-dd"))
@@ -1040,6 +1047,20 @@ object SparkEntry {
     "e1_embedding_neardups" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.2, maxDim = 64)),
+    // The embedding near-dup VERIFY stage, oracled end-to-end (the e-path
+    // twin of d13): candidate generation is SRP-hash-keyed (rows-only by
+    // nature, like e1), but once the Spark-produced pair set is dumped,
+    // exact-cosine-≥-τ over it is replayable in SQL — DuckDB rescores the
+    // IDENTICAL pairs with list_cosine_similarity (the s1-proven exact
+    // comparison) and the output hash-matches.
+    "e2_embedding_verified_pairs" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val path = e2CandidatesPath(d)
+      Dedup.srpCandidatePairs(emb, "vec_id", "embedding", maxDim = 64)
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      Dedup.cosineForPairs(emb, s.read.parquet(path), "vec_id", "embedding")
+        .filter(col("cos") >= 0.2)
+    }),
     // Symmetric int8 quantization summary (scale + integer checksums of the
     // quantized array): the standard vector-index compression step, published
     // as a hash-comparable per-vector projection. Pure map-side scan — at
@@ -1980,6 +2001,54 @@ object SparkEntry {
         |         len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
         |  FROM c JOIN sh a ON a.doc_id = c.id1 JOIN sh b ON b.doc_id = c.id2)
         |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin,
+
+    // the CLUSTERING stage, oracled end-to-end: d12's input pairs are
+    // exactly the d13 verified set (minhashNearDups ≡ candidates →
+    // Jaccard ≥ τ on the rounded value), so connected components over
+    // them is pure SQL — a recursive transitive closure with UNION set
+    // semantics (components are near-dup clusters, a handful of docs, so
+    // the closure is tiny) and the min reachable id as each node's
+    // label, which is precisely dupClusters' fixpoint. The distributed
+    // label-propagation + pointer-jumping implementation is thereby
+    // hash-checked against an independent sequential formulation.
+    "d12_dup_clusters" ->
+      s"""WITH RECURSIVE c AS (SELECT id1, id2
+        |  FROM '${d13CandidatesPath("/root/testdata/sf0.01")}/*.parquet'),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    range(1, greatest(len(tok)-3+2, 1)),
+        |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS tok
+        |        FROM documents)),
+        |v AS (SELECT c.id1, c.id2
+        |  FROM c JOIN sh a ON a.doc_id = c.id1 JOIN sh b ON b.doc_id = c.id2
+        |  WHERE round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN NULL
+        |    ELSE len(list_intersect(a.sh, b.sh))*1.0 /
+        |         len(list_distinct(list_concat(a.sh, b.sh))) END, 4) >= 0.8),
+        |e AS (SELECT id1 AS src, id2 AS dst FROM v
+        |      UNION ALL SELECT id2, id1 FROM v),
+        |n AS (SELECT DISTINCT src AS id FROM e),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM n
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst)
+        |SELECT id, min(r) AS label FROM reach GROUP BY id""".stripMargin,
+
+    // replays the embedding verify stage over e2's dumped candidate set:
+    // exact cosine in double (list_cosine_similarity on float→double
+    // casts — the same comparison the s1 oracle hash-matches), rounded
+    // to 4 decimals, thresholded on the ROUNDED value like the Spark side.
+    "e2_embedding_verified_pairs" ->
+      s"""WITH c AS (SELECT id1, id2
+        |  FROM '${e2CandidatesPath("/root/testdata/sf0.01")}/*.parquet'),
+        |e AS (SELECT vec_id,
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings)
+        |SELECT c.id1, c.id2,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |FROM c JOIN e a ON a.vec_id = c.id1 JOIN e b ON b.vec_id = c.id2
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.2""".stripMargin,
 
     "m1_resize_plan" ->
       """WITH m AS (SELECT doc_id AS media_id,

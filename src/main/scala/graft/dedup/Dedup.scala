@@ -430,6 +430,40 @@ object Dedup {
     * bucket → pairs ≥ threshold. Same candidate-then-verify shape as
     * MinHash, on the vector column.
     */
+  /** The candidate-GENERATION stage of [[embeddingNearDups]] alone: the
+    * SRP bucket self-join's (id1, id2) pairs, no scoring. Materializing
+    * this makes the verify stage (exact cosine ≥ τ) replayable by an
+    * independent engine over the identical pair set — the e2 oracle
+    * pattern, mirroring [[minhashCandidatePairs]]/d13 for the text path.
+    */
+  def srpCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
+                        nPlanes: Int = 0, maxDim: Int = 512): DataFrame = {
+    val planes = Similarity.resolvePlanes(df, nPlanes)
+    val v = df.select(col(idCol), Similarity.toDouble(col(vecCol)).as("__v"))
+      .withColumn("__bucket", Similarity.srpBucket(col("__v"), planes, maxDim = maxDim))
+    val l = v.select(col("__bucket"), col(idCol).as("id1"))
+    val r = v.select(col("__bucket"), col(idCol).as("id2"))
+    l.join(r, Seq("__bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Exact cosine for an explicit pair table (the verify stage of the
+    * embedding near-dup pipeline, decoupled from candidate generation):
+    * joins the vectors back by id — only the candidate pairs pay the
+    * O(dim) scoring, and the pair table is narrow (two longs) on the
+    * shuffle. Rounded to 4 decimals like [[embeddingNearDups]].
+    */
+  def cosineForPairs(df: DataFrame, pairs: DataFrame, idCol: String,
+                     vecCol: String): DataFrame = {
+    val v = df.select(col(idCol), Similarity.toDouble(col(vecCol)).as("__v"))
+    pairs.select("id1", "id2")
+      .join(v.select(col(idCol).as("id1"), col("__v").as("__v1")), Seq("id1"))
+      .join(v.select(col(idCol).as("id2"), col("__v").as("__v2")), Seq("id2"))
+      .withColumn("cos", round(graft.functions.VectorFunctions.cosineNative(col("__v1"), col("__v2")), 4))
+      .select("id1", "id2", "cos")
+  }
+
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, nPlanes: Int = 0,
                         maxDim: Int = 512): DataFrame = {

@@ -34,7 +34,8 @@ class ContractSpec extends AnyFunSuite {
       "a15_approx_distinct",   // HLL sketch, engine-specific estimate
       "d3_lsh_buckets",        // xxhash-keyed
       "d4_simhash_sigs",       // xxhash-keyed
-      "d12_dup_clusters",      // components over xxhash-bucketed pairs (gated in RowsOnlyGateSpec)
+      // d12_dup_clusters is ORACLED as of round 10: recursive-CTE closure
+      // over the d13 candidate dump (see SparkEntry.oracleSql)
       "t18_bloom_decontaminate", // bloom bit layout is engine-internal (gated in RowsOnlyGateSpec)
       "t5_fingerprint",        // xxhash-keyed
       "t7_winnow",             // rolling-hash-keyed

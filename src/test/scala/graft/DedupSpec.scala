@@ -79,6 +79,21 @@ class DedupSpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("e2 split pipeline (srpCandidatePairs → cosineForPairs) == embeddingNearDups") {
+    // deterministic pseudo-random directions so buckets are non-trivial
+    val emb = (0L until 40L).map { i =>
+      (i, Seq.tabulate(8)(j => math.sin(i * 31 + j * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val inline = Dedup.embeddingNearDups(emb, "vec_id", "embedding", threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val split = Dedup.cosineForPairs(emb,
+        Dedup.srpCandidatePairs(emb, "vec_id", "embedding"), "vec_id", "embedding")
+      .filter($"cos" >= 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(split === inline)
+    assert(inline.nonEmpty) // the gate is vacuous on an empty pair set
+  }
+
   test("dupClusters: min-label propagation finds connected components") {
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (7L, 9L), (3L, 7L))
       .toDF("id1", "id2")
