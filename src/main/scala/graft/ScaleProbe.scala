@@ -255,6 +255,20 @@ object ScaleProbe {
       }
       Seq(("ivf_index_build_once", build(src), build(out)))
     }) ++ (if (probeSet != "emb") Seq.empty else {
+      // One-time SRP index build cost (the s2/s7 twin of
+      // ivf_index_build_once): count + auto-planes + the single corpus
+      // pass deriving int8 pair and all nTables bucket assignments +
+      // the partitioned write. nTables = 12 matches the registered
+      // s2/s7 exactly.
+      import graft.sim.SrpIndex
+      def build(dir: String): Double = {
+        SrpIndex.drop(dir, nTables = 12)
+        val t0 = System.nanoTime()
+        SrpIndex.ensure(spark, dir, Tables.embeddings(spark, dir), nTables = 12)
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq(("srp_index_build_once", build(src), build(out)))
+    }) ++ (if (probeSet != "emb") Seq.empty else {
       // Parameter-scaling twin for the SRP path: with FIXED nPlanes the
       // candidate stream grows ∝ N (each bucket holds factor× more
       // vectors), so the registered-parameter entries above scale
