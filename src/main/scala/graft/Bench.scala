@@ -16,11 +16,13 @@ object Bench {
     // anything else on the box (sbt test, a concurrent Verify) inflates
     // single-shot times 1.5-10x per query (round-6 driver bench read
     // 98 s for code that benches 64 s alone). min-of-N is the standard
-    // robust estimator for that one-sided noise. Default 2: one repeat
-    // roughly doubles bench wall-clock (~1 min) but makes the recorded
-    // number reproducible within ~10% instead of hostage to whatever
-    // else the box was doing; the JSON records best_of for transparency.
-    val bestOf = sys.env.getOrElse("SPARK_GRAFT_BENCH_BEST_OF", "2").toInt.max(1)
+    // robust estimator for that one-sided noise. Default 3 (round 10):
+    // this box shows BURSTY host-level CPU steal — back-to-back
+    // best-of-2 runs of identical code inflated disjoint query sets
+    // 3-10× (README round notes), so two reps can BOTH land in a burst;
+    // a third rep makes that unlikely at ~+50% bench wall-clock
+    // (~1.5 min). The JSON records best_of for transparency.
+    val bestOf = sys.env.getOrElse("SPARK_GRAFT_BENCH_BEST_OF", "3").toInt.max(1)
     val spark = graft.sink.BucketedMirror.withSessionConfs(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -10,9 +10,20 @@ package graft
   * the caller's corpus can catch the substitution.
   *
   * Listed through the Hadoop FileSystem of the path's scheme (not
-  * java.io.File), so hdfs:/s3a: sources stamp correctly too; a missing
-  * path stamps as "absent" (by-name test corpora that never touch disk).
-  * Cost is one recursive listing — metadata-only, no data read.
+  * java.io.File) — PASS THE SESSION'S Hadoop conf
+  * (`spark.sessionState.newHadoopConf()`) so filesystems configured via
+  * `spark.hadoop.*` (s3a credentials etc.) resolve; the default bare
+  * conf only covers local/unauthenticated schemes. A missing path stamps
+  * as "absent" (by-name test corpora that never touch disk). Cost is one
+  * recursive listing per call — metadata-only, no data read; callers on
+  * object stores with very large file counts should ensure() once and
+  * hold the handle rather than re-stamping per query.
+  *
+  * Residual blind spot (accepted): a regeneration that rewrites the same
+  * file names with identical byte lengths INSIDE one mtime tick produces
+  * the same stamp. Closing it would need content hashing (a full data
+  * read) — the stamp trades that for metadata cost, like rsync's
+  * quick-check.
   */
 private[graft] object ContentStamp {
   def apply(dir: String,

@@ -55,23 +55,28 @@ object SparkEntry {
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   /** events with the reference's derived `date` string column (F6). */
-  /** Where d13 materializes its LSH candidate set, keyed by the sf dir's
-    * basename: the oracle SQL replays the verify stage in DuckDB over
-    * this exact dump, so the path must be (a) absolute — the driver's
-    * DuckDB cwd is not the repo — and (b) derivable statically for the
-    * correctness sf (the driver contract runs Verify at sf0.01,
-    * TESTDATA.md); a bench run at another sf writes its own directory.
+  /** Where d13 materializes its LSH candidate set, keyed like every other
+    * persisted artifact ([[ArtifactKey.pathKey]]: basename + path hash,
+    * so corpora at different paths sharing a directory name cannot
+    * overwrite each other's dump): the oracle SQL replays the verify
+    * stage in DuckDB over this exact dump, so the path must be (a)
+    * absolute — the driver's DuckDB cwd is not the repo — and (b)
+    * derivable statically for the correctness sf (the driver contract
+    * runs Verify at sf0.01, TESTDATA.md); a bench run at another sf
+    * writes its own directory. No content stamp: the dump is REWRITTEN
+    * by the query itself every run, so it can't go stale within a run —
+    * the stamp's job elsewhere.
     */
   private def d13CandidatesPath(dir: String): String =
     new java.io.File(
-      "target/d13_candidates/" + new java.io.File(dir).getName).getAbsolutePath
+      "target/d13_candidates/" + ArtifactKey.pathKey(dir)).getAbsolutePath
 
   /** e2's SRP candidate-pair dump — same contract as [[d13CandidatesPath]]
     * (absolute, sf-keyed; the oracle replays the verify stage over it).
     */
   private def e2CandidatesPath(dir: String): String =
     new java.io.File(
-      "target/e2_candidates/" + new java.io.File(dir).getName).getAbsolutePath
+      "target/e2_candidates/" + ArtifactKey.pathKey(dir)).getAbsolutePath
 
   private def eventsWithDate(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)

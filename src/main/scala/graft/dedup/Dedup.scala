@@ -379,8 +379,12 @@ object Dedup {
       .select(col("id1").as("id"), col("label"))
       .localCheckpoint()
     var converged = false
+    // the seed IS iteration 1's hop, so the loop runs iterations
+    // 2..maxIter+1 — `<=` keeps the old implementation's reach for equal
+    // maxIter (and lets maxIter = 1 converge on already-stable seeds;
+    // with `<` the check never ran and trivially-converged inputs threw)
     var i = 1
-    while (!converged && i < maxIter) {
+    while (!converged && i <= maxIter) {
       val neighborMin = edges.join(labels, edges("id2") === labels("id"))
         .groupBy(edges("id1").as("id")).agg(min(col("label")).as("__nl"))
       // materialize the hop and decide convergence on IT, before the

@@ -31,43 +31,26 @@ import org.apache.spark.sql.functions.col
   */
 object IvfIndex {
 
-  /** Index key: readable basename + a hash of the FULL absolute path + a
-    * content stamp of the source files. The path hash keeps two corpora
-    * at different paths with the same directory name from silently
-    * serving each other's index; the [[graft.ContentStamp]] keeps a
-    * corpus REGENERATED at the same path from silently serving the old
-    * one (the search rescores against the index's OWN persisted vectors,
-    * so not even a recall gate over the caller's corpus would catch
-    * either substitution).
-    */
-  private def tag(dir: String): String = {
-    val abs = new java.io.File(dir).getAbsolutePath
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_") +
-      "_" + hex + "_" + graft.ContentStamp(dir)
-  }
-
   /** Bump when the index format or assignment semantics change: reuse is
     * keyed only by source dir, so an index persisted by OLDER code would
     * otherwise silently serve stale cells.
     */
   private val version = "v1"
 
-  /** Index root for a source dir (exposed so ScaleProbe can time a fresh
-    * build explicitly).
+  /** Index root for a source dir — key scheme and its rationale in
+    * [[graft.ArtifactKey]] (basename + path hash + content stamp).
+    * Exposed so ScaleProbe can time a fresh build explicitly; pass the
+    * session Hadoop conf for sources on filesystems that need it.
     */
-  def root(dir: String): java.io.File =
-    new java.io.File(s"target/ivf_index/$version/${tag(dir)}").getAbsoluteFile
+  def root(dir: String,
+           hadoopConf: org.apache.hadoop.conf.Configuration =
+             new org.apache.hadoop.conf.Configuration()): java.io.File =
+    new java.io.File(
+      s"target/ivf_index/$version/${graft.ArtifactKey.stamped(dir, hadoopConf)}")
+      .getAbsoluteFile
 
   /** Delete the persisted index (forces the next ensure to rebuild). */
-  def drop(dir: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(rm)
-      f.delete(): Unit
-    }
-    rm(root(dir))
-  }
+  def drop(dir: String): Unit = graft.ArtifactKey.rmRecursive(root(dir))
 
   /** The (assigned corpus, centroids) pair for `<dir>`'s corpus:
     * columns (idCol, vecCol, __qc, __sc, __cell) with __cell as the
@@ -76,11 +59,15 @@ object IvfIndex {
   def ensure(spark: SparkSession, dir: String, corpus: => DataFrame,
              idCol: String = "vec_id", vecCol: String = "embedding"
             ): (DataFrame, Seq[Seq[Double]]) = synchronized {
-    val base = root(dir)
+    val base = root(dir, spark.sessionState.newHadoopConf())
     val corpusPath = new java.io.File(base, "corpus").getPath
     val centsPath = new java.io.File(base, "centroids").getPath
     if (!new java.io.File(corpusPath, "_SUCCESS").isFile ||
         !new java.io.File(centsPath, "_SUCCESS").isFile) {
+      // a cold build supersedes every older stamp of the same source —
+      // without this each regeneration strands a full-size index copy
+      graft.ArtifactKey.dropSuperseded(
+        base.getParentFile, graft.ArtifactKey.pathKey(dir) + "_", base.getName)
       val df = corpus
       val n = df.count()
       if (n == 0) {

@@ -51,14 +51,6 @@ object SrpIndex {
   final case class Handle(buckets: DataFrame, vectors: DataFrame,
                           planes: Int, nTables: Int, groups: Int)
 
-  private def tag(dir: String): String = {
-    val abs = new java.io.File(dir).getAbsolutePath
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_") +
-      "_" + hex + "_" + graft.ContentStamp(dir)
-  }
-
   /** Bump when the layout or bucketing semantics change. */
   private val version = "v1"
 
@@ -90,17 +82,19 @@ object SrpIndex {
                          b: org.apache.spark.sql.Column, groups: Int) =
     pmod(xxhash64(t, b), lit(groups.toLong)).cast("int")
 
-  def root(dir: String, nTables: Int): java.io.File =
-    new java.io.File(s"target/srp_index/$version/${tag(dir)}/t$nTables").getAbsoluteFile
+  /** Index root — key scheme and rationale in [[graft.ArtifactKey]];
+    * pass the session Hadoop conf for sources whose filesystem needs it.
+    */
+  def root(dir: String, nTables: Int,
+           hadoopConf: org.apache.hadoop.conf.Configuration =
+             new org.apache.hadoop.conf.Configuration()): java.io.File =
+    new java.io.File(
+      s"target/srp_index/$version/${graft.ArtifactKey.stamped(dir, hadoopConf)}/t$nTables")
+      .getAbsoluteFile
 
   /** Delete the persisted index (forces the next ensure to rebuild). */
-  def drop(dir: String, nTables: Int): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(rm)
-      f.delete(): Unit
-    }
-    rm(root(dir, nTables))
-  }
+  def drop(dir: String, nTables: Int): Unit =
+    graft.ArtifactKey.rmRecursive(root(dir, nTables))
 
   /** Build-or-reuse the index for `<dir>`'s corpus. `corpus` is only
     * evaluated (and scanned) on a cold build.
@@ -108,13 +102,17 @@ object SrpIndex {
   def ensure(spark: SparkSession, dir: String, corpus: => DataFrame, nTables: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"
             ): Handle = synchronized {
-    val base = root(dir, nTables)
+    val base = root(dir, nTables, spark.sessionState.newHadoopConf())
     val bucketsPath = new java.io.File(base, "buckets").getPath
     val vectorsPath = new java.io.File(base, "vectors").getPath
     val metaPath = new java.io.File(base, "meta").getPath
     if (!new java.io.File(bucketsPath, "_SUCCESS").isFile ||
         !new java.io.File(vectorsPath, "_SUCCESS").isFile ||
         !new java.io.File(metaPath, "_SUCCESS").isFile) {
+      // a cold build supersedes every older stamp of the same source
+      graft.ArtifactKey.dropSuperseded(
+        base.getParentFile.getParentFile,
+        graft.ArtifactKey.pathKey(dir) + "_", base.getParentFile.getName)
       val df = corpus
       val n = df.count()
       if (n == 0) {

@@ -98,12 +98,7 @@ object BucketedMirror {
     * same directory name silently serve each other's mirror. (Content
     * staleness is keyed per TABLE, not here — see [[ensure]].)
     */
-  private[graft] def tag(dir: String): String = {
-    val abs = new java.io.File(dir).getAbsolutePath
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_") + "_" + hex
-  }
+  private[graft] def tag(dir: String): String = graft.ArtifactKey.pathKey(dir)
 
   /** Size through the Hadoop FileSystem of the path's scheme — the same
     * stack the table is read with — so hdfs:/s3a: sources size correctly
@@ -143,6 +138,16 @@ object BucketedMirror {
     if (!spark.catalog.tableExists(name)) {
       val path = new java.io.File(
         s"target/bucketed_mirror/${tag(dir)}/${table}_b${buckets}_s$stamp").getAbsolutePath
+      // a cold build supersedes every older stamp/bucket-derivation of
+      // the same table (files AND their dead catalog entries) — without
+      // this each source regeneration strands a full-size mirror copy
+      graft.ArtifactKey.dropSuperseded(
+        new java.io.File(path).getParentFile, s"${table}_b",
+        new java.io.File(path).getName)
+      spark.sql(s"SHOW TABLES LIKE 'graft_mirror_${table}_${tag(dir)}_*'")
+        .collect().map(_.getAs[String]("tableName"))
+        .filter(_ != name)
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       if (new java.io.File(path, "_SUCCESS").isFile) {
         // files survive the session catalog; re-attach them with the
         // bucket spec they were written with (same code path below)

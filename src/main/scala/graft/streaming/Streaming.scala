@@ -111,6 +111,18 @@ object Streaming {
     *
     * The signature rides the dedup as a derived column and is dropped
     * after — downstream schema is unchanged.
+    *
+    * CONTRACT — signature dedup, not equality dedup: any two records
+    * whose (extraKeys, SimHash) coincide inside the watermark are
+    * treated as one, so `textCol` must carry enough entropy to make a
+    * coincidence mean "same observation" (use `extraKeys` to scope the
+    * state key when it doesn't — e.g. two cities legitimately sharing a
+    * description string must be split by the city key). The converse
+    * bound: SimHash is a token-majority vote, so on very SHORT texts
+    * (2-3 tokens) a single extra token can flip signature bits and a
+    * true redelivery survives — the signature branch is for record-sized
+    * payloads (the reference's re-serialized observation JSON), not
+    * two-word labels.
     */
   def nearDupDedupWithinWatermark(stream: DataFrame, ts: String, lateness: String,
                                   textCol: String,

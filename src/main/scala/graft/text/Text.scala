@@ -345,13 +345,30 @@ object Text {
     * discipline as s3/s5). [[unigramLogProbJoined]] keeps the relational
     * shape for vocabularies too big to ship.
     */
-  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Vocabulary-size ceiling for the driver-built model path: above it,
+    * [[unigramLogProb]] dispatches to [[unigramLogProbJoined]] instead of
+    * collecting. 2M (token, count) rows is tens of MB on the driver and
+    * in each task binary — the same budget class as the t18 Bloom
+    * sketch; a web-scale corpus vocabulary (10^8+) must go through the
+    * join. The bound is enforced with `limit(max + 1).collect()`, so the
+    * oversize case never materializes the full distribution driver-side.
+    */
+  val maxModelVocab = 2000000
+
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                     maxVocab: Int = maxModelVocab): DataFrame = {
     // pass 1 — the corpus unigram distribution, reduced map-side to one
     // row per vocabulary token and collected: the model is
-    // vocabulary-sized, the same budget class as the t18 Bloom sketch
-    val cnt = df.select(explode(tokens(col(textCol))).as("token"))
+    // vocabulary-sized, the same budget class as the t18 Bloom sketch.
+    // limit(max+1) bounds the collect itself: if the vocabulary exceeds
+    // the cap we get max+1 arbitrary rows (cheap) and fall back to the
+    // relational twin instead of OOMing the driver on pass 1
+    val dist = df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val cnt = dist.limit(maxVocab + 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    if (cnt.length > maxVocab)
+      return unigramLogProbJoined(df, idCol, textCol)
     val total = cnt.map(_._2).sum
     // log computed once per DISTINCT token, with the exact expression the
     // relational twin evaluates per pair: log(c * 1.0 / t) in IEEE double
