@@ -18,12 +18,17 @@ package graft
   */
 private[graft] object ArtifactKey {
 
-  /** `<basename>_<pathMd5.8hex>` — the location-identity part of a key. */
+  /** `<basename>_<pathMd5.8hex>` — the location-identity part of a key.
+    * The path is normalized lexically (`toAbsolutePath.normalize`, no
+    * filesystem access) so `/x/corpus` and `/x/./corpus` key the SAME
+    * artifact — `File.getAbsolutePath` keeps dot segments, which would
+    * build a duplicate full-size artifact per spelling of one source.
+    */
   def pathKey(dir: String): String = {
-    val abs = new java.io.File(dir).getAbsolutePath
+    val norm = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
     val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_") + "_" + hex
+      .digest(norm.toString.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    String.valueOf(norm.getFileName).replaceAll("[^A-Za-z0-9_]", "_") + "_" + hex
   }
 
   /** [[pathKey]] + content stamp. Pass the SESSION Hadoop conf
