@@ -37,7 +37,7 @@ object ExplainAudit {
     "t9_tfidf", "t17_unigram_logprob", "s2_ann_topk", "s3_label_centroids",
     "s4_ivf_topk", "s7_ann_int8", "s8_ivf_int8", "e1_embedding_neardups",
     "w8_sessionize", "w9_range_rolling", "o3_set_ops", "d11_epoch_shuffle",
-    "d13_lsh_verified_pairs")
+    "d13_lsh_verified_pairs", "t18_bloom_decontaminate")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS
@@ -55,6 +55,9 @@ object ExplainAudit {
       .replaceAll("lambda [a-z]+_\\d+", "lambda v_n")
       // AQE stage ids follow scheduling order, not plan structure
       .replaceAll("QueryStage \\d+", "QueryStage n")
+      // toString of objects embedded in expressions (e.g. the t18 Bloom
+      // sketch bytes) prints an identity hash — per-run, not structural
+      .replaceAll("@[0-9a-f]{6,}", "@x")
       // Spark elides long expression strings at a context-dependent cut
       // point; normalize the truncated tail so a 2-char drift can't diff
       .replaceAll("[^\\s\\[,]*\\.\\.\\.", "<trunc>")

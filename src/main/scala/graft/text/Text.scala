@@ -296,25 +296,34 @@ object Text {
     * direct build honors `fpp` at any benchmark size (the sketch is
     * ~2.1 MB per million shingles at fpp=0.001) and an empty benchmark
     * yields an empty filter — every doc comes back clean.
+    *
+    * The build never dedups: Bloom insertion is idempotent, so the
+    * duplicate shingles a `distinct` would remove change nothing in the
+    * bit array — dropping the explode+distinct removes the build's ONLY
+    * shuffle (at scale, the benchmark's shingle exchange). The filter is
+    * sized by the with-duplicate shingle total from a map-only `sum`
+    * pass, which can only OVERsize it (realized FP rate ≤ `fpp`,
+    * sketch bytes grow by the duplicate rate — still benchmark-bounded);
+    * both passes are map-side scans of the benchmark alone.
     */
   def bloomDecontaminate(corpus: DataFrame, idCol: String, textCol: String,
                          benchmark: DataFrame, benchTextCol: String,
                          n: Int = 5, fpp: Double = 0.001): DataFrame = {
-    val grams = benchmark
-      .select(explode(wordShingles(col(benchTextCol), n)).as("g")).distinct()
-      .cache() // two actions below: the sizing count and the sketch build
-    val bytes = try {
-      val expected = math.max(grams.count(), 1L)
-      val bloom = grams.rdd.treeAggregate(
-        org.apache.spark.util.sketch.BloomFilter.create(expected, fpp))(
-        (f, row) => {
-          f.putBinary(row.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)); f
-        },
-        (a, b) => { a.mergeInPlace(b); a })
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    } finally grams.unpersist()
+    val gramsCol = wordShingles(col(benchTextCol), n)
+    val expected = math.max(benchmark
+      .select(coalesce(sum(size(gramsCol).cast("long")), lit(0L)).as("c"))
+      .head.getLong(0), 1L)
+    val bloom = benchmark.select(gramsCol.as("gs")).rdd.treeAggregate(
+      org.apache.spark.util.sketch.BloomFilter.create(expected, fpp))(
+      (f, row) => {
+        row.getSeq[String](0).foreach(g =>
+          f.putBinary(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        f
+      },
+      (a, b) => { a.mergeInPlace(b); a })
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val bytes = bos.toByteArray
     corpus.select(col(idCol), wordShingles(col(textCol), n).as("__gs"))
       .select(col(idCol),
         size(col("__gs")).cast("long").as("n_grams"),
