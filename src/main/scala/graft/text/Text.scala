@@ -316,8 +316,11 @@ object Text {
     val bloom = benchmark.select(gramsCol.as("gs")).rdd.treeAggregate(
       org.apache.spark.util.sketch.BloomFilter.create(expected, fpp))(
       (f, row) => {
-        row.getSeq[String](0).foreach(g =>
-          f.putBinary(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        // null text shingles to null (null-intolerant expression) — the
+        // old explode build dropped such rows; skip, don't NPE
+        if (!row.isNullAt(0))
+          row.getSeq[String](0).foreach(g =>
+            f.putBinary(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         f
       },
       (a, b) => { a.mergeInPlace(b); a })

@@ -181,6 +181,23 @@ class TextSpec extends SparkTestBase {
     assert(out(2L)._2 <= out(1L)._2)
   }
 
+  test("bloomDecontaminate: null benchmark text and empty benchmark are clean no-ops") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    // null text shingles to null; the map-side sketch build must skip it
+    // (the old explode build dropped such rows) — not NPE
+    val benchWithNull = Seq((8L, Option("unrelated words here today now ok")),
+      (9L, None: Option[String])).toDF("doc_id", "text")
+    val out = Text.bloomDecontaminate(corpus, "doc_id", "text", benchWithNull, "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out(1L) === false)
+    // empty benchmark -> empty filter -> every doc clean
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out2 = Text.bloomDecontaminate(corpus, "doc_id", "text", empty, "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out2(1L) === false)
+  }
+
   test("unigramLogProb: common-token docs outscore rare-token docs; counts match") {
     val df = Seq(
       (1L, "the the the the"),          // only common tokens
