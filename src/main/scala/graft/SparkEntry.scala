@@ -54,7 +54,6 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  /** events with the reference's derived `date` string column (F6). */
   /** Where d13 materializes its LSH candidate set, keyed like every other
     * persisted artifact ([[ArtifactKey.pathKey]]: basename + path hash,
     * so corpora at different paths sharing a directory name cannot
@@ -64,8 +63,13 @@ object SparkEntry {
     * derivable statically for the correctness sf (the driver contract
     * runs Verify at sf0.01, TESTDATA.md); a bench run at another sf
     * writes its own directory. No content stamp: the dump is REWRITTEN
-    * by the query itself every run, so it can't go stale within a run —
-    * the stamp's job elsewhere.
+    * by the d13 query itself every run, so it can't go stale within a
+    * run — with one caveat: d12's oracle also replays clustering over
+    * this dump, so if d13's WRITE fails mid-run (disk full, interrupt),
+    * d12 compares against the previous run's candidates. That failure
+    * is not silent — the same round's d13 entry records the write error
+    * — so a d12 mismatch beside a d13 error reads as "stale dump",
+    * not a clustering bug.
     */
   private def d13CandidatesPath(dir: String): String =
     new java.io.File(
@@ -78,6 +82,7 @@ object SparkEntry {
     new java.io.File(
       "target/e2_candidates/" + ArtifactKey.pathKey(dir)).getAbsolutePath
 
+  /** events with the reference's derived `date` string column (F6). */
   private def eventsWithDate(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .withColumn("date", date_format(to_date(col("ts")), "yyyy-MM-dd"))

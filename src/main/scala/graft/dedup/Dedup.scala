@@ -346,8 +346,9 @@ object Dedup {
     *
     * Each iteration is one hop of neighbor-min propagation PLUS one
     * pointer-jump (label := label-of-label), so label reach doubles per
-    * iteration: maxIter 10 genuinely covers component diameters up to
-    * ~2^10. `localCheckpoint` cuts the growing lineage so plan size stays
+    * iteration: maxIter 12 (whose last observed state has seen 13 hops
+    * and 11 jumps) covers component diameters past ~2^11.
+    * `localCheckpoint` cuts the growing lineage so plan size stays
     * O(1) per iteration. Throws if still unconverged at maxIter rather
     * than silently returning a partial clustering (a wrong dedup keeps
     * duplicate training data).
@@ -360,7 +361,7 @@ object Dedup {
     * every edge, so the jump of the final iteration was a provably-no-op
     * join every call used to pay.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
     // checkpoint the symmetrized edge list ONCE: `pairs` is typically the
     // output of a full candidate-generation pipeline (LSH banding + exact
     // verify over the corpus), and every iteration references edges in
@@ -379,10 +380,15 @@ object Dedup {
       .select(col("id1").as("id"), col("label"))
       .localCheckpoint()
     var converged = false
-    // the seed IS iteration 1's hop, so the loop runs iterations
-    // 2..maxIter+1 — `<=` keeps the old implementation's reach for equal
-    // maxIter (and lets maxIter = 1 converge on already-stable seeds;
-    // with `<` the check never ran and trivially-converged inputs threw)
+    // the seed IS iteration 1's hop and convergence is decided on the HOP
+    // (the final iteration's jump result is never checked), so per
+    // maxIter this loop observes one fewer jump than the pre-seed
+    // implementation — roughly HALVING the worst-case covered diameter at
+    // equal maxIter. The default maxIter is two higher than the old 10 to
+    // over-compensate (two extra doublings); converged-early inputs —
+    // every real near-dup corpus, whose cluster diameters are tiny —
+    // never reach the extra iterations. `<=` (not `<`) lets maxIter = 1
+    // converge on already-stable seeds instead of throwing unchecked.
     var i = 1
     while (!converged && i <= maxIter) {
       val neighborMin = edges.join(labels, edges("id2") === labels("id"))
@@ -404,8 +410,7 @@ object Dedup {
         labels = hop.select(col("id"), col("label"))
       } else {
         // pointer jump: follow my label's label (path halving -> doubling
-        // reach; with the hop, label reach doubles per iteration, so
-        // maxIter 10 covers component diameters up to ~2^10)
+        // reach; with the hop, label reach doubles per iteration)
         labels = hop.as("a")
           .join(hop.select(col("id").as("__lid"), col("label").as("__ll")).as("b"),
             col("a.label") === col("__lid"), "left")

@@ -99,6 +99,14 @@ object SrpIndex {
   /** Build-or-reuse the index for `<dir>`'s corpus. `corpus` is only
     * evaluated (and scanned) on a cold build.
     */
+  /** Empty-corpus handles memoized per stamped base path — same contract
+    * and staleness argument as [[IvfIndex]]'s emptyMemo: nothing persists
+    * for an empty corpus, so the memo is what keeps repeat ensure() calls
+    * from re-evaluating the by-name corpus and re-counting; a corpus that
+    * gains rows changes its content stamp and misses the memo.
+    */
+  private val emptyMemo = scala.collection.mutable.HashMap.empty[String, Handle]
+
   def ensure(spark: SparkSession, dir: String, corpus: => DataFrame, nTables: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"
             ): Handle = synchronized {
@@ -109,6 +117,10 @@ object SrpIndex {
     if (!new java.io.File(bucketsPath, "_SUCCESS").isFile ||
         !new java.io.File(vectorsPath, "_SUCCESS").isFile ||
         !new java.io.File(metaPath, "_SUCCESS").isFile) {
+      emptyMemo.get(base.getPath) match {
+        case Some(h) => return h
+        case None =>
+      }
       // a cold build supersedes every older stamp of the same source
       graft.ArtifactKey.dropSuperseded(
         base.getParentFile.getParentFile,
@@ -118,9 +130,11 @@ object SrpIndex {
       if (n == 0) {
         // nothing to persist (an empty parquet dir can't be read back);
         // hand out the inline paths' empty-corpus contract directly
-        val empty = emptyBuckets(df, idCol, vecCol)
-        return Handle(empty, df.select(col(idCol), col(vecCol)),
+        val h = Handle(emptyBuckets(df, idCol, vecCol),
+          df.select(col(idCol), col(vecCol)),
           Similarity.autoPlanes(0), nTables, 16)
+        emptyMemo(base.getPath) = h
+        return h
       }
       val planes = Similarity.autoPlanes(n)
       val groups = autoGroups(n * nTables)

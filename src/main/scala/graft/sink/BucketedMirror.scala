@@ -138,15 +138,24 @@ object BucketedMirror {
     if (!spark.catalog.tableExists(name)) {
       val path = new java.io.File(
         s"target/bucketed_mirror/${tag(dir)}/${table}_b${buckets}_s$stamp").getAbsolutePath
-      // a cold build supersedes every older stamp/bucket-derivation of
-      // the same table (files AND their dead catalog entries) — without
-      // this each source regeneration strands a full-size mirror copy
-      graft.ArtifactKey.dropSuperseded(
-        new java.io.File(path).getParentFile, s"${table}_b",
-        new java.io.File(path).getName)
+      // a cold build supersedes every OLDER-STAMP mirror of the same
+      // table (files AND their dead catalog entries) — without this each
+      // source regeneration strands a full-size mirror copy. Scoped to
+      // stamps OTHER than the current one: two bucket-count variants of
+      // the CURRENT stamp (ensure(nBuckets=4) then ensure(nBuckets=8))
+      // are both live, possibly referenced by DataFrames held in this
+      // session — deleting one mid-session would fail those frames'
+      // next action. A superseded stamp's mirror, by contrast, mirrors
+      // data that no longer exists at the source; a holder was already
+      // reading stale rows.
+      val liveStamp = s"_s$stamp"
+      Option(new java.io.File(path).getParentFile.listFiles).toSeq.flatten
+        .filter(f => f.getName.startsWith(s"${table}_b") &&
+                     !f.getName.endsWith(liveStamp))
+        .foreach(graft.ArtifactKey.rmRecursive)
       spark.sql(s"SHOW TABLES LIKE 'graft_mirror_${table}_${tag(dir)}_*'")
         .collect().map(_.getAs[String]("tableName"))
-        .filter(_ != name)
+        .filter(t => t != name && !t.endsWith(liveStamp))
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       if (new java.io.File(path, "_SUCCESS").isFile) {
         // files survive the session catalog; re-attach them with the

@@ -383,8 +383,13 @@ object Text {
       return unigramLogProbJoined(df, idCol, textCol)
     val total = cnt.map(_._2).sum
     // log computed once per DISTINCT token, with the exact expression the
-    // relational twin evaluates per pair: log(c * 1.0 / t) in IEEE double
-    val lp = cnt.map { case (t, c) => t -> math.log(c * 1.0 / total) }.toMap
+    // relational twin evaluates per pair: log(c * 1.0 / t) in IEEE double.
+    // StrictMath.log, NOT math.log: Spark SQL's log evaluates through
+    // StrictMath (so does the twin and the DuckDB oracle's libm on this
+    // platform), while java.lang.Math.log is a JIT intrinsic permitted
+    // 1 ulp of divergence — enough to flip a decimal(20,10) HALF_UP
+    // boundary and break the bit-for-bit twin parity on some JVMs
+    val lp = cnt.map { case (t, c) => t -> StrictMath.log(c * 1.0 / total) }.toMap
     // pass 2 — pure map-side scoring: each document streams past the
     // driver-built model (native expression, decimal-exact per
     // occurrence), no token-keyed join, no (doc, token) shuffle. The

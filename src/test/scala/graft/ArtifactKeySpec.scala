@@ -130,6 +130,40 @@ class ArtifactKeySpec extends SparkTestBase {
     ArtifactKey.rmRecursive(src)
   }
 
+  test("BucketedMirror: two bucket-count variants of the SAME stamp coexist " +
+    "(GC only takes superseded stamps)") {
+    import graft.sink.BucketedMirror
+    val src = tmpDir("mirror_variant_spec")
+    (0 until 40).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(src, "t.parquet").getPath)
+    val m4 = BucketedMirror.ensure(spark, src.getPath, "t", "k", nBuckets = 4)
+    val m8 = BucketedMirror.ensure(spark, src.getPath, "t", "k", nBuckets = 8)
+    // the b8 cold build must NOT have deleted the live b4 mirror a held
+    // DataFrame still references
+    assert(m4.count() === 40 && m8.count() === 40)
+    val tag = ArtifactKey.pathKey(src.getPath)
+    val live = spark.sql(s"SHOW TABLES LIKE 'graft_mirror_t_${tag}_*'")
+      .select("tableName").as[String].collect().toSeq
+    assert(live.size === 2, s"both variants must stay registered, got $live")
+    live.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    ArtifactKey.rmRecursive(new java.io.File(s"target/bucketed_mirror/$tag"))
+    ArtifactKey.rmRecursive(src)
+  }
+
+  test("index ensure on an empty corpus is memoized — repeat calls must not " +
+    "re-evaluate the corpus") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val dir = "/x/empty_memo_spec"
+    graft.sim.IvfIndex.ensure(spark, dir, empty)
+    graft.sim.IvfIndex.ensure(spark, dir,
+      { fail("empty-corpus reuse must not re-evaluate the corpus"); empty })
+    graft.sim.SrpIndex.ensure(spark, dir, empty, nTables = 4)
+    graft.sim.SrpIndex.ensure(spark, dir,
+      { fail("empty-corpus reuse must not re-evaluate the corpus"); empty },
+      nTables = 4)
+  }
+
   test("SrpIndex: a regenerated source keys a different root") {
     import graft.sim.SrpIndex
     val src = tmpDir("srp_stale_spec")
