@@ -1112,6 +1112,24 @@ object SparkEntry {
     * (Spark `percentile`/`median` == DuckDB `quantile_cont`/`median`).
     * Queries keyed on xxhash64 signatures are deliberately absent.
     */
+  /** [[oracleSql]] with the sf0.01-baked candidate-dump paths (d12/d13/e2
+    * replay the verify stage over the dump the Spark query writes) rebased
+    * onto `dir`'s dumps. At the driver's contract sf (0.01) this is the
+    * identity, so the driver gate sees the exact static strings below; a
+    * Verify run at another sf gets oracles that replay ITS OWN candidate
+    * set instead of silently joining sf0.01 candidates against that sf's
+    * tables — the failure mode that made these three oracles sf-bound.
+    */
+  def oracleSqlFor(dir: String): Map[String, String] = {
+    val contractSf = "/root/testdata/sf0.01"
+    val subs = Seq(
+      d13CandidatesPath(contractSf) -> d13CandidatesPath(dir),
+      e2CandidatesPath(contractSf) -> e2CandidatesPath(dir))
+    oracleSql.map { case (k, v) =>
+      k -> subs.foldLeft(v) { case (s, (from, to)) => s.replace(from, to) }
+    }
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -50,7 +50,9 @@ object Verify {
     import scala.concurrent.duration._
     futures.foreach(f => scala.concurrent.Await.result(f, 60.minutes))
     pool.shutdown()
-    val json = SparkEntry.oracleSql
+    // oracleSqlFor rebases the d12/d13/e2 candidate-dump paths onto THIS
+    // run's sf dir (identity at the driver's contract sf0.01)
+    val json = SparkEntry.oracleSqlFor(sfDir)
       .map { case (k, v) => s"${JsonEscape(k)}: ${JsonEscape(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
