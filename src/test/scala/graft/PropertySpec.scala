@@ -219,6 +219,49 @@ class PropertySpec extends SparkTestBase {
       once.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
   }
 
+  test("dupClusters: a deep chain converges to one component (reach past " +
+    "the seed-fused convergence check)") {
+    // a PATH graph is the worst case for min-label propagation — diameter
+    // = n-1 with every hop mattering. n = 400 needs ~9 observed doublings,
+    // well past what a converged-early corpus exercises, so this pins the
+    // reach arithmetic behind the seed-fused hop + default maxIter = 12
+    // (an off-by-one that halves covered diameter throws here).
+    val n = 400
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("id1", "id2")
+    val labels = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === n)
+    assert(labels.values.toSet === Set(0L), "every chain node must reach label 0")
+  }
+
+  test("epochShuffle: each epoch is a permutation; epochs are distinct orders") {
+    val df = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def order(seed: Int): Seq[Long] =
+      Dedup.epochShuffle(df, "doc_id", seed, nShards = 8)
+        .orderBy(col("shard"), col("pos")).select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+    val e1 = order(1); val e2 = order(2)
+    assert(e1.toSet === (0L until 500L).toSet, "epoch 1 must be a permutation")
+    assert(e2.toSet === (0L until 500L).toSet, "epoch 2 must be a permutation")
+    assert(e1 !== e2, "different seeds must give different orders")
+    assert(order(1) === e1, "same seed must reproduce the same order")
+  }
+
+  test("perSourceCap: caps every source, keeps rows verbatim, deterministic") {
+    val rows = (0 until 300).map(i => (i.toLong, s"src${i % 3}", s"content $i"))
+    val df = rows.toDF("id", "source", "text")
+    val out = Dedup.perSourceCap(df, "source", "id", "text", cap = 40)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bySource = out.groupBy(_._2)
+    assert(bySource.keySet === Set("src0", "src1", "src2"))
+    bySource.values.foreach(g => assert(g.length === 40))
+    assert(out.toSet.subsetOf(rows.toSet), "kept rows must be input rows verbatim")
+    // content-hash keyed -> rerun selects the same survivors
+    val again = Dedup.perSourceCap(df, "source", "id", "text", cap = 40)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(again.toSet === out.toSet)
+  }
+
   test("twoPassClean == literal nullOutliers-then-imputeMedians composition") {
     // pins the single-pass conditional-median rewrite against the textbook
     // two-step composition on data with outliers AND pre-existing nulls
