@@ -33,7 +33,8 @@ object ExplainAudit {
     "c1_two_pass_clean", "a6_mode_per_day",
     "d2_exact_dedup", "d6_curation_funnel", "d7_hash_split", "d8_source_mix",
     "j4_anti_join", "j7_bucketed_large_orders", "j8_bucketed_shipping_priority",
-    "j9_bucketed_waiting_suppliers", "t2_lang_id", "t8_vocabulary",
+    "j9_bucketed_waiting_suppliers", "j10_bucketed_returned_items",
+    "t2_lang_id", "t8_vocabulary",
     "t9_tfidf", "t17_unigram_logprob", "s2_ann_topk", "s3_label_centroids",
     "s4_ivf_topk", "s7_ann_int8", "s8_ivf_int8", "e1_embedding_neardups",
     "w8_sessionize", "w9_range_rolling", "o3_set_ops", "d11_epoch_shuffle",

@@ -736,6 +736,29 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // Third consumer of the SAME orderkey mirrors (after j8/j9): the q10
+    // returned-items shape. customer⋈nation broadcasts as one dim build
+    // onto the mirrored orders (which keeps its bucketing through the
+    // broadcast join), so the fact⋈fact orderkey SMJ plans zero exchanges
+    // and zero fact-side sorts; only the final custkey group-by — whose
+    // input is already join-reduced — pays a shuffle. Oracle = q10's
+    // verbatim SQL: the layout must be content-invisible.
+    "j10_bucketed_returned_items" -> ((s, d) => {
+      val ord = graft.sink.BucketedMirror.ensure(s, d, "orders", "o_orderkey")
+      val li = graft.sink.BucketedMirror.ensure(s, d, "lineitem", "l_orderkey")
+      broadcast(Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey")))
+        .join(ord.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                         col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(li.filter(col("l_returnflag") === "R").hint("merge"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(decSum2(volDec).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     // ------------------------------------------------- cleaning composite
     // §2.9 two-pass clean on events.value, summarized per group so the
     // verified output is small but pins the full bounds→null→median chain.
@@ -1458,6 +1481,21 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY l_orderkey, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    // verbatim q10 SQL: the bucketed layout must be content-invisible
+    "j10_bucketed_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |    (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q15_top_supplier" ->
       """WITH rev AS (

@@ -351,6 +351,22 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("j10: q10 shape on the mirrors — fact join zero-exchange, only the " +
+    "custkey aggregate shuffles") {
+    // third consumer of the shared orderkey mirrors: the dim side
+    // (customer⋈nation) broadcasts, the fact⋈fact orderkey SMJ rides the
+    // write-time layout, and the only hash exchange left is the final
+    // c_custkey group-by over the join-reduced rows
+    val plan = executedPlan(SparkEntry.queries("j10_bucketed_returned_items")(spark, dir))
+    assert(plan.contains("SortMergeJoin"))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("SelectedBucketsCount"))
+    val exch = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.nonEmpty && exch.forall(_.contains("c_custkey#")),
+      s"only the final custkey aggregate may shuffle:\n${exch.mkString("\n")}")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("j9: q21 shape on the mirrors — no fact-side shuffle, single-key probe join") {
     // q21's literal two-key (order, supplier) join-back would demand
     // hashpartitioning(ok, sk) and re-shuffle BOTH fact branches (the
