@@ -415,15 +415,46 @@ object Analytics {
               when(col("__g2") === 1, lit("ALL")).otherwise(col(k2)).as(k2),
               col("value_sum"), col("n"))
 
-  /** O4/A3-style top-k per group (rank via one window). `tieBreakers` must
-    * make (value desc, tieBreakers asc) a total order within each group —
-    * row_number over a non-total order is nondeterministic (SURVEY §5.2).
+  /** O4/A3-style top-k per group. `tieBreakers` must make
+    * (value desc, tieBreakers asc) a total order within each group —
+    * rank over a non-total order is nondeterministic (SURVEY §5.2).
+    *
+    * Implemented as a bounded-heap aggregate (`o.a.s.sql.graft.TopKRows`),
+    * NOT a row_number window: the window formulation — even with Spark's
+    * partial `WindowGroupLimit` — must fully SORT every partition of the
+    * input twice (map and reduce side) because `WindowGroupLimitExec`
+    * requires (group, order)-sorted children. The heap is one O(N log k)
+    * scan whose per-row common case is a single compare against the heap
+    * head; only groups×k survivor rows reach the shuffle. Same output
+    * contract: every input column plus `rnk` (int, 1-based row_number
+    * semantics under the stated total order) — `topKPerGroupWindow` below
+    * is the reference formulation the spec checks parity against.
+    *
     * For a global top-k at 100 TB prefer `orderBy(desc).limit(k)` — Spark's
-    * TakeOrderedAndProject does a per-partition partial top-k with no full
-    * sort.
+    * TakeOrderedAndProject is the same bounded-heap idea built in.
     */
   def topKPerGroup(df: DataFrame, group: String, value: String, k: Int,
                    tieBreakers: Seq[String]): DataFrame = {
+    require(tieBreakers.nonEmpty, "topKPerGroup needs a deterministic tie-break key")
+    val ordCols = value +: tieBreakers
+    val rest = df.columns.toSeq.filterNot(c => c == group || ordCols.contains(c))
+    val packed = (ordCols ++ rest).map(col)
+    val descFlags = true +: tieBreakers.map(_ => false)
+    df.groupBy(col(group))
+      .agg(org.apache.spark.sql.graft.TopKFunctions
+        .topKRows(struct(packed: _*), k, descFlags).as("__top"))
+      .select(col(group), posexplode(col("__top")).as(Seq("__pos", "__row")))
+      .select(df.columns.map(c =>
+          if (c == group) col(group) else col(s"__row.$c").as(c)) :+
+        (col("__pos") + 1).as("rnk"): _*)
+  }
+
+  /** Window reference formulation of `topKPerGroup` — kept for the parity
+    * spec (heap == window on any total order) and as the fallback when the
+    * input is already (group, order)-clustered so the sorts are free.
+    */
+  def topKPerGroupWindow(df: DataFrame, group: String, value: String, k: Int,
+                         tieBreakers: Seq[String]): DataFrame = {
     require(tieBreakers.nonEmpty, "topKPerGroup needs a deterministic tie-break key")
     val w = Window.partitionBy(group)
       .orderBy(col(value).desc +: tieBreakers.map(col(_).asc): _*)

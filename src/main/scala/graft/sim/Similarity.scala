@@ -1,7 +1,7 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
 
@@ -62,18 +62,40 @@ object Similarity {
             (x, n) => x.cast("double") / n)))
       .drop("__norm")
 
+  /** Top `n` candidate ids per query by (__approx desc, neighbor_id asc) —
+    * the shared int8-prefilter stage of every rerank path, as the same
+    * bounded heap as [[rankTopK]] (the window twin sorts the full
+    * candidate set per partition just to keep `rerank` rows).
+    */
+  private def topIdsPerQuery(scored: DataFrame, queryIdCol: String, n: Int): DataFrame =
+    scored.groupBy(col(queryIdCol))
+      .agg(org.apache.spark.sql.graft.TopKFunctions
+        .topKRows(struct(col("__approx"), col("neighbor_id")), n, Seq(true, false)).as("__top"))
+      .select(col(queryIdCol),
+        explode(col("__top").getField("neighbor_id")).as("neighbor_id"))
+
   /** Shared output contract of every top-k variant: rank per query by
     * (cos desc, neighbor_id asc) — a total order — keep k, round the
     * published cosine. One definition so the three search paths cannot
     * drift apart.
+    *
+    * Bounded-heap aggregate (`o.a.s.sql.graft.TopKRows`), not a
+    * row_number window: the window's `WindowGroupLimitExec` still fully
+    * sorts every candidate partition by (query, cos, id) on both sides of
+    * the shuffle; the heap keeps k rows per query per task and ships only
+    * those. On the brute-force path the candidate set IS the corpus — at
+    * 100 TB the difference is a full corpus sort vs a streaming scan.
+    * Ranks are identical for any total order (posexplode of the
+    * best-first array reproduces row_number).
     */
-  private def rankTopK(scored: DataFrame, queryIdCol: String, k: Int): DataFrame = {
-    val w = Window.partitionBy(queryIdCol).orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col("neighbor_id"), round(col("cos"), 4).as("cos"),
-              col("rank").cast("long").as("rank"))
-  }
+  private def rankTopK(scored: DataFrame, queryIdCol: String, k: Int): DataFrame =
+    scored.groupBy(col(queryIdCol))
+      .agg(org.apache.spark.sql.graft.TopKFunctions
+        .topKRows(struct(col("cos"), col("neighbor_id")), k, Seq(true, false)).as("__top"))
+      .select(col(queryIdCol), posexplode(col("__top")).as(Seq("__pos", "__row")))
+      .select(col(queryIdCol), col("__row.neighbor_id").as("neighbor_id"),
+              round(col("__row.cos"), 4).as("cos"),
+              (col("__pos") + 1).cast("long").as("rank"))
 
   /** Exact brute-force top-k neighbors for each query vector.
     * `queries` MUST be small (it is broadcast); corpus side streams.
@@ -309,12 +331,7 @@ object Similarity {
       .withColumn("__approx", int8Dot * col("__sc"))
       .groupBy(col(queryIdCol), col("neighbor_id"))
       .agg(max(col("__approx")).as("__approx"))
-    val wPre = Window.partitionBy(queryIdCol)
-      .orderBy(col("__approx").desc, col("neighbor_id").asc)
-    val survivors = candidates
-      .withColumn("__prerank", row_number().over(wPre))
-      .filter(col("__prerank") <= rerank)
-      .select(col(queryIdCol), col("neighbor_id"))
+    val survivors = topIdsPerQuery(candidates, queryIdCol, rerank)
     rescoreTopK(survivors, cBase, qBase, idCol, vecCol, queryIdCol, k)
   }
 
@@ -378,12 +395,7 @@ object Similarity {
       .withColumn("__approx", int8Dot * col("__sc"))
       .groupBy(col(queryIdCol), col("neighbor_id"))
       .agg(max(col("__approx")).as("__approx"))
-    val wPre = Window.partitionBy(queryIdCol)
-      .orderBy(col("__approx").desc, col("neighbor_id").asc)
-    val survivors = candidates
-      .withColumn("__prerank", row_number().over(wPre))
-      .filter(col("__prerank") <= rerank)
-      .select(col(queryIdCol), col("neighbor_id"))
+    val survivors = topIdsPerQuery(candidates, queryIdCol, rerank)
     rescoreTopK(survivors, idx.vectors.select(col(idCol), col(vecCol)), qBase,
       idCol, vecCol, queryIdCol, k)
   }
@@ -489,15 +501,11 @@ object Similarity {
       .select(col(queryIdCol), col("__qq"),
         org.apache.spark.sql.graft.VectorFunctions
           .nearestCellsGenNative(col(vecCol), cents, probes).as("__cell"))
-    val wPre = Window.partitionBy(queryIdCol)
-      .orderBy(col("__approx").desc, col("neighbor_id").asc)
-    val survivors = c.join(broadcast(q), Seq("__cell"))
+    val scored = c.join(broadcast(q), Seq("__cell"))
       .filter(col(queryIdCol) =!= col("neighbor_id"))
       .select(col(queryIdCol), col("neighbor_id"),
         (int8Dot * col("__sc")).as("__approx"))
-      .withColumn("__prerank", row_number().over(wPre))
-      .filter(col("__prerank") <= rerank)
-      .select(col(queryIdCol), col("neighbor_id"))
+    val survivors = topIdsPerQuery(scored, queryIdCol, rerank)
     rescoreTopK(survivors, assigned.select(col(idCol), col(vecCol)), qBase,
       idCol, vecCol, queryIdCol, k)
   }

@@ -103,6 +103,53 @@ class AnalyticsSpec extends SparkTestBase {
     assert(top === Set(("g", 1L, 1), ("g", 2L, 2), ("h", 4L, 1)))
   }
 
+  test("O4 heap topKPerGroup == window formulation on randomized data, " +
+    "nulls and duplicate values included") {
+    val rnd = new scala.util.Random(7)
+    // dup-heavy values force the tie-break path; nulls pin NULLS LAST under
+    // desc (heap treats null smallest, then flips — same as the SQL sort)
+    val rows = (1 to 500).map { i =>
+      (s"g${rnd.nextInt(7)}", i.toLong,
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(20).toDouble),
+        s"payload$i")
+    }
+    val df = rows.toDF("grp", "id", "v", "extra").repartition(8)
+    for (k <- Seq(1, 3, 50)) {
+      val heap = Analytics.topKPerGroup(df, "grp", "v", k, Seq("id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(4))).toSet
+      val win = Analytics.topKPerGroupWindow(df, "grp", "v", k, Seq("id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(4))).toSet
+      assert(heap === win, s"heap/window divergence at k=$k")
+    }
+  }
+
+  test("O4 topKPerGroup owns its string payloads — parquet columnar batches " +
+    "don't corrupt heap-kept rows") {
+    // vector-backed UTF8Strings point into a reused scan buffer; a shallow
+    // row.copy() in the heap would read garbage once the batch advances.
+    // Enough rows that the scan spans multiple batches, distinct payloads
+    // so any stale pointer shows up as a wrong string.
+    val dir = java.nio.file.Files.createTempDirectory("graft_topk").resolve("t").toString
+    (1 to 20000).map(i => (s"g${i % 4}", i.toLong, (i % 997).toDouble, s"payload_str_$i"))
+      .toDF("grp", "id", "v", "tag").write.parquet(dir)
+    val disk = spark.read.parquet(dir)
+    val heap = Analytics.topKPerGroup(disk, "grp", "v", 5, Seq("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(3), r.getInt(4))).toSet
+    val win = Analytics.topKPerGroupWindow(disk, "grp", "v", 5, Seq("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(3), r.getInt(4))).toSet
+    assert(heap === win)
+    heap.foreach { case (_, id, tag, _) => assert(tag === s"payload_str_$id") }
+  }
+
+  test("O4 topKPerGroup keeps every input column and original order, k > group size") {
+    val df = Seq(("g", 9L, 2.5, "a"), ("g", 1L, 7.5, "b")).toDF("grp", "id", "v", "tag")
+    val out = Analytics.topKPerGroup(df, "grp", "v", 5, Seq("id"))
+    assert(out.columns.toSeq === Seq("grp", "id", "v", "tag", "rnk"))
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3), r.getInt(4))).toSet
+    assert(rows === Set(("g", 1L, 7.5, "b", 1), ("g", 9L, 2.5, "a", 2)))
+  }
+
   test("empty input: aggregations return row with nulls/zero, windows return empty") {
     val empty = Seq.empty[(String, Timestamp, Double)].toDF("city", "t", "temp")
     assert(Analytics.basicStats(empty, "t", "temp").collect()(0).getLong(0) === 0L)

@@ -31,10 +31,16 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"))
   }
 
-  test("o1: per-group top-k uses partial WindowGroupLimit before the shuffle") {
+  test("o1: per-group top-k is a bounded-heap aggregate — no sort anywhere " +
+    "on the fact input, partial agg before the shuffle") {
+    // heap agg (ObjectHashAggregate over topk_rows) replaces the window:
+    // WindowGroupLimit's partial pass still SORTS every input partition;
+    // the heap's survivors (groups x k rows) are all that reach the shuffle
     val plan = executedPlan(SparkEntry.queries("o1_topk_per_group")(spark, dir))
-    assert(plan.contains("WindowGroupLimit"))
-    assert(plan.contains("Partial"))
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("topk_rows"))
+    assert(plan.contains("partial_topk_rows"), "map-side partial heap expected")
+    assert(!plan.contains("WindowGroupLimit") && !plan.contains("Sort ["),
+      s"no sort may remain on the top-k path:\n$plan")
   }
 
   test("o2: global top-k is TakeOrderedAndProject, not a full sort") {
@@ -178,9 +184,16 @@ class PlanQualitySpec extends SparkTestBase {
     val gens = plan.linesIterator.filter(_.contains("Generate graft_srp_buckets")).toSeq
     assert(gens.nonEmpty, "query bucketing must use the SrpBucketsGenerator")
     assert(gens.exists(_.contains("__qq#")))
-    assert(!plan.contains("Generate explode"),
-      "no builtin explode may remain in the SRP path (inferred-filter trap: " +
-        "InferFiltersFromGenerate would put size(<all buckets>)>0 on the scan)")
+    // no builtin explode over BUCKET DERIVATIONS (inferred-filter trap:
+    // InferFiltersFromGenerate would put size(<all buckets>)>0 on the
+    // scan, re-deriving every bucket per row). The topk_rows heap output
+    // is exempt: exploding a per-group k-element array infers only a
+    // size()>0 over the agg result — nothing scan-side recomputes.
+    val badExplodes = plan.linesIterator.filter(l =>
+      l.contains("Generate explode") &&
+        !l.contains("_extract_neighbor_id") && !l.contains("__top"))
+    assert(badExplodes.isEmpty,
+      s"builtin explode over a derivation in the SRP path:\n${badExplodes.mkString("\n")}")
     // persisted-index probe shape (the s8/__cell pattern on bucket-groups):
     // prune unprobed groups at scan time, and read the quantized pair plus
     // bucket keys only — the float embedding bytes stay on disk until the
@@ -195,14 +208,17 @@ class PlanQualitySpec extends SparkTestBase {
   }
 
   test("s8: int8 IVF prerank shuffle carries scores only, not quantized arrays") {
-    // The prerank window repartitions the candidate pairs by query id.
+    // The prerank heap agg repartitions the candidate pairs by query id.
     // Column pruning must have dropped the tinyint vectors (__qc/__qq) by
     // then — the integer dot is projected map-side in the broadcast-join
     // stage — so the only pair-stream exchange ships (query, neighbor,
-    // score). A regression here (e.g. scoring moved above the window)
+    // score). A regression here (e.g. scoring moved above the prerank)
     // re-ships 1-byte-per-dim arrays through the dominant shuffle.
     val plan = executedPlan(SparkEntry.queries("s8_ivf_int8")(spark, dir))
-    assert(plan.contains("Window"))
+    // both the prerank and the final rank are the bounded-heap aggregate —
+    // no candidate-set sorts anywhere in the rerank pipeline
+    assert(plan.contains("partial_topk_rows"))
+    assert(!plan.contains("WindowGroupLimit"))
     // SHUFFLE exchanges and sorts must never carry the quantized arrays.
     // Broadcasts: the 8-row quantized QUERY side (__qq) is the design —
     // and the DPP subquery re-renders that same BroadcastExchange — but a
