@@ -37,7 +37,8 @@ object ExplainAudit {
     "t2_lang_id", "t8_vocabulary",
     "t9_tfidf", "t17_unigram_logprob", "s2_ann_topk", "s3_label_centroids",
     "s4_ivf_topk", "s7_ann_int8", "s8_ivf_int8", "e1_embedding_neardups",
-    "w8_sessionize", "w9_range_rolling", "o3_set_ops", "d11_epoch_shuffle",
+    "w8_sessionize", "w9_range_rolling", "o3_set_ops", "o4_top_docs_per_lang",
+    "d11_epoch_shuffle",
     "d13_lsh_verified_pairs", "t18_bloom_decontaminate")
 
   /** Strip per-run ids AND configuration-dependent partition counts so

@@ -204,6 +204,21 @@ object SparkEntry {
       both.unionByName(only96).orderBy("kind")
     }),
 
+    // Per-language best-of: langId + qualityScore feed the bounded-heap
+    // topKPerGroup (o.a.s.sql.graft.TopKRows) — the curation primitive
+    // "keep the k best docs per language bucket" as ONE scan + one
+    // groups×k shuffle, no per-partition sort of the corpus. Oracled
+    // end-to-end (both signals are the t2/t3-proven SQL twins, ranks via
+    // row_number), so the heap's ordering semantics are hash-checked on
+    // real string data, not just spec-tested.
+    "o4_top_docs_per_lang" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(graft.text.Text.langId(col("text")).as("lang"), col("doc_id"),
+                graft.text.Text.qualityScore(col("text")).as("quality"))
+      Analytics.topKPerGroup(scored, "lang", "quality", 3, Seq("doc_id"))
+        .withColumn("rnk", col("rnk").cast("long"))
+    }),
+
     // Grouped percentiles: exact per-group p50/p95 (a8's global bounds,
     // per key) — the grouped-quantile shape every monitoring rollup needs.
     "a19_grouped_percentiles" -> ((s, d) =>
@@ -1287,6 +1302,43 @@ object SparkEntry {
         |SELECT 'only_1996' AS kind,
         |  (SELECT count(*) FROM (SELECT * FROM c96 EXCEPT SELECT * FROM c97)) AS n
         |ORDER BY kind""".stripMargin,
+
+    // lang CASE = t2's proven twin; quality expr = t3's proven twin;
+    // ranks via row_number under (quality desc, doc_id) — the heap agg
+    // must reproduce them exactly
+    "o4_top_docs_per_lang" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tok
+        |  FROM documents),
+        |s AS (SELECT doc_id, text, tok,
+        |  len(list_filter(tok, x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de,
+        |  len(list_filter(tok, x -> x IN ('the','and','of','to','is','a'))) AS s_en,
+        |  len(list_filter(tok, x -> x IN ('el','la','los','que','es','y'))) AS s_es,
+        |  len(list_filter(tok, x -> x IN ('le','la','les','est','et','une'))) AS s_fr,
+        |  len(list_filter(tok, x -> x IN ('的','是','了','在','我','不'))) AS s_zh
+        |  FROM t),
+        |l AS (SELECT
+        |  CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+        |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |    WHEN s_fr >= s_zh THEN 'fr'
+        |    ELSE 'zh' END AS lang,
+        |  doc_id,
+        |  round(
+        |    least(len(tok)/100.0, 1.0)*0.4 +
+        |    coalesce(len(list_distinct(tok))*1.0/nullif(len(tok),0), 0.0)*0.4 +
+        |    (1.0 - least(coalesce(
+        |       len(regexp_replace(text, '[^[:punct:]]', '', 'g'))*1.0 /
+        |       nullif(len(regexp_replace(text, '\s', '', 'g')), 0), 0.0)*5.0, 1.0))*0.2,
+        |    6) AS quality
+        |  FROM s)
+        |SELECT lang, doc_id, quality, CAST(rn AS BIGINT) AS rnk
+        |FROM (SELECT lang, doc_id, quality,
+        |        row_number() OVER (PARTITION BY lang
+        |                           ORDER BY quality DESC, doc_id) AS rn
+        |      FROM l)
+        |WHERE rn <= 3""".stripMargin,
 
     "a19_grouped_percentiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
