@@ -271,6 +271,13 @@ object Dedup {
     * would bias toward old documents. One window per source partition;
     * rank ≤ cap compiles to the partial WindowGroupLimit, so each map
     * task keeps at most `cap` rows per source before the shuffle.
+    *
+    * Deliberately NOT the bounded-heap TopKRows aggregate that o1/o4 and
+    * the ANN reranks use: rows here carry the full document text, and
+    * the heap deep-copies the payload on every accepted insert, while
+    * WindowGroupLimit's UnsafeRow sort is a pointer/prefix sort over
+    * cheap (hash, id) keys that never copies the text. Wide payloads +
+    * large caps favor the sort; narrow rows + small k favor the heap.
     */
   def perSourceCap(df: DataFrame, sourceCol: String, idCol: String,
                    contentCol: String, cap: Int): DataFrame = {
