@@ -69,10 +69,18 @@ object Bench {
     // fields go LAST so a front-truncated tail still shows the total.
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Failures (-1 sentinel) must NOT enter the headline total: summing
+    // them makes a round with broken queries read FASTER than a healthy
+    // one (r10/r11 reported ~21s for what was really ~46s of passing
+    // work minus 25 failures). The total is passing-queries-only and
+    // n_failed makes any breakage loud even in a truncated tail.
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    val total = results.values.filter(_ >= 0).sum
+    failed.foreach(n => System.err.println(s"[Bench] FAILED (excluded from total): $n"))
     val sfLabel = java.nio.file.Paths.get(sfDir).getFileName.toString
     val json = "{\"queries\":" + qs +
-      s""","sf":"$sfLabel","best_of":$bestOf,"n_queries":${results.size},"metric":"total","unit":"sec","value":${f3(total)}}"""
+      s""","sf":"$sfLabel","best_of":$bestOf,"n_queries":${results.size}""" +
+      s""","n_failed":${failed.size},"metric":"total","unit":"sec","value":${f3(total)}}"""
     println(json)
     // Persist the full JSON to an UNTRACKED path so the complete
     // per-query data survives a clipped stdout tail without dirtying the

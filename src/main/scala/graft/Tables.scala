@@ -20,17 +20,41 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is physically TIMESTAMP(NANOS) parquet, which Spark's
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nanos long
-    * (`nanosAsLong`) and rebuild a proper TimestampType with exact integer
-    * `div` (a double division would lose sub-microsecond precision at
-    * 1.7e18 ns and truncate off-by-one).
+  /** The events table's `ts` physical encoding has varied across testdata
+    * generations — TIMESTAMP(NANOS) (which Spark only reads as a raw long
+    * via `nanosAsLong`), then TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (which Spark reads as TIMESTAMP_NTZ). Normalize whatever the scan
+    * yields to session-zone TimestampType so every downstream query sees
+    * one stable schema. The conf is set before the read because with a
+    * nanos-encoded file the scan itself throws [PARQUET_TYPE_ILLEGAL]
+    * without it; it is a no-op for micros files.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventsTs(apply(spark, dir, "events"))
   }
+
+  /** Rebuild `ts` as session-zone TimestampType from whichever type the
+    * parquet scan produced. Works on batch and streaming DataFrames alike.
+    *  - LongType (nanosAsLong): exact integer `div 1000` to micros — a
+    *    double division would lose precision at 1.7e18 ns.
+    *  - TIMESTAMP_NTZ: cast to TimestampType. The session timezone is
+    *    pinned to UTC everywhere (Bench/Verify/specs), so the wall-clock
+    *    value is preserved bit-for-bit and the DuckDB oracle (which reads
+    *    the column natively) agrees.
+    *  - TimestampType: already normalized.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported scan type $other; expected LONG (nanosAsLong), TIMESTAMP_NTZ or TIMESTAMP")
+    }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "customer")

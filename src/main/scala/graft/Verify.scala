@@ -38,11 +38,13 @@ object Verify {
     // total dump time ~3x without memory pressure.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          failed.add(name)
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }(ec)
@@ -50,6 +52,28 @@ object Verify {
     import scala.concurrent.duration._
     futures.foreach(f => scala.concurrent.Await.result(f, 60.minutes))
     pool.shutdown()
+    // A query that errors simply VANISHES from the driver's correctness
+    // report — in rounds 10/11 a whole 25-query family disappeared and no
+    // signal fired for two rounds. Make the loss impossible to miss: a
+    // machine-readable manifest next to the outputs, a LOUD stderr
+    // summary, and a completeness check that every registered query left
+    // an output directory on disk.
+    val failedSorted = {
+      import scala.jdk.CollectionConverters._
+      failed.asScala.toSeq.sorted
+    }
+    val missing = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => Files.isDirectory(Paths.get(s"$outDir/$n")))
+    val manifest = "{\"n_registered\":" + SparkEntry.queries.size +
+      ",\"n_failed\":" + failedSorted.size +
+      ",\"failed\":" + failedSorted.map(JsonEscape(_)).mkString("[", ",", "]") +
+      ",\"missing_output\":" + missing.map(JsonEscape(_)).mkString("[", ",", "]") + "}"
+    Files.writeString(Paths.get(s"$outDir/_verify_manifest.json"), manifest)
+    if (failedSorted.nonEmpty || missing.nonEmpty)
+      System.err.println(s"[verify] *** ${failedSorted.size} of ${SparkEntry.queries.size} " +
+        s"queries FAILED: ${(failedSorted ++ missing).distinct.mkString(", ")} ***")
+    else
+      System.err.println(s"[verify] all ${SparkEntry.queries.size} queries produced output")
     // oracleSqlFor rebases the d12/d13/e2 candidate-dump paths onto THIS
     // run's sf dir (identity at the driver's contract sf0.01)
     val json = SparkEntry.oracleSqlFor(sfDir)

@@ -160,21 +160,17 @@ class StreamingSpec extends SparkTestBase {
   test("streaming windowedAgg over real events parquet equals batch dailyAgg") {
     val dir = "/root/testdata/sf0.001"
     val batch = graft.Tables.events(spark, dir)
-    // physical schema: ts is TIMESTAMP(NANOS) -> read as long, rebuild (as Tables.events)
-    val physical = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    // physical schema: whatever the parquet scan yields for this testdata
+    // generation (nanos-as-long or TIMESTAMP_NTZ); normalize exactly as
+    // Tables.events does so stream and batch agree by construction
+    val physical = spark.read.parquet(s"$dir/events.parquet").schema
     // streaming file source needs a directory; stage the single parquet file
     val staged = java.nio.file.Files.createTempDirectory("graft_ev_stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"))
-    val stream = graft.streaming.Streaming.parquetStream(spark, staged.toString, physical)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.Tables.normalizeEventsTs(
+      graft.streaming.Streaming.parquetStream(spark, staged.toString, physical))
     val q = graft.streaming.Streaming.windowedAgg(stream, "ts", "event_type", "value")
       .writeStream.format("memory").queryName("ev_win")
       .outputMode("complete").start()
