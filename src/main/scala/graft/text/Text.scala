@@ -159,6 +159,24 @@ object Text {
     * (vocab-sized, broadcastable), corpus size as a broadcast 1-row cross
     * join, then a per-doc window for the top k. Deterministic tie-break
     * (score desc, token asc).
+    *
+    * Why the WINDOW and not the bounded-heap `TopKRows` aggregate (o1/o4,
+    * Similarity.rankTopK): the choice is group-cardinality-driven, and
+    * this shape sits on the opposite side from those. Here groups are
+    * DOCS — at corpus scale that's millions of small groups, far past
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` (128
+    * in-flight groups per task), so the ObjectHashAggregate hosting the
+    * heap falls back to sort-based aggregation — it re-pays the very sort
+    * the heap exists to avoid, PLUS per-group buffer serialization across
+    * the shuffle. Measured on the ×100 documents probe (ScaleProbe,
+    * 500k docs): window 6.2 s vs heap 10.1 s (heap +64%); at sf0.1 the
+    * two tie (~1.0 s, scoring join dominates). The heap wins only when
+    * groups are FEW and LARGE (o1: 3 flags over the lineitem fact, 1.29
+    * → 0.45 s) — there the window ships and sorts the whole fact table
+    * while the heap ships groups×k survivors. With partial
+    * `WindowGroupLimit` (rank-limit pushdown) the window's map side
+    * already emits only k rows per group before the exchange, so for
+    * many-small-groups inputs it IS the bounded-survivor plan.
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
