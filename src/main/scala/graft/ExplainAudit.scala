@@ -39,7 +39,8 @@ object ExplainAudit {
     "s4_ivf_topk", "s7_ann_int8", "s8_ivf_int8", "e1_embedding_neardups",
     "w8_sessionize", "w9_range_rolling", "o3_set_ops", "o4_top_docs_per_lang",
     "d11_epoch_shuffle",
-    "d13_lsh_verified_pairs", "t18_bloom_decontaminate")
+    "d13_lsh_verified_pairs", "t18_bloom_decontaminate",
+    "t19_crossdoc_shingles", "d14_fuzzy_survivors")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS

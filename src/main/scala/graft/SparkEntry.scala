@@ -845,6 +845,13 @@ object SparkEntry {
     "t12_repetition" -> ((s, d) =>
       Text.repetitionStats(Tables.documents(s, d), "doc_id", "text", n = 3)),
 
+    // Cross-doc duplicated-span score: fraction of each doc's distinct
+    // 5-gram shingles occurring in >= 2 docs (t12's ACROSS-doc twin —
+    // the span-level signal a C4-style corpus dedup acts on).
+    "t19_crossdoc_shingles" -> ((s, d) =>
+      Text.crossDocShingles(Tables.documents(s, d), "doc_id", "text",
+        n = 5, minDocs = 2)),
+
     // Benchmark-decontamination scrub: word-boundary denylist hits counted
     // and redacted, publish the hit count + cleaned length per doc.
     "t10_decontaminate" -> ((s, d) =>
@@ -963,6 +970,18 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8)
       Dedup.dupClusters(pairs.select(col("id1"), col("id2")))
+    }),
+
+    // The fuzzy dedup's ANSWER SHEET: surviving doc ids with why each
+    // survived (never-paired vs cluster canonical) — d12's labels applied
+    // back to the corpus. Oracled like d12: the DuckDB side rebuilds the
+    // labels by recursive closure over the d13 candidate dump and applies
+    // the same keep rule, so the end-to-end LSH→verify→cluster→keep
+    // pipeline is hash-checked at every stage.
+    "d14_fuzzy_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8)
+      Dedup.fuzzySurvivors(docs, "doc_id", pairs.select(col("id1"), col("id2")))
     }),
 
     // The LSH pipeline's VERIFY stage, oracled end-to-end: candidate
@@ -1908,6 +1927,26 @@ object SparkEntry {
         |  round((CAST(max(cnt) AS DOUBLE) / sum(cnt)) * 10000) / 10000.0 + 0.0 AS rep_ratio
         |FROM c GROUP BY doc_id""".stripMargin,
 
+    // t19: the same distinct-shingle recipe as d13's oracle (5-gram), a
+    // hot set of shingles in >= 2 distinct docs, and a per-doc rollup of
+    // how much of the doc is corpus-duplicated span.
+    "t19_crossdoc_shingles" ->
+      """WITH sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    range(1, greatest(len(tok)-5+2, 1)),
+        |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3] || ' ' || tok[i+4])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tok
+        |        FROM documents)),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |hot AS (SELECT s FROM ex GROUP BY s HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT ex.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN hot.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  round(sum(CASE WHEN hot.s IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS shared_ratio
+        |FROM ex LEFT JOIN hot ON ex.s = hot.s
+        |GROUP BY ex.doc_id""".stripMargin,
+
     "t10_decontaminate" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\b(spark|query)\b')) AS BIGINT) AS n_hits,
@@ -2152,6 +2191,38 @@ object SparkEntry {
         |  UNION
         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst)
         |SELECT id, min(r) AS label FROM reach GROUP BY id""".stripMargin,
+
+    // d12's closure applied back to the corpus as the keep rule: a doc
+    // survives when it never entered a verified pair (label missing) or
+    // it IS its cluster's min id. Same candidate dump + verify + closure
+    // text as d12, one more select on top.
+    "d14_fuzzy_survivors" ->
+      s"""WITH RECURSIVE c AS (SELECT id1, id2
+        |  FROM '${d13CandidatesPath("/root/testdata/sf0.01")}/*.parquet'),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    range(1, greatest(len(tok)-3+2, 1)),
+        |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS tok
+        |        FROM documents)),
+        |v AS (SELECT c.id1, c.id2
+        |  FROM c JOIN sh a ON a.doc_id = c.id1 JOIN sh b ON b.doc_id = c.id2
+        |  WHERE round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN NULL
+        |    ELSE len(list_intersect(a.sh, b.sh))*1.0 /
+        |         len(list_distinct(list_concat(a.sh, b.sh))) END, 4) >= 0.8),
+        |e AS (SELECT id1 AS src, id2 AS dst FROM v
+        |      UNION ALL SELECT id2, id1 FROM v),
+        |n AS (SELECT DISTINCT src AS id FROM e),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM n
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+        |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+        |SELECT d.doc_id,
+        |  CASE WHEN lab.label IS NULL THEN 'unique' ELSE 'canonical' END AS kind
+        |FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
+        |WHERE lab.label IS NULL OR lab.label = d.doc_id""".stripMargin,
 
     // replays the embedding verify stage over e2's dumped candidate set:
     // exact cosine in double (list_cosine_similarity on float→double

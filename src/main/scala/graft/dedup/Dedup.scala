@@ -440,6 +440,28 @@ object Dedup {
     df.join(nonReps, df(idCol) === nonReps("id"), "left_anti")
   }
 
+  /** The id-level answer sheet of a fuzzy dedup: every surviving doc id
+    * with WHY it survived — `unique` (never entered a verified near-dup
+    * pair) or `canonical` (the min-id representative its cluster keeps).
+    * This is [[dropDupClusterMembers]]'s keep-set made inspectable: the
+    * split between the two kinds is the dedup's effect size, and the
+    * canonical list is what a curation report shows per cluster.
+    * Labels come from [[dupClusters]] (connected components over the
+    * verified pairs); the join against the corpus is id⋈id — broadcast
+    * when the paired set is small (the usual case: near-dup clusters are
+    * a sliver of the corpus), never wider than one exchange of ids.
+    */
+  def fuzzySurvivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    // rename label columns before the join: idCol may itself be "id"
+    val labels = dupClusters(pairs)
+      .select(col("id").as("__sid"), col("label").as("__label"))
+    df.select(col(idCol))
+      .join(labels, col(idCol) === col("__sid"), "left")
+      .filter(col("__label").isNull || col("__label") === col(idCol))
+      .select(col(idCol),
+        when(col("__label").isNull, lit("unique")).otherwise(lit("canonical")).as("kind"))
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-dup pairs: SRP-LSH buckets → exact cosine within

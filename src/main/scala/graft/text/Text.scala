@@ -207,6 +207,46 @@ object Text {
       .select(col(idCol), col("token"), col("tf"), round(col("__score"), 6).as("tfidf"))
   }
 
+  /** Cross-document duplicated-span score (the C4 / "Deduplicating
+    * Training Data" signal at shingle granularity): for each document,
+    * the fraction of its distinct word n-gram shingles that also occur
+    * in at least `minDocs - 1` OTHER documents. Exact-duplicate and
+    * near-duplicate docs score ~1.0; boilerplate-heavy docs score the
+    * boilerplate fraction; clean unique prose scores 0. Complements
+    * [[repetitionStats]] (WITHIN-doc repetition) — this is the
+    * ACROSS-doc signal a span-level corpus dedup would act on.
+    *
+    * Plan shape (the corpus-wide-stat → join-back → per-doc-score
+    * template): one map-side shingle explode feeding (a) the hot-shingle
+    * aggregate — shuffle on the shingle, map-side partial count, AQE
+    * splits skewed boilerplate shingles — and (b) a join of the exploded
+    * shingles against that hot set, then a per-doc rollup whose group
+    * size is bounded by shingles-per-doc. Nothing is quadratic: the only
+    * per-corpus structure is the hot-shingle table. At 100 TB the join
+    * keys would be xxhash64(shingle) to keep the shuffle narrow (and the
+    * hot set becomes a broadcast Bloom prefilter like t18's); the raw
+    * string key is kept here so an independent engine can replay the
+    * exact pipeline (the DuckDB oracle shingles with the d5/d13 recipe).
+    *
+    * Docs with fewer than n tokens have no shingles and are absent from
+    * the output (explode of an empty array), matching the oracle's
+    * unnest semantics.
+    */
+  def crossDocShingles(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val ex = df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("s"))
+    val hot = ex.groupBy(col("s"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("s"), lit(1).as("__hot"))
+    ex.join(hot, Seq("s"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when(col("__hot").isNotNull, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_ratio",
+        round(col("n_shared").cast("double") / col("n_shingles"), 4))
+  }
+
   /** Word n-grams WITH duplicates (repetition-analysis input — the
     * duplicate count is the signal; [[wordShingles]] is the deduplicated
     * MinHash input).

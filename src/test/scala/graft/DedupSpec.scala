@@ -111,6 +111,16 @@ class DedupSpec extends SparkTestBase {
     assert(kept === Set(1L, 4L, 5L)) // 2,3 dropped; 4,5 unpaired stay
   }
 
+  test("fuzzySurvivors labels unique vs canonical and agrees with dropDupClusterMembers") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val got = Dedup.fuzzySurvivors(docs, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "canonical", 4L -> "unique", 5L -> "unique"))
+    val kept = Dedup.dropDupClusterMembers(docs, "id", pairs)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got.keySet === kept) // same keep-set, two formulations
+  }
+
   test("LSH banding and simhash blocking exclude unsigned degenerate docs") {
     val short = Seq((1L, "one two"), (2L, "three four"), (3L, ""), (4L, "   "))
       .toDF("id", "text")

@@ -135,6 +135,24 @@ class TextSpec extends SparkTestBase {
     assert(grams.getSeq[String](1).length === 2)
   }
 
+  test("crossDocShingles: shared spans counted across docs, unique prose scores 0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // shares 5-gram prefix with 2
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "one two three four five six seven"),     // unique
+      (4L, "tiny doc")).toDF("doc_id", "t")          // < n tokens -> no row
+    val out = Text.crossDocShingles(docs, "doc_id", "t", n = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_shared"),
+         r.getAs[Double]("shared_ratio"))).toMap
+    // docs 1/2: 6 tokens -> 2 distinct 5-grams each; exactly the leading
+    // "alpha beta gamma delta epsilon" shingle is cross-doc
+    assert(out(1L) === ((2L, 1L, 0.5)))
+    assert(out(2L) === ((2L, 1L, 0.5)))
+    assert(out(3L) === ((3L, 0L, 0.0)))
+    assert(!out.contains(4L))
+  }
+
   test("decontaminate: word-boundary hits counted and replaced, substrings untouched") {
     val df = Seq(
       (1L, "leak the benchmark answer here"),
