@@ -40,7 +40,8 @@ object ExplainAudit {
     "w8_sessionize", "w9_range_rolling", "o3_set_ops", "o4_top_docs_per_lang",
     "d11_epoch_shuffle",
     "d13_lsh_verified_pairs", "t18_bloom_decontaminate",
-    "t19_crossdoc_shingles", "d14_fuzzy_survivors")
+    "t19_crossdoc_shingles", "d14_fuzzy_survivors",
+    "t20_dsir_weights", "d15_incremental_neardups")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS

@@ -82,6 +82,13 @@ object SparkEntry {
     new java.io.File(
       "target/e2_candidates/" + ArtifactKey.pathKey(dir)).getAbsolutePath
 
+  /** d15's incremental (new-batch × corpus) candidate dump — same
+    * contract as [[d13CandidatesPath]].
+    */
+  private def d15CandidatesPath(dir: String): String =
+    new java.io.File(
+      "target/d15_candidates/" + ArtifactKey.pathKey(dir)).getAbsolutePath
+
   /** events with the reference's derived `date` string column (F6). */
   private def eventsWithDate(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -852,6 +859,14 @@ object SparkEntry {
       Text.crossDocShingles(Tables.documents(s, d), "doc_id", "text",
         n = 5, minDocs = 2)),
 
+    // DSIR importance weights: mean per-token log-ratio of the target
+    // (src0/src1 as the wiki-like seed) vs corpus unigram distributions,
+    // Laplace-smoothed — the data-selection score importance resampling
+    // keeps documents by.
+    "t20_dsir_weights" -> ((s, d) =>
+      Text.dsirWeights(Tables.documents(s, d), "doc_id", "text",
+        col("source").isin("src0", "src1"))),
+
     // Benchmark-decontamination scrub: word-boundary denylist hits counted
     // and redacted, publish the hit count + cleaned length per doc.
     "t10_decontaminate" -> ((s, d) =>
@@ -982,6 +997,21 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8)
       Dedup.fuzzySurvivors(docs, "doc_id", pairs.select(col("id1"), col("id2")))
+    }),
+
+    // Incremental dedup (today's batch vs the standing corpus): every
+    // 10th doc plays the new batch, the rest the corpus; candidates are
+    // strictly new×corpus (never corpus×corpus), dumped like d13 so the
+    // oracle replays the exact-Jaccard verify over the identical pair set.
+    "d15_incremental_neardups" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val newBatch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val path = d15CandidatesPath(d)
+      Dedup.incrementalCandidatePairs(newBatch, corpus, "doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      Dedup.jaccardForPairs(docs, s.read.parquet(path), "doc_id", "text")
+        .filter(col("jaccard") >= 0.8)
     }),
 
     // The LSH pipeline's VERIFY stage, oracled end-to-end: candidate
@@ -1181,7 +1211,8 @@ object SparkEntry {
     val contractSf = "/root/testdata/sf0.01"
     val subs = Seq(
       d13CandidatesPath(contractSf) -> d13CandidatesPath(dir),
-      e2CandidatesPath(contractSf) -> e2CandidatesPath(dir))
+      e2CandidatesPath(contractSf) -> e2CandidatesPath(dir),
+      d15CandidatesPath(contractSf) -> d15CandidatesPath(dir))
     oracleSql.map { case (k, v) =>
       k -> subs.foldLeft(v) { case (s, (from, to)) => s.replace(from, to) }
     }
@@ -1947,6 +1978,29 @@ object SparkEntry {
         |FROM ex LEFT JOIN hot ON ex.s = hot.s
         |GROUP BY ex.doc_id""".stripMargin,
 
+    // t20: t17's decimal-stable mean recipe over the smoothed
+    // target-vs-corpus log-ratio; ct left-joined (target-unseen tokens
+    // count 0), scalar totals cross-joined.
+    "t20_dsir_weights" ->
+      """WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+        |    FROM documents) GROUP BY doc_id, token),
+        |cs AS (SELECT token, sum(tf) AS cs FROM tf GROUP BY token),
+        |ct AS (SELECT token, count(*) AS ct FROM (
+        |    SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+        |    FROM documents WHERE source IN ('src0', 'src1')) GROUP BY token),
+        |k AS (SELECT sum(cs) AS ns, count(*) AS v FROM cs),
+        |t AS (SELECT coalesce(sum(ct), 0) AS nt FROM ct),
+        |s AS (SELECT tf.doc_id, tf.tf,
+        |    ln((coalesce(ct.ct, 0) + 1.0) / (t.nt + k.v)) -
+        |    ln((cs.cs + 1.0) / (k.ns + k.v)) AS lr
+        |  FROM tf JOIN cs USING (token) LEFT JOIN ct USING (token)
+        |  CROSS JOIN k CROSS JOIN t)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(CAST(lr AS DECIMAL(20,10)) * tf) AS DOUBLE) / sum(tf) * 10000) / 10000.0 + 0.0 AS dsir_weight
+        |FROM s GROUP BY doc_id""".stripMargin,
+
     "t10_decontaminate" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\b(spark|query)\b')) AS BIGINT) AS n_hits,
@@ -2191,6 +2245,26 @@ object SparkEntry {
         |  UNION
         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst)
         |SELECT id, min(r) AS label FROM reach GROUP BY id""".stripMargin,
+
+    // replays the verify stage over d15's new×corpus candidate dump,
+    // exactly the d13 pattern (shingling + Jaccard verbatim; threshold
+    // on the rounded value).
+    "d15_incremental_neardups" ->
+      s"""WITH c AS (SELECT id1, id2
+        |  FROM '${d15CandidatesPath("/root/testdata/sf0.01")}/*.parquet'),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    range(1, greatest(len(tok)-3+2, 1)),
+        |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS tok
+        |        FROM documents)),
+        |j AS (SELECT c.id1, c.id2,
+        |  round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN NULL
+        |    ELSE len(list_intersect(a.sh, b.sh))*1.0 /
+        |         len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
+        |  FROM c JOIN sh a ON a.doc_id = c.id1 JOIN sh b ON b.doc_id = c.id2)
+        |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin,
 
     // d12's closure applied back to the corpus as the keep rule: a doc
     // survives when it never entered a verified pair (label missing) or

@@ -105,6 +105,33 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** Incremental LSH candidates: a NEW batch against the EXISTING corpus —
+    * the production shape of dedup at scale (today's crawl vs yesterday's
+    * 100 TB), where re-pairing the corpus against itself every day would
+    * be both quadratic and pointless. Both sides are banded with the SAME
+    * LSH geometry and joined on (band, bucket), but the pair stream is
+    * strictly new×corpus: corpus×corpus candidates never exist, so the
+    * per-day cost is proportional to the NEW batch's bucket occupancy,
+    * not the corpus's. At scale the corpus side of this join is a
+    * build-once artifact — `lshBuckets` output persisted partitioned by
+    * band (the SrpIndex/IvfIndex pattern); the recompute here keeps the
+    * operator self-contained for the driver harness. Output: (id1 = new
+    * doc, id2 = corpus doc), distinct across bands, ready for
+    * [[jaccardForPairs]] verification.
+    */
+  def incrementalCandidatePairs(newDf: DataFrame, corpusDf: DataFrame,
+                                idCol: String, textCol: String,
+                                shingleSize: Int = 3, bands: Int = 8,
+                                rowsPerBand: Int = 4): DataFrame = {
+    val l = lshBuckets(newDf, idCol, textCol, shingleSize, bands, rowsPerBand)
+      .select(col("band"), col("bucket"), col(idCol).as("id1"))
+    val r = lshBuckets(corpusDf, idCol, textCol, shingleSize, bands, rowsPerBand)
+      .select(col("band"), col("bucket"), col(idCol).as("id2"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id1") =!= col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
   /** Full MinHash near-dup pipeline: LSH candidates → exact Jaccard verify
     * on the shingle sets → keep pairs ≥ threshold.
     */

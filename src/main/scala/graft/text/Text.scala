@@ -488,6 +488,57 @@ object Text {
           / sum(col("tf")) * 10000) / 10000.0 + lit(0.0)).as("avg_logprob"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per document, the mean
+    * per-token log-likelihood RATIO between a TARGET distribution (the
+    * high-quality subset you want more of — wiki-like sources, a seed
+    * corpus) and the overall corpus distribution, with Laplace smoothing
+    * so target-unseen tokens penalize rather than -∞. Documents whose
+    * token mix resembles the target score high; importance RESAMPLING
+    * then keeps documents with probability ∝ exp(weight) — the selection
+    * machinery is [[graft.dedup.Dedup.weightedSourceSample]]'s
+    * content-hash trick applied to these weights.
+    *
+    * The paper hashes n-grams into a fixed-width bucket space; this
+    * implementation scores raw unigrams so the WHOLE pipeline stays
+    * relational and independently replayable by the DuckDB oracle —
+    * swapping `tokens` for a hashed-n-gram expression changes nothing
+    * structural. Plan shape = t17's relational twin: one (doc, token)
+    * aggregate, vocab-sized count tables joined back on the token,
+    * broadcast scalar totals, decimal-stable weighted mean (StrictMath
+    * ln on both engines, DECIMAL(20,10) accumulation, half-up round to
+    * 4). At 100 TB the two count tables are the only corpus-wide state
+    * (vocab-bounded), and the t17 map-side-model variant applies
+    * verbatim if the vocab fits the driver budget.
+    *
+    * Zero-token docs are dropped (their group never exists after the
+    * explode), matching the oracle.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column): DataFrame = {
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val cs = tf.groupBy("token").agg(sum(col("tf")).as("cs"))
+    val ct = df.filter(isTarget)
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("ct"))
+    // smoothing constants: corpus token total + vocab size, target token
+    // total; single-row frames broadcast into the scoring join
+    val consts = cs.agg(sum(col("cs")).as("ns"), count(lit(1)).as("v"))
+    val tgtTot = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
+    tf.join(cs, "token")
+      .join(ct, Seq("token"), "left")
+      .crossJoin(broadcast(consts))
+      .crossJoin(broadcast(tgtTot))
+      .withColumn("__lr",
+        log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("nt") + col("v"))) -
+        log((col("cs") + lit(1.0)) / (col("ns") + col("v"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        (round(sum(col("__lr").cast("decimal(20,10)") * col("tf")).cast("double")
+          / sum(col("tf")) * 10000) / 10000.0 + lit(0.0)).as("dsir_weight"))
+  }
+
   /** Per-document stats projection used by the documents-table queries. */
   def docStats(df: DataFrame, textCol: String, stopwords: Seq[String]): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))

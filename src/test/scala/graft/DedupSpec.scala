@@ -111,6 +111,24 @@ class DedupSpec extends SparkTestBase {
     assert(kept === Set(1L, 4L, 5L)) // 2,3 dropped; 4,5 unpaired stay
   }
 
+  test("incrementalCandidatePairs: strictly new-vs-corpus, corpus dups never pair") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),  // corpus-internal dup
+      (3L, "completely unrelated text about catalyst internals")).toDF("id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // dup of 1 and 2
+      (11L, "eleven totally novel words that match nothing else at all")).toDF("id", "text")
+    val pairs = Dedup.incrementalCandidatePairs(fresh, corpus, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 1L), (10L, 2L))) // no (1,2), nothing for 11
+    // verify stage composes: both surviving pairs are exact dups -> 1.0
+    val verified = Dedup.jaccardForPairs(corpus.union(fresh),
+        Dedup.incrementalCandidatePairs(fresh, corpus, "id", "text"), "id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(verified.values.forall(_ === 1.0))
+  }
+
   test("fuzzySurvivors labels unique vs canonical and agrees with dropDupClusterMembers") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
     val got = Dedup.fuzzySurvivors(docs, "id", pairs)

@@ -153,6 +153,24 @@ class TextSpec extends SparkTestBase {
     assert(!out.contains(4L))
   }
 
+  test("dsirWeights: target-like docs score positive, target-unlike negative") {
+    val docs = Seq(
+      (1L, "apple banana", "tgt"),
+      (2L, "apple banana", "web"),   // same mix as the target -> same weight
+      (3L, "car dog", "web"),        // target-unseen tokens -> negative
+      (4L, "", "web")                // zero tokens -> dropped
+    ).toDF("doc_id", "t", "source")
+    val out = Text.dsirWeights(docs, "doc_id", "t", $"source" === "tgt")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("dsir_weight"))).toMap
+    // corpus: apple 2, banana 2, car 1, dog 1 (ns=6, v=4); target: apple 1,
+    // banana 1 (nt=2). lr(apple)=ln(2/6)-ln(3/10) > 0; lr(car)=ln(1/6)-ln(2/10) < 0
+    assert(out(1L)._2 === out(2L)._2)
+    assert(out(1L)._2 > 0 && out(3L)._2 < 0)
+    assert(out(1L)._1 === 2L && out(3L)._1 === 2L)
+    assert(!out.contains(4L))
+  }
+
   test("decontaminate: word-boundary hits counted and replaced, substrings untouched") {
     val df = Seq(
       (1L, "leak the benchmark answer here"),
