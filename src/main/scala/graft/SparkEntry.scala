@@ -867,6 +867,13 @@ object SparkEntry {
       Text.dsirWeights(Tables.documents(s, d), "doc_id", "text",
         col("source").isin("src0", "src1"))),
 
+    // DSIR selection: Gumbel-top-k resampling over the t20 weights with
+    // content-hash-deterministic noise — the 100 docs importance
+    // resampling actually keeps.
+    "t21_dsir_resample" -> ((s, d) =>
+      Text.dsirResample(Tables.documents(s, d), "doc_id", "text",
+        col("source").isin("src0", "src1"), k = 100)),
+
     // Benchmark-decontamination scrub: word-boundary denylist hits counted
     // and redacted, publish the hit count + cleaned length per doc.
     "t10_decontaminate" -> ((s, d) =>
@@ -2000,6 +2007,37 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
         |  round(CAST(sum(CAST(lr AS DECIMAL(20,10)) * tf) AS DOUBLE) / sum(tf) * 10000) / 10000.0 + 0.0 AS dsir_weight
         |FROM s GROUP BY doc_id""".stripMargin,
+
+    // t21: t20's weight CTE + the d8 md5-bucket recipe as deterministic
+    // Gumbel noise; ORDER BY the raw key (id tie-break) LIMIT k, key
+    // published rounded.
+    "t21_dsir_resample" ->
+      """WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+        |    FROM documents) GROUP BY doc_id, token),
+        |cs AS (SELECT token, sum(tf) AS cs FROM tf GROUP BY token),
+        |ct AS (SELECT token, count(*) AS ct FROM (
+        |    SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+        |    FROM documents WHERE source IN ('src0', 'src1')) GROUP BY token),
+        |k AS (SELECT sum(cs) AS ns, count(*) AS v FROM cs),
+        |t AS (SELECT coalesce(sum(ct), 0) AS nt FROM ct),
+        |s AS (SELECT tf.doc_id, tf.tf,
+        |    ln((coalesce(ct.ct, 0) + 1.0) / (t.nt + k.v)) -
+        |    ln((cs.cs + 1.0) / (k.ns + k.v)) AS lr
+        |  FROM tf JOIN cs USING (token) LEFT JOIN ct USING (token)
+        |  CROSS JOIN k CROSS JOIN t),
+        |w AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    round(CAST(sum(CAST(lr AS DECIMAL(20,10)) * tf) AS DOUBLE) / sum(tf) * 10000) / 10000.0 + 0.0 AS dsir_weight
+        |  FROM s GROUP BY doc_id),
+        |g AS (SELECT doc_id,
+        |    (CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 1000000 + 0.5) / 1000000.0 AS u
+        |  FROM documents),
+        |keyed AS (SELECT w.doc_id, w.n_tokens, w.dsir_weight,
+        |    w.dsir_weight - ln(-ln(g.u)) AS key
+        |  FROM w JOIN g ON g.doc_id = w.doc_id)
+        |SELECT doc_id, n_tokens, dsir_weight, round(key, 4) AS gumbel_key
+        |FROM keyed ORDER BY key DESC, doc_id LIMIT 100""".stripMargin,
 
     "t10_decontaminate" ->
       """SELECT doc_id,

@@ -539,6 +539,41 @@ object Text {
           / sum(col("tf")) * 10000) / 10000.0 + lit(0.0)).as("dsir_weight"))
   }
 
+  /** The SELECTION step completing [[dsirWeights]] into full DSIR:
+    * importance resampling via the Gumbel-top-k trick — keeping the k
+    * largest `weight + Gumbel(0,1)` keys samples k documents WITHOUT
+    * replacement with probability ∝ exp(weight), which is exactly the
+    * paper's resampling step. The Gumbel noise is DETERMINISTIC: the
+    * content-hash bucket recipe shared with hashSplit/weightedSourceSample
+    * (md5 first-8-hex → bucket ∈ [0, 1e6)) gives u = (bucket + 0.5)/1e6 ∈
+    * (0,1) — the +0.5 keeps ln(u) finite at bucket 0 — and
+    * g = −ln(−ln u). Content-keyed noise means duplicate texts get
+    * identical keys (kept or dropped together) and the sample is
+    * reproducible across engines and reshuffles, which is what makes the
+    * query oracle-able at all.
+    *
+    * Scale shape: the weight computation is [[dsirWeights]]; the top-k is
+    * a global orderBy+limit — Spark's TakeOrderedAndProject, a
+    * per-partition bounded heap + driver merge of k rows, never a full
+    * sort. Published key rounded to 4; ordering is on the raw double with
+    * an id tie-break, so the kept SET is stable even where rounding
+    * collides.
+    */
+  def dsirResample(df: DataFrame, idCol: String, textCol: String,
+                   isTarget: Column, k: Int): DataFrame = {
+    val w = dsirWeights(df, idCol, textCol, isTarget)
+    val bucket = pmod(conv(substring(md5(col(textCol)), 1, 8), 16, 10).cast("long"),
+      lit(1000000L))
+    val u = (bucket + lit(0.5)) / lit(1000000.0)
+    df.select(col(idCol), u.as("__u"))
+      .join(w, Seq(idCol))
+      .withColumn("__key", col("dsir_weight") - log(-log(col("__u"))))
+      .orderBy(col("__key").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("n_tokens"), col("dsir_weight"),
+        round(col("__key"), 4).as("gumbel_key"))
+  }
+
   /** Per-document stats projection used by the documents-table queries. */
   def docStats(df: DataFrame, textCol: String, stopwords: Seq[String]): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))

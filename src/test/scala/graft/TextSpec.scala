@@ -171,6 +171,26 @@ class TextSpec extends SparkTestBase {
     assert(!out.contains(4L))
   }
 
+  test("dsirResample: deterministic Gumbel top-k; duplicate texts share keys; k bound") {
+    val docs = (1L to 30L).map(i =>
+      (i, if (i <= 3) "shared duplicate text body here"
+          else s"unique document number $i with its own words",
+       if (i % 2 == 0) "tgt" else "web")).toDF("doc_id", "t", "source")
+    val top = Text.dsirResample(docs, "doc_id", "t", $"source" === "tgt", k = 10)
+      .collect()
+    assert(top.length === 10)
+    val again = Text.dsirResample(docs, "doc_id", "t", $"source" === "tgt", k = 10)
+      .collect()
+    assert(top.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq) // reshuffle-stable
+    // duplicate texts: identical weight AND identical gumbel key (content-
+    // keyed noise), so they are kept or dropped together up to the id
+    // tie-break
+    val all = Text.dsirResample(docs, "doc_id", "t", $"source" === "tgt", k = 30)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("dsir_weight"), r.getAs[Double]("gumbel_key"))).toMap
+    assert(all(1L) === all(2L) && all(2L) === all(3L))
+  }
+
   test("decontaminate: word-boundary hits counted and replaced, substrings untouched") {
     val df = Seq(
       (1L, "leak the benchmark answer here"),
