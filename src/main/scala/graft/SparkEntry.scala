@@ -1165,6 +1165,18 @@ object SparkEntry {
       Dedup.cosineForPairs(emb, s.read.parquet(path), "vec_id", "embedding")
         .filter(col("cos") >= 0.2)
     }),
+    // SemDeDup-shaped semantic dedup survivors: cosine-near-dup pairs →
+    // connected components → keep min-id canonical per cluster + all
+    // never-paired vectors (the embedding twin of d14; the pair set is
+    // e2's, proven split == inline by DedupSpec). Oracle rebuilds labels
+    // by recursive closure over the e2 dump and applies the keep rule.
+    "e3_semantic_survivors" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+        threshold = 0.2, maxDim = 64)
+      Dedup.fuzzySurvivors(emb, "vec_id", pairs.select(col("id1"), col("id2")))
+    }),
+
     // Symmetric int8 quantization summary (scale + integer checksums of the
     // quantized array): the standard vector-index compression step, published
     // as a hash-comparable per-vector projection. Pure map-side scan — at
@@ -2350,6 +2362,30 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
         |FROM c JOIN e a ON a.vec_id = c.id1 JOIN e b ON b.vec_id = c.id2
         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.2""".stripMargin,
+
+    // e2's verified pairs → recursive closure → the keep rule, applied to
+    // the embeddings corpus (the e-path twin of d14's oracle).
+    "e3_semantic_survivors" ->
+      s"""WITH RECURSIVE c AS (SELECT id1, id2
+        |  FROM '${e2CandidatesPath("/root/testdata/sf0.01")}/*.parquet'),
+        |e AS (SELECT vec_id,
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |v AS (SELECT c.id1, c.id2
+        |  FROM c JOIN e a ON a.vec_id = c.id1 JOIN e b ON b.vec_id = c.id2
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.2),
+        |ed AS (SELECT id1 AS src, id2 AS dst FROM v
+        |       UNION ALL SELECT id2, id1 FROM v),
+        |n AS (SELECT DISTINCT src AS id FROM ed),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM n
+        |  UNION
+        |  SELECT ed.src, reach.r FROM ed JOIN reach ON reach.id = ed.dst),
+        |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+        |SELECT em.vec_id,
+        |  CASE WHEN lab.label IS NULL THEN 'unique' ELSE 'canonical' END AS kind
+        |FROM embeddings em LEFT JOIN lab ON lab.id = em.vec_id
+        |WHERE lab.label IS NULL OR lab.label = em.vec_id""".stripMargin,
 
     "m1_resize_plan" ->
       """WITH m AS (SELECT doc_id AS media_id,
