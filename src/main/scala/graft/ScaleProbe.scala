@@ -164,7 +164,37 @@ object ScaleProbe {
       val base = time(src, q)
       val scaled = time(out, q)
       (q, base, scaled)
-    } ++ (if (probeSet != "tpch") Seq.empty else {
+    } ++ (if (probeSet == "tpch" || probeSet == "emb") Seq.empty else {
+      // Incremental-dedup CANDIDATE GENERATION at the realistic shape — a
+      // SMALL batch (0.1%) against the big scaled corpus — inline
+      // (re-bands the whole corpus per run) vs the persisted LshIndex
+      // probe, warm. The registered d15/d16 queries use a 10% batch whose
+      // verify stage dominates either path; this row isolates what the
+      // index actually amortizes. (base = inline, scaled = indexed warm;
+      // ratio < 1 IS the speedup.) Build cost reported like
+      // fact_bucket_write_once / ivf_index_build_once.
+      import graft.dedup.{Dedup, LshIndex}
+      val docs = spark.read.parquet(s"$out/documents.parquet")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(1000)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(1000)) === 0)
+      def once(f: => Long): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def inlineOnce: Double = once(
+        Dedup.incrementalCandidatePairs(batch, corpus, "doc_id", "text").count())
+      val inline = math.min(inlineOnce, inlineOnce)
+      LshIndex.drop(out, subset = "probe")
+      val build = once {
+        LshIndex.ensure(spark, out, corpus, subset = "probe"); 0L
+      }
+      def indexedOnce: Double = once(
+        Dedup.incrementalCandidatePairsIndexed(
+          LshIndex.ensure(spark, out, corpus, subset = "probe"),
+          batch, "doc_id", "text").count())
+      val indexed = math.min(indexedOnce, indexedOnce)
+      Seq(("lsh_candidates_inline_vs_indexed", inline, indexed),
+          ("lsh_index_build_once", build, build))
+    }) ++ (if (probeSet != "tpch") Seq.empty else {
       // Bucketed-join twin for the probe's superlinear rows: q3/q21 grow
       // ~10x at 100x facts because the fact-fact sort-merge join re-sorts
       // both sides every run (n log n). Bucketing + in-bucket sorting

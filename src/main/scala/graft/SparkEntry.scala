@@ -89,6 +89,11 @@ object SparkEntry {
     new java.io.File(
       "target/d15_candidates/" + ArtifactKey.pathKey(dir)).getAbsolutePath
 
+  /** d16's indexed-probe candidate dump — same contract. */
+  private def d16CandidatesPath(dir: String): String =
+    new java.io.File(
+      "target/d16_candidates/" + ArtifactKey.pathKey(dir)).getAbsolutePath
+
   /** events with the reference's derived `date` string column (F6). */
   private def eventsWithDate(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -1021,6 +1026,22 @@ object SparkEntry {
         .filter(col("jaccard") >= 0.8)
     }),
 
+    // d15 through the PERSISTED corpus index (LshIndex): build-once
+    // standing buckets, DPP-pruned probe scan; only the new batch is
+    // hashed per run. Candidate set == d15's by construction; same
+    // verify-replay oracle over this query's own dump.
+    "d16_incremental_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val newBatch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val idx = graft.dedup.LshIndex.ensure(s, d,
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), subset = "mod10ne0")
+      val path = d16CandidatesPath(d)
+      Dedup.incrementalCandidatePairsIndexed(idx, newBatch, "doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      Dedup.jaccardForPairs(docs, s.read.parquet(path), "doc_id", "text")
+        .filter(col("jaccard") >= 0.8)
+    }),
+
     // The LSH pipeline's VERIFY stage, oracled end-to-end: candidate
     // GENERATION is xxhash-keyed (rows-only by nature, like d3/d4), but
     // once the Spark-produced candidate set is materialized to parquet,
@@ -1231,7 +1252,8 @@ object SparkEntry {
     val subs = Seq(
       d13CandidatesPath(contractSf) -> d13CandidatesPath(dir),
       e2CandidatesPath(contractSf) -> e2CandidatesPath(dir),
-      d15CandidatesPath(contractSf) -> d15CandidatesPath(dir))
+      d15CandidatesPath(contractSf) -> d15CandidatesPath(dir),
+      d16CandidatesPath(contractSf) -> d16CandidatesPath(dir))
     oracleSql.map { case (k, v) =>
       k -> subs.foldLeft(v) { case (s, (from, to)) => s.replace(from, to) }
     }
@@ -2302,6 +2324,24 @@ object SparkEntry {
     "d15_incremental_neardups" ->
       s"""WITH c AS (SELECT id1, id2
         |  FROM '${d15CandidatesPath("/root/testdata/sf0.01")}/*.parquet'),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    range(1, greatest(len(tok)-3+2, 1)),
+        |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS tok
+        |        FROM documents)),
+        |j AS (SELECT c.id1, c.id2,
+        |  round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN NULL
+        |    ELSE len(list_intersect(a.sh, b.sh))*1.0 /
+        |         len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
+        |  FROM c JOIN sh a ON a.doc_id = c.id1 JOIN sh b ON b.doc_id = c.id2)
+        |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin,
+
+    // the d15 verify replay over d16's (indexed-probe) candidate dump.
+    "d16_incremental_indexed" ->
+      s"""WITH c AS (SELECT id1, id2
+        |  FROM '${d16CandidatesPath("/root/testdata/sf0.01")}/*.parquet'),
         |sh AS (SELECT doc_id,
         |  list_distinct(list_transform(
         |    range(1, greatest(len(tok)-3+2, 1)),

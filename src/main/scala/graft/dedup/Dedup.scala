@@ -132,6 +132,31 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** [[incrementalCandidatePairs]] probing a PERSISTED corpus index
+    * ([[LshIndex]]) instead of re-banding the corpus: only the new batch
+    * is shingled/hashed this run; the standing side is a narrow
+    * (id, band, bucket) scan partitioned by bucket-group, and with the
+    * batch's bucket table broadcast, dynamic partition pruning drops
+    * every group the batch never probes — the SrpIndex/IvfIndex search
+    * shape applied to text dedup. Candidate SETS are identical to the
+    * inline path by construction (same geometry, read from the index's
+    * meta). Drop the broadcast hint if a batch ever outgrows the
+    * broadcast budget; the join then shuffles on (band, bucket, group)
+    * and AQE still prunes.
+    */
+  def incrementalCandidatePairsIndexed(handle: LshIndex.Handle, newDf: DataFrame,
+                                       idCol: String, textCol: String): DataFrame = {
+    val probe = lshBuckets(newDf, idCol, textCol,
+        handle.shingleSize, handle.bands, handle.rowsPerBand)
+      .withColumn("__grp", LshIndex.grpOf(col("band"), col("bucket"), handle.groups))
+      .select(col("band"), col("bucket"), col("__grp"), col(idCol).as("id1"))
+    val standing = handle.buckets
+      .select(col("band"), col("bucket"), col("__grp"), col(idCol).as("id2"))
+    broadcast(probe).join(standing, Seq("band", "bucket", "__grp"))
+      .filter(col("id1") =!= col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
   /** Full MinHash near-dup pipeline: LSH candidates → exact Jaccard verify
     * on the shingle sets → keep pairs ≥ threshold.
     */

@@ -1,0 +1,130 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Build-or-reuse the persisted MinHash-LSH bucket index of a TEXT corpus —
+  * the text-side sibling of [[graft.sim.SrpIndex]] (embeddings) and
+  * [[graft.sim.IvfIndex]] (cells): pay the corpus shingling + banding scan
+  * ONCE, persist the (id, band, bucket) assignments partitioned by a
+  * bounded bucket-group key, and every later incremental-dedup batch joins
+  * its own (small) bucket table against the standing index. Without it,
+  * each new batch re-tokenizes and re-hashes the WHOLE corpus — at 100 TB
+  * that corpus pass, not the candidate join, dominates the daily dedup.
+  *
+  * Layout (under target/lsh_index/v1/<tag>/s<sh>_b<bands>_r<rows>):
+  *  - `buckets`: (id, band, bucket) partitioned by
+  *    `__grp = pmod(xxhash64(band, bucket), groups)` — narrow rows (three
+  *    longs); the shingle SETS are deliberately NOT persisted. The verify
+  *    stage re-derives shingles for only the candidate-hit ids by joining
+  *    back to the source corpus ([[Dedup.jaccardForPairs]]) — candidates
+  *    are a sliver of the corpus, so re-shingling them is far cheaper
+  *    than materializing every document's shingle array next to the
+  *    index. A probe batch joins on (band, bucket, __grp); with the
+  *    batch side broadcast, dynamic partition pruning drops every
+  *    bucket-group the batch never touches at scan time (the SrpIndex /
+  *    IvfIndex 100 TB shape).
+  *  - `meta`: (shingle, bands, rows, groups, n) — the banding geometry.
+  *    Probes MUST band with the exact geometry the corpus was indexed
+  *    with; reading it here keeps that true across JVMs.
+  *
+  * Reuse ladder and keying follow [[graft.sim.SrpIndex]]: `_SUCCESS` on
+  * disk → read back; nothing → build. The tag embeds basename + path hash
+  * + [[graft.ContentStamp]], so a regenerated corpus forces a rebuild;
+  * a cold build drops superseded stamps of the same source. Builds are
+  * serialized per JVM (Verify's 4-thread pool).
+  */
+object LshIndex {
+
+  final case class Handle(buckets: DataFrame, shingleSize: Int, bands: Int,
+                          rowsPerBand: Int, groups: Int)
+
+  /** Bump when the layout or banding semantics change. */
+  private val version = "v1"
+
+  /** Same directory-count economics as [[graft.sim.SrpIndex]]: groups are
+    * one-file directories, so size them by rows (N·bands exploded rows)
+    * against the same 64 k-row target, clamped to [16, 4096].
+    */
+  def autoGroups(rows: Long): Int =
+    math.max(16, math.min(4096,
+      math.ceil(rows.toDouble / graft.sim.SrpIndex.targetRowsPerGroup).toInt))
+
+  /** The group key both sides derive from a (band, bucket) pair — one
+    * definition so a probe can never hash differently from the layout.
+    */
+  private[dedup] def grpOf(band: org.apache.spark.sql.Column,
+                           bucket: org.apache.spark.sql.Column, groups: Int) =
+    pmod(xxhash64(band, bucket), lit(groups.toLong)).cast("int")
+
+  /** `subset` keys WHICH slice of the source table was indexed (e.g. the
+    * standing-corpus split of an incremental dedup) — two different
+    * subsets of the same table must not share an index directory.
+    */
+  def root(dir: String, shingleSize: Int, bands: Int, rowsPerBand: Int,
+           subset: String = "all",
+           hadoopConf: org.apache.hadoop.conf.Configuration =
+             new org.apache.hadoop.conf.Configuration()): java.io.File =
+    new java.io.File(
+      s"target/lsh_index/$version/${graft.ArtifactKey.stamped(dir, hadoopConf)}/" +
+        s"${subset}_s${shingleSize}_b${bands}_r$rowsPerBand").getAbsoluteFile
+
+  /** Delete the persisted index (forces the next ensure to rebuild). */
+  def drop(dir: String, shingleSize: Int = 3, bands: Int = 8,
+           rowsPerBand: Int = 4, subset: String = "all"): Unit =
+    graft.ArtifactKey.rmRecursive(root(dir, shingleSize, bands, rowsPerBand, subset))
+
+  /** Empty-corpus handles memoized per stamped base path (nothing persists
+    * for an empty corpus; the stamp changes when the corpus gains rows).
+    */
+  private val emptyMemo = scala.collection.mutable.HashMap.empty[String, Handle]
+
+  /** Build-or-reuse the index of `<dir>`'s corpus. `corpus` is only
+    * evaluated (and scanned) on a cold build.
+    */
+  def ensure(spark: SparkSession, dir: String, corpus: => DataFrame,
+             idCol: String = "doc_id", textCol: String = "text",
+             shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+             subset: String = "all"): Handle = synchronized {
+    val base = root(dir, shingleSize, bands, rowsPerBand, subset,
+      spark.sessionState.newHadoopConf())
+    val bucketsPath = new java.io.File(base, "buckets").getPath
+    val metaPath = new java.io.File(base, "meta").getPath
+    if (!new java.io.File(bucketsPath, "_SUCCESS").isFile ||
+        !new java.io.File(metaPath, "_SUCCESS").isFile) {
+      emptyMemo.get(base.getPath) match {
+        case Some(h) => return h
+        case None =>
+      }
+      graft.ArtifactKey.dropSuperseded(
+        base.getParentFile.getParentFile,
+        graft.ArtifactKey.pathKey(dir) + "_", base.getParentFile.getName)
+      val df = corpus
+      val n = df.count()
+      if (n == 0) {
+        val h = Handle(
+          Dedup.lshBuckets(df, idCol, textCol, shingleSize, bands, rowsPerBand)
+            .withColumn("__grp", grpOf(col("band"), col("bucket"), 16)),
+          shingleSize, bands, rowsPerBand, 16)
+        emptyMemo(base.getPath) = h
+        return h
+      }
+      val groups = autoGroups(n * bands)
+      import spark.implicits._
+      Seq((shingleSize, bands, rowsPerBand, groups, n))
+        .toDF("shingle", "bands", "rows", "groups", "n")
+        .coalesce(1).write.mode("overwrite").parquet(metaPath)
+      // one corpus pass: shingle → minhash → band buckets (all native
+      // expressions inside lshBuckets), then the one-file-per-group
+      // repartition alignment shared with SrpIndex/IvfIndex/BucketedMirror
+      Dedup.lshBuckets(df, idCol, textCol, shingleSize, bands, rowsPerBand)
+        .withColumn("__grp", grpOf(col("band"), col("bucket"), groups))
+        .repartition(groups, col("__grp"))
+        .write.mode("overwrite").partitionBy("__grp").parquet(bucketsPath)
+    }
+    val meta = spark.read.parquet(metaPath).collect()(0)
+    Handle(spark.read.parquet(bucketsPath),
+      meta.getAs[Int]("shingle"), meta.getAs[Int]("bands"),
+      meta.getAs[Int]("rows"), meta.getAs[Int]("groups"))
+  }
+}

@@ -129,6 +129,27 @@ class DedupSpec extends SparkTestBase {
     assert(verified.values.forall(_ === 1.0))
   }
 
+  test("LshIndex: indexed probe == inline candidates; second ensure reuses the build") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+    val corpus = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+    val fresh = docs.filter(pmod($"doc_id", lit(10)) === 0)
+    graft.dedup.LshIndex.drop(dir, subset = "spec")
+    val idx = graft.dedup.LshIndex.ensure(spark, dir, corpus, subset = "spec")
+    val indexed = Dedup.incrementalCandidatePairsIndexed(idx, fresh, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = Dedup.incrementalCandidatePairs(fresh, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(indexed === inline)
+    // reuse: a second ensure must read back, not rebuild — corpus is
+    // by-name and a rebuild would re-evaluate it; poison the thunk
+    val again = graft.dedup.LshIndex.ensure(spark, dir,
+      { throw new IllegalStateException("rebuilt instead of reused") },
+      subset = "spec")
+    assert(again.groups === idx.groups && again.bands === idx.bands)
+    graft.dedup.LshIndex.drop(dir, subset = "spec")
+  }
+
   test("fuzzySurvivors labels unique vs canonical and agrees with dropDupClusterMembers") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
     val got = Dedup.fuzzySurvivors(docs, "id", pairs)

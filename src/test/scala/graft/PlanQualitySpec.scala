@@ -162,6 +162,35 @@ class PlanQualitySpec extends SparkTestBase {
         "only (neighbor_id, __t, __b)")
   }
 
+  test("d16: LshIndex probe scan DPP-prunes to the probed bucket-groups") {
+    // the registered d16 query's RETURNED plan is the verify stage over
+    // the dump (like d13/d15), so gate the candidate-generation join
+    // directly: batch buckets broadcast, standing index scan pruned to
+    // the groups the batch actually probes — at 100 TB the scan reads
+    // probed groups, not the corpus
+    val docs = Tables.documents(spark, dir)
+    graft.dedup.LshIndex.drop(dir, subset = "planspec")
+    val idx = graft.dedup.LshIndex.ensure(spark, dir,
+      docs.filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(10)) =!=
+        org.apache.spark.sql.functions.lit(0)), subset = "planspec")
+    val batch = docs.filter(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.lit(10)) ===
+      org.apache.spark.sql.functions.lit(0))
+    val plan = executedPlan(
+      graft.dedup.Dedup.incrementalCandidatePairsIndexed(idx, batch, "doc_id", "text"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "batch bucket table must broadcast into the index join")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("dynamicpruningexpression(__grp") &&
+        l.contains("ReadSchema: struct<doc_id:bigint,band:int,bucket:bigint>")),
+      "index scan must DPP-prune to the probed bucket-groups and read " +
+        "only (doc_id, band, bucket)")
+    graft.dedup.LshIndex.drop(dir, subset = "planspec")
+  }
+
   test("s7: int8 ANN pair dedup is a hash aggregate; quantized arrays never shuffle") {
     // The pair-stream dedup must stay groupBy().agg(max(<double>)) — a
     // partial+final HashAggregate whose exchange carries one score per
