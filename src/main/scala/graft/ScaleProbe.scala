@@ -126,6 +126,13 @@ object ScaleProbe {
     fs.create(new org.apache.hadoop.fs.Path(s"$out/_DONE")).close()
   }
 
+  /** Wall-clock one action, in seconds — the single timing primitive
+    * every probe block uses (was copy-pasted per block).
+    */
+  private def timeOnce(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -153,11 +160,7 @@ object ScaleProbe {
     // at probe sizes can exceed the query itself and would masquerade as
     // super-linear growth
     def time(dir: String, name: String): Double = {
-      def once: Double = {
-        val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
+      def once: Double = timeOnce(SparkEntry.queries(name)(spark, dir).count())
       math.min(once, once)
     }
     val rows = selected.map { q =>
@@ -177,17 +180,12 @@ object ScaleProbe {
       val docs = spark.read.parquet(s"$out/documents.parquet")
       val corpus = docs.filter(pmod(col("doc_id"), lit(1000)) =!= 0)
       val batch = docs.filter(pmod(col("doc_id"), lit(1000)) === 0)
-      def once(f: => Long): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      def inlineOnce: Double = once(
+      def inlineOnce: Double = timeOnce(
         Dedup.incrementalCandidatePairs(batch, corpus, "doc_id", "text").count())
       val inline = math.min(inlineOnce, inlineOnce)
       LshIndex.drop(out, subset = "probe")
-      val build = once {
-        LshIndex.ensure(spark, out, corpus, subset = "probe"); 0L
-      }
-      def indexedOnce: Double = once(
+      val build = timeOnce(LshIndex.ensure(spark, out, corpus, subset = "probe"))
+      def indexedOnce: Double = timeOnce(
         Dedup.incrementalCandidatePairsIndexed(
           LshIndex.ensure(spark, out, corpus, subset = "probe"),
           batch, "doc_id", "text").count())
@@ -209,27 +207,23 @@ object ScaleProbe {
           .groupBy(col("o_orderdate"))
           .agg(sum(col("l_extendedprice")).as("rev"))
           .count()
-      def once(f: => Long): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
       val liP = spark.read.parquet(s"$out/lineitem.parquet")
         .select("l_orderkey", "l_extendedprice")
       val ordP = spark.read.parquet(s"$out/orders.parquet")
         .select("o_orderkey", "o_orderdate")
-      val plain = math.min(once(joinShape(liP, ordP)), once(joinShape(liP, ordP)))
+      val plain = math.min(timeOnce(joinShape(liP, ordP)), timeOnce(joinShape(liP, ordP)))
       spark.sql("DROP TABLE IF EXISTS probe_li_bucketed")
       spark.sql("DROP TABLE IF EXISTS probe_ord_bucketed")
-      val writeCost = once {
+      val writeCost = timeOnce {
         Sinks.writeBucketed(liP, "probe_li_bucketed", Seq("l_orderkey"),
           nBuckets = cpus.toInt, path = Some(s"$out/li_bucketed"),
           sortCols = Seq("l_orderkey"))
         Sinks.writeBucketed(ordP, "probe_ord_bucketed", Seq("o_orderkey"),
           nBuckets = cpus.toInt, path = Some(s"$out/ord_bucketed"),
           sortCols = Seq("o_orderkey"))
-        0L
       }
       def bucketedOnce: Double =
-        once(joinShape(spark.table("probe_li_bucketed"), spark.table("probe_ord_bucketed")))
+        timeOnce(joinShape(spark.table("probe_li_bucketed"), spark.table("probe_ord_bucketed")))
       val bucketed = math.min(bucketedOnce, bucketedOnce)
       Seq(("fact_join_bucketed_vs_plain", plain, bucketed),
           ("fact_bucket_write_once", writeCost, writeCost))

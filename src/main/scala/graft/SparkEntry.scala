@@ -54,45 +54,91 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  /** Where d13 materializes its LSH candidate set, keyed like every other
-    * persisted artifact ([[ArtifactKey.pathKey]]: basename + path hash,
-    * so corpora at different paths sharing a directory name cannot
-    * overwrite each other's dump): the oracle SQL replays the verify
-    * stage in DuckDB over this exact dump, so the path must be (a)
-    * absolute — the driver's DuckDB cwd is not the repo — and (b)
+  /** Where a candidate-dump query materializes its pair set, keyed like
+    * every other persisted artifact ([[ArtifactKey.pathKey]]: basename +
+    * path hash, so corpora at different paths sharing a directory name
+    * cannot overwrite each other's dump): the oracle SQL replays the
+    * verify stage in DuckDB over this exact dump, so the path must be
+    * (a) absolute — the driver's DuckDB cwd is not the repo — and (b)
     * derivable statically for the correctness sf (the driver contract
     * runs Verify at sf0.01, TESTDATA.md); a bench run at another sf
-    * writes its own directory. No content stamp: the dump is REWRITTEN
-    * by the d13 query itself every run, so it can't go stale within a
-    * run — with one caveat: d12's oracle also replays clustering over
-    * this dump, so if d13's WRITE fails mid-run (disk full, interrupt),
-    * d12 compares against the previous run's candidates. That failure
-    * is not silent — the same round's d13 entry records the write error
-    * — so a d12 mismatch beside a d13 error reads as "stale dump",
-    * not a clustering bug.
+    * writes its own directory. No content stamp: each dump is REWRITTEN
+    * by its own query every run, so it can't go stale within a run.
+    * Every dump-reading oracle except d12's reads the dump ITS OWN query
+    * wrote this run (self-contained); d12's replays clustering over
+    * d13's dump — if d13's WRITE fails mid-run (disk full, interrupt),
+    * d12 compares against the previous run's candidates. That failure is
+    * not silent — the same round's d13 entry records the write error —
+    * so a d12 mismatch beside a d13 error reads as "stale dump", not a
+    * clustering bug.
     */
-  private def d13CandidatesPath(dir: String): String =
+  private def candidatesPath(q: String, dir: String): String =
     new java.io.File(
-      "target/d13_candidates/" + ArtifactKey.pathKey(dir)).getAbsolutePath
+      s"target/${q}_candidates/" + ArtifactKey.pathKey(dir)).getAbsolutePath
 
-  /** e2's SRP candidate-pair dump — same contract as [[d13CandidatesPath]]
-    * (absolute, sf-keyed; the oracle replays the verify stage over it).
+  /** Every query with a candidate dump the oracle replays — the single
+    * source [[oracleSqlFor]] derives its path substitutions from.
     */
-  private def e2CandidatesPath(dir: String): String =
-    new java.io.File(
-      "target/e2_candidates/" + ArtifactKey.pathKey(dir)).getAbsolutePath
+  private val candidateDumpQueries = Seq("d13", "e2", "d14", "d15", "d16", "e3")
 
-  /** d15's incremental (new-batch × corpus) candidate dump — same
-    * contract as [[d13CandidatesPath]].
+  private def d13CandidatesPath(dir: String): String = candidatesPath("d13", dir)
+  private def e2CandidatesPath(dir: String): String = candidatesPath("e2", dir)
+  private def d15CandidatesPath(dir: String): String = candidatesPath("d15", dir)
+  private def d16CandidatesPath(dir: String): String = candidatesPath("d16", dir)
+
+  /** DuckDB fragments shared by every LSH dump-replay oracle — ONE
+    * definition of the 3-gram shingle recipe and the rounded Jaccard
+    * expression, so the five oracles built from them (d13/d12/d14/d15/
+    * d16) can never silently desynchronize from each other (they mirror
+    * d5's literal strings, which the DedupSpec parity pins to the Spark
+    * expressions).
     */
-  private def d15CandidatesPath(dir: String): String =
-    new java.io.File(
-      "target/d15_candidates/" + ArtifactKey.pathKey(dir)).getAbsolutePath
+  private val duckShingleCte: String =
+    """sh AS (SELECT doc_id,
+      |  list_distinct(list_transform(
+      |    range(1, greatest(len(tok)-3+2, 1)),
+      |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tok
+      |        FROM documents))""".stripMargin
 
-  /** d16's indexed-probe candidate dump — same contract. */
-  private def d16CandidatesPath(dir: String): String =
-    new java.io.File(
-      "target/d16_candidates/" + ArtifactKey.pathKey(dir)).getAbsolutePath
+  private val duckJaccardExpr: String =
+    """round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN NULL
+      |    ELSE len(list_intersect(a.sh, b.sh))*1.0 /
+      |         len(list_distinct(list_concat(a.sh, b.sh))) END, 4)""".stripMargin
+
+  /** Verify-stage replay over query `q`'s own candidate dump: exact
+    * n-gram Jaccard over exactly the dumped pairs, threshold on the
+    * ROUNDED value — precisely what the Spark side computes.
+    */
+  private def dumpVerifySql(q: String): String =
+    s"""WITH c AS (SELECT id1, id2
+      |  FROM '${candidatesPath(q, "/root/testdata/sf0.01")}/*.parquet'),
+      |$duckShingleCte,
+      |j AS (SELECT c.id1, c.id2,
+      |  $duckJaccardExpr AS jaccard
+      |  FROM c JOIN sh a ON a.doc_id = c.id1 JOIN sh b ON b.doc_id = c.id2)
+      |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin
+
+  /** Recursive-closure CTE stack over query `q`'s verified dump: verify
+    * filter → symmetrized edges → reachability; `reach` yields each
+    * node's min reachable id (= dupClusters' fixpoint label) to whatever
+    * final SELECT the caller appends.
+    */
+  private def dumpClosureCtes(q: String): String =
+    s"""WITH RECURSIVE c AS (SELECT id1, id2
+      |  FROM '${candidatesPath(q, "/root/testdata/sf0.01")}/*.parquet'),
+      |$duckShingleCte,
+      |v AS (SELECT c.id1, c.id2
+      |  FROM c JOIN sh a ON a.doc_id = c.id1 JOIN sh b ON b.doc_id = c.id2
+      |  WHERE $duckJaccardExpr >= 0.8),
+      |e AS (SELECT id1 AS src, id2 AS dst FROM v
+      |      UNION ALL SELECT id2, id1 FROM v),
+      |n AS (SELECT DISTINCT src AS id FROM e),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM n
+      |  UNION
+      |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst)""".stripMargin
 
   /** events with the reference's derived `date` string column (F6). */
   private def eventsWithDate(s: SparkSession, d: String): DataFrame =
@@ -1001,13 +1047,19 @@ object SparkEntry {
 
     // The fuzzy dedup's ANSWER SHEET: surviving doc ids with why each
     // survived (never-paired vs cluster canonical) — d12's labels applied
-    // back to the corpus. Oracled like d12: the DuckDB side rebuilds the
-    // labels by recursive closure over the d13 candidate dump and applies
-    // the same keep rule, so the end-to-end LSH→verify→cluster→keep
-    // pipeline is hash-checked at every stage.
+    // back to the corpus. Oracled like d13: the query dumps ITS OWN
+    // candidate set (so a failed sibling query can never leave it a stale
+    // dump) and the DuckDB side rebuilds labels by recursive closure over
+    // that dump + the verify filter, then applies the same keep rule —
+    // the end-to-end LSH→verify→cluster→keep pipeline hash-checked at
+    // every stage.
     "d14_fuzzy_survivors" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8)
+      val path = candidatesPath("d14", d)
+      Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+        .repartition(1).write.mode("overwrite").parquet(path)
+      val pairs = Dedup.jaccardForPairs(docs, s.read.parquet(path), "doc_id", "text")
+        .filter(col("jaccard") >= 0.8)
       Dedup.fuzzySurvivors(docs, "doc_id", pairs.select(col("id1"), col("id2")))
     }),
 
@@ -1021,7 +1073,7 @@ object SparkEntry {
       val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
       val path = d15CandidatesPath(d)
       Dedup.incrementalCandidatePairs(newBatch, corpus, "doc_id", "text")
-        .coalesce(1).write.mode("overwrite").parquet(path)
+        .repartition(1).write.mode("overwrite").parquet(path)
       Dedup.jaccardForPairs(docs, s.read.parquet(path), "doc_id", "text")
         .filter(col("jaccard") >= 0.8)
     }),
@@ -1037,7 +1089,7 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), subset = "mod10ne0")
       val path = d16CandidatesPath(d)
       Dedup.incrementalCandidatePairsIndexed(idx, newBatch, "doc_id", "text")
-        .coalesce(1).write.mode("overwrite").parquet(path)
+        .repartition(1).write.mode("overwrite").parquet(path)
       Dedup.jaccardForPairs(docs, s.read.parquet(path), "doc_id", "text")
         .filter(col("jaccard") >= 0.8)
     }),
@@ -1054,7 +1106,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val path = d13CandidatesPath(d)
       Dedup.minhashCandidatePairs(docs, "doc_id", "text")
-        .coalesce(1).write.mode("overwrite").parquet(path)
+        .repartition(1).write.mode("overwrite").parquet(path)
       // verify over the read-back dump, not the in-memory frame: Spark
       // and the oracle then provably score the IDENTICAL pair set
       Dedup.jaccardForPairs(docs, s.read.parquet(path), "doc_id", "text")
@@ -1182,19 +1234,23 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val path = e2CandidatesPath(d)
       Dedup.srpCandidatePairs(emb, "vec_id", "embedding", maxDim = 64)
-        .coalesce(1).write.mode("overwrite").parquet(path)
+        .repartition(1).write.mode("overwrite").parquet(path)
       Dedup.cosineForPairs(emb, s.read.parquet(path), "vec_id", "embedding")
         .filter(col("cos") >= 0.2)
     }),
     // SemDeDup-shaped semantic dedup survivors: cosine-near-dup pairs →
     // connected components → keep min-id canonical per cluster + all
-    // never-paired vectors (the embedding twin of d14; the pair set is
-    // e2's, proven split == inline by DedupSpec). Oracle rebuilds labels
-    // by recursive closure over the e2 dump and applies the keep rule.
+    // never-paired vectors (the embedding twin of d14). Self-contained
+    // like d14: the query dumps its own SRP candidate set; the oracle
+    // rebuilds labels by recursive closure over that dump (cosine ≥ τ
+    // verify) and applies the keep rule.
     "e3_semantic_survivors" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val pairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
-        threshold = 0.2, maxDim = 64)
+      val path = candidatesPath("e3", d)
+      Dedup.srpCandidatePairs(emb, "vec_id", "embedding", maxDim = 64)
+        .repartition(1).write.mode("overwrite").parquet(path)
+      val pairs = Dedup.cosineForPairs(emb, s.read.parquet(path), "vec_id", "embedding")
+        .filter(col("cos") >= 0.2)
       Dedup.fuzzySurvivors(emb, "vec_id", pairs.select(col("id1"), col("id2")))
     }),
 
@@ -1249,11 +1305,8 @@ object SparkEntry {
     */
   def oracleSqlFor(dir: String): Map[String, String] = {
     val contractSf = "/root/testdata/sf0.01"
-    val subs = Seq(
-      d13CandidatesPath(contractSf) -> d13CandidatesPath(dir),
-      e2CandidatesPath(contractSf) -> e2CandidatesPath(dir),
-      d15CandidatesPath(contractSf) -> d15CandidatesPath(dir),
-      d16CandidatesPath(contractSf) -> d16CandidatesPath(dir))
+    val subs = candidateDumpQueries.map(q =>
+      candidatesPath(q, contractSf) -> candidatesPath(q, dir))
     oracleSql.map { case (k, v) =>
       k -> subs.foldLeft(v) { case (s, (from, to)) => s.replace(from, to) }
     }
@@ -2268,22 +2321,7 @@ object SparkEntry {
     // sf0.01 — see d13CandidatesPath). Shingling + Jaccard are the d5
     // expressions verbatim; the threshold filters the ROUNDED value,
     // exactly as the Spark side does.
-    "d13_lsh_verified_pairs" ->
-      s"""WITH c AS (SELECT id1, id2
-        |  FROM '${d13CandidatesPath("/root/testdata/sf0.01")}/*.parquet'),
-        |sh AS (SELECT doc_id,
-        |  list_distinct(list_transform(
-        |    range(1, greatest(len(tok)-3+2, 1)),
-        |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS tok
-        |        FROM documents)),
-        |j AS (SELECT c.id1, c.id2,
-        |  round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN NULL
-        |    ELSE len(list_intersect(a.sh, b.sh))*1.0 /
-        |         len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
-        |  FROM c JOIN sh a ON a.doc_id = c.id1 JOIN sh b ON b.doc_id = c.id2)
-        |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin,
+    "d13_lsh_verified_pairs" -> dumpVerifySql("d13"),
 
     // the CLUSTERING stage, oracled end-to-end: d12's input pairs are
     // exactly the d13 verified set (minhashNearDups ≡ candidates →
@@ -2295,98 +2333,29 @@ object SparkEntry {
     // label-propagation + pointer-jumping implementation is thereby
     // hash-checked against an independent sequential formulation.
     "d12_dup_clusters" ->
-      s"""WITH RECURSIVE c AS (SELECT id1, id2
-        |  FROM '${d13CandidatesPath("/root/testdata/sf0.01")}/*.parquet'),
-        |sh AS (SELECT doc_id,
-        |  list_distinct(list_transform(
-        |    range(1, greatest(len(tok)-3+2, 1)),
-        |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS tok
-        |        FROM documents)),
-        |v AS (SELECT c.id1, c.id2
-        |  FROM c JOIN sh a ON a.doc_id = c.id1 JOIN sh b ON b.doc_id = c.id2
-        |  WHERE round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN NULL
-        |    ELSE len(list_intersect(a.sh, b.sh))*1.0 /
-        |         len(list_distinct(list_concat(a.sh, b.sh))) END, 4) >= 0.8),
-        |e AS (SELECT id1 AS src, id2 AS dst FROM v
-        |      UNION ALL SELECT id2, id1 FROM v),
-        |n AS (SELECT DISTINCT src AS id FROM e),
-        |reach(id, r) AS (
-        |  SELECT id, id FROM n
-        |  UNION
-        |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst)
-        |SELECT id, min(r) AS label FROM reach GROUP BY id""".stripMargin,
+      (dumpClosureCtes("d13") +
+        "\nSELECT id, min(r) AS label FROM reach GROUP BY id"),
 
     // replays the verify stage over d15's new×corpus candidate dump,
     // exactly the d13 pattern (shingling + Jaccard verbatim; threshold
     // on the rounded value).
-    "d15_incremental_neardups" ->
-      s"""WITH c AS (SELECT id1, id2
-        |  FROM '${d15CandidatesPath("/root/testdata/sf0.01")}/*.parquet'),
-        |sh AS (SELECT doc_id,
-        |  list_distinct(list_transform(
-        |    range(1, greatest(len(tok)-3+2, 1)),
-        |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS tok
-        |        FROM documents)),
-        |j AS (SELECT c.id1, c.id2,
-        |  round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN NULL
-        |    ELSE len(list_intersect(a.sh, b.sh))*1.0 /
-        |         len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
-        |  FROM c JOIN sh a ON a.doc_id = c.id1 JOIN sh b ON b.doc_id = c.id2)
-        |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin,
+    "d15_incremental_neardups" -> dumpVerifySql("d15"),
 
     // the d15 verify replay over d16's (indexed-probe) candidate dump.
-    "d16_incremental_indexed" ->
-      s"""WITH c AS (SELECT id1, id2
-        |  FROM '${d16CandidatesPath("/root/testdata/sf0.01")}/*.parquet'),
-        |sh AS (SELECT doc_id,
-        |  list_distinct(list_transform(
-        |    range(1, greatest(len(tok)-3+2, 1)),
-        |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS tok
-        |        FROM documents)),
-        |j AS (SELECT c.id1, c.id2,
-        |  round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN NULL
-        |    ELSE len(list_intersect(a.sh, b.sh))*1.0 /
-        |         len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
-        |  FROM c JOIN sh a ON a.doc_id = c.id1 JOIN sh b ON b.doc_id = c.id2)
-        |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin,
+    "d16_incremental_indexed" -> dumpVerifySql("d16"),
 
     // d12's closure applied back to the corpus as the keep rule: a doc
     // survives when it never entered a verified pair (label missing) or
-    // it IS its cluster's min id. Same candidate dump + verify + closure
-    // text as d12, one more select on top.
+    // it IS its cluster's min id. Same verify + closure text as d12, over
+    // d14's OWN dump, one more select on top.
     "d14_fuzzy_survivors" ->
-      s"""WITH RECURSIVE c AS (SELECT id1, id2
-        |  FROM '${d13CandidatesPath("/root/testdata/sf0.01")}/*.parquet'),
-        |sh AS (SELECT doc_id,
-        |  list_distinct(list_transform(
-        |    range(1, greatest(len(tok)-3+2, 1)),
-        |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS tok
-        |        FROM documents)),
-        |v AS (SELECT c.id1, c.id2
-        |  FROM c JOIN sh a ON a.doc_id = c.id1 JOIN sh b ON b.doc_id = c.id2
-        |  WHERE round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN NULL
-        |    ELSE len(list_intersect(a.sh, b.sh))*1.0 /
-        |         len(list_distinct(list_concat(a.sh, b.sh))) END, 4) >= 0.8),
-        |e AS (SELECT id1 AS src, id2 AS dst FROM v
-        |      UNION ALL SELECT id2, id1 FROM v),
-        |n AS (SELECT DISTINCT src AS id FROM e),
-        |reach(id, r) AS (
-        |  SELECT id, id FROM n
-        |  UNION
-        |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
-        |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
-        |SELECT d.doc_id,
-        |  CASE WHEN lab.label IS NULL THEN 'unique' ELSE 'canonical' END AS kind
-        |FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
-        |WHERE lab.label IS NULL OR lab.label = d.doc_id""".stripMargin,
+      (dumpClosureCtes("d14") +
+        """,
+          |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+          |SELECT d.doc_id,
+          |  CASE WHEN lab.label IS NULL THEN 'unique' ELSE 'canonical' END AS kind
+          |FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
+          |WHERE lab.label IS NULL OR lab.label = d.doc_id""".stripMargin),
 
     // replays the embedding verify stage over e2's dumped candidate set:
     // exact cosine in double (list_cosine_similarity on float→double
@@ -2403,11 +2372,12 @@ object SparkEntry {
         |FROM c JOIN e a ON a.vec_id = c.id1 JOIN e b ON b.vec_id = c.id2
         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.2""".stripMargin,
 
-    // e2's verified pairs → recursive closure → the keep rule, applied to
-    // the embeddings corpus (the e-path twin of d14's oracle).
+    // e3's OWN dumped candidates → cosine verify → recursive closure →
+    // the keep rule, applied to the embeddings corpus (the e-path twin
+    // of d14's oracle).
     "e3_semantic_survivors" ->
       s"""WITH RECURSIVE c AS (SELECT id1, id2
-        |  FROM '${e2CandidatesPath("/root/testdata/sf0.01")}/*.parquet'),
+        |  FROM '${candidatesPath("e3", "/root/testdata/sf0.01")}/*.parquet'),
         |e AS (SELECT vec_id,
         |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |      FROM embeddings),

@@ -49,6 +49,14 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // the cast preserves the wall-clock value only when the session
+        // zone is UTC (the harness contract everywhere: Bench/Verify/
+        // specs/probes); in any other zone it would silently shift every
+        // timestamp by the zone offset and diverge from the UTC-reading
+        // oracle — fail fast instead
+        val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ; normalizing it requires spark.sql.session.timeZone=UTC (got $tz)")
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case org.apache.spark.sql.types.TimestampType => df
       case other =>
