@@ -187,6 +187,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming micro-batches dedup against the standing LshIndex (continuous-ingest shape)") {
+    // the production continuous-ingest loop: a standing corpus indexed
+    // ONCE (LshIndex), each arriving micro-batch probed against it —
+    // streamed union of per-batch candidates must equal the one-shot
+    // batch answer over the same new docs
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+    val corpus = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+    val fresh = docs.filter(pmod($"doc_id", lit(10)) === 0)
+    graft.dedup.LshIndex.drop(dir, subset = "streamspec")
+    val idx = graft.dedup.LshIndex.ensure(spark, dir, corpus, subset = "streamspec")
+    val staged = java.nio.file.Files.createTempDirectory("graft_docs_stream")
+    // two files so the bounded reader delivers >1 micro-batch
+    fresh.filter($"doc_id" < 250).write.mode("overwrite")
+      .parquet(staged.resolve("p1").toString)
+    fresh.filter($"doc_id" >= 250).write.mode("overwrite")
+      .parquet(staged.resolve("p2").toString)
+    val schema = docs.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString + "/*")
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long)]()
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.dedup.Dedup.incrementalCandidatePairsIndexed(idx, batch, "doc_id", "text")
+          .collect().foreach(r => got.add((r.getLong(0), r.getLong(1))))
+        ()
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    val expected = graft.dedup.Dedup.incrementalCandidatePairs(fresh, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet === expected)
+    assert(expected.nonEmpty || fresh.count() == 0) // the gate must gate something real
+    graft.dedup.LshIndex.drop(dir, subset = "streamspec")
+  }
+
   /** An OpenWeatherMap-shaped JSON payload as Kafka value bytes. */
   private def owmPayload(city: String, epoch: Long, temp: Double,
                          desc: String = "clear sky"): Array[Byte] =
