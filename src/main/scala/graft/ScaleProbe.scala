@@ -166,7 +166,10 @@ object ScaleProbe {
       val base = time(src, q)
       val scaled = time(out, q)
       (q, base, scaled)
-    } ++ (if (probeSet == "tpch" || probeSet == "emb") Seq.empty else {
+    } ++ (if (probeSet != "events") Seq.empty else {
+      // (positively gated on the events/documents probe set: only its
+      // generator writes $out/documents.parquet — a future probe set must
+      // opt in explicitly rather than inherit this block and crash)
       // Incremental-dedup CANDIDATE GENERATION at the realistic shape — a
       // SMALL batch (0.1%) against the big scaled corpus — inline
       // (re-bands the whole corpus per run) vs the persisted LshIndex

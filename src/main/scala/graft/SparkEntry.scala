@@ -1057,7 +1057,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val path = candidatesPath("d14", d)
       Dedup.minhashCandidatePairs(docs, "doc_id", "text")
-        .repartition(1).write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(path)
       val pairs = Dedup.jaccardForPairs(docs, s.read.parquet(path), "doc_id", "text")
         .filter(col("jaccard") >= 0.8)
       Dedup.fuzzySurvivors(docs, "doc_id", pairs.select(col("id1"), col("id2")))
@@ -1073,7 +1073,7 @@ object SparkEntry {
       val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
       val path = d15CandidatesPath(d)
       Dedup.incrementalCandidatePairs(newBatch, corpus, "doc_id", "text")
-        .repartition(1).write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(path)
       Dedup.jaccardForPairs(docs, s.read.parquet(path), "doc_id", "text")
         .filter(col("jaccard") >= 0.8)
     }),
@@ -1089,7 +1089,7 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), subset = "mod10ne0")
       val path = d16CandidatesPath(d)
       Dedup.incrementalCandidatePairsIndexed(idx, newBatch, "doc_id", "text")
-        .repartition(1).write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(path)
       Dedup.jaccardForPairs(docs, s.read.parquet(path), "doc_id", "text")
         .filter(col("jaccard") >= 0.8)
     }),
@@ -1106,7 +1106,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val path = d13CandidatesPath(d)
       Dedup.minhashCandidatePairs(docs, "doc_id", "text")
-        .repartition(1).write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(path)
       // verify over the read-back dump, not the in-memory frame: Spark
       // and the oracle then provably score the IDENTICAL pair set
       Dedup.jaccardForPairs(docs, s.read.parquet(path), "doc_id", "text")
@@ -1234,7 +1234,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val path = e2CandidatesPath(d)
       Dedup.srpCandidatePairs(emb, "vec_id", "embedding", maxDim = 64)
-        .repartition(1).write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(path)
       Dedup.cosineForPairs(emb, s.read.parquet(path), "vec_id", "embedding")
         .filter(col("cos") >= 0.2)
     }),
@@ -1248,7 +1248,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val path = candidatesPath("e3", d)
       Dedup.srpCandidatePairs(emb, "vec_id", "embedding", maxDim = 64)
-        .repartition(1).write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(path)
       val pairs = Dedup.cosineForPairs(emb, s.read.parquet(path), "vec_id", "embedding")
         .filter(col("cos") >= 0.2)
       Dedup.fuzzySurvivors(emb, "vec_id", pairs.select(col("id1"), col("id2")))

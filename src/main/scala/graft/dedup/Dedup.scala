@@ -150,8 +150,12 @@ object Dedup {
         handle.shingleSize, handle.bands, handle.rowsPerBand)
       .withColumn("__grp", LshIndex.grpOf(col("band"), col("bucket"), handle.groups))
       .select(col("band"), col("bucket"), col("__grp"), col(idCol).as("id1"))
+    // the standing side is keyed by the column the index was BUILT with
+    // (persisted in its meta row) — the probe batch's idCol name need not
+    // match it, and trusting the caller's here turned a geometry/contract
+    // mismatch into an opaque missing-column analysis error
     val standing = handle.buckets
-      .select(col("band"), col("bucket"), col("__grp"), col(idCol).as("id2"))
+      .select(col("band"), col("bucket"), col("__grp"), col(handle.idCol).as("id2"))
     broadcast(probe).join(standing, Seq("band", "bucket", "__grp"))
       .filter(col("id1") =!= col("id2"))
       .select("id1", "id2").distinct()

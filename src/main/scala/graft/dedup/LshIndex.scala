@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * each new batch re-tokenizes and re-hashes the WHOLE corpus — at 100 TB
   * that corpus pass, not the candidate join, dominates the daily dedup.
   *
-  * Layout (under target/lsh_index/v1/<tag>/s<sh>_b<bands>_r<rows>):
+  * Layout (under target/lsh_index/v2/<tag>/s<sh>_b<bands>_r<rows>):
   *  - `buckets`: (id, band, bucket) partitioned by
   *    `__grp = pmod(xxhash64(band, bucket), groups)` — narrow rows (three
   *    longs); the shingle SETS are deliberately NOT persisted. The verify
@@ -36,11 +36,19 @@ import org.apache.spark.sql.functions._
   */
 object LshIndex {
 
+  /** `idCol`/`textCol` record which columns the index was BUILT over (from
+    * the persisted meta row): a probe must join the standing side on the
+    * build-time id column, not whatever the probe batch happens to call
+    * its own — see [[Dedup.incrementalCandidatePairsIndexed]].
+    */
   final case class Handle(buckets: DataFrame, shingleSize: Int, bands: Int,
-                          rowsPerBand: Int, groups: Int)
+                          rowsPerBand: Int, groups: Int,
+                          idCol: String, textCol: String)
 
-  /** Bump when the layout or banding semantics change. */
-  private val version = "v1"
+  /** Bump when the layout or banding semantics change.
+    * v2: meta row gained (id_col, text_col).
+    */
+  private val version = "v2"
 
   /** Same directory-count economics as [[graft.sim.SrpIndex]]: groups are
     * one-file directories, so size them by rows (N·bands exploded rows)
@@ -74,10 +82,14 @@ object LshIndex {
            rowsPerBand: Int = 4, subset: String = "all"): Unit =
     graft.ArtifactKey.rmRecursive(root(dir, shingleSize, bands, rowsPerBand, subset))
 
-  /** Empty-corpus handles memoized per stamped base path (nothing persists
-    * for an empty corpus; the stamp changes when the corpus gains rows).
+  /** Stamped base paths known to hold an EMPTY corpus (nothing persists for
+    * one; the stamp changes when the corpus gains rows). Only the path
+    * string is memoized — a Handle holds DataFrames bound to the session
+    * that built it, so caching Handles across sessions would hand a later
+    * caller plans referencing a stopped SparkSession. On a hit the
+    * (trivially cheap) empty Handle is rebuilt from the caller's frame.
     */
-  private val emptyMemo = scala.collection.mutable.HashMap.empty[String, Handle]
+  private val emptyKnown = scala.collection.mutable.HashSet.empty[String]
 
   /** Build-or-reuse the index of `<dir>`'s corpus. `corpus` is only
     * evaluated (and scanned) on a cold build.
@@ -90,29 +102,26 @@ object LshIndex {
       spark.sessionState.newHadoopConf())
     val bucketsPath = new java.io.File(base, "buckets").getPath
     val metaPath = new java.io.File(base, "meta").getPath
+    def emptyHandle(df: DataFrame): Handle = Handle(
+      Dedup.lshBuckets(df, idCol, textCol, shingleSize, bands, rowsPerBand)
+        .withColumn("__grp", grpOf(col("band"), col("bucket"), 16)),
+      shingleSize, bands, rowsPerBand, 16, idCol, textCol)
     if (!new java.io.File(bucketsPath, "_SUCCESS").isFile ||
         !new java.io.File(metaPath, "_SUCCESS").isFile) {
-      emptyMemo.get(base.getPath) match {
-        case Some(h) => return h
-        case None =>
-      }
+      if (emptyKnown.contains(base.getPath)) return emptyHandle(corpus)
       graft.ArtifactKey.dropSuperseded(
         base.getParentFile.getParentFile,
         graft.ArtifactKey.pathKey(dir) + "_", base.getParentFile.getName)
       val df = corpus
       val n = df.count()
       if (n == 0) {
-        val h = Handle(
-          Dedup.lshBuckets(df, idCol, textCol, shingleSize, bands, rowsPerBand)
-            .withColumn("__grp", grpOf(col("band"), col("bucket"), 16)),
-          shingleSize, bands, rowsPerBand, 16)
-        emptyMemo(base.getPath) = h
-        return h
+        emptyKnown += base.getPath
+        return emptyHandle(df)
       }
       val groups = autoGroups(n * bands)
       import spark.implicits._
-      Seq((shingleSize, bands, rowsPerBand, groups, n))
-        .toDF("shingle", "bands", "rows", "groups", "n")
+      Seq((shingleSize, bands, rowsPerBand, groups, n, idCol, textCol))
+        .toDF("shingle", "bands", "rows", "groups", "n", "id_col", "text_col")
         .coalesce(1).write.mode("overwrite").parquet(metaPath)
       // one corpus pass: shingle → minhash → band buckets (all native
       // expressions inside lshBuckets), then the one-file-per-group
@@ -125,6 +134,7 @@ object LshIndex {
     val meta = spark.read.parquet(metaPath).collect()(0)
     Handle(spark.read.parquet(bucketsPath),
       meta.getAs[Int]("shingle"), meta.getAs[Int]("bands"),
-      meta.getAs[Int]("rows"), meta.getAs[Int]("groups"))
+      meta.getAs[Int]("rows"), meta.getAs[Int]("groups"),
+      meta.getAs[String]("id_col"), meta.getAs[String]("text_col"))
   }
 }

@@ -56,16 +56,18 @@ object IvfIndex {
     * columns (idCol, vecCol, __qc, __sc, __cell) with __cell as the
     * PARTITION column. `corpus` is only scanned on a cold build.
     */
-  /** Empty-corpus results memoized per stamped base path: nothing is
-    * persisted for an empty corpus, so without this every ensure() on it
-    * would take the cold branch again — re-evaluating the by-name corpus
-    * and re-running the count job per call, against the documented
-    * "only scanned on a cold build" contract. Keying by the STAMPED path
-    * gives staleness for free: a corpus that gains rows changes its
-    * content stamp and misses the memo.
+  /** Stamped base paths known to hold an EMPTY corpus: nothing is
+    * persisted for one, so without this every ensure() on it would
+    * re-run the count job per call, against the documented "only scanned
+    * on a cold build" contract. Keying by the STAMPED path gives
+    * staleness for free: a corpus that gains rows changes its content
+    * stamp and misses. Only the path string is memoized — a cached
+    * result would hold DataFrames bound to the session that built it,
+    * dangling once that session stops (test suites restart sessions);
+    * on a hit the trivially cheap empty pair is rebuilt from the
+    * caller's frame.
     */
-  private val emptyMemo =
-    scala.collection.mutable.HashMap.empty[String, (DataFrame, Seq[Seq[Double]])]
+  private val emptyKnown = scala.collection.mutable.HashSet.empty[String]
 
   def ensure(spark: SparkSession, dir: String, corpus: => DataFrame,
              idCol: String = "vec_id", vecCol: String = "embedding"
@@ -75,10 +77,9 @@ object IvfIndex {
     val centsPath = new java.io.File(base, "centroids").getPath
     if (!new java.io.File(corpusPath, "_SUCCESS").isFile ||
         !new java.io.File(centsPath, "_SUCCESS").isFile) {
-      emptyMemo.get(base.getPath) match {
-        case Some(h) => return h
-        case None =>
-      }
+      def emptyPair(df: DataFrame): (DataFrame, Seq[Seq[Double]]) =
+        (Similarity.assignCells(df, Seq.empty, idCol, vecCol), Seq.empty[Seq[Double]])
+      if (emptyKnown.contains(base.getPath)) return emptyPair(corpus)
       // a cold build supersedes every older stamp of the same source —
       // without this each regeneration strands a full-size index copy
       graft.ArtifactKey.dropSuperseded(
@@ -90,10 +91,8 @@ object IvfIndex {
         // (no footer to infer a schema from), and repartition(0 cells)
         // throws — return the inline paths' empty-corpus contract
         // (empty assigned frame, no centroids) without writing an index
-        val h = (Similarity.assignCells(df, Seq.empty, idCol, vecCol),
-          Seq.empty[Seq[Double]])
-        emptyMemo(base.getPath) = h
-        return h
+        emptyKnown += base.getPath
+        return emptyPair(df)
       }
       val cells = Similarity.autoCells(n)
       val cents = Similarity.kmeansCentroids(df, cells, 0, idCol, vecCol)

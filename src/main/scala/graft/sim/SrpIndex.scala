@@ -99,13 +99,17 @@ object SrpIndex {
   /** Build-or-reuse the index for `<dir>`'s corpus. `corpus` is only
     * evaluated (and scanned) on a cold build.
     */
-  /** Empty-corpus handles memoized per stamped base path — same contract
-    * and staleness argument as [[IvfIndex]]'s emptyMemo: nothing persists
-    * for an empty corpus, so the memo is what keeps repeat ensure() calls
-    * from re-evaluating the by-name corpus and re-counting; a corpus that
-    * gains rows changes its content stamp and misses the memo.
+  /** Stamped base paths known to hold an EMPTY corpus — same contract and
+    * staleness argument as [[IvfIndex]]: nothing persists for an empty
+    * corpus, so this set is what keeps repeat ensure() calls from
+    * re-COUNTING the by-name corpus; a corpus that gains rows changes its
+    * content stamp and misses. Only the path string is memoized — a
+    * cached Handle would hold DataFrames bound to the session that built
+    * it, dangling once that session stops (test suites restart sessions);
+    * on a hit the trivially cheap empty Handle is rebuilt from the
+    * caller's frame.
     */
-  private val emptyMemo = scala.collection.mutable.HashMap.empty[String, Handle]
+  private val emptyKnown = scala.collection.mutable.HashSet.empty[String]
 
   def ensure(spark: SparkSession, dir: String, corpus: => DataFrame, nTables: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"
@@ -117,10 +121,10 @@ object SrpIndex {
     if (!new java.io.File(bucketsPath, "_SUCCESS").isFile ||
         !new java.io.File(vectorsPath, "_SUCCESS").isFile ||
         !new java.io.File(metaPath, "_SUCCESS").isFile) {
-      emptyMemo.get(base.getPath) match {
-        case Some(h) => return h
-        case None =>
-      }
+      def emptyHandle(df: DataFrame): Handle = Handle(emptyBuckets(df, idCol, vecCol),
+        df.select(col(idCol), col(vecCol)),
+        Similarity.autoPlanes(0), nTables, 16)
+      if (emptyKnown.contains(base.getPath)) return emptyHandle(corpus)
       // a cold build supersedes every older stamp of the same source
       graft.ArtifactKey.dropSuperseded(
         base.getParentFile.getParentFile,
@@ -130,11 +134,8 @@ object SrpIndex {
       if (n == 0) {
         // nothing to persist (an empty parquet dir can't be read back);
         // hand out the inline paths' empty-corpus contract directly
-        val h = Handle(emptyBuckets(df, idCol, vecCol),
-          df.select(col(idCol), col(vecCol)),
-          Similarity.autoPlanes(0), nTables, 16)
-        emptyMemo(base.getPath) = h
-        return h
+        emptyKnown += base.getPath
+        return emptyHandle(df)
       }
       val planes = Similarity.autoPlanes(n)
       val groups = autoGroups(n * nTables)

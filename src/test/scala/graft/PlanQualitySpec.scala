@@ -487,6 +487,44 @@ class PlanQualitySpec extends SparkTestBase {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("candidate dumps write partitioned — no SinglePartition exchange feeds a dump write") {
+    // d13/d14/d15/d16/e2/e3 materialize their candidate-pair sets to a
+    // parquet dump the oracle replays. Round 12 wrote those dumps via
+    // .repartition(1) — one task serializing the entire pair set, a
+    // straight-line bottleneck in the measured path at 100 TB (the pair
+    // dump is itself a large table there). The writes are side effects of
+    // invoking the query function, so gate them via a QueryExecutionListener
+    // capturing every *_candidates write plan.
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val dumpQueries = Seq("d13_lsh_verified_pairs", "d14_fuzzy_survivors",
+      "d15_incremental_neardups", "d16_incremental_indexed",
+      "e2_embedding_verified_pairs", "e3_semantic_survivors")
+    val captured = new scala.collection.concurrent.TrieMap[String, String]()
+    val dumpKey = """([a-z]\d+)_candidates""".r
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+        val plan = qe.executedPlan.toString
+        dumpKey.findFirstMatchIn(plan).foreach(m => captured.put(m.group(1), plan))
+      }
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      dumpQueries.foreach(q => SparkEntry.queries(q)(spark, dir)) // write happens eagerly
+      // listener delivery is async on the listener bus — poll to quiescence
+      var waited = 0
+      while (captured.size < dumpQueries.size && waited < 30000) {
+        Thread.sleep(100); waited += 100
+      }
+      assert(captured.size === dumpQueries.size,
+        s"expected ${dumpQueries.size} dump writes, captured: ${captured.keySet.toSeq.sorted}")
+      val offenders = captured.filter(_._2.contains("SinglePartition")).keys.toSeq.sorted
+      assert(offenders.isEmpty,
+        s"single-partition exchange feeding a candidate-dump write: $offenders")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("m1: media metadata query never reads the bytes column") {
     val df = SparkEntry.queries("m1_resize_plan")(spark, dir)
     val plan = executedPlan(df)
