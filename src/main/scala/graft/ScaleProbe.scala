@@ -194,6 +194,26 @@ object ScaleProbe {
       val indexed = math.min(indexedOnce, indexedOnce)
       Seq(("lsh_candidates_inline_vs_indexed", inline, indexed),
           ("lsh_index_build_once", build, build))
+    } ++ {
+      // t9 formulation ladder at ×100 group cardinality (500 k doc
+      // groups): the registered row_number window (the t9_tfidf row
+      // above) vs the TopKRows heap at the default ObjectHashAggregate
+      // sort fallback (128 in-flight groups/task — the measured r12
+      // LOSS) vs the heap with the fallback raised past the per-task
+      // group count, the untried third option. (base = heap@default,
+      // scaled = heap@raised: the two new contenders in one row; compare
+      // both against t9_tfidf's scaled time to pick the winner.)
+      import graft.text.Text
+      val docsScaled = spark.read.parquet(s"$out/documents.parquet")
+      def heapOnce: Double = timeOnce(
+        Text.tfidfTopTermsHeap(docsScaled, "doc_id", "text", k = 3).count())
+      val heapDefault = math.min(heapOnce, heapOnce)
+      val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+      val saved = spark.conf.get(fbKey)
+      spark.conf.set(fbKey, (1 << 20).toString)
+      val heapRaised = try math.min(heapOnce, heapOnce)
+      finally spark.conf.set(fbKey, saved)
+      Seq(("t9_heap_fb128_vs_fb1m", heapDefault, heapRaised))
     }) ++ (if (probeSet != "tpch") Seq.empty else {
       // Bucketed-join twin for the probe's superlinear rows: q3/q21 grow
       // ~10x at 100x facts because the fact-fact sort-merge join re-sorts

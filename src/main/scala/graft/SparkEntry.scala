@@ -79,7 +79,8 @@ object SparkEntry {
   /** Every query with a candidate dump the oracle replays — the single
     * source [[oracleSqlFor]] derives its path substitutions from.
     */
-  private val candidateDumpQueries = Seq("d13", "e2", "d14", "d15", "d16", "e3")
+  private val candidateDumpQueries =
+    Seq("d13", "e2", "d14", "d15", "d16", "e3", "s2", "s4", "s7", "s8")
 
   private def d13CandidatesPath(dir: String): String = candidatesPath("d13", dir)
   private def e2CandidatesPath(dir: String): String = candidatesPath("e2", dir)
@@ -119,6 +120,28 @@ object SparkEntry {
       |  $duckJaccardExpr AS jaccard
       |  FROM c JOIN sh a ON a.doc_id = c.id1 JOIN sh b ON b.doc_id = c.id2)
       |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin
+
+  /** ANN rescore replay over query `q`'s own candidate-pair dump: exact
+    * cosine in double over exactly the dumped (query, neighbor) pairs,
+    * ranked per query on the UNROUNDED value with the id tie-break —
+    * precisely [[graft.sim.Similarity.exactRerank]], which is what the
+    * registered query publishes (the s1 oracle proved the full-precision
+    * cosine ordering agrees between the engines on these vectors).
+    */
+  private def annRerankSql(q: String, k: Int): String =
+    s"""WITH c AS (SELECT query_id, neighbor_id
+      |  FROM '${candidatesPath(q, "/root/testdata/sf0.01")}/*.parquet'),
+      |e AS (SELECT vec_id,
+      |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM embeddings),
+      |s AS (SELECT c.query_id, c.neighbor_id,
+      |        list_cosine_similarity(qe.v, ne.v) AS cos
+      |      FROM c JOIN e qe ON qe.vec_id = c.query_id
+      |             JOIN e ne ON ne.vec_id = c.neighbor_id)
+      |SELECT query_id, neighbor_id, round(cos, 4) AS cos,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |       ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      |FROM s QUALIFY rank <= $k""".stripMargin
 
   /** Recursive-closure CTE stack over query `q`'s verified dump: verify
     * filter → symmetrized edges → reachability; `reach` yields each
@@ -1173,9 +1196,18 @@ object SparkEntry {
     // bucket-groups via dynamic partition pruning, and the result rows
     // are identical to the inline path (parity + recall gated in
     // SimilaritySpec).
+    // ORACLED like d13 as of round 13: the query dumps its (hash-keyed,
+    // engine-specific) candidate id pairs and publishes the exact-cosine
+    // rescore of the READ-BACK dump, so the rescore+rank stage — plain
+    // SQL — is replayed by DuckDB over the identical pair set
+    // (list_cosine_similarity + row_number, the s1-proven comparison).
     "s2_ann_topk" -> ((s, d) => {
-      val idx = graft.sim.SrpIndex.ensure(s, d, Tables.embeddings(s, d), nTables = 12)
-      Similarity.annTopKIndexed(idx, Tables.embeddings(s, d).filter(col("vec_id") < 8), k = 5)
+      val emb = Tables.embeddings(s, d)
+      val idx = graft.sim.SrpIndex.ensure(s, d, emb, nTables = 12)
+      val path = candidatesPath("s2", d)
+      Similarity.annCandidatePairsIndexed(idx, emb.filter(col("vec_id") < 8))
+        .write.mode("overwrite").parquet(path)
+      Similarity.exactRerank(s.read.parquet(path), emb, emb.filter(col("vec_id") < 8), k = 5)
     }),
     // IVF cell assignment depends on the centroid sample; deterministic
     // but not ANSI-SQL-expressible compactly -> rows-only check, semantics
@@ -1185,10 +1217,15 @@ object SparkEntry {
     // cell-PARTITIONED corpus is a persisted index (IvfIndex, built once
     // per corpus like the j7 bucketed mirror) and the search scan prunes
     // to the probed cells via dynamic partition pruning.
+    // cell ASSIGNMENT stays engine-specific (centroid sample), but the
+    // rescore stage is oracled via the same dump-replay as s2.
     "s4_ivf_topk" -> ((s, d) => {
-      val (assigned, cents) = graft.sim.IvfIndex.ensure(s, d, Tables.embeddings(s, d))
-      Similarity.ivfTopKAssigned(assigned, cents,
-        Tables.embeddings(s, d).filter(col("vec_id") < 8), k = 5)
+      val emb = Tables.embeddings(s, d)
+      val (assigned, cents) = graft.sim.IvfIndex.ensure(s, d, emb)
+      val path = candidatesPath("s4", d)
+      Similarity.ivfCandidatePairsAssigned(assigned, cents, emb.filter(col("vec_id") < 8))
+        .write.mode("overwrite").parquet(path)
+      Similarity.exactRerank(s.read.parquet(path), emb, emb.filter(col("vec_id") < 8), k = 5)
     }),
     // Cross-table join of the two LLM extension tables: documents enriched
     // with their embedding's L2 norm, summarized per source. The norm is
@@ -1269,10 +1306,16 @@ object SparkEntry {
     // the counted exact-comparison reduction vs the plain SRP path.
     // Shares s2's persisted SrpIndex; the quantized pair (__qc, __sc)
     // rides the index scan instead of a per-run corpus quantize pass.
+    // the int8 prefilter's top-32 SELECTION stays engine-specific
+    // (integer-dot-keyed), but once the survivor set is dumped, the
+    // exact rescore is oracled via the same dump-replay as s2.
     "s7_ann_int8" -> ((s, d) => {
-      val idx = graft.sim.SrpIndex.ensure(s, d, Tables.embeddings(s, d), nTables = 12)
-      Similarity.annTopKInt8Indexed(idx,
-        Tables.embeddings(s, d).filter(col("vec_id") < 8), k = 5, rerank = 32)
+      val emb = Tables.embeddings(s, d)
+      val idx = graft.sim.SrpIndex.ensure(s, d, emb, nTables = 12)
+      val path = candidatesPath("s7", d)
+      Similarity.annSurvivorsInt8Indexed(idx, emb.filter(col("vec_id") < 8), rerank = 32)
+        .write.mode("overwrite").parquet(path)
+      Similarity.exactRerank(s.read.parquet(path), emb, emb.filter(col("vec_id") < 8), k = 5)
     }),
     // IVF with the same int8 prefilter: cell assignment on the raw
     // vectors (cosine is norm-invariant), probed-cell candidates scored
@@ -1282,10 +1325,15 @@ object SparkEntry {
     // persisted auto-sized index (the __qc/__sc columns were assigned in
     // the same build pass); the probe scan prunes to probed cells via
     // dynamic partition pruning.
+    // s7's dump-replay oracle pattern over the IVF int8 survivors.
     "s8_ivf_int8" -> ((s, d) => {
-      val (assigned, cents) = graft.sim.IvfIndex.ensure(s, d, Tables.embeddings(s, d))
-      Similarity.ivfTopKInt8Assigned(assigned, cents,
-        Tables.embeddings(s, d).filter(col("vec_id") < 8), k = 5, rerank = 16)
+      val emb = Tables.embeddings(s, d)
+      val (assigned, cents) = graft.sim.IvfIndex.ensure(s, d, emb)
+      val path = candidatesPath("s8", d)
+      Similarity.ivfSurvivorsInt8Assigned(assigned, cents,
+          emb.filter(col("vec_id") < 8), rerank = 16)
+        .write.mode("overwrite").parquet(path)
+      Similarity.exactRerank(s.read.parquet(path), emb, emb.filter(col("vec_id") < 8), k = 5)
     })
   )
 
@@ -2443,6 +2491,14 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, round(cos,4) AS cos,
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
         |FROM s QUALIFY rank <= 5""".stripMargin,
+
+    // dump-replay oracles for the ANN rescore stage (candidate/survivor
+    // SELECTION is hash- or integer-dot-keyed and engine-specific; the
+    // exact-cosine rank over the dumped pair set is not)
+    "s2_ann_topk" -> annRerankSql("s2", 5),
+    "s4_ivf_topk" -> annRerankSql("s4", 5),
+    "s7_ann_int8" -> annRerankSql("s7", 5),
+    "s8_ivf_int8" -> annRerankSql("s8", 5),
 
     "s3_label_centroids" ->
       """SELECT label, CAST(i-1 AS BIGINT) AS pos,

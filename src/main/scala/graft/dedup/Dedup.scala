@@ -119,14 +119,48 @@ object Dedup {
     * doc, id2 = corpus doc), distinct across bands, ready for
     * [[jaccardForPairs]] verification.
     */
+  /** Corpus-side bucket-occupancy cap for the incremental candidate join
+    * (0 disables). An LSH bucket whose occupancy is far past the O(1)
+    * design point is boilerplate, not similarity signal — its cost is
+    * occupancy × batch-hits PAIRS (then that many exact-Jaccard verifies),
+    * the quadratic-per-bucket term that dominated the ×100 probe's d15 row
+    * (10.3× at 100× data, docs/SCALE_PROBE.md). Dropping the bucket loses
+    * little: a genuinely near-dup pair has `bands` independent chances to
+    * collide and EXACT duplicates are the exact-dedup pass's job (d1/d2
+    * run before LSH in the curation funnel), so only pairs whose every
+    * band lands in a hot bucket vanish. 64 ≈ 16× the expected occupancy
+    * at the tuned S-curve — generous for real near-dup clusters, decisive
+    * against boilerplate explosions.
+    */
+  val defaultBucketCap = 64
+
+  /** Observation point name for the rows the cap drops (readable from
+    * `df.queryExecution.observedMetrics` after an action — the
+    * CollectMetrics hook, so counting the drops costs no second corpus
+    * pass).
+    */
+  val bucketCapObservation = "graft_dedup_bucket_cap"
+
   def incrementalCandidatePairs(newDf: DataFrame, corpusDf: DataFrame,
                                 idCol: String, textCol: String,
                                 shingleSize: Int = 3, bands: Int = 8,
-                                rowsPerBand: Int = 4): DataFrame = {
+                                rowsPerBand: Int = 4,
+                                bucketCap: Int = defaultBucketCap): DataFrame = {
     val l = lshBuckets(newDf, idCol, textCol, shingleSize, bands, rowsPerBand)
       .select(col("band"), col("bucket"), col(idCol).as("id1"))
-    val r = lshBuckets(corpusDf, idCol, textCol, shingleSize, bands, rowsPerBand)
+    val rAll = lshBuckets(corpusDf, idCol, textCol, shingleSize, bands, rowsPerBand)
       .select(col("band"), col("bucket"), col(idCol).as("id2"))
+    // occupancy via a window over the SAME (band, bucket) keys the join
+    // shuffles on — the exchange is shared with the join side, so the
+    // guard rides the shuffle the join pays anyway instead of a second
+    // banding pass; dropped-row count rides a CollectMetrics observation
+    val r = if (bucketCap <= 0) rAll else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+      rAll.withColumn("__n", count(lit(1)).over(w))
+        .observe(bucketCapObservation,
+          sum(when(col("__n") > bucketCap, 1L).otherwise(0L)).as("capped_bucket_rows"))
+        .filter(col("__n") <= bucketCap).drop("__n")
+    }
     l.join(r, Seq("band", "bucket"))
       .filter(col("id1") =!= col("id2"))
       .select("id1", "id2").distinct()
@@ -145,7 +179,8 @@ object Dedup {
     * and AQE still prunes.
     */
   def incrementalCandidatePairsIndexed(handle: LshIndex.Handle, newDf: DataFrame,
-                                       idCol: String, textCol: String): DataFrame = {
+                                       idCol: String, textCol: String,
+                                       bucketCap: Int = defaultBucketCap): DataFrame = {
     val probe = lshBuckets(newDf, idCol, textCol,
         handle.shingleSize, handle.bands, handle.rowsPerBand)
       .withColumn("__grp", LshIndex.grpOf(col("band"), col("bucket"), handle.groups))
@@ -153,8 +188,15 @@ object Dedup {
     // the standing side is keyed by the column the index was BUILT with
     // (persisted in its meta row) — the probe batch's idCol name need not
     // match it, and trusting the caller's here turned a geometry/contract
-    // mismatch into an opaque missing-column analysis error
-    val standing = handle.buckets
+    // mismatch into an opaque missing-column analysis error.
+    // The bucket-occupancy cap (same rule and default as the inline
+    // path, so candidate sets stay identical) filters on the occupancy
+    // the BUILD denormalized onto every index row — a map-side data
+    // filter on the DPP-pruned scan, zero per-probe aggregation over the
+    // standing corpus.
+    val capped = if (bucketCap <= 0) handle.buckets
+                 else handle.buckets.filter(col("bsize") <= bucketCap)
+    val standing = capped
       .select(col("band"), col("bucket"), col("__grp"), col(handle.idCol).as("id2"))
     broadcast(probe).join(standing, Seq("band", "bucket", "__grp"))
       .filter(col("id1") =!= col("id2"))

@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   * each new batch re-tokenizes and re-hashes the WHOLE corpus — at 100 TB
   * that corpus pass, not the candidate join, dominates the daily dedup.
   *
-  * Layout (under target/lsh_index/v2/<tag>/s<sh>_b<bands>_r<rows>):
-  *  - `buckets`: (id, band, bucket) partitioned by
+  * Layout (under target/lsh_index/v3/<tag>/s<sh>_b<bands>_r<rows>):
+  *  - `buckets`: (id, band, bucket, bsize) partitioned by
   *    `__grp = pmod(xxhash64(band, bucket), groups)` — narrow rows (three
   *    longs); the shingle SETS are deliberately NOT persisted. The verify
   *    stage re-derives shingles for only the candidate-hit ids by joining
@@ -47,8 +47,12 @@ object LshIndex {
 
   /** Bump when the layout or banding semantics change.
     * v2: meta row gained (id_col, text_col).
+    * v3: bucket rows gained `bsize` — the (band, bucket) occupancy,
+    *     denormalized at build so a probe's bucket-occupancy cap
+    *     ([[Dedup.defaultBucketCap]]) is a map-side scan filter instead
+    *     of a per-probe aggregation over the standing corpus.
     */
-  private val version = "v2"
+  private val version = "v3"
 
   /** Same directory-count economics as [[graft.sim.SrpIndex]]: groups are
     * one-file directories, so size them by rows (N·bands exploded rows)
@@ -82,14 +86,21 @@ object LshIndex {
            rowsPerBand: Int = 4, subset: String = "all"): Unit =
     graft.ArtifactKey.rmRecursive(root(dir, shingleSize, bands, rowsPerBand, subset))
 
-  /** Stamped base paths known to hold an EMPTY corpus (nothing persists for
-    * one; the stamp changes when the corpus gains rows). Only the path
-    * string is memoized — a Handle holds DataFrames bound to the session
-    * that built it, so caching Handles across sessions would hand a later
-    * caller plans referencing a stopped SparkSession. On a hit the
-    * (trivially cheap) empty Handle is rebuilt from the caller's frame.
+  /** Empty-corpus handles memoized per (SparkSession, stamped base path):
+    * nothing persists for an empty corpus, so the memo is what keeps
+    * repeat ensure() calls from re-evaluating the by-name corpus (the
+    * documented "only evaluated on a cold build" contract). Keyed by the
+    * SESSION too — a Handle holds DataFrames bound to the session that
+    * built it, so a path-only key would hand a later caller (test suites
+    * restart sessions) plans referencing a stopped SparkSession; the weak
+    * session key lets stopped sessions' entries be collected instead of
+    * growing forever.
     */
-  private val emptyKnown = scala.collection.mutable.HashSet.empty[String]
+  private val emptyMemo =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.HashMap[String, Handle]]()
+
+  private def sessionMemo(spark: SparkSession): scala.collection.mutable.HashMap[String, Handle] =
+    emptyMemo.computeIfAbsent(spark, _ => scala.collection.mutable.HashMap.empty)
 
   /** Build-or-reuse the index of `<dir>`'s corpus. `corpus` is only
     * evaluated (and scanned) on a cold build.
@@ -104,19 +115,24 @@ object LshIndex {
     val metaPath = new java.io.File(base, "meta").getPath
     def emptyHandle(df: DataFrame): Handle = Handle(
       Dedup.lshBuckets(df, idCol, textCol, shingleSize, bands, rowsPerBand)
+        .withColumn("bsize", lit(0L))
         .withColumn("__grp", grpOf(col("band"), col("bucket"), 16)),
       shingleSize, bands, rowsPerBand, 16, idCol, textCol)
     if (!new java.io.File(bucketsPath, "_SUCCESS").isFile ||
         !new java.io.File(metaPath, "_SUCCESS").isFile) {
-      if (emptyKnown.contains(base.getPath)) return emptyHandle(corpus)
+      sessionMemo(spark).get(base.getPath) match {
+        case Some(h) => return h
+        case None =>
+      }
       graft.ArtifactKey.dropSuperseded(
         base.getParentFile.getParentFile,
         graft.ArtifactKey.pathKey(dir) + "_", base.getParentFile.getName)
       val df = corpus
       val n = df.count()
       if (n == 0) {
-        emptyKnown += base.getPath
-        return emptyHandle(df)
+        val h = emptyHandle(df)
+        sessionMemo(spark)(base.getPath) = h
+        return h
       }
       val groups = autoGroups(n * bands)
       import spark.implicits._
@@ -124,9 +140,14 @@ object LshIndex {
         .toDF("shingle", "bands", "rows", "groups", "n", "id_col", "text_col")
         .coalesce(1).write.mode("overwrite").parquet(metaPath)
       // one corpus pass: shingle → minhash → band buckets (all native
-      // expressions inside lshBuckets), then the one-file-per-group
-      // repartition alignment shared with SrpIndex/IvfIndex/BucketedMirror
+      // expressions inside lshBuckets), a narrow (band, bucket) window
+      // to denormalize each bucket's occupancy onto its rows (`bsize` —
+      // what makes the probe-time occupancy cap a scan filter), then the
+      // one-file-per-group repartition alignment shared with
+      // SrpIndex/IvfIndex/BucketedMirror
       Dedup.lshBuckets(df, idCol, textCol, shingleSize, bands, rowsPerBand)
+        .withColumn("bsize", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
         .withColumn("__grp", grpOf(col("band"), col("bucket"), groups))
         .repartition(groups, col("__grp"))
         .write.mode("overwrite").partitionBy("__grp").parquet(bucketsPath)

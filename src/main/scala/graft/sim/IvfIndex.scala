@@ -56,18 +56,23 @@ object IvfIndex {
     * columns (idCol, vecCol, __qc, __sc, __cell) with __cell as the
     * PARTITION column. `corpus` is only scanned on a cold build.
     */
-  /** Stamped base paths known to hold an EMPTY corpus: nothing is
-    * persisted for one, so without this every ensure() on it would
-    * re-run the count job per call, against the documented "only scanned
-    * on a cold build" contract. Keying by the STAMPED path gives
-    * staleness for free: a corpus that gains rows changes its content
-    * stamp and misses. Only the path string is memoized — a cached
-    * result would hold DataFrames bound to the session that built it,
-    * dangling once that session stops (test suites restart sessions);
-    * on a hit the trivially cheap empty pair is rebuilt from the
-    * caller's frame.
+  /** Empty-corpus results memoized per (SparkSession, stamped base path):
+    * nothing is persisted for an empty corpus, so the memo is what keeps
+    * repeat ensure() calls from re-evaluating the by-name corpus and
+    * re-running the count job, against the documented "only scanned on a
+    * cold build" contract. Keying by the STAMPED path gives staleness for
+    * free (a corpus that gains rows changes its content stamp); keying by
+    * the SESSION keeps a cached result — whose DataFrames are bound to
+    * the session that built it — from dangling once that session stops
+    * (test suites restart sessions). The weak session key lets stopped
+    * sessions' entries be collected instead of growing forever.
     */
-  private val emptyKnown = scala.collection.mutable.HashSet.empty[String]
+  private val emptyMemo =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.HashMap[String, (DataFrame, Seq[Seq[Double]])]]()
+
+  private def sessionMemo(spark: SparkSession)
+      : scala.collection.mutable.HashMap[String, (DataFrame, Seq[Seq[Double]])] =
+    emptyMemo.computeIfAbsent(spark, _ => scala.collection.mutable.HashMap.empty)
 
   def ensure(spark: SparkSession, dir: String, corpus: => DataFrame,
              idCol: String = "vec_id", vecCol: String = "embedding"
@@ -77,9 +82,10 @@ object IvfIndex {
     val centsPath = new java.io.File(base, "centroids").getPath
     if (!new java.io.File(corpusPath, "_SUCCESS").isFile ||
         !new java.io.File(centsPath, "_SUCCESS").isFile) {
-      def emptyPair(df: DataFrame): (DataFrame, Seq[Seq[Double]]) =
-        (Similarity.assignCells(df, Seq.empty, idCol, vecCol), Seq.empty[Seq[Double]])
-      if (emptyKnown.contains(base.getPath)) return emptyPair(corpus)
+      sessionMemo(spark).get(base.getPath) match {
+        case Some(h) => return h
+        case None =>
+      }
       // a cold build supersedes every older stamp of the same source —
       // without this each regeneration strands a full-size index copy
       graft.ArtifactKey.dropSuperseded(
@@ -91,8 +97,10 @@ object IvfIndex {
         // (no footer to infer a schema from), and repartition(0 cells)
         // throws — return the inline paths' empty-corpus contract
         // (empty assigned frame, no centroids) without writing an index
-        emptyKnown += base.getPath
-        return emptyPair(df)
+        val h = (Similarity.assignCells(df, Seq.empty, idCol, vecCol),
+          Seq.empty[Seq[Double]])
+        sessionMemo(spark)(base.getPath) = h
+        return h
       }
       val cells = Similarity.autoCells(n)
       val cents = Similarity.kmeansCentroids(df, cells, 0, idCol, vecCol)

@@ -347,6 +347,45 @@ object Similarity {
     * the rows the inline path emits (same planes/tables/seed → same
     * candidate pairs → same scores; parity gated in SimilaritySpec).
     */
+  /** The deduped candidate id pairs of [[annTopKIndexed]] — its exact-
+    * rescore input, published separately so a caller can MATERIALIZE the
+    * candidate set and replay the rescore over the dump (the d13
+    * dump-replay oracle pattern: candidate GENERATION is hash-bucketed
+    * and engine-specific, but exact-cosine-rank over a fixed pair set is
+    * plain SQL any engine can verify). Same probe shape as the search:
+    * broadcast query buckets, DPP-pruned index scan, ids-only output.
+    */
+  def annCandidatePairsIndexed(idx: SrpIndex.Handle, queries: DataFrame,
+                               idCol: String = "vec_id", vecCol: String = "embedding",
+                               queryIdCol: String = "query_id"): DataFrame = {
+    val q = queries
+      .select(col(idCol).as(queryIdCol), toDouble(col(vecCol)).as("__qv"))
+      .select(col(queryIdCol),
+        org.apache.spark.sql.graft.VectorFunctions
+          .srpBucketsNative(col("__qv"), idx.planes, idx.nTables).as(Seq("__t", "__b")))
+      .withColumn("__grp", SrpIndex.grpOf(col("__t"), col("__b"), idx.groups))
+    idx.buckets.select("neighbor_id", "__t", "__b", "__grp")
+      .join(broadcast(q), Seq("__t", "__b", "__grp"))
+      .filter(col(queryIdCol) =!= col("neighbor_id"))
+      .dropDuplicates(queryIdCol, "neighbor_id")
+      .select(col(queryIdCol), col("neighbor_id"))
+  }
+
+  /** Exact-cosine rescore + rank of a MATERIALIZED (query, neighbor) id
+    * pair set against the full-precision vectors: two narrow joins, then
+    * [[rankTopK]]'s shared output contract. This is the replayable VERIFY
+    * stage of every ANN path — the registered queries read their own
+    * candidate dump back through it, so what they publish is exactly what
+    * an external engine recomputes from the same dump (rank on the
+    * unrounded cosine with the id tie-break, publish the rounded value —
+    * the s1-oracle-proven comparison).
+    */
+  def exactRerank(pairs: DataFrame, corpus: DataFrame, queries: DataFrame, k: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  queryIdCol: String = "query_id"): DataFrame =
+    rescoreTopK(pairs, corpus.select(col(idCol), col(vecCol)),
+      queries.select(col(idCol), col(vecCol)), idCol, vecCol, queryIdCol, k)
+
   def annTopKIndexed(idx: SrpIndex.Handle, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      queryIdCol: String = "query_id"): DataFrame = {
@@ -380,6 +419,22 @@ object Similarity {
                          rerank: Int = 32,
                          idCol: String = "vec_id", vecCol: String = "embedding",
                          queryIdCol: String = "query_id"): DataFrame = {
+    val survivors = annSurvivorsInt8Indexed(idx, queries, rerank, idCol, vecCol, queryIdCol)
+    rescoreTopK(survivors, idx.vectors.select(col(idCol), col(vecCol)),
+      queries.select(col(idCol), col(vecCol)), idCol, vecCol, queryIdCol, k)
+  }
+
+  /** The top-`rerank` int8-prefilter survivors of [[annTopKInt8Indexed]]
+    * — its exact-rescore input (id pairs), published for dump-replay
+    * oracling like [[annCandidatePairsIndexed]]: the prefilter's
+    * SELECTION is integer-dot-keyed and engine-specific, but once the
+    * survivor set is materialized, exact-cosine-rank over it is plain
+    * SQL.
+    */
+  def annSurvivorsInt8Indexed(idx: SrpIndex.Handle, queries: DataFrame,
+                              rerank: Int = 32,
+                              idCol: String = "vec_id", vecCol: String = "embedding",
+                              queryIdCol: String = "query_id"): DataFrame = {
     val (q8c, _) = int8Candidate(col(vecCol))
     val qBase = queries.select(col(idCol), col(vecCol))
     // quantize materializes BELOW the generator select (attribute
@@ -395,9 +450,7 @@ object Similarity {
       .withColumn("__approx", int8Dot * col("__sc"))
       .groupBy(col(queryIdCol), col("neighbor_id"))
       .agg(max(col("__approx")).as("__approx"))
-    val survivors = topIdsPerQuery(candidates, queryIdCol, rerank)
-    rescoreTopK(survivors, idx.vectors.select(col(idCol), col(vecCol)), qBase,
-      idCol, vecCol, queryIdCol, k)
+    topIdsPerQuery(candidates, queryIdCol, rerank)
   }
 
   /** nCells ≈ √N — the classic IVF balance point: each of the √N cells
@@ -488,6 +541,21 @@ object Similarity {
                           nProbes: Int = 0, rerank: Int = 32,
                           idCol: String = "vec_id", vecCol: String = "embedding",
                           queryIdCol: String = "query_id"): DataFrame = {
+    val survivors = ivfSurvivorsInt8Assigned(assigned, cents, queries,
+      nProbes, rerank, idCol, vecCol, queryIdCol)
+    rescoreTopK(survivors, assigned.select(col(idCol), col(vecCol)),
+      queries.select(col(idCol), col(vecCol)), idCol, vecCol, queryIdCol, k)
+  }
+
+  /** The top-`rerank` int8-prefilter survivors of [[ivfTopKInt8Assigned]]
+    * — its exact-rescore input (id pairs), published for dump-replay
+    * oracling like [[annSurvivorsInt8Indexed]].
+    */
+  def ivfSurvivorsInt8Assigned(assigned: DataFrame, cents: Seq[Seq[Double]],
+                               queries: DataFrame,
+                               nProbes: Int = 0, rerank: Int = 32,
+                               idCol: String = "vec_id", vecCol: String = "embedding",
+                               queryIdCol: String = "query_id"): DataFrame = {
     val probes = if (nProbes > 0) nProbes else autoProbes(cents.length)
     val (q8c, _) = int8Candidate(col(vecCol))
     val qBase = queries.select(col(idCol), col(vecCol))
@@ -505,9 +573,28 @@ object Similarity {
       .filter(col(queryIdCol) =!= col("neighbor_id"))
       .select(col(queryIdCol), col("neighbor_id"),
         (int8Dot * col("__sc")).as("__approx"))
-    val survivors = topIdsPerQuery(scored, queryIdCol, rerank)
-    rescoreTopK(survivors, assigned.select(col(idCol), col(vecCol)), qBase,
-      idCol, vecCol, queryIdCol, k)
+    topIdsPerQuery(scored, queryIdCol, rerank)
+  }
+
+  /** The candidate id pairs of [[ivfTopKAssigned]] — the probed-cell
+    * join's output, its exact-rescore input, published for dump-replay
+    * oracling like [[annCandidatePairsIndexed]]. A corpus vector lives in
+    * exactly one cell and a query probes distinct cells, so the pairs are
+    * already unique — no dedup stage.
+    */
+  def ivfCandidatePairsAssigned(assigned: DataFrame, cents: Seq[Seq[Double]],
+                                queries: DataFrame, nProbes: Int = 0,
+                                idCol: String = "vec_id", vecCol: String = "embedding",
+                                queryIdCol: String = "query_id"): DataFrame = {
+    val probes = if (nProbes > 0) nProbes else autoProbes(cents.length)
+    val c = assigned.select(col(idCol).as("neighbor_id"), col("__cell"))
+    val q = queries.select(col(idCol).as(queryIdCol), toDouble(col(vecCol)).as("__qv"))
+      .select(col(queryIdCol),
+        org.apache.spark.sql.graft.VectorFunctions
+          .nearestCellsGenNative(col("__qv"), cents, probes).as("__cell"))
+    c.join(broadcast(q), Seq("__cell"))
+      .filter(col(queryIdCol) =!= col("neighbor_id"))
+      .select(col(queryIdCol), col("neighbor_id"))
   }
 
   /** Deterministic sampled centroids, optionally refined with Lloyd

@@ -99,17 +99,21 @@ object SrpIndex {
   /** Build-or-reuse the index for `<dir>`'s corpus. `corpus` is only
     * evaluated (and scanned) on a cold build.
     */
-  /** Stamped base paths known to hold an EMPTY corpus — same contract and
-    * staleness argument as [[IvfIndex]]: nothing persists for an empty
-    * corpus, so this set is what keeps repeat ensure() calls from
-    * re-COUNTING the by-name corpus; a corpus that gains rows changes its
-    * content stamp and misses. Only the path string is memoized — a
-    * cached Handle would hold DataFrames bound to the session that built
-    * it, dangling once that session stops (test suites restart sessions);
-    * on a hit the trivially cheap empty Handle is rebuilt from the
-    * caller's frame.
+  /** Empty-corpus handles memoized per (SparkSession, stamped base path) —
+    * same contract and staleness argument as [[IvfIndex]]: nothing
+    * persists for an empty corpus, so the memo is what keeps repeat
+    * ensure() calls from re-evaluating the by-name corpus; a corpus that
+    * gains rows changes its content stamp and misses. Keyed by the
+    * SESSION too — a cached Handle holds DataFrames bound to the session
+    * that built it, so a path-only key would dangle once that session
+    * stops (test suites restart sessions); the weak session key lets
+    * stopped sessions' entries be collected.
     */
-  private val emptyKnown = scala.collection.mutable.HashSet.empty[String]
+  private val emptyMemo =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.HashMap[String, Handle]]()
+
+  private def sessionMemo(spark: SparkSession): scala.collection.mutable.HashMap[String, Handle] =
+    emptyMemo.computeIfAbsent(spark, _ => scala.collection.mutable.HashMap.empty)
 
   def ensure(spark: SparkSession, dir: String, corpus: => DataFrame, nTables: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"
@@ -121,10 +125,10 @@ object SrpIndex {
     if (!new java.io.File(bucketsPath, "_SUCCESS").isFile ||
         !new java.io.File(vectorsPath, "_SUCCESS").isFile ||
         !new java.io.File(metaPath, "_SUCCESS").isFile) {
-      def emptyHandle(df: DataFrame): Handle = Handle(emptyBuckets(df, idCol, vecCol),
-        df.select(col(idCol), col(vecCol)),
-        Similarity.autoPlanes(0), nTables, 16)
-      if (emptyKnown.contains(base.getPath)) return emptyHandle(corpus)
+      sessionMemo(spark).get(base.getPath) match {
+        case Some(h) => return h
+        case None =>
+      }
       // a cold build supersedes every older stamp of the same source
       graft.ArtifactKey.dropSuperseded(
         base.getParentFile.getParentFile,
@@ -134,8 +138,11 @@ object SrpIndex {
       if (n == 0) {
         // nothing to persist (an empty parquet dir can't be read back);
         // hand out the inline paths' empty-corpus contract directly
-        emptyKnown += base.getPath
-        return emptyHandle(df)
+        val h = Handle(emptyBuckets(df, idCol, vecCol),
+          df.select(col(idCol), col(vecCol)),
+          Similarity.autoPlanes(0), nTables, 16)
+        sessionMemo(spark)(base.getPath) = h
+        return h
       }
       val planes = Similarity.autoPlanes(n)
       val groups = autoGroups(n * nTables)

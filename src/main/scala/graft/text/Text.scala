@@ -179,6 +179,40 @@ object Text {
     * many-small-groups inputs it IS the bounded-survivor plan.
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val scored = tfidfScored(df, idCol, textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("__score").desc, col("token").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(idCol), col("token"), col("tf"), round(col("__score"), 6).as("tfidf"))
+  }
+
+  /** Heap formulation of the same top-k (TopKRows per doc group) — same
+    * rows as [[tfidfTopTerms]] by the shared (score desc, token asc)
+    * total order. Kept NON-default per the group-cardinality rule in the
+    * scaladoc above (millions of doc groups blow past the
+    * ObjectHashAggregate fallback threshold); [[graft.ScaleProbe]]
+    * measures both, plus this one under a raised
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`, at
+    * ×100 — the numbers that keep the default honest.
+    */
+  private[graft] def tfidfTopTermsHeap(df: DataFrame, idCol: String, textCol: String,
+                                       k: Int): DataFrame = {
+    val scored = tfidfScored(df, idCol, textCol)
+    scored.groupBy(col(idCol))
+      .agg(org.apache.spark.sql.graft.TopKFunctions
+        .topKRows(struct(col("__score"), col("token"), col("tf")), k, Seq(true, false))
+        .as("__top"))
+      .select(col(idCol), explode(col("__top")).as("__row"))
+      .select(col(idCol), col("__row.token").as("token"), col("__row.tf").as("tf"),
+              round(col("__row.__score"), 6).as("tfidf"))
+  }
+
+  /** The shared TF-IDF scoring pipeline of the two top-k formulations:
+    * (doc, token, tf, __score) — explode → tf / df aggregates → scoring
+    * join.
+    */
+  private def tfidfScored(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
     val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     // document frequency FROM tf (one row per (doc, token) ⇒ row count per
@@ -198,13 +232,9 @@ object Text {
     val dfreq = tf.groupBy("token")
       .agg(count(when(col("tf") > 0, lit(1))).as("df"))
     val n = df.agg(count(lit(1)).as("__n"))
-    val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
+    tf.join(dfreq, "token").crossJoin(broadcast(n))
       .withColumn("__score", col("tf") * log((col("__n") + 1.0) / (col("df") + 1.0)))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("__score").desc, col("token").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select(col(idCol), col("token"), col("tf"), round(col("__score"), 6).as("tfidf"))
+      .select(col(idCol), col("token"), col("tf"), col("__score"))
   }
 
   /** Cross-document duplicated-span score (the C4 / "Deduplicating

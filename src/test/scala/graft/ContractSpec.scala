@@ -39,10 +39,9 @@ class ContractSpec extends AnyFunSuite {
       "t18_bloom_decontaminate", // bloom bit layout is engine-internal (gated in RowsOnlyGateSpec)
       "t5_fingerprint",        // xxhash-keyed
       "t7_winnow",             // rolling-hash-keyed
-      "s2_ann_topk",           // SRP-bucket (hash-derived planes)
-      "s4_ivf_topk",           // centroid-sample dependent
-      "s7_ann_int8",           // SRP-bucket + int8 prefilter (recall + cost gated in SimilaritySpec)
-      "s8_ivf_int8",           // centroid-sample dependent + int8 prefilter (gated in SimilaritySpec)
+      // s2/s4/s7/s8 are ORACLED as of round 13: each dumps its candidate/
+      // survivor pair set and publishes the exact-cosine rescore of the
+      // read-back dump, which DuckDB replays (see annRerankSql)
       "e1_embedding_neardups") // SRP-bucket
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled === rowsOnlyByDesign,

@@ -129,6 +129,44 @@ class DedupSpec extends SparkTestBase {
     assert(verified.values.forall(_ === 1.0))
   }
 
+  test("bucket-occupancy cap: hot buckets drop from the candidate join, " +
+    "observed metric counts the capped rows, indexed probe stays in parity") {
+    // 200 copies of one text → every band bucket of that content has
+    // occupancy 200 > cap; a 2-doc cluster stays under it. The guard must
+    // drop the boilerplate pairs, keep the small-cluster pair, report the
+    // dropped rows through the CollectMetrics observation, and the
+    // persisted-index path (bsize scan filter) must produce the identical
+    // candidate set.
+    val hotText = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = ((1L to 200L).map(i => (i, hotText)) :+
+      (900L, "completely different sentence about distributed query engines ok"))
+      .toDF("id", "text")
+    val fresh = Seq(
+      (1000L, hotText), // hot content: every band lands in a capped bucket
+      (1001L, "completely different sentence about distributed query engines ok"))
+      .toDF("id", "text")
+    val inline = Dedup.incrementalCandidatePairs(fresh, corpus, "id", "text")
+    val got = inline.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1001L, 900L)), "hot-bucket pairs must be capped away")
+    val observed = inline.queryExecution.observedMetrics(Dedup.bucketCapObservation)
+    assert(observed.getAs[Long]("capped_bucket_rows") === 200L * 8,
+      "every (band, bucket) row of the hot content must be counted as capped")
+    // cap disabled → the 200 hot pairs come back
+    val uncapped = Dedup.incrementalCandidatePairs(fresh, corpus, "id", "text",
+        bucketCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size === 201 && uncapped.contains((1000L, 37L)))
+    // indexed parity under the same default cap
+    val dir = "/root/testdata/sf0.001"
+    graft.dedup.LshIndex.drop(dir, subset = "capspec")
+    val idx = graft.dedup.LshIndex.ensure(spark, dir, corpus,
+      idCol = "id", textCol = "text", subset = "capspec")
+    val indexed = Dedup.incrementalCandidatePairsIndexed(idx, fresh, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(indexed === got)
+    graft.dedup.LshIndex.drop(dir, subset = "capspec")
+  }
+
   test("LshIndex: indexed probe == inline candidates; second ensure reuses the build") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, dir)

@@ -143,8 +143,15 @@ class PlanQualitySpec extends SparkTestBase {
     // the typedLit-plane formulation inlined nPlanes*nTables*dim doubles
     // into the generated code and became the per-row bottleneck at 100x
     // corpus (26.9s vs 1.7s native, docs/SCALE_PROBE.md) — pin the native
-    // expression and the absence of wide literal arrays
-    val plan = executedPlan(SparkEntry.queries("s2_ann_topk")(spark, dir))
+    // expression and the absence of wide literal arrays.
+    // Gated on the SEARCH FUNCTION directly (the d16-gate pattern): the
+    // registered s2 query's returned plan is the rescore of its candidate
+    // dump, so the bucketing/DPP shapes under test live in the function
+    // (and in the dump-write plan, which the candidate-dump gate covers).
+    val emb = Tables.embeddings(spark, dir)
+    val idx = graft.sim.SrpIndex.ensure(spark, dir, emb, nTables = 12)
+    val plan = executedPlan(graft.sim.Similarity.annTopKIndexed(
+      idx, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8), k = 5))
     assert(plan.contains("graft_srp_bucket"))
     assert(!plan.contains("[-1.0,") && !plan.contains("[1.0,"))
     // the corpus side comes from the persisted SrpIndex: (a) the probe
@@ -185,9 +192,13 @@ class PlanQualitySpec extends SparkTestBase {
       "batch bucket table must broadcast into the index join")
     assert(plan.linesIterator.exists(l =>
       l.contains("dynamicpruningexpression(__grp") &&
-        l.contains("ReadSchema: struct<doc_id:bigint,band:int,bucket:bigint>")),
+        l.contains("ReadSchema: struct<doc_id:bigint,band:int,bucket:bigint,bsize:bigint>")),
       "index scan must DPP-prune to the probed bucket-groups and read " +
-        "only (doc_id, band, bucket)")
+        "only (doc_id, band, bucket, bsize)")
+    // the occupancy cap must be a pushed scan-level filter, not a
+    // per-probe aggregation over the standing index
+    assert(plan.contains("LessThanOrEqual(bsize"),
+      "bucket-occupancy cap must push down to the index scan")
     graft.dedup.LshIndex.drop(dir, subset = "planspec")
   }
 
@@ -197,7 +208,14 @@ class PlanQualitySpec extends SparkTestBase {
     // candidate. dropDuplicates here planned a SortAggregate carrying
     // first(<quantized array>) through two exchanges (caught in the r7
     // ledger review); this pins the fix.
-    val plan = executedPlan(SparkEntry.queries("s7_ann_int8")(spark, dir))
+    // Gated on the SEARCH FUNCTION directly (see the s2 gate note): the
+    // registered s7 query's returned plan is the rescore of its survivor
+    // dump.
+    val emb = Tables.embeddings(spark, dir)
+    val idx = graft.sim.SrpIndex.ensure(spark, dir, emb, nTables = 12)
+    val plan = executedPlan(graft.sim.Similarity.annTopKInt8Indexed(
+      idx, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8),
+      k = 5, rerank = 32))
     assert(plan.contains("partial_max"))
     assert(!plan.contains("SortAggregate"))
     // no aggregate buffers over the int8 vector columns
@@ -243,7 +261,14 @@ class PlanQualitySpec extends SparkTestBase {
     // stage — so the only pair-stream exchange ships (query, neighbor,
     // score). A regression here (e.g. scoring moved above the prerank)
     // re-ships 1-byte-per-dim arrays through the dominant shuffle.
-    val plan = executedPlan(SparkEntry.queries("s8_ivf_int8")(spark, dir))
+    // Gated on the SEARCH FUNCTION directly (see the s2 gate note): the
+    // registered s8 query's returned plan is the rescore of its survivor
+    // dump.
+    val emb = Tables.embeddings(spark, dir)
+    val (assigned, cents) = graft.sim.IvfIndex.ensure(spark, dir, emb)
+    val plan = executedPlan(graft.sim.Similarity.ivfTopKInt8Assigned(
+      assigned, cents, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8),
+      k = 5, rerank = 16))
     // both the prerank and the final rank are the bounded-heap aggregate —
     // no candidate-set sorts anywhere in the rerank pipeline
     assert(plan.contains("partial_topk_rows"))
@@ -499,7 +524,8 @@ class PlanQualitySpec extends SparkTestBase {
     import org.apache.spark.sql.util.QueryExecutionListener
     val dumpQueries = Seq("d13_lsh_verified_pairs", "d14_fuzzy_survivors",
       "d15_incremental_neardups", "d16_incremental_indexed",
-      "e2_embedding_verified_pairs", "e3_semantic_survivors")
+      "e2_embedding_verified_pairs", "e3_semantic_survivors",
+      "s2_ann_topk", "s4_ivf_topk", "s7_ann_int8", "s8_ivf_int8")
     val captured = new scala.collection.concurrent.TrieMap[String, String]()
     val dumpKey = """([a-z]\d+)_candidates""".r
     val listener = new QueryExecutionListener {

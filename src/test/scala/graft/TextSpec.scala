@@ -116,6 +116,20 @@ class TextSpec extends SparkTestBase {
     assert(top(2L) === "rare2")
   }
 
+  test("tfidfTopTermsHeap emits exactly tfidfTopTerms' rows (shared total order)") {
+    // the ×100 formulation ladder (ScaleProbe) is only meaningful if the
+    // two formulations are row-identical — pin it on a corpus with score
+    // ties (same tf, same df → token asc breaks the tie)
+    val df = Seq(
+      (1L, "alpha beta alpha gamma tie1 tie2"),
+      (2L, "beta beta delta epsilon tie1 tie2"),
+      (3L, "gamma delta zeta eta theta")).toDF("doc_id", "t")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(Text.tfidfTopTermsHeap(df, "doc_id", "t", k = 3)) ===
+           rows(Text.tfidfTopTerms(df, "doc_id", "t", k = 3)))
+  }
+
   test("repetitionStats: loop spam scores near 1, varied prose near 1/n_ngrams") {
     val docs = Seq(
       (1L, "buy now buy now buy now buy now buy now buy now"), // pure loop
