@@ -1171,6 +1171,13 @@ object SparkEntry {
     "m3_audio_windows" -> ((s, d) =>
       graft.multimodal.Multimodal.audioWindows(
         graft.multimodal.Multimodal.syntheticMediaTable(s, d), windowMs = 5000)),
+    // Content-addressed blob dedup — the one multimodal operator that
+    // MUST read the bytes (it hashes them); the shuffle still carries
+    // only (hash, id, length). Oracled: the synthetic blobs are the
+    // document text as binary, so DuckDB recomputes md5 directly.
+    "m4_blob_dedup" -> ((s, d) =>
+      graft.multimodal.Multimodal.blobDedup(
+        graft.multimodal.Multimodal.syntheticMediaTable(s, d))),
 
     // --------------------------------------------- embedding similarity
     "s1_brute_topk" -> ((s, d) => {
@@ -2479,6 +2486,16 @@ object SparkEntry {
         |  CAST(ceil(duration_ms / 5000.0) AS BIGINT) AS n_windows,
         |  CAST(duration_ms * sample_rate / 1000 AS BIGINT) AS n_samples
         |FROM m WHERE kind = 'audio'""".stripMargin,
+
+    // the synthetic media table's bytes are the document text as binary,
+    // so md5 over the blob == md5 over the text's UTF-8 bytes in any
+    // engine; strlen(varchar) is DuckDB's byte length (= Spark
+    // length(binary))
+    "m4_blob_dedup" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id,
+        |  count(*) AS n_copies, CAST(min(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents
+        |GROUP BY md5(text)""".stripMargin,
 
     "s1_brute_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,

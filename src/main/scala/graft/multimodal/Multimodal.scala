@@ -184,6 +184,24 @@ object Multimodal {
     spark.read.schema(mediaSchema).parquet(out)
   }
 
+  /** Content-addressed blob dedup — the multimodal twin of the text
+    * pipeline's exact dedup (d1/d2): md5 of the binary column is the
+    * content address; one output row per distinct blob with the
+    * deterministic keeper (min id), the copy count, and the blob size.
+    * Needs no codec — identical assets are identical BYTES regardless of
+    * what they encode, which is why content addressing is the first
+    * dedup pass of every media corpus.
+    *
+    * Scale shape: the only pass over the blobs is the map-side scan that
+    * hashes them; the shuffle carries (16-byte hash, id, length) via the
+    * partial aggregate — blob bytes never cross the wire (spec-gated).
+    */
+  def blobDedup(media: DataFrame, idCol: String = "media_id"): DataFrame =
+    media.groupBy(md5(col("bytes")).as("content_md5"))
+      .agg(min(col(idCol)).as("keeper_id"),
+           count(lit(1)).as("n_copies"),
+           min(length(col("bytes"))).cast("long").as("n_bytes"))
+
   /** Size-aware spread via AQE rebalance: partition sizing comes from the
     * RUNTIME shuffle statistics (which include the blob bytes) — oversized
     * partitions are split, small ones coalesced toward the advisory size.

@@ -170,7 +170,12 @@ object Text {
     * the heap exists to avoid, PLUS per-group buffer serialization across
     * the shuffle. Measured on the ×100 documents probe (ScaleProbe,
     * 500k docs): window 6.2 s vs heap 10.1 s (heap +64%); at sf0.1 the
-    * two tie (~1.0 s, scoring join dominates). The heap wins only when
+    * two tie (~1.0 s, scoring join dominates). Raising the fallback
+    * threshold to 2^20 (no sort fallback at all) was re-measured and is
+    * WORSE still — window 5.4 s ≤ heap@128 6.0 s < heap@2^20 6.9 s
+    * uncontended at ×100 (docs/SCALE_PROBE.md round-13 row): half a
+    * million live heap buffers per task is its own memory/GC regime, so
+    * the fallback was never the binding cost. The heap wins only when
     * groups are FEW and LARGE (o1: 3 flags over the lineitem fact, 1.29
     * → 0.45 s) — there the window ships and sorts the whole fact table
     * while the heap ships groups×k survivors. With partial

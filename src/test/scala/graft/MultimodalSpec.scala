@@ -31,6 +31,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(again(1L).toSeq === f(1L).toSeq)
   }
 
+  test("blobDedup: identical bytes collapse to the min-id keeper; blob bytes never shuffle") {
+    val out = Multimodal.blobDedup(media)
+    val byKeeper = out.collect().map { r =>
+      r.getLong(1) -> (Option(r.getString(0)), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))
+    }.toMap
+    assert(byKeeper.keySet === Set(1L, 3L, 4L))
+    assert(byKeeper(1L)._2 === 2L && byKeeper(1L)._3 === 3L) // ids 1+2 share bytes
+    assert(byKeeper(3L)._2 === 1L && byKeeper(3L)._3 === 2L)
+    assert(byKeeper(4L)._1.isEmpty && byKeeper(4L)._2 === 1L) // null blob: null address
+    assert(byKeeper(1L)._1 !== byKeeper(3L)._1)
+    // the partial aggregate hashes blobs map-side; no exchange may carry
+    // the binary column (only the 16-byte address + id/length survive)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2) // partial + final
+    assert(!plan.linesIterator.exists(l => l.contains("Exchange") && l.contains("bytes#")),
+      "blob bytes must not ride the dedup shuffle")
+  }
+
   test("sampleFrames: n evenly spaced frames per video only") {
     val frames = Multimodal.sampleFrames(media, 4).collect()
     assert(frames.length === 4)

@@ -187,6 +187,60 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming session_window over real events parquet equals batch sessionSummary") {
+    // w8's streaming twin: the engine's session_window (gap-closed by
+    // event-time silence) on the drained events stream must carve the
+    // SAME sessions the batch lag/sum sessionize finds — per (user,
+    // session) membership, count, mean, and bounds, with the streaming
+    // session's end = last event + gap by definition.
+    val dir = "/root/testdata/sf0.001"
+    val gapMin = 1440
+    val batch = graft.analyze.Analytics.sessionSummary(
+      graft.Tables.events(spark, dir), "user_id", "ts", "value", gapMinutes = gapMin)
+    val physical = spark.read.parquet(s"$dir/events.parquet").schema
+    val staged = java.nio.file.Files.createTempDirectory("graft_ev_sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val stream = graft.Tables.normalizeEventsTs(
+      graft.streaming.Streaming.parquetStream(spark, staged.toString, physical))
+    val q = graft.streaming.Streaming.sessionAgg(stream, "ts", "user_id", "value",
+        gap = s"$gapMin minutes")
+      .writeStream.format("memory").queryName("ev_sessions")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // keyed by (user, session start): streaming start == batch min ts
+      val streamed = spark.table("ev_sessions")
+        .select($"user_id",
+          date_format($"session_start", "yyyy-MM-dd HH:mm:ss").as("s"),
+          date_format($"session_end", "yyyy-MM-dd HH:mm:ss").as("e"),
+          $"n", round($"value_mean", 4).as("m"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getString(2), r.getLong(3), r.getDouble(4))).toMap
+      val batched = batch
+        .select($"user_id", $"session_start", $"session_end", $"n",
+          round($"value_mean", 4).as("m"))
+        .collect().map { r =>
+          // streaming session_window.end = last event + gap
+          val endPlusGap = java.time.LocalDateTime
+            .parse(r.getString(2), java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd HH:mm:ss"))
+            .plusMinutes(gapMin)
+            .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+          (r.getLong(0), r.getString(1)) -> (endPlusGap, r.getLong(3), r.getDouble(4))
+        }.toMap
+      assert(streamed.keySet === batched.keySet)
+      streamed.foreach { case (k, (e, n, m)) =>
+        val (be, bn, bm) = batched(k)
+        assert(e === be && n === bn, s"session $k: ($e, $n) vs ($be, $bn)")
+        // batch publishes the decimal stableMean4, the stream a double
+        // avg — identical to 4 decimals up to a half-way rounding ulp
+        assert(math.abs(m - bm) < 2e-4, s"session $k mean: $m vs $bm")
+      }
+    } finally q.stop()
+  }
+
   test("streaming micro-batches dedup against the standing LshIndex (continuous-ingest shape)") {
     // the production continuous-ingest loop: a standing corpus indexed
     // ONCE (LshIndex), each arriving micro-batch probed against it —
