@@ -28,7 +28,8 @@ object ScaleProbe {
     "d7_hash_split", "d9_source_cap", "t3_quality_score",
     "d11_epoch_shuffle", "t16_chunk_overlap", "t17_unigram_logprob",
     "t18_bloom_decontaminate", "o4_top_docs_per_lang", "t9_tfidf",
-    "t19_crossdoc_shingles", "t20_dsir_weights", "d15_incremental_neardups")
+    "t19_crossdoc_shingles", "t20_dsir_weights", "d15_incremental_neardups",
+    "d17_incremental_exact", "d18_incremental_exact_indexed")
 
   /** TPC-H probe set (SPARK_GRAFT_PROBE=tpch): the fact-heavy headline
     * shapes — pure fact agg (q1), fact⋈fact⋈dim top-k (q3), 5-way profit

@@ -1136,6 +1136,29 @@ object SparkEntry {
         .filter(col("jaccard") >= 0.8)
     }),
 
+    // Incremental EXACT dedup (the pass that runs BEFORE d15/d16's
+    // near-dup machinery in a daily-crawl pipeline): batch rows whose
+    // content hash is absent from the standing corpus. md5 is
+    // engine-portable, so unlike the LSH family this needs no dump —
+    // the oracle replays the whole operator directly.
+    "d17_incremental_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalExactNew(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text")
+    }),
+    // d17 through the persisted content-hash ledger (HashLedger): only
+    // the batch is hashed per run; membership is a DPP-pruned probe of
+    // the standing hash-group layout (see HashLedger's probe-shape note
+    // on why the anti join runs as inner + knockout).
+    "d18_incremental_exact_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ledger = graft.dedup.HashLedger.ensure(s, d,
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), subset = "mod10ne0")
+      Dedup.incrementalExactNewIndexed(ledger,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text")
+    }),
+
     "d1_exact_dup_stats" -> ((s, d) => Dedup.exactDupStats(Tables.documents(s, d), "text")),
     "d2_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")),
     "d3_lsh_buckets" -> ((s, d) => Dedup.lshBuckets(Tables.documents(s, d), "doc_id", "text")),
@@ -2398,6 +2421,23 @@ object SparkEntry {
 
     // the d15 verify replay over d16's (indexed-probe) candidate dump.
     "d16_incremental_indexed" -> dumpVerifySql("d16"),
+
+    // incremental exact dedup: md5 is engine-portable, so the WHOLE
+    // operator (not just a verify stage) replays in SQL — the batch's
+    // content addresses anti-joined against the standing corpus's.
+    // NOT IN is null-safe here (md5 of a non-null text is never null).
+    "d17_incremental_exact" ->
+      """SELECT doc_id, md5(text) AS content_md5
+        |FROM documents WHERE doc_id % 10 = 0
+        |  AND md5(text) NOT IN
+        |    (SELECT md5(text) FROM documents WHERE doc_id % 10 <> 0)""".stripMargin,
+
+    // identical result through the persisted ledger — same oracle text.
+    "d18_incremental_exact_indexed" ->
+      """SELECT doc_id, md5(text) AS content_md5
+        |FROM documents WHERE doc_id % 10 = 0
+        |  AND md5(text) NOT IN
+        |    (SELECT md5(text) FROM documents WHERE doc_id % 10 <> 0)""".stripMargin,
 
     // d12's closure applied back to the corpus as the keep rule: a doc
     // survives when it never entered a verified pair (label missing) or

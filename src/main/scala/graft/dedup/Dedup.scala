@@ -203,6 +203,45 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** Incremental EXACT dedup: the batch rows whose content (md5 of
+    * `textCol`) does not already exist in the standing corpus — the
+    * first dedup pass of a daily-crawl pipeline, run before the LSH
+    * near-dup machinery ([[incrementalCandidatePairs]]) so exact
+    * duplicates die at hash-compare cost. Output: (idCol, content_md5)
+    * of the kept batch rows. Inline form re-hashes the corpus each run;
+    * [[incrementalExactNewIndexed]] probes the persisted [[HashLedger]].
+    */
+  def incrementalExactNew(newDf: DataFrame, corpusDf: DataFrame,
+                          idCol: String, textCol: String): DataFrame = {
+    val newH = newDf.select(col(idCol), md5(col(textCol)).as("content_md5"))
+    val corpusH = corpusDf.select(md5(col(textCol)).as("content_md5"))
+    newH.join(corpusH, Seq("content_md5"), "left_anti")
+      .select(col(idCol), col("content_md5"))
+  }
+
+  /** [[incrementalExactNew]] probing a persisted [[HashLedger]]: only
+    * the batch is hashed this run; the standing side is a narrow
+    * content-address scan partitioned by hash-group. The membership
+    * check runs as ledger ⋈ broadcast(batch hashes) INNER join — not the
+    * natural batch-anti-ledger, which Spark's PartitionPruning rule
+    * refuses to prune (see [[HashLedger]]) — so dynamic partition
+    * pruning drops every unprobed hash-group at scan time, and the
+    * matched DUPLICATE ids then knock out batch rows through a tiny
+    * broadcast anti join. Kept set is identical to the inline path by
+    * construction (same md5, same corpus contents).
+    */
+  def incrementalExactNewIndexed(ledger: HashLedger.Handle, newDf: DataFrame,
+                                 idCol: String, textCol: String): DataFrame = {
+    val newH = newDf
+      .select(col(idCol), md5(col(textCol)).as("content_md5"))
+      .withColumn("__grp", HashLedger.grpOf(col("content_md5"), ledger.groups))
+    val dupIds = ledger.hashes
+      .join(broadcast(newH), Seq("content_md5", "__grp"))
+      .select(col(idCol))
+    newH.join(broadcast(dupIds), Seq(idCol), "left_anti")
+      .select(col(idCol), col("content_md5"))
+  }
+
   /** Full MinHash near-dup pipeline: LSH candidates → exact Jaccard verify
     * on the shingle sets → keep pairs ≥ threshold.
     */

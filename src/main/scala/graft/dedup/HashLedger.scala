@@ -1,0 +1,125 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Build-or-reuse the persisted content-hash ledger of a corpus — the
+  * EXACT-dedup sibling of [[LshIndex]] (near-dup buckets) in the
+  * incremental family: pay the corpus hashing scan ONCE, persist the
+  * md5 content addresses partitioned by a bounded hash-group key, and
+  * every later batch checks membership against the standing ledger.
+  * This is the first dedup pass of a daily-crawl pipeline (exact dups
+  * die here, cheaply, before the LSH near-dup machinery ever sees
+  * them); at 100 TB the ledger is billions of 16-byte hashes — far past
+  * any broadcast — so membership must be a partition-pruned probe of a
+  * persisted layout, not a per-run corpus re-hash.
+  *
+  * Layout (under target/hash_ledger/v1/<tag>/<subset>):
+  *  - `hashes`: (content_md5) partitioned by
+  *    `__grp = pmod(xxhash64(content_md5), groups)` — the ledger stores
+  *    only the address, no ids and no text (membership is the question
+  *    it answers). A probe derives the same group key from its own
+  *    hashes; with the batch side broadcast into an INNER join, dynamic
+  *    partition pruning drops every hash-group the batch never touches
+  *    at scan time.
+  *  - `meta`: (groups, n, id_col, text_col) — layout + provenance.
+  *
+  * Probe shape note ([[Dedup.incrementalExactNewIndexed]]): the natural
+  * formulation — batch LEFT ANTI ledger — is semantically prunable
+  * (unprobed ledger partitions cannot eliminate a batch row) but Spark's
+  * PartitionPruning rule does not fire for anti joins, so the probe runs
+  * as INNER (ledger ⋈ broadcast batch hashes, DPP fires) to find the
+  * batch's DUPLICATE ids, then a tiny batch-side anti join on those ids.
+  *
+  * Reuse ladder and keying follow [[LshIndex]]: `_SUCCESS` on disk →
+  * read back; nothing → build; [[graft.ContentStamp]] in the tag forces
+  * a rebuild when the source regenerates; empty corpora are memoized per
+  * (session, stamped path).
+  */
+object HashLedger {
+
+  final case class Handle(hashes: DataFrame, groups: Int,
+                          idCol: String, textCol: String)
+
+  /** Bump when the layout or hashing semantics change. */
+  private val version = "v1"
+
+  /** Same directory-count economics as [[LshIndex.autoGroups]]: one
+    * distinct content per corpus row at worst.
+    */
+  def autoGroups(rows: Long): Int = LshIndex.autoGroups(rows)
+
+  /** The group key both sides derive from a content hash — one
+    * definition so a probe can never hash differently from the layout.
+    */
+  private[dedup] def grpOf(h: org.apache.spark.sql.Column, groups: Int) =
+    pmod(xxhash64(h), lit(groups.toLong)).cast("int")
+
+  def root(dir: String, subset: String = "all",
+           hadoopConf: org.apache.hadoop.conf.Configuration =
+             new org.apache.hadoop.conf.Configuration()): java.io.File =
+    new java.io.File(
+      s"target/hash_ledger/$version/${graft.ArtifactKey.stamped(dir, hadoopConf)}/$subset")
+      .getAbsoluteFile
+
+  /** Delete the persisted ledger (forces the next ensure to rebuild). */
+  def drop(dir: String, subset: String = "all"): Unit =
+    graft.ArtifactKey.rmRecursive(root(dir, subset))
+
+  /** Empty-corpus handles memoized per (SparkSession, stamped base path)
+    * — the [[LshIndex]] memo contract: repeat ensure() calls must not
+    * re-evaluate the by-name corpus; the weak session key keeps a cached
+    * Handle (whose DataFrame is bound to the session that built it) from
+    * dangling once that session stops.
+    */
+  private val emptyMemo =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.HashMap[String, Handle]]()
+
+  private def sessionMemo(spark: SparkSession): scala.collection.mutable.HashMap[String, Handle] =
+    emptyMemo.computeIfAbsent(spark, _ => scala.collection.mutable.HashMap.empty)
+
+  /** Build-or-reuse the ledger of `<dir>`'s corpus. `corpus` is only
+    * evaluated (and scanned) on a cold build.
+    */
+  def ensure(spark: SparkSession, dir: String, corpus: => DataFrame,
+             idCol: String = "doc_id", textCol: String = "text",
+             subset: String = "all"): Handle = synchronized {
+    val base = root(dir, subset, spark.sessionState.newHadoopConf())
+    val hashesPath = new java.io.File(base, "hashes").getPath
+    val metaPath = new java.io.File(base, "meta").getPath
+    if (!new java.io.File(hashesPath, "_SUCCESS").isFile ||
+        !new java.io.File(metaPath, "_SUCCESS").isFile) {
+      sessionMemo(spark).get(base.getPath) match {
+        case Some(h) => return h
+        case None =>
+      }
+      graft.ArtifactKey.dropSuperseded(
+        base.getParentFile, graft.ArtifactKey.pathKey(dir) + "_", base.getName)
+      val df = corpus
+      val n = df.count()
+      if (n == 0) {
+        val h = Handle(
+          df.select(md5(col(textCol)).as("content_md5"))
+            .withColumn("__grp", grpOf(col("content_md5"), 16)),
+          16, idCol, textCol)
+        sessionMemo(spark)(base.getPath) = h
+        return h
+      }
+      val groups = autoGroups(n)
+      import spark.implicits._
+      Seq((groups, n, idCol, textCol)).toDF("groups", "n", "id_col", "text_col")
+        .coalesce(1).write.mode("overwrite").parquet(metaPath)
+      // one corpus pass: hash → distinct addresses (map-side partial
+      // dedup — a corpus with heavy duplication shuffles one row per
+      // distinct content per map task), then the one-file-per-group
+      // repartition alignment shared with LshIndex/SrpIndex/IvfIndex
+      df.select(md5(col(textCol)).as("content_md5")).distinct()
+        .withColumn("__grp", grpOf(col("content_md5"), groups))
+        .repartition(groups, col("__grp"))
+        .write.mode("overwrite").partitionBy("__grp").parquet(hashesPath)
+    }
+    val meta = spark.read.parquet(metaPath).collect()(0)
+    Handle(spark.read.parquet(hashesPath), meta.getAs[Int]("groups"),
+      meta.getAs[String]("id_col"), meta.getAs[String]("text_col"))
+  }
+}

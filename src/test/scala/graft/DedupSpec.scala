@@ -167,6 +167,33 @@ class DedupSpec extends SparkTestBase {
     graft.dedup.LshIndex.drop(dir, subset = "capspec")
   }
 
+  test("incremental exact dedup: known content dies, novel survives; " +
+    "HashLedger probe == inline; ensure reuses the build") {
+    val corpus = Seq((1L, "alpha bravo common text"), (2L, "charlie delta other text"))
+      .toDF("id", "text")
+    val fresh = Seq(
+      (10L, "alpha bravo common text"),  // exact content already in the corpus
+      (11L, "echo foxtrot novel text"))  // genuinely new
+      .toDF("id", "text")
+    val inline = Dedup.incrementalExactNew(fresh, corpus, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(inline.map(_._1).toSeq === Seq(11L))
+    assert(inline.head._2.length === 32) // md5 hex address published
+    val dir = "/root/testdata/sf0.001"
+    graft.dedup.HashLedger.drop(dir, subset = "exactspec")
+    val ledger = graft.dedup.HashLedger.ensure(spark, dir, corpus,
+      idCol = "id", textCol = "text", subset = "exactspec")
+    val indexed = Dedup.incrementalExactNewIndexed(ledger, fresh, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(indexed.toSeq === inline.toSeq)
+    // reuse: a second ensure must read back, not rebuild (poisoned thunk)
+    val again = graft.dedup.HashLedger.ensure(spark, dir,
+      { throw new IllegalStateException("rebuilt instead of reused") },
+      subset = "exactspec")
+    assert(again.groups === ledger.groups && again.idCol === "id" && again.textCol === "text")
+    graft.dedup.HashLedger.drop(dir, subset = "exactspec")
+  }
+
   test("LshIndex: indexed probe == inline candidates; second ensure reuses the build") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, dir)

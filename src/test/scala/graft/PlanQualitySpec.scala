@@ -202,6 +202,32 @@ class PlanQualitySpec extends SparkTestBase {
     graft.dedup.LshIndex.drop(dir, subset = "planspec")
   }
 
+  test("d18: HashLedger probe scan DPP-prunes to the probed hash-groups " +
+    "and reads only the content address") {
+    // the membership check must run as ledger ⋈ broadcast(batch) inner
+    // join (PartitionPruning does not fire for the natural anti join —
+    // HashLedger's probe-shape note): batch hashes broadcast, standing
+    // scan pruned to the hash-groups the batch actually probes, and the
+    // ledger branch reads ONLY the 32-char address — at 100 TB the scan
+    // reads probed groups of a hash-only table, never corpus text
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = Tables.documents(spark, dir)
+    graft.dedup.HashLedger.drop(dir, subset = "planspec")
+    val ledger = graft.dedup.HashLedger.ensure(spark, dir,
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(0)), subset = "planspec")
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === lit(0))
+    val plan = executedPlan(
+      graft.dedup.Dedup.incrementalExactNewIndexed(ledger, batch, "doc_id", "text"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "batch hash table must broadcast into the ledger join")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("dynamicpruningexpression(__grp") &&
+        l.contains("ReadSchema: struct<content_md5:string>")),
+      "ledger scan must DPP-prune to the probed hash-groups and read " +
+        "only content_md5")
+    graft.dedup.HashLedger.drop(dir, subset = "planspec")
+  }
+
   test("s7: int8 ANN pair dedup is a hash aggregate; quantized arrays never shuffle") {
     // The pair-stream dedup must stay groupBy().agg(max(<double>)) — a
     // partial+final HashAggregate whose exchange carries one score per
