@@ -80,7 +80,7 @@ object SparkEntry {
     * source [[oracleSqlFor]] derives its path substitutions from.
     */
   private val candidateDumpQueries =
-    Seq("d13", "e2", "d14", "d15", "d16", "e3", "s2", "s4", "s7", "s8")
+    Seq("d13", "e2", "d14", "d15", "d16", "e3", "s2", "s4", "s7", "s8", "t7")
 
   private def d13CandidatesPath(dir: String): String = candidatesPath("d13", dir)
   private def e2CandidatesPath(dir: String): String = candidatesPath("e2", dir)
@@ -913,10 +913,23 @@ object SparkEntry {
       Text.vocabulary(Tables.documents(s, d), "text", topK = 50)),
     "t9_tfidf" -> ((s, d) =>
       Text.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)),
-    // winnowing fingerprint census — rolling-hash keyed, rows-only
-    "t7_winnow" -> ((s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
-        size(Text.winnowFingerprints(col("text"))).cast("long").as("n_fingerprints"))),
+    // Winnowing fingerprint census, dump-replay oracled: the query dumps
+    // the positional k-gram hash sequence (engine-keyed phase) and
+    // publishes the NATIVE winnow's per-doc selected-set stats; DuckDB
+    // independently replays the window-minimum selection (pure windowed
+    // relational logic) over the identical dump — so the native codegen
+    // loop's selection semantics are cross-checked, not just row counts.
+    "t7_winnow" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"),
+          posexplode(Text.kgramHashes(col("text"), k = 8)).as(Seq("pos", "h")))
+        .write.mode("overwrite").parquet(candidatesPath("t7", d))
+      val fp = Text.winnowFingerprints(col("text")) // k=8, w=4
+      docs.select(col("doc_id"),
+        size(fp).cast("long").as("n_fingerprints"),
+        array_min(fp).as("fp_min"),
+        array_max(fp).as("fp_max"))
+    }),
     "t6_char_shingles" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), size(Text.charShingles(col("text"), 5)).cast("long").as("n_shingles"))),
@@ -2109,6 +2122,32 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'""".stripMargin,
+
+    // Winnowing selection replay over t7's own per-position hash dump:
+    // window starts s ∈ [0, max(1, n-w+1)) over window [s, min(s+w, n)),
+    // rightmost minimum per window (max pos among h = window min — the
+    // native loop's `<=` scan), distinct selected hashes per doc. w = 4.
+    // Docs shorter than k never enter the dump → LEFT JOIN, count 0.
+    "t7_winnow" ->
+      s"""WITH p AS (SELECT doc_id, pos, h
+        |  FROM '${candidatesPath("t7", "/root/testdata/sf0.01")}/*.parquet'),
+        |n AS (SELECT doc_id, count(*) AS n FROM p GROUP BY 1),
+        |st AS (SELECT p.doc_id, p.pos AS s, n.n FROM p JOIN n USING (doc_id)
+        |       WHERE p.pos <= greatest(n.n - 4, 0)),
+        |w AS (SELECT st.doc_id, st.s, q.pos, q.h
+        |      FROM st JOIN p q ON q.doc_id = st.doc_id
+        |       AND q.pos >= st.s AND q.pos < least(st.s + 4, st.n)),
+        |m AS (SELECT doc_id, s, min(h) AS mh FROM w GROUP BY 1, 2),
+        |sel AS (SELECT w.doc_id, max(w.pos) AS pos
+        |        FROM w JOIN m ON m.doc_id = w.doc_id AND m.s = w.s AND w.h = m.mh
+        |        GROUP BY w.doc_id, w.s),
+        |selh AS (SELECT DISTINCT s.doc_id, p.h
+        |         FROM sel s JOIN p ON p.doc_id = s.doc_id AND p.pos = s.pos),
+        |f AS (SELECT doc_id, count(*) AS cnt, min(h) AS fp_min, max(h) AS fp_max
+        |      FROM selh GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(f.cnt, 0) AS BIGINT) AS n_fingerprints,
+        |  f.fp_min, f.fp_max
+        |FROM documents d LEFT JOIN f USING (doc_id)""".stripMargin,
 
     "t6_char_shingles" ->
       """SELECT doc_id, CAST(CASE WHEN len(text) < 5 THEN 0 ELSE

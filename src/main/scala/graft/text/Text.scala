@@ -141,6 +141,16 @@ object Text {
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     org.apache.spark.sql.graft.HashFunctions.winnow(text, k, w)
 
+  /** Positional k-gram rolling hashes — [[winnowFingerprints]]' hashing
+    * phase on its own. Dumping these lets an independent engine replay
+    * the window-minimum selection over the identical hash sequence (the
+    * t7 oracle does exactly that), splitting "hashes agree" (engine-keyed,
+    * untestable cross-engine) from "selection agrees" (pure windowed-min
+    * relational logic, fully replayable).
+    */
+  def kgramHashes(text: Column, k: Int = 8): Column =
+    org.apache.spark.sql.graft.HashFunctions.kgramHashes(text, k)
+
   /** Corpus vocabulary: token → document frequency + total occurrences,
     * descending. The generator (explode) runs map-side; ONE shuffle on the
     * token — the canonical vocab-building job for tokenizer training.

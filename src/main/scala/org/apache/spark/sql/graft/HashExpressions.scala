@@ -217,13 +217,17 @@ object WinnowImpl {
     * Guarantee: any two documents sharing a substring of length >= w+k-1
     * share at least one fingerprint. Output: sorted distinct minima.
     */
-  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
-    // k-grams over Unicode code points (same convention as charShingles):
-    // supplementary chars are one symbol, surrogate pairs never split
+  /** Positional rolling k-gram hashes — winnowing's phase 1, also exposed
+    * on its own ([[kgramHashes]]) so the window-minimum SELECTION can be
+    * replayed independently (the t7 oracle dumps these and DuckDB re-runs
+    * the selection over the dump). k-grams are over Unicode code points
+    * (same convention as charShingles): supplementary chars are one
+    * symbol, surrogate pairs never split. Rabin-Karp polynomial hash.
+    */
+  private def hashSeq(text: UTF8String, k: Int): Array[Long] = {
     val cps = text.toString.codePoints().toArray
     val n = cps.length - k + 1
-    if (n <= 0) return new GenericArrayData(Array.empty[Any])
-    // rolling polynomial hash of k-grams (Rabin-Karp)
+    if (n <= 0) return Array.emptyLongArray
     val B = 1000003L
     var pow = 1L
     var i = 0
@@ -239,6 +243,21 @@ object WinnowImpl {
       hashes(i) = h
       i += 1
     }
+    hashes
+  }
+
+  def kgramHashes(text: UTF8String, k: Int): ArrayData = {
+    val hs = hashSeq(text, k)
+    val out = new Array[Any](hs.length)
+    var i = 0
+    while (i < hs.length) { out(i) = hs(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val hashes = hashSeq(text, k)
+    val n = hashes.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
     val sel = new java.util.TreeSet[java.lang.Long]()
     val windows = math.max(1, n - w + 1)
     var start = 0
@@ -271,6 +290,22 @@ case class Winnow(child: Expression, k: Int, w: Int)
     WinnowImpl.winnow(input.asInstanceOf[UTF8String], k, w)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.WinnowImpl.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Positional k-gram rolling hashes (winnowing's hashing phase, exposed so
+  * the window-minimum selection can be replayed over a dump of these).
+  */
+case class KgramHashes(child: Expression, k: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_kgram_hashes"
+  protected override def nullSafeEval(input: Any): Any =
+    WinnowImpl.kgramHashes(input.asInstanceOf[UTF8String], k)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.WinnowImpl.kgramHashes($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -351,6 +386,8 @@ object HashFunctions {
     ExpressionUtils.column(CharShingles(ExpressionUtils.expression(text), n))
   def winnow(text: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(Winnow(ExpressionUtils.expression(text), k, w))
+  def kgramHashes(text: Column, k: Int): Column =
+    ExpressionUtils.column(KgramHashes(ExpressionUtils.expression(text), k))
   def minhashSignature(shingles: Column, k: Int): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(shingles), k))
   def lshBandBuckets(shingles: Column, bands: Int, rowsPerBand: Int): Column =

@@ -38,7 +38,9 @@ class ContractSpec extends AnyFunSuite {
       // over the d13 candidate dump (see SparkEntry.oracleSql)
       "t18_bloom_decontaminate", // bloom bit layout is engine-internal (gated in RowsOnlyGateSpec)
       "t5_fingerprint",        // xxhash-keyed
-      "t7_winnow",             // rolling-hash-keyed
+      // t7_winnow is ORACLED as of round 13: dumps its positional k-gram
+      // hash sequence; DuckDB independently replays the window-minimum
+      // selection over the dump (see SparkEntry.oracleSql)
       // s2/s4/s7/s8 are ORACLED as of round 13: each dumps its candidate/
       // survivor pair set and publishes the exact-cosine rescore of the
       // read-back dump, which DuckDB replays (see annRerankSql)

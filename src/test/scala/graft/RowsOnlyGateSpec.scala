@@ -77,6 +77,49 @@ class RowsOnlyGateSpec extends SparkTestBase {
     assert(bad === 0, s"$bad pairs with a shared (w+k-1)-substring share no fingerprint")
   }
 
+  test("t7: SQL replay of the window-minimum selection matches the native loop") {
+    // The t7 oracle dumps kgramHashes and has DuckDB replay the selection
+    // with this exact SQL; running the same SQL in Spark against the same
+    // hash frame pins the three-way agreement (native loop = SQL replay)
+    // on adversarial inputs: tiny alphabet (repeated k-grams → hash ties
+    // exercising the rightmost tie-break), docs shorter than k (empty
+    // dump → LEFT JOIN zero row), n < w (single clamped window).
+    val k = 8; val w = 4
+    val rnd = new scala.util.Random(7)
+    def randStr(n: Int): String = (1 to n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val texts = ((1 to 60).map(_ => randStr(5 + rnd.nextInt(60))) ++
+      Seq("", "abc", "aaaaaaaa", "aaaaaaaaaaaaaaaaaaaa", "abababababababababab"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    df.createOrReplaceTempView("t7docs")
+    df.select(col("doc_id"), posexplode(Text.kgramHashes(col("text"), k)).as(Seq("pos", "h")))
+      .createOrReplaceTempView("t7p")
+    val replay = spark.sql(
+      """WITH n AS (SELECT doc_id, count(*) AS n FROM t7p GROUP BY doc_id),
+        |st AS (SELECT p.doc_id, p.pos AS s, n.n FROM t7p p JOIN n USING (doc_id)
+        |       WHERE p.pos <= greatest(n.n - 4, 0)),
+        |w AS (SELECT st.doc_id, st.s, q.pos, q.h
+        |      FROM st JOIN t7p q ON q.doc_id = st.doc_id
+        |       AND q.pos >= st.s AND q.pos < least(st.s + 4, st.n)),
+        |m AS (SELECT doc_id, s, min(h) AS mh FROM w GROUP BY doc_id, s),
+        |sel AS (SELECT w.doc_id, max(w.pos) AS pos
+        |        FROM w JOIN m ON m.doc_id = w.doc_id AND m.s = w.s AND w.h = m.mh
+        |        GROUP BY w.doc_id, w.s),
+        |selh AS (SELECT DISTINCT s.doc_id, p.h
+        |         FROM sel s JOIN t7p p ON p.doc_id = s.doc_id AND p.pos = s.pos),
+        |f AS (SELECT doc_id, count(*) AS cnt, min(h) AS fp_min, max(h) AS fp_max
+        |      FROM selh GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(f.cnt, 0) AS BIGINT) AS n_fingerprints,
+        |  f.fp_min, f.fp_max
+        |FROM t7docs d LEFT JOIN f USING (doc_id)""".stripMargin)
+    val fp = Text.winnowFingerprints(col("text"), k, w)
+    val native = df.select(col("doc_id"),
+      size(fp).cast("long").as("n_fingerprints"),
+      array_min(fp).as("fp_min"), array_max(fp).as("fp_max"))
+    assert(replay.exceptAll(native).isEmpty && native.exceptAll(replay).isEmpty,
+      "SQL selection replay diverges from the native winnow loop")
+  }
+
   test("d3: LSH buckets are text-deterministic and exactly one per band") {
     val docs = Tables.documents(spark, sf)
     val b = SparkEntry.queries("d3_lsh_buckets")(spark, sf).cache()
