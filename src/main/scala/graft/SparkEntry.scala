@@ -242,6 +242,14 @@ object SparkEntry {
       Analytics.rangeRolling(Tables.events(s, d), "user_id", "ts", "value",
         rangeSeconds = 600)),
 
+    // Unkeyed interval join (count flavor): corpus-wide events falling in
+    // each w8 session's [start, end] — decomposed into broadcast interior
+    // day sums + one cumulative window for boundary ranks, never a
+    // nested-loop or a per-day bin explosion (see sessionOverlapCount).
+    "w10_interval_join" -> ((s, d) =>
+      Analytics.sessionOverlapCount(Tables.events(s, d), "user_id", "ts",
+        gapMinutes = 1440)),
+
     // As-of join: each error event enriched with the user's latest prior
     // purchase value (point-in-time correctness — no lookahead).
     "w6_asof_join" -> ((s, d) => {
@@ -1704,6 +1712,29 @@ object SparkEntry {
         |  round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)) * 10000)
         |    / 10000.0 + 0.0 AS value_mean
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    // The oracle replays w10 as the NAIVE unkeyed BETWEEN join — fine at
+    // oracle scale, and exactly the semantics the decomposed Spark plan
+    // must reproduce. Inner join is safe: every session contains its own
+    // first event, so no session can have zero overlaps.
+    "w10_interval_join" ->
+      """WITH t AS (SELECT user_id, ts,
+        |  CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) -
+        |            CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT)
+        |       > 1440*60 THEN 1 ELSE 0 END AS nw
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |  CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM t),
+        |sess AS (SELECT user_id, session_id, min(ts) AS st, max(ts) AS en
+        |         FROM s GROUP BY user_id, session_id)
+        |SELECT sess.user_id, sess.session_id,
+        |  strftime(sess.st, '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(sess.en, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_overlap
+        |FROM sess JOIN events e ON e.ts >= sess.st AND e.ts <= sess.en
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "o2_global_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem

@@ -276,6 +276,91 @@ object Analytics {
            date_format(max(col(ts)), "yyyy-MM-dd HH:mm:ss").as("session_end"),
            stableMean4(col(value)).as("value_mean"))
 
+  /** Unkeyed interval join, COUNT flavor: for each [[sessionize]]d session
+    * interval, the number of events CORPUS-WIDE (any key) whose timestamp
+    * falls inside [session_start, session_end] — the concurrency census a
+    * capacity/abuse analysis runs over sessions.
+    *
+    * An unkeyed `ts BETWEEN st AND en` join is a nested-loop (cartesian)
+    * plan in Spark, and the naive fix — explode intervals to covered days
+    * and equi-join events by day — streams |interval-days| × |events/day|
+    * rows (~10⁸ already at sf0.1; quadratic in density). This instead
+    * decomposes each interval exactly:
+    *
+    *   n_overlap = G(en) − G(st⁻) + [different days: cnt(st_day) + Σ interior day counts]
+    *
+    * where G(t) = #events on day(t) with ts ≤ t. Interior-day sums come
+    * from a broadcast of the O(days) daily counts; the two boundary ranks
+    * per session come from ONE cumulative-count window over the
+    * day-partitioned union of events and boundary probes — the as-of
+    * join's tagged-union trick (see [[asofJoin]]) generalized to rank
+    * queries, with the tag ordering (lo=0 < event=1 < hi=2) making the
+    * lower bound exclusive of ties and the upper inclusive, matching
+    * BETWEEN. Cost: one shuffle of events on day + a per-day sort —
+    * O(N log day-size), never O(N × sessions). At 100 TB the bin unit
+    * (day here) would shrink to hours for denser streams: the window
+    * partition is the bin, so bin size bounds both sort memory and the
+    * skew a hot bin can concentrate.
+    */
+  def sessionOverlapCount(df: DataFrame, key: String, ts: String,
+                          gapMinutes: Int = 1440): DataFrame = {
+    val keyType = df.schema(key).dataType
+    val sess = sessionize(df, key, ts, gapMinutes)
+      .groupBy(col(key), col("session_id"))
+      .agg(min(col(ts)).as("st"), max(col(ts)).as("en"))
+    val daily = df.groupBy(to_date(col(ts)).as("day")).agg(count(lit(1)).as("day_cnt"))
+
+    // full days strictly inside (st_day, en_day): broadcast the tiny
+    // daily-count table; sessions spanning < 3 days contribute nothing
+    val interior = sess.select(col(key), col("session_id"),
+        explode(filter(sequence(to_date(col("st")), to_date(col("en"))),
+          d => d > to_date(col("st")) && d < to_date(col("en")))).as("day"))
+      .join(broadcast(daily), "day")
+      .groupBy(col(key), col("session_id"))
+      .agg(sum(col("day_cnt")).as("interior_cnt"))
+
+    // boundary ranks: per-day cumulative event count at each probe ts.
+    // Both probes ride ONE reference to `sess` (explode of a 2-struct
+    // array) and carry st/en through the rank group-by, so the final
+    // result joins off `ranks` — the session window subtree is expanded
+    // twice in this plan (probes + interior), not four times. (In a
+    // standing pipeline sess would be a materialized artifact anyway.)
+    val probes = sess.select(col(key), col("session_id"), col("st"), col("en"),
+        explode(array(
+          struct(col("st").as("bts"), lit(0).as("side"), lit("lo").as("typ")),
+          struct(col("en").as("bts"), lit(2).as("side"), lit("hi").as("typ")))).as("p"))
+      .select(col(key), col("session_id"), col("st"), col("en"),
+        to_date(col("p.bts")).as("day"), col("p.bts").as("bts"),
+        col("p.side").as("side"), lit(0L).as("one"), col("p.typ").as("typ"))
+    val tagged = probes
+      .unionByName(df.select(
+        lit(null).cast(keyType).as(key), lit(null).cast("long").as("session_id"),
+        lit(null).cast("timestamp").as("st"), lit(null).cast("timestamp").as("en"),
+        to_date(col(ts)).as("day"), col(ts).as("bts"),
+        lit(1).as("side"), lit(1L).as("one"), lit(null).cast("string").as("typ")))
+    val ranks = tagged
+      .withColumn("g", sum(col("one")).over(
+        Window.partitionBy(col("day")).orderBy(col("bts"), col("side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("typ").isNotNull)
+      .groupBy(col(key), col("session_id"))
+      .agg(max(col("st")).as("st"), max(col("en")).as("en"),
+           max(when(col("typ") === "lo", col("g"))).as("g_lo"),
+           max(when(col("typ") === "hi", col("g"))).as("g_hi"))
+
+    ranks
+      .join(broadcast(daily.withColumnRenamed("day", "sday")
+        .withColumnRenamed("day_cnt", "st_day_cnt")), to_date(col("st")) === col("sday"))
+      .join(interior, Seq(key, "session_id"), "left")
+      .select(col(key), col("session_id"),
+        date_format(col("st"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("en"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        (col("g_hi") - col("g_lo") +
+          when(to_date(col("st")) === to_date(col("en")), lit(0L))
+            .otherwise(col("st_day_cnt") + coalesce(col("interior_cnt"), lit(0L))))
+          .cast("long").as("n_overlap"))
+  }
+
   /** Rank family coverage (SURVEY §2.5 notes the reference has none):
     * dense_rank + ntile quartile per group over the daily mean.
     *

@@ -190,6 +190,40 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got(300L) === None)      // no prior right row -> null
   }
 
+  test("sessionOverlapCount == naive unkeyed BETWEEN join (randomized, multi-day)") {
+    // The decomposed plan (broadcast interior days + boundary-rank window)
+    // must reproduce the naive range join exactly — including sessions
+    // starting/ending mid-day, same-day sessions, ties at boundaries
+    // (BETWEEN is inclusive both ends), and sessions spanning 0/1/2+
+    // interior days. Randomized event times over a week, seeded.
+    val rnd = new scala.util.Random(42)
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val rows = (1 to 400).map { i =>
+      val u = s"u${rnd.nextInt(6)}"
+      // second-granularity over 7 days; duplicate some exact timestamps
+      // so boundary tie-inclusivity is actually exercised
+      val t = base + (rnd.nextInt(7 * 24 * 3600) / 7 * 7) * 1000L
+      (u, new java.sql.Timestamp(t), i.toDouble)
+    }
+    val df = rows.toDF("user_id", "ts", "value")
+    val got = Analytics.sessionOverlapCount(df, "user_id", "ts", gapMinutes = 360)
+    val sess = Analytics.sessionize(df, "user_id", "ts", gapMinutes = 360)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+    val naive = sess.as("s")
+      .join(df.select(col("ts").as("ets")),
+        col("ets") >= col("st") && col("ets") <= col("en"))
+      .groupBy(col("user_id"), col("session_id"), col("st"), col("en"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("user_id"), col("session_id"),
+        date_format(col("st"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("en"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_overlap"))
+    assert(got.count() === sess.count())
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+      "decomposed interval count diverges from the naive BETWEEN join")
+  }
+
   test("rangeRolling frames by event TIME, not row count") {
     val df = Seq(
       ("u1", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
