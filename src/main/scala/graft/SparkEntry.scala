@@ -947,6 +947,18 @@ object SparkEntry {
     "t12_repetition" -> ((s, d) =>
       Text.repetitionStats(Tables.documents(s, d), "doc_id", "text", n = 3)),
 
+    // φ-heavy hitters over 3-gram occurrences: SpaceSaving candidate
+    // sketch (each task ships ≤ capacity pairs across the exchange, never
+    // one row per distinct gram) → broadcast exact recount. φ = 1/5000
+    // with capacity 8192 > 1/φ keeps the no-miss bound at EVERY corpus
+    // size; at sf0.01 the 16k distinct grams vs 8k capacity make the
+    // eviction path do real work.
+    "t22_heavy_ngrams" -> ((s, d) =>
+      Text.heavyHitters(
+        Tables.documents(s, d).select(
+          explode(Text.wordShingleOccurrences(col("text"), 3)).as("gram")),
+        col("gram"), phiInverse = 5000L, capacity = 8192)),
+
     // Cross-doc duplicated-span score: fraction of each doc's distinct
     // 5-gram shingles occurring in >= 2 docs (t12's ACROSS-doc twin —
     // the span-level signal a C4-style corpus dedup acts on).
@@ -2179,6 +2191,20 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(coalesce(f.cnt, 0) AS BIGINT) AS n_fingerprints,
         |  f.fp_min, f.fp_max
         |FROM documents d LEFT JOIN f USING (doc_id)""".stripMargin,
+
+    // Exact φ-heavy-hitter replay: same 3-gram occurrence stream (t12's
+    // tokenize convention, duplicates kept), same integral threshold
+    // arithmetic — the sketch pass must be invisible in the result.
+    "t22_heavy_ngrams" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |g AS (SELECT unnest(list_transform(range(1, len(t)-3+2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS item
+        |  FROM tok WHERE len(t) >= 3),
+        |th AS (SELECT greatest(1, ((count(*) - 1) // 5000) + 1) AS th FROM g)
+        |SELECT g.item, count(*) AS cnt FROM g, th
+        |GROUP BY g.item, th.th HAVING count(*) >= th.th""".stripMargin,
 
     "t6_char_shingles" ->
       """SELECT doc_id, CAST(CASE WHEN len(text) < 5 THEN 0 ELSE

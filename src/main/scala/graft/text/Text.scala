@@ -114,6 +114,13 @@ object Text {
   def wordShingles(text: Column, n: Int): Column =
     org.apache.spark.sql.graft.HashFunctions.wordShingles(text, n)
 
+  /** Word n-gram OCCURRENCES (duplicates kept, document order) — the
+    * frequency-counting twin of [[wordShingles]] for census-style
+    * operators ([[heavyHitters]]).
+    */
+  def wordShingleOccurrences(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.HashFunctions.wordShingles(text, n, distinct = false)
+
   /** Character n-gram shingles, deduplicated (native loop; windows over
     * Unicode code points, so supplementary characters count as one and
     * surrogate pairs never split).
@@ -162,6 +169,49 @@ object Text {
       .agg(count(lit(1)).as("occurrences"))
       .orderBy(col("occurrences").desc, col("token").asc)
       .limit(topK)
+
+  /** φ-heavy hitters with EXACT published counts via sketch-then-recount:
+    * every value of `items` (a pre-exploded string column) occurring at
+    * least ⌈n / phiInverse⌉ times (n = total occurrences), without ever
+    * shuffling one row per distinct key.
+    *
+    * Pass 1 runs a SpaceSaving summary ([[org.apache.spark.sql.graft
+    * .SpaceSavingSketch]]) as a global two-phase aggregate (the total
+    * count rides the same aggregate, so the threshold needs no extra
+    * pass): each task ships at most `capacity` (item, est) pairs — at
+    * 100 TB the exchange carries O(tasks × capacity) rows where
+    * [[vocabulary]]'s groupBy ships one per distinct key (billions for
+    * URLs/shingles). Estimates are upper bounds and nothing with true
+    * count > n/capacity is missed, so with capacity comfortably above
+    * phiInverse (the φ-HH invariant — capacity is sized to the FRACTION,
+    * independent of corpus size) filtering the summary at the threshold
+    * yields a candidate SUPERSET at every scale; the TextSpec property
+    * gate exercises the bound under eviction pressure and partial merges.
+    * Pass 2 joins the corpus against the broadcast candidate set and
+    * recounts exactly — false positives die, and the published counts
+    * are exact, which is what makes the operator oracle-able at all.
+    */
+  def heavyHitters(df: DataFrame, items: Column, phiInverse: Long = 5000L,
+                   capacity: Int = 8192): DataFrame = {
+    require(capacity > phiInverse,
+      s"heavyHitters needs capacity > phiInverse for the no-miss bound " +
+      s"(got capacity=$capacity, phiInverse=$phiInverse)")
+    val sk = org.apache.spark.sql.graft.SketchFunctions.spaceSavingSketch _
+    val base = df.select(items.as("item"))
+    // integer-exact threshold: greatest(1, ceil(n / phiInverse)) in pure
+    // integral arithmetic, so the oracle's `//` form can never drift
+    val cands = base
+      .agg(count(lit(1)).as("n"), sk(col("item"), capacity).as("sk"))
+      .selectExpr(s"greatest(1L, ((n - 1) div $phiInverse) + 1) AS threshold", "sk")
+      .select(col("threshold"), explode(col("sk")).as("c"))
+      .filter(col("c.est") >= col("threshold"))
+      .select(col("c.item").as("item"), col("threshold"))
+    base.join(broadcast(cands), Seq("item"))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("cnt"), max(col("threshold")).as("th"))
+      .filter(col("cnt") >= col("th"))
+      .select(col("item"), col("cnt"))
+  }
 
   /** Top-k TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))).
     * Plan: one explode (map-side) feeding two aggregations — per-doc term

@@ -374,6 +374,59 @@ class TextSpec extends SparkTestBase {
     assert(census === Map("a.org" -> 2L, "b.net" -> 1L))
   }
 
+  test("spaceSavingSketch: upper-bound estimates and no-miss under eviction + merges") {
+    // Zipf-ish stream with far more distinct keys than capacity, spread
+    // over 8 partitions so partial buffers evict AND merge-prune runs.
+    // Invariants under test (the ones heavyHitters leans on):
+    //   (1) est >= true count for every tracked item;
+    //   (2) every item with true count > n/capacity is present.
+    val rnd = new scala.util.Random(11)
+    val n = 20000
+    val stream = (1 to n).map { _ =>
+      // skewed head (20 hot keys) + long uniform tail (~4000 keys)
+      if (rnd.nextInt(100) < 40) s"hot${rnd.nextInt(20)}"
+      else s"tail${rnd.nextInt(4000)}"
+    }
+    val capacity = 256
+    val df = stream.toDF("item").repartition(8)
+    val sk = df.agg(org.apache.spark.sql.graft.SketchFunctions
+        .spaceSavingSketch(col("item"), capacity).as("sk"))
+      .select(explode(col("sk")).as("c"))
+      .select(col("c.item").as("item"), col("c.est").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sk.size <= capacity)
+    val exact = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    sk.foreach { case (item, est) =>
+      assert(est >= exact(item), s"$item: est $est < true ${exact(item)}")
+    }
+    val mustKeep = exact.filter { case (_, c) => c > n.toLong / capacity }
+    val missed = mustKeep.keySet -- sk.keySet
+    assert(missed.isEmpty, s"guaranteed heavy hitters missing from sketch: $missed")
+  }
+
+  test("heavyHitters == exact group-count filter, with eviction pressure") {
+    val rnd = new scala.util.Random(23)
+    val n = 30000
+    val stream = (1 to n).map { _ =>
+      if (rnd.nextInt(100) < 30) s"hot${rnd.nextInt(15)}"
+      else s"tail${rnd.nextInt(6000)}"
+    }
+    val df = stream.toDF("item").repartition(8)
+    // phiInverse 500 -> threshold ceil(30000/500) = 60; capacity 1024 is
+    // well under the ~6015 distinct keys, so the sketch truly evicts
+    val got = Text.heavyHitters(df, col("item"), phiInverse = 500L, capacity = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val threshold = (n - 1) / 500 + 1
+    val want = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter { case (_, c) => c >= threshold }
+    assert(got === want)
+  }
+
+  test("heavyHitters: empty input yields empty result") {
+    val df = Seq.empty[String].toDF("item")
+    assert(Text.heavyHitters(df, col("item"), 500L, 1024).count() === 0)
+  }
+
   test("c4LineFilter: single-line and empty documents") {
     val df = Seq((1L, "One good sentence with several words here."),
                  (2L, "")).toDF("id", "t")
