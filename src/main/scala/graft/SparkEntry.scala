@@ -947,6 +947,12 @@ object SparkEntry {
     "t12_repetition" -> ((s, d) =>
       Text.repetitionStats(Tables.documents(s, d), "doc_id", "text", n = 3)),
 
+    // Bigram LM fluency score: add-1-smoothed P(w2|w1), model tables
+    // derived from one tf aggregation (never re-scans text), V as a
+    // broadcast scalar — the KenLM-ish quality filter above t17's unigram.
+    "t23_bigram_logprob" -> ((s, d) =>
+      Text.bigramLogProb(Tables.documents(s, d), "doc_id", "text")),
+
     // φ-heavy hitters over 3-gram occurrences: SpaceSaving candidate
     // sketch (each task ships ≤ capacity pairs across the exchange, never
     // one row per distinct gram) → broadcast exact recount. φ = 1/5000
@@ -2191,6 +2197,27 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(coalesce(f.cnt, 0) AS BIGINT) AS n_fingerprints,
         |  f.fp_min, f.fp_max
         |FROM documents d LEFT JOIN f USING (doc_id)""".stripMargin,
+
+    "t23_bigram_logprob" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-2+2),
+        |    i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM tok WHERE len(t) >= 2),
+        |tf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY doc_id, bigram),
+        |cb AS (SELECT bigram, sum(tf) AS cb, string_split(bigram, ' ')[1] AS w1
+        |       FROM tf GROUP BY bigram),
+        |c1 AS (SELECT w1, sum(cb) AS c1 FROM cb GROUP BY w1),
+        |v AS (SELECT count(DISTINCT token) AS v
+        |      FROM (SELECT unnest(t) AS token FROM tok)),
+        |s AS (SELECT tf.doc_id, tf.tf,
+        |        ln((cb.cb + 1) * 1.0 / (c1.c1 + v.v)) AS lp
+        |      FROM tf JOIN cb USING (bigram) JOIN c1 ON cb.w1 = c1.w1 CROSS JOIN v)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(CAST(lp AS DECIMAL(20,10)) * tf) AS DOUBLE) / sum(tf) * 10000)
+        |    / 10000.0 + 0.0 AS avg_logprob
+        |FROM s GROUP BY doc_id""".stripMargin,
 
     // Exact φ-heavy-hitter replay: same 3-gram occurrence stream (t12's
     // tokenize convention, duplicates kept), same integral threshold

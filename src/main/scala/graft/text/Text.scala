@@ -583,6 +583,46 @@ object Text {
           / sum(col("tf")) * 10000) / 10000.0 + lit(0.0)).as("avg_logprob"))
   }
 
+  /** Per-document mean bigram log-likelihood under an add-1-smoothed
+    * corpus bigram model — the next step up the KenLM-style fluency
+    * ladder from [[unigramLogProb]]: repetitive or shuffled word salad
+    * scores low even when its unigram mix looks normal, because the model
+    * conditions on the previous token:
+    *
+    *   P(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁·) + V)
+    *
+    * with V = unigram vocabulary size; documents with < 2 tokens have no
+    * bigram positions and are dropped (same convention as the t17
+    * family's zero-token drop).
+    *
+    * Plan: one bigram-occurrence explode feeding per-doc tf (the only
+    * (doc, bigram)-keyed shuffle); the model tables — corpus bigram
+    * counts and their w₁ margins — derive from tf by further aggregation,
+    * so the raw text is never re-scanned; V rides as a broadcast 1-row
+    * cross join. The bigram table is vocabulary²-bounded, not
+    * corpus-bounded, so the scoring joins stay model-sized at any corpus
+    * scale (AQE picks broadcast vs shuffle as V² warrants). Same decimal
+    * weighted-mean determinism discipline as [[unigramLogProbJoined]].
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol),
+        explode(wordShingleOccurrences(col(textCol), 2)).as("bigram"))
+      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("tf"))
+    val cb = tf.groupBy("bigram").agg(sum(col("tf")).as("cb"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val c1 = cb.groupBy("w1").agg(sum(col("cb")).as("c1"))
+    val vocab = df.select(explode(tokens(col(textCol))).as("token"))
+      .agg(countDistinct(col("token")).as("v"))
+    tf.join(cb, "bigram")
+      .join(c1, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", log((col("cb") + lit(1)) * lit(1.0) / (col("c1") + col("v"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+        (round(sum(col("lp").cast("decimal(20,10)") * col("tf")).cast("double")
+          / sum(col("tf")) * 10000) / 10000.0 + lit(0.0)).as("avg_logprob"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): per document, the mean
     * per-token log-likelihood RATIO between a TARGET distribution (the

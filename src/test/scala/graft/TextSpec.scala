@@ -374,6 +374,21 @@ class TextSpec extends SparkTestBase {
     assert(census === Map("a.org" -> 2L, "b.net" -> 1L))
   }
 
+  test("bigramLogProb: conditions on the previous token; sub-bigram docs dropped") {
+    val df = Seq(
+      (1L, "a b a b a b a b"), // repeated common bigrams
+      (2L, "c d e f g h i j"), // every bigram a singleton
+      (3L, "x"),               // 1 token: no bigram positions -> dropped
+      (4L, "")                 // 0 tokens -> dropped
+    ).toDF("doc_id", "text")
+    val out = Text.bigramLogProb(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L)._1 === 7L && out(2L)._1 === 7L)
+    // the bigram model must reward the document whose transitions recur
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
   test("spaceSavingSketch: upper-bound estimates and no-miss under eviction + merges") {
     // Zipf-ish stream with far more distinct keys than capacity, spread
     // over 8 partitions so partial buffers evict AND merge-prune runs.
