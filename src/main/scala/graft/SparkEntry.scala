@@ -1296,6 +1296,18 @@ object SparkEntry {
         .write.mode("overwrite").parquet(path)
       Similarity.exactRerank(s.read.parquet(path), emb, emb.filter(col("vec_id") < 8), k = 5)
     }),
+    // MMR-diversified retrieval: exact top-20 candidates, then greedy
+    // λ·relevance − (1−λ)·redundancy selection of 5 — vector math stays
+    // in native expressions (4dp-rounded before selection), the
+    // sequential greedy runs as typed flatMapGroups over bounded groups.
+    // Fully oracled: the candidate set is the exact brute-force top-20
+    // (engine-independent), so DuckDB re-derives it and replays the
+    // greedy as five unrolled argmax stages.
+    "s9_mmr_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 8), kCand = 20, k = 5)
+    }),
+
     // Cross-table join of the two LLM extension tables: documents enriched
     // with their embedding's L2 norm, summarized per source. The norm is
     // computed in double (native codegen dot) and quantized to
@@ -2687,6 +2699,91 @@ object SparkEntry {
         |  count(*) AS n
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY label, i""".stripMargin,
+
+    // MMR greedy replay, five UNROLLED argmax stages (a recursive CTE
+    // would need window functions in the recursive member): candidates =
+    // exact top-20 on the 4dp cosine (engine-independent, re-derived here
+    // rather than dumped), every score computed from 4dp inputs with
+    // explicit DOUBLE literals so the λ arithmetic is the identical IEEE
+    // expression the Scala greedy evaluates.
+    "s9_mmr_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(q.qv, e.v), 4) AS cos
+        |       FROM q JOIN e ON e.vec_id <> q.query_id),
+        |cand AS (SELECT query_id, neighbor_id, cos FROM sc
+        |         QUALIFY row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cos DESC, neighbor_id) <= 20),
+        |pr AS (SELECT a.query_id, a.neighbor_id AS n1, b.neighbor_id AS n2,
+        |         round(list_cosine_similarity(e1.v, e2.v), 4) AS sim
+        |       FROM cand a JOIN cand b ON a.query_id = b.query_id
+        |         AND a.neighbor_id <> b.neighbor_id
+        |       JOIN e e1 ON e1.vec_id = a.neighbor_id
+        |       JOIN e e2 ON e2.vec_id = b.neighbor_id),
+        |s1 AS (SELECT query_id, neighbor_id, cos AS score FROM cand
+        |       QUALIFY row_number() OVER (PARTITION BY query_id
+        |         ORDER BY cos DESC, neighbor_id) = 1),
+        |sel1 AS (SELECT query_id, neighbor_id FROM s1),
+        |p2 AS (SELECT c.query_id, c.neighbor_id,
+        |         CAST(0.7 AS DOUBLE) * c.cos -
+        |         (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * max(m.sim) AS score
+        |       FROM cand c
+        |       JOIN pr m ON m.query_id = c.query_id AND m.n1 = c.neighbor_id
+        |       JOIN sel1 s ON s.query_id = m.query_id AND s.neighbor_id = m.n2
+        |       WHERE NOT EXISTS (SELECT 1 FROM sel1 x
+        |         WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+        |       GROUP BY c.query_id, c.neighbor_id, c.cos),
+        |s2 AS (SELECT query_id, neighbor_id, score FROM p2
+        |       QUALIFY row_number() OVER (PARTITION BY query_id
+        |         ORDER BY score DESC, neighbor_id) = 1),
+        |sel2 AS (SELECT * FROM sel1 UNION ALL SELECT query_id, neighbor_id FROM s2),
+        |p3 AS (SELECT c.query_id, c.neighbor_id,
+        |         CAST(0.7 AS DOUBLE) * c.cos -
+        |         (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * max(m.sim) AS score
+        |       FROM cand c
+        |       JOIN pr m ON m.query_id = c.query_id AND m.n1 = c.neighbor_id
+        |       JOIN sel2 s ON s.query_id = m.query_id AND s.neighbor_id = m.n2
+        |       WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+        |         WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+        |       GROUP BY c.query_id, c.neighbor_id, c.cos),
+        |s3 AS (SELECT query_id, neighbor_id, score FROM p3
+        |       QUALIFY row_number() OVER (PARTITION BY query_id
+        |         ORDER BY score DESC, neighbor_id) = 1),
+        |sel3 AS (SELECT * FROM sel2 UNION ALL SELECT query_id, neighbor_id FROM s3),
+        |p4 AS (SELECT c.query_id, c.neighbor_id,
+        |         CAST(0.7 AS DOUBLE) * c.cos -
+        |         (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * max(m.sim) AS score
+        |       FROM cand c
+        |       JOIN pr m ON m.query_id = c.query_id AND m.n1 = c.neighbor_id
+        |       JOIN sel3 s ON s.query_id = m.query_id AND s.neighbor_id = m.n2
+        |       WHERE NOT EXISTS (SELECT 1 FROM sel3 x
+        |         WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+        |       GROUP BY c.query_id, c.neighbor_id, c.cos),
+        |s4 AS (SELECT query_id, neighbor_id, score FROM p4
+        |       QUALIFY row_number() OVER (PARTITION BY query_id
+        |         ORDER BY score DESC, neighbor_id) = 1),
+        |sel4 AS (SELECT * FROM sel3 UNION ALL SELECT query_id, neighbor_id FROM s4),
+        |p5 AS (SELECT c.query_id, c.neighbor_id,
+        |         CAST(0.7 AS DOUBLE) * c.cos -
+        |         (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * max(m.sim) AS score
+        |       FROM cand c
+        |       JOIN pr m ON m.query_id = c.query_id AND m.n1 = c.neighbor_id
+        |       JOIN sel4 s ON s.query_id = m.query_id AND s.neighbor_id = m.n2
+        |       WHERE NOT EXISTS (SELECT 1 FROM sel4 x
+        |         WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+        |       GROUP BY c.query_id, c.neighbor_id, c.cos),
+        |s5 AS (SELECT query_id, neighbor_id, score FROM p5
+        |       QUALIFY row_number() OVER (PARTITION BY query_id
+        |         ORDER BY score DESC, neighbor_id) = 1)
+        |SELECT query_id, neighbor_id, CAST(r AS BIGINT) AS mmr_rank,
+        |  round(score, 4) AS score
+        |FROM (SELECT query_id, neighbor_id, 1 AS r, score FROM s1
+        |  UNION ALL SELECT query_id, neighbor_id, 2, score FROM s2
+        |  UNION ALL SELECT query_id, neighbor_id, 3, score FROM s3
+        |  UNION ALL SELECT query_id, neighbor_id, 4, score FROM s4
+        |  UNION ALL SELECT query_id, neighbor_id, 5, score FROM s5)""".stripMargin,
 
     "s5_doc_embedding_join" ->
       """SELECT source, count(*) AS n_docs,

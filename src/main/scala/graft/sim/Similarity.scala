@@ -797,4 +797,95 @@ object Similarity {
       .agg(agg.toColumn.name("centroid"))
       .toDF(labelCol, "centroid")
   }
+
+  /** One MMR candidate: its 4dp query-cosine plus its 4dp similarity to
+    * every other candidate of the same query (bounded: kCand-1 entries).
+    */
+  private[sim] case class MmrCandRow(query_id: Long, neighbor_id: Long,
+                                     cos: Double, sims: Map[Long, Double])
+  private[sim] case class MmrPickRow(query_id: Long, neighbor_id: Long,
+                                     mmr_rank: Long, score: Double)
+
+  /** MMR-diversified top-k (Carbonell & Goldstein 1998, Maximal Marginal
+    * Relevance): greedily pick k of the kCand exact-cosine candidates,
+    * each step maximizing λ·cos(q,c) − (1−λ)·max_{s∈selected} sim(c,s) —
+    * the standard redundancy-penalized rerank a retrieval pipeline runs
+    * after ANN so the k results aren't k near-copies of one passage.
+    *
+    * Operator-ladder placement: the greedy step has a SEQUENTIAL data
+    * dependence (step i's scores depend on picks 1..i−1), which is not
+    * relational — but the dependence is confined to one query's candidate
+    * set, which is BOUNDED (kCand rows). So: all vector math stays in the
+    * native codegen expressions — exact top-kCand via the bounded heap,
+    * pairwise candidate sims via one bounded self-join (kCand² rows per
+    * query, model-sized, never corpus²) — and only the pure control-flow
+    * selection runs as a typed `flatMapGroups` over the pre-joined
+    * candidate structs (ladder rung (d), justified: groups are O(kCand),
+    * the shuffle moves only candidate rows, and millions of queries
+    * parallelize across groups).
+    *
+    * Cross-engine determinism: cos and sims are ROUNDED to 4dp before any
+    * MMR arithmetic, so selection compares doubles that are
+    * bit-identical in any engine agreeing at 4dp (the s1/e2-proven
+    * comparison); ties break on neighbor_id. λ enters as the literal
+    * expression λ·a − (1−λ)·b evaluated in IEEE double — the oracle
+    * spells the same literals, so the same floats flow.
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, kCand: Int, k: Int,
+              lambdaRel: Double = 0.7,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__cv"))
+    val cands = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(VectorFunctions.cosineNative(col("__qv"), col("__cv")), 4))
+      .groupBy(col("query_id"))
+      .agg(org.apache.spark.sql.graft.TopKFunctions
+        .topKRows(struct(col("cos"), col("neighbor_id")), kCand, Seq(true, false)).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__row"))
+      .select(col("query_id"), col("__row.neighbor_id").as("neighbor_id"),
+        col("__row.cos").as("cos"))
+    val cv = corpus.select(col(idCol).as("vid"), toDouble(col(vecCol)).as("v"))
+    val simMaps = cands.as("a")
+      .join(cands.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+        col("a.neighbor_id") =!= col("b.neighbor_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.neighbor_id").as("n1"), col("b.neighbor_id").as("n2"))
+      .join(cv.toDF("n1", "v1"), "n1")
+      .join(cv.toDF("n2", "v2"), "n2")
+      .withColumn("sim", round(VectorFunctions.cosineNative(col("v1"), col("v2")), 4))
+      .groupBy(col("query_id"), col("n1"))
+      .agg(map_from_entries(collect_list(struct(col("n2"), col("sim")))).as("sims"))
+      .withColumnRenamed("n1", "neighbor_id")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val mu = 1.0 - lambdaRel
+    cands.join(simMaps, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("sims"))
+      .as[MmrCandRow]
+      .groupByKey(_.query_id)
+      .flatMapGroups { (qid, it) =>
+        val cs = it.toArray.sortBy(r => (-r.cos, r.neighbor_id))
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[MmrCandRow]
+        val out = scala.collection.mutable.ArrayBuffer.empty[MmrPickRow]
+        while (out.length < k && chosen.length < cs.length) {
+          val pick = cs.iterator
+            .filterNot(r => chosen.exists(_.neighbor_id == r.neighbor_id))
+            .map { r =>
+              val score =
+                if (chosen.isEmpty) r.cos
+                else lambdaRel * r.cos -
+                  mu * chosen.iterator.map(s => r.sims(s.neighbor_id)).max
+              (r, score)
+            }
+            .minBy { case (r, sc) => (-sc, r.neighbor_id) }
+          chosen += pick._1
+          out += MmrPickRow(qid, pick._1.neighbor_id, out.length + 1L, pick._2)
+        }
+        out
+      }
+      .toDF()
+      .select(col("query_id"), col("neighbor_id"), col("mmr_rank"),
+        round(col("score"), 4).as("score"))
+  }
 }

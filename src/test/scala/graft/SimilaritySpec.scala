@@ -48,6 +48,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(res(0).getDouble(2) === 1.0)
   }
 
+  test("mmrTopK: penalizes redundancy, keeps relevance at rank 1") {
+    // query q = (1,0,0); candidates a and a' are near-copies of each
+    // other OFF the query axis (cos≈0.91, mutual sim≈1.0), b sits on the
+    // other side (cos 0.90, sim(a,b)≈0.64). Pure top-2 = {a, a'}; MMR's
+    // redundancy penalty must promote b to rank 2:
+    //   a': 0.7·0.909 − 0.3·1.00 = 0.336  <  b: 0.7·0.900 − 0.3·0.638 = 0.438
+    val vecs = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),        // query
+      (1L, Array(0.91f, 0.4146f, 0.0f)),      // a — most relevant
+      (2L, Array(0.909f, 0.4168f, 0.0f)),     // a' — near-copy of a
+      (3L, Array(0.9f, -0.436f, 0.0f))        // b — diverse, close cos
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(vecs, vecs.filter(col("vec_id") === 100L),
+        kCand = 3, k = 3).collect()
+      .map(r => r.getAs[Long]("mmr_rank") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(got(1L) === 1L, "rank 1 must be the relevance argmax")
+    assert(got(2L) === 3L, "rank 2 must be the diverse candidate, not the near-copy")
+    assert(got(3L) === 2L)
+    // sanity: pure cosine top-2 WOULD have taken the near-copy
+    val brute = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 100L), k = 2)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(brute === Set(1L, 2L))
+  }
+
   test("labelCentroids: per-dimension mean by label") {
     val emb = Seq(
       (0L, Seq(1.0f, 3.0f), 7),
