@@ -947,6 +947,14 @@ object SparkEntry {
     "t12_repetition" -> ((s, d) =>
       Text.repetitionStats(Tables.documents(s, d), "doc_id", "text", n = 3)),
 
+    // Exact substring-level duplicate-span census (Lee et al. marking
+    // pass): 8-token windows occurring in >= 2 docs, per-doc union
+    // coverage via gaps-and-islands on window starts — md5-keyed shuffle,
+    // interval arithmetic instead of per-token rows.
+    "t24_dup_spans" -> ((s, d) =>
+      Text.dupSpanStats(Tables.documents(s, d), "doc_id", "text",
+        w = 8, minDocs = 2)),
+
     // Bigram LM fluency score: add-1-smoothed P(w2|w1), model tables
     // derived from one tf aggregation (never re-scans text), V as a
     // broadcast scalar — the KenLM-ish quality filter above t17's unigram.
@@ -2209,6 +2217,40 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(coalesce(f.cnt, 0) AS BIGINT) AS n_fingerprints,
         |  f.fp_min, f.fp_max
         |FROM documents d LEFT JOIN f USING (doc_id)""".stripMargin,
+
+    // t24 replay: identical windowing (w = 8, md5-keyed), identical
+    // island rule (starts <= prev + 8 chain; union len = max-min+8).
+    "t24_dup_spans" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |w0 AS (SELECT doc_id, unnest(range(1, len(t)-8+2)) - 1 AS pos, t
+        |       FROM tok WHERE len(t) >= 8),
+        |w2 AS (SELECT doc_id, pos, md5(array_to_string(t[pos+1:pos+8], ' ')) AS h
+        |       FROM w0),
+        |dup AS (SELECT h FROM w2 GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT doc_id, pos FROM w2 JOIN dup USING (h)),
+        |mk AS (SELECT doc_id, pos,
+        |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |             OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |        THEN 1 ELSE 0 END AS brk
+        |       FROM hit),
+        |il AS (SELECT doc_id, pos,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |       FROM mk),
+        |seg AS (SELECT doc_id, isl, max(pos) - min(pos) + 8 AS len, count(*) AS nw
+        |        FROM il GROUP BY doc_id, isl),
+        |agg AS (SELECT doc_id, sum(len) AS covered, sum(nw) AS ndw
+        |        FROM seg GROUP BY doc_id),
+        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM tok)
+        |SELECT b.doc_id, b.n_tokens,
+        |  CAST(coalesce(a.ndw, 0) AS BIGINT) AS n_dup_windows,
+        |  CAST(coalesce(a.covered, 0) AS BIGINT) AS tokens_covered,
+        |  CASE WHEN b.n_tokens = 0 THEN 0.0
+        |       ELSE round(coalesce(a.covered, 0) * 1.0 / b.n_tokens * 10000)
+        |            / 10000.0 + 0.0 END AS dup_frac
+        |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "t23_bigram_logprob" ->
       """WITH tok AS (SELECT doc_id,

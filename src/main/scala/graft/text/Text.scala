@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -583,6 +584,58 @@ object Text {
           / sum(col("tf")) * 10000) / 10000.0 + lit(0.0)).as("avg_logprob"))
   }
 
+  /** Exact substring-level duplicate-span census (the marking pass of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed relationally): slide a `w`-token window over
+    * each document, find windows whose exact text occurs in ≥ `minDocs`
+    * DISTINCT documents corpus-wide, and report per document how many
+    * tokens the UNION of its duplicated windows covers — the spans an
+    * exact-substring dedup pass would cut.
+    *
+    * Plan: one positional window explode (map-side; windows keyed by
+    * md5 so the shuffle carries a 32-char address, not w tokens of text)
+    * → corpus-wide distinct-doc count per window hash (one shuffle) →
+    * join hits back (AQE broadcasts the dup set when small) → per-doc
+    * gaps-and-islands over window START positions: a window at p covers
+    * [p, p+w−1], so starts ≤ prev + w chain into one island and the
+    * union length is Σ(max_p − min_p + w) — two window functions over ONE
+    * (doc, pos) sort. Never materializes per-token rows: coverage is
+    * interval arithmetic on starts. The suffix-array formulation finds
+    * duplicated spans of ANY length ≥ threshold; fixed-w windows find
+    * exactly the spans ≥ w (shorter overlaps merge via the island step),
+    * which is the trade that keeps the operator one explode + two
+    * shuffles at 100 TB.
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   w: Int = 8, minDocs: Int = 2): DataFrame = {
+    val wins = df.select(col(idCol),
+        posexplode(wordShingleOccurrences(col(textCol), w)).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"), md5(col("gram")).as("h"))
+    val dup = wins.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs).select("h")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val islands = wins.join(dup, "h")
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(byDoc).isNull ||
+             col("pos") > lag(col("pos"), 1).over(byDoc) + w, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("isl"))
+      .agg((max(col("pos")) - min(col("pos")) + w).as("len"),
+           count(lit(1)).as("nw"))
+      .groupBy(col(idCol))
+      .agg(sum(col("len")).as("covered"), sum(col("nw")).as("ndw"))
+    df.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(islands, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("ndw"), lit(0L)).cast("long").as("n_dup_windows"),
+        coalesce(col("covered"), lit(0L)).cast("long").as("tokens_covered"),
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(
+          round(coalesce(col("covered"), lit(0L)) * lit(1.0) / col("n_tokens") * 10000)
+            / 10000.0 + lit(0.0)).as("dup_frac"))
+  }
+
   /** Per-document mean bigram log-likelihood under an add-1-smoothed
     * corpus bigram model — the next step up the KenLM-style fluency
     * ladder from [[unigramLogProb]]: repetitive or shuffled word salad
@@ -595,32 +648,37 @@ object Text {
     * bigram positions and are dropped (same convention as the t17
     * family's zero-token drop).
     *
-    * Plan: one bigram-occurrence explode feeding per-doc tf (the only
-    * (doc, bigram)-keyed shuffle); the model tables — corpus bigram
-    * counts and their w₁ margins — derive from tf by further aggregation,
-    * so the raw text is never re-scanned; V rides as a broadcast 1-row
-    * cross join. The bigram table is vocabulary²-bounded, not
-    * corpus-bounded, so the scoring joins stay model-sized at any corpus
-    * scale (AQE picks broadcast vs shuffle as V² warrants). Same decimal
-    * weighted-mean determinism discipline as [[unigramLogProbJoined]].
+    * Plan: NO corpus-sized shuffle anywhere. The model tables — corpus
+    * bigram counts and their w₁ margins — aggregate the occurrence
+    * stream map-side down to distinct-bigram cardinality before their
+    * exchange; V rides as a broadcast 1-row cross join. Scoring then
+    * joins each OCCURRENCE to the model's per-bigram decimal lp and sums
+    * per doc — decimal addition is exact, so Σ lp over occurrences ≡
+    * Σ lp·tf, and the per-doc aggregate partial-combines map-side (the
+    * first cut built an explicit (doc, bigram) tf table; its 26 M-pair
+    * shuffle was the whole cost of the query at the ×100 probe and
+    * carried no information the occurrence sum doesn't). The model join
+    * is left to AQE: observed-bigram cardinality is vocabulary²-bounded,
+    * broadcast when small, a model-sized shuffle join when not. Same
+    * decimal determinism discipline as [[unigramLogProbJoined]].
     */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = df.select(col(idCol),
-        explode(wordShingleOccurrences(col(textCol), 2)).as("bigram"))
-      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("tf"))
-    val cb = tf.groupBy("bigram").agg(sum(col("tf")).as("cb"))
+    val occ = df.select(col(idCol),
+      explode(wordShingleOccurrences(col(textCol), 2)).as("bigram"))
+    val cb = occ.groupBy("bigram").agg(count(lit(1)).as("cb"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
     val c1 = cb.groupBy("w1").agg(sum(col("cb")).as("c1"))
     val vocab = df.select(explode(tokens(col(textCol))).as("token"))
       .agg(countDistinct(col("token")).as("v"))
-    tf.join(cb, "bigram")
-      .join(c1, "w1")
+    val model = cb.join(c1, "w1")
       .crossJoin(broadcast(vocab))
-      .withColumn("lp", log((col("cb") + lit(1)) * lit(1.0) / (col("c1") + col("v"))))
+      .select(col("bigram"),
+        log((col("cb") + lit(1)) * lit(1.0) / (col("c1") + col("v"))).as("lp"))
+    occ.join(model, "bigram")
       .groupBy(col(idCol))
-      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
-        (round(sum(col("lp").cast("decimal(20,10)") * col("tf")).cast("double")
-          / sum(col("tf")) * 10000) / 10000.0 + lit(0.0)).as("avg_logprob"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        (round(sum(col("lp").cast("decimal(20,10)")).cast("double")
+          / count(lit(1)) * 10000) / 10000.0 + lit(0.0)).as("avg_logprob"))
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for

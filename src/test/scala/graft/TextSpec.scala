@@ -374,6 +374,23 @@ class TextSpec extends SparkTestBase {
     assert(census === Map("a.org" -> 2L, "b.net" -> 1L))
   }
 
+  test("dupSpanStats: union coverage of duplicated windows via island merge") {
+    // A 10-token run planted in two docs produces 8-token windows at 3
+    // consecutive starts; the island step must merge them into ONE span
+    // of length (maxStart - minStart) + 8 = 10, not 3 x 8 = 24.
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val d1 = s"$shared u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"
+    val d2 = s"v1 v2 v3 $shared w1 w2 w3 w4 w5"
+    val d3 = "z1 z2 z3 z4 z5 z6 z7 z8 z9"
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val out = Text.dupSpanStats(df, "doc_id", "text", w = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) === ((20L, 3L, 10L, 0.5)))
+    assert(out(2L) === ((18L, 3L, 10L, 0.5556)))
+    assert(out(3L) === ((9L, 0L, 0L, 0.0))) // shorter than w: zero windows
+  }
+
   test("bigramLogProb: conditions on the previous token; sub-bigram docs dropped") {
     val df = Seq(
       (1L, "a b a b a b a b"), // repeated common bigrams
