@@ -263,6 +263,22 @@ object SparkEntry {
                 round(col("asof_value"), 4).as("last_purchase_value"))
     }),
 
+    // As-of join with a tolerance bound (pandas merge_asof(tolerance=...)):
+    // same one-shuffle union-window machinery as w6 — the right ts rides
+    // along as a value column and matches older than 1 h are nulled AFTER
+    // the join, so tolerance costs zero extra plan.
+    "w11_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"), col("ts").as("rts"))
+      Analytics.asofJoin(errors, purchases, Seq("user_id"), "ts", Seq("value", "rts"))
+        .select(col("event_id"), col("user_id"),
+          when(col("ts").cast("long") - col("asof_rts").cast("long") <= 3600,
+            round(col("asof_value"), 4)).as("purchase_within_1h"))
+    }),
+
     // ----------------------------------------------------------- top-k
     "o1_topk_per_group" -> ((s, d) =>
       Analytics.topKPerGroup(
@@ -946,6 +962,13 @@ object SparkEntry {
     // standard boilerplate/loop-spam quality rule.
     "t12_repetition" -> ((s, d) =>
       Text.repetitionStats(Tables.documents(s, d), "doc_id", "text", n = 3)),
+
+    // Sequence packing (concat-and-split): per-shard deterministic doc
+    // order, cumulative token positions, fixed 64-token sequence cuts —
+    // per-shard window arithmetic, no global sort (the d11 shape).
+    "t25_sequence_pack" -> ((s, d) =>
+      Text.sequencePack(Tables.documents(s, d), "doc_id", "text",
+        seqLen = 64, nShards = 8)),
 
     // Exact substring-level duplicate-span census (Lee et al. marking
     // pass): 8-token windows occurring in >= 2 docs, per-doc union
@@ -1707,6 +1730,15 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
+    "w11_asof_tolerance" ->
+      """SELECT l.event_id, l.user_id,
+        |  CASE WHEN CAST(floor(epoch(l.ts)) AS BIGINT) -
+        |            CAST(floor(epoch(r.ts)) AS BIGINT) <= 3600
+        |       THEN round(r.value, 4) END AS purchase_within_1h
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
     "w9_range_rolling" ->
       """SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
         |  count(*) OVER w AS n_window,
@@ -2217,6 +2249,24 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(coalesce(f.cnt, 0) AS BIGINT) AS n_fingerprints,
         |  f.fp_min, f.fp_max
         |FROM documents d LEFT JOIN f USING (doc_id)""".stripMargin,
+
+    "t25_sequence_pack" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_pos
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(end_pos - n_tokens AS BIGINT) AS start_pos,
+        |  CASE WHEN n_tokens = 0 THEN NULL
+        |       ELSE CAST((end_pos - n_tokens) // 64 AS BIGINT) END AS seq_first,
+        |  CASE WHEN n_tokens = 0 THEN NULL
+        |       ELSE CAST((end_pos - 1) // 64 AS BIGINT) END AS seq_last,
+        |  CAST(coalesce(CASE WHEN n_tokens = 0 THEN NULL
+        |       ELSE (end_pos - 1) // 64 - (end_pos - n_tokens) // 64 + 1 END, 0) AS BIGINT) AS n_seqs
+        |FROM c""".stripMargin,
 
     // t24 replay: identical windowing (w = 8, md5-keyed), identical
     // island rule (starts <= prev + 8 chain; union len = max-min+8).

@@ -584,6 +584,36 @@ object Text {
           / sum(col("tf")) * 10000) / 10000.0 + lit(0.0)).as("avg_logprob"))
   }
 
+  /** Sequence packing plan (concat-and-split): assign every document its
+    * position in the fixed-length training-sequence stream its shard
+    * produces — the packing bookkeeping a pretraining tokenizer job
+    * emits. Documents are concatenated per shard in deterministic
+    * (doc id) order and the token stream is cut every `seqLen` tokens;
+    * each doc reports the sequence ids its tokens land in (`seq_first`..
+    * `seq_last`) and how many sequences it touches. First-fit bin
+    * packing would need sequential bin state; concat-and-split is what
+    * streaming pretraining pipelines actually do, and it is pure window
+    * arithmetic: ONE per-shard cumulative sum (the d11 epoch-shuffle
+    * shape — no global sort, shards scale out) and everything else is
+    * per-row division.
+    */
+  def sequencePack(df: DataFrame, idCol: String, textCol: String,
+                   seqLen: Int = 64, nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    df.select(col(idCol),
+        pmod(col(idCol), lit(nShards)).cast("long").as("shard"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("end_pos", sum(col("n_tokens")).over(w))
+      .withColumn("start_pos", (col("end_pos") - col("n_tokens")).cast("long"))
+      .select(col(idCol), col("shard"), col("n_tokens"), col("start_pos"),
+        when(col("n_tokens") === 0, lit(null).cast("long"))
+          .otherwise(floor(col("start_pos") / lit(seqLen)).cast("long")).as("seq_first"),
+        when(col("n_tokens") === 0, lit(null).cast("long"))
+          .otherwise(floor((col("end_pos") - 1) / lit(seqLen)).cast("long")).as("seq_last"))
+      .withColumn("n_seqs",
+        coalesce(col("seq_last") - col("seq_first") + 1, lit(0L)).cast("long"))
+  }
+
   /** Exact substring-level duplicate-span census (the marking pass of
     * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     * Better", re-expressed relationally): slide a `w`-token window over

@@ -374,6 +374,27 @@ class TextSpec extends SparkTestBase {
     assert(census === Map("a.org" -> 2L, "b.net" -> 1L))
   }
 
+  test("sequencePack: contiguous per-shard stream, correct sequence spans") {
+    val df = Seq(
+      (0L, "a b c"),                                     // shard 0: 3 tokens
+      (8L, (1 to 70).map(i => s"t$i").mkString(" ")),    // shard 0: 70 tokens
+      (16L, "x y"),                                      // shard 0: 2 tokens
+      (1L, "p q r s")                                    // shard 1: own stream
+    ).toDF("doc_id", "text")
+    val out = Text.sequencePack(df, "doc_id", "text", seqLen = 64, nShards = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Long]("start_pos") === 0L)
+    assert(out(8L).getAs[Long]("start_pos") === 3L)
+    // doc 8 occupies stream positions 3..72: crosses the seq 0/1 cut at 64
+    assert(out(8L).getAs[Long]("seq_first") === 0L)
+    assert(out(8L).getAs[Long]("seq_last") === 1L)
+    assert(out(8L).getAs[Long]("n_seqs") === 2L)
+    assert(out(16L).getAs[Long]("start_pos") === 73L)
+    assert(out(16L).getAs[Long]("seq_first") === 1L)
+    // shards are independent streams
+    assert(out(1L).getAs[Long]("start_pos") === 0L)
+  }
+
   test("dupSpanStats: union coverage of duplicated windows via island merge") {
     // A 10-token run planted in two docs produces 8-token windows at 3
     // consecutive starts; the island step must merge them into ONE span
