@@ -31,7 +31,7 @@ object ScaleProbe {
     "t19_crossdoc_shingles", "t20_dsir_weights", "d15_incremental_neardups",
     "d17_incremental_exact", "d18_incremental_exact_indexed",
     "w10_interval_join", "t22_heavy_ngrams", "t23_bigram_logprob",
-    "t24_dup_spans", "t25_sequence_pack")
+    "t24_dup_spans", "t25_sequence_pack", "w13_rolling_zscore")
 
   /** TPC-H probe set (SPARK_GRAFT_PROBE=tpch): the fact-heavy headline
     * shapes — pure fact agg (q1), fact⋈fact⋈dim top-k (q3), 5-way profit

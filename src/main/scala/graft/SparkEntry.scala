@@ -263,6 +263,20 @@ object SparkEntry {
                 round(col("asof_value"), 4).as("last_purchase_value"))
     }),
 
+    // Rolling distinct actives (DAU + 7-day AU): sliding DISTINCT can't
+    // ride a window frame; contribution-explode of the deduped (user,
+    // day) frame + per-day distinct count IS the rolling distinct.
+    "w12_active_users" -> ((s, d) =>
+      Analytics.rollingActiveUsers(Tables.events(s, d), "ts", "user_id",
+        windowDays = 7)),
+
+    // Rolling z-score anomaly flags: trailing-20-rows baseline per type,
+    // decimal-exact frame sums (Σx, Σx²) so sliding accumulation order
+    // can't drift between engines; warm-up and zero-variance rows null.
+    "w13_rolling_zscore" -> ((s, d) =>
+      Analytics.rollingZScore(Tables.events(s, d), "event_type", "ts", "value",
+        lookback = 20, minObs = 5, zThreshold = 2.0)),
+
     // As-of join with a tolerance bound (pandas merge_asof(tolerance=...)):
     // same one-shuffle union-window machinery as w6 — the right ts rides
     // along as a value column and matches older than 1 h are nulled AFTER
@@ -1729,6 +1743,39 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') l
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "w12_active_users" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |dau AS (SELECT day, count(DISTINCT u) AS dau FROM ud GROUP BY day),
+        |con AS (SELECT u, unnest(range(0, 7)) AS o, day FROM ud),
+        |wau AS (SELECT CAST(con.day + CAST(con.o AS INT) AS DATE) AS day,
+        |          count(DISTINCT con.u) AS wau
+        |        FROM con JOIN days ON days.day = con.day + CAST(con.o AS INT)
+        |        GROUP BY 1)
+        |SELECT strftime(dau.day, '%Y-%m-%d') AS date,
+        |  CAST(dau.dau AS BIGINT) AS dau,
+        |  CAST(wau.wau AS BIGINT) AS active_7d
+        |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
+
+    "w13_rolling_zscore" ->
+      """WITH t AS (SELECT event_id, event_type, ts, value,
+        |    count(value) OVER w AS n,
+        |    sum(CAST(value AS DECIMAL(18,6))) OVER w AS s,
+        |    sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER w AS s2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_id, event_type, ts, value,
+        |    CASE WHEN n >= 5 AND
+        |      CAST(s2 AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) > 0
+        |    THEN round((value - CAST(s AS DOUBLE) / n) /
+        |      sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 4)
+        |    END AS z
+        |  FROM t)
+        |SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  value, z, abs(z) > 2.0 AS is_anomaly
+        |FROM z""".stripMargin,
 
     "w11_asof_tolerance" ->
       """SELECT l.event_id, l.user_id,

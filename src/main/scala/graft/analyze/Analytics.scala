@@ -475,6 +475,69 @@ object Analytics {
       .withColumn(ts, date_format(col(ts), "yyyy-MM-dd HH:mm:ss"))
   }
 
+  /** Rolling distinct actives (DAU + trailing-window AU, the engagement
+    * census): per observed day, the distinct-key count that day and over
+    * the trailing `windowDays`. Sliding DISTINCT cannot ride a window
+    * frame (distinct doesn't decompose); the scalable identity is
+    * contribution-explode: each distinct (key, day) pair contributes to
+    * the `windowDays` days it is visible from, and a plain per-day
+    * distinct count of the exploded frame IS the rolling distinct. Cost:
+    * the (key, day) dedup (one shuffle, map-side partial), a bounded ×w
+    * explode of that already-small frame, one count-distinct per day —
+    * never a per-event window, never state proportional to raw events.
+    * Days with no events never appear (join back to observed days), which
+    * also keeps leading partial windows honest.
+    */
+  def rollingActiveUsers(df: DataFrame, ts: String, key: String,
+                         windowDays: Int = 7): DataFrame = {
+    val ud = df.select(to_date(col(ts)).as("day"), col(key).as("u")).distinct()
+    val days = ud.select(col("day")).distinct()
+    val dau = ud.groupBy(col("day")).agg(countDistinct(col("u")).as("dau"))
+    val wau = ud
+      .select(col("u"), explode(sequence(col("day"),
+        date_add(col("day"), windowDays - 1))).as("day"))
+      .join(days, "day")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("u")).as("wau"))
+    dau.join(wau, "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("date"),
+        col("dau").cast("long").as("dau"),
+        col("wau").cast("long").as(s"active_${windowDays}d"))
+  }
+
+  /** Rolling z-score anomaly flags: per key, each event scored against
+    * the TRAILING `lookback` rows (excluding itself — the score must not
+    * contaminate its own baseline). Mean and variance derive from
+    * decimal-exact frame sums (Σx, Σx², both DECIMAL) — a double frame
+    * sum would expose the engine's sliding-frame accumulation order
+    * (incremental add vs segment tree) as 1-ULP drift, the same reason
+    * [[rangeRolling]] sums in decimal. Variance via the algebraic
+    * E[x²] − E[x]² identity computed in DOUBLE from the exact sums: both
+    * engines then evaluate the identical IEEE expression. Warm-up rows
+    * (frame < minObs) and zero-variance frames yield null z.
+    */
+  def rollingZScore(df: DataFrame, key: String, ts: String, value: String,
+                    idCol: String = "event_id", lookback: Int = 20,
+                    minObs: Int = 5, zThreshold: Double = 2.0): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col(idCol))
+      .rowsBetween(-lookback, -1)
+    val dec = col(value).cast("decimal(18,6)")
+    val scored = df
+      .withColumn("__n", count(col(value)).over(w))
+      .withColumn("__s", sum(dec).over(w))
+      .withColumn("__s2", sum(dec * dec).over(w))
+      .withColumn("__mu", col("__s").cast("double") / col("__n"))
+      .withColumn("__var",
+        col("__s2").cast("double") / col("__n") - col("__mu") * col("__mu"))
+      .withColumn("z",
+        when(col("__n") >= minObs && col("__var") > 0,
+          round((col(value) - col("__mu")) / sqrt(col("__var")), 4)))
+    scored.select(col(idCol), col(key),
+      date_format(col(ts), "yyyy-MM-dd HH:mm:ss").as(ts), col(value),
+      col("z"), (abs(col("z")) > zThreshold).as("is_anomaly"))
+  }
+
   /** Rollup summary (extension — SURVEY §2.4 notes grouping sets as a
     * built-in away): subtotals per (k1, k2), per k1, and grand total.
     * Subtotal rows are labelled via the `grouping()` indicator, NOT

@@ -190,6 +190,39 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got(300L) === None)      // no prior right row -> null
   }
 
+  test("rollingActiveUsers: WAU is the trailing-window distinct union") {
+    def t(day: Int, u: String) =
+      (java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), u)
+    val df = Seq(
+      t(1, "a"), t(1, "b"),          // day 1: {a,b}
+      t(2, "a"),                     // day 2: {a}
+      t(9, "c")                      // day 9: {c} — outside day 2's window
+    ).toDF("ts", "user_id")
+    val out = Analytics.rollingActiveUsers(df, "ts", "user_id", windowDays = 7)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("2024-01-01") === ((2L, 2L)))       // {a,b}
+    assert(out("2024-01-02") === ((1L, 2L)))       // day1 ∪ day2 = {a,b}
+    assert(out("2024-01-09") === ((1L, 1L)))       // day 2 aged out: {c}
+    assert(out.size === 3)                         // only observed days
+  }
+
+  test("rollingZScore: planted outlier flagged, warm-up rows null") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (1 to 30).map { i =>
+      val v = if (i == 25) 100.0 else 10.0 + (i % 3) * 0.5 // stable baseline, one spike
+      (i.toLong, "k", new java.sql.Timestamp(base + i * 60000L), v)
+    }
+    val df = rows.toDF("event_id", "event_type", "ts", "value")
+    val out = Analytics.rollingZScore(df, "event_type", "ts", "value",
+        lookback = 20, minObs = 5, zThreshold = 2.0)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getAs[java.lang.Double]("z")), Option(r.getAs[java.lang.Boolean]("is_anomaly"))))).toMap
+    // rows 1..5 have < minObs preceding rows: no score
+    (1 to 5).foreach(i => assert(out(i.toLong)._1.isEmpty, s"row $i should be warm-up"))
+    assert(out(25L)._2 === Some(true), "the spike must be flagged")
+    assert(out(24L)._2 === Some(false), "baseline rows must not be flagged")
+  }
+
   test("sessionOverlapCount == naive unkeyed BETWEEN join (randomized, multi-day)") {
     // The decomposed plan (broadcast interior days + boundary-rank window)
     // must reproduce the naive range join exactly — including sessions
