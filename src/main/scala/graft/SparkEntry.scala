@@ -293,6 +293,33 @@ object SparkEntry {
             round(col("asof_value"), 4)).as("purchase_within_1h"))
     }),
 
+    // Windowed conversion funnel (signup -> view -> click -> purchase,
+    // each conversion within 6 h): exact latest-achievable fold, ONE
+    // shuffle on user — the oracle replays the n-stage chain join the
+    // engine must never run at scale.
+    "w14_funnel" -> ((s, d) =>
+      graft.analyze.Lifecycle.funnel(Tables.events(s, d), "user_id", "ts",
+        "event_type", Seq("signup", "view", "click", "purchase"),
+        maxLagSeconds = 21600)),
+
+    // Cohort retention: users cohorted by FIRST-PURCHASE day (purchases
+    // are sparse per user-day, so cohorts spread over several days
+    // instead of collapsing into the dense first-seen day), retained =
+    // purchased again exactly 1/7/14 days later; raw events touched once
+    // for the (user, day) dedup.
+    "w15_retention" -> ((s, d) =>
+      graft.analyze.Lifecycle.cohortRetention(
+        Tables.events(s, d).filter(col("event_type") === "purchase"), "ts",
+        "user_id", offsets = Seq(1, 7, 14))),
+
+    // Gap-filled per-user daily purchase series (LOCF): purchases are
+    // sparse per user-day, so the spine genuinely fills; is_filled
+    // distinguishes carried values.
+    "w16_gap_fill" -> ((s, d) =>
+      graft.analyze.Lifecycle.gapFillDaily(
+        Tables.events(s, d).filter(col("event_type") === "purchase"),
+        "user_id", "ts", "value")),
+
     // ----------------------------------------------------------- top-k
     "o1_topk_per_group" -> ((s, d) =>
       Analytics.topKPerGroup(
@@ -1785,6 +1812,81 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') l
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    // The oracle replays the funnel as explicit n-stage chain joins
+    // (exists a signup->view->click->purchase chain with every
+    // consecutive gap in [0, 6 h]) — exactly the formulation the
+    // single-pass latest-achievable fold must reproduce, and exactly the
+    // join explosion it exists to avoid at scale.
+    "w14_funnel" ->
+      """WITH s AS (SELECT user_id, ts, event_type FROM events
+        |           WHERE event_type IN ('signup','view','click','purchase')),
+        |c1 AS (SELECT DISTINCT user_id FROM s WHERE event_type = 'signup'),
+        |c2 AS (SELECT DISTINCT a.user_id
+        |       FROM s a JOIN s b ON b.user_id = a.user_id
+        |       WHERE a.event_type = 'signup' AND b.event_type = 'view'
+        |         AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 21600000000),
+        |c3 AS (SELECT DISTINCT a.user_id
+        |       FROM s a JOIN s b ON b.user_id = a.user_id
+        |                JOIN s c ON c.user_id = a.user_id
+        |       WHERE a.event_type = 'signup' AND b.event_type = 'view'
+        |         AND c.event_type = 'click'
+        |         AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 21600000000
+        |         AND epoch_us(c.ts) - epoch_us(b.ts) BETWEEN 0 AND 21600000000),
+        |c4 AS (SELECT DISTINCT a.user_id
+        |       FROM s a JOIN s b ON b.user_id = a.user_id
+        |                JOIN s c ON c.user_id = a.user_id
+        |                JOIN s p ON p.user_id = a.user_id
+        |       WHERE a.event_type = 'signup' AND b.event_type = 'view'
+        |         AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |         AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 21600000000
+        |         AND epoch_us(c.ts) - epoch_us(b.ts) BETWEEN 0 AND 21600000000
+        |         AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 21600000000),
+        |n AS (SELECT (SELECT count(*) FROM c1) AS n1, (SELECT count(*) FROM c2) AS n2,
+        |             (SELECT count(*) FROM c3) AS n3, (SELECT count(*) FROM c4) AS n4)
+        |SELECT 'signup' AS stage, 1 AS stage_idx, n1 AS n_keys,
+        |       CAST(1.0 AS DOUBLE) AS pct_of_prev FROM n
+        |UNION ALL SELECT 'view', 2, n2,
+        |  CASE WHEN n1 > 0 THEN round(CAST(n2 AS DOUBLE) / n1 * 10000) / 10000.0 + 0.0 END FROM n
+        |UNION ALL SELECT 'click', 3, n3,
+        |  CASE WHEN n2 > 0 THEN round(CAST(n3 AS DOUBLE) / n2 * 10000) / 10000.0 + 0.0 END FROM n
+        |UNION ALL SELECT 'purchase', 4, n4,
+        |  CASE WHEN n3 > 0 THEN round(CAST(n4 AS DOUBLE) / n3 * 10000) / 10000.0 + 0.0 END FROM n""".stripMargin,
+
+    "w15_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        |            FROM events WHERE event_type = 'purchase'),
+        |co AS (SELECT u, min(day) AS cohort FROM ud GROUP BY u),
+        |j AS (SELECT ud.u, ud.day, co.cohort FROM ud JOIN co ON ud.u = co.u)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_date,
+        |  count(DISTINCT CASE WHEN day = cohort THEN u END) AS n_keys,
+        |  count(DISTINCT CASE WHEN day = cohort + 1 THEN u END) AS retained_d1,
+        |  count(DISTINCT CASE WHEN day = cohort + 7 THEN u END) AS retained_d7,
+        |  count(DISTINCT CASE WHEN day = cohort + 14 THEN u END) AS retained_d14,
+        |  round(CAST(count(DISTINCT CASE WHEN day = cohort + 1 THEN u END) AS DOUBLE)
+        |    / count(DISTINCT CASE WHEN day = cohort THEN u END) * 10000) / 10000.0 + 0.0 AS rate_d1,
+        |  round(CAST(count(DISTINCT CASE WHEN day = cohort + 7 THEN u END) AS DOUBLE)
+        |    / count(DISTINCT CASE WHEN day = cohort THEN u END) * 10000) / 10000.0 + 0.0 AS rate_d7,
+        |  round(CAST(count(DISTINCT CASE WHEN day = cohort + 14 THEN u END) AS DOUBLE)
+        |    / count(DISTINCT CASE WHEN day = cohort THEN u END) * 10000) / 10000.0 + 0.0 AS rate_d14
+        |FROM j GROUP BY cohort""".stripMargin,
+
+    "w16_gap_fill" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)) * 10000)
+        |      / 10000.0 + 0.0 AS vm
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |spine AS (SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        |                                INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1)),
+        |f AS (SELECT s.user_id, s.day, d.vm
+        |      FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS date,
+        |  last_value(vm IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_mean,
+        |  vm IS NULL AS is_filled
+        |FROM f""".stripMargin,
 
     "w9_range_rolling" ->
       """SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,

@@ -38,7 +38,15 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
     val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Local-iteration filter (comma-separated query names). The driver
+    // never sets it, so driver runs always dump the full surface — the
+    // manifest's missing-output check below still covers every
+    // registered query there.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val futures = selected.map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -1,0 +1,143 @@
+package graft.analyze
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-lifecycle analytics over event streams: conversion funnels with a
+  * bounded conversion window, cohort retention, and gap-filled (LOCF)
+  * per-key time series. The reference pipeline stops at per-city daily
+  * aggregates (analyze.py); these are the standard next questions a
+  * product/training-data team asks of the same event table, built from
+  * the same primitives (one keyed shuffle + windows), so they belong to
+  * the engine surface rather than user code.
+  *
+  * Scale posture (100 TB): every operator here shuffles once on the
+  * entity key and once on the (small) per-day/per-cohort frame. Nothing
+  * windows over raw events globally; the funnel fold carries only the
+  * events belonging to the funnel's own stages, and retention/gap-fill
+  * pre-dedup/pre-aggregate to (key, day) before any window runs.
+  */
+object Lifecycle {
+
+  /** Windowed conversion funnel (the Amplitude/GA-style operator): for
+    * each key, whether it completed stages(0) -> stages(1) -> ... in
+    * order, with every consecutive conversion within `maxLagSeconds`.
+    *
+    * Exactness requires care: the staged-min recipe (t_k = min ts of
+    * stage k after t_{k-1}) is exact only for the UNWINDOWED funnel —
+    * with a lag bound, committing to the minimal t_{k-1} can miss a
+    * chain that a later stage-(k-1) event would have enabled. The exact
+    * single-pass state is instead the LATEST-ACHIEVABLE completion time
+    * per prefix: processing the key's stage events in (ts, stage) order,
+    * an event of stage k at time t completes prefix k iff prefix k-1 has
+    * a completion within [t - lag, t]; all completion times already seen
+    * are <= t, so "latest achievable >= t - lag" is the full existence
+    * check, and overwriting acc(k) with t keeps the state maximal for
+    * every future event. `reached stage k` == acc(k) non-null afterward.
+    *
+    * Realized as one `groupBy(key)` + `aggregate()` fold over the
+    * sort_array'd per-key stage events — ONE shuffle, no self-join
+    * chains (the oracle replays those at small scale; an n-stage chain
+    * join is exactly what a 100 TB engine must never run). The collected
+    * list holds only this funnel's stage events as (ts, stage_idx)
+    * pairs, bounded per key by the key's own funnel-event count.
+    *
+    * Returns one row per key: `st` = array of latest-achievable
+    * completion micros per stage (null = never reached).
+    */
+  def funnelStageTimes(df: DataFrame, key: String, ts: String, typeCol: String,
+                       stages: Seq[String], maxLagSeconds: Long): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least two stages")
+    require(stages.distinct.size == stages.size, "funnel stages must be distinct")
+    val stageIdx = stages.zipWithIndex
+      .foldLeft(lit(null).cast("int")) { case (acc, (s, i)) =>
+        when(col(typeCol) === s, lit(i)).otherwise(acc)
+      }
+    val lagMicros = maxLagSeconds * 1000000L
+    // struct field order (t, i) IS the sort order: at equal ts the lower
+    // stage folds first, so same-timestamp chains convert (matching the
+    // oracle's inclusive >=).
+    val ev = df.filter(col(typeCol).isInCollection(stages))
+      .select(col(key), struct(unix_micros(col(ts)).as("t"), stageIdx.as("i")).as("e"))
+    ev.groupBy(col(key))
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .select(col(key),
+        aggregate(col("evs"), array_repeat(lit(null).cast("long"), stages.size),
+          (acc, e) => transform(acc, (a, i) => {
+            val prevOk = (i === lit(0)) ||
+              (get(acc, i - 1).isNotNull && e.getField("t") - get(acc, i - 1) <= lit(lagMicros))
+            when(e.getField("i") === i && prevOk, e.getField("t")).otherwise(a)
+          })).as("st"))
+  }
+
+  /** Funnel census: per stage, how many keys reached it and the
+    * conversion rate from the previous stage. One tiny driver-free
+    * pivot of the [[funnelStageTimes]] frame into stage rows.
+    */
+  def funnel(df: DataFrame, key: String, ts: String, typeCol: String,
+             stages: Seq[String], maxLagSeconds: Long): DataFrame = {
+    val st = funnelStageTimes(df, key, ts, typeCol, stages, maxLagSeconds)
+    val counts = st.agg(
+      count(get(col("st"), lit(0))).as("__n0"),
+      stages.indices.drop(1).map(i => count(get(col("st"), lit(i))).as(s"__n$i")): _*)
+    val rows = stages.indices.map { i =>
+      val pct =
+        if (i == 0) lit(1.0)
+        else when(col(s"__n${i - 1}") > 0,
+          round(col(s"__n$i").cast("double") / col(s"__n${i - 1}") * 10000) / 10000.0 + lit(0.0))
+      struct(lit(stages(i)).as("stage"), lit(i + 1).as("stage_idx"),
+        col(s"__n$i").as("n_keys"), pct.as("pct_of_prev"))
+    }
+    counts.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Cohort retention: keys cohorted by their first-seen day; for each
+    * cohort, how many came back exactly `offset` days later. The
+    * (key, day) dedup is the only pass over raw events; the cohort join
+    * and the offset counts run over that already-small frame (one
+    * shuffle on key, one on cohort day). Multiple conditional
+    * count-distincts share one Expand — no per-offset re-scan.
+    */
+  def cohortRetention(df: DataFrame, ts: String, key: String,
+                      offsets: Seq[Int]): DataFrame = {
+    require(offsets.nonEmpty && offsets.forall(_ > 0), "offsets must be positive")
+    val ud = df.select(col(key).as("__u"), to_date(col(ts)).as("__day")).distinct()
+    val cohort = ud.groupBy(col("__u")).agg(min(col("__day")).as("__cohort"))
+    val joined = ud.join(cohort, "__u")
+    val aggs =
+      countDistinct(when(col("__day") === col("__cohort"), col("__u"))).as("n_keys") +:
+      offsets.map(o =>
+        countDistinct(when(col("__day") === date_add(col("__cohort"), o), col("__u")))
+          .as(s"retained_d$o"))
+    val rates = offsets.map(o =>
+      (round(col(s"retained_d$o").cast("double") / col("n_keys") * 10000) / 10000.0
+        + lit(0.0)).as(s"rate_d$o"))
+    joined.groupBy(col("__cohort"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(date_format(col("__cohort"), "yyyy-MM-dd").as("cohort_date") +:
+        col("n_keys") +: offsets.map(o => col(s"retained_d$o")) ++: rates: _*)
+  }
+
+  /** Gap-filled daily series with last-observation-carried-forward: per
+    * key, the daily aggregate over a dense day spine from the key's
+    * first to last observed day, missing days filled from the latest
+    * prior observation. The spine explodes from per-key (min, max) day
+    * bounds — O(keys x span-days), never a global calendar cross-join —
+    * and the LOCF window runs over the daily frame, not raw events.
+    * Emits `is_filled` so downstream can distinguish carried values.
+    */
+  def gapFillDaily(df: DataFrame, key: String, ts: String, value: String): DataFrame = {
+    val daily = df.groupBy(col(key), to_date(col(ts)).as("__day"))
+      .agg(Analytics.stableMean4(col(value)).as("__vm"))
+    val spine = daily.groupBy(col(key))
+      .agg(min(col("__day")).as("__d0"), max(col("__day")).as("__d1"))
+      .select(col(key), explode(sequence(col("__d0"), col("__d1"))).as("__day"))
+    val w = Window.partitionBy(col(key)).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq(key, "__day"), "left")
+      .select(col(key), date_format(col("__day"), "yyyy-MM-dd").as("date"),
+        last(col("__vm"), ignoreNulls = true).over(w).as("value_mean"),
+        col("__vm").isNull.as("is_filled"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.analyze.Lifecycle
+
+class LifecycleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel: latest-achievable fold finds chains the staged-min recipe misses") {
+    // signup at t=0 and t=100s; view only at t=150s; lag bound 100s.
+    // Committing to the minimal signup (t=0) leaves the view out of
+    // window; the chain through the LATER signup (100 -> 150) converts.
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "signup"),
+      (1L, ts("2024-01-01 00:01:40"), "signup"),
+      (1L, ts("2024-01-01 00:02:30"), "view")
+    ).toDF("user_id", "t", "et")
+    val r = Lifecycle.funnel(ev, "user_id", "t", "et",
+      Seq("signup", "view"), maxLagSeconds = 100)
+      .orderBy("stage_idx").collect()
+    assert(r.map(_.getAs[Long]("n_keys")).toSeq === Seq(1L, 1L))
+  }
+
+  test("funnel: conversions outside the lag window do not count") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "signup"),
+      (1L, ts("2024-01-01 03:00:00"), "view"), // 3h later, lag is 1h
+      (2L, ts("2024-01-01 00:00:00"), "signup"),
+      (2L, ts("2024-01-01 00:30:00"), "view")
+    ).toDF("user_id", "t", "et")
+    val r = Lifecycle.funnel(ev, "user_id", "t", "et",
+      Seq("signup", "view"), maxLagSeconds = 3600)
+      .orderBy("stage_idx").collect()
+    assert(r.map(_.getAs[Long]("n_keys")).toSeq === Seq(2L, 1L))
+    assert(r(1).getAs[Double]("pct_of_prev") === 0.5)
+  }
+
+  test("funnel: stages must happen in order (reverse order never converts)") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:10:00"), "view"),
+      (1L, ts("2024-01-01 00:20:00"), "signup")
+    ).toDF("user_id", "t", "et")
+    val r = Lifecycle.funnel(ev, "user_id", "t", "et",
+      Seq("signup", "view"), maxLagSeconds = 86400)
+      .orderBy("stage_idx").collect()
+    assert(r.map(_.getAs[Long]("n_keys")).toSeq === Seq(1L, 0L))
+  }
+
+  test("funnel: same-timestamp chain converts (inclusive bounds)") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "signup"),
+      (1L, ts("2024-01-01 00:00:00"), "view")
+    ).toDF("user_id", "t", "et")
+    val r = Lifecycle.funnel(ev, "user_id", "t", "et",
+      Seq("signup", "view"), maxLagSeconds = 10)
+      .orderBy("stage_idx").collect()
+    assert(r.map(_.getAs[Long]("n_keys")).toSeq === Seq(1L, 1L))
+  }
+
+  test("funnel matches brute-force chain search on random event sets") {
+    val rnd = new scala.util.Random(7)
+    val stages = Seq("s0", "s1", "s2")
+    val lag = 50L
+    val events = (0 until 40).flatMap { u =>
+      (0 until 12).map { _ =>
+        (u.toLong, new Timestamp(1704067200000L + rnd.nextInt(400) * 1000L),
+          stages(rnd.nextInt(3)))
+      }
+    }
+    val df = events.toDF("user_id", "t", "et")
+    val got = Lifecycle.funnel(df, "user_id", "t", "et", stages, lag)
+      .orderBy("stage_idx").collect()
+      .map(r => r.getAs[Long]("n_keys")).toSeq
+    // brute force: per user, exists-chain with both gaps in [0, lag]
+    val byUser = events.groupBy(_._1).view.mapValues(_.map(e => (e._2.getTime / 1000, e._3)))
+    def reaches(u: Long, k: Int): Boolean = {
+      val evs = byUser(u)
+      def chains(i: Int, after: Long, within: Long): Boolean =
+        if (i > k) true
+        else evs.exists { case (t, s) =>
+          s == stages(i) && t >= after && (i == 0 || t <= within) &&
+            chains(i + 1, t, t + lag)
+        }
+      chains(0, Long.MinValue, Long.MaxValue)
+    }
+    val want = (0 until 3).map(k => byUser.keys.count(u => reaches(u, k)).toLong)
+    assert(got === want)
+  }
+
+  test("cohortRetention: counts and rates per first-seen cohort") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 10:00:00")),
+      (2L, ts("2024-01-01 11:00:00")), (2L, ts("2024-01-08 09:00:00")),
+      (3L, ts("2024-01-02 08:00:00")), (3L, ts("2024-01-03 08:00:00")),
+      (3L, ts("2024-01-09 08:00:00"))
+    ).toDF("user_id", "t")
+    val r = Lifecycle.cohortRetention(ev, "t", "user_id", Seq(1, 7))
+      .orderBy("cohort_date").collect()
+    assert(r.length === 2)
+    val c1 = r(0)
+    assert(c1.getAs[String]("cohort_date") === "2024-01-01")
+    assert(c1.getAs[Long]("n_keys") === 2L)
+    assert(c1.getAs[Long]("retained_d1") === 1L) // user 1 back on day 2
+    assert(c1.getAs[Long]("retained_d7") === 1L) // user 2 back on day 8
+    assert(c1.getAs[Double]("rate_d1") === 0.5)
+    val c2 = r(1)
+    assert(c2.getAs[Long]("n_keys") === 1L)
+    assert(c2.getAs[Long]("retained_d1") === 1L) // user 3 on day 3
+    assert(c2.getAs[Long]("retained_d7") === 1L) // user 3 on day 9
+  }
+
+  test("gapFillDaily: missing days carry the last observation, flagged") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-01 12:00:00"), 20.0),
+      (1L, ts("2024-01-04 10:00:00"), 40.0)
+    ).toDF("user_id", "t", "v")
+    val r = Lifecycle.gapFillDaily(ev, "user_id", "t", "v")
+      .orderBy("date").collect()
+    assert(r.map(_.getAs[String]("date")).toSeq ===
+      Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))
+    assert(r.map(_.getAs[Double]("value_mean")).toSeq === Seq(15.0, 15.0, 15.0, 40.0))
+    assert(r.map(_.getAs[Boolean]("is_filled")).toSeq === Seq(false, true, true, false))
+  }
+}
