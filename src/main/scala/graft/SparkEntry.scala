@@ -225,6 +225,27 @@ object SparkEntry {
     "a18_cube" -> ((s, d) =>
       Analytics.cubeSummary(Tables.lineitem(s, d), "l_returnflag", "l_linestatus", "l_quantity")),
 
+    // Single-pass column profiler over the full events table: per column,
+    // nulls / exact distincts / canonical min+max — ONE scan, stats pivot
+    // out of a one-row aggregate.
+    "a20_profile" -> ((s, d) =>
+      graft.analyze.Profiler.profile(Tables.events(s, d))),
+
+    // Incrementally maintained aggregate: the corpus/batch split (event_id
+    // mod 29) is aggregated into two partial-state tables, merged, and
+    // finalized — the oracle aggregates the full table DIRECTLY, so a pass
+    // proves finalize(merge(state(a), state(b))) == directAgg(a union b).
+    "a21_incremental_agg" -> ((s, d) => {
+      import graft.analyze.IncrementalAgg
+      val ev = Tables.events(s, d)
+      val corpus = IncrementalAgg.state(
+        ev.filter(pmod(col("event_id"), lit(29)) =!= 0), "event_type", "ts", "value")
+      val batch = IncrementalAgg.state(
+        ev.filter(pmod(col("event_id"), lit(29)) === 0), "event_type", "ts", "value")
+      IncrementalAgg.finalize(
+        IncrementalAgg.merge(corpus, batch, "event_type"), "event_type")
+    }),
+
     // ------------------------------------------------ window / time-series
     "w1_trend_analysis" -> ((s, d) => Analytics.trendAnalysis(Tables.events(s, d), "ts", "event_type", "value")),
     "w3_pivot_daily" -> ((s, d) =>
@@ -1633,6 +1654,35 @@ object SparkEntry {
         |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS l_linestatus,
         |  round(sum(l_quantity),2) AS value_sum, count(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "a20_profile" ->
+      """SELECT 'event_id' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(event_id) AS n_nulls, count(DISTINCT event_id) AS n_distinct,
+        |  CAST(min(event_id) AS VARCHAR) AS min_value, CAST(max(event_id) AS VARCHAR) AS max_value
+        |FROM events
+        |UNION ALL SELECT 'ts', count(*), count(*) - count(ts), count(DISTINCT ts),
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S'), strftime(max(ts), '%Y-%m-%d %H:%M:%S') FROM events
+        |UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id), count(DISTINCT user_id),
+        |  CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM events
+        |UNION ALL SELECT 'event_type', count(*), count(*) - count(event_type), count(DISTINCT event_type),
+        |  min(event_type), max(event_type) FROM events
+        |UNION ALL SELECT 'value', count(*), count(*) - count(value), count(DISTINCT value),
+        |  CAST(CAST(round(min(value), 4) AS DECIMAL(28,4)) AS VARCHAR),
+        |  CAST(CAST(round(max(value), 4) AS DECIMAL(28,4)) AS VARCHAR) FROM events
+        |UNION ALL SELECT 'props', count(*), count(*) - count(props), count(DISTINCT props),
+        |  min(props), max(props) FROM events""".stripMargin,
+
+    // Direct full-table aggregation: the Spark side computes the same
+    // result via corpus/batch partial states + merge, so a hash match
+    // proves the incremental-view decomposition exact.
+    "a21_incremental_agg" ->
+      """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+        |  count(value) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS value_sum,
+        |  round(min(value), 4) AS value_min, round(max(value), 4) AS value_max,
+        |  round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)) * 10000)
+        |    / 10000.0 + 0.0 AS value_mean
+        |FROM events GROUP BY event_type, CAST(ts AS DATE)""".stripMargin,
 
     "o3_set_ops" ->
       """WITH c96 AS (SELECT DISTINCT o_custkey FROM orders
