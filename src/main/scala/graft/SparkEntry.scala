@@ -941,6 +941,22 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Runtime-filtered fact⋈key-set semi-join: a Bloom sketch of the
+    // qualifying order keys probes in lineitem's SCAN stage (native
+    // codegen expression), so non-matching fact rows never reach the
+    // shuffle; the exact semi-join then removes Bloom false positives —
+    // output is identical to the plain semi-join the oracle runs. The
+    // always-on, explicit form of the runtime-filter pattern a 100 TB
+    // fact join needs regardless of planner heuristics.
+    "j11_bloom_prune_semi" -> ((s, d) => {
+      val hot = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey"))
+      graft.joins.Joins.bloomPruneLeftSemi(Tables.lineitem(s, d), hot,
+          "l_orderkey", "o_orderkey", expectedItems = 100000L, fpp = 0.01)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_items"), decSum2(volDec).as("revenue"))
+    }),
+
     // ------------------------------------------------- cleaning composite
     // §2.9 two-pass clean on events.value, summarized per group so the
     // verified output is small but pins the full bounds→null→median chain.
@@ -2083,6 +2099,15 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // Plain semi-join: the Bloom pre-prune must be result-invisible.
+    "j11_bloom_prune_semi" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |    (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q15_top_supplier" ->
       """WITH rev AS (

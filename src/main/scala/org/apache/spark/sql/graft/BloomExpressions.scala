@@ -70,6 +70,37 @@ case class BloomMightContainString(child: Expression, sketch: BloomSketchBytes)
     copy(child = newChild)
 }
 
+/** Long-key twin of [[BloomMightContainString]] — probes via
+  * `mightContainLong`, the exact counterpart of a builder that
+  * `putLong`s, so join keys never round-trip through strings. This is
+  * the probe side of the bloom-prune join (graft.joins.Joins): the big
+  * side streams past the sketch in its scan stage and rows that cannot
+  * match never reach the shuffle.
+  */
+case class BloomMightContainLong(child: Expression, sketch: BloomSketchBytes)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains_long"
+
+  @transient private lazy val filter: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(sketch.bytes))
+
+  def contains(v: Long): Boolean = filter.mightContainLong(v)
+
+  protected override def nullSafeEval(input: Any): Any =
+    contains(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomProbeL", this, classOf[BloomMightContainLong].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.contains($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Count of a string array's elements that might be in the Bloom filter
   * — the hot-path form of the probe. `size(filter(arr, g =>
   * bloomContains(g)))` would route through ArrayFilter, a
@@ -119,5 +150,8 @@ object BloomFunctions {
       ExpressionUtils.expression(c), new BloomSketchBytes(bloomBytes)))
   def bloomCountContained(c: Column, bloomBytes: Array[Byte]): Column =
     ExpressionUtils.column(BloomCountContained(
+      ExpressionUtils.expression(c), new BloomSketchBytes(bloomBytes)))
+  def bloomContainsLong(c: Column, bloomBytes: Array[Byte]): Column =
+    ExpressionUtils.column(BloomMightContainLong(
       ExpressionUtils.expression(c), new BloomSketchBytes(bloomBytes)))
 }
