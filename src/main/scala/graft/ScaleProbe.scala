@@ -31,7 +31,9 @@ object ScaleProbe {
     "t19_crossdoc_shingles", "t20_dsir_weights", "d15_incremental_neardups",
     "d17_incremental_exact", "d18_incremental_exact_indexed",
     "w10_interval_join", "t22_heavy_ngrams", "t23_bigram_logprob",
-    "t24_dup_spans", "t25_sequence_pack", "w13_rolling_zscore")
+    "t24_dup_spans", "t25_sequence_pack", "w13_rolling_zscore",
+    "w12_active_users", "w14_funnel", "w15_retention", "w16_gap_fill",
+    "a20_profile", "a21_incremental_agg")
 
   /** TPC-H probe set (SPARK_GRAFT_PROBE=tpch): the fact-heavy headline
     * shapes — pure fact agg (q1), fact⋈fact⋈dim top-k (q3), 5-way profit
@@ -39,7 +41,7 @@ object ScaleProbe {
     */
   val tpchProbeQueries: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q9_product_profit",
-    "q21_waiting_suppliers")
+    "q21_waiting_suppliers", "j11_bloom_prune_semi")
 
   /** Embedding probe set (SPARK_GRAFT_PROBE=emb): exact scan (s6), brute
     * force (s1, expected ~linear in corpus), and the three bucketed ANN

@@ -197,6 +197,55 @@ object Streaming {
       }
   }
 
+  /** Streaming funnel progress — the real-time twin of
+    * `Lifecycle.funnel` (w14): per key, track completion of an ordered
+    * stage sequence with every consecutive conversion inside
+    * `maxLagSeconds`, emitting one row the FIRST time a key attains each
+    * stage. State per key is the same latest-achievable completion-time
+    * array the batch fold maintains (fixed length = #stages — O(1) per
+    * key, unbounded-stream safe), so the math is shared: an event of
+    * stage i at time t converts iff the prefix i-1 has a completion in
+    * [t - lag, t], and overwriting with t keeps the state maximal for
+    * all future events.
+    *
+    * Event-time ordering within a key across micro-batches is the
+    * caller's contract (same as [[runningDailyChange]]); within a batch
+    * the group's rows are sorted here. An out-of-order stage event
+    * degrades safely: the `t >= acc(i-1)` guard keeps it from chaining
+    * backward in time, and attained stages are never revoked.
+    */
+  case class StageEvent(key: Long, tMicros: Long, stage: Int)
+  case class FunnelTimes(times: Seq[Long]) // -1 = unreached
+  case class StageReached(key: Long, stage: Int, tMicros: Long)
+
+  def funnelProgress(ds: Dataset[StageEvent], nStages: Int,
+                     maxLagSeconds: Long): Dataset[StageReached] = {
+    import ds.sparkSession.implicits._
+    val lag = maxLagSeconds * 1000000L
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[FunnelTimes, StageReached](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[StageEvent], state: GroupState[FunnelTimes]) =>
+          val acc = state.getOption.map(_.times.toArray)
+            .getOrElse(Array.fill(nStages)(-1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[StageReached]
+          rows.toSeq.sortBy(e => (e.tMicros, e.stage)).foreach { e =>
+            val i = e.stage
+            if (i >= 0 && i < nStages) {
+              val prevOk = i == 0 ||
+                (acc(i - 1) >= 0 && e.tMicros >= acc(i - 1) &&
+                  e.tMicros - acc(i - 1) <= lag)
+              if (prevOk) {
+                if (acc(i) < 0) out += StageReached(key, i, e.tMicros)
+                acc(i) = e.tMicros
+              }
+            }
+          }
+          state.update(FunnelTimes(acc.toSeq))
+          out.iterator
+      }
+  }
+
   /** Statistics-dependent cleaning on a stream (SURVEY §7.4 risk 4): the
     * global p05/p95 fence and medians cannot be computed inside one
     * micro-batch without seeing all data, so they are computed on a static

@@ -609,4 +609,64 @@ class StreamingSpec extends SparkTestBase {
       assert(!windows.contains("2024-01-01 01:20:00.0")) // late event dropped
     } finally q.stop()
   }
+
+  test("funnelProgress: state carries across batches; later stage-0 enables the chain") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming._
+    val mem = MemoryStream[StageEvent]
+    // lag 100 s: the t=0 signup cannot chain to the t=150 view, the
+    // t=100 signup (arriving in a later batch) can — the stored
+    // latest-achievable state must reflect it.
+    val q = funnelProgress(mem.toDS(), nStages = 2, maxLagSeconds = 100)
+      .writeStream.format("memory").queryName("funnel_st")
+      .outputMode("append").start()
+    try {
+      mem.addData(StageEvent(1L, 0L, 0))
+      q.processAllAvailable()
+      mem.addData(StageEvent(1L, 100000000L, 0), StageEvent(1L, 150000000L, 1))
+      q.processAllAvailable()
+      val got = spark.table("funnel_st")
+        .collect().map(r => (r.getAs[Long]("key"), r.getAs[Int]("stage"),
+          r.getAs[Long]("tMicros"))).toSet
+      assert(got === Set((1L, 0, 0L), (1L, 1, 150000000L)))
+    } finally q.stop()
+  }
+
+  test("funnelProgress over real events parquet equals the batch funnel (w14 twin)") {
+    val dir = "/root/testdata/sf0.001"
+    val stages = Seq("signup", "view", "click", "purchase")
+    val lag = 21600L
+    val physical = spark.read.parquet(s"$dir/events.parquet").schema
+    val staged = java.nio.file.Files.createTempDirectory("graft_funnel_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val stageIdx = stages.zipWithIndex
+      .foldLeft(lit(null).cast("int")) { case (acc, (s, i)) =>
+        when($"event_type" === s, lit(i)).otherwise(acc)
+      }
+    val evStream = graft.Tables.normalizeEventsTs(
+        graft.streaming.Streaming.parquetStream(spark, staged.toString, physical))
+      .select($"user_id".as("key"), unix_micros($"ts").as("tMicros"), stageIdx.as("stage"))
+      .filter($"stage".isNotNull)
+      .as[Streaming.StageEvent]
+    val q = Streaming.funnelProgress(evStream, stages.size, lag)
+      .writeStream.format("memory").queryName("funnel_real")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_real").groupBy($"stage")
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getAs[Int]("stage") -> r.getAs[Long]("n")).toMap
+      val st = graft.analyze.Lifecycle.funnelStageTimes(
+        graft.Tables.events(spark, dir), "user_id", "ts", "event_type", stages, lag)
+      val batch = st.agg(
+          count(get($"st", lit(0))).as("n0"),
+          (1 until stages.size).map(i => count(get($"st", lit(i))).as(s"n$i")): _*)
+        .collect()(0)
+      val want = stages.indices.map(i => i -> batch.getAs[Long](s"n$i"))
+        .filter(_._2 > 0).toMap
+      assert(streamed === want)
+    } finally q.stop()
+  }
 }
