@@ -82,10 +82,24 @@ object SparkEntry {
   private val candidateDumpQueries =
     Seq("d13", "e2", "d14", "d15", "d16", "e3", "s2", "s4", "s7", "s8", "t7")
 
-  private def d13CandidatesPath(dir: String): String = candidatesPath("d13", dir)
+  /** Verify-stage feed for a candidate-dump query: under
+    * [[CandidateDumps.enabled]] (the driver's Verify run) the candidate
+    * frame is written to `q`'s dump and the READ-BACK frame is returned,
+    * so the engine and the replaying oracle provably score the identical
+    * pair set; otherwise (Bench, specs, library use) the in-memory frame
+    * is returned untouched and the query runs its pure search/dedup plan
+    * — no parquet round-trip in the measured path. Result parity between
+    * the two modes is gated in PlanQualitySpec.
+    */
+  private def dumpedCandidates(s: SparkSession, q: String, d: String,
+                               cands: DataFrame): DataFrame =
+    if (CandidateDumps.enabled) {
+      val path = candidatesPath(q, d)
+      cands.write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    } else cands
+
   private def e2CandidatesPath(dir: String): String = candidatesPath("e2", dir)
-  private def d15CandidatesPath(dir: String): String = candidatesPath("d15", dir)
-  private def d16CandidatesPath(dir: String): String = candidatesPath("d16", dir)
 
   /** DuckDB fragments shared by every LSH dump-replay oracle — ONE
     * definition of the 3-gram shingle recipe and the rounded Jaccard
@@ -1023,9 +1037,12 @@ object SparkEntry {
     // loop's selection semantics are cross-checked, not just row counts.
     "t7_winnow" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      docs.select(col("doc_id"),
-          posexplode(Text.kgramHashes(col("text"), k = 8)).as(Seq("pos", "h")))
-        .write.mode("overwrite").parquet(candidatesPath("t7", d))
+      // side output, never read back: the oracle replays the window-min
+      // selection over it. Skipped entirely outside verify mode.
+      if (CandidateDumps.enabled)
+        docs.select(col("doc_id"),
+            posexplode(Text.kgramHashes(col("text"), k = 8)).as(Seq("pos", "h")))
+          .write.mode("overwrite").parquet(candidatesPath("t7", d))
       val fp = Text.winnowFingerprints(col("text")) // k=8, w=4
       docs.select(col("doc_id"),
         size(fp).cast("long").as("n_fingerprints"),
@@ -1226,10 +1243,9 @@ object SparkEntry {
     // every stage.
     "d14_fuzzy_survivors" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val path = candidatesPath("d14", d)
-      Dedup.minhashCandidatePairs(docs, "doc_id", "text")
-        .write.mode("overwrite").parquet(path)
-      val pairs = Dedup.jaccardForPairs(docs, s.read.parquet(path), "doc_id", "text")
+      val cands = dumpedCandidates(s, "d14", d,
+        Dedup.minhashCandidatePairs(docs, "doc_id", "text"))
+      val pairs = Dedup.jaccardForPairs(docs, cands, "doc_id", "text")
         .filter(col("jaccard") >= 0.8)
       Dedup.fuzzySurvivors(docs, "doc_id", pairs.select(col("id1"), col("id2")))
     }),
@@ -1242,10 +1258,9 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val newBatch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
       val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-      val path = d15CandidatesPath(d)
-      Dedup.incrementalCandidatePairs(newBatch, corpus, "doc_id", "text")
-        .write.mode("overwrite").parquet(path)
-      Dedup.jaccardForPairs(docs, s.read.parquet(path), "doc_id", "text")
+      val cands = dumpedCandidates(s, "d15", d,
+        Dedup.incrementalCandidatePairs(newBatch, corpus, "doc_id", "text"))
+      Dedup.jaccardForPairs(docs, cands, "doc_id", "text")
         .filter(col("jaccard") >= 0.8)
     }),
 
@@ -1258,10 +1273,9 @@ object SparkEntry {
       val newBatch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
       val idx = graft.dedup.LshIndex.ensure(s, d,
         docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), subset = "mod10ne0")
-      val path = d16CandidatesPath(d)
-      Dedup.incrementalCandidatePairsIndexed(idx, newBatch, "doc_id", "text")
-        .write.mode("overwrite").parquet(path)
-      Dedup.jaccardForPairs(docs, s.read.parquet(path), "doc_id", "text")
+      val cands = dumpedCandidates(s, "d16", d,
+        Dedup.incrementalCandidatePairsIndexed(idx, newBatch, "doc_id", "text"))
+      Dedup.jaccardForPairs(docs, cands, "doc_id", "text")
         .filter(col("jaccard") >= 0.8)
     }),
 
@@ -1275,12 +1289,11 @@ object SparkEntry {
     // shrinks the rows-only set to pure-signature queries.
     "d13_lsh_verified_pairs" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val path = d13CandidatesPath(d)
-      Dedup.minhashCandidatePairs(docs, "doc_id", "text")
-        .write.mode("overwrite").parquet(path)
-      // verify over the read-back dump, not the in-memory frame: Spark
-      // and the oracle then provably score the IDENTICAL pair set
-      Dedup.jaccardForPairs(docs, s.read.parquet(path), "doc_id", "text")
+      // verify-mode: score the read-back dump, so Spark and the oracle
+      // provably score the IDENTICAL pair set (dumpedCandidates)
+      val cands = dumpedCandidates(s, "d13", d,
+        Dedup.minhashCandidatePairs(docs, "doc_id", "text"))
+      Dedup.jaccardForPairs(docs, cands, "doc_id", "text")
         .filter(col("jaccard") >= 0.8)
     }),
 
@@ -1382,10 +1395,9 @@ object SparkEntry {
     "s2_ann_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val idx = graft.sim.SrpIndex.ensure(s, d, emb, nTables = 12)
-      val path = candidatesPath("s2", d)
-      Similarity.annCandidatePairsIndexed(idx, emb.filter(col("vec_id") < 8))
-        .write.mode("overwrite").parquet(path)
-      Similarity.exactRerank(s.read.parquet(path), emb, emb.filter(col("vec_id") < 8), k = 5)
+      val cands = dumpedCandidates(s, "s2", d,
+        Similarity.annCandidatePairsIndexed(idx, emb.filter(col("vec_id") < 8)))
+      Similarity.exactRerank(cands, emb, emb.filter(col("vec_id") < 8), k = 5)
     }),
     // IVF cell assignment depends on the centroid sample; deterministic
     // but not ANSI-SQL-expressible compactly -> rows-only check, semantics
@@ -1400,10 +1412,9 @@ object SparkEntry {
     "s4_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val (assigned, cents) = graft.sim.IvfIndex.ensure(s, d, emb)
-      val path = candidatesPath("s4", d)
-      Similarity.ivfCandidatePairsAssigned(assigned, cents, emb.filter(col("vec_id") < 8))
-        .write.mode("overwrite").parquet(path)
-      Similarity.exactRerank(s.read.parquet(path), emb, emb.filter(col("vec_id") < 8), k = 5)
+      val cands = dumpedCandidates(s, "s4", d,
+        Similarity.ivfCandidatePairsAssigned(assigned, cents, emb.filter(col("vec_id") < 8)))
+      Similarity.exactRerank(cands, emb, emb.filter(col("vec_id") < 8), k = 5)
     }),
     // MMR-diversified retrieval: exact top-20 candidates, then greedy
     // λ·relevance − (1−λ)·redundancy selection of 5 — vector math stays
@@ -1459,10 +1470,9 @@ object SparkEntry {
     // comparison) and the output hash-matches.
     "e2_embedding_verified_pairs" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val path = e2CandidatesPath(d)
-      Dedup.srpCandidatePairs(emb, "vec_id", "embedding", maxDim = 64)
-        .write.mode("overwrite").parquet(path)
-      Dedup.cosineForPairs(emb, s.read.parquet(path), "vec_id", "embedding")
+      val cands = dumpedCandidates(s, "e2", d,
+        Dedup.srpCandidatePairs(emb, "vec_id", "embedding", maxDim = 64))
+      Dedup.cosineForPairs(emb, cands, "vec_id", "embedding")
         .filter(col("cos") >= 0.2)
     }),
     // SemDeDup-shaped semantic dedup survivors: cosine-near-dup pairs →
@@ -1473,10 +1483,9 @@ object SparkEntry {
     // verify) and applies the keep rule.
     "e3_semantic_survivors" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val path = candidatesPath("e3", d)
-      Dedup.srpCandidatePairs(emb, "vec_id", "embedding", maxDim = 64)
-        .write.mode("overwrite").parquet(path)
-      val pairs = Dedup.cosineForPairs(emb, s.read.parquet(path), "vec_id", "embedding")
+      val cands = dumpedCandidates(s, "e3", d,
+        Dedup.srpCandidatePairs(emb, "vec_id", "embedding", maxDim = 64))
+      val pairs = Dedup.cosineForPairs(emb, cands, "vec_id", "embedding")
         .filter(col("cos") >= 0.2)
       Dedup.fuzzySurvivors(emb, "vec_id", pairs.select(col("id1"), col("id2")))
     }),
@@ -1502,10 +1511,9 @@ object SparkEntry {
     "s7_ann_int8" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val idx = graft.sim.SrpIndex.ensure(s, d, emb, nTables = 12)
-      val path = candidatesPath("s7", d)
-      Similarity.annSurvivorsInt8Indexed(idx, emb.filter(col("vec_id") < 8), rerank = 32)
-        .write.mode("overwrite").parquet(path)
-      Similarity.exactRerank(s.read.parquet(path), emb, emb.filter(col("vec_id") < 8), k = 5)
+      val cands = dumpedCandidates(s, "s7", d,
+        Similarity.annSurvivorsInt8Indexed(idx, emb.filter(col("vec_id") < 8), rerank = 32))
+      Similarity.exactRerank(cands, emb, emb.filter(col("vec_id") < 8), k = 5)
     }),
     // IVF with the same int8 prefilter: cell assignment on the raw
     // vectors (cosine is norm-invariant), probed-cell candidates scored
@@ -1519,11 +1527,10 @@ object SparkEntry {
     "s8_ivf_int8" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val (assigned, cents) = graft.sim.IvfIndex.ensure(s, d, emb)
-      val path = candidatesPath("s8", d)
-      Similarity.ivfSurvivorsInt8Assigned(assigned, cents,
-          emb.filter(col("vec_id") < 8), rerank = 16)
-        .write.mode("overwrite").parquet(path)
-      Similarity.exactRerank(s.read.parquet(path), emb, emb.filter(col("vec_id") < 8), k = 5)
+      val cands = dumpedCandidates(s, "s8", d,
+        Similarity.ivfSurvivorsInt8Assigned(assigned, cents,
+          emb.filter(col("vec_id") < 8), rerank = 16))
+      Similarity.exactRerank(cands, emb, emb.filter(col("vec_id") < 8), k = 5)
     })
   )
 
@@ -2847,7 +2854,7 @@ object SparkEntry {
 
     // replays the verify stage over the candidate set d13's Spark run
     // materialized (absolute path; the driver's correctness gate runs at
-    // sf0.01 — see d13CandidatesPath). Shingling + Jaccard are the d5
+    // sf0.01 — see candidatesPath). Shingling + Jaccard are the d5
     // expressions verbatim; the threshold filters the ROUNDED value,
     // exactly as the Spark side does.
     "d13_lsh_verified_pairs" -> dumpVerifySql("d13"),

@@ -22,6 +22,11 @@ object JsonEscape {
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // verify mode: the dump-replay oracles (d13..d16/e2/e3/s2/s4/s7/s8/
+    // t7) read the candidate dump their own query writes THIS run — so
+    // Verify, and only Verify, turns the dump writes on. Bench and specs
+    // run the pure plans (CandidateDumps scaladoc).
+    CandidateDumps.enable()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.sink.BucketedMirror.withSessionConfs(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -69,18 +74,30 @@ object Verify {
       import scala.jdk.CollectionConverters._
       failed.asScala.toSeq.sorted
     }
-    val missing = SparkEntry.queries.keys.toSeq.sorted
+    // Under SPARK_GRAFT_ONLY, unselected queries' output dirs from a
+    // previous full run can survive on disk — record the skip set so a
+    // local compare can't mistake stale dirs for fresh output, and check
+    // completeness over the SELECTED set only (a skipped query's absence
+    // is expected; its presence is stale). The driver never sets the
+    // filter, so driver manifests show n_selected == n_registered,
+    // skipped=[] and the full-surface completeness check is unchanged.
+    val skipped = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => selected.exists(_._1 == n))
+    val missing = selected.map(_._1).sorted
       .filterNot(n => Files.isDirectory(Paths.get(s"$outDir/$n")))
     val manifest = "{\"n_registered\":" + SparkEntry.queries.size +
+      ",\"n_selected\":" + selected.size +
+      ",\"skipped\":" + skipped.map(JsonEscape(_)).mkString("[", ",", "]") +
       ",\"n_failed\":" + failedSorted.size +
       ",\"failed\":" + failedSorted.map(JsonEscape(_)).mkString("[", ",", "]") +
       ",\"missing_output\":" + missing.map(JsonEscape(_)).mkString("[", ",", "]") + "}"
     Files.writeString(Paths.get(s"$outDir/_verify_manifest.json"), manifest)
     if (failedSorted.nonEmpty || missing.nonEmpty)
-      System.err.println(s"[verify] *** ${failedSorted.size} of ${SparkEntry.queries.size} " +
+      System.err.println(s"[verify] *** ${failedSorted.size} of ${selected.size} " +
         s"queries FAILED: ${(failedSorted ++ missing).distinct.mkString(", ")} ***")
     else
-      System.err.println(s"[verify] all ${SparkEntry.queries.size} queries produced output")
+      System.err.println(s"[verify] all ${selected.size} selected queries produced output" +
+        (if (skipped.nonEmpty) s" (${skipped.size} filtered out by SPARK_GRAFT_ONLY)" else ""))
     // oracleSqlFor rebases the d12/d13/e2 candidate-dump paths onto THIS
     // run's sf dir (identity at the driver's contract sf0.01)
     val json = SparkEntry.oracleSqlFor(sfDir)

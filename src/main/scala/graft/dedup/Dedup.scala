@@ -510,9 +510,17 @@ object Dedup {
     // output of a full candidate-generation pipeline (LSH banding + exact
     // verify over the corpus), and every iteration references edges in
     // the propagation join — without the materialization each of the
-    // ~log(diameter) iterations would re-run the entire upstream pipeline
+    // ~log(diameter) iterations would re-run the entire upstream pipeline.
+    // Symmetrize by per-row explode, NOT union: a union's two branches
+    // each evaluate the upstream pipeline once, so the single
+    // materializing pass paid the candidate-generation + verify cost
+    // TWICE; the explode emits both orientations from one evaluation of
+    // each pair row.
     val edges = pairs.select(col("id1"), col("id2"))
-      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .select(explode(array(
+        struct(col("id1"), col("id2")),
+        struct(col("id2").as("id1"), col("id1").as("id2")))).as("__e"))
+      .select(col("__e.id1").as("id1"), col("__e.id2").as("id2"))
       .localCheckpoint()
     // seed = the first hop FUSED into the init: from identity labels,
     // iteration 1's neighbor-min is just min(neighbor id), so

@@ -563,7 +563,11 @@ class PlanQualitySpec extends SparkTestBase {
     }
     spark.listenerManager.register(listener)
     try {
-      dumpQueries.foreach(q => SparkEntry.queries(q)(spark, dir)) // write happens eagerly
+      // dump writes only happen in verify mode (CandidateDumps) — this
+      // gate exercises the dumping variant explicitly
+      CandidateDumps.withEnabled {
+        dumpQueries.foreach(q => SparkEntry.queries(q)(spark, dir)) // write happens eagerly
+      }
       // listener delivery is async on the listener bus — poll to quiescence
       var waited = 0
       while (captured.size < dumpQueries.size && waited < 30000) {
@@ -575,6 +579,60 @@ class PlanQualitySpec extends SparkTestBase {
       assert(offenders.isEmpty,
         s"single-partition exchange feeding a candidate-dump write: $offenders")
     } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("bench mode: no candidate-dump write or read in any measured plan") {
+    // The round-13 verdict's top finding: the 11 dump queries paid a
+    // parquet write + read-back per bench run — oracle plumbing inside
+    // the measured path. With CandidateDumps OFF (the default, i.e. what
+    // Bench measures), invoking and executing each query must neither
+    // fire a *_candidates write job (listener) nor read a *_candidates
+    // dump in the result plan (executedPlan scan check).
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val dumpQueries = Seq("d13_lsh_verified_pairs", "d14_fuzzy_survivors",
+      "d15_incremental_neardups", "d16_incremental_indexed",
+      "e2_embedding_verified_pairs", "e3_semantic_survivors",
+      "s2_ann_topk", "s4_ivf_topk", "s7_ann_int8", "s8_ivf_int8",
+      "t7_winnow")
+    assert(!CandidateDumps.enabled, "specs must run with dumps off by default")
+    val offenders = new scala.collection.concurrent.TrieMap[String, Unit]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+        val plan = qe.executedPlan.toString
+        """[a-z]\d+_candidates""".r.findFirstIn(plan)
+          .foreach(m => offenders.put(s"$m ($funcName)", ()))
+      }
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      dumpQueries.foreach { q =>
+        val df = SparkEntry.queries(q)(spark, dir)
+        assert(!executedPlan(df).contains("_candidates"),
+          s"$q: bench-mode result plan reads a candidate dump")
+      }
+      // listener delivery is async — give the bus a moment to drain
+      // before asserting the negative (the plan-string check above is
+      // the synchronous primary gate)
+      Thread.sleep(1500)
+      assert(offenders.isEmpty,
+        s"bench-mode execution touched candidate dumps: ${offenders.keySet.toSeq.sorted}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("dump parity: verify-mode (dumped) and bench-mode (pure) results agree") {
+    // The two modes must publish identical rows — the read-back dump is
+    // plumbing, not semantics. One LSH-verify query and one ANN-rescore
+    // query stand in for their families (the other nine share the same
+    // dumpedCandidates seam).
+    Seq("d13_lsh_verified_pairs", "s2_ann_topk").foreach { q =>
+      val pure = SparkEntry.queries(q)(spark, dir).collect().toSet
+      val dumped = CandidateDumps.withEnabled {
+        SparkEntry.queries(q)(spark, dir).collect().toSet
+      }
+      assert(pure === dumped, s"$q: bench-mode result differs from verify-mode")
+    }
   }
 
   test("m1: media metadata query never reads the bytes column") {
