@@ -237,7 +237,14 @@ object Streaming {
                   e.tMicros - acc(i - 1) <= lag)
               if (prevOk) {
                 if (acc(i) < 0) out += StageReached(key, i, e.tMicros)
-                acc(i) = e.tMicros
+                // max, not overwrite: within a batch events arrive
+                // (t, stage)-sorted so this is the plain overwrite, but
+                // an out-of-order stage-i event arriving in a LATER
+                // micro-batch must not move the latest-achievable time
+                // BACKWARD (that would suppress a conversion the prior
+                // state already allowed) — state stays maximal under
+                // late data, like the batch fold's monotone acc.
+                acc(i) = math.max(acc(i), e.tMicros)
               }
             }
           }

@@ -90,6 +90,60 @@ class LifecycleSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("funnel: per-key event cap bounds hot-key state; cold keys unaffected") {
+    // key 1 is the "bot": 5 000 funnel events, far over a cap of 64.
+    // key 2 is a normal converting journey. Under the small cap the
+    // query must (a) run (the point of the bound: state per key is <=
+    // cap, not the key's own event count), (b) leave key 2's conversion
+    // untouched, and (c) evaluate key 1 on its FIRST 64 events only —
+    // here the bot's view events all come after position 64, so it
+    // reaches signup but not view.
+    val base = 1704067200000L
+    val bot = (0 until 5000).map { i =>
+      (1L, new Timestamp(base + i * 1000L), if (i < 64) "signup" else "view")
+    }
+    val normal = Seq(
+      (2L, new Timestamp(base), "signup"),
+      (2L, new Timestamp(base + 10000L), "view"))
+    val df = (bot ++ normal).toDF("user_id", "t", "et")
+    val r = Lifecycle.funnel(df, "user_id", "t", "et",
+      Seq("signup", "view"), maxLagSeconds = 86400, maxEventsPerKey = 64)
+      .orderBy("stage_idx").collect()
+    assert(r.map(_.getAs[Long]("n_keys")).toSeq === Seq(2L, 1L))
+    // uncapped (cap <= 0 disables) the bot's views DO convert
+    val full = Lifecycle.funnel(df, "user_id", "t", "et",
+      Seq("signup", "view"), maxLagSeconds = 86400, maxEventsPerKey = 0)
+      .orderBy("stage_idx").collect()
+    assert(full.map(_.getAs[Long]("n_keys")).toSeq === Seq(2L, 2L))
+  }
+
+  test("funnel cap: dropped events are observed, not silent") {
+    val base = 1704067200000L
+    val ev = ((0 until 100).map(i => (1L, new Timestamp(base + i * 1000L), "signup")) ++
+      Seq((2L, new Timestamp(base), "signup")))
+      .toDF("user_id", "t", "et")
+    val st = Lifecycle.funnelStageTimes(ev, "user_id", "t", "et",
+      Seq("signup", "view"), maxLagSeconds = 60, maxEventsPerKey = 10)
+    st.collect()
+    val metrics = st.queryExecution.observedMetrics(Lifecycle.funnelCapObservation)
+    assert(metrics.getAs[Long]("dropped_events") === 90L) // key 1: 100 - 10
+    assert(metrics.getAs[Long]("capped_keys") === 1L)     // key 2 under cap
+  }
+
+  test("funnel cap default: capped and uncapped agree on the registered w14 shape") {
+    // the default cap (10 000) is far above any key's event count in the
+    // testdata (max 85 at sf0.1) — the capped aggregate must be a pure
+    // memory bound, not a semantic change, on every corpus this repo runs
+    val d = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, d)
+    val stages = Seq("signup", "view", "click", "purchase")
+    val capped = Lifecycle.funnel(ev, "user_id", "ts", "event_type", stages, 21600)
+      .orderBy("stage_idx").collect().toSeq
+    val exact = Lifecycle.funnel(ev, "user_id", "ts", "event_type", stages, 21600,
+      maxEventsPerKey = 0).orderBy("stage_idx").collect().toSeq
+    assert(capped === exact)
+  }
+
   test("cohortRetention: counts and rates per first-seen cohort") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 10:00:00")),

@@ -632,6 +632,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("funnelProgress: late out-of-order stage event never moves state backward") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming._
+    val mem = MemoryStream[StageEvent]
+    // batch 1 records a signup at t=100 s. Batch 2 delivers a LATE
+    // signup at t=0 (out-of-order across batches) plus a view at
+    // t=150 s with lag 100 s. Overwriting acc(0) with the late event
+    // would move the latest-achievable signup back to 0 and suppress
+    // the 100 -> 150 conversion the stored state already allowed; the
+    // max-merge keeps state maximal and the chain converts.
+    val q = funnelProgress(mem.toDS(), nStages = 2, maxLagSeconds = 100)
+      .writeStream.format("memory").queryName("funnel_late")
+      .outputMode("append").start()
+    try {
+      mem.addData(StageEvent(1L, 100000000L, 0))
+      q.processAllAvailable()
+      mem.addData(StageEvent(1L, 0L, 0), StageEvent(1L, 150000000L, 1))
+      q.processAllAvailable()
+      val got = spark.table("funnel_late")
+        .collect().map(r => (r.getAs[Long]("key"), r.getAs[Int]("stage"),
+          r.getAs[Long]("tMicros"))).toSet
+      assert(got === Set((1L, 0, 100000000L), (1L, 1, 150000000L)))
+    } finally q.stop()
+  }
+
   test("funnelProgress over real events parquet equals the batch funnel (w14 twin)") {
     val dir = "/root/testdata/sf0.001"
     val stages = Seq("signup", "view", "click", "purchase")
