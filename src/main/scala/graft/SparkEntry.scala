@@ -80,7 +80,7 @@ object SparkEntry {
     * source [[oracleSqlFor]] derives its path substitutions from.
     */
   private val candidateDumpQueries =
-    Seq("d13", "e2", "d14", "d15", "d16", "e3", "s2", "s4", "s7", "s8", "t7")
+    Seq("d13", "e2", "d14", "d15", "d16", "e3", "s2", "s4", "s7", "s8", "t7", "d19")
 
   /** Verify-stage feed for a candidate-dump query: under
     * [[CandidateDumps.enabled]] (the driver's Verify run) the candidate
@@ -1293,6 +1293,23 @@ object SparkEntry {
       // provably score the IDENTICAL pair set (dumpedCandidates)
       val cands = dumpedCandidates(s, "d13", d,
         Dedup.minhashCandidatePairs(docs, "doc_id", "text"))
+      Dedup.jaccardForPairs(docs, cands, "doc_id", "text")
+        .filter(col("jaccard") >= 0.8)
+    }),
+
+    // The SimHash pipeline's VERIFY stage, oracled end-to-end (the d13
+    // pattern applied to d4's signature family): candidate generation —
+    // 16-bit chunk blocking + hamming <= 3 on the xxhash64-derived
+    // fingerprints — is engine-keyed (rows-only by nature), but once the
+    // hamming-verified pair set is dumped, the exact n-gram Jaccard over
+    // exactly those pairs is plain SQL, replayed by DuckDB over the
+    // identical dump. Shrinks the rows-only remainder: d4's signatures
+    // stay signature-gated, its PAIRS are now hash-checked.
+    "d19_simhash_verified_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cands = dumpedCandidates(s, "d19", d,
+        Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+          .select(col("id1"), col("id2")))
       Dedup.jaccardForPairs(docs, cands, "doc_id", "text")
         .filter(col("jaccard") >= 0.8)
     }),
@@ -2858,6 +2875,11 @@ object SparkEntry {
     // expressions verbatim; the threshold filters the ROUNDED value,
     // exactly as the Spark side does.
     "d13_lsh_verified_pairs" -> dumpVerifySql("d13"),
+
+    // same replay over d19's SimHash (chunk-blocked, hamming-verified)
+    // candidate dump — the verify stage is identical by design, only the
+    // candidate generator differs
+    "d19_simhash_verified_pairs" -> dumpVerifySql("d19"),
 
     // the CLUSTERING stage, oracled end-to-end: d12's input pairs are
     // exactly the d13 verified set (minhashNearDups ≡ candidates →

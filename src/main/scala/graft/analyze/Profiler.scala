@@ -34,16 +34,40 @@ object Profiler {
     case _ => c.cast("string")
   }
 
+  /** Whether min/max (and for maps, even equality/distinct) is defined
+    * for the type — the default-all-columns contract must not fail at
+    * analysis time because the table happens to carry a map or a
+    * variant column. Matches Catalyst's `RowOrdering.isOrderable`.
+    */
+  private def orderable(dt: DataType): Boolean = dt match {
+    case _: MapType | _: VariantType => false
+    case s: StructType => s.fields.forall(f => orderable(f.dataType))
+    case a: ArrayType => orderable(a.elementType)
+    case u: UserDefinedType[_] => orderable(u.sqlType)
+    case _ => true
+  }
+
   def profile(df: DataFrame, cols: Seq[String] = Nil,
               exact: Boolean = true): DataFrame = {
     val names = if (cols.nonEmpty) cols else df.columns.toSeq
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     require(names.forall(types.contains), s"unknown columns in ${names.mkString(",")}")
+    // non-orderable columns (maps, variants) keep null/count stats but
+    // publish null min/max — they'd otherwise fail the whole profile at
+    // analysis time. Maps aren't distinct-countable either (no equality):
+    // count their distinct as null too.
     val aggs = count(lit(1)).as("__n") +: names.flatMap { n =>
-      val nd = if (exact) countDistinct(col(n)) else approx_count_distinct(col(n))
+      val ord = orderable(types(n))
+      val comparable = ord // map/variant: no equality, no countDistinct
+      val nd =
+        if (!comparable) first(lit(null).cast("long"))
+        else if (exact) countDistinct(col(n))
+        else approx_count_distinct(col(n))
+      val (mn, mx) =
+        if (ord) (fmt(min(col(n)), types(n)), fmt(max(col(n)), types(n)))
+        else (first(lit(null).cast("string")), first(lit(null).cast("string")))
       Seq(count(col(n)).as(s"__nn_$n"), nd.as(s"__nd_$n"),
-          fmt(min(col(n)), types(n)).as(s"__min_$n"),
-          fmt(max(col(n)), types(n)).as(s"__max_$n"))
+          mn.as(s"__min_$n"), mx.as(s"__max_$n"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = names.map(n => struct(

@@ -52,7 +52,12 @@ object Joins {
                          bigKey: String, smallKey: String,
                          expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val sketch = longKeyBloom(small, smallKey, expectedItems, fpp)
+    // alias the small side's key: with bigKey == smallKey (or big also
+    // carrying a column named smallKey) the unqualified reference would
+    // be ambiguous and fail at analysis — the alias cannot collide with
+    // anything user-named on the big side
+    val keys = small.select(col(smallKey).as("__bloom_key"))
     big.filter(BloomFunctions.bloomContainsLong(col(bigKey), sketch))
-      .join(small.select(col(smallKey)), col(bigKey) === col(smallKey), "leftsemi")
+      .join(keys, col(bigKey) === col("__bloom_key"), "leftsemi")
   }
 }

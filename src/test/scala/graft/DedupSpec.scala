@@ -238,11 +238,35 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("dupClusters converges on a long chain (pointer jumping)") {
-    // path 0-1-2-...-25: diameter 25 >> 10 plain-propagation hops
+    // path 0-1-2-...-25: diameter 25 >> 10 plain-propagation hops.
+    // maxDriverEdges = 0 forces the DISTRIBUTED loop — the path a
+    // 100 TB pair set takes — on the worst-diameter shape.
     val chain = (0L until 25L).map(i => (i, i + 1)).toDF("id1", "id2")
-    val labels = Dedup.dupClusters(chain, maxIter = 10)
+    val labels = Dedup.dupClusters(chain, maxIter = 10, maxDriverEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.values.toSet === Set(0L))
+  }
+
+  test("dupClusters: driver union-find and distributed loop label identically") {
+    // mixed shape: a chain (diameter), a triangle with a cross edge,
+    // isolated pair, duplicate + reversed edges — the driver path
+    // (default budget) and the distributed path (budget 0) must agree
+    // exactly, label for label
+    val pairs = (
+      (0L until 12L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (20L, 22L), (22L, 25L),
+          (30L, 31L), (31L, 30L), (20L, 21L), (40L, 41L))
+    ).toDF("id1", "id2")
+    val driver = Dedup.dupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = Dedup.dupClusters(pairs, maxDriverEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(driver === dist)
+    assert(driver.nonEmpty)
+    // spot semantics: min id labels its whole component
+    val m = driver.toMap
+    assert((0L to 12L).forall(m(_) == 0L))
+    assert(Seq(20L, 21L, 22L, 25L).forall(m(_) == 20L))
   }
 
   test("perSourceCap: at most N per source, deterministic hash order, stable across reshuffles") {

@@ -45,6 +45,17 @@ class JoinsSpec extends SparkTestBase {
     assert(tiny.toSeq === plain.toSeq)
   }
 
+  test("bloomPruneLeftSemi works when both sides name the key identically") {
+    // with bigKey == smallKey an unqualified join condition would be
+    // ambiguous (AnalysisException) — the aliased small side must not be
+    val sameName = keys.withColumnRenamed("j", "k")
+    val pruned = Joins.bloomPruneLeftSemi(big, sameName, "k", "k", 1000L)
+      .collect().map(_.getLong(0)).sorted
+    val plain = big.join(keys, col("k") === col("j"), "leftsemi")
+      .collect().map(_.getLong(0)).sorted
+    assert(pruned.toSeq === plain.toSeq)
+  }
+
   test("null big-side keys are dropped like the semi-join drops them") {
     val withNulls = big.withColumn("k", when(col("k") % 7 === 0, lit(null)).otherwise(col("k")))
     val pruned = Joins.bloomPruneLeftSemi(withNulls, keys, "k", "j", 1000L)

@@ -34,6 +34,24 @@ class ProfilerSpec extends SparkTestBase {
     assert(p(0).getAs[Long]("n_distinct") === 4L)
   }
 
+  test("profile: non-orderable columns (maps) keep counts, null min/max/distinct") {
+    // default-all-columns must not fail at analysis time on a table that
+    // happens to carry a map column — min/max (and distinct: maps have
+    // no equality) publish null for it, count stats stay real
+    val m = Seq(
+      (1L, Some(Map("a" -> 1))),
+      (2L, None: Option[Map[String, Int]]),
+      (3L, Some(Map("b" -> 2)))
+    ).toDF("id", "attrs")
+    val p = Profiler.profile(m).collect().map(r =>
+      r.getAs[String]("col_name") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"),
+         Option(r.getAs[java.lang.Long]("n_distinct")),
+         Option(r.getAs[String]("min_value")), Option(r.getAs[String]("max_value")))).toMap
+    assert(p("id") === ((3L, 0L, Some(3L), Some("1"), Some("3"))))
+    assert(p("attrs") === ((3L, 1L, None, None, None)))
+  }
+
   test("profile: unknown column is rejected") {
     intercept[IllegalArgumentException] {
       Profiler.profile(t, Seq("nope"))

@@ -278,6 +278,50 @@ class StreamingSpec extends SparkTestBase {
     graft.dedup.LshIndex.drop(dir, subset = "streamspec")
   }
 
+  test("streaming micro-batches exact-dedup against the standing HashLedger (d17/d18 twin)") {
+    // the exact-dedup pass of the continuous-ingest loop (runs BEFORE
+    // the near-dup probe above): corpus content-hash ledger built ONCE,
+    // each arriving micro-batch keeps only content-new rows. Per-row
+    // membership is independent of batch boundaries, so the streamed
+    // union of per-batch keepers must equal the one-shot batch answer.
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+    val corpus = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+    val fresh = docs.filter(pmod($"doc_id", lit(10)) === 0)
+    graft.dedup.HashLedger.drop(dir, subset = "streamspec")
+    val ledger = graft.dedup.HashLedger.ensure(spark, dir, corpus, subset = "streamspec")
+    // at sf0.001 the mod-10 split happens to leave no cross-split
+    // duplicate — inject one (a corpus doc's text under a fresh id) so
+    // the gate provably gates, not just passes everything through
+    val dupRow = corpus.limit(1).withColumn("doc_id", lit(-1L))
+    val freshAll = fresh.unionByName(dupRow)
+    val staged = java.nio.file.Files.createTempDirectory("graft_ledger_stream")
+    freshAll.filter($"doc_id" < 250).write.mode("overwrite")
+      .parquet(staged.resolve("p1").toString)
+    freshAll.filter($"doc_id" >= 250).write.mode("overwrite")
+      .parquet(staged.resolve("p2").toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString + "/*")
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, String)]()
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.dedup.Dedup.incrementalExactNewIndexed(ledger, batch, "doc_id", "text")
+          .collect().foreach(r => got.add((r.getLong(0), r.getString(1))))
+        ()
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    val expected = graft.dedup.Dedup.incrementalExactNew(freshAll, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet === expected)
+    assert(expected.nonEmpty)
+    // and it must GATE: the injected corpus-known duplicate died
+    assert(!expected.exists(_._1 == -1L))
+    assert(expected.size < freshAll.count())
+    graft.dedup.HashLedger.drop(dir, subset = "streamspec")
+  }
+
   /** An OpenWeatherMap-shaped JSON payload as Kafka value bytes. */
   private def owmPayload(city: String, epoch: Long, temp: Double,
                          desc: String = "clear sky"): Array[Byte] =
