@@ -33,7 +33,13 @@ object ScaleProbe {
     "w10_interval_join", "t22_heavy_ngrams", "t23_bigram_logprob",
     "t24_dup_spans", "t25_sequence_pack", "w13_rolling_zscore",
     "w12_active_users", "w14_funnel", "w15_retention", "w16_gap_fill",
-    "a20_profile", "a21_incremental_agg")
+    "a20_profile", "a21_incremental_agg",
+    // m4/m5/m7 read synthetic media tables derived from documents, so
+    // the documents upscale exercises the blob hash-shuffle and the real
+    // codec decode scans at 100× asset count (fixture build is cached;
+    // min-of-two keeps the build out of the reading)
+    "m4_blob_dedup", "m5_image_decode", "m7_audio_decode",
+    "d19_simhash_verified_pairs")
 
   /** TPC-H probe set (SPARK_GRAFT_PROBE=tpch): the fact-heavy headline
     * shapes — pure fact agg (q1), fact⋈fact⋈dim top-k (q3), 5-way profit
@@ -50,7 +56,7 @@ object ScaleProbe {
     */
   val embProbeQueries: Seq[String] = Seq(
     "s6_int8_quantize", "s1_brute_topk", "s2_ann_topk", "s4_ivf_topk",
-    "s7_ann_int8", "s8_ivf_int8")
+    "s7_ann_int8", "s8_ivf_int8", "s9_mmr_topk", "e3_semantic_survivors")
 
   def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(out)

@@ -1380,6 +1380,30 @@ object SparkEntry {
       graft.multimodal.Multimodal.blobDedup(
         graft.multimodal.Multimodal.syntheticMediaTable(s, d))),
 
+    // REAL image decode (round-14: javax.imageio probe came back
+    // positive): ImageIO-encoded two-tone PNGs, decoded per blob in a
+    // mapPartitions batch; published dims + exact per-channel pixel sums
+    // come OUT OF THE DECODED RASTER while the oracle re-derives them
+    // from the generative formulas (MediaCodec) — a hash match proves
+    // the codec round trip, not just plumbing.
+    "m5_image_decode" -> ((s, d) =>
+      graft.multimodal.Multimodal.imageDecodeStats(
+        graft.multimodal.Multimodal.syntheticImageTable(s, d))),
+    // REAL resize round trip: decode → nearest-neighbor resample
+    // (maxSide 24, aspect preserved, never upscaled) → re-encode →
+    // decode again; published dims + corner pixels of the re-decoded
+    // image, oracle-replayed from the formulas (nearest-neighbor keeps
+    // the two-tone corners exactly — MediaCodec.resizePng).
+    "m6_image_resize" -> ((s, d) =>
+      graft.multimodal.Multimodal.imageResizeStats(
+        graft.multimodal.Multimodal.syntheticImageTable(s, d), maxSide = 24)),
+    // REAL audio decode (javax.sound WAV): square-wave PCM clips whose
+    // peak / mean-|sample| are formula constants; Spark reads them from
+    // the decoded frames, the oracle recomputes them arithmetically.
+    "m7_audio_decode" -> ((s, d) =>
+      graft.multimodal.Multimodal.wavDecodeStats(
+        graft.multimodal.Multimodal.syntheticWavTable(s, d))),
+
     // --------------------------------------------- embedding similarity
     "s1_brute_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -3016,6 +3040,53 @@ object SparkEntry {
         |  count(*) AS n_copies, CAST(min(strlen(text)) AS BIGINT) AS n_bytes
         |FROM documents
         |GROUP BY md5(text)""".stripMargin,
+
+    // REAL-codec oracles (m5/m6/m7): the Spark side publishes values read
+    // out of decoded bytes (ImageIO / javax.sound round trips); these
+    // replay the deterministic generative formulas (MediaCodec: two-tone
+    // dims/colors, square-wave amp/length) in plain arithmetic. A hash
+    // match is therefore evidence the CODEC path works — the only way the
+    // engines agree is if encode→decode faithfully round-tripped every
+    // pixel and PCM frame.
+    "m5_image_decode" ->
+      """WITH g AS (SELECT doc_id AS media_id,
+        |  16 + doc_id % 48 AS w, 16 + (doc_id // 3) % 32 AS h,
+        |  (doc_id * 37) % 256 AS ra, (doc_id * 59 + 11) % 256 AS ga, (doc_id * 83 + 7) % 256 AS ba,
+        |  (doc_id * 101 + 3) % 256 AS rb, (doc_id * 131 + 29) % 256 AS gb, (doc_id * 151 + 101) % 256 AS bb
+        |  FROM documents)
+        |SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(h * ((w // 2) * ra + (w - w // 2) * rb) AS BIGINT) AS sum_r,
+        |  CAST(h * ((w // 2) * ga + (w - w // 2) * gb) AS BIGINT) AS sum_g,
+        |  CAST(h * ((w // 2) * ba + (w - w // 2) * bb) AS BIGINT) AS sum_b
+        |FROM g""".stripMargin,
+
+    // resize dims mirror MediaCodec.resizeDims exactly: scale = 24.0 /
+    // max(w,h) in IEEE double, floor(dim * scale), 1px floor, no
+    // upscale. Corners: output (0,0) samples source column 0 (color A);
+    // output (nw-1,0) samples source column (nw-1)*w//nw >= w//2 (color
+    // B) — the nearest-neighbor mapping in MediaCodec.resizePng.
+    "m6_image_resize" ->
+      """WITH g AS (SELECT doc_id AS media_id,
+        |  16 + doc_id % 48 AS w, 16 + (doc_id // 3) % 32 AS h,
+        |  (doc_id * 37) % 256 AS ra, (doc_id * 59 + 11) % 256 AS ga, (doc_id * 83 + 7) % 256 AS ba,
+        |  (doc_id * 101 + 3) % 256 AS rb, (doc_id * 131 + 29) % 256 AS gb, (doc_id * 151 + 101) % 256 AS bb
+        |  FROM documents),
+        |r AS (SELECT *, CAST(CASE WHEN w <= 24 AND h <= 24 THEN w
+        |        ELSE greatest(1, CAST(floor(w * (24.0 / greatest(w, h))) AS INT)) END AS INT) AS nw,
+        |      CAST(CASE WHEN w <= 24 AND h <= 24 THEN h
+        |        ELSE greatest(1, CAST(floor(h * (24.0 / greatest(w, h))) AS INT)) END AS INT) AS nh
+        |      FROM g)
+        |SELECT media_id, nw AS out_width, nh AS out_height,
+        |  CAST(ra * 65536 + ga * 256 + ba AS INT) AS left_rgb,
+        |  CAST(rb * 65536 + gb * 256 + bb AS INT) AS right_rgb
+        |FROM r""".stripMargin,
+
+    "m7_audio_decode" ->
+      """SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(800 + doc_id % 1600 AS BIGINT) AS n_samples,
+        |  CAST(1000 + (doc_id * 7) % 9000 AS INT) AS peak,
+        |  CAST((800 + doc_id % 1600) * (1000 + (doc_id * 7) % 9000) AS BIGINT) AS sum_abs
+        |FROM documents""".stripMargin,
 
     "s1_brute_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,

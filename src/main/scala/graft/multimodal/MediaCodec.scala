@@ -1,0 +1,184 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+
+/** REAL media codecs from the JDK — discovered available in this
+  * environment by the round-14 probe (javax.imageio PNG/JPEG readers and
+  * javax.sound WAV, both present in java.desktop; ffmpeg/javacv remain
+  * absent, so video decode stays honestly stubbed).
+  *
+  * The synthetic assets are DETERMINISTIC by id with SQL-replicable
+  * generative formulas (small multipliers, no 64-bit overflow), so a
+  * DuckDB oracle can recompute every published decode statistic without
+  * a codec: the Spark side reads the value OUT OF THE DECODED BYTES
+  * (real ImageIO / AudioSystem round trip), the oracle re-derives it
+  * from the formula — if they match, the codec path demonstrably works.
+  *
+  * Everything here is per-row work invoked from `mapPartitions` — no
+  * Spark imports, no shuffle, codec state is JVM-static; at 100 TB this
+  * is a pure map-side scan of the blob column.
+  */
+object MediaCodec {
+
+  // ------------------------------------------------------------- images
+
+  /** Generative image geometry/colors for asset `id` — the single source
+    * of truth both the encoder and the SQL oracles derive from.
+    * Two-tone: left half (floor(w/2) columns) solid color A, right half
+    * solid color B. Dims small (16..63 × 16..47) so a corpus-sized
+    * fixture encodes in seconds.
+    */
+  def imageWidth(id: Long): Int = 16 + (Math.floorMod(id, 48L)).toInt
+  def imageHeight(id: Long): Int = 16 + (Math.floorMod(id / 3, 32L)).toInt
+  def colorA(id: Long): (Int, Int, Int) =
+    (Math.floorMod(id * 37, 256L).toInt,
+     Math.floorMod(id * 59 + 11, 256L).toInt,
+     Math.floorMod(id * 83 + 7, 256L).toInt)
+  def colorB(id: Long): (Int, Int, Int) =
+    (Math.floorMod(id * 101 + 3, 256L).toInt,
+     Math.floorMod(id * 131 + 29, 256L).toInt,
+     Math.floorMod(id * 151 + 101, 256L).toInt)
+
+  private def rgb(c: (Int, Int, Int)): Int = (c._1 << 16) | (c._2 << 8) | c._3
+
+  /** Real PNG bytes for asset `id` (ImageIO encoder). */
+  def encodePng(id: Long): Array[Byte] = {
+    val w = imageWidth(id); val h = imageHeight(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val a = rgb(colorA(id)); val b = rgb(colorB(id))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, if (x < w / 2) a else b); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decoded-image statistics, computed from the PIXELS a real ImageIO
+    * decode produced: dims plus exact per-channel means scaled by
+    * (width*height) — published as exact integer channel SUMS so no
+    * float rounding contract is needed between engines.
+    */
+  final case class ImageStats(width: Int, height: Int,
+                              sumR: Long, sumG: Long, sumB: Long)
+
+  def decodeStats(pngBytes: Array[Byte]): ImageStats = {
+    val img = ImageIO.read(new ByteArrayInputStream(pngBytes))
+    require(img != null, "ImageIO could not decode the blob")
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    ImageStats(img.getWidth, img.getHeight, sr, sg, sb)
+  }
+
+  /** Real resize: decode → nearest-neighbor scale so `maxSide` bounds the
+    * longer edge (aspect preserved, never upscaled) → re-encode PNG.
+    * Nearest-neighbor is chosen deliberately: a two-tone source stays
+    * exactly two-tone, so the oracle can reason about the output pixels
+    * (an interpolating kernel would make boundary pixels
+    * engine-unreplicable). Output dims floor(src*scale) with a 1px floor
+    * — plain integer arithmetic the oracle mirrors.
+    */
+  def resizeDims(w: Int, h: Int, maxSide: Int): (Int, Int) =
+    if (w <= maxSide && h <= maxSide) (w, h)
+    else {
+      val scale = maxSide.toDouble / math.max(w, h)
+      (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+    }
+
+  def resizePng(pngBytes: Array[Byte], maxSide: Int): Array[Byte] = {
+    val img = ImageIO.read(new ByteArrayInputStream(pngBytes))
+    require(img != null, "ImageIO could not decode the blob")
+    val (nw, nh) = resizeDims(img.getWidth, img.getHeight, maxSide)
+    if (nw == img.getWidth && nh == img.getHeight) return pngBytes
+    // manual nearest-neighbor (src = dst * srcDim / dstDim, integer
+    // floor), NOT Graphics2D: the AWT scaler's pixel mapping is
+    // implementation-defined, and the oracle needs to reason about
+    // exactly which source pixel lands at each output position
+    val out = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < nh) {
+      val sy = (y.toLong * img.getHeight / nh).toInt
+      var x = 0
+      while (x < nw) {
+        out.setRGB(x, y, img.getRGB((x.toLong * img.getWidth / nw).toInt, sy))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  // -------------------------------------------------------------- audio
+
+  /** Generative audio for asset `id`: 8 kHz mono 16-bit PCM square wave,
+    * period 16 samples (8 at +amp, 8 at −amp) — every sample's magnitude
+    * is exactly `amp`, so peak and mean |sample| are formula constants
+    * the oracle recomputes without decoding.
+    */
+  val sampleRate = 8000
+  def audioSamples(id: Long): Int = 800 + Math.floorMod(id, 1600L).toInt
+  def audioAmp(id: Long): Int = 1000 + Math.floorMod(id * 7, 9000L).toInt
+
+  /** Real RIFF/WAV bytes via javax.sound (PCM_SIGNED 16-bit LE mono). */
+  def encodeWav(id: Long): Array[Byte] = {
+    val n = audioSamples(id); val amp = audioAmp(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = if ((i / 8) % 2 == 0) amp else -amp
+      pcm(i * 2) = (v & 0xFF).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decoded-audio statistics from a real javax.sound WAV parse: the
+    * format's sample rate, the PCM frame count, and exact peak / summed
+    * |sample| read out of the decoded frames.
+    */
+  final case class AudioStats(sampleRate: Int, nSamples: Long,
+                              peak: Int, sumAbs: Long)
+
+  def decodeWavStats(wavBytes: Array[Byte]): AudioStats = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wavBytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"unexpected decoded format: $fmt")
+      val bytes = ais.readAllBytes()
+      var peak = 0; var sumAbs = 0L; var n = 0L
+      var i = 0
+      while (i + 1 < bytes.length) { // 16-bit LE frames
+        val v = ((bytes(i + 1) << 8) | (bytes(i) & 0xFF)).toShort.toInt
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        sumAbs += a
+        n += 1
+        i += 2
+      }
+      AudioStats(fmt.getSampleRate.toInt, n, peak, sumAbs)
+    } finally ais.close()
+  }
+}

@@ -136,27 +136,32 @@ object Multimodal {
     * (PlanQualitySpec gate).
     */
   private val genLock = new Object
-  def syntheticMediaTable(spark: SparkSession, sfDir: String): DataFrame = {
-    // cache dir keyed by the SANITIZED FULL PATH plus a FINGERPRINT of the
-    // source parquet (total bytes + latest mtime, via the Hadoop FS so a
-    // directory-style parquet fingerprints correctly and a MISSING source
-    // fails loudly instead of degrading to 0_0): regenerating the testdata
-    // moves the fingerprint, so a stale cached media table can never be
-    // read — and two JVMs racing on a regenerated source target different
-    // dirs, which also makes the cross-JVM race benign (the JVM-local lock
-    // only serializes within one process). Older fingerprints of the same
-    // source are deleted below so regenerations don't accumulate copies.
+
+  /** Caching envelope shared by every documents-derived synthetic asset
+    * table: cache dir keyed by the SANITIZED FULL PATH plus a FINGERPRINT
+    * of the source parquet (total bytes + latest mtime, via the Hadoop FS
+    * so a directory-style parquet fingerprints correctly and a MISSING
+    * source fails loudly instead of degrading to 0_0): regenerating the
+    * testdata moves the fingerprint, so a stale cached table can never be
+    * read — and two JVMs racing on a regenerated source target different
+    * dirs, which also makes the cross-JVM race benign (the JVM-local lock
+    * only serializes within one process). Older fingerprints of the same
+    * source are deleted (if idle > 1 h: deleting a just-superseded dir
+    * immediately could yank it from under a concurrent JVM that resolved
+    * its path before the regeneration) so regenerations don't accumulate
+    * copies. Built ONCE per (source, label); downstream queries measure
+    * their own work through a real parquet scan, not the fixture build.
+    */
+  private def cachedDerived(spark: SparkSession, sfDir: String, label: String,
+                            readSchema: Option[StructType])(gen: => DataFrame): DataFrame = {
     val srcPath = new org.apache.hadoop.fs.Path(sfDir, "documents.parquet")
     val fs = srcPath.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(srcPath), s"syntheticMediaTable: no documents parquet at $srcPath")
+    require(fs.exists(srcPath), s"$label: no documents parquet at $srcPath")
     val summary = fs.getContentSummary(srcPath)
     val mtime = fs.getFileStatus(srcPath).getModificationTime
     val fp = s"${summary.getLength}_$mtime"
-    val prefix = "graft_media_" + sfDir.replaceAll("[^A-Za-z0-9.-]", "_") + "_"
+    val prefix = s"graft_${label}_" + sfDir.replaceAll("[^A-Za-z0-9.-]", "_") + "_"
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
-    // reap stale fingerprints, but only ones idle > 1 h: deleting a
-    // just-superseded dir immediately could yank it from under a
-    // concurrent JVM that resolved its path before the regeneration
     val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
     Option(tmp.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(prefix) && f.getName != prefix + fp &&
@@ -164,7 +169,14 @@ object Multimodal {
       .foreach(stale => org.apache.commons.io.FileUtils.deleteQuietly(stale))
     val out = new java.io.File(tmp, prefix + fp).getAbsolutePath
     genLock.synchronized {
-      if (!new java.io.File(out, "_SUCCESS").exists()) {
+      if (!new java.io.File(out, "_SUCCESS").exists())
+        gen.write.mode("overwrite").parquet(out)
+    }
+    readSchema.fold(spark.read)(s => spark.read.schema(s)).parquet(out)
+  }
+
+  def syntheticMediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    cachedDerived(spark, sfDir, "media", Some(mediaSchema)) {
         graft.Tables(spark, sfDir, "documents")
           .select(
             col("doc_id").as("media_id"),
@@ -178,10 +190,98 @@ object Multimodal {
               lit(16000).as("sample_rate"),
               ((col("doc_id") % 60 + 1) * 1000).cast("long").as("duration_ms"),
               lit("synthetic").as("format")).as("meta"))
-          .write.mode("overwrite").parquet(out)
-      }
     }
-    spark.read.schema(mediaSchema).parquet(out)
+
+  // ------------------------------------------- REAL codec paths (r14)
+  // The round-14 environment probe found javax.imageio (PNG/JPEG) and
+  // javax.sound (WAV) present in the JDK — so the image and audio decode
+  // paths below are REAL codec round trips, not the FakeDecode stub
+  // (which remains only where no codec exists: video). Asset generation
+  // is deterministic by id with SQL-replicable formulas (MediaCodec), so
+  // the DuckDB oracle re-derives every published statistic from the
+  // formulas while Spark reads it out of the decoded bytes — matching
+  // hashes prove the encode→decode path end-to-end.
+
+  /** Real-PNG image table: one ImageIO-encoded two-tone image per doc id.
+    * Cached to parquet once per sf dir (cachedDerived), so decode queries
+    * measure decode through a real parquet scan, not the fixture build.
+    */
+  def syntheticImageTable(spark: SparkSession, sfDir: String): DataFrame =
+    cachedDerived(spark, sfDir, "media_png", None) {
+      import spark.implicits._
+      graft.Tables(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, MediaCodec.encodePng(id))))
+        .toDF("media_id", "bytes")
+    }
+
+  /** Real-WAV audio table: one javax.sound-encoded square-wave clip per
+    * doc id (8 kHz mono 16-bit PCM). Same caching discipline.
+    */
+  def syntheticWavTable(spark: SparkSession, sfDir: String): DataFrame =
+    cachedDerived(spark, sfDir, "media_wav", None) {
+      import spark.implicits._
+      graft.Tables(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, MediaCodec.encodeWav(id))))
+        .toDF("media_id", "bytes")
+    }
+
+  final case class ImageStatsRow(media_id: Long, width: Int, height: Int,
+                                 sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL image decode: ImageIO.read per blob in a `mapPartitions` batch
+    * (the mapInPandas shape), publishing dims + exact per-channel pixel
+    * sums read from the decoded raster. Map-side only — no shuffle, and
+    * the blob column never crosses an exchange.
+    */
+  def imageDecodeStats(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val s = MediaCodec.decodeStats(b)
+        ImageStatsRow(id, s.width, s.height, s.sumR, s.sumG, s.sumB)
+      }).toDF()
+  }
+
+  final case class ResizeRow(media_id: Long, out_width: Int, out_height: Int,
+                             left_rgb: Int, right_rgb: Int)
+
+  /** REAL resize round trip: decode PNG → nearest-neighbor resample so
+    * `maxSide` bounds the longer edge → re-encode PNG → decode AGAIN and
+    * publish the re-decoded dims plus the top-left / top-right corner
+    * pixels. On the two-tone fixtures those corners are exactly the
+    * generative colors (nearest-neighbor preserves them; see
+    * MediaCodec.resizePng), so the oracle can assert the full
+    * decode→resample→encode→decode chain from the formulas alone.
+    */
+  def imageResizeStats(images: DataFrame, maxSide: Int): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val resized = MediaCodec.resizePng(b, maxSide)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+        ResizeRow(id, img.getWidth, img.getHeight,
+          img.getRGB(0, 0) & 0xFFFFFF,
+          img.getRGB(img.getWidth - 1, 0) & 0xFFFFFF)
+      }).toDF()
+  }
+
+  final case class WavStatsRow(media_id: Long, sample_rate: Int,
+                               n_samples: Long, peak: Int, sum_abs: Long)
+
+  /** REAL audio decode: javax.sound WAV parse per blob, publishing the
+    * decoded format's sample rate, frame count, and exact peak / summed
+    * |amplitude| from the PCM frames. Map-side only.
+    */
+  def wavDecodeStats(audio: DataFrame): DataFrame = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val s = MediaCodec.decodeWavStats(b)
+        WavStatsRow(id, s.sampleRate, s.nSamples, s.peak, s.sumAbs)
+      }).toDF()
   }
 
   /** Content-addressed blob dedup — the multimodal twin of the text

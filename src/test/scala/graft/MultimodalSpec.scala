@@ -90,6 +90,61 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(2L) === ((1L, 40000L)))
   }
 
+  test("MediaCodec: real PNG encode -> ImageIO decode round-trips the formulas") {
+    import graft.multimodal.MediaCodec
+    Seq(0L, 1L, 7L, 48L, 12345L).foreach { id =>
+      val s = MediaCodec.decodeStats(MediaCodec.encodePng(id))
+      val (w, h) = (MediaCodec.imageWidth(id), MediaCodec.imageHeight(id))
+      assert(s.width === w && s.height === h, s"id $id dims")
+      val a = MediaCodec.colorA(id); val b = MediaCodec.colorB(id)
+      val (wl, wr) = (w / 2, w - w / 2)
+      assert(s.sumR === h.toLong * (wl * a._1 + wr * b._1), s"id $id sumR")
+      assert(s.sumG === h.toLong * (wl * a._2 + wr * b._2), s"id $id sumG")
+      assert(s.sumB === h.toLong * (wl * a._3 + wr * b._3), s"id $id sumB")
+    }
+  }
+
+  test("MediaCodec: nearest-neighbor resize bounds the long edge, keeps corners") {
+    import graft.multimodal.MediaCodec
+    Seq(2L, 9L, 47L, 100L, 999L).foreach { id =>
+      val resized = MediaCodec.resizePng(MediaCodec.encodePng(id), maxSide = 24)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+      val (w, h) = (MediaCodec.imageWidth(id), MediaCodec.imageHeight(id))
+      val (nw, nh) = MediaCodec.resizeDims(w, h, 24)
+      assert(img.getWidth === nw && img.getHeight === nh, s"id $id dims")
+      assert(math.max(nw, nh) <= math.max(24, 1))
+      // aspect: never upscaled
+      assert(nw <= w && nh <= h)
+      val a = MediaCodec.colorA(id); val b = MediaCodec.colorB(id)
+      assert((img.getRGB(0, 0) & 0xFFFFFF) === ((a._1 << 16) | (a._2 << 8) | a._3))
+      assert((img.getRGB(nw - 1, 0) & 0xFFFFFF) === ((b._1 << 16) | (b._2 << 8) | b._3))
+    }
+  }
+
+  test("MediaCodec: real WAV encode -> javax.sound decode round-trips the formulas") {
+    import graft.multimodal.MediaCodec
+    Seq(0L, 3L, 1599L, 4242L).foreach { id =>
+      val s = MediaCodec.decodeWavStats(MediaCodec.encodeWav(id))
+      assert(s.sampleRate === 8000)
+      assert(s.nSamples === MediaCodec.audioSamples(id).toLong, s"id $id frames")
+      assert(s.peak === MediaCodec.audioAmp(id), s"id $id peak")
+      assert(s.sumAbs === MediaCodec.audioSamples(id).toLong * MediaCodec.audioAmp(id))
+    }
+  }
+
+  test("image/audio decode operators run the real codecs through mapPartitions") {
+    val dir = "/root/testdata/sf0.001"
+    val img = Multimodal.imageDecodeStats(Multimodal.syntheticImageTable(spark, dir))
+    val one = img.filter(col("media_id") === 5L).collect()(0)
+    assert(one.getAs[Int]("width") === 16 + 5 % 48)
+    assert(one.getAs[Int]("height") === 16 + (5 / 3) % 32)
+    assert(img.count() > 0)
+    val wav = Multimodal.wavDecodeStats(Multimodal.syntheticWavTable(spark, dir))
+    val w5 = wav.filter(col("media_id") === 5L).collect()(0)
+    assert(w5.getAs[Int]("peak") === 1000 + (5 * 7) % 9000)
+    assert(w5.getAs[Long]("n_samples") === 800L + 5 % 1600)
+  }
+
   test("spreadBySize partitions by payload volume") {
     val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     val prev = spark.conf.getOption(key)
