@@ -90,16 +90,31 @@ object Dedup {
 
   /** Candidate pairs from LSH buckets (id1 < id2, distinct across bands).
     * The self-join is on (band, bucket) — expected O(1) rows per key when
-    * bands·rows are sized to the target similarity; degenerate hot buckets
-    * (boilerplate shingles) are the classic skew source → AQE skew-join
-    * handles it, or cap bucket size upstream with a count filter.
+    * bands·rows are sized to the target similarity. Degenerate hot
+    * buckets (boilerplate shingles, duplicate-heavy corpora where every
+    * copy shares every band bucket) make the self-join occupancy-
+    * QUADRATIC, so `bucketCap` drops buckets past the occupancy bound —
+    * the same guard, rationale and observation discipline as the
+    * incremental path ([[defaultBucketCap]]) and the SimHash blocker
+    * (whose uncapped ×100 probe read 332× for 100× data). Exact
+    * duplicates are the exact-dedup pass's job (d1/d2 run first in the
+    * curation funnel); a real near-dup pair has `bands` independent
+    * chances to survive. 0 disables.
     */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleSize: Int = 3, bands: Int = 8,
-                            rowsPerBand: Int = 4): DataFrame = {
+                            rowsPerBand: Int = 4,
+                            bucketCap: Int = defaultBucketCap): DataFrame = {
     val b = lshBuckets(df, idCol, textCol, shingleSize, bands, rowsPerBand)
-    val l = b.select(col("band"), col("bucket"), col(idCol).as("id1"))
-    val r = b.select(col("band"), col("bucket"), col(idCol).as("id2"))
+    val gated = if (bucketCap <= 0) b else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+      b.withColumn("__n", count(lit(1)).over(w))
+        .observe("graft_minhash_bucket_cap",
+          sum(when(col("__n") > bucketCap, 1L).otherwise(0L)).as("capped_bucket_rows"))
+        .filter(col("__n") <= bucketCap).drop("__n")
+    }
+    val l = gated.select(col("band"), col("bucket"), col(idCol).as("id1"))
+    val r = gated.select(col("band"), col("bucket"), col(idCol).as("id2"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
@@ -274,9 +289,21 @@ object Dedup {
   /** SimHash near-dup candidates: block on the 4 16-bit chunks (pigeonhole:
     * any pair with Hamming distance ≤ 3 shares at least one exact chunk),
     * then verify the true distance. One shuffle on (chunk_idx, chunk_value).
+    *
+    * `bucketCap` bounds per-(chunk, value) occupancy exactly like the
+    * incremental LSH path's [[defaultBucketCap]] (same rationale, same
+    * CollectMetrics observation name): the chunk SELF-join is
+    * occupancy-QUADRATIC, and on a duplicate-heavy corpus identical
+    * texts share identical fingerprints, so every bucket holds every
+    * copy — the ×100 scale probe measured 332× growth for 100× data
+    * before the cap (pairs ∝ dup-rate², docs/SCALE_PROBE.md). Buckets
+    * past the cap are boilerplate/exact-dup mass, which is the exact-
+    * dedup pass's job (d1/d2 run first); a genuinely near-dup pair has
+    * 4 independent chunks to survive through. 0 disables.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3,
+                      bucketCap: Int = defaultBucketCap): DataFrame = {
     // token-less docs all hash to fingerprint 0: they would pair with each
     // other at hamming 0 (false positives, no verify stage here) and form
     // one hot bucket per chunk — exclude them from blocking entirely.
@@ -293,8 +320,18 @@ object Dedup {
                shiftright(col("__sim"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ckey"))
       }: _*)).as("cb"))
       .select(col(idCol), col("__sim"), col("cb.chunk"), col("cb.ckey"))
-    val l = chunked.select(col("chunk"), col("ckey"), col(idCol).as("id1"), col("__sim").as("__s1"))
-    val r = chunked.select(col("chunk"), col("ckey"), col(idCol).as("id2"), col("__sim").as("__s2"))
+    // occupancy guard rides the same (chunk, ckey) exchange the join
+    // shuffles on (the d15 pattern); dropped-row count is observable
+    // through the shared CollectMetrics hook
+    val gated = if (bucketCap <= 0) chunked else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk", "ckey")
+      chunked.withColumn("__n", count(lit(1)).over(w))
+        .observe("graft_simhash_bucket_cap",
+          sum(when(col("__n") > bucketCap, 1L).otherwise(0L)).as("capped_bucket_rows"))
+        .filter(col("__n") <= bucketCap).drop("__n")
+    }
+    val l = gated.select(col("chunk"), col("ckey"), col(idCol).as("id1"), col("__sim").as("__s1"))
+    val r = gated.select(col("chunk"), col("ckey"), col(idCol).as("id2"), col("__sim").as("__s2"))
     l.join(r, Seq("chunk", "ckey"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), hammingDist(col("__s1"), col("__s2")).as("hamming"))

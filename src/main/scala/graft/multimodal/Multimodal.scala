@@ -7,13 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal columns for a training-data pipeline (north-star extension):
   * image/audio/video as opaque `binary` columns with typed metadata.
   *
-  * The actual media decode is STUBBED (no codec libs in this environment) —
-  * `FakeDecode` derives deterministic pseudo-features from the bytes — but
-  * every piece of Spark plumbing around it is real and tested: the schema,
-  * the batched `mapPartitions` decode shape (the JVM analog of
-  * `mapInPandas`: one iterator in, one iterator out, per-partition setup
-  * amortized across the batch), frame sampling as a generator, and
-  * size-aware repartitioning so a few huge blobs can't skew a partition.
+  * IMAGE and AUDIO decode are REAL as of round 14 (javax.imageio PNG /
+  * javax.sound WAV — both in the JDK's java.desktop, found by the
+  * environment re-probe; see [[MediaCodec]] and the m5/m6/m7 oracled
+  * queries). Only VIDEO decode remains stubbed (`FakeDecode`, no
+  * ffmpeg/javacv in this environment) — and every piece of Spark
+  * plumbing around both is real and tested: the schema, the batched
+  * `mapPartitions` decode shape (the JVM analog of `mapInPandas`: one
+  * iterator in, one iterator out, per-partition setup amortized across
+  * the batch), frame sampling as a generator, and size-aware
+  * repartitioning so a few huge blobs can't skew a partition.
   *
   * Scale posture: blobs never pass through a shuffle unless the operation
   * needs it (decode is map-side only); metadata-only projections prune the

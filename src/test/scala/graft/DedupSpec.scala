@@ -167,6 +167,32 @@ class DedupSpec extends SparkTestBase {
     graft.dedup.LshIndex.drop(dir, subset = "capspec")
   }
 
+  test("simhash chunk-bucket cap: duplicate-heavy content drops, near-dups survive") {
+    // 150 copies of one text: identical fingerprints put all 150 in every
+    // chunk bucket (occupancy 150 > cap 64) — without the cap that is
+    // 150·149/2 pairs ×4 chunks, the quadratic blowup the ×100 probe
+    // measured at 332×. A distinct near-dup pair (one word changed)
+    // stays under the cap and must still be found.
+    val hot = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "omicron pi rho sigma tau upsilon phi chi psi omega"
+    val docs = ((1L to 150L).map(i => (i, hot)) ++
+      Seq((500L, near), (501L, near))) // 2-doc cluster: occupancy 2 << cap
+      .toDF("id", "text")
+    val capped = Dedup.simhashNearDups(docs, "id", "text", maxHamming = 8)
+    val got = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.exists(p => p._1 <= 150L && p._2 <= 150L),
+      "hot-content pairs must be capped away")
+    assert(got.contains((500L, 501L)), "cold near-dup pair must survive the cap")
+    val observed = capped.queryExecution.observedMetrics("graft_simhash_bucket_cap")
+    assert(observed.getAs[Long]("capped_bucket_rows") === 150L * 4,
+      "every chunk row of the hot content must be counted as capped")
+    // cap disabled → the hot pairs come back
+    val uncapped = Dedup.simhashNearDups(docs, "id", "text", maxHamming = 8,
+        bucketCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((500L, 501L)))
+  }
+
   test("incremental exact dedup: known content dies, novel survives; " +
     "HashLedger probe == inline; ensure reuses the build") {
     val corpus = Seq((1L, "alpha bravo common text"), (2L, "charlie delta other text"))
