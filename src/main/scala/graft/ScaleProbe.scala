@@ -38,7 +38,7 @@ object ScaleProbe {
     // the documents upscale exercises the blob hash-shuffle and the real
     // codec decode scans at 100× asset count (fixture build is cached;
     // min-of-two keeps the build out of the reading)
-    "m4_blob_dedup", "m5_image_decode", "m7_audio_decode",
+    "m4_blob_dedup", "m5_image_decode", "m7_audio_decode", "m8_image_content_dedup",
     "d19_simhash_verified_pairs", "d13_lsh_verified_pairs")
 
   /** TPC-H probe set (SPARK_GRAFT_PROBE=tpch): the fact-heavy headline

@@ -1397,6 +1397,17 @@ object SparkEntry {
     "m6_image_resize" -> ((s, d) =>
       graft.multimodal.Multimodal.imageResizeStats(
         graft.multimodal.Multimodal.syntheticImageTable(s, d), maxSide = 24)),
+    // DECODED-content image dedup: the dup-image table carries each
+    // content seed in TWO different PNG byte streams (TYPE_INT_RGB and a
+    // TYPE_3BYTE_BGR re-encode — pixel-identical, byte-distinct), so
+    // byte-level dedup sees ~2 contents per seed while grouping on the
+    // decoded pixel digest must see exactly one. The oracle replays the
+    // seed arithmetic; a hash match proves the codec normalized the
+    // byte-stream variance away.
+    "m8_image_content_dedup" -> ((s, d) =>
+      graft.multimodal.Multimodal.imageContentDedup(
+        graft.multimodal.Multimodal.syntheticDupImageTable(s, d))),
+
     // REAL audio decode (javax.sound WAV): square-wave PCM clips whose
     // peak / mean-|sample| are formula constants; Spark reads them from
     // the decoded frames, the oracle recomputes them arithmetically.
@@ -3080,6 +3091,17 @@ object SparkEntry {
         |  CAST(ra * 65536 + ga * 256 + ba AS INT) AS left_rgb,
         |  CAST(rb * 65536 + gb * 256 + bb AS INT) AS right_rgb
         |FROM r""".stripMargin,
+
+    // decoded-content dedup: groups are exactly the content seeds
+    // (doc_id % 397) — distinct seeds always differ in at least width
+    // (see Multimodal.syntheticDupImageTable), so if the engine's
+    // pixel-digest grouping matches this replay, the codec collapsed
+    // the two byte-stream variants of every seed into one content
+    "m8_image_content_dedup" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
+        |  CAST(16 + (doc_id % 397) % 48 AS INT) AS width
+        |FROM documents
+        |GROUP BY doc_id % 397""".stripMargin,
 
     "m7_audio_decode" ->
       """SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,

@@ -131,6 +131,45 @@ object MediaCodec {
     bos.toByteArray
   }
 
+  /** Byte-stream variant of asset `id`'s PNG: a spec-conformant `tEXt`
+    * metadata chunk spliced before IEND — pixel-identical content,
+    * different file bytes (the "same image, different file" shape a
+    * crawler sees constantly and byte-level dedup (m4) cannot catch).
+    * A chunk splice rather than a re-encode because ImageIO's PNG
+    * writer normalizes raster layouts to identical output bytes.
+    */
+  def encodePngVariant(id: Long): Array[Byte] = {
+    val base = encodePng(id)
+    val typ = "tEXt".getBytes("ISO-8859-1")
+    val payload = ("Comment".getBytes("ISO-8859-1") :+ 0.toByte) ++
+      s"graft-variant-$id".getBytes("ISO-8859-1")
+    val crc = new java.util.zip.CRC32
+    crc.update(typ); crc.update(payload)
+    val chunk = java.nio.ByteBuffer.allocate(12 + payload.length)
+    chunk.putInt(payload.length).put(typ).put(payload).putInt(crc.getValue.toInt)
+    val iend = base.length - 12 // IEND is always the final 12-byte chunk
+    base.take(iend) ++ chunk.array() ++ base.drop(iend)
+  }
+
+  /** Canonical digest of the DECODED pixel content: md5 over
+    * (width, height, row-major RGB ints). Identical pixels → identical
+    * digest regardless of how the bytes were encoded, so grouping on it
+    * is content-addressed dedup at the pixel level.
+    */
+  def pixelDigestHex(img: BufferedImage): String = {
+    val w = img.getWidth; val h = img.getHeight
+    val bb = java.nio.ByteBuffer.allocate(8 + w * h * 4)
+    bb.putInt(w); bb.putInt(h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { bb.putInt(img.getRGB(x, y) & 0xFFFFFF); x += 1 }
+      y += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(bb.array()).map("%02x".format(_)).mkString
+  }
+
   // -------------------------------------------------------------- audio
 
   /** Generative audio for asset `id`: 8 kHz mono 16-bit PCM square wave,

@@ -228,6 +228,54 @@ object Multimodal {
         .toDF("media_id", "bytes")
     }
 
+  /** Image table with KNOWN duplicate structure: content seed =
+    * media_id % `groups`, and every odd id carries the
+    * [[MediaCodec.encodePngVariant]] byte-stream variant (tEXt chunk
+    * splice) — pixel-identical to the even ids' encoding but a
+    * DIFFERENT byte stream. Byte-level dedup
+    * (m4's shape) sees ~2 "contents" per seed; decoded-content dedup
+    * must see exactly one. `groups` is prime-ish so seed groups spread
+    * evenly; distinct seeds always differ in at least width (the color
+    * formulas' multipliers share no factor with 256, so two seeds <
+    * groups can only collide at offset ±256, where width differs).
+    */
+  def syntheticDupImageTable(spark: SparkSession, sfDir: String,
+                             groups: Int = 397): DataFrame =
+    cachedDerived(spark, sfDir, s"media_png_dup$groups", None) {
+      import spark.implicits._
+      graft.Tables(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val seed = id % groups
+          val bytes = if (id % 2 == 1) MediaCodec.encodePngVariant(seed)
+                      else MediaCodec.encodePng(seed)
+          (id, bytes)
+        }).toDF("media_id", "bytes")
+    }
+
+  /** DECODED-content image dedup — the multimodal curation operator
+    * byte-level [[blobDedup]] cannot be: each blob is decoded with the
+    * real codec and grouped by the pixel digest, so re-encoded
+    * duplicates (different PNG byte streams, identical pixels) collapse
+    * to one keeper. Decode and digest are map-side; the shuffle carries
+    * (digest, id, width) only — blob bytes never cross an exchange,
+    * exactly the m4 discipline with the codec in front.
+    */
+  def imageContentDedup(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        require(img != null, "ImageIO could not decode the blob")
+        (id, MediaCodec.pixelDigestHex(img), img.getWidth)
+      }).toDF("media_id", "pixel_md5", "width")
+      .groupBy("pixel_md5")
+      .agg(min(col("media_id")).as("keeper_id"),
+           count(lit(1)).as("n_copies"),
+           min(col("width")).as("width"))
+      .select("keeper_id", "n_copies", "width")
+  }
+
   final case class ImageStatsRow(media_id: Long, width: Int, height: Int,
                                  sum_r: Long, sum_g: Long, sum_b: Long)
 

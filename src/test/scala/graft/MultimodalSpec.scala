@@ -145,6 +145,32 @@ class MultimodalSpec extends SparkTestBase {
     assert(w5.getAs[Long]("n_samples") === 800L + 5 % 1600)
   }
 
+  test("content dedup: re-encoded duplicates collapse; byte dedup can't see them") {
+    import graft.multimodal.MediaCodec
+    // the variant re-encode is byte-distinct but pixel-identical
+    Seq(3L, 10L, 123L).foreach { id =>
+      val a = MediaCodec.encodePng(id)
+      val b = MediaCodec.encodePngVariant(id)
+      assert(!java.util.Arrays.equals(a, b), s"id $id: variant must differ in bytes")
+      val da = MediaCodec.pixelDigestHex(
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a)))
+      val db = MediaCodec.pixelDigestHex(
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+      assert(da === db, s"id $id: pixel digest must be encoding-invariant")
+    }
+    // operator level: 4 rows, 2 contents, each content in both encodings
+    val rows = Seq(
+      (1L, MediaCodec.encodePng(7L)), (2L, MediaCodec.encodePngVariant(7L)),
+      (3L, MediaCodec.encodePng(8L)), (4L, MediaCodec.encodePngVariant(8L)))
+    val media = rows.toDF("media_id", "bytes")
+    val content = Multimodal.imageContentDedup(media)
+      .collect().map(r => (r.getAs[Long]("keeper_id"), r.getAs[Long]("n_copies"))).toSet
+    assert(content === Set((1L, 2L), (3L, 2L)))
+    // the byte-level operator sees 4 distinct blobs — the gap content
+    // dedup exists to close
+    assert(Multimodal.blobDedup(media).count() === 4)
+  }
+
   test("spreadBySize partitions by payload volume") {
     val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     val prev = spark.conf.getOption(key)
