@@ -1415,6 +1415,29 @@ object SparkEntry {
       graft.multimodal.Multimodal.wavDecodeStats(
         graft.multimodal.Multimodal.syntheticWavTable(s, d))),
 
+    // Incremental CONTENT-new media (the d17 daily-crawl pass with the
+    // codec in front): batch assets whose decoded pixels are absent from
+    // the standing corpus — re-encoded copies of corpus content die even
+    // though their bytes are novel. Only the batch decodes per run; the
+    // corpus side is the narrow digest frame. The oracle replays the
+    // seed-coverage arithmetic (NOT EXISTS over the generative groups).
+    "m9_incremental_content_new" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.syntheticDupImageTable(s, d)
+      val batch = media.filter(pmod(col("media_id"), lit(10)) === 0)
+      val corpus = media.filter(pmod(col("media_id"), lit(10)) =!= 0)
+      graft.multimodal.Multimodal.incrementalContentNew(
+          batch, graft.multimodal.Multimodal.imagePixelDigests(corpus))
+        .select("media_id")
+    }),
+    // Windowed features from REAL decoded PCM (the fbank batching shape
+    // with actual frames): fixed 1000-sample windows, per-window frame
+    // count and exact mean |sample| — on the square-wave fixtures every
+    // window's mean is the formula amplitude, so the whole exploded
+    // frame is oracle-replicable.
+    "m10_audio_features" -> ((s, d) =>
+      graft.multimodal.Multimodal.audioWindowFeatures(
+        graft.multimodal.Multimodal.syntheticWavTable(s, d), windowSamples = 1000)),
+
     // --------------------------------------------- embedding similarity
     "s1_brute_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -3102,6 +3125,27 @@ object SparkEntry {
         |  CAST(16 + (doc_id % 397) % 48 AS INT) AS width
         |FROM documents
         |GROUP BY doc_id % 397""".stripMargin,
+
+    // content-new = batch seeds with no corpus member: doc_ids share
+    // decoded content iff they share doc_id % 397 (the dup-table seed),
+    // so the anti-join replays as NOT EXISTS over the seed groups
+    "m9_incremental_content_new" ->
+      """SELECT d.doc_id AS media_id FROM documents d
+        |WHERE d.doc_id % 10 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents c
+        |  WHERE c.doc_id % 10 <> 0 AND c.doc_id % 397 = d.doc_id % 397)""".stripMargin,
+
+    // every window of a square-wave clip (full or partial tail) has mean
+    // |sample| exactly amp; window count and tail size are integer
+    // arithmetic over the formula clip length
+    "m10_audio_features" ->
+      """WITH g AS (SELECT doc_id AS media_id, 800 + doc_id % 1600 AS n,
+        |    1000 + (doc_id * 7) % 9000 AS amp FROM documents),
+        |w AS (SELECT media_id, n, amp, CAST(ceil(n / 1000.0) AS INT) AS nw FROM g)
+        |SELECT media_id, CAST(i - 1 AS INT) AS window_idx,
+        |  CAST(CASE WHEN i * 1000 <= n THEN 1000 ELSE n - (i - 1) * 1000 END AS BIGINT) AS n_in_window,
+        |  CAST(amp AS BIGINT) AS mean_abs
+        |FROM w, range(1, 4) t(i) WHERE i <= nw""".stripMargin,
 
     "m7_audio_decode" ->
       """SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,

@@ -224,6 +224,29 @@ object MediaCodec {
       }.getOrElse(throw new IllegalStateException("no WAV AudioFileReader provider"))
   }
 
+  /** Decoded PCM cut into fixed-size windows: per window, (frame count,
+    * Σ|sample|). Same real WAV parse as [[decodeWavStats]]; the window
+    * arithmetic is plain integer math a SQL oracle mirrors.
+    */
+  def decodeWavWindows(wavBytes: Array[Byte], windowSamples: Int): Seq[(Long, Long)] = {
+    val ais = wavReader.getAudioInputStream(new ByteArrayInputStream(wavBytes))
+    try {
+      val bytes = ais.readAllBytes()
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var n = 0L; var sumAbs = 0L
+      var i = 0
+      while (i + 1 < bytes.length) {
+        val v = ((bytes(i + 1) << 8) | (bytes(i) & 0xFF)).toShort.toInt
+        sumAbs += math.abs(v)
+        n += 1
+        if (n == windowSamples) { out += ((n, sumAbs)); n = 0L; sumAbs = 0L }
+        i += 2
+      }
+      if (n > 0) out += ((n, sumAbs))
+      out.toSeq
+    } finally ais.close()
+  }
+
   def decodeWavStats(wavBytes: Array[Byte]): AudioStats = {
     val ais = wavReader.getAudioInputStream(new ByteArrayInputStream(wavBytes))
     try {

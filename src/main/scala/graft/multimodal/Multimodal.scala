@@ -276,6 +276,59 @@ object Multimodal {
       .select("keeper_id", "n_copies", "width")
   }
 
+  /** Per-image decoded pixel digests — the content-address frame
+    * [[imageContentDedup]] groups on, exposed as its own operator so
+    * incremental/streaming consumers can probe a standing digest corpus
+    * (the HashLedger pattern with the codec in front). Map-side decode;
+    * output is (media_id, pixel_md5) — two narrow columns.
+    */
+  def imagePixelDigests(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        require(img != null, "ImageIO could not decode the blob")
+        (id, MediaCodec.pixelDigestHex(img))
+      }).toDF("media_id", "pixel_md5")
+  }
+
+  /** Incremental CONTENT-new media (the d17 incremental-exact shape with
+    * the codec in front): batch assets whose decoded pixel content is
+    * absent from the standing corpus — re-encoded copies of corpus
+    * content die here even though their bytes are novel. Only the batch
+    * is decoded per run; the corpus side is the narrow digest frame
+    * (persist it like a HashLedger at scale). One anti-join on the
+    * 32-char digest.
+    */
+  def incrementalContentNew(batch: DataFrame, corpusDigests: DataFrame): DataFrame =
+    imagePixelDigests(batch)
+      .join(corpusDigests.select(col("pixel_md5")), Seq("pixel_md5"), "left_anti")
+      .select("media_id", "pixel_md5")
+
+  final case class AudioWindowRow(media_id: Long, window_idx: Int,
+                                  n_in_window: Long, mean_abs: Long)
+
+  /** Windowed features from REAL decoded PCM — the fbank/MFCC batching
+    * shape with actual frames: each clip's decoded samples are cut into
+    * fixed `windowSamples` windows (last one partial) and each window
+    * publishes its frame count and exact mean |sample| (integer floor
+    * division — engine-replicable). Decode is map-side; the per-window
+    * rows explode from the decoded buffer without a shuffle.
+    */
+  def audioWindowFeatures(audio: DataFrame, windowSamples: Int = 1000): DataFrame = {
+    require(windowSamples > 0, s"audioWindowFeatures needs windowSamples > 0")
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        val s = MediaCodec.decodeWavWindows(b, windowSamples)
+        s.zipWithIndex.map { case ((n, sumAbs), i) =>
+          AudioWindowRow(id, i, n, sumAbs / math.max(n, 1L))
+        }
+      }).toDF()
+  }
+
   final case class ImageStatsRow(media_id: Long, width: Int, height: Int,
                                  sum_r: Long, sum_g: Long, sum_b: Long)
 

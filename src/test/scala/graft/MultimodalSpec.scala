@@ -171,6 +171,70 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.blobDedup(media).count() === 4)
   }
 
+  test("audioWindowFeatures: real PCM cut into windows, partial tail, exact means") {
+    import graft.multimodal.MediaCodec
+    // pick an id with a known non-multiple length: n = 800 + id % 1600
+    val id = 1599L // n = 2399 -> windows 1000, 1000, 399
+    val amp = MediaCodec.audioAmp(id)
+    val ws = MediaCodec.decodeWavWindows(MediaCodec.encodeWav(id), 1000)
+    assert(ws.map(_._1) === Seq(1000L, 1000L, 399L))
+    assert(ws.forall { case (n, sum) => sum == n * amp })
+    val df = Multimodal.audioWindowFeatures(
+      Seq((id, MediaCodec.encodeWav(id))).toDF("media_id", "bytes"), 1000)
+    val rows = df.orderBy("window_idx").collect()
+    assert(rows.map(_.getAs[Long]("n_in_window")).toSeq === Seq(1000L, 1000L, 399L))
+    assert(rows.forall(_.getAs[Long]("mean_abs") === amp.toLong))
+  }
+
+  test("incrementalContentNew: re-encoded corpus content dies, novel content survives") {
+    import graft.multimodal.MediaCodec
+    val corpus = Seq((1L, MediaCodec.encodePng(7L)), (2L, MediaCodec.encodePng(8L)))
+      .toDF("media_id", "bytes")
+    val batch = Seq(
+      (10L, MediaCodec.encodePngVariant(7L)), // corpus content, NOVEL bytes
+      (11L, MediaCodec.encodePng(9L)))        // genuinely new content
+      .toDF("media_id", "bytes")
+    val kept = Multimodal.incrementalContentNew(
+        batch, Multimodal.imagePixelDigests(corpus))
+      .collect().map(_.getAs[Long]("media_id")).toSet
+    assert(kept === Set(11L), "the re-encoded duplicate must die on decoded content")
+  }
+
+  test("streaming micro-batches gate on the standing pixel-digest corpus") {
+    // the continuous multimodal-ingest shape: corpus digests computed
+    // once, arriving micro-batches keep only content-new assets —
+    // per-row membership is batch-independent, so the streamed union
+    // must equal the one-shot answer (the HashLedger twin with the
+    // codec in front).
+    import graft.multimodal.MediaCodec
+    val dir = "/root/testdata/sf0.001"
+    val media = Multimodal.syntheticDupImageTable(spark, dir)
+    val fresh = media.filter(pmod($"media_id", lit(10)) === 0)
+    val corpusDigests = Multimodal.imagePixelDigests(
+      media.filter(pmod($"media_id", lit(10)) =!= 0)).localCheckpoint()
+    val staged = java.nio.file.Files.createTempDirectory("graft_media_stream")
+    fresh.filter($"media_id" < 250).write.mode("overwrite")
+      .parquet(staged.resolve("p1").toString)
+    fresh.filter($"media_id" >= 250).write.mode("overwrite")
+      .parquet(staged.resolve("p2").toString)
+    val stream = spark.readStream.schema(fresh.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString + "/*")
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Multimodal.incrementalContentNew(batch, corpusDigests)
+          .collect().foreach(r => got.add(r.getAs[Long]("media_id")))
+        ()
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    val expected = Multimodal.incrementalContentNew(fresh, corpusDigests)
+      .collect().map(_.getAs[Long]("media_id")).toSet
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet === expected)
+    assert(expected.nonEmpty && expected.size < fresh.count())
+  }
+
   test("spreadBySize partitions by payload volume") {
     val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     val prev = spark.conf.getOption(key)
