@@ -1415,6 +1415,15 @@ object SparkEntry {
       graft.multimodal.Multimodal.wavDecodeStats(
         graft.multimodal.Multimodal.syntheticWavTable(s, d))),
 
+    // Second REAL image codec (JPEG, lossy): dims round-trip exactly and
+    // are the oracle surface; pixel fidelity is spec-gated with a
+    // tolerance in MultimodalSpec (DCT + chroma subsampling make exact
+    // channel sums engine-honest but not formula-replicable).
+    "m11_jpeg_decode" -> ((s, d) =>
+      graft.multimodal.Multimodal.imageDecodeStats(
+          graft.multimodal.Multimodal.syntheticJpegTable(s, d))
+        .select("media_id", "width", "height")),
+
     // Incremental CONTENT-new media (the d17 daily-crawl pass with the
     // codec in front): batch assets whose decoded pixels are absent from
     // the standing corpus — re-encoded copies of corpus content die even
@@ -3125,6 +3134,14 @@ object SparkEntry {
         |  CAST(16 + (doc_id % 397) % 48 AS INT) AS width
         |FROM documents
         |GROUP BY doc_id % 397""".stripMargin,
+
+    // JPEG dims survive the lossy round trip exactly — same generative
+    // dims as m5
+    "m11_jpeg_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 48 AS INT) AS width,
+        |  CAST(16 + (doc_id // 3) % 32 AS INT) AS height
+        |FROM documents""".stripMargin,
 
     // content-new = batch seeds with no corpus member: doc_ids share
     // decoded content iff they share doc_id % 397 (the dup-table seed),

@@ -131,6 +131,19 @@ object MediaCodec {
     bos.toByteArray
   }
 
+  /** Real JPEG bytes for asset `id` — the same two-tone content through
+    * the JDK's second image codec. JPEG is LOSSY: dims round-trip
+    * exactly (the m11 oracle surface); pixel values only approximately
+    * (DCT + chroma subsampling), so channel sums are spec-gated within a
+    * tolerance instead of oracle-replayed.
+    */
+  def encodeJpeg(id: Long): Array[Byte] = {
+    val img = ImageIO.read(new ByteArrayInputStream(encodePng(id)))
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
   /** Byte-stream variant of asset `id`'s PNG: a spec-conformant `tEXt`
     * metadata chunk spliced before IEND — pixel-identical content,
     * different file bytes (the "same image, different file" shape a

@@ -217,6 +217,17 @@ object Multimodal {
         .toDF("media_id", "bytes")
     }
 
+  /** Real-JPEG image table — the second JDK image codec (lossy), same
+    * caching discipline as the PNG table.
+    */
+  def syntheticJpegTable(spark: SparkSession, sfDir: String): DataFrame =
+    cachedDerived(spark, sfDir, "media_jpg", None) {
+      import spark.implicits._
+      graft.Tables(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, MediaCodec.encodeJpeg(id))))
+        .toDF("media_id", "bytes")
+    }
+
   /** Real-WAV audio table: one javax.sound-encoded square-wave clip per
     * doc id (8 kHz mono 16-bit PCM). Same caching discipline.
     */

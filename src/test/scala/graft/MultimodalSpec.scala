@@ -171,6 +171,25 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.blobDedup(media).count() === 4)
   }
 
+  test("JPEG codec: dims exact through the lossy round trip, channels near-exact") {
+    import graft.multimodal.MediaCodec
+    Seq(0L, 11L, 777L).foreach { id =>
+      val s = MediaCodec.decodeStats(MediaCodec.encodeJpeg(id))
+      val (w, h) = (MediaCodec.imageWidth(id), MediaCodec.imageHeight(id))
+      assert(s.width === w && s.height === h, s"id $id dims")
+      // lossy fidelity gate: per-channel MEAN within 8/255 of the exact
+      // PNG content (DCT ringing + chroma subsampling on the half
+      // boundary; solid regions dominate)
+      val exact = MediaCodec.decodeStats(MediaCodec.encodePng(id))
+      val n = (w * h).toDouble
+      Seq((s.sumR, exact.sumR), (s.sumG, exact.sumG), (s.sumB, exact.sumB))
+        .foreach { case (got, want) =>
+          assert(math.abs(got / n - want / n) <= 8.0,
+            s"id $id: jpeg channel mean drifted ${math.abs(got / n - want / n)}")
+        }
+    }
+  }
+
   test("audioWindowFeatures: real PCM cut into windows, partial tail, exact means") {
     import graft.multimodal.MediaCodec
     // pick an id with a known non-multiple length: n = 800 + id % 1600
