@@ -1438,6 +1438,19 @@ object SparkEntry {
           batch, graft.multimodal.Multimodal.imagePixelDigests(corpus))
         .select("media_id")
     }),
+    // m9 through the PERSISTED pixel-digest ledger (the d18 pattern for
+    // media): corpus decoded once at ledger build, batch membership is a
+    // DPP-pruned probe — no corpus re-decode per run. Same output as m9
+    // by construction; same oracle.
+    "m12_incremental_content_indexed" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.syntheticDupImageTable(s, d)
+      val batch = media.filter(pmod(col("media_id"), lit(10)) === 0)
+      val ledger = graft.multimodal.Multimodal.ensureDigestLedger(s, d,
+        media.filter(pmod(col("media_id"), lit(10)) =!= 0), subset = "png_mod10ne0")
+      graft.multimodal.Multimodal.incrementalContentNewIndexed(ledger, batch)
+        .select("media_id")
+    }),
+
     // Windowed features from REAL decoded PCM (the fbank batching shape
     // with actual frames): fixed 1000-sample windows, per-window frame
     // count and exact mean |sample| — on the square-wave fixtures every
@@ -3147,6 +3160,13 @@ object SparkEntry {
     // decoded content iff they share doc_id % 397 (the dup-table seed),
     // so the anti-join replays as NOT EXISTS over the seed groups
     "m9_incremental_content_new" ->
+      """SELECT d.doc_id AS media_id FROM documents d
+        |WHERE d.doc_id % 10 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents c
+        |  WHERE c.doc_id % 10 <> 0 AND c.doc_id % 397 = d.doc_id % 397)""".stripMargin,
+
+    // identical output to m9 (ledger-probe path) — same replay
+    "m12_incremental_content_indexed" ->
       """SELECT d.doc_id AS media_id FROM documents d
         |WHERE d.doc_id % 10 = 0 AND NOT EXISTS (
         |  SELECT 1 FROM documents c

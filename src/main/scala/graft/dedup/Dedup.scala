@@ -246,9 +246,19 @@ object Dedup {
     * construction (same md5, same corpus contents).
     */
   def incrementalExactNewIndexed(ledger: HashLedger.Handle, newDf: DataFrame,
-                                 idCol: String, textCol: String): DataFrame = {
-    val newH = newDf
-      .select(col(idCol), md5(col(textCol)).as("content_md5"))
+                                 idCol: String, textCol: String): DataFrame =
+    incrementalNewByHash(ledger,
+      newDf.select(col(idCol), md5(col(textCol)).as("content_md5")), idCol)
+
+  /** The ledger probe with the batch's content addresses ALREADY
+    * computed (a `content_md5` column beside `idCol`) — the seam that
+    * lets non-SQL address derivations (codec pixel digests) share the
+    * same DPP-pruned membership check. Probe shape identical to
+    * [[incrementalExactNewIndexed]]'s scaladoc.
+    */
+  def incrementalNewByHash(ledger: HashLedger.Handle, batchHashes: DataFrame,
+                           idCol: String): DataFrame = {
+    val newH = batchHashes
       .withColumn("__grp", HashLedger.grpOf(col("content_md5"), ledger.groups))
     val dupIds = ledger.hashes
       .join(broadcast(newH), Seq("content_md5", "__grp"))

@@ -83,7 +83,22 @@ object HashLedger {
     */
   def ensure(spark: SparkSession, dir: String, corpus: => DataFrame,
              idCol: String = "doc_id", textCol: String = "text",
-             subset: String = "all"): Handle = synchronized {
+             subset: String = "all"): Handle =
+    ensureHashes(spark, dir,
+      corpus.select(md5(col(textCol)).as("content_md5")),
+      idCol, textCol, subset)
+
+  /** [[ensure]] for PRE-COMPUTED content addresses — the seam that lets
+    * a non-SQL address derivation (e.g. the codec-derived pixel digests
+    * of a media corpus, [[graft.multimodal.Multimodal.imagePixelDigests]])
+    * ride the same persisted layout, DPP probe shape, and reuse ladder.
+    * `hashes` must expose a `content_md5` string column and is only
+    * evaluated on a cold build; `idCol`/`textCol` are provenance labels
+    * recorded in meta.
+    */
+  def ensureHashes(spark: SparkSession, dir: String, hashes: => DataFrame,
+                   idCol: String, textCol: String,
+                   subset: String): Handle = synchronized {
     val base = root(dir, subset, spark.sessionState.newHadoopConf())
     val hashesPath = new java.io.File(base, "hashes").getPath
     val metaPath = new java.io.File(base, "meta").getPath
@@ -95,11 +110,11 @@ object HashLedger {
       }
       graft.ArtifactKey.dropSuperseded(
         base.getParentFile, graft.ArtifactKey.pathKey(dir) + "_", base.getName)
-      val df = corpus
+      val df = hashes
       val n = df.count()
       if (n == 0) {
         val h = Handle(
-          df.select(md5(col(textCol)).as("content_md5"))
+          df.select(col("content_md5"))
             .withColumn("__grp", grpOf(col("content_md5"), 16)),
           16, idCol, textCol)
         sessionMemo(spark)(base.getPath) = h
@@ -113,7 +128,7 @@ object HashLedger {
       // dedup — a corpus with heavy duplication shuffles one row per
       // distinct content per map task), then the one-file-per-group
       // repartition alignment shared with LshIndex/SrpIndex/IvfIndex
-      df.select(md5(col(textCol)).as("content_md5")).distinct()
+      df.select(col("content_md5")).distinct()
         .withColumn("__grp", grpOf(col("content_md5"), groups))
         .repartition(groups, col("__grp"))
         .write.mode("overwrite").partitionBy("__grp").parquet(hashesPath)

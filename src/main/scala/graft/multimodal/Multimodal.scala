@@ -317,6 +317,31 @@ object Multimodal {
       .join(corpusDigests.select(col("pixel_md5")), Seq("pixel_md5"), "left_anti")
       .select("media_id", "pixel_md5")
 
+  /** Build-or-reuse the PERSISTED pixel-digest ledger of a media corpus
+    * — the [[graft.dedup.HashLedger]] scale posture with the codec in
+    * front: the corpus is decoded ONCE at build, only digests persist
+    * (partitioned by hash-group), and every later batch's membership
+    * check is a DPP-pruned probe that never re-decodes a corpus blob.
+    * At 100 TB the decode scan is the dominant cost this amortizes.
+    */
+  def ensureDigestLedger(spark: SparkSession, dir: String,
+                         corpus: => DataFrame,
+                         subset: String): graft.dedup.HashLedger.Handle =
+    graft.dedup.HashLedger.ensureHashes(spark, dir,
+      imagePixelDigests(corpus).select(col("pixel_md5").as("content_md5")),
+      idCol = "media_id", textCol = "pixel_md5", subset = subset)
+
+  /** [[incrementalContentNew]] probing the persisted digest ledger:
+    * only the batch decodes per run. Content-new set identical to the
+    * inline path by construction (same digests, same corpus contents).
+    */
+  def incrementalContentNewIndexed(ledger: graft.dedup.HashLedger.Handle,
+                                   batch: DataFrame): DataFrame =
+    graft.dedup.Dedup.incrementalNewByHash(ledger,
+        imagePixelDigests(batch).select(col("media_id"),
+          col("pixel_md5").as("content_md5")), "media_id")
+      .select(col("media_id"), col("content_md5").as("pixel_md5"))
+
   final case class AudioWindowRow(media_id: Long, window_idx: Int,
                                   n_in_window: Long, mean_abs: Long)
 

@@ -219,6 +219,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(kept === Set(11L), "the re-encoded duplicate must die on decoded content")
   }
 
+  test("digest ledger: indexed probe == inline content-new; reuse never re-decodes") {
+    val dir = "/root/testdata/sf0.001"
+    val media = Multimodal.syntheticDupImageTable(spark, dir)
+    val batch = media.filter(pmod($"media_id", lit(10)) === 0)
+    val corpus = media.filter(pmod($"media_id", lit(10)) =!= 0)
+    graft.dedup.HashLedger.drop(dir, subset = "digestspec")
+    val ledger = Multimodal.ensureDigestLedger(spark, dir, corpus, subset = "digestspec")
+    val indexed = Multimodal.incrementalContentNewIndexed(ledger, batch)
+      .collect().map(r => (r.getAs[Long]("media_id"), r.getAs[String]("pixel_md5"))).toSet
+    val inline = Multimodal.incrementalContentNew(batch, Multimodal.imagePixelDigests(corpus))
+      .collect().map(r => (r.getAs[Long]("media_id"), r.getAs[String]("pixel_md5"))).toSet
+    assert(indexed === inline)
+    assert(indexed.nonEmpty)
+    // second ensure must read the persisted layout — the corpus thunk
+    // (and with it the whole corpus decode) must never re-evaluate
+    val again = Multimodal.ensureDigestLedger(spark, dir,
+      sys.error("ledger reuse must not re-evaluate the corpus"), subset = "digestspec")
+    assert(again.groups === ledger.groups)
+    graft.dedup.HashLedger.drop(dir, subset = "digestspec")
+  }
+
   test("streaming micro-batches gate on the standing pixel-digest corpus") {
     // the continuous multimodal-ingest shape: corpus digests computed
     // once, arriving micro-batches keep only content-new assets —
