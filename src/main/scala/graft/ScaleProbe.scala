@@ -39,6 +39,7 @@ object ScaleProbe {
     // codec decode scans at 100× asset count (fixture build is cached;
     // min-of-two keeps the build out of the reading)
     "m4_blob_dedup", "m5_image_decode", "m7_audio_decode", "m8_image_content_dedup",
+    "m9_incremental_content_new", "m12_incremental_content_indexed",
     "d19_simhash_verified_pairs", "d13_lsh_verified_pairs")
 
   /** TPC-H probe set (SPARK_GRAFT_PROBE=tpch): the fact-heavy headline

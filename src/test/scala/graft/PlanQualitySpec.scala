@@ -228,6 +228,29 @@ class PlanQualitySpec extends SparkTestBase {
     graft.dedup.HashLedger.drop(dir, subset = "planspec")
   }
 
+  test("m12: digest-ledger probe DPP-prunes and reads only the content address") {
+    // the media twin of the d18 gate: batch digests broadcast into the
+    // ledger inner join, standing scan pruned to the probed hash-groups,
+    // ledger branch reads ONLY the 32-char address — at 100 TB the scan
+    // never touches a blob byte or re-decodes a corpus image
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import graft.multimodal.Multimodal
+    val media = Multimodal.syntheticDupImageTable(spark, dir)
+    graft.dedup.HashLedger.drop(dir, subset = "planspec_png")
+    val ledger = Multimodal.ensureDigestLedger(spark, dir,
+      media.filter(pmod(col("media_id"), lit(10)) =!= lit(0)), subset = "planspec_png")
+    val batch = media.filter(pmod(col("media_id"), lit(10)) === lit(0))
+    val plan = executedPlan(Multimodal.incrementalContentNewIndexed(ledger, batch))
+    assert(plan.contains("BroadcastHashJoin"),
+      "batch digest table must broadcast into the ledger join")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("dynamicpruningexpression(__grp") &&
+        l.contains("ReadSchema: struct<content_md5:string>")),
+      "ledger scan must DPP-prune to the probed hash-groups and read " +
+        "only content_md5")
+    graft.dedup.HashLedger.drop(dir, subset = "planspec_png")
+  }
+
   test("s7: int8 ANN pair dedup is a hash aggregate; quantized arrays never shuffle") {
     // The pair-stream dedup must stay groupBy().agg(max(<double>)) — a
     // partial+final HashAggregate whose exchange carries one score per
