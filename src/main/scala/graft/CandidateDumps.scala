@@ -2,7 +2,7 @@ package graft
 
 /** Verify-mode switch for the candidate-pair dumps.
   *
-  * Eleven queries (d13/d14/d15/d16, e2/e3, s2/s4/s7/s8, t7) materialize
+  * Twelve queries (d13/d14/d15/d16/d19, e2/e3, s2/s4/s7/s8, t7) materialize
   * their engine-keyed candidate sets to `target/<q>_candidates/` so the
   * DuckDB oracle can replay the verify/rescore stage over the IDENTICAL
   * pair set. That write is pure oracle plumbing: the published result is

@@ -1398,8 +1398,9 @@ object SparkEntry {
       graft.multimodal.Multimodal.imageResizeStats(
         graft.multimodal.Multimodal.syntheticImageTable(s, d), maxSide = 24)),
     // DECODED-content image dedup: the dup-image table carries each
-    // content seed in TWO different PNG byte streams (TYPE_INT_RGB and a
-    // TYPE_3BYTE_BGR re-encode — pixel-identical, byte-distinct), so
+    // content seed in TWO different PNG byte streams (the plain encode
+    // and a tEXt-chunk-spliced variant — pixel-identical, byte-distinct;
+    // see MediaCodec.encodePngVariant on why not a re-encode), so
     // byte-level dedup sees ~2 contents per seed while grouping on the
     // decoded pixel digest must see exactly one. The oracle replays the
     // seed arithmetic; a hash match proves the codec normalized the
@@ -1416,13 +1417,14 @@ object SparkEntry {
         graft.multimodal.Multimodal.syntheticWavTable(s, d))),
 
     // Second REAL image codec (JPEG, lossy): dims round-trip exactly and
-    // are the oracle surface; pixel fidelity is spec-gated with a
-    // tolerance in MultimodalSpec (DCT + chroma subsampling make exact
-    // channel sums engine-honest but not formula-replicable).
+    // are the oracle surface — read through the codec's HEADER probe
+    // (no raster scan for a dims-only projection); pixel fidelity is
+    // spec-gated with a tolerance in MultimodalSpec (DCT + chroma
+    // subsampling make exact channel sums engine-honest but not
+    // formula-replicable).
     "m11_jpeg_decode" -> ((s, d) =>
-      graft.multimodal.Multimodal.imageDecodeStats(
-          graft.multimodal.Multimodal.syntheticJpegTable(s, d))
-        .select("media_id", "width", "height")),
+      graft.multimodal.Multimodal.imageDecodeDims(
+        graft.multimodal.Multimodal.syntheticJpegTable(s, d))),
 
     // Incremental CONTENT-new media (the d17 daily-crawl pass with the
     // codec in front): batch assets whose decoded pixels are absent from

@@ -36,15 +36,22 @@ object Profiler {
 
   /** Whether min/max (and for maps, even equality/distinct) is defined
     * for the type — the default-all-columns contract must not fail at
-    * analysis time because the table happens to carry a map or a
-    * variant column. Matches Catalyst's `RowOrdering.isOrderable`.
+    * analysis time because the table happens to carry a map, variant,
+    * or interval column. A WHITELIST mirroring Catalyst's
+    * `RowOrdering.isOrderable` (null/atomic/struct/array/udt), not a
+    * blacklist — an unknown future type degrades to null stats instead
+    * of failing the whole profile.
     */
   private def orderable(dt: DataType): Boolean = dt match {
-    case _: MapType | _: VariantType => false
+    case NullType | BooleanType | ByteType | ShortType | IntegerType |
+         LongType | FloatType | DoubleType | StringType | BinaryType |
+         DateType | TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _: YearMonthIntervalType | _: DayTimeIntervalType => true // ANSI intervals order
     case s: StructType => s.fields.forall(f => orderable(f.dataType))
     case a: ArrayType => orderable(a.elementType)
     case u: UserDefinedType[_] => orderable(u.sqlType)
-    case _ => true
+    case _ => false // map, variant, calendar-interval, unknown future types
   }
 
   def profile(df: DataFrame, cols: Seq[String] = Nil,

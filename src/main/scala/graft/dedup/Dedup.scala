@@ -106,13 +106,8 @@ object Dedup {
                             rowsPerBand: Int = 4,
                             bucketCap: Int = defaultBucketCap): DataFrame = {
     val b = lshBuckets(df, idCol, textCol, shingleSize, bands, rowsPerBand)
-    val gated = if (bucketCap <= 0) b else {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-      b.withColumn("__n", count(lit(1)).over(w))
-        .observe("graft_minhash_bucket_cap",
-          sum(when(col("__n") > bucketCap, 1L).otherwise(0L)).as("capped_bucket_rows"))
-        .filter(col("__n") <= bucketCap).drop("__n")
-    }
+    val gated = capBuckets(b, Seq("band", "bucket"), bucketCap,
+      "graft_minhash_bucket_cap")
     val l = gated.select(col("band"), col("bucket"), col(idCol).as("id1"))
     val r = gated.select(col("band"), col("bucket"), col(idCol).as("id2"))
     l.join(r, Seq("band", "bucket"))
@@ -156,6 +151,24 @@ object Dedup {
     */
   val bucketCapObservation = "graft_dedup_bucket_cap"
 
+  /** The occupancy guard every capped candidate generator shares: window
+    * the bucket-key occupancy over the SAME columns the downstream join
+    * shuffles on (the guard rides the join's own exchange), observe the
+    * dropped-row count under `observation`, keep rows at or under `cap`.
+    * One definition so the three call sites (minhash self-join,
+    * incremental corpus side, simhash chunk blocking) can never drift.
+    */
+  private def capBuckets(df: DataFrame, partCols: Seq[String], cap: Int,
+                         observation: String): DataFrame =
+    if (cap <= 0) df else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(partCols.map(col): _*)
+      df.withColumn("__n", count(lit(1)).over(w))
+        .observe(observation,
+          sum(when(col("__n") > cap, 1L).otherwise(0L)).as("capped_bucket_rows"))
+        .filter(col("__n") <= cap).drop("__n")
+    }
+
   def incrementalCandidatePairs(newDf: DataFrame, corpusDf: DataFrame,
                                 idCol: String, textCol: String,
                                 shingleSize: Int = 3, bands: Int = 8,
@@ -169,13 +182,7 @@ object Dedup {
     // shuffles on — the exchange is shared with the join side, so the
     // guard rides the shuffle the join pays anyway instead of a second
     // banding pass; dropped-row count rides a CollectMetrics observation
-    val r = if (bucketCap <= 0) rAll else {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-      rAll.withColumn("__n", count(lit(1)).over(w))
-        .observe(bucketCapObservation,
-          sum(when(col("__n") > bucketCap, 1L).otherwise(0L)).as("capped_bucket_rows"))
-        .filter(col("__n") <= bucketCap).drop("__n")
-    }
+    val r = capBuckets(rAll, Seq("band", "bucket"), bucketCap, bucketCapObservation)
     l.join(r, Seq("band", "bucket"))
       .filter(col("id1") =!= col("id2"))
       .select("id1", "id2").distinct()
@@ -333,13 +340,8 @@ object Dedup {
     // occupancy guard rides the same (chunk, ckey) exchange the join
     // shuffles on (the d15 pattern); dropped-row count is observable
     // through the shared CollectMetrics hook
-    val gated = if (bucketCap <= 0) chunked else {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk", "ckey")
-      chunked.withColumn("__n", count(lit(1)).over(w))
-        .observe("graft_simhash_bucket_cap",
-          sum(when(col("__n") > bucketCap, 1L).otherwise(0L)).as("capped_bucket_rows"))
-        .filter(col("__n") <= bucketCap).drop("__n")
-    }
+    val gated = capBuckets(chunked, Seq("chunk", "ckey"), bucketCap,
+      "graft_simhash_bucket_cap")
     val l = gated.select(col("chunk"), col("ckey"), col(idCol).as("id1"), col("__sim").as("__s1"))
     val r = gated.select(col("chunk"), col("ckey"), col(idCol).as("id2"), col("__sim").as("__s2"))
     l.join(r, Seq("chunk", "ckey"))
@@ -546,7 +548,10 @@ object Dedup {
   private def driverUnionFind(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val es = edges.filter(col("id1") < col("id2"))
+    // <=, not <: a reflexive pair (x, x) carries no connectivity but DOES
+    // introduce x as a labeled node — the distributed loop keeps it, so
+    // the strict filter would break the two paths' parity contract
+    val es = edges.filter(col("id1") <= col("id2"))
       .select(col("id1").cast("long"), col("id2").cast("long"))
       .as[(Long, Long)].collect()
     val parent = new java.util.HashMap[Long, Long](es.length * 2)

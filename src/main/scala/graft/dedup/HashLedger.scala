@@ -110,7 +110,13 @@ object HashLedger {
       }
       graft.ArtifactKey.dropSuperseded(
         base.getParentFile, graft.ArtifactKey.pathKey(dir) + "_", base.getName)
-      val df = hashes
+      // materialize the address frame ONCE: the count below and the
+      // layout write would otherwise each evaluate the derivation — for
+      // a text corpus that is two cheap scans, but for an opaque
+      // derivation (the media digest ledger's per-blob codec decode,
+      // which Catalyst cannot prune out of a count) it would pay the
+      // dominant build cost twice
+      val df = hashes.localCheckpoint()
       val n = df.count()
       if (n == 0) {
         val h = Handle(

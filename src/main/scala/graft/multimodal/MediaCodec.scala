@@ -131,6 +131,22 @@ object MediaCodec {
     bos.toByteArray
   }
 
+  /** Dimensions via the codec's HEADER probe (`ImageReader.getWidth`),
+    * without decoding the raster — the right tool when only dims are
+    * published: a full `ImageIO.read` + per-pixel scan would pay
+    * O(w·h) work the projection throws away.
+    */
+  def decodeDims(bytes: Array[Byte]): (Int, Int) = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "no ImageReader for blob")
+      val r = readers.next()
+      try { r.setInput(iis); (r.getWidth(0), r.getHeight(0)) }
+      finally r.dispose()
+    } finally iis.close()
+  }
+
   /** Real JPEG bytes for asset `id` — the same two-tone content through
     * the JDK's second image codec. JPEG is LOSSY: dims round-trip
     * exactly (the m11 oracle surface); pixel values only approximately

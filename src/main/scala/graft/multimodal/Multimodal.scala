@@ -383,6 +383,19 @@ object Multimodal {
       }).toDF()
   }
 
+  /** Dims-only decode through the codec's header probe — no raster scan
+    * (see [[MediaCodec.decodeDims]]); the m11 surface.
+    */
+  def imageDecodeDims(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val (w, h) = MediaCodec.decodeDims(b)
+        (id, w, h)
+      }).toDF("media_id", "width", "height")
+  }
+
   final case class ResizeRow(media_id: Long, out_width: Int, out_height: Int,
                              left_rgb: Int, right_rgb: Int)
 

@@ -278,10 +278,12 @@ class DedupSpec extends SparkTestBase {
     // isolated pair, duplicate + reversed edges — the driver path
     // (default budget) and the distributed path (budget 0) must agree
     // exactly, label for label
+    // (50,50) reflexive: no connectivity, but node 50 must still be
+    // labeled by BOTH paths (the driver path's <= filter keeps it)
     val pairs = (
       (0L until 12L).map(i => (i, i + 1)) ++
       Seq((20L, 21L), (21L, 22L), (20L, 22L), (22L, 25L),
-          (30L, 31L), (31L, 30L), (20L, 21L), (40L, 41L))
+          (30L, 31L), (31L, 30L), (20L, 21L), (40L, 41L), (50L, 50L))
     ).toDF("id1", "id2")
     val driver = Dedup.dupClusters(pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -293,6 +295,7 @@ class DedupSpec extends SparkTestBase {
     val m = driver.toMap
     assert((0L to 12L).forall(m(_) == 0L))
     assert(Seq(20L, 21L, 22L, 25L).forall(m(_) == 20L))
+    assert(m(50L) === 50L) // reflexive-only node labeled, both paths
   }
 
   test("perSourceCap: at most N per source, deterministic hash order, stable across reshuffles") {

@@ -573,8 +573,10 @@ class PlanQualitySpec extends SparkTestBase {
     import org.apache.spark.sql.util.QueryExecutionListener
     val dumpQueries = Seq("d13_lsh_verified_pairs", "d14_fuzzy_survivors",
       "d15_incremental_neardups", "d16_incremental_indexed",
+      "d19_simhash_verified_pairs",
       "e2_embedding_verified_pairs", "e3_semantic_survivors",
-      "s2_ann_topk", "s4_ivf_topk", "s7_ann_int8", "s8_ivf_int8")
+      "s2_ann_topk", "s4_ivf_topk", "s7_ann_int8", "s8_ivf_int8",
+      "t7_winnow")
     val captured = new scala.collection.concurrent.TrieMap[String, String]()
     val dumpKey = """([a-z]\d+)_candidates""".r
     val listener = new QueryExecutionListener {
@@ -615,6 +617,7 @@ class PlanQualitySpec extends SparkTestBase {
     import org.apache.spark.sql.util.QueryExecutionListener
     val dumpQueries = Seq("d13_lsh_verified_pairs", "d14_fuzzy_survivors",
       "d15_incremental_neardups", "d16_incremental_indexed",
+      "d19_simhash_verified_pairs",
       "e2_embedding_verified_pairs", "e3_semantic_survivors",
       "s2_ann_topk", "s4_ivf_topk", "s7_ann_int8", "s8_ivf_int8",
       "t7_winnow")
