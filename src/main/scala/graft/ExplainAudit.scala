@@ -47,7 +47,11 @@ object ExplainAudit {
     "t7_winnow", "t22_heavy_ngrams", "t24_dup_spans",
     // round-14: the funnel/retention one-shuffle claims became ledger
     // entries (judge item 8), plus the new SimHash verified-pairs query
-    "w14_funnel", "w15_retention", "d19_simhash_verified_pairs")
+    // and the real-codec media operators (decode scans must stay
+    // map-side; the digest-ledger probe must stay DPP-pruned)
+    "w14_funnel", "w15_retention", "d19_simhash_verified_pairs",
+    "m5_image_decode", "m8_image_content_dedup",
+    "m12_incremental_content_indexed")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS
