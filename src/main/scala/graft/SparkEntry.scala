@@ -177,6 +177,30 @@ object SparkEntry {
       |  UNION
       |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst)""".stripMargin
 
+  /** Formula average-hash of the grid fixtures as a DuckDB CTE: per
+    * media_id, the 64 cell lumas (seed = media_id % 101, the
+    * [[graft.multimodal.MediaCodec.cellLuma]] small-multiplier formula),
+    * the strict cross-multiplied mean test (v·64 > Σcells, exactly the
+    * engine's blockSum·totalPx > totalSum·blockPx reduced for equal
+    * 8×8 blocks), packed into unsigned 32-bit halves. Built
+    * programmatically — 64 CASE terms per half.
+    */
+  private def ahashCte: String = {
+    def luma(cx: Int, cy: Int): String =
+      s"((((media_id % 101) * 31 + ${cx * 7 + cy * 13}) * 37) % 256)"
+    val cells = for (cy <- 0 until 8; cx <- 0 until 8) yield luma(cx, cy)
+    val sum = cells.mkString("(", " + ", ")")
+    def half(lo: Int, hi: Int): String =
+      (lo until hi).map { i =>
+        s"(CASE WHEN ${cells(i)} * 64 > __s THEN ${1L << (i - lo)} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    s"""g AS (SELECT doc_id AS media_id, $sum AS __s FROM documents),
+       |h AS (SELECT media_id,
+       |  CAST(${half(32, 64)} AS BIGINT) AS ahash_hi,
+       |  CAST(${half(0, 32)} AS BIGINT) AS ahash_lo
+       |  FROM g)""".stripMargin
+  }
+
   /** events with the reference's derived `date` string column (F6). */
   private def eventsWithDate(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -1425,6 +1449,23 @@ object SparkEntry {
     "m11_jpeg_decode" -> ((s, d) =>
       graft.multimodal.Multimodal.imageDecodeDims(
         graft.multimodal.Multimodal.syntheticJpegTable(s, d))),
+
+    // PERCEPTUAL hash from the real decode (top rung of the media dedup
+    // ladder: bytes m4 → decoded content m8 → perception m13/m14): the
+    // grid fixtures make every average-hash BIT formula-replicable, so
+    // the oracle recomputes the hash halves arithmetically while Spark
+    // reads them out of decoded pixels.
+    "m13_image_ahash" -> ((s, d) =>
+      graft.multimodal.Multimodal.imageAverageHashes(
+        graft.multimodal.Multimodal.syntheticGridImageTable(s, d))),
+    // Perceptual near-dup pairs: chunk-blocked (SimHash recipe on
+    // pixels), exact hamming <= 3 verify. The oracle brute-forces all
+    // pairs from the formula hashes — the engine must find exactly the
+    // same set through its bucketed plan (pigeonhole guarantees no
+    // hamming<=3 pair can escape the blocking).
+    "m14_image_perceptual_neardups" -> ((s, d) =>
+      graft.multimodal.Multimodal.perceptualNearDups(
+        graft.multimodal.Multimodal.syntheticGridImageTable(s, d), maxHamming = 3)),
 
     // Incremental CONTENT-new media (the d17 daily-crawl pass with the
     // codec in front): batch assets whose decoded pixels are absent from
@@ -3157,6 +3198,22 @@ object SparkEntry {
         |  CAST(16 + doc_id % 48 AS INT) AS width,
         |  CAST(16 + (doc_id // 3) % 32 AS INT) AS height
         |FROM documents""".stripMargin,
+
+    // the average-hash bits recomputed arithmetically (ahashCte) — a
+    // match proves the decode→grid-mean→threshold pipeline end-to-end
+    "m13_image_ahash" ->
+      s"WITH $ahashCte SELECT media_id, ahash_hi, ahash_lo FROM h",
+
+    // brute-force hamming over the formula hashes — the engine's
+    // chunk-blocked plan must find the identical pair set
+    "m14_image_perceptual_neardups" ->
+      s"""WITH $ahashCte
+         |SELECT a.media_id AS id1, b.media_id AS id2,
+         |  CAST(bit_count(xor(a.ahash_hi, b.ahash_hi)) +
+         |       bit_count(xor(a.ahash_lo, b.ahash_lo)) AS INT) AS hamming
+         |FROM h a JOIN h b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.ahash_hi, b.ahash_hi)) +
+         |      bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 3""".stripMargin,
 
     // content-new = batch seeds with no corpus member: doc_ids share
     // decoded content iff they share doc_id % 397 (the dup-table seed),

@@ -199,6 +199,84 @@ object MediaCodec {
     md.digest(bb.array()).map("%02x".format(_)).mkString
   }
 
+  // --------------------------------------------------- perceptual hash
+
+  /** Grid fixtures for the perceptual-hash family: 64×64 images of 8×8
+    * solid GRAY cells whose luma is a small-multiplier formula — so the
+    * average-hash bits themselves are SQL-replicable (each decoded cell
+    * mean equals the formula value exactly; gray makes any luma
+    * weighting exact: (v·a+v·b+v·c)/(a+b+c) = v).
+    */
+  val gridSide = 64
+  def cellLuma(id: Long, cx: Int, cy: Int): Int =
+    Math.floorMod((id * 31 + cx * 7 + cy * 13) * 37, 256L).toInt
+
+  def encodeGridPng(id: Long): Array[Byte] = {
+    val img = new BufferedImage(gridSide, gridSide, BufferedImage.TYPE_INT_RGB)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val v = cellLuma(id, cx, cy)
+        val rgb = (v << 16) | (v << 8) | v
+        var y = cy * 8
+        while (y < (cy + 1) * 8) {
+          var x = cx * 8
+          while (x < (cx + 1) * 8) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        cx += 1
+      }
+      cy += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit average-hash of a decoded image, returned as two unsigned
+    * 32-bit halves (hi = bits 32..63 i.e. cells cy 4..7, lo = bits
+    * 0..31) so an engine without unsigned 64-bit arithmetic can replay
+    * the bits without sign games. Bit (cy·8+cx) is set iff the 8×8-grid
+    * cell's mean luma strictly exceeds the global mean — compared
+    * CROSS-MULTIPLIED in exact integers (blockSum·totalPixels >
+    * totalSum·blockPixels), so no division rounding contract is needed.
+    * Luma = (299r + 587g + 114b)/1000 integer floor (exact for gray).
+    */
+  def averageHash(img: BufferedImage): (Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val blockSums = new Array[Long](64)
+    val blockPx = new Array[Long](64)
+    var totalSum = 0L
+    var y = 0
+    while (y < h) {
+      val cy = math.min(y * 8 / h, 7)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(x * 8 / w, 7)
+        val p = img.getRGB(x, y)
+        val luma = (((p >> 16) & 0xFF) * 299 + ((p >> 8) & 0xFF) * 587 +
+          (p & 0xFF) * 114) / 1000
+        val c = cy * 8 + cx
+        blockSums(c) += luma
+        blockPx(c) += 1
+        totalSum += luma
+        x += 1
+      }
+      y += 1
+    }
+    val totalPx = w.toLong * h
+    var hi = 0L; var lo = 0L
+    var c = 0
+    while (c < 64) {
+      if (blockSums(c) * totalPx > totalSum * blockPx(c)) {
+        if (c >= 32) hi |= 1L << (c - 32) else lo |= 1L << c
+      }
+      c += 1
+    }
+    (hi, lo)
+  }
+
   // -------------------------------------------------------------- audio
 
   /** Generative audio for asset `id`: 8 kHz mono 16-bit PCM square wave,

@@ -383,6 +383,69 @@ object Multimodal {
       }).toDF()
   }
 
+  /** Grid-image table for the perceptual-hash family: content seed =
+    * media_id % `seedMod`, each image a real 64×64 PNG of formula-gray
+    * cells (MediaCodec.encodeGridPng) — so same-seed images are
+    * perceptual duplicates and every hash bit is SQL-replicable.
+    */
+  def syntheticGridImageTable(spark: SparkSession, sfDir: String,
+                              seedMod: Int = 101): DataFrame =
+    cachedDerived(spark, sfDir, s"media_grid$seedMod", None) {
+      import spark.implicits._
+      graft.Tables(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, MediaCodec.encodeGridPng(id % seedMod))))
+        .toDF("media_id", "bytes")
+    }
+
+  /** Per-image 64-bit average-hash from the REAL decoded raster,
+    * published as unsigned 32-bit halves (MediaCodec.averageHash).
+    * Map-side decode+hash; output is three narrow columns.
+    */
+  def imageAverageHashes(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        require(img != null, "ImageIO could not decode the blob")
+        val (hi, lo) = MediaCodec.averageHash(img)
+        (id, hi, lo)
+      }).toDF("media_id", "ahash_hi", "ahash_lo")
+  }
+
+  /** PERCEPTUAL near-dup image pairs — the top rung of the media dedup
+    * ladder (bytes → decoded content → perception): average-hashes from
+    * the real decode, candidates by 16-bit chunk blocking on the packed
+    * hash (pigeonhole: hamming ≤ 3 shares a chunk — the SimHash recipe
+    * on pixels instead of tokens), exact hamming verify. One shuffle on
+    * (chunk, value); blob bytes never cross an exchange; occupancy-
+    * quadratic blowup is bounded by the same [[graft.dedup.Dedup]] cap
+    * discipline upstreams apply (perceptual dup groups are the point
+    * here, so no cap is applied by default — run exact/content dedup
+    * first, as the curation funnel does).
+    */
+  def perceptualNearDups(images: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val hashes = imageAverageHashes(images)
+      .select(col("media_id"),
+        shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo")).as("__h"))
+    val chunked = hashes.select(col("media_id"), col("__h"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned(col("__h"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ckey"))
+      }: _*)).as("cb"))
+      .select(col("media_id"), col("__h"), col("cb.chunk"), col("cb.ckey"))
+    val l = chunked.select(col("chunk"), col("ckey"),
+      col("media_id").as("id1"), col("__h").as("__h1"))
+    val r = chunked.select(col("chunk"), col("ckey"),
+      col("media_id").as("id2"), col("__h").as("__h2"))
+    l.join(r, Seq("chunk", "ckey"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("__h1").bitwiseXOR(col("__h2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Dims-only decode through the codec's header probe — no raster scan
     * (see [[MediaCodec.decodeDims]]); the m11 surface.
     */

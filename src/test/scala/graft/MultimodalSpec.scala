@@ -171,6 +171,54 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.blobDedup(media).count() === 4)
   }
 
+  test("averageHash: decoded grid bits match the formula; JPEG re-encode stays near") {
+    import graft.multimodal.MediaCodec
+    Seq(0L, 5L, 42L, 100L).foreach { id =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(MediaCodec.encodeGridPng(id)))
+      val (hi, lo) = MediaCodec.averageHash(img)
+      // formula replay: cell v sets bit iff v*64 > sum of all cells
+      val cells = for (cy <- 0 until 8; cx <- 0 until 8)
+        yield MediaCodec.cellLuma(id, cx, cy).toLong
+      val s = cells.sum
+      var (ehi, elo) = (0L, 0L)
+      cells.zipWithIndex.foreach { case (v, i) =>
+        if (v * 64 > s) { if (i >= 32) ehi |= 1L << (i - 32) else elo |= 1L << i }
+      }
+      assert((hi, lo) === ((ehi, elo)), s"id $id hash bits")
+      // perceptual robustness: a lossy JPEG re-encode of the same grid
+      // must land within a small hamming distance (solid 8x8 cells align
+      // with the DCT grid, so drift is boundary-rounding only)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val jimg = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      val (jhi, jlo) = MediaCodec.averageHash(jimg)
+      val hamming = java.lang.Long.bitCount(hi ^ jhi) + java.lang.Long.bitCount(lo ^ jlo)
+      assert(hamming <= 4, s"id $id: jpeg re-encode drifted $hamming bits")
+    }
+  }
+
+  test("perceptualNearDups: same-seed images pair at hamming 0 via chunk blocking") {
+    import graft.multimodal.MediaCodec
+    val images = Seq(
+      (1L, MediaCodec.encodeGridPng(7L)), (2L, MediaCodec.encodeGridPng(7L)),
+      (3L, MediaCodec.encodeGridPng(8L)), (4L, MediaCodec.encodeGridPng(9L)))
+      .toDF("media_id", "bytes")
+    val pairs = Multimodal.perceptualNearDups(images, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Int]("hamming"))).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) === 0)
+    // distinct seeds: whatever their true hamming, pairs <= 3 must agree
+    // with the direct hash comparison (no blocking escape)
+    val hashes = Multimodal.imageAverageHashes(images).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val brute = hashes.keys.toSeq.sorted.combinations(2).map { case Seq(a, b) =>
+      val (h1, l1) = hashes(a); val (h2, l2) = hashes(b)
+      ((a, b), java.lang.Long.bitCount(h1 ^ h2) + java.lang.Long.bitCount(l1 ^ l2))
+    }.filter(_._2 <= 3).toMap
+    assert(pairs === brute)
+  }
+
   test("JPEG codec: dims exact through the lossy round trip, channels near-exact") {
     import graft.multimodal.MediaCodec
     Seq(0L, 11L, 777L).foreach { id =>
