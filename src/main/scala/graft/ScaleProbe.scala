@@ -40,6 +40,10 @@ object ScaleProbe {
     // min-of-two keeps the build out of the reading)
     "m4_blob_dedup", "m5_image_decode", "m7_audio_decode", "m8_image_content_dedup",
     "m9_incremental_content_new", "m12_incremental_content_indexed",
+    // m13 is the per-image hash scan (map-side); m14's PAIR OUTPUT is
+    // quadratic in the duplicate rate by nature (the e1/e3 rationale) —
+    // probed never, like every corpus-wide near-dup pair emission
+    "m13_image_ahash",
     "d19_simhash_verified_pairs", "d13_lsh_verified_pairs")
 
   /** TPC-H probe set (SPARK_GRAFT_PROBE=tpch): the fact-heavy headline

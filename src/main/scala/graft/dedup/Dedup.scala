@@ -158,8 +158,8 @@ object Dedup {
     * One definition so the three call sites (minhash self-join,
     * incremental corpus side, simhash chunk blocking) can never drift.
     */
-  private def capBuckets(df: DataFrame, partCols: Seq[String], cap: Int,
-                         observation: String): DataFrame =
+  private[graft] def capBuckets(df: DataFrame, partCols: Seq[String], cap: Int,
+                                observation: String): DataFrame =
     if (cap <= 0) df else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(partCols.map(col): _*)

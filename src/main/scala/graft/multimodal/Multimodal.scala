@@ -418,13 +418,16 @@ object Multimodal {
     * the real decode, candidates by 16-bit chunk blocking on the packed
     * hash (pigeonhole: hamming ≤ 3 shares a chunk — the SimHash recipe
     * on pixels instead of tokens), exact hamming verify. One shuffle on
-    * (chunk, value); blob bytes never cross an exchange; occupancy-
-    * quadratic blowup is bounded by the same [[graft.dedup.Dedup]] cap
-    * discipline upstreams apply (perceptual dup groups are the point
-    * here, so no cap is applied by default — run exact/content dedup
-    * first, as the curation funnel does).
+    * (chunk, value); blob bytes never cross an exchange. `bucketCap`
+    * bounds per-(chunk, value) occupancy with the shared
+    * [[graft.dedup.Dedup]] guard (observed drops, 0 = off); it is OFF
+    * by default because perceptual dup groups are the point here — run
+    * exact/content dedup first, as the curation funnel does, and cap
+    * only when a viral-image pile-up is expected to survive those
+    * passes.
     */
-  def perceptualNearDups(images: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def perceptualNearDups(images: DataFrame, maxHamming: Int = 3,
+                         bucketCap: Int = 0): DataFrame = {
     val hashes = imageAverageHashes(images)
       .select(col("media_id"),
         shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo")).as("__h"))
@@ -434,9 +437,11 @@ object Multimodal {
           shiftrightunsigned(col("__h"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ckey"))
       }: _*)).as("cb"))
       .select(col("media_id"), col("__h"), col("cb.chunk"), col("cb.ckey"))
-    val l = chunked.select(col("chunk"), col("ckey"),
+    val gated = graft.dedup.Dedup.capBuckets(chunked, Seq("chunk", "ckey"),
+      bucketCap, "graft_ahash_bucket_cap")
+    val l = gated.select(col("chunk"), col("ckey"),
       col("media_id").as("id1"), col("__h").as("__h1"))
-    val r = chunked.select(col("chunk"), col("ckey"),
+    val r = gated.select(col("chunk"), col("ckey"),
       col("media_id").as("id2"), col("__h").as("__h2"))
     l.join(r, Seq("chunk", "ckey"))
       .filter(col("id1") < col("id2"))
