@@ -431,24 +431,41 @@ object Multimodal {
     val hashes = imageAverageHashes(images)
       .select(col("media_id"),
         shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo")).as("__h"))
-    val chunked = hashes.select(col("media_id"), col("__h"),
+      .localCheckpoint() // one decode pass feeds both branches below
+    // the blocked search runs over the DISTINCT hash universe — on a
+    // dup-heavy corpus orders of magnitude smaller than the image count
+    // (the whole point of perceptual dedup), so the chunk self-join's
+    // occupancy is per distinct perception, not per copy. Member pairs
+    // expand afterwards at output-size cost: equal-hash cliques from one
+    // equi-self-join, cross-hash near pairs from the (tiny) verified
+    // hash-pair table joined back to each side's members.
+    val uniq = hashes.select("__h").distinct()
+    val chunked = uniq.select(col("__h"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
           shiftrightunsigned(col("__h"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ckey"))
       }: _*)).as("cb"))
-      .select(col("media_id"), col("__h"), col("cb.chunk"), col("cb.ckey"))
+      .select(col("__h"), col("cb.chunk"), col("cb.ckey"))
     val gated = graft.dedup.Dedup.capBuckets(chunked, Seq("chunk", "ckey"),
       bucketCap, "graft_ahash_bucket_cap")
-    val l = gated.select(col("chunk"), col("ckey"),
-      col("media_id").as("id1"), col("__h").as("__h1"))
-    val r = gated.select(col("chunk"), col("ckey"),
-      col("media_id").as("id2"), col("__h").as("__h2"))
-    l.join(r, Seq("chunk", "ckey"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
+    val l = gated.select(col("chunk"), col("ckey"), col("__h").as("__h1"))
+    val r = gated.select(col("chunk"), col("ckey"), col("__h").as("__h2"))
+    val hashPairs = l.join(r, Seq("chunk", "ckey"))
+      .filter(col("__h1") < col("__h2"))
+      .select(col("__h1"), col("__h2"),
         bit_count(col("__h1").bitwiseXOR(col("__h2"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    val sameHash = hashes.select(col("__h"), col("media_id").as("id1"))
+      .join(hashes.select(col("__h"), col("media_id").as("id2")), Seq("__h"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), lit(0).as("hamming"))
+    val crossHash = hashPairs
+      .join(hashes.select(col("__h").as("__h1"), col("media_id").as("__m1")), Seq("__h1"))
+      .join(hashes.select(col("__h").as("__h2"), col("media_id").as("__m2")), Seq("__h2"))
+      .select(least(col("__m1"), col("__m2")).as("id1"),
+        greatest(col("__m1"), col("__m2")).as("id2"), col("hamming"))
+    sameHash.unionByName(crossHash)
   }
 
   /** Dims-only decode through the codec's header probe — no raster scan
