@@ -197,6 +197,33 @@ object Streaming {
       }
   }
 
+  /** Streaming first-seen cohort assignment — the real-time twin of
+    * w15's cohort derivation (`Lifecycle.cohortRetention`'s
+    * `min(first day)` per key): per key, track the earliest day seen and
+    * emit a (key, cohort_day) row whenever the assignment CHANGES —
+    * i.e. on first sight, and again if late data reveals an EARLIER
+    * first day (min-monotone state, the mirror of the funnel's
+    * max-monotone completion times; a later day can never move the
+    * cohort). Consumers keep the latest emission per key. State is one
+    * Int per key — O(1), unbounded-stream safe.
+    */
+  case class KeyDay(key: Long, day: Int) // day = epoch days
+  case class CohortAssigned(key: Long, cohort_day: Int)
+
+  def firstSeenCohorts(ds: Dataset[KeyDay]): Dataset[CohortAssigned] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Int, CohortAssigned](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[KeyDay], state: GroupState[Int]) =>
+          val incoming = rows.map(_.day).min
+          if (state.getOption.forall(incoming < _)) {
+            state.update(incoming)
+            Iterator.single(CohortAssigned(key, incoming))
+          } else Iterator.empty
+      }
+  }
+
   /** Streaming funnel progress — the real-time twin of
     * `Lifecycle.funnel` (w14): per key, track completion of an ordered
     * stage sequence with every consecutive conversion inside

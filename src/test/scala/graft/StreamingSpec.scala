@@ -654,6 +654,56 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("firstSeenCohorts: min-monotone state; late earlier day revises the cohort") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming._
+    val mem = MemoryStream[KeyDay]
+    val q = firstSeenCohorts(mem.toDS())
+      .writeStream.format("memory").queryName("cohorts_st")
+      .outputMode("append").start()
+    try {
+      mem.addData(KeyDay(1L, 100), KeyDay(2L, 50))
+      q.processAllAvailable()
+      // later day: no revision; LATE EARLIER day: revision emitted
+      mem.addData(KeyDay(1L, 120), KeyDay(2L, 40))
+      q.processAllAvailable()
+      val got = spark.table("cohorts_st")
+        .collect().map(r => (r.getAs[Long]("key"), r.getAs[Int]("cohort_day")))
+      assert(got.toSet === Set((1L, 100), (2L, 50), (2L, 40)))
+      // last emission per key is the final assignment
+      val last = got.groupBy(_._1).view.mapValues(_.last._2).toMap
+      assert(last === Map(1L -> 100, 2L -> 40))
+    } finally q.stop()
+  }
+
+  test("firstSeenCohorts over real events parquet equals the batch cohort (w15 twin)") {
+    val dir = "/root/testdata/sf0.001"
+    val physical = spark.read.parquet(s"$dir/events.parquet").schema
+    val staged = java.nio.file.Files.createTempDirectory("graft_cohort_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val evStream = graft.Tables.normalizeEventsTs(
+        graft.streaming.Streaming.parquetStream(spark, staged.toString, physical))
+      .select($"user_id".as("key"), datediff(to_date($"ts"), lit("1970-01-01")).as("day"))
+      .as[Streaming.KeyDay]
+    val q = Streaming.firstSeenCohorts(evStream)
+      .writeStream.format("memory").queryName("cohorts_real")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // min across emissions per key == the final state (min-monotone)
+      val streamed = spark.table("cohorts_real").groupBy($"key")
+        .agg(min($"cohort_day").as("c"))
+        .collect().map(r => r.getAs[Long]("key") -> r.getAs[Int]("c")).toMap
+      val batch = graft.Tables.events(spark, dir)
+        .groupBy($"user_id")
+        .agg(min(datediff(to_date($"ts"), lit("1970-01-01"))).as("c"))
+        .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("c")).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("funnelProgress: state carries across batches; later stage-0 enables the chain") {
     implicit val sqlCtx = spark.sqlContext
     import Streaming._
