@@ -323,6 +323,35 @@ class MultimodalSpec extends SparkTestBase {
     assert(expected.nonEmpty && expected.size < fresh.count())
   }
 
+  test("MediaIngestPipeline: one keeper per novel content across batches and variants") {
+    import graft.multimodal.{MediaCodec, MediaIngestPipeline}
+    // corpus knows content 7; the stream delivers (batch1) a byte-variant
+    // of 7 plus novel 8, then (batch2) ANOTHER copy of 8 plus novel 9.
+    // Exactly one keeper must exist for 8 (the batch-1 one) and one for
+    // 9; content 7 must never be admitted.
+    val corpus = Seq((100L, MediaCodec.encodePng(7L))).toDF("media_id", "bytes")
+    val corpusDigests = Multimodal.imagePixelDigests(corpus).localCheckpoint()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_media_pipe")
+    val in = tmp.resolve("in"); val out = tmp.resolve("out"); val ck = tmp.resolve("ck")
+    val b1 = Seq((10L, MediaCodec.encodePngVariant(7L)), (11L, MediaCodec.encodePng(8L)))
+      .toDF("media_id", "bytes")
+    val b2 = Seq((20L, MediaCodec.encodePngVariant(8L)), (21L, MediaCodec.encodePng(9L)))
+      .toDF("media_id", "bytes")
+    b1.write.parquet(in.resolve("f1").toString)
+    val cfg = MediaIngestPipeline.Config(
+      inputDir = in.toString + "/*", checkpointDir = ck.toString,
+      outputDir = out.toString, schema = b1.schema, corpusDigests = corpusDigests)
+    val q1 = MediaIngestPipeline.start(spark, cfg, drain = true)
+    q1.awaitTermination()
+    b2.write.parquet(in.resolve("f2").toString)
+    val q2 = MediaIngestPipeline.start(spark, cfg, drain = true)
+    q2.awaitTermination()
+    val kept = spark.read.parquet(out.toString)
+      .collect().map(r => r.getAs[Long]("media_id")).sorted
+    assert(kept.toSeq === Seq(11L, 21L),
+      "one first-seen keeper per novel content; corpus-known and repeats die")
+  }
+
   test("spreadBySize partitions by payload volume") {
     val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     val prev = spark.conf.getOption(key)
