@@ -44,8 +44,13 @@ object Profiler {
     */
   private def orderable(dt: DataType): Boolean = dt match {
     case NullType | BooleanType | ByteType | ShortType | IntegerType |
-         LongType | FloatType | DoubleType | StringType | BinaryType |
+         LongType | FloatType | DoubleType | BinaryType |
          DateType | TimestampType | TimestampNTZType => true
+    // class matches, not the stable identifiers: Spark 4 strings carry a
+    // COLLATION (StringType("UTF8_LCASE") != the StringType singleton)
+    // and char/varchar survive under preserveCharVarcharTypeInfo — all
+    // fully orderable
+    case _: StringType | _: CharType | _: VarcharType => true
     case _: DecimalType => true
     case _: YearMonthIntervalType | _: DayTimeIntervalType => true // ANSI intervals order
     case s: StructType => s.fields.forall(f => orderable(f.dataType))

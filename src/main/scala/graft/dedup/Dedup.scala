@@ -265,8 +265,14 @@ object Dedup {
     */
   def incrementalNewByHash(ledger: HashLedger.Handle, batchHashes: DataFrame,
                            idCol: String): DataFrame = {
+    // materialize the batch addresses ONCE: newH feeds both the
+    // broadcast membership join and the anti-join probe side — separate
+    // evaluations with no exchange reuse, so an opaque derivation (the
+    // media path's per-blob codec decode) would otherwise run twice per
+    // probe (the ensureHashes build had the same trap)
     val newH = batchHashes
       .withColumn("__grp", HashLedger.grpOf(col("content_md5"), ledger.groups))
+      .localCheckpoint()
     val dupIds = ledger.hashes
       .join(broadcast(newH), Seq("content_md5", "__grp"))
       .select(col(idCol))
@@ -303,9 +309,31 @@ object Dedup {
 
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup candidates: block on the 4 16-bit chunks (pigeonhole:
-    * any pair with Hamming distance ≤ 3 shares at least one exact chunk),
-    * then verify the true distance. One shuffle on (chunk_idx, chunk_value).
+  /** Pigeonhole blocking chunks for hamming ≤ `maxHamming` over a 64-bit
+    * signature: `maxHamming + 1` DISJOINT bit ranges (boundaries at
+    * i·64/n), so any pair within the bound leaves at least one chunk
+    * untouched wherever the flips land — the chunk count must track the
+    * bound (a fixed 4×16 layout silently loses pairs for maxHamming > 3,
+    * which is why this is derived, not hardcoded). Shared by the SimHash
+    * text blocker and the perceptual image-hash blocker.
+    */
+  private[graft] def hammingChunks(sig: Column, maxHamming: Int): Column = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val n = maxHamming + 1
+    array((0 until n).map { i =>
+      val lo = i * 64 / n
+      val width = (i + 1) * 64 / n - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      struct(lit(i).as("chunk"),
+        shiftrightunsigned(sig, lo).bitwiseAND(lit(mask)).as("ckey"))
+    }: _*)
+  }
+
+  /** SimHash near-dup candidates: block on `maxHamming + 1` disjoint
+    * signature chunks ([[hammingChunks]] — pigeonhole: any pair within
+    * the bound shares at least one exact chunk), then verify the true
+    * distance. One shuffle on (chunk_idx, chunk_value).
     *
     * `bucketCap` bounds per-(chunk, value) occupancy exactly like the
     * incremental LSH path's [[defaultBucketCap]] (same rationale, same
@@ -332,10 +360,7 @@ object Dedup {
     val sigs = df.filter(col(textCol).rlike("\\S"))
       .select(col(idCol), simhash(col(textCol)).as("__sim"))
     val chunked = sigs.select(col(idCol), col("__sim"),
-      explode(array((0 until 4).map { c =>
-        struct(lit(c).as("chunk"),
-               shiftright(col("__sim"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ckey"))
-      }: _*)).as("cb"))
+      explode(hammingChunks(col("__sim"), maxHamming)).as("cb"))
       .select(col(idCol), col("__sim"), col("cb.chunk"), col("cb.ckey"))
     // occupancy guard rides the same (chunk, ckey) exchange the join
     // shuffles on (the d15 pattern); dropped-row count is observable

@@ -45,6 +45,11 @@ object MediaIngestPipeline {
   }
 
   def start(spark: SparkSession, cfg: Config, drain: Boolean = false): StreamingQuery = {
+    // materialize the standing corpus digests ONCE per pipeline start:
+    // foreachBatch would otherwise re-evaluate the frame every trigger —
+    // a full corpus re-decode per batch if the caller passed the natural
+    // un-materialized imagePixelDigests(corpus)
+    val corpusDigests = cfg.corpusDigests.select("pixel_md5").localCheckpoint()
     val stream = spark.readStream.schema(cfg.schema)
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger.toString)
       .parquet(cfg.inputDir)
@@ -52,7 +57,7 @@ object MediaIngestPipeline {
       .option("checkpointLocation", cfg.checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val standing = cfg.corpusDigests.select("pixel_md5")
+        val standing = corpusDigests
           .unionByName(admitted(spark, cfg.outputDir))
         // decode once per batch row; one representative per NOVEL content
         // (min media_id within the batch — later batches lose to the

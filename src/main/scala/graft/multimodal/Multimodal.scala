@@ -415,9 +415,10 @@ object Multimodal {
 
   /** PERCEPTUAL near-dup image pairs — the top rung of the media dedup
     * ladder (bytes → decoded content → perception): average-hashes from
-    * the real decode, candidates by 16-bit chunk blocking on the packed
-    * hash (pigeonhole: hamming ≤ 3 shares a chunk — the SimHash recipe
-    * on pixels instead of tokens), exact hamming verify. One shuffle on
+    * the real decode, candidates by pigeonhole chunk blocking on the
+    * packed hash (maxHamming + 1 disjoint chunks — the SimHash recipe on
+    * pixels instead of tokens, via the shared
+    * [[graft.dedup.Dedup.hammingChunks]]), exact hamming verify. One shuffle on
     * (chunk, value); blob bytes never cross an exchange. `bucketCap`
     * bounds per-(chunk, value) occupancy with the shared
     * [[graft.dedup.Dedup]] guard (observed drops, 0 = off); it is OFF
@@ -441,10 +442,7 @@ object Multimodal {
     // hash-pair table joined back to each side's members.
     val uniq = hashes.select("__h").distinct()
     val chunked = uniq.select(col("__h"),
-      explode(array((0 until 4).map { c =>
-        struct(lit(c).as("chunk"),
-          shiftrightunsigned(col("__h"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ckey"))
-      }: _*)).as("cb"))
+      explode(graft.dedup.Dedup.hammingChunks(col("__h"), maxHamming)).as("cb"))
       .select(col("__h"), col("cb.chunk"), col("cb.ckey"))
     val gated = graft.dedup.Dedup.capBuckets(chunked, Seq("chunk", "ckey"),
       bucketCap, "graft_ahash_bucket_cap")

@@ -204,8 +204,11 @@ object Streaming {
     * i.e. on first sight, and again if late data reveals an EARLIER
     * first day (min-monotone state, the mirror of the funnel's
     * max-monotone completion times; a later day can never move the
-    * cohort). Consumers keep the latest emission per key. State is one
-    * Int per key — O(1), unbounded-stream safe.
+    * cohort). Consumers reduce with MIN per key — emissions carry no
+    * ordering column and sink row order is not a contract, but the
+    * min-monotone invariant makes min(cohort_day) always the current
+    * assignment. State is one Int per key — O(1), unbounded-stream
+    * safe.
     */
   case class KeyDay(key: Long, day: Int) // day = epoch days
   case class CohortAssigned(key: Long, cohort_day: Int)

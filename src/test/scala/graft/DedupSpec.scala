@@ -183,14 +183,36 @@ class DedupSpec extends SparkTestBase {
     assert(!got.exists(p => p._1 <= 150L && p._2 <= 150L),
       "hot-content pairs must be capped away")
     assert(got.contains((500L, 501L)), "cold near-dup pair must survive the cap")
+    // maxHamming 8 → 9 pigeonhole chunks (derived, not the fixed 4×16)
     val observed = capped.queryExecution.observedMetrics("graft_simhash_bucket_cap")
-    assert(observed.getAs[Long]("capped_bucket_rows") === 150L * 4,
+    assert(observed.getAs[Long]("capped_bucket_rows") === 150L * 9,
       "every chunk row of the hot content must be counted as capped")
     // cap disabled → the hot pairs come back
     val uncapped = Dedup.simhashNearDups(docs, "id", "text", maxHamming = 8,
         bucketCap = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped.contains((1L, 2L)) && uncapped.contains((500L, 501L)))
+  }
+
+  test("hammingChunks: pigeonhole tracks the bound (fixed 4x16 would lose pairs)") {
+    // two signatures differing in exactly 4 bits, one per 16-bit
+    // quadrant: under the old fixed 4-chunk layout they share NO chunk
+    // (the silent-loss case for maxHamming = 4); with the derived
+    // maxHamming+1 = 5 chunks at least one 12/13-bit range is untouched
+    val a = 0L
+    val b = (1L << 5) | (1L << 21) | (1L << 37) | (1L << 53)
+    def chunkSet(sig: Long, maxHamming: Int): Set[(Int, Long)] =
+      Seq(sig).toDF("s")
+        .select(explode(Dedup.hammingChunks(col("s"), maxHamming)).as("c"))
+        .select("c.chunk", "c.ckey")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert((chunkSet(a, 3) intersect chunkSet(b, 3)).isEmpty,
+      "16-bit quadrants each contain one flip — no shared chunk at 4 chunks")
+    assert((chunkSet(a, 4) intersect chunkSet(b, 4)).nonEmpty,
+      "5 derived chunks must leave one range untouched for hamming 4")
+    // operator level: the pair must surface at maxHamming = 4
+    // (simhashNearDups on crafted text is impractical; the chunk layer
+    // is the mechanism under test and both operators share it)
   }
 
   test("incremental exact dedup: known content dies, novel survives; " +
