@@ -1450,6 +1450,20 @@ object SparkEntry {
       graft.multimodal.Multimodal.imageDecodeDims(
         graft.multimodal.Multimodal.syntheticJpegTable(s, d))),
 
+    // REAL multi-frame motion decode (animated GIF — the JDK's genuine
+    // moving-picture codec; ffmpeg-class video remains the one honest
+    // stub): every frame of every asset decoded frame-by-frame, channel
+    // means read from the rasters, replayed arithmetically by the oracle.
+    "m15_gif_frames" -> ((s, d) =>
+      graft.multimodal.Multimodal.gifFrameStats(
+        graft.multimodal.Multimodal.syntheticGifTable(s, d))),
+    // the m2 frame-sampling PLAN made actual: n evenly-spaced REALLY
+    // DECODED frames per asset (frame floor(F*i/n)), stats from the
+    // decoded rasters.
+    "m16_gif_frame_sample" -> ((s, d) =>
+      graft.multimodal.Multimodal.sampleGifFrames(
+        graft.multimodal.Multimodal.syntheticGifTable(s, d), n = 4)),
+
     // PERCEPTUAL hash from the real decode (top rung of the media dedup
     // ladder: bytes m4 → decoded content m8 → perception m13/m14): the
     // grid fixtures make every average-hash BIT formula-replicable, so
@@ -3198,6 +3212,29 @@ object SparkEntry {
         |  CAST(16 + doc_id % 48 AS INT) AS width,
         |  CAST(16 + (doc_id // 3) % 32 AS INT) AS height
         |FROM documents""".stripMargin,
+
+    // per-frame channel means replayed from the generative formulas
+    // (solid frames: mean == color exactly); frame counts 2..5
+    "m15_gif_frames" ->
+      """WITH g AS (SELECT doc_id AS media_id, 2 + doc_id % 4 AS nf FROM documents)
+        |SELECT media_id, CAST(i - 1 AS INT) AS frame_idx,
+        |  CAST((media_id * 43 + (i - 1) * 17 + 5) % 256 AS INT) AS mean_r,
+        |  CAST((media_id * 67 + (i - 1) * 29 + 11) % 256 AS INT) AS mean_g,
+        |  CAST((media_id * 89 + (i - 1) * 41 + 23) % 256 AS INT) AS mean_b
+        |FROM g, range(1, 6) t(i) WHERE i <= nf""".stripMargin,
+
+    // sampled frame index floor(nf*i/4) for i in 0..3, colors from the
+    // same formulas
+    "m16_gif_frame_sample" ->
+      """WITH g AS (SELECT doc_id AS media_id, 2 + doc_id % 4 AS nf FROM documents),
+        |s AS (SELECT media_id, nf, CAST(i - 1 AS INT) AS sample_idx,
+        |        CAST((nf * (i - 1)) // 4 AS INT) AS frame_idx
+        |      FROM g, range(1, 5) t(i))
+        |SELECT media_id, sample_idx, frame_idx,
+        |  CAST((media_id * 43 + frame_idx * 17 + 5) % 256 AS INT) AS mean_r,
+        |  CAST((media_id * 67 + frame_idx * 29 + 11) % 256 AS INT) AS mean_g,
+        |  CAST((media_id * 89 + frame_idx * 41 + 23) % 256 AS INT) AS mean_b
+        |FROM s""".stripMargin,
 
     // the average-hash bits recomputed arithmetically (ahashCte) — a
     // match proves the decode→grid-mean→threshold pipeline end-to-end

@@ -199,6 +199,84 @@ object MediaCodec {
     md.digest(bb.array()).map("%02x".format(_)).mkString
   }
 
+  // --------------------------------------- motion frames (animated GIF)
+
+  /** Animated-GIF fixtures — REAL multi-frame motion decode with a JDK
+    * codec (the closest this environment gets to video: no ffmpeg, but
+    * GIF is a genuine moving-picture container ImageIO reads and writes
+    * natively, frame by frame). Asset `id` has `2 + id % 4` solid
+    * frames whose colors are small-multiplier formulas, so every
+    * decoded frame statistic is SQL-replicable.
+    */
+  val gifWidth = 24
+  val gifHeight = 16
+  def gifFrameCount(id: Long): Int = 2 + Math.floorMod(id, 4L).toInt
+  def gifFrameColor(id: Long, f: Int): (Int, Int, Int) =
+    (Math.floorMod(id * 43 + f * 17 + 5, 256L).toInt,
+     Math.floorMod(id * 67 + f * 29 + 11, 256L).toInt,
+     Math.floorMod(id * 89 + f * 41 + 23, 256L).toInt)
+
+  def encodeGif(id: Long): Array[Byte] = {
+    val w = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      var f = 0
+      val n = gifFrameCount(id)
+      while (f < n) {
+        val img = new BufferedImage(gifWidth, gifHeight, BufferedImage.TYPE_INT_RGB)
+        val c = gifFrameColor(id, f)
+        val rgbVal = (c._1 << 16) | (c._2 << 8) | c._3
+        var y = 0
+        while (y < gifHeight) {
+          var x = 0
+          while (x < gifWidth) { img.setRGB(x, y, rgbVal); x += 1 }
+          y += 1
+        }
+        w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      w.endWriteSequence()
+    } finally { ios.close(); w.dispose() }
+    bos.toByteArray
+  }
+
+  /** Per-frame statistics from a REAL frame-by-frame GIF decode: for
+    * each frame, dims and exact per-channel means computed from the
+    * decoded raster (solid fixture frames make the mean the formula
+    * color exactly — integer division is exact when sum = n·v).
+    */
+  final case class FrameStats(frameIdx: Int, width: Int, height: Int,
+                              meanR: Int, meanG: Int, meanB: Int)
+
+  def decodeGifFrames(gifBytes: Array[Byte]): Seq[FrameStats] = {
+    val r = ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(gifBytes))
+    try {
+      r.setInput(iis)
+      val n = r.getNumImages(true)
+      (0 until n).map { f =>
+        val img = r.read(f)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val px = img.getWidth.toLong * img.getHeight
+        FrameStats(f, img.getWidth, img.getHeight,
+          (sr / px).toInt, (sg / px).toInt, (sb / px).toInt)
+      }
+    } finally { iis.close(); r.dispose() }
+  }
+
   // --------------------------------------------------- perceptual hash
 
   /** Grid fixtures for the perceptual-hash family: 64×64 images of 8×8

@@ -466,6 +466,61 @@ object Multimodal {
     sameHash.unionByName(crossHash)
   }
 
+  /** Animated-GIF table: one real multi-frame motion asset per doc id
+    * (MediaCodec.encodeGif; frame count and colors formula-derived).
+    */
+  def syntheticGifTable(spark: SparkSession, sfDir: String): DataFrame =
+    cachedDerived(spark, sfDir, "media_gif", None) {
+      import spark.implicits._
+      graft.Tables(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, MediaCodec.encodeGif(id))))
+        .toDF("media_id", "bytes")
+    }
+
+  final case class GifFrameRow(media_id: Long, frame_idx: Int,
+                               mean_r: Int, mean_g: Int, mean_b: Int)
+
+  /** REAL frame-by-frame motion decode: every frame of every asset,
+    * with per-channel means read from the decoded rasters. Map-side
+    * flatMap — frames explode from the decode without a shuffle (the
+    * m2 frame PLAN upgraded to actual frames, within what this
+    * environment's codecs allow).
+    */
+  def gifFrameStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        MediaCodec.decodeGifFrames(b).map(s =>
+          GifFrameRow(id, s.frameIdx, s.meanR, s.meanG, s.meanB))
+      }).toDF()
+  }
+
+  final case class GifSampleRow(media_id: Long, sample_idx: Int, frame_idx: Int,
+                                mean_r: Int, mean_g: Int, mean_b: Int)
+
+  /** REAL evenly-spaced frame sampling — [[sampleFrames]]'s plan made
+    * actual: `n` samples per asset at frame floor(F·i/n), each sample's
+    * stats from the genuinely decoded frame. Duplicate indices when
+    * n > F are intentional (fixed-size sample batch, the training-data
+    * loader shape).
+    */
+  def sampleGifFrames(media: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"sampleGifFrames needs n > 0, got $n")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        val frames = MediaCodec.decodeGifFrames(b)
+        val nf = frames.size
+        (0 until n).map { i =>
+          val f = nf * i / n
+          val s = frames(f)
+          GifSampleRow(id, i, f, s.meanR, s.meanG, s.meanB)
+        }
+      }).toDF()
+  }
+
   /** Dims-only decode through the codec's header probe — no raster scan
     * (see [[MediaCodec.decodeDims]]); the m11 surface.
     */

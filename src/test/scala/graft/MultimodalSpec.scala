@@ -323,6 +323,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(expected.nonEmpty && expected.size < fresh.count())
   }
 
+  test("animated GIF: real frame-by-frame decode round-trips the formulas") {
+    import graft.multimodal.MediaCodec
+    Seq(0L, 3L, 7L, 42L).foreach { id =>
+      val frames = MediaCodec.decodeGifFrames(MediaCodec.encodeGif(id))
+      assert(frames.size === MediaCodec.gifFrameCount(id), s"id $id frame count")
+      frames.foreach { f =>
+        val c = MediaCodec.gifFrameColor(id, f.frameIdx)
+        assert(f.width === MediaCodec.gifWidth && f.height === MediaCodec.gifHeight)
+        assert((f.meanR, f.meanG, f.meanB) === c, s"id $id frame ${f.frameIdx}")
+      }
+    }
+    // sampling: floor(F*i/n) indices; duplicates when n > F
+    val s = Multimodal.sampleGifFrames(
+      Seq((9L, MediaCodec.encodeGif(9L))).toDF("media_id", "bytes"), n = 4)
+      .orderBy("sample_idx").collect()
+    val nf = MediaCodec.gifFrameCount(9L) // 3
+    assert(s.map(_.getAs[Int]("frame_idx")).toSeq ===
+      (0 until 4).map(i => nf * i / 4))
+  }
+
   test("MediaIngestPipeline: one keeper per novel content across batches and variants") {
     import graft.multimodal.{MediaCodec, MediaIngestPipeline}
     // corpus knows content 7; the stream delivers (batch1) a byte-variant
