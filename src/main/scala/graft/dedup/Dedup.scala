@@ -265,14 +265,19 @@ object Dedup {
     */
   def incrementalNewByHash(ledger: HashLedger.Handle, batchHashes: DataFrame,
                            idCol: String): DataFrame = {
-    // materialize the batch addresses ONCE: newH feeds both the
-    // broadcast membership join and the anti-join probe side — separate
-    // evaluations with no exchange reuse, so an opaque derivation (the
-    // media path's per-blob codec decode) would otherwise run twice per
-    // probe (the ensureHashes build had the same trap)
+    // DELIBERATE double evaluation of the batch side: newH feeds both
+    // the broadcast membership join and the anti-join probe, and
+    // materializing it (localCheckpoint/persist) would hide the batch's
+    // selective predicates behind a LogicalRDD/InMemoryRelation — which
+    // stops Spark's PartitionPruning rule from inserting the dynamic
+    // pruning subquery on the LEDGER scan (measured: the d18/m12 DPP
+    // plan gates go red). At scale that trade is strictly wrong: DPP
+    // prunes the corpus-sized ledger, the re-evaluation costs one extra
+    // pass over the (daily-batch-sized) probe side. Callers with a very
+    // expensive address derivation can pre-materialize and accept the
+    // full ledger scan instead.
     val newH = batchHashes
       .withColumn("__grp", HashLedger.grpOf(col("content_md5"), ledger.groups))
-      .localCheckpoint()
     val dupIds = ledger.hashes
       .join(broadcast(newH), Seq("content_md5", "__grp"))
       .select(col(idCol))
