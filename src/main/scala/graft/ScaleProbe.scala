@@ -43,7 +43,7 @@ object ScaleProbe {
     // m13 is the per-image hash scan (map-side); m14's PAIR OUTPUT is
     // quadratic in the duplicate rate by nature (the e1/e3 rationale) —
     // probed never, like every corpus-wide near-dup pair emission
-    "m13_image_ahash",
+    "m13_image_ahash", "m15_gif_frames",
     "d19_simhash_verified_pairs", "d13_lsh_verified_pairs")
 
   /** TPC-H probe set (SPARK_GRAFT_PROBE=tpch): the fact-heavy headline
