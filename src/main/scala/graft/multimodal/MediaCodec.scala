@@ -74,9 +74,10 @@ object MediaCodec {
   final case class ImageStats(width: Int, height: Int,
                               sumR: Long, sumG: Long, sumB: Long)
 
-  def decodeStats(pngBytes: Array[Byte]): ImageStats = {
-    val img = ImageIO.read(new ByteArrayInputStream(pngBytes))
-    require(img != null, "ImageIO could not decode the blob")
+  /** Exact per-channel pixel sums of a decoded raster — the one loop
+    * every decode-statistics path shares.
+    */
+  private def channelSums(img: BufferedImage): (Long, Long, Long) = {
     var (sr, sg, sb) = (0L, 0L, 0L)
     var y = 0
     while (y < img.getHeight) {
@@ -88,6 +89,13 @@ object MediaCodec {
       }
       y += 1
     }
+    (sr, sg, sb)
+  }
+
+  def decodeStats(pngBytes: Array[Byte]): ImageStats = {
+    val img = ImageIO.read(new ByteArrayInputStream(pngBytes))
+    require(img != null, "ImageIO could not decode the blob")
+    val (sr, sg, sb) = channelSums(img)
     ImageStats(img.getWidth, img.getHeight, sr, sg, sb)
   }
 
@@ -210,6 +218,16 @@ object MediaCodec {
     */
   val gifWidth = 24
   val gifHeight = 16
+
+  // provider SPIs resolved ONCE (the wavReader discipline): the ImageIO
+  // registry lookup is unsynchronized but still a per-row iteration +
+  // instantiation across a 500k-asset scan; createReaderInstance /
+  // createWriterInstance per call keeps codec state per-row (readers and
+  // writers are stateful and not thread-safe — only the SPI is shared)
+  private lazy val gifReaderSpi =
+    ImageIO.getImageReadersByFormatName("gif").next().getOriginatingProvider
+  private lazy val gifWriterSpi =
+    ImageIO.getImageWritersByFormatName("gif").next().getOriginatingProvider
   def gifFrameCount(id: Long): Int = 2 + Math.floorMod(id, 4L).toInt
   def gifFrameColor(id: Long, f: Int): (Int, Int, Int) =
     (Math.floorMod(id * 43 + f * 17 + 5, 256L).toInt,
@@ -217,7 +235,7 @@ object MediaCodec {
      Math.floorMod(id * 89 + f * 41 + 23, 256L).toInt)
 
   def encodeGif(id: Long): Array[Byte] = {
-    val w = ImageIO.getImageWritersByFormatName("gif").next()
+    val w = gifWriterSpi.createWriterInstance()
     val bos = new ByteArrayOutputStream()
     val ios = ImageIO.createImageOutputStream(bos)
     try {
@@ -252,27 +270,40 @@ object MediaCodec {
                               meanR: Int, meanG: Int, meanB: Int)
 
   def decodeGifFrames(gifBytes: Array[Byte]): Seq[FrameStats] = {
-    val r = ImageIO.getImageReadersByFormatName("gif").next()
+    val r = gifReaderSpi.createReaderInstance()
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(gifBytes))
     try {
       r.setInput(iis)
-      val n = r.getNumImages(true)
-      (0 until n).map { f =>
-        val img = r.read(f)
-        var (sr, sg, sb) = (0L, 0L, 0L)
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val p = img.getRGB(x, y)
-            sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
-            x += 1
-          }
-          y += 1
-        }
-        val px = img.getWidth.toLong * img.getHeight
-        FrameStats(f, img.getWidth, img.getHeight,
-          (sr / px).toInt, (sg / px).toInt, (sb / px).toInt)
+      (0 until r.getNumImages(true)).map(f => frameStatsAt(r, f))
+    } finally { iis.close(); r.dispose() }
+  }
+
+  private def frameStatsAt(r: javax.imageio.ImageReader, f: Int): FrameStats = {
+    val img = r.read(f)
+    val (sr, sg, sb) = channelSums(img)
+    val px = img.getWidth.toLong * img.getHeight
+    FrameStats(f, img.getWidth, img.getHeight,
+      (sr / px).toInt, (sg / px).toInt, (sb / px).toInt)
+  }
+
+  /** Evenly-spaced frame SAMPLE stats in one reader pass: frame count
+    * from the stream, then ONLY the distinct floor(F·i/n) frames are
+    * decoded — O(n) raster work however long the animation is (the
+    * all-frames decode pays O(F)). Frameless/truncated blobs yield an
+    * empty sample rather than an index error.
+    */
+  def sampleGifFrameStats(gifBytes: Array[Byte], n: Int): Seq[(Int, FrameStats)] = {
+    require(n > 0, s"sampleGifFrameStats needs n > 0, got $n")
+    val r = gifReaderSpi.createReaderInstance()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(gifBytes))
+    try {
+      r.setInput(iis)
+      val nf = r.getNumImages(true)
+      if (nf <= 0) Seq.empty
+      else {
+        val wanted = (0 until n).map(i => i -> nf * i / n)
+        val stats = wanted.map(_._2).distinct.map(f => f -> frameStatsAt(r, f)).toMap
+        wanted.map { case (i, f) => (i, stats(f)) }
       }
     } finally { iis.close(); r.dispose() }
   }

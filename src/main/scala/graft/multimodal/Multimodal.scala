@@ -332,8 +332,15 @@ object Multimodal {
       idCol = "media_id", textCol = "pixel_md5", subset = subset)
 
   /** [[incrementalContentNew]] probing the persisted digest ledger:
-    * only the batch decodes per run. Content-new set identical to the
-    * inline path by construction (same digests, same corpus contents).
+    * the CORPUS never decodes per run (its digests are the persisted
+    * layout); the BATCH decodes twice — the probe references its digest
+    * frame on both sides of the membership check, and materializing it
+    * would hide the batch's selective predicates and kill the dynamic
+    * partition pruning on the corpus-scale ledger scan (see
+    * [[graft.dedup.Dedup.incrementalNewByHash]]). Batch ≪ ledger at
+    * scale, so two batch decodes for a pruned ledger scan is the right
+    * trade. Content-new set identical to the inline path by
+    * construction (same digests, same corpus contents).
     */
   def incrementalContentNewIndexed(ledger: graft.dedup.HashLedger.Handle,
                                    batch: DataFrame): DataFrame =
@@ -511,12 +518,10 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "bytes").as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, b) =>
-        val frames = MediaCodec.decodeGifFrames(b)
-        val nf = frames.size
-        (0 until n).map { i =>
-          val f = nf * i / n
-          val s = frames(f)
-          GifSampleRow(id, i, f, s.meanR, s.meanG, s.meanB)
+        // one reader pass, only the sampled frames decoded (O(n) raster
+        // work per asset, not O(F)); frameless blobs contribute no rows
+        MediaCodec.sampleGifFrameStats(b, n).map { case (i, s) =>
+          GifSampleRow(id, i, s.frameIdx, s.meanR, s.meanG, s.meanB)
         }
       }).toDF()
   }
