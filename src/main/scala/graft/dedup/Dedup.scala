@@ -341,15 +341,16 @@ object Dedup {
     * distance. One shuffle on (chunk_idx, chunk_value).
     *
     * `bucketCap` bounds per-(chunk, value) occupancy exactly like the
-    * incremental LSH path's [[defaultBucketCap]] (same rationale, same
-    * CollectMetrics observation name): the chunk SELF-join is
+    * incremental LSH path's [[defaultBucketCap]] (same rationale; its
+    * own CollectMetrics observation is named
+    * `graft_simhash_bucket_cap`): the chunk SELF-join is
     * occupancy-QUADRATIC, and on a duplicate-heavy corpus identical
     * texts share identical fingerprints, so every bucket holds every
     * copy — the ×100 scale probe measured 332× growth for 100× data
     * before the cap (pairs ∝ dup-rate², docs/SCALE_PROBE.md). Buckets
     * past the cap are boilerplate/exact-dup mass, which is the exact-
     * dedup pass's job (d1/d2 run first); a genuinely near-dup pair has
-    * 4 independent chunks to survive through. 0 disables.
+    * `maxHamming + 1` independent chunks to survive through. 0 disables.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3,

@@ -447,6 +447,12 @@ object MediaCodec {
   def decodeWavWindows(wavBytes: Array[Byte], windowSamples: Int): Seq[(Long, Long)] = {
     val ais = wavReader.getAudioInputStream(new ByteArrayInputStream(wavBytes))
     try {
+      val fmt = ais.getFormat
+      // same guard as decodeWavStats: the 16-bit little-endian mono walk
+      // below would silently parse a stereo or 8-bit stream into garbage
+      // window sums — fail loudly instead.
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"unexpected decoded format: $fmt")
       val bytes = ais.readAllBytes()
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       var n = 0L; var sumAbs = 0L

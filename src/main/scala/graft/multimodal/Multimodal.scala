@@ -433,6 +433,13 @@ object Multimodal {
     * exact/content dedup first, as the curation funnel does, and cap
     * only when a viral-image pile-up is expected to survive those
     * passes.
+    *
+    * NOTE: construction is EAGER — the decode+hash scan runs at call
+    * time via `localCheckpoint` (so one decode pass can feed both the
+    * distinct-universe search branch and the member-expansion branch),
+    * and the materialized hash frame stays pinned on executors for the
+    * session. Callers timing "the query" must include the call itself,
+    * not just the first action on the returned DataFrame.
     */
   def perceptualNearDups(images: DataFrame, maxHamming: Int = 3,
                          bucketCap: Int = 0): DataFrame = {

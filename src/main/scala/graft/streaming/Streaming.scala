@@ -176,24 +176,80 @@ object Streaming {
   case class DayState(lastDate: java.sql.Date, lastValue: Double)
   case class DayChange(key: String, date: java.sql.Date, change: Double)
 
-  def runningDailyChange(ds: Dataset[DayObs]): Dataset[DayChange] = {
+  /** Safe timeout target for EventTimeTimeout: Spark rejects a timeout at
+    * or before the current watermark, and batch execution (where these
+    * operators also run, watermark-less) throws on getCurrentWatermarkMs —
+    * clamp and swallow respectively.
+    */
+  private def safeSetTimeout[S](state: GroupState[S], desiredMs: Long): Unit = {
+    val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(Long.MinValue)
+    scala.util.Try(state.setTimeoutTimestamp(math.max(desiredMs, wm + 1)))
+  }
+
+  // Event-time-carrying twins of the state-operator inputs: the watermarked
+  // column must SURVIVE into the flatMapGroupsWithState child's output for
+  // EventTimeTimeout to be accepted (UnsupportedOperationChecker looks for
+  // the delay-key metadata on an output attribute — a Project that drops it
+  // hides the watermark), so the typed row carries `__et` alongside the
+  // payload instead of dropping it.
+  case class DayObsEt(key: String, date: java.sql.Date, value: Double,
+                      __et: java.sql.Timestamp)
+  case class KeyDayEt(key: Long, day: Int, __et: java.sql.Timestamp)
+  case class StageEventEt(key: Long, tMicros: Long, stage: Int,
+                          __et: java.sql.Timestamp)
+
+  /** Per-key running day-over-day change with WATERMARK-DRIVEN EVICTION:
+    * a key idle for more than `stateTtlDays` of event time has its
+    * (lastDate, lastValue) dropped, so state is bounded by ACTIVE keys,
+    * not lifetime distinct keys (bots / one-time visitors no longer grow
+    * the store forever). Documented post-eviction semantics: a key that
+    * returns after a silence longer than the TTL emits NO change row for
+    * its comeback day (there is nothing to diff against — same as a brand
+    * new key); diffs resume from the next day. `stateTtlDays <= 0`
+    * disables eviction (the pre-round-15 unbounded behavior).
+    * `lateness` is the watermark delay on the derived event-time column
+    * (date at midnight); events later than that still update state but no
+    * longer hold the watermark back.
+    */
+  def runningDailyChange(ds: Dataset[DayObs],
+                         stateTtlDays: Int = 30,
+                         lateness: String = "1 day"): Dataset[DayChange] = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(_.key)
+    val evict = stateTtlDays > 0
+    val src: Dataset[DayObsEt] =
+      if (evict)
+        ds.withColumn("__et", col("date").cast("timestamp"))
+          .withWatermark("__et", lateness)
+          .as[DayObsEt]
+      else ds.withColumn("__et", col("date").cast("timestamp")).as[DayObsEt]
+    val timeoutConf =
+      if (evict) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    src.groupByKey(_.key)
       .flatMapGroupsWithState[DayState, DayChange](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[DayObs], state: GroupState[DayState]) =>
-          val sorted = rows.toSeq.sortBy(_.date.getTime)
-          var st = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[DayChange]
-          sorted.foreach { o =>
-            st.foreach { prev =>
-              if (o.date.getTime != prev.lastDate.getTime)
-                out += DayChange(key, o.date, o.value - prev.lastValue)
+        OutputMode.Append, timeoutConf) {
+        (key: String, rowsEt: Iterator[DayObsEt], state: GroupState[DayState]) =>
+          if (evict && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rows = rowsEt.map(r => DayObs(r.key, r.date, r.value))
+            val sorted = rows.toSeq.sortBy(_.date.getTime)
+            var st = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[DayChange]
+            sorted.foreach { o =>
+              st.foreach { prev =>
+                if (o.date.getTime != prev.lastDate.getTime)
+                  out += DayChange(key, o.date, o.value - prev.lastValue)
+              }
+              st = Some(DayState(o.date, o.value))
             }
-            st = Some(DayState(o.date, o.value))
+            st.foreach { s =>
+              state.update(s)
+              if (evict)
+                safeSetTimeout(state, s.lastDate.getTime + stateTtlDays * 86400000L)
+            }
+            out.iterator
           }
-          st.foreach(state.update)
-          out.iterator
       }
   }
 
@@ -207,23 +263,51 @@ object Streaming {
     * cohort). Consumers reduce with MIN per key — emissions carry no
     * ordering column and sink row order is not a contract, but the
     * min-monotone invariant makes min(cohort_day) always the current
-    * assignment. State is one Int per key — O(1), unbounded-stream
-    * safe.
+    * assignment. State is one Int per key, and since round 15 the key
+    * SET is bounded too: see the eviction contract on the def below.
     */
   case class KeyDay(key: Long, day: Int) // day = epoch days
   case class CohortAssigned(key: Long, cohort_day: Int)
 
-  def firstSeenCohorts(ds: Dataset[KeyDay]): Dataset[CohortAssigned] = {
+  /** Eviction is ALWAYS safe here because consumers reduce with MIN per
+    * key: once the watermark passes `cohort_day + horizonDays` (the
+    * retention analysis window for that cohort is closed) the state is
+    * dropped. A key reappearing after eviction re-emits its first day
+    * seen SINCE eviction — a later day, which min-reduce discards; a
+    * genuinely earlier very-late event re-emits the earlier (more
+    * correct) day exactly as before. So the min-monotone consumer
+    * contract is unchanged; eviction only trades extra emissions for
+    * bounded state (O(keys active within the horizon), not lifetime
+    * distinct keys). `horizonDays <= 0` disables eviction.
+    */
+  def firstSeenCohorts(ds: Dataset[KeyDay],
+                       horizonDays: Int = 90,
+                       lateness: String = "1 day"): Dataset[CohortAssigned] = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(_.key)
+    val evict = horizonDays > 0
+    val withEt = ds.withColumn("__et",
+      timestamp_seconds(col("day").cast("long") * 86400L))
+    val src: Dataset[KeyDayEt] =
+      (if (evict) withEt.withWatermark("__et", lateness) else withEt).as[KeyDayEt]
+    val timeoutConf =
+      if (evict) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    src.groupByKey(_.key)
       .flatMapGroupsWithState[Int, CohortAssigned](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, rows: Iterator[KeyDay], state: GroupState[Int]) =>
-          val incoming = rows.map(_.day).min
-          if (state.getOption.forall(incoming < _)) {
-            state.update(incoming)
-            Iterator.single(CohortAssigned(key, incoming))
-          } else Iterator.empty
+        OutputMode.Append, timeoutConf) {
+        (key: Long, rows: Iterator[KeyDayEt], state: GroupState[Int]) =>
+          if (evict && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val incoming = rows.map(_.day).min
+            val revised = state.getOption.forall(incoming < _)
+            if (revised) state.update(incoming)
+            if (evict)
+              safeSetTimeout(state,
+                (state.get.toLong + horizonDays) * 86400000L)
+            if (revised) Iterator.single(CohortAssigned(key, incoming))
+            else Iterator.empty
+          }
       }
   }
 
@@ -233,7 +317,8 @@ object Streaming {
     * `maxLagSeconds`, emitting one row the FIRST time a key attains each
     * stage. State per key is the same latest-achievable completion-time
     * array the batch fold maintains (fixed length = #stages — O(1) per
-    * key, unbounded-stream safe), so the math is shared: an event of
+    * key; the key SET is bounded by watermark eviction, see the def
+    * below), so the math is shared: an event of
     * stage i at time t converts iff the prefix i-1 has a completion in
     * [t - lag, t], and overwriting with t keeps the state maximal for
     * all future events.
@@ -248,38 +333,74 @@ object Streaming {
   case class FunnelTimes(times: Seq[Long]) // -1 = unreached
   case class StageReached(key: Long, stage: Int, tMicros: Long)
 
+  /** State is evicted once the watermark passes `max(achievable times) +
+    * maxLag` (or the batch's newest event + maxLag when nothing has been
+    * attained): past that instant no on-time event can extend the chain
+    * from the stored state, so keeping it only suppresses duplicate
+    * emissions. Documented post-eviction semantics: a key returning after
+    * eviction restarts the funnel from scratch — a fresh stage-0 event
+    * RE-emits `StageReached(key, 0, t)` (and onward), exactly as a batch
+    * funnel over a fresh analysis window would. Consumers counting
+    * DISTINCT (key, stage) are unaffected; raw-count consumers see one
+    * extra row per stage per post-idle restart. Keyed state is therefore
+    * O(keys active within maxLag), not lifetime distinct keys.
+    * `evictState = false` restores the pre-round-15 unbounded behavior
+    * (used by the historical-replay parity spec, whose batch twin has no
+    * lateness cutoff). `lateness` is the watermark delay on the derived
+    * event-time column.
+    */
   def funnelProgress(ds: Dataset[StageEvent], nStages: Int,
-                     maxLagSeconds: Long): Dataset[StageReached] = {
+                     maxLagSeconds: Long,
+                     evictState: Boolean = true,
+                     lateness: String = "1 hour"): Dataset[StageReached] = {
     import ds.sparkSession.implicits._
     val lag = maxLagSeconds * 1000000L
-    ds.groupByKey(_.key)
+    val withEt = ds.withColumn("__et", timestamp_micros(col("tMicros")))
+    val src: Dataset[StageEventEt] =
+      (if (evictState) withEt.withWatermark("__et", lateness) else withEt)
+        .as[StageEventEt]
+    val timeoutConf =
+      if (evictState) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src.groupByKey(_.key)
       .flatMapGroupsWithState[FunnelTimes, StageReached](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, rows: Iterator[StageEvent], state: GroupState[FunnelTimes]) =>
-          val acc = state.getOption.map(_.times.toArray)
-            .getOrElse(Array.fill(nStages)(-1L))
-          val out = scala.collection.mutable.ArrayBuffer.empty[StageReached]
-          rows.toSeq.sortBy(e => (e.tMicros, e.stage)).foreach { e =>
-            val i = e.stage
-            if (i >= 0 && i < nStages) {
-              val prevOk = i == 0 ||
-                (acc(i - 1) >= 0 && e.tMicros >= acc(i - 1) &&
-                  e.tMicros - acc(i - 1) <= lag)
-              if (prevOk) {
-                if (acc(i) < 0) out += StageReached(key, i, e.tMicros)
-                // max, not overwrite: within a batch events arrive
-                // (t, stage)-sorted so this is the plain overwrite, but
-                // an out-of-order stage-i event arriving in a LATER
-                // micro-batch must not move the latest-achievable time
-                // BACKWARD (that would suppress a conversion the prior
-                // state already allowed) — state stays maximal under
-                // late data, like the batch fold's monotone acc.
-                acc(i) = math.max(acc(i), e.tMicros)
+        OutputMode.Append, timeoutConf) {
+        (key: Long, rows: Iterator[StageEventEt], state: GroupState[FunnelTimes]) =>
+          if (evictState && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val acc = state.getOption.map(_.times.toArray)
+              .getOrElse(Array.fill(nStages)(-1L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[StageReached]
+            var newestMicros = -1L
+            rows.toSeq.sortBy(e => (e.tMicros, e.stage)).foreach { e =>
+              val i = e.stage
+              newestMicros = math.max(newestMicros, e.tMicros)
+              if (i >= 0 && i < nStages) {
+                val prevOk = i == 0 ||
+                  (acc(i - 1) >= 0 && e.tMicros >= acc(i - 1) &&
+                    e.tMicros - acc(i - 1) <= lag)
+                if (prevOk) {
+                  if (acc(i) < 0) out += StageReached(key, i, e.tMicros)
+                  // max, not overwrite: within a batch events arrive
+                  // (t, stage)-sorted so this is the plain overwrite, but
+                  // an out-of-order stage-i event arriving in a LATER
+                  // micro-batch must not move the latest-achievable time
+                  // BACKWARD (that would suppress a conversion the prior
+                  // state already allowed) — state stays maximal under
+                  // late data, like the batch fold's monotone acc.
+                  acc(i) = math.max(acc(i), e.tMicros)
+                }
               }
             }
+            state.update(FunnelTimes(acc.toSeq))
+            if (evictState) {
+              val baseMicros = math.max(acc.max, newestMicros)
+              safeSetTimeout(state, (baseMicros + lag) / 1000L)
+            }
+            out.iterator
           }
-          state.update(FunnelTimes(acc.toSeq))
-          out.iterator
       }
   }
 
@@ -311,4 +432,39 @@ object Streaming {
     }
     cleaned.drop(cols.flatMap(c => Seq(s"__${c}_lb", s"__${c}_ub", s"__${c}_med")): _*)
   }
+
+  /** STREAMING SIMILARITY SEARCH — the ANN mirror of the standing-ledger
+    * dedup loop (LshIndex / HashLedger foreachBatch probes): a standing
+    * corpus indexed ONCE ([[graft.sim.SrpIndex]]), each arriving
+    * micro-batch of QUERY vectors probed against it with the persisted
+    * index path ([[graft.sim.Similarity.annTopKIndexed]] — broadcast
+    * probe join onto the bucket-group-partitioned index, candidate
+    * branch reads no embedding bytes, exact-cosine rescore on the
+    * survivors only).
+    *
+    * Each query row's top-k depends only on (query vector, corpus), so
+    * results are independent of micro-batch boundaries: the streamed
+    * union over batches equals the one-shot batch answer on the same
+    * query set — the parity gate in StreamingSpec. At scale this is the
+    * production online-retrieval shape: the 100 TB corpus side is
+    * immutable and pruned per probe, per-batch work is
+    * O(batch × probed buckets), and NO streaming state is kept (the
+    * operator is stateless per batch — nothing to watermark or evict).
+    *
+    * `sink` receives each batch's finished top-k frame (query_id,
+    * neighbor_id, cos, rank) — write it to a queue, table, or memory;
+    * empty batches are skipped.
+    */
+  def annSearchStream(idx: graft.sim.SrpIndex.Handle, queryStream: DataFrame,
+                      k: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      queryIdCol: String = "query_id")
+                     (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.sim.Similarity.annTopKIndexed(
+            idx, batch, k, idCol, vecCol, queryIdCol))
+        ()
+    }.start()
 }

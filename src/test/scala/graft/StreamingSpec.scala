@@ -658,7 +658,10 @@ class StreamingSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     import Streaming._
     val mem = MemoryStream[KeyDay]
-    val q = firstSeenCohorts(mem.toDS())
+    // horizonDays = 0: the unbounded variant — this spec pins the
+    // arbitrarily-late-revision semantics that eviction (deliberately)
+    // trades away; the evicting default is covered by its own spec below.
+    val q = firstSeenCohorts(mem.toDS(), horizonDays = 0)
       .writeStream.format("memory").queryName("cohorts_st")
       .outputMode("append").start()
     try {
@@ -708,21 +711,24 @@ class StreamingSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     import Streaming._
     val mem = MemoryStream[StageEvent]
-    // lag 100 s: the t=0 signup cannot chain to the t=150 view, the
-    // t=100 signup (arriving in a later batch) can — the stored
-    // latest-achievable state must reflect it.
+    // lag 100 s: the t=1000 s signup cannot chain to the t=1150 s view,
+    // the t=1100 s signup (arriving in a later batch) can — the stored
+    // latest-achievable state must reflect it. (Times sit off epoch 0:
+    // with eviction's watermark, a t=0 event ties the INITIAL watermark
+    // and is filtered as late — a degenerate corner, not the semantics
+    // under test.)
     val q = funnelProgress(mem.toDS(), nStages = 2, maxLagSeconds = 100)
       .writeStream.format("memory").queryName("funnel_st")
       .outputMode("append").start()
     try {
-      mem.addData(StageEvent(1L, 0L, 0))
+      mem.addData(StageEvent(1L, 1000000000L, 0))
       q.processAllAvailable()
-      mem.addData(StageEvent(1L, 100000000L, 0), StageEvent(1L, 150000000L, 1))
+      mem.addData(StageEvent(1L, 1100000000L, 0), StageEvent(1L, 1150000000L, 1))
       q.processAllAvailable()
       val got = spark.table("funnel_st")
         .collect().map(r => (r.getAs[Long]("key"), r.getAs[Int]("stage"),
           r.getAs[Long]("tMicros"))).toSet
-      assert(got === Set((1L, 0, 0L), (1L, 1, 150000000L)))
+      assert(got === Set((1L, 0, 1000000000L), (1L, 1, 1150000000L)))
     } finally q.stop()
   }
 
@@ -730,24 +736,26 @@ class StreamingSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     import Streaming._
     val mem = MemoryStream[StageEvent]
-    // batch 1 records a signup at t=100 s. Batch 2 delivers a LATE
-    // signup at t=0 (out-of-order across batches) plus a view at
-    // t=150 s with lag 100 s. Overwriting acc(0) with the late event
-    // would move the latest-achievable signup back to 0 and suppress
-    // the 100 -> 150 conversion the stored state already allowed; the
+    // batch 1 records a signup at t=5000 s (watermark -> 5000 s - 1 h
+    // lateness = 1400 s). Batch 2 delivers a LATE signup at t=2000 s —
+    // out-of-order across batches but ABOVE the watermark, so it reaches
+    // the fold rather than being late-filtered — plus a view at t=5050 s
+    // with lag 100 s. Overwriting acc(0) with the late event would move
+    // the latest-achievable signup back to 2000 s and suppress the
+    // 5000 -> 5050 conversion the stored state already allowed; the
     // max-merge keeps state maximal and the chain converts.
     val q = funnelProgress(mem.toDS(), nStages = 2, maxLagSeconds = 100)
       .writeStream.format("memory").queryName("funnel_late")
       .outputMode("append").start()
     try {
-      mem.addData(StageEvent(1L, 100000000L, 0))
+      mem.addData(StageEvent(1L, 5000000000L, 0))
       q.processAllAvailable()
-      mem.addData(StageEvent(1L, 0L, 0), StageEvent(1L, 150000000L, 1))
+      mem.addData(StageEvent(1L, 2000000000L, 0), StageEvent(1L, 5050000000L, 1))
       q.processAllAvailable()
       val got = spark.table("funnel_late")
         .collect().map(r => (r.getAs[Long]("key"), r.getAs[Int]("stage"),
           r.getAs[Long]("tMicros"))).toSet
-      assert(got === Set((1L, 0, 100000000L), (1L, 1, 150000000L)))
+      assert(got === Set((1L, 0, 5000000000L), (1L, 1, 5050000000L)))
     } finally q.stop()
   }
 
@@ -786,6 +794,124 @@ class StreamingSpec extends SparkTestBase {
       val want = stages.indices.map(i => i -> batch.getAs[Long](s"n$i"))
         .filter(_._2 > 0).toMap
       assert(streamed === want)
+    } finally q.stop()
+  }
+
+  test("annSearchStream: streamed query micro-batches equal one-shot annTopKIndexed (s2 twin)") {
+    // the ANN mirror of the standing-ledger dedup loops above: corpus
+    // indexed ONCE (SrpIndex), query vectors arrive as micro-batches,
+    // each probed via the persisted-index path. Per-query top-k depends
+    // only on (query, corpus), so the streamed union must equal the
+    // one-shot batch answer over the same query set.
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val idx = graft.sim.SrpIndex.ensure(spark, dir, emb, nTables = 12)
+    val queries = emb.filter($"vec_id" < 8)
+    val staged = java.nio.file.Files.createTempDirectory("graft_ann_stream")
+    // two files so the bounded reader delivers >1 micro-batch
+    queries.filter($"vec_id" < 4).write.mode("overwrite")
+      .parquet(staged.resolve("p1").toString)
+    queries.filter($"vec_id" >= 4).write.mode("overwrite")
+      .parquet(staged.resolve("p2").toString)
+    val qStream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString + "/*")
+    val got = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, Long, Long)]()
+    val q = Streaming.annSearchStream(idx, qStream, k = 5) { res =>
+      res.collect().foreach(r => got.add((r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank"))))
+    }
+    try q.processAllAvailable() finally q.stop()
+    val expected = graft.sim.Similarity.annTopKIndexed(idx, queries, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank"))).toSet
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet === expected)
+    assert(expected.size >= 8) // every query found neighbors — a real probe
+  }
+
+  test("funnelProgress evicts idle keys; post-eviction stage-0 re-emits (documented)") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming._
+    // lag 100 s, zero lateness: once the watermark passes a key's last
+    // achievable time + lag, its state is dropped. The proof of eviction
+    // is the RE-emission in batch 3: with surviving state, a second
+    // stage-0 event emits nothing (acc(0) >= 0 suppresses duplicates).
+    val mem = MemoryStream[StageEvent]
+    val q = funnelProgress(mem.toDS(), nStages = 2, maxLagSeconds = 100,
+        lateness = "0 seconds")
+      .writeStream.format("memory").queryName("funnel_evict")
+      .outputMode("append").start()
+    try {
+      mem.addData(StageEvent(1L, 1000000000L, 0))
+      q.processAllAvailable()
+      // watermark -> 2000 s, far past key 1's timeout (1000 + 100 s)
+      mem.addData(StageEvent(2L, 2000000000L, 0))
+      q.processAllAvailable()
+      // key 1 restarts from scratch: stage-0 re-emits
+      mem.addData(StageEvent(1L, 3000000000L, 0))
+      q.processAllAvailable()
+      val got = spark.table("funnel_evict")
+        .collect().map(r => (r.getAs[Long]("key"), r.getAs[Int]("stage"),
+          r.getAs[Long]("tMicros"))).toSet
+      assert(got === Set((1L, 0, 1000000000L), (2L, 0, 2000000000L),
+        (1L, 0, 3000000000L)))
+    } finally q.stop()
+  }
+
+  test("firstSeenCohorts evicts past the horizon; min-reduce consumers unaffected") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming._
+    val mem = MemoryStream[KeyDay]
+    val q = firstSeenCohorts(mem.toDS(), horizonDays = 10, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("cohorts_evict")
+      .outputMode("append").start()
+    try {
+      mem.addData(KeyDay(1L, 100))
+      q.processAllAvailable()
+      // watermark -> day 200 > key 1's timeout (100 + 10)
+      mem.addData(KeyDay(2L, 200))
+      q.processAllAvailable()
+      // key 1 returns after eviction: re-emits its first day SINCE
+      // eviction (a later day — with surviving state, 205 > 100 would
+      // emit nothing). min-reduce still yields the true cohort.
+      mem.addData(KeyDay(1L, 205))
+      q.processAllAvailable()
+      val got = spark.table("cohorts_evict")
+        .collect().map(r => (r.getAs[Long]("key"), r.getAs[Int]("cohort_day"))).toSet
+      assert(got === Set((1L, 100), (2L, 200), (1L, 205)))
+      val reduced = spark.table("cohorts_evict").groupBy($"key")
+        .agg(min($"cohort_day").as("c"))
+        .collect().map(r => r.getAs[Long]("key") -> r.getAs[Int]("c")).toMap
+      assert(reduced === Map(1L -> 100, 2L -> 200))
+    } finally q.stop()
+  }
+
+  test("runningDailyChange evicts after the TTL; comeback day emits no change") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming._
+    val mem = MemoryStream[DayObs]
+    val q = runningDailyChange(mem.toDS(), stateTtlDays = 5, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("day_chg_evict")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        DayObs("a", java.sql.Date.valueOf("2024-01-01"), 10.0),
+        DayObs("a", java.sql.Date.valueOf("2024-01-02"), 12.0))
+      q.processAllAvailable()
+      // watermark -> 2024-02-01, far past key a's timeout (01-02 + 5 d)
+      mem.addData(DayObs("b", java.sql.Date.valueOf("2024-02-01"), 1.0))
+      q.processAllAvailable()
+      // comeback after eviction: no diff target -> NO change row for 02-10
+      // (with surviving state this batch would emit 20 - 12 = 8.0)
+      mem.addData(DayObs("a", java.sql.Date.valueOf("2024-02-10"), 20.0))
+      q.processAllAvailable()
+      mem.addData(DayObs("a", java.sql.Date.valueOf("2024-02-11"), 25.0))
+      q.processAllAvailable()
+      val got = spark.table("day_chg_evict")
+        .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2))).toSet
+      assert(got === Set(("a", "2024-01-02", 2.0), ("a", "2024-02-11", 5.0)))
     } finally q.stop()
   }
 }
