@@ -51,7 +51,13 @@ object ExplainAudit {
     // map-side; the digest-ledger probe must stay DPP-pruned)
     "w14_funnel", "w15_retention", "d19_simhash_verified_pairs",
     "m5_image_decode", "m8_image_content_dedup",
-    "m12_incremental_content_indexed")
+    "m12_incremental_content_indexed",
+    // round-15: the rest of the media family (r14 verdict item 5) — the
+    // "blobs never cross an exchange" and distinct-universe-join claims
+    // stay diffable for the hash scan, both perceptual pair shapes, and
+    // both GIF decode paths
+    "m13_image_ahash", "m14_image_perceptual_neardups", "m15_gif_frames",
+    "m16_gif_frame_sample", "m17_perceptual_hash_pairs")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS

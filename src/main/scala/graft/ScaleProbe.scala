@@ -44,7 +44,15 @@ object ScaleProbe {
     // quadratic in the duplicate rate by nature (the e1/e3 rationale) —
     // probed never, like every corpus-wide near-dup pair emission
     "m13_image_ahash", "m15_gif_frames",
-    "d19_simhash_verified_pairs", "d13_lsh_verified_pairs")
+    "d19_simhash_verified_pairs", "d13_lsh_verified_pairs",
+    // round-15 additions (the r14 verdict's still-unprobed newcomers):
+    // t21 = weighted resample over the t20 weights (global top-k);
+    // m6/m16 = real decode+resize and the frame-SAMPLE path (dup-index
+    // branch); d12/d14 = the union-find closure path — at the scaled
+    // duplicate rate the edge count crosses the 4M driver budget, so
+    // this exercises the distributed pointer-jumping branch too
+    "t21_dsir_resample", "m6_image_resize", "m16_gif_frame_sample",
+    "d12_dup_clusters", "d14_fuzzy_survivors")
 
   /** TPC-H probe set (SPARK_GRAFT_PROBE=tpch): the fact-heavy headline
     * shapes — pure fact agg (q1), fact⋈fact⋈dim top-k (q3), 5-way profit
@@ -230,6 +238,63 @@ object ScaleProbe {
       val heapRaised = try math.min(heapOnce, heapOnce)
       finally spark.conf.set(fbKey, saved)
       Seq(("t9_heap_fb128_vs_fb1m", heapDefault, heapRaised))
+    }) ++ (if (probeSet != "events") Seq.empty else {
+      // m14's hash-pair join under perception CLUSTERS (r14 verdict item
+      // 3): the perturbed-variant corpus gives every seed content an
+      // unbounded stream of distinct-but-near hashes (variant = id/101,
+      // ≤3 cells inverted), so per-cluster distinct-hash occupancy — the
+      // term the distinct-universe argument does NOT bound — grows with
+      // the corpus. Rows: the capped join's base→scaled growth (the
+      // operative default), and capped vs UNCAPPED at the base size
+      // (the quadratic mass is visible already there; uncapped at ×100
+      // is deliberately not run — the same-shaped d19 blocker measured
+      // 332× for 100× data before its cap).
+      import graft.multimodal.Multimodal
+      def pairsOnce(dir: String, cap: Int): Double = timeOnce(
+        Multimodal.perceptualHashPairs(
+          Multimodal.syntheticPerturbedGridImageTable(spark, dir),
+          maxHamming = 3, bucketCap = cap).count())
+      // force the fixture build (cachedDerived) before timing either dir
+      Multimodal.syntheticPerturbedGridImageTable(spark, src).count()
+      Multimodal.syntheticPerturbedGridImageTable(spark, out).count()
+      val cappedBase = math.min(pairsOnce(src, 64), pairsOnce(src, 64))
+      val cappedScaled = math.min(pairsOnce(out, 64), pairsOnce(out, 64))
+      val uncappedBase = math.min(pairsOnce(src, 0), pairsOnce(src, 0))
+      Seq(("m14_hash_pairs_capped", cappedBase, cappedScaled),
+          ("m14_hash_pairs_capped_vs_uncapped_base", cappedBase, uncappedBase))
+    }) ++ (if (probeSet != "events") Seq.empty else {
+      // w14 funnel cap headroom GATE (r14 verdict item 7): on the scaled
+      // corpus the default-capped funnel must produce IDENTICAL rows to
+      // the uncapped exact fold — the cap is a memory bound, never a
+      // result change, and the densest scaled key (~8 500) sits only
+      // 1.2× under the 10 000 default, so this is the corpus where a
+      // density jump would first silently diverge. The probe FAILS
+      // outright on mismatch (cap-selection rule: Lifecycle.defaultEventCap
+      // scaladoc) rather than reporting a timing for a wrong answer.
+      import graft.analyze.Lifecycle
+      val stages = Seq("signup", "view", "click", "purchase")
+      val ev = Tables.events(spark, out)
+      def funnelRun(cap: Int): (Seq[String], Double) = {
+        var rows: Seq[String] = null
+        def once = timeOnce {
+          rows = Lifecycle.funnel(ev, "user_id", "ts", "event_type", stages,
+              maxLagSeconds = 21600, maxEventsPerKey = cap)
+            .orderBy("stage_idx").collect().toSeq.map(_.toString)
+        }
+        val t = math.min(once, once)
+        (rows, t)
+      }
+      val densest = Lifecycle.maxStageEventsPerKey(ev, "user_id", "event_type", stages)
+      val (capped, tCapped) = funnelRun(Lifecycle.defaultEventCap)
+      val (exact, tExact) = funnelRun(0)
+      require(capped == exact,
+        s"w14 cap headroom gate FAILED at ×$factor: capped funnel != uncapped " +
+          s"(densest key $densest vs cap ${Lifecycle.defaultEventCap}) — raise " +
+          "Lifecycle.defaultEventCap per the cap-selection rule.\n" +
+          s"capped:  $capped\nuncapped: $exact")
+      println(s"w14 cap headroom gate OK at ×$factor: densest key $densest, " +
+        s"cap ${Lifecycle.defaultEventCap}, capped == uncapped (4 stages)")
+      Seq(("w14_capped_vs_uncapped_gate", tCapped, tExact))
     }) ++ (if (probeSet != "tpch") Seq.empty else {
       // Bucketed-join twin for the probe's superlinear rows: q3/q21 grow
       // ~10x at 100x facts because the fact-fact sort-merge join re-sorts

@@ -1463,6 +1463,13 @@ object SparkEntry {
     "m16_gif_frame_sample" -> ((s, d) =>
       graft.multimodal.Multimodal.sampleGifFrames(
         graft.multimodal.Multimodal.syntheticGifTable(s, d), n = 4)),
+    // the same sampler at n = 8 — WIDER than every asset's frame count
+    // (2..5), so every asset exercises the duplicate-index branch (each
+    // frame decoded once, emitted for every sample slot that maps to it)
+    // under the oracle rather than only under the spec.
+    "m16b_gif_frame_sample_wide" -> ((s, d) =>
+      graft.multimodal.Multimodal.sampleGifFrames(
+        graft.multimodal.Multimodal.syntheticGifTable(s, d), n = 8)),
 
     // PERCEPTUAL hash from the real decode (top rung of the media dedup
     // ladder: bytes m4 → decoded content m8 → perception m13/m14): the
@@ -1479,6 +1486,14 @@ object SparkEntry {
     // hamming<=3 pair can escape the blocking).
     "m14_image_perceptual_neardups" -> ((s, d) =>
       graft.multimodal.Multimodal.perceptualNearDups(
+        graft.multimodal.Multimodal.syntheticGridImageTable(s, d), maxHamming = 3)),
+    // the perception GRAPH itself (r15): verified hash pairs over the
+    // distinct-perception universe, never expanded to members — the
+    // operator a clusterer consumes. The oracle brute-forces hamming
+    // over the distinct formula hashes with the same signed 64-bit
+    // packing the engine publishes.
+    "m17_perceptual_hash_pairs" -> ((s, d) =>
+      graft.multimodal.Multimodal.perceptualHashPairs(
         graft.multimodal.Multimodal.syntheticGridImageTable(s, d), maxHamming = 3)),
 
     // Incremental CONTENT-new media (the d17 daily-crawl pass with the
@@ -3236,6 +3251,20 @@ object SparkEntry {
         |  CAST((media_id * 89 + frame_idx * 41 + 23) % 256 AS INT) AS mean_b
         |FROM s""".stripMargin,
 
+    // n = 8 > every nf (2..5): sample slot i maps to frame floor(nf*i/8),
+    // so duplicate frame indices appear for every asset — the oracle
+    // replays the duplicate-emitting branch exactly
+    "m16b_gif_frame_sample_wide" ->
+      """WITH g AS (SELECT doc_id AS media_id, 2 + doc_id % 4 AS nf FROM documents),
+        |s AS (SELECT media_id, nf, CAST(i - 1 AS INT) AS sample_idx,
+        |        CAST((nf * (i - 1)) // 8 AS INT) AS frame_idx
+        |      FROM g, range(1, 9) t(i))
+        |SELECT media_id, sample_idx, frame_idx,
+        |  CAST((media_id * 43 + frame_idx * 17 + 5) % 256 AS INT) AS mean_r,
+        |  CAST((media_id * 67 + frame_idx * 29 + 11) % 256 AS INT) AS mean_g,
+        |  CAST((media_id * 89 + frame_idx * 41 + 23) % 256 AS INT) AS mean_b
+        |FROM s""".stripMargin,
+
     // the average-hash bits recomputed arithmetically (ahashCte) — a
     // match proves the decode→grid-mean→threshold pipeline end-to-end
     "m13_image_ahash" ->
@@ -3251,6 +3280,21 @@ object SparkEntry {
          |FROM h a JOIN h b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.ahash_hi, b.ahash_hi)) +
          |      bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 3""".stripMargin,
+
+    // distinct formula hashes, signed-packed ((hi<<32)|lo as the engine
+    // publishes: hi ≥ 2^31 wraps negative), brute-force hamming <= 3 —
+    // the chunk-blocked distinct-universe search must find the exact set
+    "m17_perceptual_hash_pairs" ->
+      s"""WITH $ahashCte,
+         |u AS (SELECT DISTINCT
+         |        (ahash_hi - CASE WHEN ahash_hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+         |          * 4294967296 + ahash_lo AS hp,
+         |        ahash_hi AS hi, ahash_lo AS lo
+         |      FROM h)
+         |SELECT a.hp AS hash1, b.hp AS hash2,
+         |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+         |FROM u a JOIN u b ON a.hp < b.hp
+         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin,
 
     // content-new = batch seeds with no corpus member: doc_ids share
     // decoded content iff they share doc_id % 397 (the dup-table seed),

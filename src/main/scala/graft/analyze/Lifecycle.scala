@@ -20,8 +20,35 @@ import org.apache.spark.sql.functions._
   */
 object Lifecycle {
 
-  /** Default per-key funnel-event cap — see [[funnelStageTimes]]. */
+  /** Default per-key funnel-event cap — see [[funnelStageTimes]].
+    *
+    * CAP-SELECTION RULE (how to size this on a real corpus): the cap
+    * must dominate the densest NON-BOT key's in-funnel event count with
+    * an order-of-magnitude of headroom — measure
+    * [[maxStageEventsPerKey]] on a representative sample at deployment
+    * scale and size the cap ≥ 10× that; a cap inside the organic
+    * density range silently changes funnel counts (capped keys fold
+    * only their first `cap` events). The default 10 000 is ~120× the
+    * densest sf0.1 key (85) and ~1.2× the ×100 probe's densest
+    * (~8 500) — adequate for every corpus this repo measures, but 1.2×
+    * is NOT the rule; re-derive at each scale jump. The scale probe
+    * enforces this mechanically: its `w14_capped_vs_uncapped_gate` row
+    * re-runs the funnel capped AND uncapped on the upscaled corpus and
+    * fails the probe outright if their outputs diverge.
+    */
   val defaultEventCap: Int = 10000
+
+  /** The densest key's in-funnel event count — the measurement the
+    * cap-selection rule above is applied to (and the scale probe's gate
+    * reports). One aggregation over the funnel's own stage events.
+    */
+  def maxStageEventsPerKey(df: DataFrame, key: String, typeCol: String,
+                           stages: Seq[String]): Long = {
+    val r = df.filter(col(typeCol).isInCollection(stages))
+      .groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
 
   /** CollectMetrics observation name carrying `dropped_events` /
     * `capped_keys` for the funnel's per-key event cap.

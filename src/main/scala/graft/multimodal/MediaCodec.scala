@@ -343,6 +343,69 @@ object MediaCodec {
     bos.toByteArray
   }
 
+  /** splitmix64 finalizer (public-domain mix), for deterministic variant
+    * cell choices below.
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** A perceptual VARIANT of [[encodeGridPng]]'s seed content: the same
+    * 8×8 grid with a few cells' luma INVERTED (v → 255 − v), the flipped
+    * cells drawn deterministically from (seed, variant). This is the
+    * "same photo, many re-encodes with small raster edits" cluster shape
+    * of a natural crawl: each variant decodes to a raster whose
+    * average-hash differs from the base in ≈ flip-count bits (inverting
+    * a cell moves its luma across the global mean except for mid-gray
+    * cells), so a seed's variants form a hamming-clustered perception
+    * family whose DISTINCT hash count GROWS with the variant space — the
+    * corpus shape the perceptual distinct-universe argument does not
+    * bound by itself, built so the scale probe can measure the capped
+    * hash-pair join against it. `variant = 0` reproduces the base image
+    * byte-for-byte; `variant > 0` flips `1 + (variant − 1) % maxFlips`
+    * distinct cells.
+    */
+  def encodeGridPngVariant(seed: Long, variant: Long, maxFlips: Int = 3): Array[Byte] = {
+    require(maxFlips >= 1 && maxFlips <= 64, s"maxFlips in [1,64], got $maxFlips")
+    val luma = new Array[Int](64)
+    var c = 0
+    while (c < 64) { luma(c) = cellLuma(seed, c % 8, c / 8); c += 1 }
+    if (variant != 0L) {
+      val nFlips = 1 + Math.floorMod(variant - 1, maxFlips.toLong).toInt
+      val picked = new Array[Int](nFlips)
+      var k = 0; var probe = 0L
+      while (k < nFlips) {
+        val cell = Math.floorMod(mix64(seed * 1000003L + variant * 64L + probe), 64L).toInt
+        probe += 1
+        if (!picked.take(k).contains(cell)) { picked(k) = cell; k += 1 }
+      }
+      picked.foreach(cell => luma(cell) = 255 - luma(cell))
+    }
+    val img = new BufferedImage(gridSide, gridSide, BufferedImage.TYPE_INT_RGB)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val v = luma(cy * 8 + cx)
+        val p = (v << 16) | (v << 8) | v
+        var y = cy * 8
+        while (y < (cy + 1) * 8) {
+          var x = cx * 8
+          while (x < (cx + 1) * 8) { img.setRGB(x, y, p); x += 1 }
+          y += 1
+        }
+        cx += 1
+      }
+      cy += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** 64-bit average-hash of a decoded image, returned as two unsigned
     * 32-bit halves (hi = bits 32..63 i.e. cells cy 4..7, lo = bits
     * 0..31) so an engine without unsigned 64-bit arithmetic can replay

@@ -404,6 +404,24 @@ object Multimodal {
         .toDF("media_id", "bytes")
     }
 
+  /** Perceptual-CLUSTER grid fixture: `seedMod` seed contents, each with
+    * an unbounded variant stream (`variant = doc_id / seedMod`,
+    * [[MediaCodec.encodeGridPngVariant]] — ≤3 cells luma-inverted), so a
+    * bigger corpus has MORE DISTINCT near-identical perceptions of the
+    * same content, not just more copies. This is the natural-crawl shape
+    * ("same photo, many crops/filters") whose per-cluster distinct-hash
+    * growth the scale probe measures against the capped hash-pair join.
+    */
+  def syntheticPerturbedGridImageTable(spark: SparkSession, sfDir: String,
+                                       seedMod: Int = 101): DataFrame =
+    cachedDerived(spark, sfDir, s"media_gridvar$seedMod", None) {
+      import spark.implicits._
+      graft.Tables(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, MediaCodec.encodeGridPngVariant(id % seedMod, id / seedMod))))
+        .toDF("media_id", "bytes")
+    }
+
   /** Per-image 64-bit average-hash from the REAL decoded raster,
     * published as unsigned 32-bit halves (MediaCodec.averageHash).
     * Map-side decode+hash; output is three narrow columns.
@@ -428,11 +446,16 @@ object Multimodal {
     * [[graft.dedup.Dedup.hammingChunks]]), exact hamming verify. One shuffle on
     * (chunk, value); blob bytes never cross an exchange. `bucketCap`
     * bounds per-(chunk, value) occupancy with the shared
-    * [[graft.dedup.Dedup]] guard (observed drops, 0 = off); it is OFF
-    * by default because perceptual dup groups are the point here — run
-    * exact/content dedup first, as the curation funnel does, and cap
-    * only when a viral-image pile-up is expected to survive those
-    * passes.
+    * [[graft.dedup.Dedup]] guard (observed drops, 0 = off).
+    * **BEHAVIOR CHANGE (r15): the cap default moved from 0 (off) to
+    * [[graft.dedup.Dedup.defaultBucketCap]] (64)** — the distinct-universe
+    * argument bounds occupancy per PERCEPTION, not per perception
+    * CLUSTER, and the ×100 scale probe's perturbed-variant corpus (one
+    * seed content, thousands of near-identical re-encodes with distinct
+    * hashes) measured the uncapped chunk join growing quadratically in
+    * cluster size exactly like the d19 SimHash blocker (332× for 100×
+    * data) before its cap. Pass `bucketCap = 0` to restore the old
+    * output; drops ride the `graft_ahash_bucket_cap` observation.
     *
     * NOTE: construction is EAGER — the decode+hash scan runs at call
     * time via `localCheckpoint` (so one decode pass can feed both the
@@ -442,10 +465,8 @@ object Multimodal {
     * not just the first action on the returned DataFrame.
     */
   def perceptualNearDups(images: DataFrame, maxHamming: Int = 3,
-                         bucketCap: Int = 0): DataFrame = {
-    val hashes = imageAverageHashes(images)
-      .select(col("media_id"),
-        shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo")).as("__h"))
+                         bucketCap: Int = graft.dedup.Dedup.defaultBucketCap): DataFrame = {
+    val hashes = packedHashes(images)
       .localCheckpoint() // one decode pass feeds both branches below
     // the blocked search runs over the DISTINCT hash universe — on a
     // dup-heavy corpus orders of magnitude smaller than the image count
@@ -454,20 +475,7 @@ object Multimodal {
     // expand afterwards at output-size cost: equal-hash cliques from one
     // equi-self-join, cross-hash near pairs from the (tiny) verified
     // hash-pair table joined back to each side's members.
-    val uniq = hashes.select("__h").distinct()
-    val chunked = uniq.select(col("__h"),
-      explode(graft.dedup.Dedup.hammingChunks(col("__h"), maxHamming)).as("cb"))
-      .select(col("__h"), col("cb.chunk"), col("cb.ckey"))
-    val gated = graft.dedup.Dedup.capBuckets(chunked, Seq("chunk", "ckey"),
-      bucketCap, "graft_ahash_bucket_cap")
-    val l = gated.select(col("chunk"), col("ckey"), col("__h").as("__h1"))
-    val r = gated.select(col("chunk"), col("ckey"), col("__h").as("__h2"))
-    val hashPairs = l.join(r, Seq("chunk", "ckey"))
-      .filter(col("__h1") < col("__h2"))
-      .select(col("__h1"), col("__h2"),
-        bit_count(col("__h1").bitwiseXOR(col("__h2"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    val hashPairs = hashPairsFromPacked(hashes, maxHamming, bucketCap)
     val sameHash = hashes.select(col("__h"), col("media_id").as("id1"))
       .join(hashes.select(col("__h"), col("media_id").as("id2")), Seq("__h"))
       .filter(col("id1") < col("id2"))
@@ -479,6 +487,55 @@ object Multimodal {
         greatest(col("__m1"), col("__m2")).as("id2"), col("hamming"))
     sameHash.unionByName(crossHash)
   }
+
+  /** Per-image packed 64-bit average-hash (hi half shifted over the lo
+    * half) — the single decode+hash scan both perceptual branches run on.
+    */
+  private def packedHashes(images: DataFrame): DataFrame =
+    imageAverageHashes(images)
+      .select(col("media_id"),
+        shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo")).as("__h"))
+
+  /** The chunk-blocked, hamming-verified pair search over a packed-hash
+    * frame — [[perceptualNearDups]]'s distinct-universe stage, factored
+    * out so it is independently callable and probe-able without the
+    * member-pair expansion (whose output is quadratic in copies per
+    * perception BY DEFINITION and therefore excluded from scale probes,
+    * the e1/e3 rationale).
+    */
+  private def hashPairsFromPacked(hashes: DataFrame, maxHamming: Int,
+                                  bucketCap: Int): DataFrame = {
+    val uniq = hashes.select("__h").distinct()
+    val chunked = uniq.select(col("__h"),
+      explode(graft.dedup.Dedup.hammingChunks(col("__h"), maxHamming)).as("cb"))
+      .select(col("__h"), col("cb.chunk"), col("cb.ckey"))
+    val gated = graft.dedup.Dedup.capBuckets(chunked, Seq("chunk", "ckey"),
+      bucketCap, "graft_ahash_bucket_cap")
+    val l = gated.select(col("chunk"), col("ckey"), col("__h").as("__h1"))
+    val r = gated.select(col("chunk"), col("ckey"), col("__h").as("__h2"))
+    l.join(r, Seq("chunk", "ckey"))
+      .filter(col("__h1") < col("__h2"))
+      .select(col("__h1"), col("__h2"),
+        bit_count(col("__h1").bitwiseXOR(col("__h2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Verified near-dup PERCEPTION pairs — the distinct-hash-universe
+    * search stage of [[perceptualNearDups]] as its own operator, for
+    * consumers that want the perception graph (cluster the hashes, THEN
+    * decide what to do with members) rather than the expanded member
+    * pairs. One decode scan, one shuffle on (chunk, value); output is
+    * one row per verified hash pair `(hash1, hash2, hamming)`, bounded
+    * by the distinct-perception universe — never by the copy count.
+    * `bucketCap` as in [[perceptualNearDups]] (on by default; the
+    * quadratic term it bounds is per-CLUSTER distinct-hash occupancy,
+    * measured in docs/SCALE_PROBE.md's perturbed-variant probe).
+    */
+  def perceptualHashPairs(images: DataFrame, maxHamming: Int = 3,
+                          bucketCap: Int = graft.dedup.Dedup.defaultBucketCap): DataFrame =
+    hashPairsFromPacked(packedHashes(images), maxHamming, bucketCap)
+      .select(col("__h1").as("hash1"), col("__h2").as("hash2"), col("hamming"))
 
   /** Animated-GIF table: one real multi-frame motion asset per doc id
     * (MediaCodec.encodeGif; frame count and colors formula-derived).

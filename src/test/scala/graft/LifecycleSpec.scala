@@ -144,6 +144,30 @@ class LifecycleSpec extends SparkTestBase {
     assert(capped === exact)
   }
 
+  test("funnel cap-selection rule: densest-key measurement + order-of-magnitude headroom") {
+    // the rule (Lifecycle.defaultEventCap scaladoc): cap >= 10x the
+    // densest key's in-funnel event count, re-derived at each scale.
+    // maxStageEventsPerKey is the measurement; it must count ONLY the
+    // funnel's own stage events.
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "signup"),
+      (1L, ts("2024-01-01 00:01:00"), "view"),
+      (1L, ts("2024-01-01 00:02:00"), "other"), // not a funnel stage
+      (2L, ts("2024-01-01 00:00:00"), "view")
+    ).toDF("user_id", "t", "et")
+    assert(Lifecycle.maxStageEventsPerKey(ev, "user_id", "et",
+      Seq("signup", "view")) === 2L)
+    assert(Lifecycle.maxStageEventsPerKey(ev, "user_id", "et",
+      Seq("purchase")) === 0L) // no stage events at all -> 0, not null
+    // and the default cap honors the rule on the committed testdata
+    val densest = Lifecycle.maxStageEventsPerKey(
+      Tables.events(spark, "/root/testdata/sf0.001"), "user_id", "event_type",
+      Seq("signup", "view", "click", "purchase"))
+    assert(densest > 0L)
+    assert(Lifecycle.defaultEventCap >= 10L * densest,
+      s"default cap ${Lifecycle.defaultEventCap} lacks 10x headroom over densest $densest")
+  }
+
   test("cohortRetention: counts and rates per first-seen cohort") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 10:00:00")),

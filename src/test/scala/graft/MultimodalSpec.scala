@@ -219,6 +219,52 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs === brute)
   }
 
+  test("perceptualHashPairs: blocked search == brute force over a perturbed variant cluster") {
+    import graft.multimodal.MediaCodec
+    // one seed content with 25 re-encode variants (≤3 cells inverted)
+    // plus an unrelated seed — the perception-CLUSTER corpus shape
+    assert(MediaCodec.encodeGridPngVariant(7L, 0L).sameElements(
+      MediaCodec.encodeGridPng(7L)), "variant 0 must be the base image")
+    val images = ((0L until 25L).map(v => (v, MediaCodec.encodeGridPngVariant(7L, v))) :+
+      (100L, MediaCodec.encodeGridPngVariant(8L, 0L))).toDF("media_id", "bytes")
+    val got = Multimodal.perceptualHashPairs(images, maxHamming = 3, bucketCap = 0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val packed = Multimodal.imageAverageHashes(images).collect()
+      .map(r => (r.getLong(1) << 32) | r.getLong(2)).distinct
+    val brute = packed.combinations(2).map { case Array(a, b) =>
+      ((math.min(a, b), math.max(a, b)), java.lang.Long.bitCount(a ^ b))
+    }.filter(_._2 <= 3).toMap
+    assert(got === brute)
+    // the cluster must actually cluster: 1-flip variants sit within
+    // hamming 3 of the base perception, so pairs exist
+    assert(got.nonEmpty)
+  }
+
+  test("perceptualHashPairs: occupancy cap drops hot-cluster mass (observed); cold pairs survive") {
+    import graft.multimodal.MediaCodec
+    // hot cluster: 48 distinct perceptions of seed 3 — occupancy in the
+    // chunks its variants leave untouched far exceeds a cap of 8. Cold
+    // pair: seed 5's base + one 1-flip variant (bucket occupancy 2).
+    val images = ((0L until 48L).map(v => (v, MediaCodec.encodeGridPngVariant(3L, v))) ++
+      Seq((200L, MediaCodec.encodeGridPngVariant(5L, 0L)),
+          (201L, MediaCodec.encodeGridPngVariant(5L, 1L)))).toDF("media_id", "bytes")
+    val cappedDf = Multimodal.perceptualHashPairs(images, maxHamming = 3, bucketCap = 8)
+    val capped = cappedDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Multimodal.perceptualHashPairs(images, maxHamming = 3, bucketCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+    assert(capped.size < uncapped.size, "the hot cluster must lose pairs under the cap")
+    val coldHashes = Multimodal.imageAverageHashes(images)
+      .filter(col("media_id") >= 200L).collect()
+      .map(r => (r.getLong(1) << 32) | r.getLong(2)).distinct.sorted
+    if (coldHashes.length == 2 &&
+        java.lang.Long.bitCount(coldHashes(0) ^ coldHashes(1)) <= 3)
+      assert(capped.contains((coldHashes(0), coldHashes(1))),
+        "the cold near pair must survive the cap")
+    val observed = cappedDf.queryExecution.observedMetrics("graft_ahash_bucket_cap")
+    assert(observed.getAs[Long]("capped_bucket_rows") > 0L)
+  }
+
   test("JPEG codec: dims exact through the lossy round trip, channels near-exact") {
     import graft.multimodal.MediaCodec
     Seq(0L, 11L, 777L).foreach { id =>
