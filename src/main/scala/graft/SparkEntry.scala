@@ -1495,6 +1495,12 @@ object SparkEntry {
     "m17_perceptual_hash_pairs" -> ((s, d) =>
       graft.multimodal.Multimodal.perceptualHashPairs(
         graft.multimodal.Multimodal.syntheticGridImageTable(s, d), maxHamming = 3)),
+    // perception clusters (r15): connected components over the m17 pair
+    // graph through the shared d12 union-find — the oracle recomputes
+    // the closure with a recursive CTE over the brute-force pair set.
+    "m18_perceptual_clusters" -> ((s, d) =>
+      graft.multimodal.Multimodal.perceptualDupClusters(
+        graft.multimodal.Multimodal.syntheticGridImageTable(s, d), maxHamming = 3)),
 
     // Incremental CONTENT-new media (the d17 daily-crawl pass with the
     // codec in front): batch assets whose decoded pixels are absent from
@@ -3295,6 +3301,27 @@ object SparkEntry {
          |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
          |FROM u a JOIN u b ON a.hp < b.hp
          |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin,
+
+    // connected components over the brute-force pair set, replayed as a
+    // recursive reachability CTE (the d12 closure pattern on formula
+    // hashes instead of a candidate dump): label = min reachable hash
+    "m18_perceptual_clusters" ->
+      s"""WITH RECURSIVE $ahashCte,
+         |u AS (SELECT DISTINCT
+         |        (ahash_hi - CASE WHEN ahash_hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+         |          * 4294967296 + ahash_lo AS hp,
+         |        ahash_hi AS hi, ahash_lo AS lo
+         |      FROM h),
+         |p AS (SELECT a.hp AS h1, b.hp AS h2 FROM u a JOIN u b ON a.hp < b.hp
+         |      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+         |e AS (SELECT h1 AS src, h2 AS dst FROM p
+         |      UNION ALL SELECT h2, h1 FROM p),
+         |n AS (SELECT DISTINCT src AS id FROM e),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM n
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst)
+         |SELECT id, min(r) AS label FROM reach GROUP BY id""".stripMargin,
 
     // content-new = batch seeds with no corpus member: doc_ids share
     // decoded content iff they share doc_id % 397 (the dup-table seed),

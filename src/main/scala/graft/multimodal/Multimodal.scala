@@ -537,6 +537,23 @@ object Multimodal {
     hashPairsFromPacked(packedHashes(images), maxHamming, bucketCap)
       .select(col("__h1").as("hash1"), col("__h2").as("hash2"), col("hamming"))
 
+  /** Perception CLUSTERS: connected components over the verified
+    * hash-pair graph ([[perceptualHashPairs]] →
+    * [[graft.dedup.Dedup.dupClusters]] — same union-find / pointer-
+    * jumping machinery as the text dup-cluster operator d12, same
+    * driver-edge budget). Output is `(id, label)` at HASH granularity
+    * (label = min reachable hash); members map to their cluster through
+    * their own hash with one broadcast join against this tiny frame, so
+    * the transitive closure runs over perceptions, never copies — the
+    * property that keeps it feasible on a 100 TB crawl where each viral
+    * image has millions of members but few distinct perceptions.
+    */
+  def perceptualDupClusters(images: DataFrame, maxHamming: Int = 3,
+                            bucketCap: Int = graft.dedup.Dedup.defaultBucketCap): DataFrame =
+    graft.dedup.Dedup.dupClusters(
+      perceptualHashPairs(images, maxHamming, bucketCap)
+        .select(col("hash1").as("id1"), col("hash2").as("id2")))
+
   /** Animated-GIF table: one real multi-frame motion asset per doc id
     * (MediaCodec.encodeGif; frame count and colors formula-derived).
     */

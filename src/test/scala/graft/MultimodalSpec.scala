@@ -265,6 +265,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(observed.getAs[Long]("capped_bucket_rows") > 0L)
   }
 
+  test("perceptualDupClusters: connected components over the hash-pair graph, min-hash labels") {
+    import graft.multimodal.MediaCodec
+    // seed 7: base + two 1-flip variants — a 3-perception chain/star;
+    // seed 8: a lone base perception (no pairs -> absent from output)
+    val images = Seq(
+      (0L, MediaCodec.encodeGridPngVariant(7L, 0L)),
+      (1L, MediaCodec.encodeGridPngVariant(7L, 1L)),
+      (2L, MediaCodec.encodeGridPngVariant(7L, 4L)), // second 1-flip variant
+      (9L, MediaCodec.encodeGridPngVariant(8L, 0L))).toDF("media_id", "bytes")
+    val labels = Multimodal.perceptualDupClusters(images, maxHamming = 3, bucketCap = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force the expected closure from the decoded hashes
+    val hs = Multimodal.imageAverageHashes(images).collect()
+      .map(r => (r.getLong(1) << 32) | r.getLong(2)).distinct
+    val pairs = hs.combinations(2).filter { case Array(a, b) =>
+      java.lang.Long.bitCount(a ^ b) <= 3 }.map(a => (a(0), a(1))).toSeq
+    assert(pairs.nonEmpty, "fixture must produce at least one near pair")
+    val expected = {
+      val parent = scala.collection.mutable.Map(
+        pairs.flatMap(p => Seq(p._1, p._2)).distinct.map(h => h -> h): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(h => h -> find(h)).toMap
+    }
+    assert(labels === expected)
+  }
+
   test("JPEG codec: dims exact through the lossy round trip, channels near-exact") {
     import graft.multimodal.MediaCodec
     Seq(0L, 11L, 777L).foreach { id =>
