@@ -185,20 +185,32 @@ object SparkEntry {
     * 8×8 blocks), packed into unsigned 32-bit halves. Built
     * programmatically — 64 CASE terms per half.
     */
-  private def ahashCte: String = {
-    def luma(cx: Int, cy: Int): String =
-      s"((((media_id % 101) * 31 + ${cx * 7 + cy * 13}) * 37) % 256)"
+  private def ahashCte: String = ahashCteNamed(101, "g", "h", "")
+
+  /** The same formula-hash CTE parameterized for multi-fixture oracles
+    * (m19 probes the masked batch fixture against the plain corpus):
+    * `seedMod` picks the grid fixture, `maskMod > 0` applies the
+    * `(id + cell) % maskMod` inversion mask, `where` filters the doc
+    * split, `g`/`h` name the CTEs so two instances coexist per query.
+    */
+  private def ahashCteNamed(seedMod: Int, g: String, h: String,
+                            where: String, maskMod: Int = 0): String = {
+    def luma(cx: Int, cy: Int): String = {
+      val base = s"((((media_id % $seedMod) * 31 + ${cx * 7 + cy * 13}) * 37) % 256)"
+      if (maskMod <= 0) base
+      else s"(CASE WHEN (media_id + ${cy * 8 + cx}) % $maskMod = 0 THEN 255 - $base ELSE $base END)"
+    }
     val cells = for (cy <- 0 until 8; cx <- 0 until 8) yield luma(cx, cy)
     val sum = cells.mkString("(", " + ", ")")
     def half(lo: Int, hi: Int): String =
       (lo until hi).map { i =>
         s"(CASE WHEN ${cells(i)} * 64 > __s THEN ${1L << (i - lo)} ELSE 0 END)"
       }.mkString("(", " + ", ")")
-    s"""g AS (SELECT doc_id AS media_id, $sum AS __s FROM documents),
-       |h AS (SELECT media_id,
+    s"""$g AS (SELECT doc_id AS media_id, $sum AS __s FROM documents$where),
+       |$h AS (SELECT media_id,
        |  CAST(${half(32, 64)} AS BIGINT) AS ahash_hi,
        |  CAST(${half(0, 32)} AS BIGINT) AS ahash_lo
-       |  FROM g)""".stripMargin
+       |  FROM $g)""".stripMargin
   }
 
   /** events with the reference's derived `date` string column (F6). */
@@ -1501,6 +1513,24 @@ object SparkEntry {
     "m18_perceptual_clusters" -> ((s, d) =>
       graft.multimodal.Multimodal.perceptualDupClusters(
         graft.multimodal.Multimodal.syntheticGridImageTable(s, d), maxHamming = 3)),
+    // incremental PERCEPTUAL-new (r15): a MASKED batch (cell-inversion
+    // fixture — new perceptions at small hamming from the corpus family;
+    // a seed-only batch proved useless here, every seed's hash is
+    // already IN the corpus universe because uniform luma shifts
+    // preserve the above-mean pattern) against the standing unmasked
+    // corpus — batch assets survive iff no corpus perception sits
+    // within hamming 3 (at sf0.01: 41 die, 9 survive). Only the batch
+    // decodes; the corpus side is the narrow packed-hash frame. The
+    // oracle replays both fixtures' formula hashes + the NOT EXISTS.
+    "m19_incremental_perceptual_new" -> ((s, d) => {
+      val batch = graft.multimodal.Multimodal
+        .syntheticMaskedGridImageTable(s, d)
+        .filter(pmod(col("media_id"), lit(10)) === 0)
+      val corpus = graft.multimodal.Multimodal.syntheticGridImageTable(s, d)
+        .filter(pmod(col("media_id"), lit(10)) =!= 0)
+      graft.multimodal.Multimodal.incrementalPerceptualNew(
+        batch, graft.multimodal.Multimodal.packedImageHashes(corpus))
+    }),
 
     // Incremental CONTENT-new media (the d17 daily-crawl pass with the
     // codec in front): batch assets whose decoded pixels are absent from
@@ -3322,6 +3352,17 @@ object SparkEntry {
          |  UNION
          |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst)
          |SELECT id, min(r) AS label FROM reach GROUP BY id""".stripMargin,
+
+    // both fixtures' formula hashes; a batch asset is new iff NO corpus
+    // perception is within hamming 3 of its own hash
+    "m19_incremental_perceptual_new" ->
+      s"""WITH ${ahashCteNamed(101, "bg", "bh", " WHERE doc_id % 10 = 0", maskMod = 24)},
+         |${ahashCteNamed(101, "cg", "ch", " WHERE doc_id % 10 <> 0")},
+         |cu AS (SELECT DISTINCT ahash_hi AS hi, ahash_lo AS lo FROM ch)
+         |SELECT bh.media_id FROM bh
+         |WHERE NOT EXISTS (SELECT 1 FROM cu
+         |  WHERE bit_count(xor(bh.ahash_hi, cu.hi)) +
+         |        bit_count(xor(bh.ahash_lo, cu.lo)) <= 3)""".stripMargin,
 
     // content-new = batch seeds with no corpus member: doc_ids share
     // decoded content iff they share doc_id % 397 (the dup-table seed),

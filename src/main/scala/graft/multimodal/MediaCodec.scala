@@ -320,13 +320,16 @@ object MediaCodec {
   def cellLuma(id: Long, cx: Int, cy: Int): Int =
     Math.floorMod((id * 31 + cx * 7 + cy * 13) * 37, 256L).toInt
 
-  def encodeGridPng(id: Long): Array[Byte] = {
+  /** Render a 64-entry gray cell-luma array as the 64×64 8×8-block grid
+    * PNG — the shared raster step of every grid-fixture encoder.
+    */
+  private def renderGridPng(luma: Array[Int]): Array[Byte] = {
     val img = new BufferedImage(gridSide, gridSide, BufferedImage.TYPE_INT_RGB)
     var cy = 0
     while (cy < 8) {
       var cx = 0
       while (cx < 8) {
-        val v = cellLuma(id, cx, cy)
+        val v = luma(cy * 8 + cx)
         val rgb = (v << 16) | (v << 8) | v
         var y = cy * 8
         while (y < (cy + 1) * 8) {
@@ -342,6 +345,23 @@ object MediaCodec {
     ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
+
+  def encodeGridPng(id: Long): Array[Byte] =
+    renderGridPng(Array.tabulate(64)(c => cellLuma(id, c % 8, c / 8)))
+
+  /** Grid fixture with a SQL-replicable cell-inversion mask: cell `c` is
+    * luma-inverted iff `(id + c) % maskMod == 0`. Unlike the seed
+    * dimension (whose uniform luma shifts leave the above-mean bit
+    * pattern inside one 64-hash family), the mask flips individual
+    * cells, so masked assets are genuinely NEW perceptions at small
+    * hamming from the unmasked family — and the oracle can recompute
+    * every bit (the mask is plain modular arithmetic, no PRNG).
+    */
+  def encodeGridPngMasked(id: Long, seedMod: Int = 101, maskMod: Int = 24): Array[Byte] =
+    renderGridPng(Array.tabulate(64) { c =>
+      val v = cellLuma(id % seedMod, c % 8, c / 8)
+      if ((id + c) % maskMod == 0) 255 - v else v
+    })
 
   /** splitmix64 finalizer (public-domain mix), for deterministic variant
     * cell choices below.
@@ -384,26 +404,7 @@ object MediaCodec {
       }
       picked.foreach(cell => luma(cell) = 255 - luma(cell))
     }
-    val img = new BufferedImage(gridSide, gridSide, BufferedImage.TYPE_INT_RGB)
-    var cy = 0
-    while (cy < 8) {
-      var cx = 0
-      while (cx < 8) {
-        val v = luma(cy * 8 + cx)
-        val p = (v << 16) | (v << 8) | v
-        var y = cy * 8
-        while (y < (cy + 1) * 8) {
-          var x = cx * 8
-          while (x < (cx + 1) * 8) { img.setRGB(x, y, p); x += 1 }
-          y += 1
-        }
-        cx += 1
-      }
-      cy += 1
-    }
-    val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    renderGridPng(luma)
   }
 
   /** 64-bit average-hash of a decoded image, returned as two unsigned

@@ -404,6 +404,23 @@ object Multimodal {
         .toDF("media_id", "bytes")
     }
 
+  /** Masked grid fixture ([[MediaCodec.encodeGridPngMasked]]): the base
+    * seed content with an `(id + cell) % maskMod` inversion mask —
+    * genuinely new perceptions at small hamming from the unmasked
+    * family, with every hash bit oracle-replicable (the perturbed-
+    * variant table below trades that replicability for PRNG-driven
+    * cluster growth; this one keeps it, for the incremental oracle).
+    */
+  def syntheticMaskedGridImageTable(spark: SparkSession, sfDir: String,
+                                    seedMod: Int = 101, maskMod: Int = 24): DataFrame =
+    cachedDerived(spark, sfDir, s"media_gridmask${seedMod}_$maskMod", None) {
+      import spark.implicits._
+      graft.Tables(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, MediaCodec.encodeGridPngMasked(id, seedMod, maskMod))))
+        .toDF("media_id", "bytes")
+    }
+
   /** Perceptual-CLUSTER grid fixture: `seedMod` seed contents, each with
     * an unbounded variant stream (`variant = doc_id / seedMod`,
     * [[MediaCodec.encodeGridPngVariant]] — ≤3 cells luma-inverted), so a
@@ -503,14 +520,21 @@ object Multimodal {
     * perception BY DEFINITION and therefore excluded from scale probes,
     * the e1/e3 rationale).
     */
+  /** Pigeonhole chunk-blocking of a distinct packed-hash frame:
+    * `maxHamming + 1` disjoint chunks per hash (any pair within the
+    * bound shares at least one) — the blocking key both the self-join
+    * pair search and the incremental new×corpus probe shuffle on.
+    */
+  private def chunkedHashes(uniq: DataFrame, maxHamming: Int): DataFrame =
+    uniq.select(col("__h"),
+      explode(graft.dedup.Dedup.hammingChunks(col("__h"), maxHamming)).as("cb"))
+      .select(col("__h"), col("cb.chunk"), col("cb.ckey"))
+
   private def hashPairsFromPacked(hashes: DataFrame, maxHamming: Int,
                                   bucketCap: Int): DataFrame = {
     val uniq = hashes.select("__h").distinct()
-    val chunked = uniq.select(col("__h"),
-      explode(graft.dedup.Dedup.hammingChunks(col("__h"), maxHamming)).as("cb"))
-      .select(col("__h"), col("cb.chunk"), col("cb.ckey"))
-    val gated = graft.dedup.Dedup.capBuckets(chunked, Seq("chunk", "ckey"),
-      bucketCap, "graft_ahash_bucket_cap")
+    val gated = graft.dedup.Dedup.capBuckets(chunkedHashes(uniq, maxHamming),
+      Seq("chunk", "ckey"), bucketCap, "graft_ahash_bucket_cap")
     val l = gated.select(col("chunk"), col("ckey"), col("__h").as("__h1"))
     val r = gated.select(col("chunk"), col("ckey"), col("__h").as("__h2"))
     l.join(r, Seq("chunk", "ckey"))
@@ -553,6 +577,64 @@ object Multimodal {
     graft.dedup.Dedup.dupClusters(
       perceptualHashPairs(images, maxHamming, bucketCap)
         .select(col("hash1").as("id1"), col("hash2").as("id2")))
+
+  /** Per-image packed 64-bit average-hash as a PUBLIC narrow frame
+    * `(media_id, ahash)` — the perception-level content address. This is
+    * what a standing corpus persists so that incremental and streaming
+    * consumers never re-decode it (the pixel-digest-ledger posture one
+    * rung up the ladder): decode once, probe forever.
+    */
+  def packedImageHashes(images: DataFrame): DataFrame =
+    packedHashes(images).select(col("media_id"), col("__h").as("ahash"))
+
+  /** Incremental PERCEPTUAL-new: batch assets whose perception
+    * (average-hash) has NO standing-corpus hash within `maxHamming` —
+    * the d15 new×corpus incremental shape at the top rung of the media
+    * dedup ladder (bytes m9 → pixels m12 → perception here). A re-crop
+    * or light re-filter of corpus content dies even though its bytes
+    * AND pixels are novel.
+    *
+    * Only the batch decodes per run; the corpus side is the narrow
+    * [[packedImageHashes]] frame (persist it once — never re-decode the
+    * corpus per day). Both distinct-hash universes are pigeonhole
+    * chunk-blocked and joined on (chunk, value): cost ∝ batch bucket
+    * occupancy, never corpus × corpus. `bucketCap` bounds the CORPUS
+    * side's per-bucket occupancy exactly like d15's guard (a batch hash
+    * probing a capped-out viral-perception bucket can be declared new —
+    * the documented cap trade; drops ride `graft_ahash_corpus_cap`).
+    */
+  def incrementalPerceptualNew(batch: DataFrame, corpusHashes: DataFrame,
+                               maxHamming: Int = 3,
+                               bucketCap: Int = graft.dedup.Dedup.defaultBucketCap): DataFrame = {
+    val b = packedHashes(batch).localCheckpoint() // one batch decode feeds probe + anti
+    val bc = chunkedHashes(b.select("__h").distinct(), maxHamming)
+    val cc = graft.dedup.Dedup.capBuckets(
+      chunkedHashes(corpusHashes.select(col("ahash").as("__h")).distinct(), maxHamming),
+      Seq("chunk", "ckey"), bucketCap, "graft_ahash_corpus_cap")
+      .withColumnRenamed("__h", "__ch")
+    val near = bc.join(cc, Seq("chunk", "ckey"))
+      .filter(bit_count(col("__h").bitwiseXOR(col("__ch"))) <= maxHamming)
+      .select("__h").distinct()
+    b.join(near, Seq("__h"), "left_anti").select("media_id")
+  }
+
+  /** Streaming twin of [[incrementalPerceptualNew]] (the annSearchStream /
+    * HashLedger pattern at the perception rung): each arriving
+    * micro-batch of media rows is gated against the standing perceptual
+    * hash frame; `sink` receives the batch's surviving `media_id` frame.
+    * Stateless per batch — results depend only on (batch, corpus), so
+    * the streamed union over batches equals the one-shot batch answer
+    * (the parity gate in MultimodalSpec).
+    */
+  def perceptualGateStream(corpusHashes: DataFrame, mediaStream: DataFrame,
+                           maxHamming: Int = 3)
+                          (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    mediaStream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(incrementalPerceptualNew(batch, corpusHashes, maxHamming))
+        ()
+    }.start()
 
   /** Animated-GIF table: one real multi-frame motion asset per doc id
     * (MediaCodec.encodeGif; frame count and colors formula-derived).

@@ -400,6 +400,75 @@ class MultimodalSpec extends SparkTestBase {
     assert(expected.nonEmpty && expected.size < fresh.count())
   }
 
+  test("incrementalPerceptualNew: re-crops of corpus perceptions die, novel content survives") {
+    import graft.multimodal.MediaCodec
+    // corpus: seeds 3 and 5. batch: a 1-flip variant of seed 3 (novel
+    // bytes AND pixels, near perception -> must die), seed 5 byte-exact
+    // (hamming 0 -> dies), and a seed far from both (survives iff its
+    // hash is > 3 bits from each corpus hash — asserted from the hashes
+    // rather than assumed).
+    val corpus = Seq(
+      (10L, MediaCodec.encodeGridPngVariant(3L, 0L)),
+      (11L, MediaCodec.encodeGridPngVariant(5L, 0L))).toDF("media_id", "bytes")
+    val corpusHashes = Multimodal.packedImageHashes(corpus).localCheckpoint()
+    val ch = corpusHashes.collect().map(_.getAs[Long]("ahash"))
+    // pick a novel seed whose hash is genuinely far from both corpus hashes
+    val novelSeed = (0L until 101L).find { s =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(MediaCodec.encodeGridPng(s)))
+      val (hi, lo) = MediaCodec.averageHash(img)
+      val h = (hi << 32) | lo
+      ch.forall(c => java.lang.Long.bitCount(c ^ h) > 3)
+    }.get
+    val batch = Seq(
+      (20L, MediaCodec.encodeGridPngVariant(3L, 1L)), // near seed 3
+      (21L, MediaCodec.encodeGridPngVariant(5L, 0L)), // exact seed 5
+      (22L, MediaCodec.encodeGridPng(novelSeed))).toDF("media_id", "bytes")
+    val out = Multimodal.incrementalPerceptualNew(batch, corpusHashes)
+      .collect().map(_.getLong(0)).toSet
+    // the 1-flip variant is within hamming 3 of its base unless the
+    // global-mean shift cascaded extra bits — derive the truth from the
+    // hashes themselves so the assertion is exact either way
+    val batchHashes = Multimodal.packedImageHashes(batch).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("ahash")).toMap
+    val expected = batchHashes.collect {
+      case (id, h) if ch.forall(c => java.lang.Long.bitCount(c ^ h) > 3) => id
+    }.toSet
+    assert(out === expected)
+    assert(!out.contains(21L), "byte-exact corpus content must never survive")
+    assert(out.contains(22L), "novel perception must survive")
+  }
+
+  test("perceptualGateStream: streamed union over micro-batches == one-shot batch answer") {
+    import graft.multimodal.MediaCodec
+    val dir = "/root/testdata/sf0.001"
+    // standing corpus: the seedMod-101 grid universe; arriving batches:
+    // the seedMod-61 fixture (perception overlap wherever a 61-seed hash
+    // lands within hamming 3 of a 101-seed hash)
+    val corpus = Multimodal.syntheticGridImageTable(spark, dir)
+      .filter(pmod($"media_id", lit(10)) =!= 0)
+    val corpusHashes = Multimodal.packedImageHashes(corpus).localCheckpoint()
+    val fresh = Multimodal.syntheticGridImageTable(spark, dir, seedMod = 61)
+      .filter(pmod($"media_id", lit(10)) === 0)
+    val staged = java.nio.file.Files.createTempDirectory("graft_percept_stream")
+    fresh.filter($"media_id" < 250).write.mode("overwrite")
+      .parquet(staged.resolve("p1").toString)
+    fresh.filter($"media_id" >= 250).write.mode("overwrite")
+      .parquet(staged.resolve("p2").toString)
+    val stream = spark.readStream.schema(fresh.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString + "/*")
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = Multimodal.perceptualGateStream(corpusHashes, stream) { surv =>
+      surv.collect().foreach(r => got.add(r.getAs[Long]("media_id")))
+    }
+    try q.processAllAvailable() finally q.stop()
+    val expected = Multimodal.incrementalPerceptualNew(fresh, corpusHashes)
+      .collect().map(_.getAs[Long]("media_id")).toSet
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet === expected)
+  }
+
   test("animated GIF: real frame-by-frame decode round-trips the formulas") {
     import graft.multimodal.MediaCodec
     Seq(0L, 3L, 7L, 42L).foreach { id =>
