@@ -57,7 +57,11 @@ object ExplainAudit {
     // stay diffable for the hash scan, both perceptual pair shapes, and
     // both GIF decode paths
     "m13_image_ahash", "m14_image_perceptual_neardups", "m15_gif_frames",
-    "m16_gif_frame_sample", "m17_perceptual_hash_pairs")
+    "m16_gif_frame_sample", "m17_perceptual_hash_pairs",
+    // r15: the perception-rung incremental probe (batch decode scan +
+    // chunk-blocked anti-join; the corpus side must stay the narrow
+    // hash frame, never a re-decode)
+    "m19_incremental_perceptual_new")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS

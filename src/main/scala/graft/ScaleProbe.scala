@@ -52,7 +52,10 @@ object ScaleProbe {
     // duplicate rate the edge count crosses the 4M driver budget, so
     // this exercises the distributed pointer-jumping branch too
     "t21_dsir_resample", "m6_image_resize", "m16_gif_frame_sample",
-    "d12_dup_clusters", "d14_fuzzy_survivors")
+    "d12_dup_clusters", "d14_fuzzy_survivors",
+    // m19 = the perception-rung incremental probe (masked batch vs the
+    // standing unmasked hash frame) — the m9/m12 pattern one rung up
+    "m19_incremental_perceptual_new")
 
   /** TPC-H probe set (SPARK_GRAFT_PROBE=tpch): the fact-heavy headline
     * shapes — pure fact agg (q1), fact⋈fact⋈dim top-k (q3), 5-way profit
@@ -262,6 +265,23 @@ object ScaleProbe {
       val uncappedBase = math.min(pairsOnce(src, 0), pairsOnce(src, 0))
       Seq(("m14_hash_pairs_capped", cappedBase, cappedScaled),
           ("m14_hash_pairs_capped_vs_uncapped_base", cappedBase, uncappedBase))
+    }) ++ (if (probeSet != "events") Seq.empty else {
+      // The DISTRIBUTED pointer-jumping closure branch, which the
+      // registered d12 never exercises at probe scale (the capped pair
+      // graph stays under the 4M-edge driver budget, so d12's row
+      // measures the driver union-find). Force the distributed branch
+      // (maxDriverEdges = 0) on the SAME verified pair graph at both
+      // sizes — its growth is what a 100 TB corpus with a >4M-edge dup
+      // graph would actually pay.
+      import graft.dedup.Dedup
+      def closureOnce(dir: String): Double = {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8)
+          .select(col("id1"), col("id2"))
+        timeOnce(Dedup.dupClusters(pairs, maxDriverEdges = 0).count())
+      }
+      def run(dir: String): Double = math.min(closureOnce(dir), closureOnce(dir))
+      Seq(("d12_distributed_closure", run(src), run(out)))
     }) ++ (if (probeSet != "events") Seq.empty else {
       // w14 funnel cap headroom GATE (r14 verdict item 7): on the scaled
       // corpus the default-capped funnel must produce IDENTICAL rows to
