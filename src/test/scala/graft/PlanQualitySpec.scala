@@ -661,6 +661,26 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("m17: perception-graph search runs over the distinct hash universe with the cap observed") {
+    val plan = executedPlan(SparkEntry.queries("m17_perceptual_hash_pairs")(spark, dir))
+    // occupancy cap is ON by default (r15 behavior change) and observable
+    assert(plan.contains("graft_ahash_bucket_cap"))
+    // the chunk self-join's input is the DISTINCT packed-hash frame —
+    // occupancy per perception, never per copy
+    assert(plan.linesIterator.exists(_.contains("HashAggregate(keys=[__h")))
+    // decode happens below (deeper than) every exchange: the shuffle
+    // carries (chunk, ckey, hash), never blob bytes
+    assert(plan.indexOf("Exchange") < plan.indexOf("MapPartitions"))
+  }
+
+  test("m19: perceptual-new is an anti-join probing the capped corpus hash frame") {
+    val plan = executedPlan(SparkEntry.queries("m19_incremental_perceptual_new")(spark, dir))
+    assert(plan.contains("LeftAnti"))
+    assert(plan.contains("graft_ahash_corpus_cap"))
+    // batch hashes come from the one localCheckpoint'd decode pass
+    assert(plan.contains("ExistingRDD"))
+  }
+
   test("m1: media metadata query never reads the bytes column") {
     val df = SparkEntry.queries("m1_resize_plan")(spark, dir)
     val plan = executedPlan(df)
