@@ -82,6 +82,11 @@ object ExplainAudit {
       // toString of objects embedded in expressions (e.g. the t18 Bloom
       // sketch bytes) prints an identity hash — per-run, not structural
       .replaceAll("@[0-9a-f]{6,}", "@x")
+      // bucketed-mirror CONTENT stamps track the source files' mtimes,
+      // and the driver regenerates /root/testdata every round — the
+      // stamp would churn every ledger entry that touches a mirror
+      // without any structural change
+      .replaceAll("(_b\\d+_s)[0-9a-f]{8}", "$1x")
       // Spark elides long expression strings at a context-dependent cut
       // point; normalize the truncated tail so a 2-char drift can't diff
       .replaceAll("[^\\s\\[,]*\\.\\.\\.", "<trunc>")
