@@ -160,6 +160,27 @@ class PropertySpec extends SparkTestBase {
     assert(ham(1L, 2L) < ham(1L, 3L))
   }
 
+  test("hammingChunks pigeonhole: every pair within maxHamming shares >= 1 chunk (generated)") {
+    // the no-escape guarantee ALL chunk-blocked near-dup paths (SimHash
+    // d19, perceptual m14/m17/m19) rest on: maxHamming+1 disjoint chunks
+    // cannot all be hit by <= maxHamming flips. Exercised on the REAL
+    // Column over generated signatures and flip sets, across bounds.
+    for (maxH <- Seq(0, 1, 3, 5, 10)) {
+      val pairs = (0 until 300).map { _ =>
+        val x = rng.nextLong()
+        val d = rng.nextInt(maxH + 1)
+        val bits = rng.shuffle((0 until 64).toList).take(d)
+        (x, bits.foldLeft(x)((v, b) => v ^ (1L << b)))
+      }
+      val bad = pairs.toDF("x", "y")
+        .select(arrays_overlap(
+          Dedup.hammingChunks($"x", maxH),
+          Dedup.hammingChunks($"y", maxH)).as("shares"))
+        .filter(!$"shares").count()
+      assert(bad === 0L, s"pigeonhole escape at maxHamming=$maxH")
+    }
+  }
+
   test("chunkPlan telescoping: offsets are gapless prefix sums per shard") {
     val docs = (0 until 120).map { i =>
       val words = (0 to rng.nextInt(40)).map(w => s"w$w").mkString(" ")
