@@ -467,4 +467,63 @@ object Streaming {
             idx, batch, k, idCol, vecCol, queryIdCol))
         ()
     }.start()
+
+  /** STREAMING heavy hitters — the real-time twin of
+    * [[graft.text.Text.heavyHitters]] (trending items on an unbounded
+    * stream): each micro-batch builds per-partition SpaceSaving
+    * summaries map-side (the SAME
+    * [[org.apache.spark.sql.graft.SpaceSavingBuffer]] the batch
+    * aggregate runs), ships only (item, est) entries to the driver
+    * (O(partitions × capacity) per batch, never one row per distinct
+    * key), and merges them into ONE running summary — SpaceSaving is
+    * merge-closed: estimates stay upper bounds and error bounds add, so
+    * any item with true count > n/capacity + Σ merge bounds is
+    * guaranteed present. After each batch `sink` receives the current
+    * top-`k` as (item, est_count, n_total).
+    *
+    * TOTAL state is O(capacity) regardless of stream length or key
+    * universe — the sketch IS the state, which is what makes a
+    * trending-terms feed feasible forever where keyed streaming state
+    * (even evicted) could not hold a token vocabulary. Exact counts are
+    * deliberately NOT claimed (the batch operator's recount pass needs
+    * the full corpus); with capacity above the live distinct-item count
+    * the estimates are exact — the spec gates both regimes.
+    */
+  def heavyHittersStream(itemStream: DataFrame, itemCol: String, k: Int,
+                         capacity: Int = 4096)
+                        (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.graft.SpaceSavingBuffer
+    val spark = itemStream.sparkSession
+    import spark.implicits._
+    val running = new SpaceSavingBuffer(capacity)
+    var total = 0L
+    itemStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val partials = batch.select(col(itemCol).cast("string")).as[String]
+        .mapPartitions { it =>
+          val buf = new SpaceSavingBuffer(capacity)
+          var n = 0L
+          it.foreach { s => if (s != null) { buf.add(s); n += 1 } }
+          if (n == 0) Iterator.empty
+          else {
+            val entries = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+            buf.foreachEntry((i, c) => entries += ((i, c)))
+            Iterator.single((entries.toSeq, n))
+          }
+        }.collect()
+      // partition results arrive in nondeterministic order and merge
+      // pruning is order-sensitive at ties — pin a deterministic order
+      partials.sortBy { case (entries, n) => (n, entries.toString.hashCode) }
+        .foreach { case (entries, n) =>
+          running.mergeIn(SpaceSavingBuffer.fromEntries(capacity, entries.toArray))
+          total += n
+        }
+      val top = {
+        val all = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        running.foreachEntry((i, c) => all += ((i, c)))
+        all.sortBy { case (i, c) => (-c, i) }.take(k).toSeq
+      }
+      sink(top.toDF("item", "est_count").withColumn("n_total", lit(total)))
+      ()
+    }.start()
+  }
 }

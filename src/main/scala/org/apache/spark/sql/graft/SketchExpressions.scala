@@ -14,9 +14,21 @@ import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
-private[graft] object SpaceSavingBuffer {
+object SpaceSavingBuffer {
+  /** Reconstruct a summary from its (item, est) entries — the cross-JVM
+    * carrier for merge trees (e.g. streaming per-partition partials
+    * collected to a driver-held running summary). A partial with fewer
+    * than `capacity` entries reconstructs as not-full (absentBound 0),
+    * exactly the state it serialized from.
+    */
+  def fromEntries(capacity: Int, entries: Array[(String, Long)]): SpaceSavingBuffer = {
+    val b = new SpaceSavingBuffer(capacity)
+    b.rebuild(entries.sortBy { case (i, c) => (c, i) })
+    b
+  }
+
   /** One tracked item; nodes of equal count hang off the same bucket. */
-  final class Node(var item: String) {
+  private[graft] final class Node(var item: String) {
     var bucket: Bucket = _
     var prevN: Node = _
     var nextN: Node = _
@@ -29,7 +41,7 @@ private[graft] object SpaceSavingBuffer {
     * made the ×100 probe's 26M-occurrence sketch pass the worst ratio in
     * the table (11.4×) — the linked buckets removed it.
     */
-  final class Bucket(val count: Long) {
+  private[graft] final class Bucket(val count: Long) {
     var first: Node = _
     var prevB: Bucket = _
     var nextB: Bucket = _

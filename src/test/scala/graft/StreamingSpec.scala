@@ -831,6 +831,62 @@ class StreamingSpec extends SparkTestBase {
     assert(expected.size >= 8) // every query found neighbors — a real probe
   }
 
+  test("heavyHittersStream: exact regime equals a groupBy recount of the streamed union") {
+    // capacity ABOVE the distinct-item universe: the merged summary
+    // tracks every item with zero error, so the emitted counts must
+    // equal an exact recount of everything streamed so far.
+    val tokens = (0 until 500).map(i => s"tok${i % 20}") // 20 distinct, skewed by order
+    val staged = java.nio.file.Files.createTempDirectory("graft_hh_stream")
+    tokens.take(300).toDF("item").write.mode("overwrite")
+      .parquet(staged.resolve("p1").toString)
+    tokens.drop(300).toDF("item").write.mode("overwrite")
+      .parquet(staged.resolve("p2").toString)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("item",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString + "/*")
+    @volatile var last: Seq[(String, Long, Long)] = Seq.empty
+    val q = Streaming.heavyHittersStream(stream, "item", k = 20, capacity = 64) { top =>
+      last = top.collect().toSeq.map(r =>
+        (r.getAs[String]("item"), r.getAs[Long]("est_count"), r.getAs[Long]("n_total")))
+    }
+    try q.processAllAvailable() finally q.stop()
+    val exact = tokens.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(last.map(_._3).distinct === Seq(500L)) // n_total saw every row
+    assert(last.map(t => t._1 -> t._2).toMap === exact)
+  }
+
+  test("heavyHittersStream: under eviction the planted heavy item survives with est >= truth") {
+    // capacity far below the distinct universe: eviction churns the
+    // summary, but the SpaceSaving guarantee (upper-bound estimates,
+    // no false negatives above n/capacity + merge bounds) must hold for
+    // the planted dominator across batch merges.
+    val heavy = Seq.fill(400)("HOT")
+    val noise = (0 until 600).map(i => s"n$i") // 600 singletons
+    val staged = java.nio.file.Files.createTempDirectory("graft_hh_evict")
+    (heavy.take(200) ++ noise.take(300)).toDF("item").write.mode("overwrite")
+      .parquet(staged.resolve("p1").toString)
+    (heavy.drop(200) ++ noise.drop(300)).toDF("item").write.mode("overwrite")
+      .parquet(staged.resolve("p2").toString)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("item",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString + "/*")
+    @volatile var last: Seq[(String, Long)] = Seq.empty
+    val q = Streaming.heavyHittersStream(stream, "item", k = 5, capacity = 8) { top =>
+      last = top.collect().toSeq.map(r =>
+        (r.getAs[String]("item"), r.getAs[Long]("est_count")))
+    }
+    try q.processAllAvailable() finally q.stop()
+    val hot = last.find(_._1 == "HOT")
+    assert(hot.isDefined, s"planted heavy item evicted: $last")
+    assert(hot.get._2 >= 400L, "estimate must stay an upper bound of the true count")
+  }
+
   test("funnelProgress evicts idle keys; post-eviction stage-0 re-emits (documented)") {
     implicit val sqlCtx = spark.sqlContext
     import Streaming._
