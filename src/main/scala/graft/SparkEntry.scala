@@ -213,6 +213,30 @@ object SparkEntry {
        |  FROM $g)""".stripMargin
   }
 
+  /** Formula envelope-hash of the AM-WAV fixtures as a DuckDB CTE — the
+    * audio twin of [[ahashCteNamed]]: per media_id the 64 window
+    * amplitudes ([[graft.multimodal.MediaCodec.windowAmp]], seed =
+    * media_id % 101), bit w set iff amp_w·64 strictly exceeds the amp
+    * total (the engine's winSum·n > totalSum·winFrames reduced for the
+    * fixture's equal 256-sample windows whose mean |sample| is exactly
+    * the amplitude).
+    */
+  private def ehashCte(g: String, h: String): String = {
+    def amp(w: Int): String =
+      s"((((media_id % 101) * 29 + ${w * 11}) * 53) % 4096 + 256)"
+    val wins = (0 until 64).map(amp)
+    val sum = wins.mkString("(", " + ", ")")
+    def half(lo: Int, hi: Int): String =
+      (lo until hi).map { w =>
+        s"(CASE WHEN ${wins(w)} * 64 > __s THEN ${1L << (w - lo)} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    s"""$g AS (SELECT doc_id AS media_id, $sum AS __s FROM documents),
+       |$h AS (SELECT media_id,
+       |  CAST(${half(32, 64)} AS BIGINT) AS ehash_hi,
+       |  CAST(${half(0, 32)} AS BIGINT) AS ehash_lo
+       |  FROM $g)""".stripMargin
+  }
+
   /** events with the reference's derived `date` string column (F6). */
   private def eventsWithDate(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -1513,6 +1537,19 @@ object SparkEntry {
     "m18_perceptual_clusters" -> ((s, d) =>
       graft.multimodal.Multimodal.perceptualDupClusters(
         graft.multimodal.Multimodal.syntheticGridImageTable(s, d), maxHamming = 3)),
+    // AUDIO perception rung (r15): envelope hash from the real decoded
+    // PCM — averageHash's recipe on sound; on the AM fixtures every bit
+    // is formula-replicable (window mean |sample| IS the amplitude).
+    "m20_audio_envelope_hash" -> ((s, d) =>
+      graft.multimodal.Multimodal.audioEnvelopeHashes(
+        graft.multimodal.Multimodal.syntheticAmWavTable(s, d))),
+    // and the audio perception GRAPH: chunk-blocked hamming pairs over
+    // the distinct envelope-hash universe — m17's shape with the audio
+    // codec in front.
+    "m21_audio_perceptual_pairs" -> ((s, d) =>
+      graft.multimodal.Multimodal.audioPerceptualHashPairs(
+        graft.multimodal.Multimodal.syntheticAmWavTable(s, d), maxHamming = 3)),
+
     // incremental PERCEPTUAL-new (r15): a MASKED batch (cell-inversion
     // fixture — new perceptions at small hamming from the corpus family;
     // a seed-only batch proved useless here, every seed's hash is
@@ -3352,6 +3389,26 @@ object SparkEntry {
          |  UNION
          |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst)
          |SELECT id, min(r) AS label FROM reach GROUP BY id""".stripMargin,
+
+    // the envelope bits recomputed arithmetically — a match proves the
+    // WAV decode → window-sum → threshold pipeline end-to-end, the m13
+    // proof for sound
+    "m20_audio_envelope_hash" ->
+      s"WITH ${ehashCte("g", "h")} SELECT media_id, ehash_hi, ehash_lo FROM h",
+
+    // distinct envelope hashes, signed-packed, brute-force hamming <= 3
+    // (the m17 oracle with the audio formula)
+    "m21_audio_perceptual_pairs" ->
+      s"""WITH ${ehashCte("g", "h")},
+         |u AS (SELECT DISTINCT
+         |        (ehash_hi - CASE WHEN ehash_hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+         |          * 4294967296 + ehash_lo AS hp,
+         |        ehash_hi AS hi, ehash_lo AS lo
+         |      FROM h)
+         |SELECT a.hp AS hash1, b.hp AS hash2,
+         |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+         |FROM u a JOIN u b ON a.hp < b.hp
+         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin,
 
     // both fixtures' formula hashes; a batch asset is new iff NO corpus
     // perception is within hamming 3 of its own hash

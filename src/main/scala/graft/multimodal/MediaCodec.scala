@@ -479,6 +479,83 @@ object MediaCodec {
     bos.toByteArray
   }
 
+  // -------------------------------------- amplitude-modulated audio (AM)
+
+  /** Envelope-fixture geometry: 64 windows × 256 samples of square wave
+    * whose per-window amplitude follows a small-multiplier formula — the
+    * audio twin of the grid-image fixture ([[cellLuma]]): every envelope
+    * bit is SQL-replicable because each window's mean |sample| IS its
+    * amplitude exactly.
+    */
+  val envWindows = 64
+  val envWindowSamples = 256
+  def windowAmp(id: Long, w: Int): Int =
+    Math.floorMod((id * 29 + w * 11) * 53, 4096L).toInt + 256
+
+  /** Real RIFF/WAV bytes with a formula-driven amplitude ENVELOPE:
+    * window `w` of [[envWindowSamples]] samples is a square wave at
+    * ±[[windowAmp]](id, w). Same real javax.sound encode as
+    * [[encodeWav]].
+    */
+  def encodeWavAm(id: Long): Array[Byte] = {
+    val n = envWindows * envWindowSamples
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val amp = windowAmp(id, i / envWindowSamples)
+      val v = if ((i / 8) % 2 == 0) amp else -amp
+      pcm(i * 2) = (v & 0xFF).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit ENVELOPE hash of decoded PCM — [[averageHash]]'s recipe on
+    * sound: frames map onto 64 equal-share windows (frame i → window
+    * min(i·64/n, 63)), bit w set iff window w's summed |sample| strictly
+    * exceeds its equal share of the total, compared cross-multiplied in
+    * exact integers (windowSum·totalFrames > totalSum·windowFrames).
+    * Published as unsigned 32-bit halves like the image hash. Real
+    * javax.sound decode via the lock-free [[wavReader]]; same 16-bit
+    * mono guard as the other decoders.
+    */
+  def envelopeHash(wavBytes: Array[Byte]): (Long, Long) = {
+    val ais = wavReader.getAudioInputStream(new ByteArrayInputStream(wavBytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"unexpected decoded format: $fmt")
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      val winSums = new Array[Long](64)
+      val winFrames = new Array[Long](64)
+      var totalSum = 0L
+      var i = 0
+      while (i < n) {
+        val v = ((bytes(i * 2 + 1) << 8) | (bytes(i * 2) & 0xFF)).toShort.toInt
+        val w = math.min(i * 64L / n, 63L).toInt
+        winSums(w) += math.abs(v)
+        winFrames(w) += 1
+        totalSum += math.abs(v)
+        i += 1
+      }
+      var hi = 0L; var lo = 0L
+      var w = 0
+      while (w < 64) {
+        if (winSums(w) * n > totalSum * winFrames(w)) {
+          if (w >= 32) hi |= 1L << (w - 32) else lo |= 1L << w
+        }
+        w += 1
+      }
+      (hi, lo)
+    } finally ais.close()
+  }
+
   /** Decoded-audio statistics from a real javax.sound WAV parse: the
     * format's sample rate, the PCM frame count, and exact peak / summed
     * |sample| read out of the decoded frames.

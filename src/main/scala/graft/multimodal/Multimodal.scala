@@ -404,6 +404,50 @@ object Multimodal {
         .toDF("media_id", "bytes")
     }
 
+  /** Amplitude-modulated WAV fixture ([[MediaCodec.encodeWavAm]]):
+    * `seedMod` envelope contents, each a real RIFF/WAV square wave whose
+    * per-window amplitude follows the SQL-replicable formula — the audio
+    * twin of the grid-image table, for the envelope-hash perception rung.
+    */
+  def syntheticAmWavTable(spark: SparkSession, sfDir: String,
+                          seedMod: Int = 101): DataFrame =
+    cachedDerived(spark, sfDir, s"media_amwav$seedMod", None) {
+      import spark.implicits._
+      graft.Tables(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, MediaCodec.encodeWavAm(id % seedMod))))
+        .toDF("media_id", "bytes")
+    }
+
+  /** Per-asset 64-bit envelope hash from the REAL decoded PCM
+    * ([[MediaCodec.envelopeHash]]) as unsigned 32-bit halves — the audio
+    * perception address, mirroring [[imageAverageHashes]]. Map-side
+    * decode+hash; three narrow output columns.
+    */
+  def audioEnvelopeHashes(audio: DataFrame): DataFrame = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val (hi, lo) = MediaCodec.envelopeHash(b)
+        (id, hi, lo)
+      }).toDF("media_id", "ehash_hi", "ehash_lo")
+  }
+
+  /** Verified near-dup AUDIO perception pairs — [[perceptualHashPairs]]
+    * with the envelope hash in front: same distinct-universe chunk
+    * blocking, same cap discipline (`graft_ahash_bucket_cap`), same
+    * output shape `(hash1, hash2, hamming)`. Sound that is "the same
+    * track, re-encoded or lightly edited" clusters here the way
+    * re-filtered images cluster under the average-hash.
+    */
+  def audioPerceptualHashPairs(audio: DataFrame, maxHamming: Int = 3,
+                               bucketCap: Int = graft.dedup.Dedup.defaultBucketCap): DataFrame =
+    hashPairsFromPacked(
+      audioEnvelopeHashes(audio).select(col("media_id"),
+        shiftleft(col("ehash_hi"), 32).bitwiseOR(col("ehash_lo")).as("__h")),
+      maxHamming, bucketCap)
+      .select(col("__h1").as("hash1"), col("__h2").as("hash2"), col("hamming"))
+
   /** Masked grid fixture ([[MediaCodec.encodeGridPngMasked]]): the base
     * seed content with an `(id + cell) % maskMod` inversion mask —
     * genuinely new perceptions at small hamming from the unmasked

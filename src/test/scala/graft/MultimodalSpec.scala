@@ -265,6 +265,35 @@ class MultimodalSpec extends SparkTestBase {
     assert(observed.getAs[Long]("capped_bucket_rows") > 0L)
   }
 
+  test("audio envelope hash: real WAV decode round-trips the amplitude formula") {
+    import graft.multimodal.MediaCodec
+    for (id <- Seq(0L, 7L, 42L, 100L)) {
+      val (hi, lo) = MediaCodec.envelopeHash(MediaCodec.encodeWavAm(id))
+      val amps = (0 until 64).map(w => MediaCodec.windowAmp(id, w).toLong)
+      val tot = amps.sum
+      var ehi = 0L; var elo = 0L
+      for (w <- 0 until 64 if amps(w) * 64 > tot)
+        if (w >= 32) ehi |= 1L << (w - 32) else elo |= 1L << w
+      assert((hi, lo) === ((ehi, elo)), s"id $id")
+      assert(lo != 0L || hi != 0L, "a modulated envelope must set some bits")
+    }
+  }
+
+  test("audioPerceptualHashPairs: blocked search == brute force over envelope hashes") {
+    import graft.multimodal.MediaCodec
+    val audio = (0L until 40L).map(s => (s, MediaCodec.encodeWavAm(s)))
+      .toDF("media_id", "bytes")
+    val got = Multimodal.audioPerceptualHashPairs(audio, maxHamming = 3, bucketCap = 0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val packed = Multimodal.audioEnvelopeHashes(audio).collect()
+      .map(r => (r.getLong(1) << 32) | r.getLong(2)).distinct
+    val brute = packed.combinations(2).map { case Array(a, b) =>
+      ((math.min(a, b), math.max(a, b)), java.lang.Long.bitCount(a ^ b))
+    }.filter(_._2 <= 3).toMap
+    assert(got === brute)
+    assert(got.nonEmpty, "the AM formula family must produce near pairs")
+  }
+
   test("perceptualDupClusters: connected components over the hash-pair graph, min-hash labels") {
     import graft.multimodal.MediaCodec
     // seed 7: base + two 1-flip variants — a 3-perception chain/star;
