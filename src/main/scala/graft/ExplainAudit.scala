@@ -60,8 +60,10 @@ object ExplainAudit {
     "m16_gif_frame_sample", "m17_perceptual_hash_pairs",
     // r15: the perception-rung incremental probe (batch decode scan +
     // chunk-blocked anti-join; the corpus side must stay the narrow
-    // hash frame, never a re-decode)
-    "m19_incremental_perceptual_new")
+    // hash frame, never a re-decode), and the audio perception rung
+    // (map-side envelope-hash scan; distinct-universe pair search)
+    "m19_incremental_perceptual_new",
+    "m20_audio_envelope_hash", "m21_audio_perceptual_pairs")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS
