@@ -84,6 +84,9 @@ object ExplainAudit {
       // toString of objects embedded in expressions (e.g. the t18 Bloom
       // sketch bytes) prints an identity hash — per-run, not structural
       .replaceAll("@[0-9a-f]{6,}", "@x")
+      // JVM lambda class counters/addresses (MapPartitions decode
+      // lambdas) are per-process, not structural
+      .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$n")
       // bucketed-mirror CONTENT stamps track the source files' mtimes,
       // and the driver regenerates /root/testdata every round — the
       // stamp would churn every ledger entry that touches a mirror
