@@ -55,7 +55,16 @@ object ScaleProbe {
     "d12_dup_clusters", "d14_fuzzy_survivors",
     // m19 = the perception-rung incremental probe (masked batch vs the
     // standing unmasked hash frame) — the m9/m12 pattern one rung up
-    "m19_incremental_perceptual_new")
+    "m19_incremental_perceptual_new",
+    // the rest of the r15 media newcomers: m16b = the wide-sample GIF
+    // path (duplicate indices); m17/m18 = perception pairs/clusters over
+    // the plain grid fixture (universe pinned at 64 hashes, so the join
+    // is scale-free and the rows measure the decode scan); m20/m21 =
+    // the audio envelope rung (m20 is a 16 GB-fixture decode scan at
+    // ×100; m21's universe is 18 hashes)
+    "m16b_gif_frame_sample_wide", "m17_perceptual_hash_pairs",
+    "m18_perceptual_clusters", "m20_audio_envelope_hash",
+    "m21_audio_perceptual_pairs")
 
   /** TPC-H probe set (SPARK_GRAFT_PROBE=tpch): the fact-heavy headline
     * shapes — pure fact agg (q1), fact⋈fact⋈dim top-k (q3), 5-way profit
