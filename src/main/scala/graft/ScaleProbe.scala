@@ -262,6 +262,7 @@ object ScaleProbe {
       // is deliberately not run — the same-shaped d19 blocker measured
       // 332× for 100× data before its cap).
       import graft.multimodal.Multimodal
+      val cap = graft.dedup.Dedup.defaultBucketCap // the operative default, not a copy of it
       def pairsOnce(dir: String, cap: Int): Double = timeOnce(
         Multimodal.perceptualHashPairs(
           Multimodal.syntheticPerturbedGridImageTable(spark, dir),
@@ -269,8 +270,8 @@ object ScaleProbe {
       // force the fixture build (cachedDerived) before timing either dir
       Multimodal.syntheticPerturbedGridImageTable(spark, src).count()
       Multimodal.syntheticPerturbedGridImageTable(spark, out).count()
-      val cappedBase = math.min(pairsOnce(src, 64), pairsOnce(src, 64))
-      val cappedScaled = math.min(pairsOnce(out, 64), pairsOnce(out, 64))
+      val cappedBase = math.min(pairsOnce(src, cap), pairsOnce(src, cap))
+      val cappedScaled = math.min(pairsOnce(out, cap), pairsOnce(out, cap))
       val uncappedBase = math.min(pairsOnce(src, 0), pairsOnce(src, 0))
       Seq(("m14_hash_pairs_capped", cappedBase, cappedScaled),
           ("m14_hash_pairs_capped_vs_uncapped_base", cappedBase, uncappedBase))

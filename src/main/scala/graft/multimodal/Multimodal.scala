@@ -557,13 +557,6 @@ object Multimodal {
       .select(col("media_id"),
         shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo")).as("__h"))
 
-  /** The chunk-blocked, hamming-verified pair search over a packed-hash
-    * frame — [[perceptualNearDups]]'s distinct-universe stage, factored
-    * out so it is independently callable and probe-able without the
-    * member-pair expansion (whose output is quadratic in copies per
-    * perception BY DEFINITION and therefore excluded from scale probes,
-    * the e1/e3 rationale).
-    */
   /** Pigeonhole chunk-blocking of a distinct packed-hash frame:
     * `maxHamming + 1` disjoint chunks per hash (any pair within the
     * bound shares at least one) — the blocking key both the self-join
@@ -574,6 +567,13 @@ object Multimodal {
       explode(graft.dedup.Dedup.hammingChunks(col("__h"), maxHamming)).as("cb"))
       .select(col("__h"), col("cb.chunk"), col("cb.ckey"))
 
+  /** The chunk-blocked, hamming-verified pair search over a packed-hash
+    * frame — [[perceptualNearDups]]'s distinct-universe stage, factored
+    * out so it is independently callable and probe-able without the
+    * member-pair expansion (whose output is quadratic in copies per
+    * perception BY DEFINITION and therefore excluded from scale probes,
+    * the e1/e3 rationale).
+    */
   private def hashPairsFromPacked(hashes: DataFrame, maxHamming: Int,
                                   bucketCap: Int): DataFrame = {
     val uniq = hashes.select("__h").distinct()

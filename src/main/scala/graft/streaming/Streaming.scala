@@ -488,6 +488,15 @@ object Streaming {
     * deliberately NOT claimed (the batch operator's recount pass needs
     * the full corpus); with capacity above the live distinct-item count
     * the estimates are exact — the spec gates both regimes.
+    *
+    * SESSION-scoped state, stated plainly: the running summary lives on
+    * the driver, not in the checkpoint, so a query RESTART starts an
+    * empty summary covering only post-restart batches (persist the
+    * sink's per-batch frames if history must survive restarts — each
+    * carries the full current top-k). WITHIN a session, a re-delivered
+    * batch (foreachBatch replays the last uncommitted batch after a
+    * transient failure) is detected by its batchId and merged only
+    * once, so estimates never double-count.
     */
   def heavyHittersStream(itemStream: DataFrame, itemCol: String, k: Int,
                          capacity: Int = 4096)
@@ -497,26 +506,31 @@ object Streaming {
     import spark.implicits._
     val running = new SpaceSavingBuffer(capacity)
     var total = 0L
-    itemStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val partials = batch.select(col(itemCol).cast("string")).as[String]
-        .mapPartitions { it =>
-          val buf = new SpaceSavingBuffer(capacity)
-          var n = 0L
-          it.foreach { s => if (s != null) { buf.add(s); n += 1 } }
-          if (n == 0) Iterator.empty
-          else {
-            val entries = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-            buf.foreachEntry((i, c) => entries += ((i, c)))
-            Iterator.single((entries.toSeq, n))
+    var lastMerged = -1L
+    itemStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (batchId > lastMerged) {
+        val partials = batch.select(col(itemCol).cast("string")).as[String]
+          .mapPartitions { it =>
+            val buf = new SpaceSavingBuffer(capacity)
+            var n = 0L
+            it.foreach { s => if (s != null) { buf.add(s); n += 1 } }
+            if (n == 0) Iterator.empty
+            else {
+              val entries = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+              buf.foreachEntry((i, c) => entries += ((i, c)))
+              Iterator.single((entries.toSeq, n))
+            }
+          }.collect()
+        // partition results arrive in nondeterministic order and merge
+        // pruning is order-sensitive at ties — pin a content-derived
+        // order (count, then smallest tracked item)
+        partials.sortBy { case (entries, n) => (n, entries.map(_._1).min) }
+          .foreach { case (entries, n) =>
+            running.mergeIn(SpaceSavingBuffer.fromEntries(capacity, entries.toArray))
+            total += n
           }
-        }.collect()
-      // partition results arrive in nondeterministic order and merge
-      // pruning is order-sensitive at ties — pin a deterministic order
-      partials.sortBy { case (entries, n) => (n, entries.toString.hashCode) }
-        .foreach { case (entries, n) =>
-          running.mergeIn(SpaceSavingBuffer.fromEntries(capacity, entries.toArray))
-          total += n
-        }
+        lastMerged = batchId
+      }
       val top = {
         val all = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
         running.foreachEntry((i, c) => all += ((i, c)))
