@@ -274,7 +274,16 @@ object ScaleProbe {
       val cappedScaled = math.min(pairsOnce(out, cap), pairsOnce(out, cap))
       val uncappedBase = math.min(pairsOnce(src, 0), pairsOnce(src, 0))
       Seq(("m14_hash_pairs_capped", cappedBase, cappedScaled),
-          ("m14_hash_pairs_capped_vs_uncapped_base", cappedBase, uncappedBase))
+          ("m14_hash_pairs_capped_vs_uncapped_base", cappedBase, uncappedBase)) ++
+      // the uncapped join IS measured where feasible (cluster occupancy
+      // grows ~linearly with factor, pairs quadratically — at ×100 the
+      // candidate stream is ~10⁸–10⁹ rows and deliberately not run):
+      // at ×10 it completes, putting a measured point behind the
+      // occupancy arithmetic instead of only the d19 precedent.
+      (if (factor <= 10)
+         Seq((s"m14_hash_pairs_capped_vs_uncapped_x$factor",
+              cappedScaled, math.min(pairsOnce(out, 0), pairsOnce(out, 0))))
+       else Seq.empty)
     }) ++ (if (probeSet != "events") Seq.empty else {
       // The DISTRIBUTED pointer-jumping closure branch, which the
       // registered d12 never exercises at probe scale (the capped pair
