@@ -21,6 +21,7 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS_ARGS+=("--add-opens=java.base/$p=ALL-UNNAMED")
 done
 exec java "${OPENS_ARGS[@]}" \
+  -Dfile.encoding=UTF-8 \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   "-Xmx${SPARK_DRIVER_MEM:-8g}" \
