@@ -1287,9 +1287,15 @@ object SparkEntry {
     // cluster label (= min member id) a corpus-wide fuzzy dedup keeps one
     // representative per. Pair generation is xxhash-bucketed -> rows-only;
     // RowsOnlyGateSpec pins label soundness on the real corpus.
+    // Round 16: clusters now close over minhashSpanningEdges (per-bucket
+    // spanning forests of the verified subgraph, same LSH geometry + cap
+    // as minhashCandidatePairs) instead of the clique pair set — labels
+    // identical by connectivity preservation (the oracle still replays
+    // closure over d13's clique dump, so the equality IS the check), but
+    // the closure input is linear in members, not dup-rate².
     "d12_dup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8)
+      val pairs = Dedup.minhashSpanningEdges(docs, "doc_id", "text", threshold = 0.8)
       Dedup.dupClusters(pairs.select(col("id1"), col("id2")))
     }),
 
@@ -1301,10 +1307,14 @@ object SparkEntry {
     // that dump + the verify filter, then applies the same keep rule —
     // the end-to-end LSH→verify→cluster→keep pipeline hash-checked at
     // every stage.
+    // Round 16: the dump is now the spanning-forest edge list (every edge
+    // a genuine verified pair, so the oracle's verify+closure replay is
+    // unchanged); survivors identical to the clique form by connectivity
+    // preservation, closure input linear in members.
     "d14_fuzzy_survivors" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val cands = dumpedCandidates(s, "d14", d,
-        Dedup.minhashCandidatePairs(docs, "doc_id", "text"))
+        Dedup.minhashSpanningEdges(docs, "doc_id", "text", threshold = 0.8))
       val pairs = Dedup.jaccardForPairs(docs, cands, "doc_id", "text")
         .filter(col("jaccard") >= 0.8)
       Dedup.fuzzySurvivors(docs, "doc_id", pairs.select(col("id1"), col("id2")))
@@ -1723,10 +1733,18 @@ object SparkEntry {
     // like d14: the query dumps its own SRP candidate set; the oracle
     // rebuilds labels by recursive closure over that dump (cosine ≥ τ
     // verify) and applies the keep rule.
+    // Round 16: the closure input is the per-bucket SPANNING FOREST of
+    // the verified subgraph (srpSpanningEdges), not the clique pair set —
+    // identical survivors (union-of-forests preserves connectivity;
+    // DedupSpec parity gate) but closure input LINEAR in members where
+    // the clique form grew ~dup-rate² (the one super-linear ×100 row,
+    // docs/SCALE_PROBE.md e3). Every dumped edge is still a genuine
+    // round(cos,4) ≥ τ pair, so the oracle's verify+closure replay over
+    // the dump is unchanged.
     "e3_semantic_survivors" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val cands = dumpedCandidates(s, "e3", d,
-        Dedup.srpCandidatePairs(emb, "vec_id", "embedding", maxDim = 64))
+        Dedup.srpSpanningEdges(emb, "vec_id", "embedding", threshold = 0.2, maxDim = 64))
       val pairs = Dedup.cosineForPairs(emb, cands, "vec_id", "embedding")
         .filter(col("cos") >= 0.2)
       Dedup.fuzzySurvivors(emb, "vec_id", pairs.select(col("id1"), col("id2")))

@@ -811,4 +811,181 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id1", "id2", "cos").distinct()
   }
+
+  // ----------------------------------------- spanning-edge reduction
+
+  /** Spark `round(x, 4)` replicated for the local (in-task) verify path:
+    * org.apache.spark.sql.catalyst.expressions.Round on DoubleType is
+    * BigDecimal(valueOf(x)).setScale(4, HALF_UP) with a NaN/Inf
+    * passthrough — reproduced digit-for-digit so a spanning edge's
+    * threshold decision is bit-identical to the join-based verify's
+    * `round(sim, 4) >= τ` (and therefore to the DuckDB replay the d13/e2
+    * oracles already prove agrees with those expressions).
+    */
+  private def round4(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** CosineSimilarity (o.a.s.sql.graft) replicated locally: same
+    * accumulation order over min-length prefix, null element or zero
+    * norm → null (no edge). Bit-identical to `cosineNative` on the same
+    * doubles, so spanning edges are exactly the pairs the join-based
+    * verify would keep.
+    */
+  private def cosineLocal(a: Seq[Any], b: Seq[Any]): java.lang.Double = {
+    if (a == null || b == null) return null
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val ai = a(i); val bi = b(i)
+      if (ai == null || bi == null) return null
+      val x = ai.asInstanceOf[Double]; val y = bi.asInstanceOf[Double]
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  /** Spanning forest of one bucket's verified-similarity subgraph:
+    * path-compressed union-find over the (id-sorted, deterministic)
+    * members; `sim(i, j)` is consulted ONLY for pairs not already
+    * connected, and every union emits its witnessing pair as a
+    * (min, max) edge. Emitted edges are a subset of the verified pairs
+    * with identical connectivity — and on a k-member duplicate clique
+    * the verify work itself collapses from O(k²) similarity evaluations
+    * to O(k) (plus O(k²) O(α) find() probes): once the clique is
+    * connected, remaining pairs short-circuit before scoring.
+    */
+  private def spanningForestEdges(ids: Array[Long])
+                                 (sim: (Int, Int) => Boolean): Iterator[(Long, Long)] = {
+    val parent = Array.tabulate(ids.length)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var i = 0
+    while (i < ids.length) {
+      var j = i + 1
+      while (j < ids.length) {
+        val ri = find(i); val rj = find(j)
+        if (ri != rj && sim(i, j)) {
+          parent(math.max(ri, rj)) = math.min(ri, rj)
+          out += ((math.min(ids(i), ids(j)), math.max(ids(i), ids(j))))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.iterator
+  }
+
+  /** Connectivity-only reduction of [[embeddingNearDups]] for CLOSURE
+    * consumers ([[dupClusters]] / [[fuzzySurvivors]] — the e3/d12/d14
+    * shape): instead of materializing every verified intra-bucket pair
+    * (which grows ~dup-rate² — each group of k mutual near-dups is a
+    * k-clique, the one measured super-linear term in the ×100 probe,
+    * docs/SCALE_PROBE.md e3 51.2×), emit a per-bucket SPANNING FOREST of
+    * the verified subgraph: ≤ members-1 edges per bucket, each a genuine
+    * `round(cos,4) ≥ τ` pair (so the edge list replays under the same
+    * verify oracle as the clique form). Union-of-spanning-forests
+    * preserves the union graph's connectivity exactly — any clique-pair
+    * path rewrites edge-by-edge into forest paths — so closure labels,
+    * and therefore the survivor set, are IDENTICAL to the all-pairs
+    * form (gated in DedupSpec). Pair-output operators (e1/e2/d13) keep
+    * the clique form: there the pairs ARE the result.
+    *
+    * Shape: one shuffle of (id, vec) on the bucket key, collect_list per
+    * bucket (memory O(occupancy·dim) per bucket — bound it with
+    * `bucketCap` on adversarial corpora; 0 = uncapped to mirror
+    * [[embeddingNearDups]]), local union-find, edges out. The verify
+    * compute inside a duplicate-heavy bucket is near-LINEAR in members
+    * (see [[spanningForestEdges]]) where the join form paid one cosine
+    * per clique pair.
+    */
+  def srpSpanningEdges(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, nPlanes: Int = 0, maxDim: Int = 512,
+                       bucketCap: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val planes = Similarity.resolvePlanes(df, nPlanes)
+    val idType = df.schema(idCol).dataType
+    val grouped = df
+      .select(col(idCol).cast("long").as("__id"),
+              Similarity.toDouble(col(vecCol)).as("__v"))
+      .withColumn("__bucket", Similarity.srpBucket(col("__v"), planes, maxDim = maxDim))
+      .filter(col("__bucket").isNotNull) // null vec never joins in the clique form either
+      .groupBy(col("__bucket"))
+      .agg(collect_list(struct(col("__id"), col("__v"))).as("__m"))
+    val edges = grouped.flatMap { row =>
+      val m = row.getSeq[org.apache.spark.sql.Row](1)
+      if (bucketCap > 0 && m.length > bucketCap) Iterator.empty
+      else {
+        val sorted = m.toArray.sortBy(_.getLong(0))
+        val ids = sorted.map(_.getLong(0))
+        val vecs = sorted.map(_.getSeq[Any](1))
+        spanningForestEdges(ids) { (i, j) =>
+          val c = cosineLocal(vecs(i), vecs(j))
+          c != null && round4(c) >= threshold
+        }
+      }
+    }.toDF("id1", "id2")
+    edges.select(col("id1").cast(idType).as("id1"),
+                 col("id2").cast(idType).as("id2"))
+  }
+
+  /** The text twin of [[srpSpanningEdges]]: per-(band, bucket) spanning
+    * forests of the exact-Jaccard-verified subgraph, for closure
+    * consumers of [[minhashNearDups]] (d12/d14). Same LSH geometry and
+    * occupancy-cap semantics as [[minhashCandidatePairs]] (over-cap
+    * buckets drop whole, default [[defaultBucketCap]]) so the candidate
+    * UNIVERSE is identical — which is what makes the closure labels
+    * provably equal to the clique form's. A pair colliding in several
+    * bands may emit from each; `.distinct()` collapses that (the edge
+    * list is O(members·bands) worst case, narrow longs).
+    *
+    * The shingle arrays ride the (band, bucket) shuffle once per band —
+    * heavier per-row than the clique form's candidate join, but the
+    * clique form then shuffles TWO shingle arrays per verified pair,
+    * which on a dup-heavy corpus (pairs ~ dup-rate²) dwarfs it.
+    */
+  def minhashSpanningEdges(df: DataFrame, idCol: String, textCol: String,
+                           threshold: Double, shingleSize: Int = 3,
+                           bands: Int = 8, rowsPerBand: Int = 4,
+                           bucketCap: Int = defaultBucketCap): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idType = df.schema(idCol).dataType
+    val grouped = df
+      .select(col(idCol).cast("long").as("__id"),
+              Text.wordShingles(col(textCol), shingleSize).as("__sh"))
+      .select(col("__id"), col("__sh"),
+        posexplode(org.apache.spark.sql.graft.HashFunctions
+          .lshBandBuckets(col("__sh"), bands, rowsPerBand)).as(Seq("band", "bucket")))
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("__id"), col("__sh"))).as("__m"))
+    val edges = grouped.flatMap { row =>
+      val m = row.getSeq[org.apache.spark.sql.Row](2)
+      if (bucketCap > 0 && m.length > bucketCap) Iterator.empty
+      else {
+        val sorted = m.toArray.sortBy(_.getLong(0))
+        val ids = sorted.map(_.getLong(0))
+        val sets = sorted.map(_.getSeq[String](1).toSet)
+        spanningForestEdges(ids) { (i, j) =>
+          // ngramJaccard replica: |a∩b| / |a∪b|, union 0 → null (no edge)
+          val union = (sets(i) union sets(j)).size
+          union != 0 &&
+            round4(sets(i).intersect(sets(j)).size.toDouble / union) >= threshold
+        }
+      }
+    }.toDF("id1", "id2").distinct()
+    edges.select(col("id1").cast(idType).as("id1"),
+                 col("id2").cast(idType).as("id2"))
+  }
 }

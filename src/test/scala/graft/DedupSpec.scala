@@ -417,4 +417,118 @@ class DedupSpec extends SparkTestBase {
       Map("src0" -> 0.5, "src1" -> 0.0)).select("id").collect().map(_.getLong(0)).toSet
     assert(again === mixed.select("id").collect().map(_.getLong(0)).toSet)
   }
+
+  // ---- spanning-forest reduction of the closure input (round 16) ----
+
+  /** Clique-heavy embedding corpus: 3 groups of 30 tiny perturbations of
+    * a shared base vector (mutual cos ≈ 1 — each group is a near-dup
+    * clique at τ = 0.8) plus 30 independent singleton vectors.
+    */
+  private lazy val cliqueVecs: org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(1234)
+    def unit(): Array[Double] = {
+      val v = Array.fill(8)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val groups = (0 until 3).flatMap { g =>
+      val base = unit()
+      (0 until 30).map { m =>
+        val v = base.map(x => x + rnd.nextGaussian() * 1e-3)
+        ((g * 1000 + m).toLong, v.toSeq)
+      }
+    }
+    val singles = (0 until 30).map(i => ((9000 + i).toLong, unit().toSeq))
+    (groups ++ singles).toDF("id", "vec")
+  }
+
+  test("srpSpanningEdges: subset of verified clique pairs, linear edge count, " +
+       "identical closure labels and survivors") {
+    val clique = Dedup.embeddingNearDups(cliqueVecs, "id", "vec", threshold = 0.8)
+    val span = Dedup.srpSpanningEdges(cliqueVecs, "id", "vec", threshold = 0.8)
+    val cliquePairs = clique.select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val spanPairs = span.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every spanning edge is a genuine verified pair (dump replayability)
+    assert(spanPairs.subsetOf(cliquePairs))
+    // clique grows ~k² per dup group; the forest stays under one edge per member
+    assert(cliquePairs.size >= 3 * (30 * 29) / 2)
+    assert(spanPairs.size <= 90 && spanPairs.nonEmpty)
+    // closure parity: identical labels...
+    val lc = Dedup.dupClusters(clique.select(col("id1"), col("id2")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ls = Dedup.dupClusters(span)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lc === ls)
+    // ...and the identical survivor answer sheet (the e3 contract)
+    val sc = Dedup.fuzzySurvivors(cliqueVecs, "id", clique.select(col("id1"), col("id2")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val ss = Dedup.fuzzySurvivors(cliqueVecs, "id", span)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sc === ss)
+  }
+
+  test("srpSpanningEdges preserves within-bucket CHAIN connectivity " +
+       "(A~B, B~C, A≁C must still cluster together when the clique form does)") {
+    // near-parallel trio at graded angles: adjacent pairs above τ, the
+    // ends below — the case a naive star-to-bucket-min candidate set
+    // gets wrong (the star edges fail verification; the chain is lost)
+    val chain = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.9, math.sqrt(1 - 0.81), 0.0, 0.0)),          // cos(1,2)=0.9
+      (3L, Seq(0.62, math.sqrt(1 - 0.62 * 0.62), 0.0, 0.0)),  // cos(1,3)=0.62+
+      (4L, Seq(0.0, 0.0, 1.0, 0.0))
+    ).toDF("id", "vec")
+    val clique = Dedup.embeddingNearDups(chain, "id", "vec", threshold = 0.8, nPlanes = 4)
+      .select(col("id1"), col("id2"))
+    val span = Dedup.srpSpanningEdges(chain, "id", "vec", threshold = 0.8, nPlanes = 4)
+    val lc = Dedup.dupClusters(clique).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ls = Dedup.dupClusters(span).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lc === ls)
+  }
+
+  test("minhashSpanningEdges: verified subset, label + survivor parity with the " +
+       "clique form on a duplicate-heavy corpus") {
+    val rnd = new scala.util.Random(7)
+    def sentence(tag: String): String =
+      s"the $tag pipeline shuffles partitions across executors while catalyst " +
+      s"prunes columns and pushes filters down to the $tag parquet scan"
+    val dups = (0 until 25).map(i => (100L + i, sentence("alpha"))) ++
+               (0 until 25).map(i => (200L + i, sentence("beta"))) ++
+               (0 until 20).map { i =>
+                 (300L + i, (0 until 12).map(_ => s"w${rnd.nextInt(5000)}").mkString(" "))
+               }
+    val docs = dups.toDF("id", "text")
+    val clique = Dedup.minhashNearDups(docs, "id", "text", threshold = 0.8)
+    val span = Dedup.minhashSpanningEdges(docs, "id", "text", threshold = 0.8)
+    val cliquePairs = clique.select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val spanPairs = span.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(spanPairs.subsetOf(cliquePairs))
+    assert(cliquePairs.size >= 2 * (25 * 24) / 2)   // two 25-cliques at least
+    assert(spanPairs.size < cliquePairs.size / 4)   // the reduction is real
+    val lc = Dedup.dupClusters(clique.select(col("id1"), col("id2")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ls = Dedup.dupClusters(span)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lc === ls)
+    val sc = Dedup.fuzzySurvivors(docs, "id", clique.select(col("id1"), col("id2")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val ss = Dedup.fuzzySurvivors(docs, "id", span)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sc === ss)
+  }
+
+  test("minhashSpanningEdges honors the bucket occupancy cap like the clique form") {
+    // 200 EXACT copies: every band bucket holds all 200 > cap 64, so both
+    // generators drop the bucket whole and emit nothing
+    val docs = (0 until 200).map(i =>
+      (i.toLong, "same boilerplate text repeated across every copy of the page"))
+      .toDF("id", "text")
+    assert(Dedup.minhashSpanningEdges(docs, "id", "text", threshold = 0.8).count() === 0L)
+    assert(Dedup.minhashCandidatePairs(docs, "id", "text").count() === 0L)
+    // cap lifted -> the clique returns; the forest stays linear
+    val un = Dedup.minhashSpanningEdges(docs, "id", "text", threshold = 0.8, bucketCap = 0)
+    assert(un.count() === 199L)  // one spanning tree over the 200-clique
+  }
 }
