@@ -649,7 +649,21 @@ object Multimodal {
     */
   def incrementalPerceptualNew(batch: DataFrame, corpusHashes: DataFrame,
                                maxHamming: Int = 3,
-                               bucketCap: Int = graft.dedup.Dedup.defaultBucketCap): DataFrame = {
+                               bucketCap: Int = graft.dedup.Dedup.defaultBucketCap): DataFrame =
+    incrementalPerceptualNewWithCleanup(batch, corpusHashes, maxHamming, bucketCap)._1
+
+  /** [[incrementalPerceptualNew]] plus an explicit release hook for the
+    * batch-hash localCheckpoint it pins: the one-shot form can leave the
+    * blocks to the ContextCleaner (one frame, freed on driver GC), but a
+    * LONG-RUNNING caller invoking this per micro-batch
+    * ([[perceptualGateStream]]) would accumulate pinned executor storage
+    * until GC happens to run — call the returned cleanup as soon as the
+    * result frame has been consumed.
+    */
+  private[graft] def incrementalPerceptualNewWithCleanup(
+      batch: DataFrame, corpusHashes: DataFrame,
+      maxHamming: Int = 3,
+      bucketCap: Int = graft.dedup.Dedup.defaultBucketCap): (DataFrame, () => Unit) = {
     val b = packedHashes(batch).localCheckpoint() // one batch decode feeds probe + anti
     val bc = chunkedHashes(b.select("__h").distinct(), maxHamming)
     val cc = graft.dedup.Dedup.capBuckets(
@@ -659,7 +673,15 @@ object Multimodal {
     val near = bc.join(cc, Seq("chunk", "ckey"))
       .filter(bit_count(col("__h").bitwiseXOR(col("__ch"))) <= maxHamming)
       .select("__h").distinct()
-    b.join(near, Seq("__h"), "left_anti").select("media_id")
+    val result = b.join(near, Seq("__h"), "left_anti").select("media_id")
+    val cleanup = () => b.queryExecution.analyzed match {
+      // free the checkpointed RDD's storage blocks without waiting for
+      // the ContextCleaner to notice the dereferenced RDD
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+    (result, cleanup)
   }
 
   /** Streaming twin of [[incrementalPerceptualNew]] (the annSearchStream /
@@ -675,8 +697,14 @@ object Multimodal {
                           (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     mediaStream.writeStream.foreachBatch {
       (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          sink(incrementalPerceptualNew(batch, corpusHashes, maxHamming))
+        if (!batch.isEmpty) {
+          // release each micro-batch's checkpoint blocks once the sink
+          // has consumed the frame — a long-running stream must not
+          // accumulate pinned executor storage until driver GC
+          val (result, cleanup) =
+            incrementalPerceptualNewWithCleanup(batch, corpusHashes, maxHamming)
+          try sink(result) finally cleanup()
+        }
         ()
     }.start()
 

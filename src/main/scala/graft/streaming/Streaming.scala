@@ -178,12 +178,19 @@ object Streaming {
 
   /** Safe timeout target for EventTimeTimeout: Spark rejects a timeout at
     * or before the current watermark, and batch execution (where these
-    * operators also run, watermark-less) throws on getCurrentWatermarkMs —
-    * clamp and swallow respectively.
+    * operators also run, watermark-less) throws
+    * UnsupportedOperationException on getCurrentWatermarkMs /
+    * setTimeoutTimestamp — clamp the former, swallow ONLY that exception
+    * on the latter. Any other failure propagates: a genuine streaming
+    * misconfiguration silently disabling eviction would restore exactly
+    * the unbounded state growth this helper exists to prevent.
     */
   private def safeSetTimeout[S](state: GroupState[S], desiredMs: Long): Unit = {
-    val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(Long.MinValue)
-    scala.util.Try(state.setTimeoutTimestamp(math.max(desiredMs, wm + 1)))
+    val wm =
+      try state.getCurrentWatermarkMs()
+      catch { case _: UnsupportedOperationException => Long.MinValue }
+    try state.setTimeoutTimestamp(math.max(desiredMs, wm + 1))
+    catch { case _: UnsupportedOperationException => () } // batch mode: no timeouts
   }
 
   // Event-time-carrying twins of the state-operator inputs: the watermarked
@@ -208,8 +215,15 @@ object Streaming {
     * new key); diffs resume from the next day. `stateTtlDays <= 0`
     * disables eviction (the pre-round-15 unbounded behavior).
     * `lateness` is the watermark delay on the derived event-time column
-    * (date at midnight); events later than that still update state but no
-    * longer hold the watermark back.
+    * (date at midnight). PART OF THE DEFAULT-ON BEHAVIOR CHANGE: with
+    * the watermark attached (eviction enabled), Spark drops rows OLDER
+    * than the current watermark before they reach the fold
+    * (FlatMapGroupsWithStateExec applies
+    * removeKeysOlderThanWatermark/applyRemovingRowsOlderThanWatermark),
+    * so an event arriving more than `lateness` behind the max seen event
+    * time NEVER updates state — unlike the pre-round-15 NoTimeout form
+    * (or `stateTtlDays <= 0` today), which folds arbitrarily late rows.
+    * Widen `lateness` if late replays must count.
     */
   def runningDailyChange(ds: Dataset[DayObs],
                          stateTtlDays: Int = 30,
@@ -273,12 +287,19 @@ object Streaming {
     * key: once the watermark passes `cohort_day + horizonDays` (the
     * retention analysis window for that cohort is closed) the state is
     * dropped. A key reappearing after eviction re-emits its first day
-    * seen SINCE eviction — a later day, which min-reduce discards; a
-    * genuinely earlier very-late event re-emits the earlier (more
-    * correct) day exactly as before. So the min-monotone consumer
-    * contract is unchanged; eviction only trades extra emissions for
-    * bounded state (O(keys active within the horizon), not lifetime
-    * distinct keys). `horizonDays <= 0` disables eviction.
+    * seen SINCE eviction — a later day, which min-reduce discards. An
+    * earlier very-late event only re-points the cohort if it is still
+    * WITHIN the watermark: with eviction on, Spark filters rows older
+    * than the current watermark before the fold
+    * (applyRemovingRowsOlderThanWatermark), so an event more than
+    * `lateness` behind the max seen event time is dropped, where the
+    * NoTimeout form (`horizonDays <= 0` — the pre-round-15 behavior)
+    * would have folded it and re-emitted the earlier day. That drop can
+    * only leave a cohort assignment LATER than the all-data answer — the
+    * min-monotone consumer contract itself is unchanged; widen
+    * `lateness` if deep replays must re-point cohorts. Eviction thus
+    * trades extra emissions + the late-drop cutoff for bounded state
+    * (O(keys active within the horizon), not lifetime distinct keys).
     */
   def firstSeenCohorts(ds: Dataset[KeyDay],
                        horizonDays: Int = 90,
@@ -347,7 +368,10 @@ object Streaming {
     * `evictState = false` restores the pre-round-15 unbounded behavior
     * (used by the historical-replay parity spec, whose batch twin has no
     * lateness cutoff). `lateness` is the watermark delay on the derived
-    * event-time column.
+    * event-time column; with eviction on, stage events arriving more
+    * than `lateness` behind the max seen event time are dropped by Spark
+    * BEFORE the fold (applyRemovingRowsOlderThanWatermark) — they never
+    * extend a chain, where the evictState=false form folds them.
     */
   def funnelProgress(ds: Dataset[StageEvent], nStages: Int,
                      maxLagSeconds: Long,
@@ -489,17 +513,21 @@ object Streaming {
     * the full corpus); with capacity above the live distinct-item count
     * the estimates are exact — the spec gates both regimes.
     *
-    * SESSION-scoped state, stated plainly: the running summary lives on
-    * the driver, not in the checkpoint, so a query RESTART starts an
-    * empty summary covering only post-restart batches (persist the
-    * sink's per-batch frames if history must survive restarts — each
-    * carries the full current top-k). WITHIN a session, a re-delivered
-    * batch (foreachBatch replays the last uncommitted batch after a
-    * transient failure) is detected by its batchId and merged only
-    * once, so estimates never double-count.
+    * Durability: pass `checkpointDir` and the summary SURVIVES RESTART —
+    * the query checkpoints its source offsets there, and after each
+    * merged batch the summary (entries + total + last-merged batchId) is
+    * written atomically (temp + rename) to a sidecar file beside the
+    * checkpoint, restored on start. The sidecar write and the offset
+    * commit cannot be atomic TOGETHER, but either crash order is safe:
+    * sidecar-behind → the restarted query re-delivers the batch and the
+    * restored `lastMerged` (< batchId) admits the merge exactly once;
+    * sidecar-ahead → re-delivery is batchId-skipped. Without
+    * `checkpointDir` the summary is session-scoped as before (a restart
+    * starts empty and, with no offset checkpoint, re-reads the source),
+    * and within-session re-delivery is batchId-deduped either way.
     */
   def heavyHittersStream(itemStream: DataFrame, itemCol: String, k: Int,
-                         capacity: Int = 4096)
+                         capacity: Int = 4096, checkpointDir: String = null)
                         (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.graft.SpaceSavingBuffer
     val spark = itemStream.sparkSession
@@ -507,7 +535,44 @@ object Streaming {
     val running = new SpaceSavingBuffer(capacity)
     var total = 0L
     var lastMerged = -1L
-    itemStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+    val sidecar = Option(checkpointDir).map(d => new java.io.File(d, "graft_heavy_hitters_summary"))
+    sidecar.filter(_.isFile).foreach { f =>
+      // restore: line 1 = "<lastMerged> <total>", then "<count> <base64(item)>"
+      val lines = java.nio.file.Files.readAllLines(f.toPath,
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (!lines.isEmpty) {
+        val head = lines.get(0).split(' ')
+        lastMerged = head(0).toLong
+        total = head(1).toLong
+        val entries = (1 until lines.size).map { i =>
+          val Array(c, b64) = lines.get(i).split(' ')
+          (new String(java.util.Base64.getDecoder.decode(b64),
+            java.nio.charset.StandardCharsets.UTF_8), c.toLong)
+        }
+        running.mergeIn(SpaceSavingBuffer.fromEntries(capacity, entries.toArray))
+      }
+    }
+    def persistSummary(): Unit = sidecar.foreach { f =>
+      val sb = new StringBuilder
+      sb.append(lastMerged).append(' ').append(total).append('\n')
+      running.foreachEntry { (i, c) =>
+        sb.append(c).append(' ')
+          .append(java.util.Base64.getEncoder.encodeToString(
+            i.getBytes(java.nio.charset.StandardCharsets.UTF_8))).append('\n')
+      }
+      f.getParentFile.mkdirs()
+      val tmp = new java.io.File(f.getParentFile, f.getName + ".tmp")
+      java.nio.file.Files.write(tmp.toPath,
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp.toPath, f.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val writer0 = itemStream.writeStream
+    val writer = Option(checkpointDir)
+      .map(d => writer0.option("checkpointLocation", new java.io.File(d, "offsets").toString))
+      .getOrElse(writer0)
+    writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (batchId > lastMerged) {
         val partials = batch.select(col(itemCol).cast("string")).as[String]
           .mapPartitions { it =>
@@ -523,13 +588,19 @@ object Streaming {
           }.collect()
         // partition results arrive in nondeterministic order and merge
         // pruning is order-sensitive at ties — pin a content-derived
-        // order (count, then smallest tracked item)
-        partials.sortBy { case (entries, n) => (n, entries.map(_._1).min) }
-          .foreach { case (entries, n) =>
+        // TOTAL order: (row count, full canonical entry serialization).
+        // (count, min item) alone can tie for two different partials,
+        // leaving the merge order — and tie-broken estimates —
+        // nondeterministic; identical serializations mean identical
+        // partials, whose relative order cannot matter.
+        partials.sortBy { case (entries, n) =>
+          (n, entries.sorted.map { case (i, c) => s"$i\u0000$c" }.mkString("\u0001"))
+        }.foreach { case (entries, n) =>
             running.mergeIn(SpaceSavingBuffer.fromEntries(capacity, entries.toArray))
             total += n
           }
         lastMerged = batchId
+        persistSummary()
       }
       val top = {
         val all = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]

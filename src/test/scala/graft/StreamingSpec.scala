@@ -887,6 +887,59 @@ class StreamingSpec extends SparkTestBase {
     assert(hot.get._2 >= 400L, "estimate must stay an upper bound of the true count")
   }
 
+  test("heavyHittersStream: kill-and-resume with a checkpoint equals the " +
+       "uninterrupted run (summary sidecar + offset checkpoint)") {
+    val tokens = (0 until 600).map(i => s"tok${i % 25}")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("item",
+        org.apache.spark.sql.types.StringType)))
+    def stage(dir: java.nio.file.Path, parts: Seq[Seq[String]]): Unit =
+      parts.zipWithIndex.foreach { case (p, i) =>
+        p.toDF("item").write.mode("overwrite").parquet(dir.resolve(s"p$i").toString)
+      }
+    def stream(dir: java.nio.file.Path) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString + "/*")
+    val parts = Seq(tokens.slice(0, 200), tokens.slice(200, 400), tokens.slice(400, 600))
+
+    // uninterrupted reference run over all three batches
+    val dirFull = java.nio.file.Files.createTempDirectory("graft_hh_full")
+    stage(dirFull, parts)
+    @volatile var full: Seq[(String, Long, Long)] = Seq.empty
+    val qf = Streaming.heavyHittersStream(stream(dirFull), "item", k = 25, capacity = 64) { top =>
+      full = top.collect().toSeq.map(r =>
+        (r.getAs[String]("item"), r.getAs[Long]("est_count"), r.getAs[Long]("n_total")))
+    }
+    try qf.processAllAvailable() finally qf.stop()
+
+    // interrupted run: two batches, STOP (query object discarded), third
+    // batch lands, a brand-new query resumes from the same checkpoint
+    val dirInc = java.nio.file.Files.createTempDirectory("graft_hh_resume")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hh_ckpt").toString
+    stage(dirInc, parts.take(2))
+    @volatile var got: Seq[(String, Long, Long)] = Seq.empty
+    val q1 = Streaming.heavyHittersStream(stream(dirInc), "item", k = 25,
+      capacity = 64, checkpointDir = ckpt) { top =>
+      got = top.collect().toSeq.map(r =>
+        (r.getAs[String]("item"), r.getAs[Long]("est_count"), r.getAs[Long]("n_total")))
+    }
+    try q1.processAllAvailable() finally q1.stop()
+    assert(got.map(_._3).distinct === Seq(400L)) // pre-kill state saw 2 batches
+    parts.drop(2).zipWithIndex.foreach { case (p, i) =>
+      p.toDF("item").write.mode("overwrite").parquet(dirInc.resolve(s"p${i + 2}").toString)
+    }
+    val q2 = Streaming.heavyHittersStream(stream(dirInc), "item", k = 25,
+      capacity = 64, checkpointDir = ckpt) { top =>
+      got = top.collect().toSeq.map(r =>
+        (r.getAs[String]("item"), r.getAs[Long]("est_count"), r.getAs[Long]("n_total")))
+    }
+    try q2.processAllAvailable() finally q2.stop()
+
+    // resumed run == uninterrupted run: same totals, same per-item counts
+    assert(got.map(_._3).distinct === Seq(600L),
+      "restart must neither drop nor double-count the pre-kill batches")
+    assert(got.map(t => t._1 -> t._2).toMap === full.map(t => t._1 -> t._2).toMap)
+  }
+
   test("funnelProgress evicts idle keys; post-eviction stage-0 re-emits (documented)") {
     implicit val sqlCtx = spark.sqlContext
     import Streaming._
