@@ -143,4 +143,77 @@ object HashLedger {
     Handle(spark.read.parquet(hashesPath), meta.getAs[Int]("groups"),
       meta.getAs[String]("id_col"), meta.getAs[String]("text_col"))
   }
+
+  /** Append a batch's content addresses to the standing ledger — the
+    * daily-ingest seam: after [[Dedup.incrementalExactNewIndexed]] finds
+    * the batch's NOVEL rows, their addresses join the ledger here so
+    * tomorrow's batch dedups against today's too. Addresses are deduped
+    * within the batch and land in the SAME `__grp` layout (group key and
+    * count come from the persisted meta), so the DPP probe shape is
+    * unchanged the moment the append commits. Each append adds ≤ 1 file
+    * per touched group; a year of daily batches is ~365 small files per
+    * group — run [[compact]] periodically to fold them (and to re-size
+    * `groups` for the grown ledger). Caller sends novel addresses only;
+    * a re-sent address is harmless for membership answers (the probe is
+    * an inner-join existence check) until compact() folds duplicates.
+    */
+  def append(spark: SparkSession, dir: String, newHashes: DataFrame,
+             subset: String = "all"): Handle = synchronized {
+    val base = root(dir, subset, spark.sessionState.newHadoopConf())
+    val hashesPath = new java.io.File(base, "hashes").getPath
+    val metaPath = new java.io.File(base, "meta").getPath
+    require(new java.io.File(hashesPath, "_SUCCESS").isFile,
+      s"append requires a persisted ledger — ensure() first ($hashesPath)")
+    val meta = spark.read.parquet(metaPath).collect()(0)
+    val groups = meta.getAs[Int]("groups")
+    newHashes.select(col("content_md5")).distinct()
+      .withColumn("__grp", grpOf(col("content_md5"), groups))
+      .repartition(groups, col("__grp"))
+      .write.mode("append").partitionBy("__grp").parquet(hashesPath)
+    Handle(spark.read.parquet(hashesPath), groups,
+      meta.getAs[String]("id_col"), meta.getAs[String]("text_col"))
+  }
+
+  /** Fold the per-batch append files into one file per group and re-size
+    * the group count for the ledger as it stands — the maintenance pass
+    * that keeps the DPP probe cost flat after a year of [[append]]s
+    * (file-open overhead, not bytes, is what grows: every appended batch
+    * adds a file per touched group). Re-derives the layout from scratch:
+    * distinct addresses (folding any re-sent ones), `groups` re-sized by
+    * [[autoGroups]] of the CURRENT address count, meta rewritten to
+    * match. The fresh layout is written beside the old and swapped in by
+    * directory rename — run it as an offline maintenance step (the swap
+    * window is not atomic for concurrent readers; probes already holding
+    * the old Handle keep reading the old files until they re-ensure).
+    * Membership answers are identical before and after (parity-gated in
+    * DedupSpec).
+    */
+  def compact(spark: SparkSession, dir: String, subset: String = "all"): Handle = synchronized {
+    val base = root(dir, subset, spark.sessionState.newHadoopConf())
+    val hashesDir = new java.io.File(base, "hashes")
+    val metaPath = new java.io.File(base, "meta").getPath
+    require(new java.io.File(hashesDir, "_SUCCESS").isFile,
+      s"compact requires a persisted ledger — ensure() first ($hashesDir)")
+    val meta = spark.read.parquet(metaPath).collect()(0)
+    val distinctAddrs = spark.read.parquet(hashesDir.getPath)
+      .select(col("content_md5")).distinct()
+    val n = distinctAddrs.count()
+    val groups = autoGroups(n)
+    val tmp = new java.io.File(base, "hashes__compact")
+    graft.ArtifactKey.rmRecursive(tmp)
+    // source and destination are different directories, so the rewrite
+    // streams old files into new ones — no checkpoint, no driver state
+    distinctAddrs
+      .withColumn("__grp", grpOf(col("content_md5"), groups))
+      .repartition(groups, col("__grp"))
+      .write.mode("overwrite").partitionBy("__grp").parquet(tmp.getPath)
+    graft.ArtifactKey.rmRecursive(hashesDir)
+    require(tmp.renameTo(hashesDir), s"compact swap failed: $tmp -> $hashesDir")
+    import spark.implicits._
+    Seq((groups, n, meta.getAs[String]("id_col"), meta.getAs[String]("text_col")))
+      .toDF("groups", "n", "id_col", "text_col")
+      .coalesce(1).write.mode("overwrite").parquet(metaPath)
+    Handle(spark.read.parquet(hashesDir.getPath), groups,
+      meta.getAs[String]("id_col"), meta.getAs[String]("text_col"))
+  }
 }

@@ -158,4 +158,91 @@ object LshIndex {
       meta.getAs[Int]("rows"), meta.getAs[Int]("groups"),
       meta.getAs[String]("id_col"), meta.getAs[String]("text_col"))
   }
+
+  /** Append a batch's bucket assignments to the standing index — the
+    * daily-ingest seam: new documents are banded with the PERSISTED
+    * geometry (shingle/bands/rows and group key all read from meta, so
+    * an appended row can never land off-layout) and join the index so
+    * tomorrow's probe sees today's corpus. `bsize` on appended rows is
+    * the occupancy WITHIN THIS BATCH only — the denormalized occupancy
+    * of standing rows is not rewritten per append (that would be a full
+    * index pass per day), so the probe-time occupancy cap
+    * ([[Dedup.defaultBucketCap]]) under-counts buckets that grew ACROSS
+    * epochs until [[compact]] re-derives exact occupancies. Caps are a
+    * hot-bucket pressure valve, not a correctness surface (capped-away
+    * mass is boilerplate by design), so the documented staleness trades
+    * a bounded cap error for O(batch) appends.
+    */
+  def append(spark: SparkSession, dir: String, newDocs: DataFrame,
+             shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+             subset: String = "all"): Handle = synchronized {
+    val base = root(dir, shingleSize, bands, rowsPerBand, subset,
+      spark.sessionState.newHadoopConf())
+    val bucketsPath = new java.io.File(base, "buckets").getPath
+    val metaPath = new java.io.File(base, "meta").getPath
+    require(new java.io.File(bucketsPath, "_SUCCESS").isFile,
+      s"append requires a persisted index — ensure() first ($bucketsPath)")
+    val meta = spark.read.parquet(metaPath).collect()(0)
+    val groups = meta.getAs[Int]("groups")
+    Dedup.lshBuckets(newDocs, meta.getAs[String]("id_col"),
+        meta.getAs[String]("text_col"), meta.getAs[Int]("shingle"),
+        meta.getAs[Int]("bands"), meta.getAs[Int]("rows"))
+      .withColumn("bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .withColumn("__grp", grpOf(col("band"), col("bucket"), groups))
+      .repartition(groups, col("__grp"))
+      .write.mode("append").partitionBy("__grp").parquet(bucketsPath)
+    Handle(spark.read.parquet(bucketsPath),
+      meta.getAs[Int]("shingle"), meta.getAs[Int]("bands"),
+      meta.getAs[Int]("rows"), groups,
+      meta.getAs[String]("id_col"), meta.getAs[String]("text_col"))
+  }
+
+  /** Fold per-batch append files into one file per group, RE-DERIVE the
+    * exact per-bucket occupancy (`bsize` — appends leave it per-epoch,
+    * see [[append]]), and re-size the group count for the grown index —
+    * the maintenance pass that keeps the DPP probe cost flat after a
+    * year of daily appends. Same swap discipline as
+    * [[HashLedger.compact]]: fresh layout written beside, directory
+    * renamed in, meta rewritten to the new groups/row count; run it
+    * offline. Probe candidate sets are identical before and after when
+    * caps don't bind, and strictly more faithful to the cap contract
+    * after (occupancy is exact again) — both gated in DedupSpec.
+    */
+  def compact(spark: SparkSession, dir: String,
+              shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+              subset: String = "all"): Handle = synchronized {
+    val base = root(dir, shingleSize, bands, rowsPerBand, subset,
+      spark.sessionState.newHadoopConf())
+    val bucketsDir = new java.io.File(base, "buckets")
+    val metaPath = new java.io.File(base, "meta").getPath
+    require(new java.io.File(bucketsDir, "_SUCCESS").isFile,
+      s"compact requires a persisted index — ensure() first ($bucketsDir)")
+    val meta = spark.read.parquet(metaPath).collect()(0)
+    val idColName = meta.getAs[String]("id_col")
+    val rows = spark.read.parquet(bucketsDir.getPath)
+      .select(col(idColName), col("band"), col("bucket")).distinct()
+    val total = rows.count()
+    val groups = autoGroups(total)
+    val tmp = new java.io.File(base, "buckets__compact")
+    graft.ArtifactKey.rmRecursive(tmp)
+    rows
+      .withColumn("bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .withColumn("__grp", grpOf(col("band"), col("bucket"), groups))
+      .repartition(groups, col("__grp"))
+      .write.mode("overwrite").partitionBy("__grp").parquet(tmp.getPath)
+    graft.ArtifactKey.rmRecursive(bucketsDir)
+    require(tmp.renameTo(bucketsDir), s"compact swap failed: $tmp -> $bucketsDir")
+    import spark.implicits._
+    val bandsM = meta.getAs[Int]("bands")
+    Seq((meta.getAs[Int]("shingle"), bandsM, meta.getAs[Int]("rows"), groups,
+         total / math.max(1, bandsM), meta.getAs[String]("id_col"),
+         meta.getAs[String]("text_col")))
+      .toDF("shingle", "bands", "rows", "groups", "n", "id_col", "text_col")
+      .coalesce(1).write.mode("overwrite").parquet(metaPath)
+    Handle(spark.read.parquet(bucketsDir.getPath),
+      meta.getAs[Int]("shingle"), bandsM, meta.getAs[Int]("rows"), groups,
+      meta.getAs[String]("id_col"), meta.getAs[String]("text_col"))
+  }
 }

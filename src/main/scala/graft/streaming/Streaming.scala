@@ -492,6 +492,33 @@ object Streaming {
         ()
     }.start()
 
+  /** [[annSearchStream]]'s IVF twin — online retrieval against the
+    * OTHER persisted ANN index ([[graft.sim.IvfIndex]], the s4 path):
+    * the standing corpus is cell-assigned once (`IvfIndex.ensure`
+    * returns the (assigned, centroids) pair this takes), each query
+    * micro-batch probes its auto-sized nearest cells via the broadcast
+    * generator join, and only cell-survivors pay the exact-cosine
+    * rescore. Stateless per batch like the SRP twin — per-query top-k
+    * depends only on (query, corpus), so the streamed union equals the
+    * one-shot [[graft.sim.Similarity.ivfTopKAssigned]] answer on the
+    * same query set (StreamingSpec parity gate). At scale the assigned
+    * corpus is the cell-partitioned parquet artifact and each probe
+    * prunes to the probed cells via DPP — per-batch cost is
+    * O(batch × probed-cell occupancy), never a corpus scan.
+    */
+  def ivfSearchStream(assigned: DataFrame, cents: Seq[Seq[Double]],
+                      queryStream: DataFrame, k: Int, nProbes: Int = 0,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      queryIdCol: String = "query_id")
+                     (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.sim.Similarity.ivfTopKAssigned(
+            assigned, cents, batch, k, nProbes, idCol, vecCol, queryIdCol))
+        ()
+    }.start()
+
   /** STREAMING heavy hitters — the real-time twin of
     * [[graft.text.Text.heavyHitters]] (trending items on an unbounded
     * stream): each micro-batch builds per-partition SpaceSaving

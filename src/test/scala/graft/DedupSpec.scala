@@ -519,6 +519,84 @@ class DedupSpec extends SparkTestBase {
     assert(sc === ss)
   }
 
+  test("HashLedger append + compact: membership answers unchanged, fewer files") {
+    import graft.dedup.HashLedger
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+    val corpus = docs.filter(pmod($"doc_id", lit(10)).isin(1, 2, 3, 4, 5, 6, 7))
+    val day1 = docs.filter(pmod($"doc_id", lit(10)) === 8)
+    val probe = docs.filter(pmod($"doc_id", lit(10)).isin(0, 8)) // old + day1 + novel mix
+    val sub = "compactspec"
+    HashLedger.drop(dir, subset = sub)
+    val h0 = HashLedger.ensure(spark, dir, corpus, subset = sub)
+    // day-1 ingest: novel addresses appended through the daily seam
+    val novel1 = Dedup.incrementalExactNewIndexed(h0, day1, "doc_id", "text")
+    val h1 = HashLedger.append(spark, dir, novel1.select("content_md5"), subset = sub)
+    // ground truth: membership against corpus ∪ day1
+    def expected = Dedup.incrementalExactNew(probe, corpus.union(day1), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = expected
+    val afterAppend = Dedup.incrementalExactNewIndexed(h1, probe, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterAppend === want)
+    def dataFiles(f: java.io.File): Int = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten.flatMap(c =>
+          if (c.isDirectory) walk(c) else Seq(c))
+      walk(f).count(_.getName.endsWith(".parquet"))
+    }
+    val hashesDir = new java.io.File(HashLedger.root(dir, sub), "hashes")
+    val before = dataFiles(hashesDir)
+    val hc = HashLedger.compact(spark, dir, subset = sub)
+    val after = dataFiles(hashesDir)
+    assert(after < before, s"compact must fold files: $before -> $after")
+    assert(after <= hc.groups, "one file per group after compaction")
+    val afterCompact = Dedup.incrementalExactNewIndexed(hc, probe, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterCompact === want)
+    HashLedger.drop(dir, subset = sub)
+  }
+
+  test("LshIndex append + compact: probe parity with the inline path over the " +
+       "grown corpus; compact folds files and re-derives exact occupancy") {
+    import graft.dedup.LshIndex
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+    val corpus = docs.filter(pmod($"doc_id", lit(10)).isin(1, 2, 3, 4, 5, 6, 7))
+    val day1 = docs.filter(pmod($"doc_id", lit(10)) === 8)
+    val fresh = docs.filter(pmod($"doc_id", lit(10)) === 0)
+    val sub = "compactspec"
+    LshIndex.drop(dir, subset = sub)
+    LshIndex.ensure(spark, dir, corpus, subset = sub)
+    val h1 = LshIndex.append(spark, dir, day1, subset = sub)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = pairs(Dedup.incrementalCandidatePairs(fresh, corpus.union(day1),
+      "doc_id", "text"))
+    assert(pairs(Dedup.incrementalCandidatePairsIndexed(h1, fresh, "doc_id", "text"))
+      === inline, "appended index must equal the inline path over the grown corpus")
+    def dataFiles(f: java.io.File): Int = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten.flatMap(c =>
+          if (c.isDirectory) walk(c) else Seq(c))
+      walk(f).count(_.getName.endsWith(".parquet"))
+    }
+    val bucketsDir = new java.io.File(LshIndex.root(dir, 3, 8, 4, sub), "buckets")
+    val before = dataFiles(bucketsDir)
+    val hc = LshIndex.compact(spark, dir, subset = sub)
+    val after = dataFiles(bucketsDir)
+    assert(after < before, s"compact must fold files: $before -> $after")
+    assert(pairs(Dedup.incrementalCandidatePairsIndexed(hc, fresh, "doc_id", "text"))
+      === inline, "compacted index must equal the inline path")
+    // occupancy re-derived exactly: bsize == count over (band, bucket)
+    val bad = hc.buckets
+      .withColumn("__true", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("bsize") =!= col("__true")).count()
+    assert(bad === 0L, "compact must leave every bsize equal to the true occupancy")
+    LshIndex.drop(dir, subset = sub)
+  }
+
   test("minhashSpanningEdges honors the bucket occupancy cap like the clique form") {
     // 200 EXACT copies: every band bucket holds all 200 > cap 64, so both
     // generators drop the bucket whole and emit nothing

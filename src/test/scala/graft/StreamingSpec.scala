@@ -831,6 +831,37 @@ class StreamingSpec extends SparkTestBase {
     assert(expected.size >= 8) // every query found neighbors — a real probe
   }
 
+  test("ivfSearchStream: streamed query micro-batches equal one-shot ivfTopKAssigned (s4 twin)") {
+    // same contract as the SRP twin above, against the OTHER persisted
+    // ANN index: corpus cell-assigned once (IvfIndex), query vectors
+    // arrive as micro-batches, each probed via the assigned-corpus path.
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val (assigned, cents) = graft.sim.IvfIndex.ensure(spark, dir, emb)
+    val queries = emb.filter($"vec_id" < 8)
+    val staged = java.nio.file.Files.createTempDirectory("graft_ivf_stream")
+    queries.filter($"vec_id" < 4).write.mode("overwrite")
+      .parquet(staged.resolve("p1").toString)
+    queries.filter($"vec_id" >= 4).write.mode("overwrite")
+      .parquet(staged.resolve("p2").toString)
+    val qStream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString + "/*")
+    val got = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, Long, Long)]()
+    val q = Streaming.ivfSearchStream(assigned, cents, qStream, k = 5) { res =>
+      res.collect().foreach(r => got.add((r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank"))))
+    }
+    try q.processAllAvailable() finally q.stop()
+    val expected = graft.sim.Similarity.ivfTopKAssigned(assigned, cents, queries, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank"))).toSet
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet === expected)
+    assert(expected.size >= 8) // every query found neighbors — a real probe
+  }
+
   test("heavyHittersStream: exact regime equals a groupBy recount of the streamed union") {
     // capacity ABOVE the distinct-item universe: the merged summary
     // tracks every item with zero error, so the emitted counts must
