@@ -63,7 +63,12 @@ object ExplainAudit {
     // hash frame, never a re-decode), and the audio perception rung
     // (map-side envelope-hash scan; distinct-universe pair search)
     "m19_incremental_perceptual_new",
-    "m20_audio_envelope_hash", "m21_audio_perceptual_pairs")
+    "m20_audio_envelope_hash", "m21_audio_perceptual_pairs",
+    // r16 (r15 verdict item 4): the two r15-oracled queries that were
+    // missing from the ledger — m18's closure runs over PERCEPTIONS
+    // (distinct hashes), never copies, and m16b's duplicate-index GIF
+    // branch must keep the same map-side decode scan as m16
+    "m18_perceptual_clusters", "m16b_gif_frame_sample_wide")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS
