@@ -51,6 +51,16 @@ class ContractSpec extends AnyFunSuite {
       s"stale whitelist: ${rowsOnlyByDesign -- unoracled}")
   }
 
+  test("docs/QUERIES.md matches the generated index of the full query surface") {
+    val f = new java.io.File("docs/QUERIES.md")
+    assert(f.isFile, "missing index — run: sbt \"runMain graft.QueryIndex\"")
+    val committed = new String(
+      java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(committed === QueryIndex.render,
+      "docs/QUERIES.md is stale — regenerate with: sbt \"runMain graft.QueryIndex\"")
+  }
+
   test("query names follow the documented prefix convention") {
     val prefixes = Set("q", "a", "w", "o", "j", "c", "f", "t", "d", "s", "e", "m")
     SparkEntry.queries.keys.foreach { k =>
