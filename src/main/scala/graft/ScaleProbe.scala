@@ -285,6 +285,34 @@ object ScaleProbe {
               cappedScaled, math.min(pairsOnce(out, 0), pairsOnce(out, 0))))
        else Seq.empty)
     }) ++ (if (probeSet != "events") Seq.empty else {
+      // m21's pair join under perception CLUSTERS (r15 verdict item 3):
+      // the audio twin of the m14 block above. The registered m21 row's
+      // fixture universe is pinned (18 envelope hashes — scale-free by
+      // construction), so THIS is the probe where per-cluster
+      // distinct-hash occupancy grows with the corpus on the sound rung
+      // too (syntheticPerturbedAmWavTable: variant = doc_id / 101, ≤3
+      // envelope windows mirrored). Same rows as m14's: capped growth,
+      // capped-vs-uncapped where the cap does not bind, and the measured
+      // uncapped join at ×10.
+      import graft.multimodal.Multimodal
+      val cap = graft.dedup.Dedup.defaultBucketCap
+      def pairsOnce(dir: String, cap: Int): Double = timeOnce(
+        Multimodal.audioPerceptualHashPairs(
+          Multimodal.syntheticPerturbedAmWavTable(spark, dir),
+          maxHamming = 3, bucketCap = cap).count())
+      // force the fixture build (cachedDerived) before timing either dir
+      Multimodal.syntheticPerturbedAmWavTable(spark, src).count()
+      Multimodal.syntheticPerturbedAmWavTable(spark, out).count()
+      val cappedBase = math.min(pairsOnce(src, cap), pairsOnce(src, cap))
+      val cappedScaled = math.min(pairsOnce(out, cap), pairsOnce(out, cap))
+      val uncappedBase = math.min(pairsOnce(src, 0), pairsOnce(src, 0))
+      Seq(("m21_audio_pairs_capped", cappedBase, cappedScaled),
+          ("m21_audio_pairs_capped_vs_uncapped_base", cappedBase, uncappedBase)) ++
+      (if (factor <= 10)
+         Seq((s"m21_audio_pairs_capped_vs_uncapped_x$factor",
+              cappedScaled, math.min(pairsOnce(out, 0), pairsOnce(out, 0))))
+       else Seq.empty)
+    }) ++ (if (probeSet != "events") Seq.empty else {
       // The DISTRIBUTED pointer-jumping closure branch, which the
       // registered d12 never exercises at probe scale (the capped pair
       // graph stays under the 4M-edge driver budget, so d12's row

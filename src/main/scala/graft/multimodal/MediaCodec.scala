@@ -497,12 +497,46 @@ object MediaCodec {
     * ±[[windowAmp]](id, w). Same real javax.sound encode as
     * [[encodeWav]].
     */
-  def encodeWavAm(id: Long): Array[Byte] = {
+  def encodeWavAm(id: Long): Array[Byte] =
+    encodeAmEnvelope(Array.tabulate(envWindows)(w => windowAmp(id, w)))
+
+  /** Variant stream of [[encodeWavAm]] — the audio twin of
+    * [[encodeGridPngVariant]]: `variant = 0` reproduces the base asset
+    * byte-for-byte; `variant > 0` MIRRORS `1 + (variant − 1) % maxFlips`
+    * distinct windows' amplitudes within the [[windowAmp]] range
+    * (amp → 4607 − amp, the reflection around the range midpoint of
+    * [256, 4351]), so a window on one side of the corpus-mean envelope
+    * crosses to the other and its hash bit flips — distinct
+    * near-identical envelope PERCEPTIONS of the same seed content, the
+    * "same track, lightly re-mastered" crawl shape whose per-cluster
+    * distinct-hash growth the scale probe measures against the capped
+    * pair join.
+    */
+  def encodeWavAmVariant(seed: Long, variant: Long, maxFlips: Int = 3): Array[Byte] = {
+    require(maxFlips >= 1 && maxFlips <= envWindows,
+      s"maxFlips in [1, $envWindows], got $maxFlips")
+    val amps = Array.tabulate(envWindows)(w => windowAmp(seed, w))
+    if (variant != 0L) {
+      val nFlips = 1 + Math.floorMod(variant - 1, maxFlips.toLong).toInt
+      val picked = new Array[Int](nFlips)
+      var k = 0; var probe = 0L
+      while (k < nFlips) {
+        val w = Math.floorMod(mix64(seed * 1000003L + variant * 64L + probe),
+          envWindows.toLong).toInt
+        probe += 1
+        if (!picked.take(k).contains(w)) { picked(k) = w; k += 1 }
+      }
+      picked.foreach(w => amps(w) = 4607 - amps(w))
+    }
+    encodeAmEnvelope(amps)
+  }
+
+  private def encodeAmEnvelope(amps: Array[Int]): Array[Byte] = {
     val n = envWindows * envWindowSamples
     val pcm = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
-      val amp = windowAmp(id, i / envWindowSamples)
+      val amp = amps(i / envWindowSamples)
       val v = if ((i / 8) % 2 == 0) amp else -amp
       pcm(i * 2) = (v & 0xFF).toByte
       pcm(i * 2 + 1) = ((v >> 8) & 0xFF).toByte

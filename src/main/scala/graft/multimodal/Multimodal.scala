@@ -483,6 +483,24 @@ object Multimodal {
         .toDF("media_id", "bytes")
     }
 
+  /** Perceptual-cluster AUDIO fixture — the envelope twin of
+    * [[syntheticPerturbedGridImageTable]] ([[MediaCodec.encodeWavAmVariant]]:
+    * variant = doc_id / seedMod, ≤3 envelope windows mirrored): a bigger
+    * corpus has MORE DISTINCT near-identical envelope perceptions per
+    * seed content, not just more copies, so the capped audio pair join
+    * ([[audioPerceptualHashPairs]]) can be probed under cluster growth
+    * exactly the way the image rung was.
+    */
+  def syntheticPerturbedAmWavTable(spark: SparkSession, sfDir: String,
+                                   seedMod: Int = 101): DataFrame =
+    cachedDerived(spark, sfDir, s"media_amwavvar$seedMod", None) {
+      import spark.implicits._
+      graft.Tables(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, MediaCodec.encodeWavAmVariant(id % seedMod, id / seedMod))))
+        .toDF("media_id", "bytes")
+    }
+
   /** Per-image 64-bit average-hash from the REAL decoded raster,
     * published as unsigned 32-bit halves (MediaCodec.averageHash).
     * Map-side decode+hash; output is three narrow columns.

@@ -294,6 +294,33 @@ class MultimodalSpec extends SparkTestBase {
     assert(got.nonEmpty, "the AM formula family must produce near pairs")
   }
 
+  test("audio variant fixture: variant 0 is byte-identical to the base, variants " +
+       "cluster within the hamming bound; blocked == brute over the cluster") {
+    import graft.multimodal.MediaCodec
+    assert(MediaCodec.encodeWavAmVariant(7L, 0L).sameElements(
+      MediaCodec.encodeWavAm(7L)), "variant 0 must be the base asset")
+    // one seed content with 25 re-masters (≤3 windows mirrored) plus an
+    // unrelated seed — the perception-CLUSTER corpus shape, on sound
+    val audio = ((0L until 25L).map(v => (v, MediaCodec.encodeWavAmVariant(7L, v))) :+
+      (100L, MediaCodec.encodeWavAmVariant(8L, 0L))).toDF("media_id", "bytes")
+    val hashes = Multimodal.audioEnvelopeHashes(audio).collect()
+      .map(r => (r.getLong(0), (r.getLong(1) << 32) | r.getLong(2))).toMap
+    // the variant stream produces DISTINCT perceptions near the base
+    val base = hashes(0L)
+    val distinctNear = hashes.filterKeys(_ < 100L).values.toSet
+    assert(distinctNear.size > 1, "variants must be distinct perceptions, not copies")
+    assert(hashes.filterKeys(k => k > 0L && k < 100L).values
+      .exists(h => h != base && java.lang.Long.bitCount(h ^ base) <= 3),
+      "some 1-flip re-master must sit within the hamming bound of the base")
+    val got = Multimodal.audioPerceptualHashPairs(audio, maxHamming = 3, bucketCap = 0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val brute = hashes.values.toSeq.distinct.combinations(2).map { case Seq(a, b) =>
+      ((math.min(a, b), math.max(a, b)), java.lang.Long.bitCount(a ^ b))
+    }.filter(_._2 <= 3).toMap
+    assert(got === brute)
+    assert(got.nonEmpty, "the variant cluster must produce near pairs")
+  }
+
   test("perceptualDupClusters: connected components over the hash-pair graph, min-hash labels") {
     import graft.multimodal.MediaCodec
     // seed 7: base + two 1-flip variants — a 3-perception chain/star;
