@@ -287,6 +287,12 @@ object Dedup {
 
   /** Full MinHash near-dup pipeline: LSH candidates → exact Jaccard verify
     * on the shingle sets → keep pairs ≥ threshold.
+    *
+    * The pair set grows ~dup-rate² on duplicate-heavy corpora (each
+    * k-group of mutual near-dups is a k-clique). When the consumer only
+    * needs CONNECTIVITY (connected components → survivors), feed it
+    * [[minhashSpanningEdges]] instead — identical closure labels, edge
+    * list linear in members.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, shingleSize: Int = 3,
@@ -757,7 +763,9 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs: SRP-LSH buckets → exact cosine within
     * bucket → pairs ≥ threshold. Same candidate-then-verify shape as
-    * MinHash, on the vector column.
+    * MinHash, on the vector column. For CLOSURE consumers prefer
+    * [[srpSpanningEdges]] (identical components, linear edge list — see
+    * [[minhashNearDups]]'s note).
     */
   /** The candidate-GENERATION stage of [[embeddingNearDups]] alone: the
     * SRP bucket self-join's (id1, id2) pairs, no scoring. Materializing
