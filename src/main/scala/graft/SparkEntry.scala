@@ -80,7 +80,7 @@ object SparkEntry {
     * source [[oracleSqlFor]] derives its path substitutions from.
     */
   private val candidateDumpQueries =
-    Seq("d13", "e2", "d14", "d15", "d16", "e3", "s2", "s4", "s7", "s8", "t7", "d19")
+    Seq("d13", "e2", "d14", "d15", "d16", "e3", "s2", "s4", "s7", "s8", "s10", "t7", "d19")
 
   /** Verify-stage feed for a candidate-dump query: under
     * [[CandidateDumps.enabled]] (the driver's Verify run) the candidate
@@ -1791,6 +1791,28 @@ object SparkEntry {
         Similarity.ivfSurvivorsInt8Assigned(assigned, cents,
           emb.filter(col("vec_id") < 8), rerank = 16))
       Similarity.exactRerank(cands, emb, emb.filter(col("vec_id") < 8), k = 5)
+    }),
+    // Product quantization (Jégou et al., TPAMI 2011) — the third
+    // persisted ANN index and the 100 TB COMPRESSION path: where SRP
+    // prunes by hash bucket and IVF by probed cell, PQ shrinks the scan
+    // itself to m bytes/vector (32× at d=64/m=8 — a 100 TB embedding
+    // column becomes a ~3 TB code scan). Codebooks train ONCE on a
+    // bounded deterministic sample, the corpus encodes in one map-side
+    // native pass (PqIndex), and each search broadcasts per-query ADC
+    // lookup tables against the streaming code table — embedding bytes
+    // are never read until the exact rerank of the kCand survivors.
+    // Code assignment is k-means-sample dependent like s4 → the
+    // candidate SELECTION stays engine-specific, but the dumped
+    // survivor set's exact rescore is oracled via the same dump-replay
+    // as s2/s4/s7/s8. SimilaritySpec gates recall ≥ 0.6 vs brute force
+    // plus encode/ADC kernel parity against their Column-API contracts.
+    "s10_pq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (codes, cb) = graft.sim.PqIndex.ensure(s, d, emb)
+      val cands = dumpedCandidates(s, "s10", d,
+        Similarity.pqCandidatePairsEncoded(codes, cb,
+          emb.filter(col("vec_id") < 8), kCand = 64))
+      Similarity.exactRerank(cands, emb, emb.filter(col("vec_id") < 8), k = 5)
     })
   )
 
@@ -3493,6 +3515,7 @@ object SparkEntry {
     "s4_ivf_topk" -> annRerankSql("s4", 5),
     "s7_ann_int8" -> annRerankSql("s7", 5),
     "s8_ivf_int8" -> annRerankSql("s8", 5),
+    "s10_pq_topk" -> annRerankSql("s10", 5),
 
     "s3_label_centroids" ->
       """SELECT label, CAST(i-1 AS BIGINT) AS pos,

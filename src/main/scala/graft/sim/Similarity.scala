@@ -888,4 +888,138 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("mmr_rank"),
         round(col("score"), 4).as("score"))
   }
+
+  // ------------------------------------------- product quantization
+
+  /** Subspace count for a vector dim: 8-dim subvectors when the dim
+    * allows (the standard PQ geometry — d=64 → m=8 codes, 32× smaller
+    * than float32), 4-dim as the fallback, one subspace (plain vector
+    * quantization) for awkward dims. PQ requires m | dim.
+    */
+  def autoSubspaces(dim: Int): Int =
+    if (dim <= 0) 1
+    else if (dim % 8 == 0) dim / 8
+    else if (dim % 4 == 0) dim / 4
+    else 1
+
+  /** Per-subspace codebook size for a corpus of `n` vectors: 2^(log₂n/2)
+    * clamped to [16, 256] — quantization error shrinks with ksub but a
+    * codebook needs ~dozens of training points per centroid, and 256 is
+    * the byte-code ceiling. 500 vectors → 16, 50 k → 128, ≥65 k → 256.
+    */
+  def autoCodewords(n: Long): Int = {
+    if (n <= 0) return 16
+    val bits = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    math.min(256, math.max(16, 1 << (bits / 2)))
+  }
+
+  /** Train cap: k-means over more rows than this buys no codebook
+    * quality (the faiss guidance is ~thousands of points per centroid);
+    * above it [[pqTrain]] switches to a deterministic hash sample so
+    * the train cost is O(cap), not O(corpus).
+    */
+  private val pqMaxTrainRows = 65536L
+
+  /** Train PQ codebooks: unit-normalize (so squared L2 ranks exactly as
+    * cosine: ‖q−x‖² = 2−2·cos on the unit sphere — the whole family's
+    * published metric), slice into `m` subvectors, and run the shared
+    * deterministic [[kmeansCentroids]] per subspace. Corpora above
+    * [[pqMaxTrainRows]] train on a deterministic xxhash64 row sample —
+    * codebook quality saturates long before corpus size, so at 100 TB
+    * the train pass reads a bounded sample while encode (one map-side
+    * pass) reads everything once.
+    *
+    * m/ksub ≤ 0 auto-size ([[autoSubspaces]] / [[autoCodewords]]).
+    * Returns m × ksub × (dim/m) centroids, driver-held (≤ 256·dim
+    * doubles — tiny by construction, like the IVF centroid table).
+    */
+  def pqTrain(corpus: DataFrame, m: Int = 0, ksub: Int = 0, iters: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"
+             ): Seq[Seq[Seq[Double]]] = {
+    val firstVec = corpus.select(col(vecCol)).limit(1).collect()
+    if (firstVec.isEmpty) return Seq.empty
+    val dim = firstVec(0).getSeq[Any](0).length
+    val subs = if (m > 0) m else autoSubspaces(dim)
+    require(dim % subs == 0, s"subspace count $subs must divide dim $dim")
+    val dsub = dim / subs
+    val n = corpus.count()
+    val k = math.min(if (ksub > 0) ksub else autoCodewords(n), math.max(n, 1L).toInt)
+    val mod = math.max(1L, n / pqMaxTrainRows)
+    val sample =
+      if (mod > 1)
+        corpus.filter(pmod(xxhash64(col(idCol)), lit(mod)) === 0)
+      else corpus
+    val unit = withUnitNorm(sample, vecCol, "__unit")
+    (0 until subs).map { s =>
+      kmeansCentroids(
+        unit.select(col(idCol), slice(col("__unit"), s * dsub + 1, dsub).as("__sub")),
+        k, iters, idCol, "__sub")
+        .map(_.toSeq).toSeq
+    }
+  }
+
+  /** Encode a corpus to PQ codes: (idCol, __codes array<byte> of m
+    * codes). One map-side pass — native [[o.a.s.sql.graft.PqEncode]],
+    * codebooks as a task reference object — over the unit-normalized
+    * vectors (the [[pqTrain]] geometry). At 100 TB this is the one
+    * full-corpus scan of an index build; the persisted code table it
+    * feeds ([[PqIndex]]) is m bytes per vector.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    withUnitNorm(corpus, vecCol, "__unit")
+      .select(col(idCol),
+        org.apache.spark.sql.graft.PqFunctions
+          .pqEncodeNative(col("__unit"), codebooks).as("__codes"))
+
+  /** PQ-ADC candidate generation over a pre-encoded code table: per
+    * query, one native LUT (m·ksub exact subspace distances against the
+    * unit-normalized query), then a streaming scan of the code table
+    * scoring each row with m table lookups, bounded-heap top-`kCand`
+    * (smallest approximate distance, ties → lowest id). The scan side
+    * touches only (id, m-byte codes) — never embedding bytes — and the
+    * query side broadcasts; no shuffle ever carries a vector. Output:
+    * (queryIdCol, neighbor_id) candidate pairs for [[exactRerank]],
+    * self-matches dropped (the family contract).
+    */
+  def pqCandidatePairsEncoded(codes: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+                              queries: DataFrame, kCand: Int,
+                              idCol: String = "vec_id", vecCol: String = "embedding",
+                              queryIdCol: String = "query_id"): DataFrame = {
+    if (codebooks.isEmpty)
+      return queries
+        .select(col(idCol).as(queryIdCol), col(idCol).as("neighbor_id"))
+        .limit(0)
+    val ksub = codebooks.head.length
+    val q = withUnitNorm(queries, vecCol, "__unit")
+      .select(col(idCol).as(queryIdCol),
+        org.apache.spark.sql.graft.PqFunctions
+          .pqLutNative(col("__unit"), codebooks).as("__lut"))
+    val scored = codes.select(col(idCol).as("neighbor_id"), col("__codes"))
+      .join(broadcast(q), col(queryIdCol) =!= col("neighbor_id"))
+      // negate: the shared top-k stage keeps LARGEST __approx first and
+      // ADC is a distance (smaller = nearer)
+      .withColumn("__approx",
+        -org.apache.spark.sql.graft.PqFunctions
+          .pqAdcNative(col("__lut"), col("__codes"), ksub))
+    topIdsPerQuery(scored, queryIdCol, kCand)
+  }
+
+  /** End-to-end PQ search (inline, index-free): train → encode →
+    * ADC top-`kCand` candidates → exact cosine rerank to `k` on the
+    * ORIGINAL vectors — identical output contract to [[annTopK]] /
+    * [[ivfTopK]] (query_id, neighbor_id, cos rounded 4dp, rank).
+    * Library path for one-shot searches; repeated-query workloads use
+    * [[PqIndex.ensure]] + [[pqCandidatePairsEncoded]] so train+encode
+    * are paid once per corpus.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, kCand: Int = 64,
+             m: Int = 0, ksub: Int = 0, iters: Int = 2,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             queryIdCol: String = "query_id"): DataFrame = {
+    val cb = pqTrain(corpus, m, ksub, iters, idCol, vecCol)
+    val codes = pqEncode(corpus, cb, idCol, vecCol)
+    val cands = pqCandidatePairsEncoded(codes, cb, queries, kCand, idCol, vecCol, queryIdCol)
+    exactRerank(cands, corpus, queries, k, idCol, vecCol, queryIdCol)
+  }
 }

@@ -688,4 +688,35 @@ class PlanQualitySpec extends SparkTestBase {
     assert(readSchema.contains("meta"))
     assert(!readSchema.contains("bytes")) // blob column pruned at the scan
   }
+
+  test("s10: PQ candidate scan reads codes only (never embedding bytes); " +
+    "queries broadcast; ADC scored by the native kernel into the bounded heap") {
+    // The compression claim IS the plan shape: the candidate stage must
+    // stream the m-bytes-per-vector code table (the 32×-smaller mirror)
+    // with the per-query ADC LUTs broadcast against it — if embedding
+    // bytes appear in the candidate scan, PQ degenerated to brute force
+    // with extra steps. Gated on the search function directly (the s2
+    // gate note): the registered s10 query's returned plan is the
+    // rescore of its survivor dump.
+    val emb = Tables.embeddings(spark, dir)
+    val (codes, cb) = graft.sim.PqIndex.ensure(spark, dir, emb)
+    val plan = executedPlan(graft.sim.Similarity.pqCandidatePairsEncoded(
+      codes, cb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8),
+      kCand = 64))
+    // native kernels in the plan, never HOF fallbacks
+    assert(plan.contains("graft_pq_adc"), "ADC must be the native kernel")
+    assert(plan.contains("graft_pq_lut"), "LUT must be the native kernel")
+    // query side broadcasts (non-equi self-exclusion join → BNLJ is the
+    // intended shape: corpus streams, per-query LUTs ride the broadcast)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+    // the code-table scan reads (vec_id, __codes) — embedding stays on
+    // disk until the exact rerank over the survivor pairs
+    val codeScan = plan.linesIterator.find(l =>
+      l.contains("ReadSchema") && l.contains("__codes")).get
+    assert(!codeScan.contains("embedding"),
+      s"candidate scan must not read embedding bytes:\n$codeScan")
+    // top-kCand selection is the bounded heap, not a window sort
+    assert(plan.contains("partial_topk_rows"), "map-side partial heap expected")
+    assert(!plan.contains("WindowGroupLimit"))
+  }
 }

@@ -449,4 +449,113 @@ class SimilaritySpec extends SparkTestBase {
       .select("unit_embedding").collect()(0).getSeq[Double](0)
     assert(z === Seq(0.0, 0.0))
   }
+
+  test("PQ kernels: encode argmin, LUT and ADC on known vectors") {
+    import org.apache.spark.sql.graft.PqFunctions
+    // 4-dim vectors, m=2 subspaces of 2 dims, ksub=2 centroids each
+    val cb: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)),   // subspace 0
+      Seq(Seq(0.0, 1.0), Seq(1.0, 0.0)))   // subspace 1
+    val df = Seq(
+      (1L, Seq(0.1, 0.0, 0.9, 0.1)),  // sub0 → c0, sub1 → c1
+      (2L, Seq(0.9, 1.0, 0.1, 0.8)))  // sub0 → c1, sub1 → c0
+      .toDF("vec_id", "v")
+    val codes = df.select($"vec_id",
+      PqFunctions.pqEncodeNative($"v", cb).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(codes(1L) === Seq(0.toByte, 1.toByte))
+    assert(codes(2L) === Seq(1.toByte, 0.toByte))
+    // LUT entry (s, c) = exact squared subspace distance; ADC = sum of
+    // the code-selected entries. Verify against hand arithmetic for
+    // query (0.5, 0.5, 0.5, 0.5): every centroid is at distance 0.5.
+    val r = Seq((0L, Seq(0.5, 0.5, 0.5, 0.5))).toDF("q", "v")
+      .select(PqFunctions.pqLutNative($"v", cb).as("lut"))
+      .crossJoin(df.filter($"vec_id" === 1)
+        .select(PqFunctions.pqEncodeNative($"v", cb).as("codes")))
+      .select($"lut",
+        PqFunctions.pqAdcNative($"lut", $"codes", 2).as("adc"))
+      .collect()(0)
+    assert(r.getSeq[Double](0) === Seq(0.5, 0.5, 0.5, 0.5))
+    assert(r.getDouble(1) === 1.0) // lut[0·2+0] + lut[1·2+1] = 0.5 + 0.5
+    // ties break to the LOWEST centroid id (strict < scan): a vector
+    // equidistant from both subspace-0 centroids encodes to 0
+    val tie = Seq((3L, Seq(0.5, 0.5, 0.0, 1.0))).toDF("vec_id", "v")
+      .select(PqFunctions.pqEncodeNative($"v", cb)).collect()(0).getSeq[Byte](0)
+    assert(tie(0) === 0.toByte)
+  }
+
+  test("pqTopK recall gate vs brute force on real embeddings") {
+    // Same shape as the SRP/IVF recall gate: the driver oracles s10's
+    // rescore over its own dump, THIS gates that the ADC candidate
+    // stage actually finds the true neighbors. Seeded + deterministic
+    // k-means init → measured recall is exact, no flake margin.
+    // kCand=64 of the 500-vector corpus = 12.8% candidate fraction —
+    // the same budget regime as IVF's auto-sizing at this sf.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.filter($"vec_id" < 16)
+    val exact = topkSets(Similarity.bruteForceTopK(emb, queries, k = 5))
+    val pq = topkSets(Similarity.pqTopK(emb, queries, k = 5, kCand = 64))
+    val recall = recallAtK(pq, exact)
+    info(f"recall@5: pq=$recall%.3f")
+    assert(recall >= 0.6, s"PQ recall@5 $recall below floor 0.6")
+  }
+
+  test("PQ auto-sizing: 8-dim subspaces when possible, byte-bounded codewords") {
+    assert(Similarity.autoSubspaces(64) === 8)
+    assert(Similarity.autoSubspaces(48) === 6)
+    assert(Similarity.autoSubspaces(12) === 3)   // 12 % 8 != 0 → dsub 4
+    assert(Similarity.autoSubspaces(7) === 1)    // awkward dim → plain VQ
+    assert(Similarity.autoCodewords(500) === 16)
+    assert(Similarity.autoCodewords(50000) === 128)
+    assert(Similarity.autoCodewords(1L << 20) === 256)  // byte ceiling
+    assert(Similarity.autoCodewords(0) === 16)
+  }
+
+  test("PqIndex: builds once, reuses files, and indexed search equals the inline path") {
+    import graft.sim.PqIndex
+    val gen = new scala.util.Random(31)
+    val emb = (0L until 80L).map(i => (i, Seq.fill(16)(gen.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val fakeDir = "/x/pq_spec_corpus"
+    PqIndex.drop(fakeDir)
+    val (codes1, cb1) = PqIndex.ensure(spark, fakeDir, emb)
+    val success = new java.io.File(PqIndex.root(fakeDir), "codes/_SUCCESS")
+    assert(success.isFile)
+    val stamp = success.lastModified
+    // by-name corpus: the reuse path must not evaluate (or scan) it
+    val (codes2, cb2) = PqIndex.ensure(spark, fakeDir,
+      { fail("cold corpus must not be evaluated on reuse"); emb })
+    assert(cb1 === cb2)
+    assert(success.lastModified === stamp, "reuse must not rewrite the index")
+    // persisted codes == a fresh encode under the persisted codebooks
+    val persisted = codes2.collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    val fresh = Similarity.pqEncode(emb, cb2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(persisted === fresh)
+    // the indexed path and the inline train+encode are the SAME search
+    // (both codebooks come from the same deterministic train)
+    val queries = emb.filter($"vec_id" < 4)
+    val indexed = topkSets(Similarity.exactRerank(
+      Similarity.pqCandidatePairsEncoded(codes2, cb2, queries, kCand = 16),
+      emb, queries, k = 3))
+    assert(indexed === topkSets(Similarity.pqTopK(emb, queries, k = 3, kCand = 16)))
+    PqIndex.drop(fakeDir)
+  }
+
+  test("PqIndex.ensure on an empty corpus returns empty searches, not an error") {
+    import graft.sim.PqIndex
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val fakeDir = "/x/pq_spec_empty"
+    PqIndex.drop(fakeDir)
+    val (codes, cb) = PqIndex.ensure(spark, fakeDir, empty)
+    assert(cb.isEmpty && codes.count() === 0)
+    // the memo serves repeat calls without re-evaluating the corpus
+    val (codes2, _) = PqIndex.ensure(spark, fakeDir,
+      { fail("empty-corpus memo must serve the repeat ensure"); empty })
+    assert(codes2.count() === 0)
+    val cands = Similarity.pqCandidatePairsEncoded(codes, cb,
+      empty.limit(0), kCand = 5)
+    assert(cands.count() === 0)
+    PqIndex.drop(fakeDir)
+  }
 }
