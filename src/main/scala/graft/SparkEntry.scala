@@ -80,7 +80,7 @@ object SparkEntry {
     * source [[oracleSqlFor]] derives its path substitutions from.
     */
   private val candidateDumpQueries =
-    Seq("d13", "e2", "d14", "d15", "d16", "e3", "s2", "s4", "s7", "s8", "s10", "t7", "d19")
+    Seq("d13", "e2", "d14", "d15", "d16", "e3", "s2", "s4", "s7", "s8", "s10", "s11", "t7", "d19")
 
   /** Verify-stage feed for a candidate-dump query: under
     * [[CandidateDumps.enabled]] (the driver's Verify run) the candidate
@@ -1813,6 +1813,24 @@ object SparkEntry {
         Similarity.pqCandidatePairsEncoded(codes, cb,
           emb.filter(col("vec_id") < 8), kCand = 64))
       Similarity.exactRerank(cands, emb, emb.filter(col("vec_id") < 8), k = 5)
+    }),
+    // IVF-PQ — the composed 100 TB search plan (faiss's IVFPQ layout as
+    // a cell-partitioned parquet code table): IVF prunes WHICH rows are
+    // scanned (probe cells via the broadcast generator join, unprobed
+    // cell directories dropped by dynamic partition pruning — the s8
+    // scan shape), PQ shrinks WHAT each scanned row costs (m code bytes,
+    // m ADC lookups — the s10 scan shape). Candidate work per query ≈
+    // N^(3/4)/2 rows × 32×-compressed reads at the auto sizing. The
+    // index build reuses the persisted IVF and PQ structures plus one
+    // build-time id join to lay codes out by cell. Oracled like the rest
+    // of the family: dump-replay exact rescore of the survivor pairs.
+    "s11_ivfpq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (codesByCell, cents, cb) = graft.sim.IvfPqIndex.ensure(s, d, emb)
+      val cands = dumpedCandidates(s, "s11", d,
+        Similarity.ivfPqCandidatePairs(codesByCell, cents, cb,
+          emb.filter(col("vec_id") < 8), kCand = 64))
+      Similarity.exactRerank(cands, emb, emb.filter(col("vec_id") < 8), k = 5)
     })
   )
 
@@ -3516,6 +3534,7 @@ object SparkEntry {
     "s7_ann_int8" -> annRerankSql("s7", 5),
     "s8_ivf_int8" -> annRerankSql("s8", 5),
     "s10_pq_topk" -> annRerankSql("s10", 5),
+    "s11_ivfpq_topk" -> annRerankSql("s11", 5),
 
     "s3_label_centroids" ->
       """SELECT label, CAST(i-1 AS BIGINT) AS pos,

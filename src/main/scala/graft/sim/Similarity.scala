@@ -1022,4 +1022,52 @@ object Similarity {
     val cands = pqCandidatePairsEncoded(codes, cb, queries, kCand, idCol, vecCol, queryIdCol)
     exactRerank(cands, corpus, queries, k, idCol, vecCol, queryIdCol)
   }
+
+  /** IVF-PQ candidate generation — the composed 100 TB search plan: IVF
+    * prunes WHICH rows are scanned (each query probes its nearest cells
+    * via the broadcast generator join, and the cell-PARTITIONED code
+    * table drops unprobed cell directories through dynamic partition
+    * pruning — the s8 scan shape), PQ shrinks WHAT each scanned row
+    * costs (m code bytes scored by m ADC lookups — the s10 scan shape).
+    * Candidate work per query ≈ (probed fraction) × (m bytes/vector);
+    * at the auto sizing that is N^(3/4)/2 rows × 32×-compressed reads.
+    *
+    * `codesByCell` is [[IvfPqIndex.ensure]]'s frame: (idCol, __codes,
+    * __cell) with __cell as the partition column. Cell probing uses the
+    * RAW query vector against the IVF centroids (cosine is
+    * norm-invariant — the s4/s8 quantizer); ADC uses the unit-normalized
+    * query against the PQ codebooks (the s10 geometry). Output:
+    * (queryIdCol, neighbor_id) pairs for [[exactRerank]].
+    */
+  def ivfPqCandidatePairs(codesByCell: DataFrame, cents: Seq[Seq[Double]],
+                          codebooks: Seq[Seq[Seq[Double]]],
+                          queries: DataFrame, kCand: Int, nProbes: Int = 0,
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          queryIdCol: String = "query_id"): DataFrame = {
+    if (codebooks.isEmpty || cents.isEmpty)
+      return queries
+        .select(col(idCol).as(queryIdCol), col(idCol).as("neighbor_id"))
+        .limit(0)
+    val ksub = codebooks.head.length
+    val probes = if (nProbes > 0) nProbes else autoProbes(cents.length)
+    val c = codesByCell.select(col(idCol).as("neighbor_id"), col("__codes"), col("__cell"))
+    // LUT materializes BELOW the probe generator (attribute pass-through,
+    // the ivfSurvivorsInt8Assigned placement rule), probe cells via the
+    // custom generator — never explode-of-array (InferFiltersFromGenerate
+    // would re-run probe selection inside the scan filter)
+    val q = withUnitNorm(queries, vecCol, "__unit")
+      .select(col(idCol).as(queryIdCol),
+        org.apache.spark.sql.graft.PqFunctions
+          .pqLutNative(col("__unit"), codebooks).as("__lut"),
+        toDouble(col(vecCol)).as("__qv"))
+      .select(col(queryIdCol), col("__lut"),
+        org.apache.spark.sql.graft.VectorFunctions
+          .nearestCellsGenNative(col("__qv"), cents, probes).as("__cell"))
+    val scored = c.join(broadcast(q), Seq("__cell"))
+      .filter(col(queryIdCol) =!= col("neighbor_id"))
+      .withColumn("__approx",
+        -org.apache.spark.sql.graft.PqFunctions
+          .pqAdcNative(col("__lut"), col("__codes"), ksub))
+    topIdsPerQuery(scored, queryIdCol, kCand)
+  }
 }

@@ -719,4 +719,26 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("partial_topk_rows"), "map-side partial heap expected")
     assert(!plan.contains("WindowGroupLimit"))
   }
+
+  test("s11: IVF-PQ scan DPP-prunes to probed cells and reads codes only") {
+    // pruning × compression in one plan: the cell-partitioned code
+    // table must carry the dynamic-pruning filter from the broadcast
+    // probe generator (the s8 scan shape) AND read only (vec_id,
+    // __codes) — never embedding bytes (the s10 scan shape).
+    val emb = Tables.embeddings(spark, dir)
+    val (codesByCell, cents, cb) = graft.sim.IvfPqIndex.ensure(spark, dir, emb)
+    val plan = executedPlan(graft.sim.Similarity.ivfPqCandidatePairs(
+      codesByCell, cents, cb,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8), kCand = 64))
+    assert(plan.linesIterator.exists(_.contains("dynamicpruningexpression(__cell")),
+      s"probe-cell DPP filter expected on the code scan:\n$plan")
+    assert(plan.contains("Generate graft_nearest_cells_gen"),
+      "probe selection must be the custom generator")
+    assert(plan.contains("graft_pq_adc"), "ADC must be the native kernel")
+    val codeScan = plan.linesIterator.find(l =>
+      l.contains("ReadSchema") && l.contains("__codes")).get
+    assert(!codeScan.contains("embedding"),
+      s"candidate scan must not read embedding bytes:\n$codeScan")
+    assert(plan.contains("partial_topk_rows"), "map-side partial heap expected")
+  }
 }

@@ -542,6 +542,45 @@ class SimilaritySpec extends SparkTestBase {
     PqIndex.drop(fakeDir)
   }
 
+  test("IvfPqIndex: composed search finds true neighbors and reuses the sibling indexes") {
+    import graft.sim.{IvfPqIndex, PqIndex, IvfIndex}
+    // recall gate on the real embeddings — the composition can only
+    // lose what BOTH stages lose (cell pruning ∩ ADC ranking), gated at
+    // the family floor. Same registered parameters as s11.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.filter($"vec_id" < 16)
+    val exact = topkSets(Similarity.bruteForceTopK(emb, queries, k = 5))
+    val (codesByCell, cents, cb) = IvfPqIndex.ensure(spark, "/root/testdata/sf0.01", emb)
+    val ivfpq = topkSets(Similarity.exactRerank(
+      Similarity.ivfPqCandidatePairs(codesByCell, cents, cb, queries, kCand = 64),
+      emb, queries, k = 5))
+    val recall = recallAtK(ivfpq, exact)
+    info(f"recall@5: ivfpq=$recall%.3f")
+    assert(recall >= 0.6, s"IVF-PQ recall@5 $recall below floor 0.6")
+    // the composed index reuses the siblings' quantizers verbatim
+    val (_, centsIvf) = IvfIndex.ensure(spark, "/root/testdata/sf0.01",
+      { fail("warm sibling ensure must not re-evaluate the corpus"); emb })
+    val (_, cbPq) = PqIndex.ensure(spark, "/root/testdata/sf0.01",
+      { fail("warm sibling ensure must not re-evaluate the corpus"); emb })
+    assert(cents === centsIvf && cb === cbPq)
+    // every vector keeps exactly one cell and its PqIndex code
+    val n = emb.count()
+    assert(codesByCell.count() === n)
+    assert(codesByCell.select("vec_id").distinct().count() === n)
+  }
+
+  test("IvfPqIndex.ensure on an empty corpus returns empty searches, not an error") {
+    import graft.sim.IvfPqIndex
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val fakeDir = "/x/ivfpq_spec_empty"
+    IvfPqIndex.drop(fakeDir)
+    val (codes, cents, cb) = IvfPqIndex.ensure(spark, fakeDir, empty)
+    assert(cents.isEmpty && cb.isEmpty && codes.count() === 0)
+    val cands = Similarity.ivfPqCandidatePairs(codes, cents, cb, empty.limit(0), kCand = 5)
+    assert(cands.count() === 0)
+    IvfPqIndex.drop(fakeDir)
+  }
+
   test("PqIndex.ensure on an empty corpus returns empty searches, not an error") {
     import graft.sim.PqIndex
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
