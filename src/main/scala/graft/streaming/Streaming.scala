@@ -519,6 +519,38 @@ object Streaming {
         ()
     }.start()
 
+  /** [[annSearchStream]]'s IVF-PQ twin — online retrieval against the
+    * COMPOSED persisted index ([[graft.sim.IvfPqIndex]], the s11 path):
+    * each query micro-batch probes its nearest cells (DPP drops
+    * unprobed cell directories of the code table), scores the m-byte
+    * codes of the survivors with the native ADC kernel, and only the
+    * top-`kCand` pay the exact-cosine rescore against the full-precision
+    * corpus. Stateless per batch like its siblings — the streamed union
+    * equals the one-shot candidates+rerank answer on the same query set
+    * (StreamingSpec parity gate). At scale this is the cheapest online
+    * shape of the three: per-batch cost is O(batch × probed-cell
+    * occupancy × m bytes), the full-precision corpus is touched only
+    * for kCand·|batch| survivor rows.
+    */
+  def ivfPqSearchStream(codesByCell: DataFrame, cents: Seq[Seq[Double]],
+                        codebooks: Seq[Seq[Seq[Double]]], corpus: DataFrame,
+                        queryStream: DataFrame, k: Int, kCand: Int = 64,
+                        nProbes: Int = 0,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        queryIdCol: String = "query_id")
+                       (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val cands = graft.sim.Similarity.ivfPqCandidatePairs(
+            codesByCell, cents, codebooks, batch, kCand, nProbes,
+            idCol, vecCol, queryIdCol)
+          sink(graft.sim.Similarity.exactRerank(
+            cands, corpus, batch, k, idCol, vecCol, queryIdCol))
+        }
+        ()
+    }.start()
+
   /** STREAMING heavy hitters — the real-time twin of
     * [[graft.text.Text.heavyHitters]] (trending items on an unbounded
     * stream): each micro-batch builds per-partition SpaceSaving

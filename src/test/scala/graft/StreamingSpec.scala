@@ -862,6 +862,40 @@ class StreamingSpec extends SparkTestBase {
     assert(expected.size >= 8) // every query found neighbors — a real probe
   }
 
+  test("ivfPqSearchStream: streamed query micro-batches equal one-shot IVF-PQ search (s11 twin)") {
+    // the composed-index twin: DPP-pruned cell probe + ADC code scan +
+    // exact rerank per micro-batch, stateless — streamed union must
+    // equal the one-shot candidates+rerank on the same query set.
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val (codesByCell, cents, cb) = graft.sim.IvfPqIndex.ensure(spark, dir, emb)
+    val queries = emb.filter($"vec_id" < 8)
+    val staged = java.nio.file.Files.createTempDirectory("graft_ivfpq_stream")
+    queries.filter($"vec_id" < 4).write.mode("overwrite")
+      .parquet(staged.resolve("p1").toString)
+    queries.filter($"vec_id" >= 4).write.mode("overwrite")
+      .parquet(staged.resolve("p2").toString)
+    val qStream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString + "/*")
+    val got = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, Long, Long)]()
+    val q = Streaming.ivfPqSearchStream(codesByCell, cents, cb, emb,
+      qStream, k = 5, kCand = 16) { res =>
+      res.collect().foreach(r => got.add((r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank"))))
+    }
+    try q.processAllAvailable() finally q.stop()
+    val expected = graft.sim.Similarity.exactRerank(
+      graft.sim.Similarity.ivfPqCandidatePairs(codesByCell, cents, cb, queries, kCand = 16),
+      emb, queries, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank"))).toSet
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet === expected)
+    assert(expected.size >= 8) // every query found neighbors — a real probe
+  }
+
   test("heavyHittersStream: exact regime equals a groupBy recount of the streamed union") {
     // capacity ABOVE the distinct-item universe: the merged summary
     // tracks every item with zero error, so the emitted counts must
