@@ -68,7 +68,11 @@ object ExplainAudit {
     // missing from the ledger — m18's closure runs over PERCEPTIONS
     // (distinct hashes), never copies, and m16b's duplicate-index GIF
     // branch must keep the same map-side decode scan as m16
-    "m18_perceptual_clusters", "m16b_gif_frame_sample_wide")
+    "m18_perceptual_clusters", "m16b_gif_frame_sample_wide",
+    // r16: the PQ family — the compression claims are plan shapes (the
+    // candidate scan reads m-byte codes, never embedding bytes; s11
+    // additionally DPP-prunes to probed cells before paying for codes)
+    "s10_pq_topk", "s11_ivfpq_topk")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS
