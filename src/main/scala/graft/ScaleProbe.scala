@@ -81,7 +81,11 @@ object ScaleProbe {
     */
   val embProbeQueries: Seq[String] = Seq(
     "s6_int8_quantize", "s1_brute_topk", "s2_ann_topk", "s4_ivf_topk",
-    "s7_ann_int8", "s8_ivf_int8", "s9_mmr_topk", "e3_semantic_survivors")
+    "s7_ann_int8", "s8_ivf_int8", "s9_mmr_topk", "e3_semantic_survivors",
+    // r16: the PQ family — s10 is a full (compressed) corpus scan, so
+    // ~linear like s1 but over m-byte codes; s11 composes cell pruning
+    // with the code scan (the expected-sublinear row)
+    "s10_pq_topk", "s11_ivfpq_topk")
 
   def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(out)
@@ -432,7 +436,19 @@ object ScaleProbe {
           "recall_s4_ivf_topk" -> recall(sets(
             Similarity.ivfTopKAssigned(assigned, cents, queries, k = 5))),
           "recall_s8_ivf_int8" -> recall(sets(
-            Similarity.ivfTopKInt8Assigned(assigned, cents, queries, k = 5, rerank = 16))))
+            Similarity.ivfTopKInt8Assigned(assigned, cents, queries, k = 5, rerank = 16))),
+          "recall_s10_pq_topk" -> {
+            val (codes, cb) = graft.sim.PqIndex.ensure(spark, dir, emb)
+            recall(sets(Similarity.exactRerank(
+              Similarity.pqCandidatePairsEncoded(codes, cb, queries, kCand = 64),
+              emb, queries, k = 5)))
+          },
+          "recall_s11_ivfpq_topk" -> {
+            val (cbc, cents2, cb2) = graft.sim.IvfPqIndex.ensure(spark, dir, emb)
+            recall(sets(Similarity.exactRerank(
+              Similarity.ivfPqCandidatePairs(cbc, cents2, cb2, queries, kCand = 64),
+              emb, queries, k = 5)))
+          })
       }
       val base = recallAt(src).toMap
       recallAt(out).map { case (name, scaled) => (name, base(name), scaled) }
@@ -463,6 +479,25 @@ object ScaleProbe {
         (System.nanoTime() - t0) / 1e9
       }
       Seq(("srp_index_build_once", build(src), build(out)))
+    }) ++ (if (probeSet != "emb") Seq.empty else {
+      // One-time PQ build costs (the s10/s11 twins of the rows above),
+      // split at the seam that matters at 100 TB: pq_index_build_once =
+      // bounded-sample train + the ONE full-corpus encode pass + code
+      // write (expected ~linear in N with a constant train term);
+      // ivfpq_layout_build_once = ONLY the codes⋈cells layout join on
+      // warm siblings (the marginal cost of composing two standing
+      // indexes into the s11 layout).
+      import graft.sim.{PqIndex, IvfPqIndex}
+      def buildPq(dir: String): Double = {
+        PqIndex.drop(dir)
+        timeOnce(PqIndex.ensure(spark, dir, Tables.embeddings(spark, dir)))
+      }
+      val pqRow = ("pq_index_build_once", buildPq(src), buildPq(out))
+      def buildLayout(dir: String): Double = {
+        IvfPqIndex.drop(dir) // siblings stay warm — measures the join+write only
+        timeOnce(IvfPqIndex.ensure(spark, dir, Tables.embeddings(spark, dir)))
+      }
+      Seq(pqRow, ("ivfpq_layout_build_once", buildLayout(src), buildLayout(out)))
     }) ++ (if (probeSet != "emb") Seq.empty else {
       // Parameter-scaling twin for the SRP path: with FIXED nPlanes the
       // candidate stream grows ∝ N (each bucket holds factor× more
