@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sink.ZOrder
+
+class ZOrderSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("ZImpl: bucketOf binary search and bit interleave on known values") {
+    import org.apache.spark.sql.graft.ZImpl
+    val cuts = Array(10.0, 20.0, 30.0)
+    assert(ZImpl.bucketOf(5.0, cuts) === 0)
+    assert(ZImpl.bucketOf(10.0, cuts) === 1)  // boundary: cut ≤ v counts
+    assert(ZImpl.bucketOf(15.0, cuts) === 1)
+    assert(ZImpl.bucketOf(30.0, cuts) === 3)
+    assert(ZImpl.bucketOf(99.0, cuts) === 3)
+    assert(ZImpl.bucketOf(Double.NaN, cuts) === 0)
+    // 2 columns × 2 bits: buckets (a=3, b=1) → a bits at positions
+    // bit·k+1, b bits at bit·k+0: z = (1<<1)|(1<<3) for a=0b11 plus
+    // (1<<0) for b=0b01 → 0b1011 = 11
+    val r = Seq((3.0, 1.0)).toDF("a", "b")
+      .select(org.apache.spark.sql.graft.ZOrderFunctions.zValueNative(
+        array($"a", $"b"), Seq(Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)), 2))
+      .collect()(0).getLong(0)
+    assert(r === 11L)
+  }
+
+  test("z-order layout prunes file min/max on BOTH columns; linear sort only on its own") {
+    // two independent uniform columns; 16 files; a reader filtering a
+    // 1/16 range of EITHER column should touch a small fraction of the
+    // z-ordered files, while the linear (a-sorted) layout leaves every
+    // file spanning the full b domain.
+    val n = 32768
+    val df = spark.range(n.toLong)
+      .select(pmod(xxhash64(col("id")), lit(1000)).as("a"),
+              pmod(xxhash64(col("id") + lit(7919)), lit(1000)).as("b"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    ZOrder.writeZOrdered(df, Seq("a", "b"), s"$tmp/z", numFiles = 16)
+    df.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(s"$tmp/linear")
+
+    def overlapping(path: String, c: String, lo: Long, hi: Long): Long =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+        .filter(col("mn") <= hi && col("mx") >= lo)
+        .count()
+
+    val zb = overlapping(s"$tmp/z", "b", 470, 530)        // mid 1/16 of b
+    val za = overlapping(s"$tmp/z", "a", 470, 530)
+    val lb = overlapping(s"$tmp/linear", "b", 470, 530)
+    val la = overlapping(s"$tmp/linear", "a", 470, 530)
+    info(s"files overlapping mid-range: z(a)=$za z(b)=$zb linear(a)=$la linear(b)=$lb of 16")
+    assert(lb === 16, "linear layout cannot prune its non-sort column")
+    assert(zb <= 8, s"z-order must prune the second column, touched $zb/16")
+    assert(za <= 8, s"z-order must still prune the first column, touched $za/16")
+    assert(la <= 2, "sanity: linear layout prunes its own sort column hard")
+
+    // the layout is a permutation: same multiset of rows back
+    val back = spark.read.parquet(s"$tmp/z")
+    assert(back.count() === n.toLong)
+    val h1 = df.agg(sum(hash(col("a"), col("b")).cast("long"))).collect()(0).getLong(0)
+    val h2 = back.agg(sum(hash(col("a"), col("b")).cast("long"))).collect()(0).getLong(0)
+    assert(h1 === h2)
+  }
+
+  test("skewed column still spreads over buckets (rank cuts, not value range)") {
+    // 90% of mass at one value + a long tail: value-range bucketing
+    // would put the tail in one bucket; QUANTILE cuts give the tail its
+    // own boundaries. The gate: z-ordering on (skewed, uniform) still
+    // prunes the uniform column — the skew must not gut the interleave.
+    val n = 16384
+    val df = spark.range(n.toLong)
+      .select(
+        when(pmod(col("id"), lit(10)) < 9, lit(5L))
+          .otherwise(pmod(xxhash64(col("id")), lit(1000000))).as("a"),
+        pmod(xxhash64(col("id") + lit(13)), lit(1000)).as("b"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder_skew").toString
+    ZOrder.writeZOrdered(df, Seq("a", "b"), s"$tmp/z", numFiles = 8)
+    val zb = spark.read.parquet(s"$tmp/z")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("b")).as("mn"), max(col("b")).as("mx"))
+      .filter(col("mn") <= lit(530) && col("mx") >= lit(470))
+      .count()
+    info(s"files overlapping mid-range b under 90% skew on a: $zb/8")
+    assert(zb <= 4, s"skew on a must not destroy pruning on b, touched $zb/8")
+  }
+}
