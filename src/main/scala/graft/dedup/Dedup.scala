@@ -860,16 +860,20 @@ object Dedup {
   /** Spanning forest of one bucket's verified-similarity subgraph:
     * path-compressed union-find over the (id-sorted, deterministic)
     * members; `sim(i, j)` is consulted ONLY for pairs not already
-    * connected, and every union emits its witnessing pair as a
-    * (min, max) edge. Emitted edges are a subset of the verified pairs
-    * with identical connectivity — and on a k-member duplicate clique
-    * the verify work itself collapses from O(k²) similarity evaluations
-    * to O(k) (plus O(k²) O(α) find() probes): once the clique is
-    * connected, remaining pairs short-circuit before scoring.
+    * connected, and every union emits its witnessing pair as an (i, j)
+    * INDEX edge with i < j — since callers present members id-ascending,
+    * the mapped-back values land (min-id, max-id). Emitted edges are a
+    * subset of the verified pairs with identical connectivity — and on a
+    * k-member duplicate clique the verify work itself collapses from
+    * O(k²) similarity evaluations to O(k) (plus O(k²) O(α) find()
+    * probes): once the clique is connected, remaining pairs
+    * short-circuit before scoring. Index-valued (not id-valued) so
+    * callers can carry ids of ANY type — casting ids to long silently
+    * nulled string/decimal ids (ADVICE r16).
     */
-  private def spanningForestEdges(ids: Array[Long])
-                                 (sim: (Int, Int) => Boolean): Iterator[(Long, Long)] = {
-    val parent = Array.tabulate(ids.length)(identity)
+  private def spanningForestIndexEdges(n: Int)
+                                      (sim: (Int, Int) => Boolean): Iterator[(Int, Int)] = {
+    val parent = Array.tabulate(n)(identity)
     def find(x: Int): Int = {
       var r = x
       while (parent(r) != r) r = parent(r)
@@ -877,15 +881,15 @@ object Dedup {
       while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var i = 0
-    while (i < ids.length) {
+    while (i < n) {
       var j = i + 1
-      while (j < ids.length) {
+      while (j < n) {
         val ri = find(i); val rj = find(j)
         if (ri != rj && sim(i, j)) {
           parent(math.max(ri, rj)) = math.min(ri, rj)
-          out += ((math.min(ids(i), ids(j)), math.max(ids(i), ids(j))))
+          out += ((i, j))
         }
         j += 1
       }
@@ -920,32 +924,35 @@ object Dedup {
   def srpSpanningEdges(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, nPlanes: Int = 0, maxDim: Int = 512,
                        bucketCap: Int = 0): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val planes = Similarity.resolvePlanes(df, nPlanes)
     val idType = df.schema(idCol).dataType
     val grouped = df
-      .select(col(idCol).cast("long").as("__id"),
+      .select(col(idCol).as("__id"),
               Similarity.toDouble(col(vecCol)).as("__v"))
       .withColumn("__bucket", Similarity.srpBucket(col("__v"), planes, maxDim = maxDim))
       .filter(col("__bucket").isNotNull) // null vec never joins in the clique form either
       .groupBy(col("__bucket"))
-      .agg(collect_list(struct(col("__id"), col("__v"))).as("__m"))
-    val edges = grouped.flatMap { row =>
+      // sort_array orders members id-ascending (struct ordering leads on
+      // __id, ids unique) — the deterministic order the forest's edge
+      // choice and the id1 ≤ id2 orientation rely on. The id rides in
+      // its ORIGINAL type end to end: a long cast here silently nulled
+      // string/decimal ids (ADVICE r16)
+      .agg(sort_array(collect_list(struct(col("__id"), col("__v")))).as("__m"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id1", idType),
+      org.apache.spark.sql.types.StructField("id2", idType)))
+    grouped.flatMap { row =>
       val m = row.getSeq[org.apache.spark.sql.Row](1)
       if (bucketCap > 0 && m.length > bucketCap) Iterator.empty
       else {
-        val sorted = m.toArray.sortBy(_.getLong(0))
-        val ids = sorted.map(_.getLong(0))
-        val vecs = sorted.map(_.getSeq[Any](1))
-        spanningForestEdges(ids) { (i, j) =>
+        val arr = m.toArray
+        val vecs = arr.map(_.getSeq[Any](1))
+        spanningForestIndexEdges(arr.length) { (i, j) =>
           val c = cosineLocal(vecs(i), vecs(j))
           c != null && round4(c) >= threshold
-        }
+        }.map { case (i, j) => org.apache.spark.sql.Row(arr(i).get(0), arr(j).get(0)) }
       }
-    }.toDF("id1", "id2")
-    edges.select(col("id1").cast(idType).as("id1"),
-                 col("id2").cast(idType).as("id2"))
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** The text twin of [[srpSpanningEdges]]: per-(band, bucket) spanning
@@ -967,33 +974,33 @@ object Dedup {
                            threshold: Double, shingleSize: Int = 3,
                            bands: Int = 8, rowsPerBand: Int = 4,
                            bucketCap: Int = defaultBucketCap): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val idType = df.schema(idCol).dataType
     val grouped = df
-      .select(col(idCol).cast("long").as("__id"),
+      .select(col(idCol).as("__id"),
               Text.wordShingles(col(textCol), shingleSize).as("__sh"))
       .select(col("__id"), col("__sh"),
         posexplode(org.apache.spark.sql.graft.HashFunctions
           .lshBandBuckets(col("__sh"), bands, rowsPerBand)).as(Seq("band", "bucket")))
       .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(struct(col("__id"), col("__sh"))).as("__m"))
-    val edges = grouped.flatMap { row =>
+      // id-ascending members in the id's ORIGINAL type — same rationale
+      // as [[srpSpanningEdges]] (a long cast nulled string ids)
+      .agg(sort_array(collect_list(struct(col("__id"), col("__sh")))).as("__m"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id1", idType),
+      org.apache.spark.sql.types.StructField("id2", idType)))
+    grouped.flatMap { row =>
       val m = row.getSeq[org.apache.spark.sql.Row](2)
       if (bucketCap > 0 && m.length > bucketCap) Iterator.empty
       else {
-        val sorted = m.toArray.sortBy(_.getLong(0))
-        val ids = sorted.map(_.getLong(0))
-        val sets = sorted.map(_.getSeq[String](1).toSet)
-        spanningForestEdges(ids) { (i, j) =>
+        val arr = m.toArray
+        val sets = arr.map(_.getSeq[String](1).toSet)
+        spanningForestIndexEdges(arr.length) { (i, j) =>
           // ngramJaccard replica: |a∩b| / |a∪b|, union 0 → null (no edge)
           val union = (sets(i) union sets(j)).size
           union != 0 &&
             round4(sets(i).intersect(sets(j)).size.toDouble / union) >= threshold
-        }
+        }.map { case (i, j) => org.apache.spark.sql.Row(arr(i).get(0), arr(j).get(0)) }
       }
-    }.toDF("id1", "id2").distinct()
-    edges.select(col("id1").cast(idType).as("id1"),
-                 col("id2").cast(idType).as("id2"))
+    }(org.apache.spark.sql.Encoders.row(outSchema)).distinct()
   }
 }

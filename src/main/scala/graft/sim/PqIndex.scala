@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions.col
   * Reuse ladder, artifact keying, supersede-on-rebuild, empty-corpus
   * memo: all identical to [[IvfIndex]] (one discipline, one set of
   * rationales — see that scaladoc). Index lives under
-  * target/pq_index/<version>/<stamped-dir>.
+  * target/pq_index/<version>/<stamped-dir>/<m_ksub geometry> — the
+  * geometry leg keeps a warm call with different m/ksub from silently
+  * being served another geometry's codes.
   *
   * Reference analog: the SQLite index built once per load
   * (/root/reference/src/load.py:143-144) — here the "index" is a
@@ -36,15 +38,27 @@ object PqIndex {
     */
   private val version = "v1"
 
-  def root(dir: String,
+  /** Geometry leg of the artifact key: codes written at one (m, ksub)
+    * must never be served to an ensure() asking for another — the ADC
+    * scorer would misread them. 0 = "auto" keys separately from every
+    * explicit value (auto RESOLVES per corpus size, so it cannot alias
+    * a fixed setting). Same discipline as [[graft.dedup.LshIndex.root]]
+    * keying its (s, b, r) geometry under the stamped dir.
+    */
+  private def geom(m: Int, ksub: Int): String =
+    s"m${if (m > 0) m.toString else "auto"}_k${if (ksub > 0) ksub.toString else "auto"}"
+
+  def root(dir: String, m: Int = 0, ksub: Int = 0,
            hadoopConf: org.apache.hadoop.conf.Configuration =
              new org.apache.hadoop.conf.Configuration()): java.io.File =
     new java.io.File(
-      s"target/pq_index/$version/${graft.ArtifactKey.stamped(dir, hadoopConf)}")
+      s"target/pq_index/$version/${graft.ArtifactKey.stamped(dir, hadoopConf)}/" +
+        geom(m, ksub))
       .getAbsoluteFile
 
   /** Delete the persisted index (forces the next ensure to rebuild). */
-  def drop(dir: String): Unit = graft.ArtifactKey.rmRecursive(root(dir))
+  def drop(dir: String, m: Int = 0, ksub: Int = 0): Unit =
+    graft.ArtifactKey.rmRecursive(root(dir, m, ksub))
 
   private val emptyMemo =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.HashMap[String, (DataFrame, Seq[Seq[Seq[Double]]])]]()
@@ -61,7 +75,7 @@ object PqIndex {
              m: Int = 0, ksub: Int = 0,
              idCol: String = "vec_id", vecCol: String = "embedding"
             ): (DataFrame, Seq[Seq[Seq[Double]]]) = synchronized {
-    val base = root(dir, spark.sessionState.newHadoopConf())
+    val base = root(dir, m, ksub, spark.sessionState.newHadoopConf())
     val codesPath = new java.io.File(base, "codes").getPath
     val booksPath = new java.io.File(base, "codebooks").getPath
     if (!new java.io.File(codesPath, "_SUCCESS").isFile ||
@@ -70,8 +84,13 @@ object PqIndex {
         case Some(h) => return h
         case None =>
       }
+      // superseded = older CONTENT stamps of the same source (siblings of
+      // the stamped dir); geometry variants live INSIDE one stamped dir
+      // and coexist
+      val stampedDir = base.getParentFile
       graft.ArtifactKey.dropSuperseded(
-        base.getParentFile, graft.ArtifactKey.pathKey(dir) + "_", base.getName)
+        stampedDir.getParentFile, graft.ArtifactKey.pathKey(dir) + "_",
+        stampedDir.getName)
       val df = corpus
       val cb = Similarity.pqTrain(df, m, ksub, iters = 2, idCol, vecCol)
       if (cb.isEmpty) {

@@ -943,7 +943,12 @@ object Similarity {
     require(dim % subs == 0, s"subspace count $subs must divide dim $dim")
     val dsub = dim / subs
     val n = corpus.count()
-    val k = math.min(if (ksub > 0) ksub else autoCodewords(n), math.max(n, 1L).toInt)
+    // clamp in LONG space: `math.max(n, 1L).toInt` truncates for corpora
+    // over Int.MaxValue rows (the 100 TB regime) into a negative/garbage
+    // k. Codewords are byte codes, so 256 bounds `wanted` first and the
+    // n-clamp can never overflow after that.
+    val wanted = math.min(256L, (if (ksub > 0) ksub else autoCodewords(n)).toLong)
+    val k = math.min(wanted, math.max(n, 1L)).toInt
     val mod = math.max(1L, n / pqMaxTrainRows)
     val sample =
       if (mod > 1)
@@ -1018,6 +1023,13 @@ object Similarity {
              idCol: String = "vec_id", vecCol: String = "embedding",
              queryIdCol: String = "query_id"): DataFrame = {
     val cb = pqTrain(corpus, m, ksub, iters, idCol, vecCol)
+    // empty corpus → empty codebooks: short-circuit BEFORE pqEncode
+    // (PqEncode requires non-empty books at construction) so the empty
+    // contract matches the annTopK/ivfTopK siblings and the indexed path
+    if (cb.isEmpty)
+      return exactRerank(
+        queries.select(col(idCol).as(queryIdCol), col(idCol).as("neighbor_id")).limit(0),
+        corpus, queries, k, idCol, vecCol, queryIdCol)
     val codes = pqEncode(corpus, cb, idCol, vecCol)
     val cands = pqCandidatePairsEncoded(codes, cb, queries, kCand, idCol, vecCol, queryIdCol)
     exactRerank(cands, corpus, queries, k, idCol, vecCol, queryIdCol)

@@ -609,4 +609,29 @@ class DedupSpec extends SparkTestBase {
     val un = Dedup.minhashSpanningEdges(docs, "id", "text", threshold = 0.8, bucketCap = 0)
     assert(un.count() === 199L)  // one spanning tree over the 200-clique
   }
+
+  test("spanning edges carry non-numeric ids losslessly (no long cast — ADVICE r16)") {
+    // ids a long cast silently nulls: zero-padded and alphanumeric
+    // strings. These are legal inputs to the clique-form APIs the
+    // spanning variants are documented drop-in replacements for.
+    val vecs = Seq(
+      ("doc-007",  Seq(1.0, 0.0, 0.0, 0.0)),
+      ("doc-0070", Seq(1.0, 1e-4, 0.0, 0.0)),   // cos ≈ 1 with doc-007
+      ("doc-far",  Seq(0.0, 1.0, 0.0, 0.0))
+    ).toDF("id", "vec")
+    val span = Dedup.srpSpanningEdges(vecs, "id", "vec", threshold = 0.9, nPlanes = 4)
+    assert(span.schema("id1").dataType === org.apache.spark.sql.types.StringType)
+    assert(span.collect().map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("doc-007", "doc-0070")))
+
+    val docs = Seq(
+      ("a-01", "spark shuffles partitions across executors while catalyst prunes columns"),
+      ("a-02", "spark shuffles partitions across executors while catalyst prunes columns"),
+      ("z-99", "completely different words entirely unrelated to anything else present")
+    ).toDF("id", "text")
+    val mspan = Dedup.minhashSpanningEdges(docs, "id", "text", threshold = 0.8)
+    assert(mspan.schema("id1").dataType === org.apache.spark.sql.types.StringType)
+    assert(mspan.collect().map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("a-01", "a-02")))
+  }
 }

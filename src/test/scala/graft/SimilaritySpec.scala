@@ -597,4 +597,40 @@ class SimilaritySpec extends SparkTestBase {
     assert(cands.count() === 0)
     PqIndex.drop(fakeDir)
   }
+
+  test("pqTopK on an empty corpus returns the empty frame, like its siblings") {
+    // pqEncode constructs PqEncode (require codebooks nonEmpty) — the
+    // short-circuit must fire BEFORE it, matching annTopK/ivfTopK and
+    // the indexed path (ADVICE r16)
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val queries = Seq((1L, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(empty, queries, k = 3)
+    assert(out.columns.toSeq === Seq("query_id", "neighbor_id", "cos", "rank"))
+    assert(out.count() === 0)
+    assert(Similarity.annTopK(empty, queries, k = 3).count() === 0)
+  }
+
+  test("PqIndex keys its geometry: a warm call with different (m, ksub) builds " +
+       "its own artifact instead of serving the other geometry's codes") {
+    import graft.sim.PqIndex
+    val gen = new scala.util.Random(47)
+    val emb = (0L until 64L).map(i => (i, Seq.fill(16)(gen.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val fakeDir = "/x/pq_spec_geometry"
+    PqIndex.drop(fakeDir)
+    PqIndex.drop(fakeDir, m = 4, ksub = 16)
+    val (_, cbAuto) = PqIndex.ensure(spark, fakeDir, emb)
+    // warm source dir, DIFFERENT geometry: must train fresh codebooks of
+    // the requested shape, not reuse the auto artifact
+    val (codes2, cb2) = PqIndex.ensure(spark, fakeDir, emb, m = 4, ksub = 16)
+    assert(cb2.length === 4 && cb2.forall(_.length === 16))
+    assert(cb2 !== cbAuto)
+    assert(PqIndex.root(fakeDir).getPath !== PqIndex.root(fakeDir, 4, 16).getPath)
+    assert(new java.io.File(PqIndex.root(fakeDir, 4, 16), "codes/_SUCCESS").isFile)
+    // both artifacts coexist (geometry variants are not "superseded")
+    assert(new java.io.File(PqIndex.root(fakeDir), "codes/_SUCCESS").isFile)
+    assert(codes2.collect().forall(_.getSeq[Byte](1).length === 4))
+    PqIndex.drop(fakeDir)
+    PqIndex.drop(fakeDir, m = 4, ksub = 16)
+  }
 }
