@@ -72,7 +72,11 @@ object ExplainAudit {
     // r16: the PQ family — the compression claims are plan shapes (the
     // candidate scan reads m-byte codes, never embedding bytes; s11
     // additionally DPP-prunes to probed cells before paying for codes)
-    "s10_pq_topk", "s11_ivfpq_topk")
+    "s10_pq_topk", "s11_ivfpq_topk",
+    // r17: the z-order mirror scan — BOTH range predicates must appear
+    // in PushedFilters on the mirror read (the layout exists so file
+    // min-max stats answer them; a lost pushdown guts the operator)
+    "z1_zorder_prune")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS

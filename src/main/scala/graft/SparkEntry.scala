@@ -1831,6 +1831,21 @@ object SparkEntry {
         Similarity.ivfPqCandidatePairs(codesByCell, cents, cb,
           emb.filter(col("vec_id") < 8), kCand = 64))
       Similarity.exactRerank(cands, emb, emb.filter(col("vec_id") < 8), k = 5)
+    }),
+
+    // ---- z: multi-dimensional clustered layout (z-order mirror) ----
+    // The scan rides the persisted Z-ORDERED mirror of orders (one-time
+    // layout pass, ZOrderMirror.ensure) so BOTH range predicates prune
+    // at file/row-group min-max level; the layout is a permutation, so
+    // the oracle is the same SQL on the raw table.
+    "z1_zorder_prune" -> ((s, d) => {
+      val z = graft.sink.ZOrderMirror.ensure(s, d, "orders",
+        Seq("o_totalprice", "o_custkey"))
+      z.filter(col("o_totalprice").between(50000, 150000) &&
+               col("o_custkey").between(200, 1000))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+             decSum2(col("o_totalprice").cast("decimal(18,6)")).as("revenue"))
     })
   )
 
@@ -3655,6 +3670,16 @@ object SparkEntry {
         |  list_min(qv) AS q_min,
         |  list_max(qv) AS q_max,
         |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_saturated
-        |FROM q""".stripMargin
+        |FROM q""".stripMargin,
+
+    // the z-ordered mirror is a permutation of orders, so the oracle is
+    // the same filter+agg on the raw table
+    "z1_zorder_prune" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_totalprice BETWEEN 50000 AND 150000
+        |  AND o_custkey BETWEEN 200 AND 1000
+        |GROUP BY o_orderstatus""".stripMargin
   )
 }

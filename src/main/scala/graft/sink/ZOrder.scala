@@ -74,3 +74,70 @@ object ZOrder {
       .write.mode("overwrite").parquet(path)
   }
 }
+
+/** Build-or-reuse a persisted Z-ORDERED parquet mirror of one source
+  * table — the layout-maintenance artifact of [[ZOrder.writeZOrdered]]
+  * under the same discipline as [[BucketedMirror]] (pay the clustering
+  * shuffle once, every later multi-column range scan prunes) and the
+  * index stores (content-stamped key, supersede-on-rebuild, reuse never
+  * scans the source). Where the bucketed mirror serves JOIN co-location
+  * on one key, this serves RANGE-PREDICATE pruning on k columns.
+  */
+object ZOrderMirror {
+
+  /** Bump when the layout derivation changes: reuse is keyed by source
+    * content, so a mirror persisted by OLDER layout code would
+    * otherwise silently serve the stale file order.
+    */
+  private val version = "v1"
+
+  /** Files for a source of `bytes`: one ~[[BucketedMirror.targetBucketBytes]]
+    * file per chunk, floored at 16 (local[32]-shape parallelism at test
+    * SF) — a 10 TB table lands at ~40 k files, each spanning a bounded
+    * z-range of every clustered column.
+    */
+  def filesFor(bytes: Long): Int =
+    math.min(1L << 20, math.max(16L,
+      (bytes + BucketedMirror.targetBucketBytes - 1) / BucketedMirror.targetBucketBytes)).toInt
+
+  def root(dir: String, table: String, cols: Seq[String],
+           hadoopConf: org.apache.hadoop.conf.Configuration =
+             new org.apache.hadoop.conf.Configuration()): java.io.File = {
+    val src = new org.apache.hadoop.fs.Path(dir, s"$table.parquet").toString
+    new java.io.File(
+      s"target/zorder_mirror/$version/${graft.ArtifactKey.stamped(src, hadoopConf)}/" +
+        cols.mkString("_"))
+      .getAbsoluteFile
+  }
+
+  /** Delete the persisted mirror (forces the next ensure to rebuild). */
+  def drop(dir: String, table: String, cols: Seq[String]): Unit =
+    graft.ArtifactKey.rmRecursive(root(dir, table, cols))
+
+  /** The z-ordered mirror of `<dir>/<table>.parquet` clustered on
+    * `cols`; builds on the cold path only (quantile pass + one range
+    * shuffle + sorted write), then every call is a plain parquet read
+    * whose file/row-group min-max stats serve range predicates on ANY
+    * of `cols`.
+    */
+  def ensure(spark: org.apache.spark.sql.SparkSession, dir: String, table: String,
+             cols: Seq[String], bits: Int = 8): DataFrame = synchronized {
+    val conf = spark.sessionState.newHadoopConf()
+    val base = root(dir, table, cols, conf)
+    if (!new java.io.File(base, "_SUCCESS").isFile) {
+      val src = new org.apache.hadoop.fs.Path(dir, s"$table.parquet")
+      val fs = src.getFileSystem(conf)
+      require(fs.exists(src), s"z-order mirror source does not exist: $src")
+      // superseded = older content stamps of the same source table
+      // (siblings of the stamped dir); column-set variants coexist inside
+      val stampedDir = base.getParentFile
+      graft.ArtifactKey.dropSuperseded(
+        stampedDir.getParentFile,
+        graft.ArtifactKey.pathKey(src.toString) + "_", stampedDir.getName)
+      val df = spark.read.parquet(src.toString)
+      ZOrder.writeZOrdered(df, cols, base.getPath,
+        filesFor(fs.getContentSummary(src).getLength), bits)
+    }
+    spark.read.parquet(base.getPath)
+  }
+}

@@ -62,7 +62,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("query names follow the documented prefix convention") {
-    val prefixes = Set("q", "a", "w", "o", "j", "c", "f", "t", "d", "s", "e", "m")
+    val prefixes = Set("q", "a", "w", "o", "j", "c", "f", "t", "d", "s", "e", "m", "z")
     SparkEntry.queries.keys.foreach { k =>
       assert(prefixes.contains(k.take(1)), s"unexpected query name shape: $k")
     }
