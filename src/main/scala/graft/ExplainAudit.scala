@@ -76,7 +76,13 @@ object ExplainAudit {
     // r17: the z-order mirror scan — BOTH range predicates must appear
     // in PushedFilters on the mirror read (the layout exists so file
     // min-max stats answer them; a lost pushdown guts the operator)
-    "z1_zorder_prune")
+    "z1_zorder_prune",
+    // r17: entity resolution — the candidate join must ride the token
+    // shuffle (cap as a window on the same partitioning, no extra
+    // exchange) and verify levenshtein only on capped candidates over
+    // the DISTINCT-name universe; er2 adds the single broadcast
+    // join-back (rows never shuffle)
+    "er1_name_matches", "er2_entity_groups")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS

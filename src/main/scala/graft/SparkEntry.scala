@@ -1846,7 +1846,18 @@ object SparkEntry {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
              decSum2(col("o_totalprice").cast("decimal(18,6)")).as("revenue"))
-    })
+    }),
+
+    // ---- er: entity resolution (fuzzy record linkage) ----
+    // Token-blocked levenshtein match over the DISTINCT part-name
+    // universe (names, never rows), then every part labeled with its
+    // connected component's min name via one broadcast join back.
+    "er1_name_matches" -> ((s, d) =>
+      graft.er.EntityResolution.nameMatchPairs(
+        Tables.part(s, d), "p_name", maxDist = 2)),
+    "er2_entity_groups" -> ((s, d) =>
+      graft.er.EntityResolution.entityGroups(
+        Tables.part(s, d), "p_partkey", "p_name", maxDist = 2))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables). Shared determinism
@@ -3680,6 +3691,41 @@ object SparkEntry {
         |FROM orders
         |WHERE o_totalprice BETWEEN 50000 AND 150000
         |  AND o_custkey BETWEEN 200 AND 1000
-        |GROUP BY o_orderstatus""".stripMargin
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // token blocking + levenshtein replayed literally (DuckDB's
+    // levenshtein is the same classic unit-cost edit distance); the
+    // occupancy cap counts DISTINCT NAMES per token, like the operator
+    "er1_name_matches" ->
+      """WITH u AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+        |t AS (SELECT DISTINCT name, unnest(string_split_regex(name, '\s+')) AS tok FROM u),
+        |t2 AS (SELECT name, tok FROM t WHERE len(tok) > 0
+        |       QUALIFY count(*) OVER (PARTITION BY tok) <= 1000),
+        |p AS (SELECT DISTINCT a.name AS name1, b.name AS name2
+        |      FROM t2 a JOIN t2 b ON a.tok = b.tok AND a.name < b.name)
+        |SELECT name1, name2, CAST(levenshtein(name1, name2) AS BIGINT) AS dist
+        |FROM p WHERE levenshtein(name1, name2) <= 2""".stripMargin,
+
+    // the closure over er1's pairs as a recursive min-label CTE (the
+    // m18 pattern), then every part row joined to its component label;
+    // unmatched names label as themselves via the singleton base case
+    "er2_entity_groups" ->
+      """WITH RECURSIVE
+        |u AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+        |t AS (SELECT DISTINCT name, unnest(string_split_regex(name, '\s+')) AS tok FROM u),
+        |t2 AS (SELECT name, tok FROM t WHERE len(tok) > 0
+        |       QUALIFY count(*) OVER (PARTITION BY tok) <= 1000),
+        |p AS (SELECT DISTINCT a.name AS name1, b.name AS name2
+        |      FROM t2 a JOIN t2 b ON a.tok = b.tok AND a.name < b.name
+        |      WHERE levenshtein(a.name, b.name) <= 2),
+        |e AS (SELECT name1 AS src, name2 AS dst FROM p
+        |      UNION ALL SELECT name2, name1 FROM p),
+        |reach(id, r) AS (
+        |  SELECT name, name FROM u
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+        |canon AS (SELECT id AS name, min(r) AS entity FROM reach GROUP BY id)
+        |SELECT pt.p_partkey, pt.p_name, c.entity
+        |FROM part pt JOIN canon c ON pt.p_name = c.name""".stripMargin
   )
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.er.EntityResolution
+
+class EntityResolutionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(String, String, Long)] =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+  test("nameMatchPairs: token-blocked levenshtein pairs, name1 < name2, verified once") {
+    val df = Seq(
+      (1L, "red bolt"), (2L, "old bolt"),   // share "bolt", dist 2
+      (3L, "red bolt"),                      // duplicate name: no self-pair
+      (4L, "rad bolt"),                      // dist 1 from red, 2 from old
+      (5L, "blue gear"),                     // shares nothing
+      (6L, "red gear")                       // shares "red"/"gear": dist(red bolt)=4 rejected; dist(blue gear)=4 rejected
+    ).toDF("id", "name")
+    val got = pairsOf(EntityResolution.nameMatchPairs(df, "name", maxDist = 2))
+    assert(got === Set(
+      ("old bolt", "red bolt", 2L),
+      ("old bolt", "rad bolt", 2L),
+      ("rad bolt", "red bolt", 1L)))
+    // blocking semantics: a within-distance pair sharing NO token is
+    // not a candidate (the standard blocking tradeoff, documented)
+    val blocked = Seq((1L, "abc"), (2L, "abd")).toDF("id", "name")
+    assert(EntityResolution.nameMatchPairs(blocked, "name", maxDist = 2).count() === 0L)
+  }
+
+  test("nameMatchPairs: over-cap tokens drop whole (stop-token guard)") {
+    // 30 names all sharing stop-token "the"; only adjacent pairs also
+    // share their distinctive token
+    val df = (0 until 30).map(i => (i.toLong, s"the name$i")).toDF("id", "name")
+    // cap below the "the"-block occupancy: pairs must come only from the
+    // nameN tokens (all distinct → no pairs at all)
+    assert(EntityResolution.nameMatchPairs(df, "name", maxDist = 2, blockCap = 10)
+      .count() === 0L)
+    // cap lifted: "the" blocks everything; dist("nameI","nameJ") ≤ 2
+    // pairs appear
+    assert(EntityResolution.nameMatchPairs(df, "name", maxDist = 2, blockCap = 1000)
+      .count() > 0L)
+  }
+
+  test("entityGroups: chain connectivity, min-name canonical, singletons self-label, " +
+       "row count preserved") {
+    val df = Seq(
+      (1L, "cold bolt"), (2L, "old bolt"), (3L, "olt bolt"),
+      // chain: cold~old (1), old~olt (1); cold~olt dist 2 also matches —
+      // but gold gear connects ONLY via the middle link
+      (4L, "gold gear"), (5L, "bold gear"),  // dist 2, share "gear"
+      (6L, "lonely widget")
+    ).toDF("id", "name")
+    val out = EntityResolution.entityGroups(df, "id", "name", maxDist = 2)
+    assert(out.columns.toSeq === Seq("id", "name", "entity"))
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(m(1L) === "cold bolt" && m(2L) === "cold bolt" && m(3L) === "cold bolt",
+      "bolt chain must collapse to the min name")
+    assert(m(4L) === "bold gear" && m(5L) === "bold gear")
+    assert(m(6L) === "lonely widget", "unmatched names label as themselves")
+    assert(out.count() === df.count())
+  }
+
+  test("entityGroups labels TRANSITIVE matches one entity even when the ends " +
+       "exceed maxDist") {
+    // aaaa~aaab (1), aaab~aabb (1), but aaaa~aabb = 2 > 1: connectivity,
+    // not pairwise distance, defines the entity
+    val df = Seq((1L, "x aaaa"), (2L, "x aaab"), (3L, "x aabb")).toDF("id", "name")
+    val m = EntityResolution.entityGroups(df, "id", "name", maxDist = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(m.values.toSet === Set("x aaaa"))
+  }
+
+  test("null names survive with a null entity (never fabricate a label)") {
+    val df = Seq((1L, "red bolt"), (2L, null)).toDF("id", "name")
+    val out = EntityResolution.entityGroups(df, "id", "name", maxDist = 2).collect()
+    assert(out.length === 2)
+    val nullRow = out.find(_.getLong(0) == 2L).get
+    assert(nullRow.isNullAt(1) && nullRow.isNullAt(2))
+  }
+}
