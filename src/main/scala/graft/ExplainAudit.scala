@@ -82,7 +82,9 @@ object ExplainAudit {
     // exchange) and verify levenshtein only on capped candidates over
     // the DISTINCT-name universe; er2 adds the single broadcast
     // join-back (rows never shuffle)
-    "er1_name_matches", "er2_entity_groups")
+    "er1_name_matches", "er2_entity_groups",
+    // r17: the SCD2 scaladoc claims both windows ride ONE (key) exchange
+    "w17_scd2_intervals")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS

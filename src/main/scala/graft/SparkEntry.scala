@@ -415,6 +415,13 @@ object SparkEntry {
         Tables.events(s, d).filter(col("event_type") === "purchase"),
         "user_id", "ts", "value")),
 
+    // SCD-type-2 dimension history from the event change log: each
+    // user's consecutive runs of one event_type collapse to validity
+    // intervals, open run's valid_to null
+    "w17_scd2_intervals" -> ((s, d) =>
+      graft.analyze.Lifecycle.scd2Intervals(
+        Tables.events(s, d), "user_id", "ts", "event_type", "event_id")),
+
     // ----------------------------------------------------------- top-k
     "o1_topk_per_group" -> ((s, d) =>
       Analytics.topKPerGroup(
@@ -2286,6 +2293,20 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_mean,
         |  vm IS NULL AS is_filled
         |FROM f""".stripMargin,
+
+    // run starts via null-safe lag comparison (rn = 1 keeps a first row
+    // whose value is null), intervals via lead over the starts
+    "w17_scd2_intervals" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |starts AS (SELECT user_id, event_type, ts, event_id FROM o
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |FROM starts""".stripMargin,
 
     "w9_range_rolling" ->
       """SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,

@@ -204,4 +204,33 @@ object Lifecycle {
         last(col("__vm"), ignoreNulls = true).over(w).as("value_mean"),
         col("__vm").isNull.as("is_filled"))
   }
+
+  /** Change log → SCD-type-2 validity intervals: collapse each key's
+    * CONSECUTIVE runs of one tracked value into (key, value,
+    * valid_from, valid_to), valid_to null on the open (current) run —
+    * the warehouse dimension-history shape, here as one declarative
+    * pass (two windows on the same (key → ts, tie) shuffle; Catalyst
+    * plans a single exchange). `tie` pins run order when timestamps
+    * collide, so the interval set is a pure function of the data —
+    * null-safe comparison (`<=>`) keeps a null tracked value as its own
+    * run rather than merging it into its neighbors.
+    *
+    * Scale: one shuffle on the key, windows stream within partitions;
+    * output is change-points only (≤ input rows, typically ≪). At
+    * 100 TB the same pass runs per ingest batch against the previous
+    * snapshot's open runs — the batch twin of the streaming
+    * mapGroupsWithState shapes in [[graft.streaming.Streaming]].
+    */
+  def scd2Intervals(df: DataFrame, key: String, ts: String, value: String,
+                    tie: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    val starts = df
+      .withColumn("__prev", lag(col(value), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(value)))
+    val w2 = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    starts
+      .withColumn("valid_to", lead(col(ts), 1).over(w2))
+      .select(col(key), col(value), col(ts).as("valid_from"), col("valid_to"))
+  }
 }

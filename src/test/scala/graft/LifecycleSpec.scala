@@ -203,4 +203,41 @@ class LifecycleSpec extends SparkTestBase {
     assert(r.map(_.getAs[Double]("value_mean")).toSeq === Seq(15.0, 15.0, 15.0, 40.0))
     assert(r.map(_.getAs[Boolean]("is_filled")).toSeq === Seq(false, true, true, false))
   }
+
+  test("scd2Intervals: consecutive runs collapse, open run has null valid_to, " +
+       "re-appearing values start NEW runs, null values are their own run") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "gold", 1L),
+      (1L, ts("2024-01-02 00:00:00"), "gold", 2L),      // same run
+      (1L, ts("2024-01-03 00:00:00"), "silver", 3L),    // change
+      (1L, ts("2024-01-04 00:00:00"), "gold", 4L),      // gold returns: NEW run
+      (2L, ts("2024-01-01 00:00:00"), null, 5L),        // null run
+      (2L, ts("2024-01-02 00:00:00"), null, 6L),        // same null run
+      (2L, ts("2024-01-03 00:00:00"), "bronze", 7L)
+    ).toDF("k", "t", "tier", "eid")
+    val r = Lifecycle.scd2Intervals(ev, "k", "t", "tier", "eid")
+      .orderBy("k", "valid_from").collect()
+    assert(r.length === 5)
+    val u1 = r.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getString(1)).toSeq === Seq("gold", "silver", "gold"))
+    assert(u1(0).getTimestamp(3) === u1(1).getTimestamp(2),
+      "a run's valid_to is the NEXT run's valid_from")
+    assert(u1(2).isNullAt(3), "the open run has null valid_to")
+    val u2 = r.filter(_.getLong(0) == 2L)
+    assert(u2.map(r0 => Option(r0.getString(1))).toSeq === Seq(None, Some("bronze")),
+      "null tracked values form their own run, never merged into neighbors")
+    assert(u2(0).getTimestamp(2) === ts("2024-01-01 00:00:00"))
+  }
+
+  test("scd2Intervals: the tie column pins run order under timestamp collisions") {
+    val t0 = ts("2024-01-01 00:00:00")
+    val ev = Seq((1L, t0, "b", 2L), (1L, t0, "a", 1L)).toDF("k", "t", "tier", "eid")
+    val r = Lifecycle.scd2Intervals(ev, "k", "t", "tier", "eid")
+      .orderBy("valid_from", "tier").collect()
+    // eid order: a (eid 1) then b (eid 2) — two runs, a closed by b
+    assert(r.map(_.getString(1)).sorted.toSeq === Seq("a", "b"))
+    val a = r.find(_.getString(1) == "a").get
+    val b = r.find(_.getString(1) == "b").get
+    assert(a.getTimestamp(3) === t0 && b.isNullAt(3))
+  }
 }
