@@ -33,6 +33,8 @@ object ScaleProbe {
     "w10_interval_join", "t22_heavy_ngrams", "t23_bigram_logprob",
     "t24_dup_spans", "t25_sequence_pack", "w13_rolling_zscore",
     "w12_active_users", "w14_funnel", "w15_retention", "w16_gap_fill",
+    // r17: SCD2 — one (key) exchange, two stacked windows; expected ~linear
+    "w17_scd2_intervals",
     "a20_profile", "a21_incremental_agg",
     // m4/m5/m7 read synthetic media tables derived from documents, so
     // the documents upscale exercises the blob hash-shuffle and the real
@@ -72,7 +74,11 @@ object ScaleProbe {
     */
   val tpchProbeQueries: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q9_product_profit",
-    "q21_waiting_suppliers", "j11_bloom_prune_semi")
+    "q21_waiting_suppliers", "j11_bloom_prune_semi",
+    // r17: the registered z-order query (first rep builds the scaled
+    // mirror, min-of-two keeps the warm scan; build cost is its own
+    // zorder_mirror_write_once row)
+    "z1_zorder_prune")
 
   /** Embedding probe set (SPARK_GRAFT_PROBE=emb): exact scan (s6), brute
     * force (s1, expected ~linear in corpus), and the three bucketed ANN
@@ -401,6 +407,73 @@ object ScaleProbe {
       val bucketed = math.min(bucketedOnce, bucketedOnce)
       Seq(("fact_join_bucketed_vs_plain", plain, bucketed),
           ("fact_bucket_write_once", writeCost, writeCost))
+    }) ++ (if (probeSet != "tpch") Seq.empty else {
+      // Z-order layout at scale: the one-time clustering write at both
+      // sizes (growth of the layout pass itself), then the registered
+      // z1 filter+agg shape from PLAIN parquet vs the z-mirror at the
+      // SCALED size (base = plain, scaled = mirrored; ratio < 1 IS the
+      // min-max pruning win the layout buys).
+      import graft.sink.ZOrderMirror
+      val zCols = Seq("o_totalprice", "o_custkey")
+      def zShape(df: org.apache.spark.sql.DataFrame): Long =
+        df.filter(col("o_totalprice").between(50000, 150000) &&
+                  col("o_custkey").between(200, 1000))
+          .groupBy("o_orderstatus")
+          .agg(sum(col("o_totalprice")).as("rev"))
+          .count()
+      def buildAt(dir: String): Double = {
+        ZOrderMirror.drop(dir, "orders", zCols)
+        timeOnce(ZOrderMirror.ensure(spark, dir, "orders", zCols))
+      }
+      val wBase = buildAt(src)
+      val wScaled = buildAt(out)
+      val plainOrd = spark.read.parquet(s"$out/orders.parquet")
+      val zOrd = ZOrderMirror.ensure(spark, out, "orders", zCols) // warm
+      val plainT = math.min(timeOnce(zShape(plainOrd)), timeOnce(zShape(plainOrd)))
+      val zT = math.min(timeOnce(zShape(zOrd)), timeOnce(zShape(zOrd)))
+      Seq(("zorder_scan_vs_plain", plainT, zT),
+          ("zorder_mirror_write_once", wBase, wScaled))
+    }) ++ (if (probeSet != "tpch") Seq.empty else {
+      // Entity resolution at a GROWING name universe (the image
+      // perception rung's syntheticPerturbedGridImageTable rationale,
+      // applied to names): replicate part with a per-replica suffix
+      // token, so the distinct-name universe grows ×factor while every
+      // name keeps its fuzzy structure (within-replica matches persist;
+      // replicas of one name match each other at dist ≤ 2 across the
+      // suffix). Token occupancy grows ×factor too — the block cap's
+      // binding regime is exactly what this measures.
+      import graft.er.EntityResolution
+      val partBase = spark.read.parquet(s"$src/part.parquet")
+      val erPath = s"$out/part_er.parquet"
+      val fs2 = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs2.exists(new org.apache.hadoop.fs.Path(s"$erPath/_SUCCESS"))) {
+        val pkMax = partBase.agg(max("p_partkey")).collect()(0).getLong(0) + 1
+        spark.range(factor).crossJoin(partBase)
+          .withColumn("p_partkey", col("p_partkey") + col("id") * pkMax)
+          .withColumn("p_name", concat(col("p_name"), lit(" v"), col("id")))
+          .drop("id")
+          .repartition(32).write.mode("overwrite").parquet(erPath)
+      }
+      val partScaled = spark.read.parquet(erPath)
+      def er1At(df: org.apache.spark.sql.DataFrame): Double = {
+        def once = timeOnce(
+          EntityResolution.nameMatchPairs(df, "p_name", maxDist = 2).count())
+        math.min(once, once)
+      }
+      def er2At(df: org.apache.spark.sql.DataFrame): Double = {
+        def once = timeOnce(
+          EntityResolution.entityGroups(df, "p_partkey", "p_name", maxDist = 2).count())
+        math.min(once, once)
+      }
+      // er1's PAIR OUTPUT is quadratic in the duplicate rate by nature
+      // (each entity's spelling set is a clique — the e1/m14 law; this
+      // fixture makes every base name a 100-clique, measured honestly);
+      // er2 consumes connectivity only, so its closure input is the
+      // spanning forest and its row must stay in the family band
+      Seq(("er1_name_matches[pair output ~ dup-rate^2]",
+            er1At(partBase), er1At(partScaled)),
+          ("er2_entity_groups[universe scales]", er2At(partBase), er2At(partScaled)))
     }) ++ (if (probeSet != "emb") Seq.empty else {
       // Recall at scale, not just latency: a bucketed ANN that gets
       // faster by silently returning worse neighbors is not an index.

@@ -871,7 +871,7 @@ object Dedup {
     * callers can carry ids of ANY type — casting ids to long silently
     * nulled string/decimal ids (ADVICE r16).
     */
-  private def spanningForestIndexEdges(n: Int)
+  private[graft] def spanningForestIndexEdges(n: Int)
                                       (sim: (Int, Int) => Boolean): Iterator[(Int, Int)] = {
     val parent = Array.tabulate(n)(identity)
     def find(x: Int): Int = {

@@ -68,6 +68,126 @@ object EntityResolution {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Classic unit-cost Wagner–Fischer edit distance over CODE POINTS —
+    * the in-task replica of Spark's `levenshtein` expression
+    * (UTF8String.levenshteinDistance is the same DP over code points),
+    * so a spanning edge's threshold decision agrees with the join-form
+    * verify exactly (the round4/cosineLocal discipline from
+    * [[graft.dedup.Dedup]], applied to strings).
+    */
+  private[graft] def levenshteinLocal(a: String, b: String): Int = {
+    val ca = a.codePoints().toArray
+    val cb = b.codePoints().toArray
+    if (ca.length == 0) return cb.length
+    if (cb.length == 0) return ca.length
+    var prev = Array.tabulate(cb.length + 1)(identity)
+    var cur = new Array[Int](cb.length + 1)
+    var i = 1
+    while (i <= ca.length) {
+      cur(0) = i
+      var j = 1
+      while (j <= cb.length) {
+        val cost = if (ca(i - 1) == cb(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(cb.length)
+  }
+
+  /** Banded (Ukkonen) threshold test: `levenshtein(a, b) ≤ k` without
+    * the full DP — only the |i−j| ≤ k diagonal band is evaluated
+    * (O(k·n) per pair instead of O(n·m)), with a length-difference
+    * pre-reject and an early exit the moment a whole band row exceeds
+    * k. Decision-identical to [[levenshteinLocal]] ≤ k (randomized
+    * parity gate in the spec) — this is what the spanning forest's
+    * verify lambda calls, because on a growing block most consulted
+    * pairs are REJECTIONS (cross-component) and their cost dominates.
+    */
+  private[graft] def withinDistance(a: String, b: String, k: Int): Boolean = {
+    val ca = a.codePoints().toArray
+    val cb = b.codePoints().toArray
+    val n = ca.length; val m = cb.length
+    if (math.abs(n - m) > k) return false
+    if (n == 0) return m <= k
+    val inf = k + 1
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    java.util.Arrays.fill(prev, inf)
+    var j0 = 0
+    while (j0 <= math.min(m, k)) { prev(j0) = j0; j0 += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, inf)
+      val lo = math.max(1, i - k)
+      val hi = math.min(m, i + k)
+      var rowMin = inf
+      if (lo == 1 && i <= k) { cur(0) = i; rowMin = i }
+      var j = lo
+      while (j <= hi) {
+        val cost = if (ca(i - 1) == cb(j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        if (prev(j) + 1 < v) v = prev(j) + 1
+        if (cur(j - 1) + 1 < v) v = cur(j - 1) + 1
+        if (v > inf) v = inf
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin >= inf) return false // whole band over k: no path back
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m) <= k
+  }
+
+  /** Connectivity-only reduction of [[nameMatchPairs]] for CLOSURE
+    * consumers ([[entityGroups]]) — the e3/d12 spanning-forest medicine
+    * applied to names: on a corpus where k spellings of one entity all
+    * match mutually (the common case — that is what makes them one
+    * entity), the verified pair set is a k-clique and the ×100 probe
+    * measured the pair form at 66× for a ×100 universe. This emits a
+    * per-token-block SPANNING FOREST of the verified subgraph instead:
+    * ≤ members−1 edges per block, each a genuine `levenshtein ≤ maxDist`
+    * pair, and — because the forest's union-find consults the distance
+    * ONLY for pairs not already connected — the verify work inside a
+    * duplicate-heavy block collapses from O(k²) distance evaluations to
+    * ~O(k). Union-of-forests preserves the union graph's connectivity
+    * exactly, so [[entityGroups]] labels are IDENTICAL to the clique
+    * form's (gated in EntityResolutionSpec). [[nameMatchPairs]] keeps
+    * the clique form: there the pairs ARE the result (the e1/e2/d13
+    * rationale).
+    */
+  def nameMatchSpanningEdges(df: DataFrame, nameCol: String, maxDist: Int,
+                             blockCap: Int = defaultBlockCap): DataFrame = {
+    val names = df.select(col(nameCol).as("__name"))
+      .filter(col("__name").isNotNull).distinct()
+    val grouped = names
+      .select(col("__name"), explode(split(col("__name"), "\\s+")).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .distinct()
+      .groupBy(col("__tok"))
+      // name-ascending members: deterministic edge choice, name1 < name2
+      .agg(sort_array(collect_list(col("__name"))).as("__m"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("name1",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("name2",
+        org.apache.spark.sql.types.StringType)))
+    grouped.flatMap { row =>
+      val m = row.getSeq[String](1)
+      if (m.length > blockCap) Iterator.empty
+      else {
+        val arr = m.toArray
+        graft.dedup.Dedup.spanningForestIndexEdges(arr.length) { (i, j) =>
+          withinDistance(arr(i), arr(j), maxDist)
+        }.map { case (i, j) => org.apache.spark.sql.Row(arr(i), arr(j)) }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema)).distinct()
+  }
+
   /** Budget for the driver-side closure over the name-match graph —
     * the [[graft.dedup.Dedup]] union-find budget: the DISTINCT-NAME
     * pair graph is small by construction (names, not rows), and a
@@ -80,17 +200,17 @@ object EntityResolution {
   /** Every row labeled with its canonical entity: (idCol, nameCol,
     * entity) where `entity` is the lexicographic minimum name of the
     * row's connected component in the [[nameMatchPairs]] graph (rows
-    * whose name matches nothing label as themselves). The closure runs
-    * on the driver over the name-level edges (≤ [[maxClosureEdges]],
-    * checked loudly) and returns to the cluster as ONE broadcast join —
-    * rows never shuffle.
+    * whose name matches nothing label as themselves). The closure input
+    * is [[nameMatchSpanningEdges]] — identical components, ≤ members−1
+    * edges per block instead of the clique — and runs on the driver
+    * (≤ [[maxClosureEdges]], checked loudly), returning to the cluster
+    * as ONE broadcast join; rows never shuffle.
     */
   def entityGroups(df: DataFrame, idCol: String, nameCol: String, maxDist: Int,
                    blockCap: Int = defaultBlockCap): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val pairs = nameMatchPairs(df, nameCol, maxDist, blockCap)
-      .select("name1", "name2").collect()
+    val pairs = nameMatchSpanningEdges(df, nameCol, maxDist, blockCap).collect()
     require(pairs.length <= maxClosureEdges,
       s"name-match graph has ${pairs.length} edges > $maxClosureEdges; " +
         "route through Dedup.dupClusters on a dense name-id assignment")

@@ -267,6 +267,87 @@ object Streaming {
       }
   }
 
+  /** Input/output rows of [[scd2Stream]] — the streaming twin of
+    * [[graft.analyze.Lifecycle.scd2Intervals]] (w17). `value` is an
+    * Option so a null tracked value forms its own run, exactly like the
+    * batch form's null-safe comparison.
+    */
+  case class ChangeObs(key: Long, ts: java.sql.Timestamp,
+                       value: Option[String], tie: Long)
+  case class RunState(value: Option[String], since: java.sql.Timestamp,
+                      lastSeenMs: Long)
+  case class Scd2Change(key: Long, value: Option[String],
+                        valid_from: java.sql.Timestamp,
+                        valid_to: Option[java.sql.Timestamp])
+
+  /** Streaming SCD2: per key, hold the OPEN run (value, since) and emit
+    * an interval the moment a batch closes it (the tracked value
+    * changes); on watermark-driven eviction (`stateTtlDays` of event-time
+    * silence) the open run flushes with `valid_to = None` — the "current
+    * record" surfaces instead of rotting in the store, and streamed
+    * output (closed + flushed-open) EQUALS the one-shot
+    * `Lifecycle.scd2Intervals` on the same events once every key's TTL
+    * has passed (the batch-parity gate in StreamingSpec). A key
+    * returning after eviction starts a fresh history — its first new
+    * interval never closes against the pre-eviction run (documented,
+    * same contract as every evicted twin here).
+    *
+    * Ordering contract: within a batch, rows fold in (ts, tie) order;
+    * ACROSS batches, arrival must respect event time up to `lateness`
+    * (the watermark bound — older rows are dropped before the fold by
+    * FlatMapGroupsWithStateExec). A row older than the open run's start
+    * that still reaches the fold is ignored (it cannot re-open history;
+    * widen `lateness` if such replays must count). State is O(1) per
+    * ACTIVE key: one open run.
+    */
+  def scd2Stream(ds: Dataset[ChangeObs],
+                 stateTtlDays: Int = 30,
+                 lateness: String = "1 day"): Dataset[Scd2Change] = {
+    import ds.sparkSession.implicits._
+    val evict = stateTtlDays > 0
+    val src = if (evict) ds.withWatermark("ts", lateness) else ds
+    val timeoutConf =
+      if (evict) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    src.groupByKey(_.key)
+      .flatMapGroupsWithState[RunState, Scd2Change](
+        OutputMode.Append, timeoutConf) {
+        (key: Long, rows: Iterator[ChangeObs], state: GroupState[RunState]) =>
+          if (evict && state.hasTimedOut) {
+            val out = state.getOption.map(run =>
+              Scd2Change(key, run.value, run.since, None)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toSeq.sortBy(r =>
+              (r.ts.getTime, r.ts.getNanos, r.tie))
+            var st = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Change]
+            sorted.foreach { r =>
+              st match {
+                case None =>
+                  st = Some(RunState(r.value, r.ts, r.ts.getTime))
+                case Some(run) =>
+                  if (r.ts.compareTo(run.since) >= 0) {
+                    if (r.value != run.value) {
+                      out += Scd2Change(key, run.value, run.since, Some(r.ts))
+                      st = Some(RunState(r.value, r.ts,
+                        math.max(run.lastSeenMs, r.ts.getTime)))
+                    } else if (r.ts.getTime > run.lastSeenMs) {
+                      st = Some(run.copy(lastSeenMs = r.ts.getTime))
+                    }
+                  } // pre-run late row: ignored (see ordering contract)
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              if (evict)
+                safeSetTimeout(state, s.lastSeenMs + stateTtlDays * 86400000L)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming first-seen cohort assignment — the real-time twin of
     * w15's cohort derivation (`Lifecycle.cohortRetention`'s
     * `min(first day)` per key): per key, track the earliest day seen and

@@ -71,6 +71,70 @@ class EntityResolutionSpec extends SparkTestBase {
     assert(m.values.toSet === Set("x aaaa"))
   }
 
+  test("levenshteinLocal replicates Spark's levenshtein expression exactly " +
+       "(randomized parity)") {
+    val rnd = new scala.util.Random(99)
+    val alpha = "abcde f"
+    val samples = (0 until 200).map { _ =>
+      def s() = (0 until rnd.nextInt(12)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      (s(), s())
+    }
+    val df = samples.toDF("a", "b")
+      .withColumn("d", levenshtein(col("a"), col("b")))
+    df.collect().foreach { r =>
+      val (a, b, d) = (r.getString(0), r.getString(1), r.getInt(2))
+      assert(EntityResolution.levenshteinLocal(a, b) === d,
+        s"mismatch on ('$a','$b')")
+      // banded threshold test: decision-identical at every cutoff
+      (0 to 3).foreach { k =>
+        assert(EntityResolution.withinDistance(a, b, k) === (d <= k),
+          s"withinDistance mismatch on ('$a','$b') k=$k d=$d")
+      }
+    }
+  }
+
+  test("nameMatchSpanningEdges: verified subset, linear edge count, and IDENTICAL " +
+       "entityGroups labels vs a clique-pair closure on a clique-heavy corpus") {
+    // 3 well-separated entities × 40 spellings each, spellings mutually
+    // within dist ≤ 2 (suffix digits) — each entity is a 40-clique, and
+    // the bases are far enough apart that shared suffix tokens cannot
+    // bridge them
+    val bases = Seq("alpha widget", "bravo gadget", "carol gizmo")
+    val df = bases.zipWithIndex.flatMap { case (b, e) =>
+      (0 until 40).map(i => ((e * 100 + i).toLong, s"$b v$i"))
+    }.toDF("id", "name")
+    val clique = EntityResolution.nameMatchPairs(df, "name", maxDist = 2)
+    val span = EntityResolution.nameMatchSpanningEdges(df, "name", maxDist = 2)
+    val cliquePairs = clique.select("name1", "name2")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val spanPairs = span.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(spanPairs.subsetOf(cliquePairs),
+      "every spanning edge must be a genuine verified pair")
+    assert(cliquePairs.size >= 3 * (40 * 39) / 2)
+    // per-BLOCK forests: ≤ members−1 edges per token block, so the union
+    // is bounded by members × tokens-per-name (the minhashSpanningEdges
+    // O(members·bands) analog) — far under the clique's members²
+    assert(spanPairs.size <= 3 * 40 * 3 && spanPairs.nonEmpty)
+    assert(spanPairs.size < cliquePairs.size / 4,
+      s"the reduction must be real: ${spanPairs.size} vs clique ${cliquePairs.size}")
+    // label parity: entityGroups (spanning input) == closure over the
+    // clique pairs, replayed via a reference union-find here
+    val got = EntityResolution.entityGroups(df, "id", "name", maxDist = 2)
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    cliquePairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    df.collect().foreach { r =>
+      assert(got(r.getString(1)) === find(r.getString(1)),
+        s"label mismatch for '${r.getString(1)}'")
+    }
+  }
+
   test("null names survive with a null entity (never fabricate a label)") {
     val df = Seq((1L, "red bolt"), (2L, null)).toDF("id", "name")
     val out = EntityResolution.entityGroups(df, "id", "name", maxDist = 2).collect()

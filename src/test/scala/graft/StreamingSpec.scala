@@ -1088,4 +1088,82 @@ class StreamingSpec extends SparkTestBase {
       assert(got === Set(("a", "2024-01-02", 2.0), ("a", "2024-02-11", 5.0)))
     } finally q.stop()
   }
+
+  test("scd2Stream: streamed closed + eviction-flushed open runs equal the " +
+       "one-shot scd2Intervals (batch parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming._
+    def T(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[ChangeObs]
+    val q = scd2Stream(mem.toDS(), stateTtlDays = 5, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("scd2_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        ChangeObs(1L, T("2024-01-01 00:00:00"), Some("gold"), 1L),
+        ChangeObs(1L, T("2024-01-02 00:00:00"), Some("gold"), 2L),   // same run
+        ChangeObs(2L, T("2024-01-01 00:00:00"), None, 3L))           // null run
+      q.processAllAvailable()
+      // batch-2 rows sit strictly ABOVE batch-1's closing watermark
+      // (2024-01-02 00:00 with lateness 0) — a row at or below it is
+      // dropped before the fold, the documented watermark contract
+      mem.addData(
+        ChangeObs(1L, T("2024-01-03 00:00:00"), Some("silver"), 4L), // closes gold
+        ChangeObs(2L, T("2024-01-02 12:00:00"), Some("bronze"), 5L)) // closes null
+      q.processAllAvailable()
+      // watermark far past both keys' TTL (+5 d): next batches fire the
+      // timeouts and flush the OPEN runs with valid_to = None
+      mem.addData(ChangeObs(999L, T("2024-03-01 00:00:00"), Some("x"), 6L))
+      q.processAllAvailable()
+      mem.addData(ChangeObs(999L, T("2024-03-02 00:00:00"), Some("x"), 7L))
+      q.processAllAvailable()
+      val streamed = spark.table("scd2_stream").filter($"key" =!= 999L)
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+          r.getTimestamp(2), Option(r.getTimestamp(3)))).toSet
+      val batch = graft.analyze.Lifecycle.scd2Intervals(
+        Seq((1L, T("2024-01-01 00:00:00"), "gold", 1L),
+            (1L, T("2024-01-02 00:00:00"), "gold", 2L),
+            (2L, T("2024-01-01 00:00:00"), null, 3L),
+            (1L, T("2024-01-03 00:00:00"), "silver", 4L),
+            (2L, T("2024-01-02 12:00:00"), "bronze", 5L))
+          .toDF("k", "t", "tier", "eid"),
+        "k", "t", "tier", "eid")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+          r.getTimestamp(2), Option(r.getTimestamp(3)))).toSet
+      assert(streamed === batch,
+        s"streamed $streamed must equal one-shot $batch")
+    } finally q.stop()
+  }
+
+  test("scd2Stream: a key returning after eviction starts a FRESH history " +
+       "(no cross-eviction closure — documented)") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming._
+    def T(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[ChangeObs]
+    val q = scd2Stream(mem.toDS(), stateTtlDays = 5, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("scd2_comeback")
+      .outputMode("append").start()
+    try {
+      mem.addData(ChangeObs(1L, T("2024-01-01 00:00:00"), Some("gold"), 1L))
+      q.processAllAvailable()
+      mem.addData(ChangeObs(999L, T("2024-03-01 00:00:00"), Some("x"), 2L))
+      q.processAllAvailable()
+      mem.addData(ChangeObs(999L, T("2024-03-02 00:00:00"), Some("x"), 3L))
+      q.processAllAvailable() // key 1 evicted: gold run flushed open
+      mem.addData(
+        ChangeObs(1L, T("2024-03-10 00:00:00"), Some("silver"), 4L),
+        ChangeObs(1L, T("2024-03-11 00:00:00"), Some("gold"), 5L))
+      q.processAllAvailable()
+      val got = spark.table("scd2_comeback").filter($"key" === 1L)
+        .collect().map(r => (Option(r.getString(1)),
+          r.getTimestamp(2), Option(r.getTimestamp(3)))).toSet
+      // the pre-eviction gold run flushed OPEN (valid_to None) — the
+      // comeback's silver run closed against the returning gold, never
+      // against pre-eviction history
+      assert(got === Set(
+        (Some("gold"), T("2024-01-01 00:00:00"), None),
+        (Some("silver"), T("2024-03-10 00:00:00"), Some(T("2024-03-11 00:00:00")))))
+    } finally q.stop()
+  }
 }
