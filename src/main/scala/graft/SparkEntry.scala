@@ -1864,7 +1864,16 @@ object SparkEntry {
         Tables.part(s, d), "p_name", maxDist = 2)),
     "er2_entity_groups" -> ((s, d) =>
       graft.er.EntityResolution.entityGroups(
-        Tables.part(s, d), "p_partkey", "p_name", maxDist = 2))
+        Tables.part(s, d), "p_partkey", "p_name", maxDist = 2)),
+    // incremental ER (the d15/m9 "only the batch pays" pattern on
+    // names): a 10% batch conformed to the 90% standing name universe
+    "er3_incremental_matches" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      graft.er.EntityResolution.incrementalEntityMatches(
+        part.filter(pmod(col("p_partkey"), lit(10)) === 0),
+        part.filter(pmod(col("p_partkey"), lit(10)) =!= 0),
+        "p_partkey", "p_name", maxDist = 2)
+    })
   )
 
   /** DuckDB oracle SQL per query (same parquet tables). Shared determinism
@@ -3747,6 +3756,31 @@ object SparkEntry {
         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
         |canon AS (SELECT id AS name, min(r) AS entity FROM reach GROUP BY id)
         |SELECT pt.p_partkey, pt.p_name, c.entity
-        |FROM part pt JOIN canon c ON pt.p_name = c.name""".stripMargin
+        |FROM part pt JOIN canon c ON pt.p_name = c.name""".stripMargin,
+
+    // batch names conformed to the standing universe: blocking +
+    // levenshtein + best-match (min dist, tie lexicographic) replayed
+    // literally; the occupancy cap counts the STANDING side
+    "er3_incremental_matches" ->
+      """WITH standing AS (SELECT DISTINCT p_name AS sname FROM part
+        |  WHERE p_partkey % 10 <> 0 AND p_name IS NOT NULL),
+        |st AS (SELECT DISTINCT sname, unnest(string_split_regex(sname, '\s+')) AS tok
+        |       FROM standing),
+        |st2 AS (SELECT sname, tok FROM st WHERE len(tok) > 0
+        |        QUALIFY count(*) OVER (PARTITION BY tok) <= 1000),
+        |batch AS (SELECT p_partkey, p_name FROM part WHERE p_partkey % 10 = 0),
+        |bn AS (SELECT DISTINCT p_name AS bname FROM batch WHERE p_name IS NOT NULL),
+        |bt AS (SELECT DISTINCT bname, unnest(string_split_regex(bname, '\s+')) AS tok
+        |       FROM bn),
+        |bt2 AS (SELECT bname, tok FROM bt WHERE len(tok) > 0),
+        |cand AS (SELECT DISTINCT b.bname, s.sname FROM bt2 b JOIN st2 s ON b.tok = s.tok),
+        |v AS (SELECT bname, sname, levenshtein(bname, sname) AS dist FROM cand
+        |      WHERE levenshtein(bname, sname) <= 2),
+        |best AS (SELECT bname, sname FROM v
+        |         QUALIFY row_number() OVER (PARTITION BY bname ORDER BY dist, sname) = 1)
+        |SELECT b.p_partkey, b.p_name,
+        |  coalesce(best.sname, b.p_name) AS entity,
+        |  best.sname IS NOT NULL AS matched
+        |FROM batch b LEFT JOIN best ON b.p_name = best.bname""".stripMargin
   )
 }

@@ -188,6 +188,57 @@ object EntityResolution {
     }(org.apache.spark.sql.Encoders.row(outSchema)).distinct()
   }
 
+  /** Incremental ER — the d15/m9 "only the batch pays" pattern applied
+    * to names: conform each BATCH row's name to a STANDING name universe
+    * (the canonical vocabulary a pipeline has already resolved). Token
+    * blocking runs batch names against standing names only (never
+    * batch×batch, never standing×standing), the per-token occupancy cap
+    * counts the STANDING side (the index side — a stop-token's block
+    * drops whole, both sides consistently), and each batch name keeps
+    * its BEST standing match: min distance, ties to the lexicographically
+    * smaller standing name — a total order, so the assignment is a pure
+    * function of the data. Unmatched names label as themselves with
+    * `matched = false`.
+    *
+    * Output: (idCol, nameCol, entity, matched). At 100 TB the standing
+    * side is the distinct-name universe (sublinear in rows) and the
+    * batch side is one day's arrivals — the join never touches corpus
+    * rows.
+    */
+  def incrementalEntityMatches(batch: DataFrame, standing: DataFrame,
+                               idCol: String, nameCol: String, maxDist: Int,
+                               blockCap: Int = defaultBlockCap): DataFrame = {
+    def toks(names: DataFrame): DataFrame = names
+      .select(col("__name"), explode(split(col("__name"), "\\s+")).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .distinct()
+    val standingNames = standing.select(col(nameCol).as("__name"))
+      .filter(col("__name").isNotNull).distinct()
+    val standingToks = toks(standingNames)
+      .withColumn("__occ",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("__tok")))
+      .filter(col("__occ") <= blockCap)
+      .select(col("__name").as("__sname"), col("__tok"))
+    val batchNames = batch.select(col(nameCol).as("__name"))
+      .filter(col("__name").isNotNull).distinct()
+    val cand = toks(batchNames).as("b")
+      .join(standingToks.as("s"), col("b.__tok") === col("s.__tok"))
+      .select(col("b.__name").as("__bname"), col("__sname"))
+      .distinct()
+      .withColumn("__dist", levenshtein(col("__bname"), col("__sname")).cast("long"))
+      .filter(col("__dist") <= maxDist)
+    val best = cand
+      .withColumn("__rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("__bname").orderBy(col("__dist"), col("__sname"))))
+      .filter(col("__rk") === 1)
+      .select(col("__bname"), col("__sname"))
+    batch.select(col(idCol), col(nameCol))
+      .join(broadcast(best), col(nameCol) === col("__bname"), "left")
+      .select(col(idCol), col(nameCol),
+        coalesce(col("__sname"), col(nameCol)).as("entity"),
+        col("__sname").isNotNull.as("matched"))
+  }
+
   /** Budget for the driver-side closure over the name-match graph —
     * the [[graft.dedup.Dedup]] union-find budget: the DISTINCT-NAME
     * pair graph is small by construction (names, not rows), and a

@@ -135,6 +135,50 @@ class EntityResolutionSpec extends SparkTestBase {
     }
   }
 
+  test("incrementalEntityMatches: best standing match by (dist, name), batch names " +
+       "never match each other, unmatched rows self-label") {
+    val standing = Seq((0L, "red bolt"), (1L, "blue gear")).toDF("sid", "name")
+    val batch = Seq(
+      (10L, "rad bolt"),     // dist 1 to "red bolt"
+      (11L, "rod bolt"),     // dist 1 to "red bolt"; dist 1 to batch-mate
+                             // "rad bolt" — which must NOT be a target
+      (12L, "green widget")  // nothing in standing
+    ).toDF("id", "name")
+    val out = EntityResolution.incrementalEntityMatches(
+      batch, standing, "id", "name", maxDist = 2)
+    assert(out.columns.toSeq === Seq("id", "name", "entity", "matched"))
+    val m = out.collect().map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(3))).toMap
+    assert(m(10L) === ("red bolt", true))
+    assert(m(11L) === ("red bolt", true))
+    assert(m(12L) === ("green widget", false))
+  }
+
+  test("incrementalEntityMatches: equal-distance ties break to the " +
+       "lexicographically smaller standing name (total order)") {
+    val standing = Seq((0L, "ab x"), (1L, "aa x")).toDF("sid", "name")
+    val batch = Seq((10L, "ac x")).toDF("id", "name") // dist 1 to both
+    val m = EntityResolution.incrementalEntityMatches(
+      batch, standing, "id", "name", maxDist = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(m(10L) === "aa x")
+  }
+
+  test("incrementalEntityMatches: the occupancy cap counts the STANDING side " +
+       "and drops stop-token blocks whole") {
+    val standing = (0 until 30).map(i => (i.toLong, s"the s$i")).toDF("sid", "name")
+    // batch name shares ONLY the stop-token "the" with standing
+    val batch = Seq((100L, "the q999")).toDF("id", "name")
+    val capped = EntityResolution.incrementalEntityMatches(
+      batch, standing, "id", "name", maxDist = 3, blockCap = 10)
+      .collect().map(r => (r.getString(2), r.getBoolean(3)))
+    assert(capped.toSeq === Seq(("the q999", false)))
+    // cap lifted: "the" blocks, and some "sN" is within dist 3 of "q999"
+    val open = EntityResolution.incrementalEntityMatches(
+      batch, standing, "id", "name", maxDist = 3, blockCap = 1000)
+      .collect().map(_.getBoolean(3))
+    assert(open.toSeq === Seq(true))
+  }
+
   test("null names survive with a null entity (never fabricate a label)") {
     val df = Seq((1L, "red bolt"), (2L, null)).toDF("id", "name")
     val out = EntityResolution.entityGroups(df, "id", "name", maxDist = 2).collect()

@@ -741,4 +741,42 @@ class PlanQualitySpec extends SparkTestBase {
       s"candidate scan must not read embedding bytes:\n$codeScan")
     assert(plan.contains("partial_topk_rows"), "map-side partial heap expected")
   }
+
+  test("z1: BOTH range predicates reach the z-mirror's parquet scan as " +
+       "PushedFilters, read schema pruned to the three touched columns") {
+    // the layout exists so file/row-group min-max stats answer these
+    // predicates — a lost pushdown silently guts the operator even
+    // though every value gate still passes. sf0.01: at sf0.001 the
+    // custkey range is empty and AQE collapses the whole plan to
+    // EmptyRelation before any scan exists to inspect. The metadata
+    // string length is raised so the 4-filter PushedFilters list is not
+    // truncated at the default 100 chars
+    val prevLen = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val plan =
+      try executedPlan(SparkEntry.queries("z1_zorder_prune")(spark, "/root/testdata/sf0.01"))
+      finally spark.conf.set("spark.sql.maxMetadataStringLength", prevLen)
+    assert(plan.contains("GreaterThanOrEqual(o_totalprice,50000.0)") &&
+           plan.contains("LessThanOrEqual(o_totalprice,150000.0)"),
+      "price range must be pushed")
+    assert(plan.contains("GreaterThanOrEqual(o_custkey,200)") &&
+           plan.contains("LessThanOrEqual(o_custkey,1000)"),
+      "custkey range must be pushed")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("o_orderdate") && !readSchema.contains("o_orderkey"),
+      s"untouched columns must not be read:\n$readSchema")
+  }
+
+  test("er1: verification is the codegen levenshtein inside the candidate join, " +
+       "and the occupancy cap is a window on the token shuffle") {
+    val plan = executedPlan(SparkEntry.queries("er1_name_matches")(spark, dir))
+    assert(plan.contains("levenshtein"), "verify must be the codegen expression")
+    assert(plan.contains("Window"), "occupancy cap must be the window form")
+    // at this size AQE broadcasts the distinct-name side; at 100 TB the
+    // same plan degrades to SMJ on the token shuffle — either way the
+    // join must not be a cartesian
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      "token blocking must be an equi-join, never all-pairs")
+  }
 }
