@@ -75,6 +75,57 @@ object ZOrder {
   }
 }
 
+/** A GROWING z-ordered parquet table — the append/compact maintenance
+  * pair the layout needs once data arrives in batches (the
+  * [[graft.dedup.HashLedger]] append/compact discipline applied to
+  * layout): [[append]] lands each batch as its own z-ordered files
+  * (batch-local curve — cheap, one small shuffle per batch, no
+  * touch of existing files), which keeps per-file min-max spans tight
+  * WITHIN a batch but lets cross-batch overlap accumulate — after a
+  * year of daily batches every range query touches one file per day.
+  * [[compact]] is the periodic layout pass that re-clusters the WHOLE
+  * table onto one global curve (the OPTIMIZE ZORDER shape): reads
+  * everything once, one range shuffle, atomic directory swap — after
+  * it, file count and per-file spans are as if the table had been
+  * written z-ordered in one shot (gated in ZOrderSpec).
+  */
+object ZOrderTable {
+
+  /** Append `df` as z-ordered files under `path` (batch-local quantile
+    * cuts — the batch's own value distribution, which is what a daily
+    * partition's readers filter by). Existing files are never touched.
+    */
+  def append(df: DataFrame, cols: Seq[String], path: String,
+             numFiles: Int, bits: Int = 8): Unit = {
+    val cuts = ZOrder.quantileCuts(df, cols, bits)
+    ZOrder.withZValue(df, cols, cuts, bits)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("append").parquet(path)
+  }
+
+  /** Re-cluster the whole table onto one global curve and swap it in
+    * atomically (write beside, delete old, rename): global quantile
+    * cuts, one range shuffle, `numFiles` output files. Rows are
+    * preserved exactly — compaction is a permutation, like every other
+    * maintenance pass here.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              cols: Seq[String], numFiles: Int, bits: Int = 8): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    ZOrder.writeZOrdered(spark.read.parquet(path), cols, tmp.toString,
+      numFiles, bits)
+    fs.delete(p, true)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"compact swap failed: $tmp -> $p")
+  }
+}
+
 /** Build-or-reuse a persisted Z-ORDERED parquet mirror of one source
   * table — the layout-maintenance artifact of [[ZOrder.writeZOrdered]]
   * under the same discipline as [[BucketedMirror]] (pay the clustering

@@ -560,6 +560,29 @@ object Streaming {
     * neighbor_id, cos, rank) — write it to a queue, table, or memory;
     * empty batches are skipped.
     */
+  /** Streaming entity conformance — er3's online twin (the streaming
+    * rung every incremental operator here gets): each micro-batch of
+    * arriving records is conformed to the STANDING name universe via
+    * [[graft.er.EntityResolution.incrementalEntityMatches]] (token
+    * blocking against standing names only, best match under the total
+    * (dist, name) order, unmatched rows self-label). Stateless per
+    * batch — the assignment depends only on (row, standing universe) —
+    * so the streamed union equals the one-shot er3 answer on the same
+    * rows (StreamingSpec parity gate). At scale the standing side is
+    * the sublinear distinct-name frame; per-batch cost never touches
+    * corpus rows.
+    */
+  def entityMatchStream(standing: DataFrame, recordStream: DataFrame,
+                        idCol: String, nameCol: String, maxDist: Int)
+                       (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    recordStream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.er.EntityResolution.incrementalEntityMatches(
+            batch, standing, idCol, nameCol, maxDist))
+        ()
+    }.start()
+
   def annSearchStream(idx: graft.sim.SrpIndex.Handle, queryStream: DataFrame,
                       k: Int,
                       idCol: String = "vec_id", vecCol: String = "embedding",

@@ -1089,6 +1089,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("entityMatchStream: streamed record micro-batches equal the one-shot " +
+       "er3 incrementalEntityMatches (stateless per batch)") {
+    // the ER mirror of the ANN search twins: standing universe fixed,
+    // records arrive in micro-batches, each conformed independently —
+    // the streamed union must equal the one-shot answer on the same rows
+    val part = graft.Tables.part(spark, "/root/testdata/sf0.001")
+    val standing = part.filter(pmod($"p_partkey", lit(10)) =!= 0)
+    val batchRows = part.filter(pmod($"p_partkey", lit(10)) === 0)
+    val staged = java.nio.file.Files.createTempDirectory("graft_er_stream")
+    batchRows.filter($"p_partkey" < 1000).write.mode("overwrite")
+      .parquet(staged.resolve("p1").toString)
+    batchRows.filter($"p_partkey" >= 1000).write.mode("overwrite")
+      .parquet(staged.resolve("p2").toString)
+    val rStream = spark.readStream.schema(part.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString + "/*")
+    val got = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, String, String, Boolean)]()
+    val q = Streaming.entityMatchStream(standing, rStream,
+        "p_partkey", "p_name", maxDist = 2) { res =>
+      res.collect().foreach(r => got.add((r.getLong(0), r.getString(1),
+        r.getString(2), r.getBoolean(3))))
+    }
+    try q.processAllAvailable() finally q.stop()
+    val expected = graft.er.EntityResolution.incrementalEntityMatches(
+        batchRows, standing, "p_partkey", "p_name", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getBoolean(3))).toSet
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet === expected)
+    assert(expected.nonEmpty)
+  }
+
   test("scd2Stream: streamed closed + eviction-flushed open runs equal the " +
        "one-shot scd2Intervals (batch parity)") {
     implicit val sqlCtx = spark.sqlContext

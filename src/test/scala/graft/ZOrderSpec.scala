@@ -97,6 +97,44 @@ class ZOrderSpec extends SparkTestBase {
     assert(zb <= 4, s"skew on a must not destroy pruning on b, touched $zb/8")
   }
 
+  test("ZOrderTable: appends accumulate cross-batch overlap; compact restores the " +
+       "one-shot layout (file spans + file count), rows preserved throughout") {
+    import graft.sink.ZOrderTable
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ztable").toString + "/t"
+    def batch(seed: Int, n: Int) = spark.range(n.toLong)
+      .select(pmod(xxhash64(col("id") + lit(seed)), lit(1000)).as("a"),
+              pmod(xxhash64(col("id") + lit(seed * 31 + 7)), lit(1000)).as("b"))
+    // 4 daily batches, each z-ordered batch-locally into 16 files
+    (0 until 4).foreach(d => ZOrderTable.append(batch(d, 16384), Seq("a", "b"), tmp, 16))
+    val afterAppend = spark.read.parquet(tmp)
+    assert(afterAppend.count() === 4 * 16384L)
+    def hsum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(hash(col("a"), col("b")).cast("long"))).collect()(0).getLong(0)
+    val h0 = hsum(afterAppend)
+    def overlapping(c: String, lo: Long, hi: Long): Long =
+      spark.read.parquet(tmp)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+        .filter(col("mn") <= hi && col("mx") >= lo).count()
+    def fileCount: Long = spark.read.parquet(tmp)
+      .select(input_file_name()).distinct().count()
+    val filesBefore = fileCount
+    val overlapBefore = overlapping("b", 280, 340)
+    assert(filesBefore === 64L, "4 batches x 16 files each")
+    // compact onto ONE global curve: same row multiset, 16 files, and an
+    // in-quadrant range touches a fraction again (the one-shot gate)
+    ZOrderTable.compact(spark, tmp, Seq("a", "b"), numFiles = 16)
+    assert(hsum(spark.read.parquet(tmp)) === h0, "compaction is a permutation")
+    assert(fileCount === 16L, "compaction must collapse the file count")
+    val overlapAfter = overlapping("b", 280, 340)
+    info(s"files overlapping b-range: $overlapBefore/$filesBefore before, " +
+      s"$overlapAfter/16 after compact")
+    assert(overlapAfter <= 8,
+      s"post-compact layout must prune like a one-shot write, touched $overlapAfter/16")
+    // the fraction touched must improve, not just the absolute count
+    assert(overlapAfter.toDouble / 16 < overlapBefore.toDouble / filesBefore + 0.25)
+  }
+
   test("ZOrderMirror: builds once, reuses without rewriting, and is a permutation " +
        "of the source table") {
     import graft.sink.ZOrderMirror
