@@ -33,10 +33,13 @@ import org.apache.spark.sql.functions.col
 object PqIndex {
 
   /** Bump when the code layout or train semantics change: reuse is
-    * keyed only by source dir, so an index persisted by OLDER code
-    * would otherwise silently serve stale codes.
+    * keyed only by source dir + geometry, so an index persisted by
+    * OLDER code would otherwise silently serve stale codes. v2 = the
+    * geometry-keyed directory layout (r17) — v1 stored codes directly
+    * under the stamped dir, which the geometry subdirs would otherwise
+    * share a parent with.
     */
-  private val version = "v1"
+  private val version = "v2"
 
   /** Geometry leg of the artifact key: codes written at one (m, ksub)
     * must never be served to an ensure() asking for another — the ADC
