@@ -83,6 +83,7 @@ object ExplainAudit {
     // the DISTINCT-name universe; er2 adds the single broadcast
     // join-back (rows never shuffle)
     "er1_name_matches", "er2_entity_groups", "er3_incremental_matches",
+    "er4_incremental_indexed",
     // r17: the SCD2 scaladoc claims both windows ride ONE (key) exchange
     "w17_scd2_intervals")
 

@@ -1873,6 +1873,17 @@ object SparkEntry {
         part.filter(pmod(col("p_partkey"), lit(10)) === 0),
         part.filter(pmod(col("p_partkey"), lit(10)) =!= 0),
         "p_partkey", "p_name", maxDist = 2)
+    }),
+    // er3 through the persisted NameIndex (the d16/m12 indexed-twin
+    // shape): identical answer, but only the batch derives tokens —
+    // the standing side is the one-time capped token-block artifact
+    "er4_incremental_indexed" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      val idx = graft.er.NameIndex.ensure(s, d, "part", "mod10ne0",
+        part.filter(pmod(col("p_partkey"), lit(10)) =!= 0), "p_name")
+      graft.er.EntityResolution.incrementalEntityMatchesIndexed(
+        part.filter(pmod(col("p_partkey"), lit(10)) === 0), idx,
+        "p_partkey", "p_name", maxDist = 2)
     })
   )
 
@@ -3761,26 +3772,31 @@ object SparkEntry {
     // batch names conformed to the standing universe: blocking +
     // levenshtein + best-match (min dist, tie lexicographic) replayed
     // literally; the occupancy cap counts the STANDING side
-    "er3_incremental_matches" ->
-      """WITH standing AS (SELECT DISTINCT p_name AS sname FROM part
-        |  WHERE p_partkey % 10 <> 0 AND p_name IS NOT NULL),
-        |st AS (SELECT DISTINCT sname, unnest(string_split_regex(sname, '\s+')) AS tok
-        |       FROM standing),
-        |st2 AS (SELECT sname, tok FROM st WHERE len(tok) > 0
-        |        QUALIFY count(*) OVER (PARTITION BY tok) <= 1000),
-        |batch AS (SELECT p_partkey, p_name FROM part WHERE p_partkey % 10 = 0),
-        |bn AS (SELECT DISTINCT p_name AS bname FROM batch WHERE p_name IS NOT NULL),
-        |bt AS (SELECT DISTINCT bname, unnest(string_split_regex(bname, '\s+')) AS tok
-        |       FROM bn),
-        |bt2 AS (SELECT bname, tok FROM bt WHERE len(tok) > 0),
-        |cand AS (SELECT DISTINCT b.bname, s.sname FROM bt2 b JOIN st2 s ON b.tok = s.tok),
-        |v AS (SELECT bname, sname, levenshtein(bname, sname) AS dist FROM cand
-        |      WHERE levenshtein(bname, sname) <= 2),
-        |best AS (SELECT bname, sname FROM v
-        |         QUALIFY row_number() OVER (PARTITION BY bname ORDER BY dist, sname) = 1)
-        |SELECT b.p_partkey, b.p_name,
-        |  coalesce(best.sname, b.p_name) AS entity,
-        |  best.sname IS NOT NULL AS matched
-        |FROM batch b LEFT JOIN best ON b.p_name = best.bname""".stripMargin
+    "er3_incremental_matches" -> erIncrementalSql,
+    // er4 is the SAME answer through the persisted NameIndex (the
+    // d15/d16 oracle relationship: one semantic truth, two paths)
+    "er4_incremental_indexed" -> erIncrementalSql
   )
+
+  private lazy val erIncrementalSql: String =
+    """WITH standing AS (SELECT DISTINCT p_name AS sname FROM part
+      |  WHERE p_partkey % 10 <> 0 AND p_name IS NOT NULL),
+      |st AS (SELECT DISTINCT sname, unnest(string_split_regex(sname, '\s+')) AS tok
+      |       FROM standing),
+      |st2 AS (SELECT sname, tok FROM st WHERE len(tok) > 0
+      |        QUALIFY count(*) OVER (PARTITION BY tok) <= 1000),
+      |batch AS (SELECT p_partkey, p_name FROM part WHERE p_partkey % 10 = 0),
+      |bn AS (SELECT DISTINCT p_name AS bname FROM batch WHERE p_name IS NOT NULL),
+      |bt AS (SELECT DISTINCT bname, unnest(string_split_regex(bname, '\s+')) AS tok
+      |       FROM bn),
+      |bt2 AS (SELECT bname, tok FROM bt WHERE len(tok) > 0),
+      |cand AS (SELECT DISTINCT b.bname, s.sname FROM bt2 b JOIN st2 s ON b.tok = s.tok),
+      |v AS (SELECT bname, sname, levenshtein(bname, sname) AS dist FROM cand
+      |      WHERE levenshtein(bname, sname) <= 2),
+      |best AS (SELECT bname, sname FROM v
+      |         QUALIFY row_number() OVER (PARTITION BY bname ORDER BY dist, sname) = 1)
+      |SELECT b.p_partkey, b.p_name,
+      |  coalesce(best.sname, b.p_name) AS entity,
+      |  best.sname IS NOT NULL AS matched
+      |FROM batch b LEFT JOIN best ON b.p_name = best.bname""".stripMargin
 }

@@ -207,18 +207,42 @@ object EntityResolution {
     */
   def incrementalEntityMatches(batch: DataFrame, standing: DataFrame,
                                idCol: String, nameCol: String, maxDist: Int,
-                               blockCap: Int = defaultBlockCap): DataFrame = {
-    def toks(names: DataFrame): DataFrame = names
+                               blockCap: Int = defaultBlockCap): DataFrame =
+    incrementalEntityMatchesIndexed(batch,
+      standingTokenBlocks(standing, nameCol, blockCap), idCol, nameCol, maxDist)
+
+  /** The standing side of [[incrementalEntityMatches]] as a reusable
+    * frame: capped (__sname, __tok) token-block pairs of the distinct
+    * standing names — what [[NameIndex.ensure]] persists so a daily
+    * conformance pass stops re-deriving (and re-scanning) the standing
+    * table per batch.
+    */
+  private[graft] def standingTokenBlocks(standing: DataFrame, nameCol: String,
+                                         blockCap: Int): DataFrame = {
+    val standingNames = standing.select(col(nameCol).as("__name"))
+      .filter(col("__name").isNotNull).distinct()
+    standingNames
       .select(col("__name"), explode(split(col("__name"), "\\s+")).as("__tok"))
       .filter(length(col("__tok")) > 0)
       .distinct()
-    val standingNames = standing.select(col(nameCol).as("__name"))
-      .filter(col("__name").isNotNull).distinct()
-    val standingToks = toks(standingNames)
       .withColumn("__occ",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("__tok")))
       .filter(col("__occ") <= blockCap)
       .select(col("__name").as("__sname"), col("__tok"))
+  }
+
+  /** [[incrementalEntityMatches]] over a pre-built standing frame (the
+    * persisted [[NameIndex]] or any (__sname, __tok) source): only the
+    * BATCH side derives tokens per call — the d16/m12 indexed-twin
+    * shape.
+    */
+  def incrementalEntityMatchesIndexed(batch: DataFrame, standingToks: DataFrame,
+                                      idCol: String, nameCol: String,
+                                      maxDist: Int): DataFrame = {
+    def toks(names: DataFrame): DataFrame = names
+      .select(col("__name"), explode(split(col("__name"), "\\s+")).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .distinct()
     val batchNames = batch.select(col(nameCol).as("__name"))
       .filter(col("__name").isNotNull).distinct()
     val cand = toks(batchNames).as("b")

@@ -179,6 +179,37 @@ class EntityResolutionSpec extends SparkTestBase {
     assert(open.toSeq === Seq(true))
   }
 
+  test("NameIndex: builds once, warm ensure never evaluates the standing corpus, " +
+       "and the indexed path equals the inline path") {
+    import graft.er.NameIndex
+    val dir = "/root/testdata/sf0.001"
+    val part = spark.read.parquet(s"$dir/part.parquet")
+    val standing = part.filter(pmod(col("p_partkey"), lit(10)) =!= 0)
+    val batch = part.filter(pmod(col("p_partkey"), lit(10)) === 0)
+    NameIndex.drop(dir, "part", "spec")
+    val idx1 = NameIndex.ensure(spark, dir, "part", "spec", standing, "p_name")
+    val success = new java.io.File(NameIndex.root(dir, "part", "spec"), "_SUCCESS")
+    assert(success.isFile)
+    val stamp = success.lastModified
+    val idx2 = NameIndex.ensure(spark, dir, "part", "spec",
+      { fail("warm ensure must not evaluate the standing corpus"); standing }, "p_name")
+    assert(success.lastModified === stamp, "reuse must not rewrite the index")
+    // the persisted frame IS the inline derivation
+    val inlineToks = EntityResolution
+      .standingTokenBlocks(standing, "p_name", EntityResolution.defaultBlockCap)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(idx2.collect().map(r => (r.getString(0), r.getString(1))).toSet === inlineToks)
+    // indexed conformance == inline conformance (the er3/er4 contract)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getBoolean(3))).toSet
+    assert(rows(EntityResolution.incrementalEntityMatchesIndexed(
+        batch, idx2, "p_partkey", "p_name", maxDist = 2)) ===
+      rows(EntityResolution.incrementalEntityMatches(
+        batch, standing, "p_partkey", "p_name", maxDist = 2)))
+    NameIndex.drop(dir, "part", "spec")
+  }
+
   test("null names survive with a null entity (never fabricate a label)") {
     val df = Seq((1L, "red bolt"), (2L, null)).toDF("id", "name")
     val out = EntityResolution.entityGroups(df, "id", "name", maxDist = 2).collect()
