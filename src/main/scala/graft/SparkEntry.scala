@@ -1884,8 +1884,27 @@ object SparkEntry {
       graft.er.EntityResolution.incrementalEntityMatchesIndexed(
         part.filter(pmod(col("p_partkey"), lit(10)) === 0), idx,
         "p_partkey", "p_name", maxDist = 2)
-    })
+    }),
+
+    // ---- g: link-graph analytics over the clickstream (graft.graph.Graph —
+    // the Common Crawl host-ranking shape: pages as vertices, consecutive
+    // per-user views as weighted directed edges)
+    "g1_page_transitions" -> ((s, d) => graphEdges(s, d)),
+    "g2_pagerank" -> ((s, d) =>
+      graft.graph.Graph.pageRank(graphEdges(s, d), iters = 3, damping = 0.85)),
+    "g3_degree_census" -> ((s, d) =>
+      graft.graph.Graph.degreeCensus(graphEdges(s, d))),
+    "g4_triangle_census" -> ((s, d) =>
+      graft.graph.Graph.triangleCensus(graphEdges(s, d)))
   )
+
+  /** Shared g-family input: the per-user page-transition edge list, pages
+    * keyed `event_id % 50` so the DuckDB oracle can replay the derivation.
+    */
+  private def graphEdges(s: SparkSession, d: String): DataFrame =
+    graft.graph.Graph.transitionEdges(
+      Tables.events(s, d).withColumn("page", pmod(col("event_id"), lit(50L))),
+      "user_id", "page", "ts", "event_id")
 
   /** DuckDB oracle SQL per query (same parquet tables). Shared determinism
     * rules (SURVEY §5.2): published numerics rounded, total orders pinned on
@@ -3775,8 +3794,71 @@ object SparkEntry {
     "er3_incremental_matches" -> erIncrementalSql,
     // er4 is the SAME answer through the persisted NameIndex (the
     // d15/d16 oracle relationship: one semantic truth, two paths)
-    "er4_incremental_indexed" -> erIncrementalSql
+    "er4_incremental_indexed" -> erIncrementalSql,
+
+    // g family: the lag-derived transition edge list, then PageRank /
+    // degrees / triangles replayed relationally over it
+    "g1_page_transitions" ->
+      s"""WITH $graphEdgeCte
+         |SELECT src, dst, n_trans FROM e""".stripMargin,
+
+    "g2_pagerank" -> pageRankSql,
+
+    "g3_degree_census" ->
+      s"""WITH $graphEdgeCte,
+         |o AS (SELECT src AS page, count(*) AS out_deg, sum(n_trans) AS out_trans FROM e GROUP BY src),
+         |i AS (SELECT dst AS page, count(*) AS in_deg, sum(n_trans) AS in_trans FROM e GROUP BY dst)
+         |SELECT page, coalesce(out_deg, 0) AS out_deg, CAST(coalesce(out_trans, 0) AS BIGINT) AS out_trans,
+         |  coalesce(in_deg, 0) AS in_deg, CAST(coalesce(in_trans, 0) AS BIGINT) AS in_trans
+         |FROM o FULL OUTER JOIN i USING (page)""".stripMargin,
+
+    // the oracle enumerates {a<b<c} triangles by the naive triple join —
+    // the engine's degree-ordered orientation finds the identical set
+    "g4_triangle_census" ->
+      s"""WITH $graphEdgeCte,
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e WHERE src <> dst),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+         |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |corners AS (SELECT x AS page FROM tri UNION ALL SELECT y AS page FROM tri UNION ALL SELECT z AS page FROM tri)
+         |SELECT page, count(*) AS n_triangles FROM corners GROUP BY page""".stripMargin
   )
+
+  /** Shared g-family oracle CTE: the per-user page-transition edge list
+    * (the exact lag/groupBy recipe of [[graphEdges]]).
+    */
+  private lazy val graphEdgeCte: String =
+    """e AS (SELECT src, page AS dst, count(*) AS n_trans FROM (
+      |    SELECT user_id, event_id % 50 AS page,
+      |           lag(event_id % 50) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+      |    FROM events) WHERE src IS NOT NULL GROUP BY src, page)""".stripMargin
+
+  /** g2's oracle: [[graft.graph.Graph.pageRank]] unrolled to CTEs — 3
+    * power iterations with dangling-mass redistribution. Every double
+    * literal is CAST in DOUBLE space so both engines bind identical bits
+    * (DuckDB's decimal folding of `1 - 0.85` differs from the JVM's),
+    * and every sum of doubles accumulates as DECIMAL(20,10).
+    */
+  private lazy val pageRankSql: String = {
+    val iters = (0 until 3).map { i =>
+      s"""d$i AS (SELECT CAST(coalesce(sum(CAST(r AS DECIMAL(20,10))), 0) AS DOUBLE) AS dm
+         |  FROM r$i WHERE page NOT IN (SELECT src FROM ot)),
+         |c$i AS (SELECT w.dst AS page, CAST(sum(CAST(r$i.r * w.w AS DECIMAL(20,10))) AS DOUBLE) AS c
+         |  FROM r$i JOIN w ON r$i.page = w.src GROUP BY w.dst),
+         |r${i + 1} AS (SELECT v.page,
+         |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
+         |    + CAST(0.85 AS DOUBLE) * (coalesce(c$i.c, CAST(0 AS DOUBLE)) + d$i.dm / n.n) AS r
+         |  FROM v CROSS JOIN n CROSS JOIN d$i LEFT JOIN c$i ON v.page = c$i.page)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphEdgeCte,
+       |v AS (SELECT DISTINCT page FROM (SELECT src AS page FROM e UNION ALL SELECT dst AS page FROM e)),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+       |ot AS (SELECT src, sum(n_trans) AS tot FROM e GROUP BY src),
+       |w AS (SELECT src, dst, CAST(n_trans AS DOUBLE) / CAST(tot AS DOUBLE) AS w FROM e JOIN ot USING (src)),
+       |r0 AS (SELECT page, CAST(1 AS DOUBLE) / n.n AS r FROM v CROSS JOIN n),
+       |$iters
+       |SELECT page, round(r * 1000000) / 1000000.0 + 0.0 AS pr FROM r3""".stripMargin
+  }
 
   private lazy val erIncrementalSql: String =
     """WITH standing AS (SELECT DISTINCT p_name AS sname FROM part

@@ -1,0 +1,169 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over event streams — the curation rung that ranks
+  * WHERE training data comes from, not what it says. Web-scale corpus
+  * pipelines rank crawl frontiers and weight sources by link-graph
+  * centrality (Common Crawl publishes harmonic-centrality/PageRank host
+  * rankings for exactly this use), and a clickstream is the same shape:
+  * pages are vertices, consecutive views are weighted directed edges.
+  *
+  * Scale posture: every operator is edges-relational — no adjacency
+  * structure is ever materialized driver-side. [[pageRank]] is the
+  * classic iterated join+aggregate (one shuffle on `src`, one on `dst`
+  * per iteration; at 100 TB you bucket the edge table by `src` once so
+  * the rank⋈edge join reuses that layout every iteration, and AQE
+  * splits hub-page skew). [[triangleCensus]] uses the degree-ordered
+  * orientation (Suri & Vassilvitskii, "Counting triangles and the curse
+  * of the last reducer", WWW 2011): wedges fan out from each edge's
+  * LOWER-degree endpoint, bounding per-vertex wedge count by O(√|E|)
+  * on any graph — the id-ordered naive self-join would square a hub's
+  * degree instead.
+  *
+  * Numeric discipline (cross-engine, the t17/dsir recipe): per-row
+  * arithmetic stays in IEEE double (deterministic on both engines);
+  * every SUM of doubles goes through DECIMAL(20,10) so partial-
+  * aggregation order cannot perturb bits; integer totals sum as longs
+  * (exact). Literals that must match the DuckDB oracle are written so
+  * both engines bind the same double (`1 - 0.85` is computed IN DOUBLE
+  * on both sides — DuckDB's decimal constant-folding would yield a
+  * different 0.15 than the JVM's).
+  *
+  * Reference analog: none — the reference has no graph surface; this
+  * family extends the engine toward source-ranking curation.
+  */
+object Graph {
+
+  /** Weighted page-transition edges from an event log: for each user,
+    * order events by (`tsCol`, `tieCol`) and emit one edge per
+    * consecutive pair of pages, then count multiplicity. The lag window
+    * is one shuffle on the user key (bounded per-user state); the edge
+    * aggregate map-side-combines on (src, dst), so output size is the
+    * DISTINCT transition universe — at 100 TB of events this is the
+    * page-pair domain, which grows far slower than the event count.
+    */
+  def transitionEdges(events: DataFrame, userCol: String, pageCol: String,
+                      tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("__src", lag(col(pageCol), 1).over(w))
+      .filter(col("__src").isNotNull)
+      .groupBy(col("__src").as("src"), col(pageCol).as("dst"))
+      .agg(count(lit(1)).as("n_trans"))
+  }
+
+  /** PageRank with proper dangling-mass redistribution, `iters`
+    * relationally-unrolled power iterations (no driver-side state — the
+    * whole computation is ONE lazy plan an oracle can replay as
+    * unrolled CTEs). Edge weight = multiplicity / out-total (exact long
+    * division into double); rank init = 1/N; update
+    * `r' = (1-d)/N + d·(Σ_in r·w + dangling/N)` where `dangling` is the
+    * decimal-stable sum of ranks on vertices with no out-edges.
+    *
+    * Per iteration the rank frame (one row per vertex) joins edges on
+    * `src` and re-aggregates on `dst` — the standard distributed shape.
+    * The three scalar frames (N, dangling mass) are 1-row broadcasts.
+    * At URL scale the rank frame is billions of rows: bucket edges by
+    * `src` so the per-iteration join reuses one layout, and let AQE
+    * split hub skew; nothing here holds per-vertex state off-plan.
+    * Output: (page, pr) with pr rounded to 6 via the decimal-stable
+    * round trick.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
+               srcCol: String = "src", dstCol: String = "dst",
+               weightCol: String = "n_trans"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("long").as("__c"))
+    val verts = e.select(col("src").as("page"))
+      .union(e.select(col("dst").as("page"))).distinct()
+    val n1 = verts.agg(count(lit(1)).cast("double").as("__n"))
+    val outTot = e.groupBy("src").agg(sum(col("__c")).as("__tot"))
+    val wEdges = e.join(outTot, "src")
+      .select(col("src"), col("dst"),
+        (col("__c").cast("double") / col("__tot").cast("double")).as("__w"))
+    val outSrc = outTot.select(col("src").as("page"))
+    // residual computed in DOUBLE on the JVM; the oracle writes
+    // CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE) so both engines bind the
+    // identical 0.15000000000000002, not decimal-folded 0.15
+    val residual = 1.0 - damping
+
+    var ranks = verts.crossJoin(broadcast(n1))
+      .select(col("page"), (lit(1.0) / col("__n")).as("__r"))
+    for (_ <- 0 until iters) {
+      val dm = ranks.join(outSrc, Seq("page"), "left_anti")
+        .agg(coalesce(sum(col("__r").cast("decimal(20,10)")),
+          lit(0).cast("decimal(20,10)")).cast("double").as("__dm"))
+      val contrib = ranks.withColumnRenamed("page", "src")
+        .join(wEdges, "src")
+        .groupBy(col("dst").as("page"))
+        .agg(sum((col("__r") * col("__w")).cast("decimal(20,10)"))
+          .cast("double").as("__contrib"))
+      ranks = verts.crossJoin(broadcast(n1)).crossJoin(broadcast(dm))
+        .join(contrib, Seq("page"), "left")
+        .select(col("page"),
+          (lit(residual) / col("__n") +
+            lit(damping) * (coalesce(col("__contrib"), lit(0.0)) +
+              col("__dm") / col("__n"))).as("__r"))
+    }
+    ranks.select(col("page"),
+      (round(col("__r") * 1000000) / 1000000.0 + lit(0.0)).as("pr"))
+  }
+
+  /** In/out degree and transition-count census per page — the full-outer
+    * join of the two one-shuffle aggregates, zero-filled. The profile a
+    * source-weighting step reads (hubs, sinks, dead ends).
+    */
+  def degreeCensus(edges: DataFrame, srcCol: String = "src",
+                   dstCol: String = "dst", weightCol: String = "n_trans"): DataFrame = {
+    val o = edges.groupBy(col(srcCol).as("page"))
+      .agg(count(lit(1)).as("out_deg"), sum(col(weightCol)).cast("long").as("out_trans"))
+    val i = edges.groupBy(col(dstCol).as("page"))
+      .agg(count(lit(1)).as("in_deg"), sum(col(weightCol)).cast("long").as("in_trans"))
+    o.join(i, Seq("page"), "full_outer")
+      .na.fill(0L, Seq("out_deg", "out_trans", "in_deg", "in_trans"))
+  }
+
+  /** Per-vertex triangle counts via degree-ordered edge orientation.
+    * Undirected-distinct edges orient from the (degree, id)-smaller
+    * endpoint to the larger; wedges pair each center's out-neighbors
+    * (every center's out-degree is O(√|E|)-bounded regardless of hub
+    * skew — the Suri-Vassilvitskii guarantee); a wedge closes into a
+    * triangle iff the id-normalized third side exists. Under a total
+    * order each triangle has exactly ONE corner with out-edges to the
+    * other two, so no dedup pass is needed; the census explodes the
+    * three corners of each found triangle. Two shuffles (wedge self-join
+    * on the center, closing join on the normalized pair) — both on
+    * bounded-fan-out keys by construction.
+    */
+  def triangleCensus(edges: DataFrame, srcCol: String = "src",
+                     dstCol: String = "dst"): DataFrame = {
+    val und = edges.filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val dirE = und
+      .join(deg.select(col("v").as("a"), col("deg").as("__da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("__db")), "b")
+      .select(
+        when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("v"))
+    val x = dirE.select(col("u"), col("v").as("p"))
+    val y = dirE.select(col("u"), col("v").as("q"))
+    val wedges = x.join(y, Seq("u")).filter(col("p") < col("q"))
+    // p < q by the wedge filter, so the id-normalized third side is
+    // exactly (a=p, b=q) — a plain equi-join on the pair
+    val tri = wedges.join(und, col("p") === col("a") && col("q") === col("b"))
+      .select(col("u"), col("p"), col("q"))
+    tri.select(explode(array(col("u"), col("p"), col("q"))).as("page"))
+      .groupBy("page").agg(count(lit(1)).cast("long").as("n_triangles"))
+  }
+}

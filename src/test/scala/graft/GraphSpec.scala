@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.Graph
+
+/** [[graft.graph.Graph]] — transition edges, PageRank (hand-checked tiny
+  * graph + invariants), degree census, degree-ordered triangle census.
+  */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def edges(rows: (Long, Long, Long)*) =
+    rows.toDF("src", "dst", "n_trans")
+
+  test("transitionEdges emits per-user consecutive pairs with multiplicity") {
+    val ev = Seq(
+      // user 1 visits 10 -> 20 -> 10 -> 20 (two 10->20 edges, one 20->10)
+      (1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 10L), (1L, 4L, 20L),
+      // user 2 visits 30 alone (no edge)
+      (2L, 5L, 30L)
+    ).toDF("user_id", "ts_ord", "page")
+      .withColumn("ts", timestamp_seconds(col("ts_ord") * 60))
+      .withColumn("event_id", col("ts_ord"))
+    val out = Graph.transitionEdges(ev, "user_id", "page", "ts", "event_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((10L, 20L, 2L), (20L, 10L, 1L)))
+  }
+
+  test("pageRank matches the hand-computed two-node cycle") {
+    // a <-> b with equal weights: the uniform rank 0.5/0.5 is the fixed
+    // point, and every iteration must reproduce it exactly
+    val pr = Graph.pageRank(edges((0L, 1L, 1L), (1L, 0L, 1L)), iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(pr(0L) === 0.5 && pr(1L) === 0.5)
+  }
+
+  test("pageRank conserves total mass and redistributes dangling rank") {
+    // star into a sink: 1,2,3 -> 0 and 0 has no out-edges (dangling)
+    val pr = Graph.pageRank(edges((1L, 0L, 1L), (2L, 0L, 1L), (3L, 0L, 2L)),
+      iters = 3).as[(Long, Double)].collect().toMap
+    assert(pr.size === 4)
+    // mass conservation: dangling redistribution keeps the total at 1
+    // (published ranks are rounded to 6 dp, so allow n·5e-7 of slack)
+    assert(math.abs(pr.values.sum - 1.0) < 2.5e-6)
+    // the sink concentrates rank; the sources tie by symmetry of the
+    // update rule (identical in-mass: none)
+    assert(pr(0L) > pr(1L))
+    assert(pr(1L) === pr(2L) && pr(2L) === pr(3L))
+  }
+
+  test("degreeCensus zero-fills pure sources and pure sinks") {
+    val out = Graph.degreeCensus(edges((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L)))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) === ((2L, 4L, 0L, 0L))) // pure source
+    assert(out(3L) === ((0L, 0L, 2L, 3L))) // pure sink
+    assert(out(2L) === ((1L, 2L, 1L, 3L)))
+  }
+
+  test("triangleCensus counts K4 as three triangles per vertex") {
+    // K4 has 4 triangles; each vertex sits on exactly 3 of them. Feed
+    // directed duplicates + a self-loop to exercise normalization.
+    val k4 = for { a <- 0L to 3L; b <- 0L to 3L if a != b } yield (a, b, 1L)
+    val out = Graph.triangleCensus(edges(k4 :+ ((2L, 2L, 1L)): _*))
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("triangleCensus on a triangle-free star is empty") {
+    val out = Graph.triangleCensus(edges((0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 1L)))
+    assert(out.isEmpty)
+  }
+}
