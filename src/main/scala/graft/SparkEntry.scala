@@ -1895,8 +1895,22 @@ object SparkEntry {
     "g3_degree_census" -> ((s, d) =>
       graft.graph.Graph.degreeCensus(graphEdges(s, d))),
     "g4_triangle_census" -> ((s, d) =>
-      graft.graph.Graph.triangleCensus(graphEdges(s, d)))
+      graft.graph.Graph.triangleCensus(graphEdges(s, d))),
+
+    // ---- ml: relational full-batch GD quality classifier
+    // (graft.ml.QualityClassifier — the fasttext-quality-scoring rung;
+    // softsign link so the iterated fit is bit-replayable cross-engine)
+    "ml1_quality_weights" -> ((s, d) =>
+      graft.ml.QualityClassifier.trainedWeights(mlFeatures(s, d))),
+    "ml2_quality_scores" -> ((s, d) =>
+      graft.ml.QualityClassifier.score(mlFeatures(s, d), "doc_id"))
   )
+
+  /** Shared ml-family input: document features + the lang='en' label. */
+  private def mlFeatures(s: SparkSession, d: String): DataFrame =
+    graft.ml.QualityClassifier.featurize(
+      Tables(s, d, "documents"), "doc_id", "text", "n_chars",
+      col("n_chars") >= 256)
 
   /** Shared g-family input: the per-user page-transition edge list, pages
     * keyed `event_id % 50` so the DuckDB oracle can replay the derivation.
@@ -3821,8 +3835,59 @@ object SparkEntry {
          |  FROM und e1 JOIN und e2 ON e2.a = e1.b
          |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
          |corners AS (SELECT x AS page FROM tri UNION ALL SELECT y AS page FROM tri UNION ALL SELECT z AS page FROM tri)
-         |SELECT page, count(*) AS n_triangles FROM corners GROUP BY page""".stripMargin
+         |SELECT page, count(*) AS n_triangles FROM corners GROUP BY page""".stripMargin,
+
+    // ml family: the softsign-GD fit unrolled to CTEs (every constant
+    // exactly representable in binary, every double sum decimal-stable —
+    // the weights replay bit-identically; QualityClassifier scaladoc)
+    "ml1_quality_weights" ->
+      s"""WITH $mlFitCte
+         |SELECT round(b0 * 1000000) / 1000000.0 + 0.0 AS w0,
+         |  round(b1 * 1000000) / 1000000.0 + 0.0 AS w1,
+         |  round(b2 * 1000000) / 1000000.0 + 0.0 AS w2,
+         |  round(b3 * 1000000) / 1000000.0 + 0.0 AS w3,
+         |  nd.n_docs
+         |FROM w8 CROSS JOIN (SELECT count(*) AS n_docs FROM f) nd""".stripMargin,
+
+    "ml2_quality_scores" ->
+      s"""WITH $mlFitCte
+         |SELECT doc_id,
+         |  round((0.5 + 0.5 * z / (1 + abs(z))) * 1000000) / 1000000.0 + 0.0 AS quality_score,
+         |  CAST(CASE WHEN z >= 0 THEN 1 ELSE 0 END AS BIGINT) AS predicted,
+         |  CAST(y AS BIGINT) AS label
+         |FROM (SELECT f.*, b0 * x0 + b1 * x1 + b2 * x2 + b3 * x3 AS z
+         |      FROM f CROSS JOIN w8)""".stripMargin
   )
+
+  /** Shared ml-family oracle prefix: featurization + 3 unrolled softsign
+    * GD steps ([[graft.ml.QualityClassifier]] replayed literally; lr=0.5
+    * and every other constant is exactly binary-representable, so no
+    * double-vs-decimal literal drift exists anywhere in the fit).
+    */
+  private lazy val mlFitCte: String = {
+    val steps = (0 until 8).map { i =>
+      s"""z$i AS (SELECT f.*, b0 * x0 + b1 * x1 + b2 * x2 + b3 * x3 AS z FROM f CROSS JOIN w$i),
+         |t$i AS (SELECT z$i.*, (0.5 + 0.5 * z / (1 + abs(z)) - y) / ((1 + abs(z)) * (1 + abs(z))) AS t FROM z$i),
+         |g$i AS (SELECT CAST(sum(CAST(t * x0 AS DECIMAL(20,10))) AS DOUBLE) AS g0,
+         |  CAST(sum(CAST(t * x1 AS DECIMAL(20,10))) AS DOUBLE) AS g1,
+         |  CAST(sum(CAST(t * x2 AS DECIMAL(20,10))) AS DOUBLE) AS g2,
+         |  CAST(sum(CAST(t * x3 AS DECIMAL(20,10))) AS DOUBLE) AS g3 FROM t$i),
+         |w${i + 1} AS (SELECT b0 - 8 * g0 / n AS b0, b1 - 8 * g1 / n AS b1,
+         |  b2 - 8 * g2 / n AS b2, b3 - 8 * g3 / n AS b3
+         |  FROM w$i CROSS JOIN g$i CROSS JOIN n)""".stripMargin
+    }.mkString(",\n")
+    s"""f AS (SELECT doc_id,
+       |  CAST(1 AS DOUBLE) AS x0,
+       |  ln(CAST(1 AS DOUBLE) + n_chars) - 5.5 AS x1,
+       |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS DOUBLE) / 100.0 - 0.5 AS x2,
+       |  CAST(len(text) - len(replace(text, 'a', '')) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS x3,
+       |  CASE WHEN n_chars >= 256 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+       | FROM documents),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+       |w0 AS (SELECT CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1,
+       |  CAST(0 AS DOUBLE) AS b2, CAST(0 AS DOUBLE) AS b3),
+       |$steps""".stripMargin
+  }
 
   /** Shared g-family oracle CTE: the per-user page-transition edge list
     * (the exact lag/groupBy recipe of [[graphEdges]]).

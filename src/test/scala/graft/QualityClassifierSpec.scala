@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.QualityClassifier
+
+/** [[graft.ml.QualityClassifier]] — relational softsign-GD fit:
+  * featurization, convergence on a separable fixture, partition-order
+  * invariance of the trained weights (the decimal-sum discipline), and
+  * the exact z ≥ 0 prediction threshold.
+  */
+class QualityClassifierSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    // 10 long docs (y=1) and 10 short (y=0), trivially separable on x1/x2
+    (1L to 10L).map(i => (i, ("alpha beta " * 40).trim, 439L)) ++
+      (11L to 20L).map(i => (i, "alpha beta", 10L)): _*
+  ).toDF("doc_id", "text", "n_chars")
+
+  private def feats = QualityClassifier.featurize(
+    docs, "doc_id", "text", "n_chars", col("n_chars") >= 256)
+
+  test("featurize emits centered doubles and the 0/1 label") {
+    val r = feats.filter(col("doc_id") === 1L).head()
+    assert(r.getAs[Double]("x0") === 1.0)
+    assert(r.getAs[Double]("x1") === math.log(1.0 + 439.0) - 5.5)
+    assert(r.getAs[Double]("x2") === 80.0 / 100.0 - 0.5)
+    // "alpha beta " * 40 trimmed: 120 'a' chars over 439
+    assert(r.getAs[Double]("x3") === 120.0 / 439.0)
+    assert(r.getAs[Double]("y") === 1.0)
+  }
+
+  test("GD fit separates the separable fixture perfectly") {
+    val scored = QualityClassifier.score(feats, "doc_id")
+      .as[(Long, Double, Long, Long)].collect()
+    assert(scored.length === 20)
+    assert(scored.forall { case (_, _, pred, label) => pred === label })
+    // probabilities sit on the right side of 0.5 too
+    assert(scored.forall { case (_, p, _, l) => if (l == 1L) p > 0.5 else p < 0.5 })
+  }
+
+  test("trained weights are bit-identical under repartitioning") {
+    // the decimal(20,10) gradient accumulation makes the fit independent
+    // of partial-aggregation order — the property that lets the oracle
+    // replay an ITERATED computation exactly
+    val w1 = QualityClassifier.train(feats.repartition(1)).head()
+    val w7 = QualityClassifier.train(feats.repartition(7, col("doc_id"))).head()
+    (0 until 4).foreach { i =>
+      assert(w1.getDouble(i) === w7.getDouble(i),
+        s"b$i diverged across partitionings")
+    }
+  }
+
+  test("trainedWeights publishes rounded weights plus corpus size") {
+    val r = QualityClassifier.trainedWeights(feats).head()
+    assert(r.getAs[Long]("n_docs") === 20L)
+    assert(r.getAs[Double]("w1") > 0.0) // longer docs score higher
+  }
+}
