@@ -66,7 +66,16 @@ object ScaleProbe {
     // ×100; m21's universe is 18 hashes)
     "m16b_gif_frame_sample_wide", "m17_perceptual_hash_pairs",
     "m18_perceptual_clusters", "m20_audio_envelope_hash",
-    "m21_audio_perceptual_pairs")
+    "m21_audio_perceptual_pairs",
+    // r17 session-2: the g family (page universe is pinned at 50, so the
+    // edge aggregate collapses to ≤2500 rows and everything past the
+    // lag-window edge derivation is scale-free — expected ~linear in the
+    // event scan, like w8); ml (8 GD epochs over the cached feature
+    // frame — expected ~linear in the featurize+cache pass); dq3 (one
+    // conditional-agg scan + the doc_id uniqueness expand — ~linear)
+    "g1_page_transitions", "g2_pagerank", "g3_degree_census",
+    "g4_triangle_census", "ml1_quality_weights", "ml2_quality_scores",
+    "dq3_documents_checks")
 
   /** TPC-H probe set (SPARK_GRAFT_PROBE=tpch): the fact-heavy headline
     * shapes — pure fact agg (q1), fact⋈fact⋈dim top-k (q3), 5-way profit
@@ -78,7 +87,13 @@ object ScaleProbe {
     // r17: the registered z-order query (first rep builds the scaled
     // mirror, min-of-two keeps the warm scan; build cost is its own
     // zorder_mirror_write_once row)
-    "z1_zorder_prune")
+    "z1_zorder_prune",
+    // r17 session-2: dq suites over the scaled facts — dq1 is one
+    // conditional-agg scan of orders (+ the o_orderkey uniqueness
+    // expand); dq2's fact-side referential join (lineitem→orders) is the
+    // row that grows on BOTH sides, the shape the scaladoc says to bloom-
+    // prefilter at fact-to-fact scale
+    "dq1_orders_checks", "dq2_referential_checks")
 
   /** Embedding probe set (SPARK_GRAFT_PROBE=emb): exact scan (s6), brute
     * force (s1, expected ~linear in corpus), and the three bucketed ANN

@@ -1903,7 +1903,33 @@ object SparkEntry {
     "ml1_quality_weights" -> ((s, d) =>
       graft.ml.QualityClassifier.trainedWeights(mlFeatures(s, d))),
     "ml2_quality_scores" -> ((s, d) =>
-      graft.ml.QualityClassifier.score(mlFeatures(s, d), "doc_id"))
+      graft.ml.QualityClassifier.score(mlFeatures(s, d), "doc_id")),
+
+    // ---- dq: declarative data-quality suites (graft.quality.Checks —
+    // the Deequ shape: a whole suite rides ONE conditional-agg scan)
+    "dq1_orders_checks" -> ((s, d) =>
+      graft.quality.Checks.run(Tables(s, d, "orders"), Seq(
+        graft.quality.Checks.rowCountAtLeast(1000.0),
+        graft.quality.Checks.completeness("o_custkey", 1.0),
+        graft.quality.Checks.uniqueness("o_orderkey", 1.0),
+        graft.quality.Checks.minValue("o_totalprice", 0.0),
+        graft.quality.Checks.inSet("o_orderstatus", Seq("O", "F", "P"), 1.0),
+        graft.quality.Checks.matches("o_orderpriority", "^[1-5]-", 1.0)))),
+    "dq2_referential_checks" -> ((s, d) =>
+      graft.quality.Checks.referential(
+        Tables(s, d, "orders"), "o_custkey",
+        Tables(s, d, "customer"), "c_custkey", 1.0)
+        .unionAll(graft.quality.Checks.referential(
+          Tables(s, d, "lineitem"), "l_orderkey",
+          Tables(s, d, "orders"), "o_orderkey", 1.0))),
+    "dq3_documents_checks" -> ((s, d) =>
+      graft.quality.Checks.run(Tables(s, d, "documents"), Seq(
+        graft.quality.Checks.completeness("text", 1.0),
+        graft.quality.Checks.uniqueness("doc_id", 1.0),
+        graft.quality.Checks.minValue("n_chars", 1.0),
+        graft.quality.Checks.maxValue("n_chars", 10000.0),
+        graft.quality.Checks.inSet("lang",
+          Seq("en", "de", "fr", "es", "zh"), 1.0))))
   )
 
   /** Shared ml-family input: document features + the lang='en' label. */
@@ -3856,8 +3882,68 @@ object SparkEntry {
          |  CAST(CASE WHEN z >= 0 THEN 1 ELSE 0 END AS BIGINT) AS predicted,
          |  CAST(y AS BIGINT) AS label
          |FROM (SELECT f.*, b0 * x0 + b1 * x1 + b2 * x2 + b3 * x3 AS z
-         |      FROM f CROSS JOIN w8)""".stripMargin
+         |      FROM f CROSS JOIN w8)""".stripMargin,
+
+    // dq family: the one-scan conditional-agg suite unpivoted to report
+    // rows; every metric a ratio of counts or an exact min/max
+    "dq1_orders_checks" ->
+      s"""WITH a AS (SELECT CAST(count(*) AS DOUBLE) AS m0,
+         |  CAST(count(o_custkey) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m1,
+         |  CAST(count(DISTINCT o_orderkey) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m2,
+         |  CAST(min(o_totalprice) AS DOUBLE) AS m3,
+         |  CAST(count(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m4,
+         |  CAST(count(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m5
+         | FROM orders)
+         |${dqReport(Seq(
+             ("row_count", "*", "m0", "1000"),
+             ("completeness", "o_custkey", "m1", "1"),
+             ("uniqueness", "o_orderkey", "m2", "1"),
+             ("min_value", "o_totalprice", "m3", "0"),
+             ("in_set", "o_orderstatus", "m4", "1"),
+             ("matches", "o_orderpriority", "m5", "1")), maxRows = Set())}""".stripMargin,
+
+    "dq2_referential_checks" ->
+      """SELECT 'referential' AS check_name, 'o_custkey' AS col_name,
+        |  round(m * 1000000) / 1000000.0 + 0.0 AS metric,
+        |  CAST(1 AS DOUBLE) AS threshold, m >= CAST(1 AS DOUBLE) AS passed
+        |FROM (SELECT CAST(count(k.__k) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+        |      FROM orders LEFT JOIN (SELECT DISTINCT c_custkey AS __k FROM customer) k
+        |      ON orders.o_custkey = k.__k)
+        |UNION ALL
+        |SELECT 'referential' AS check_name, 'l_orderkey' AS col_name,
+        |  round(m * 1000000) / 1000000.0 + 0.0 AS metric,
+        |  CAST(1 AS DOUBLE) AS threshold, m >= CAST(1 AS DOUBLE) AS passed
+        |FROM (SELECT CAST(count(k.__k) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+        |      FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey AS __k FROM orders) k
+        |      ON lineitem.l_orderkey = k.__k)""".stripMargin,
+
+    "dq3_documents_checks" ->
+      s"""WITH a AS (SELECT
+         |  CAST(count(text) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m0,
+         |  CAST(count(DISTINCT doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m1,
+         |  CAST(min(n_chars) AS DOUBLE) AS m2,
+         |  CAST(max(n_chars) AS DOUBLE) AS m3,
+         |  CAST(count(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m4
+         | FROM documents)
+         |${dqReport(Seq(
+             ("completeness", "text", "m0", "1"),
+             ("uniqueness", "doc_id", "m1", "1"),
+             ("min_value", "n_chars", "m2", "1"),
+             ("max_value", "n_chars", "m3", "10000"),
+             ("in_set", "lang", "m4", "1")), maxRows = Set("m3"))}""".stripMargin
   )
+
+  /** dq oracle helper: unpivot the one-row aggregate into report rows
+    * (`maxRows` metrics pass on ≤ instead of ≥).
+    */
+  private def dqReport(rows: Seq[(String, String, String, String)],
+                       maxRows: Set[String]): String =
+    rows.map { case (name, c, m, thr) =>
+      val cmp = if (maxRows.contains(m)) "<=" else ">="
+      s"""SELECT '$name' AS check_name, '$c' AS col_name,
+         |  round($m * 1000000) / 1000000.0 + 0.0 AS metric,
+         |  CAST($thr AS DOUBLE) AS threshold, $m $cmp CAST($thr AS DOUBLE) AS passed FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
 
   /** Shared ml-family oracle prefix: featurization + 3 unrolled softsign
     * GD steps ([[graft.ml.QualityClassifier]] replayed literally; lr=0.5

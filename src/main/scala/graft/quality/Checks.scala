@@ -1,0 +1,102 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality validation (the Deequ/expectations shape):
+  * a check suite compiles to ONE conditional-aggregate pass over the
+  * table and publishes a uniform report row per check —
+  * `(check_name, col_name, metric, threshold, passed)` — whether the
+  * check passes or not. A curation pipeline gates a 100 TB ingest on
+  * exactly this report: the scan cost is one pass regardless of how
+  * many checks ride it (conditional counts fuse into the same
+  * aggregate; each exact `uniqueness` adds one branch of the expand —
+  * swap it for `approx_count_distinct` when ±2% suffices and the
+  * expand collapses back to one branch).
+  *
+  * Numeric discipline: every metric is a ratio of COUNTS (or an exact
+  * min/max) — integer-valued doubles and correctly-rounded single
+  * divisions, bit-identical on any engine with no decimal staging.
+  *
+  * Reference analog: the reference validates records by presence of
+  * required keys only (/root/reference/src/transform.py:21-34); this
+  * family is that idea grown into a declarative, single-scan suite.
+  */
+object Checks {
+
+  /** One declarative check: `metric` is an aggregate Column over the
+    * target table; the check passes when metric ≥ threshold (or ≤ when
+    * `atLeast` = false).
+    */
+  final case class Check(name: String, column: String, metric: Column,
+                         threshold: Double, atLeast: Boolean = true)
+
+  private def ratio(num: Column): Column =
+    num.cast("double") / count(lit(1)).cast("double")
+
+  /** Non-null fraction ≥ threshold. */
+  def completeness(c: String, threshold: Double): Check =
+    Check("completeness", c, ratio(count(col(c))), threshold)
+
+  /** Exact distinct fraction ≥ threshold (1.0 = key candidate). */
+  def uniqueness(c: String, threshold: Double): Check =
+    Check("uniqueness", c, ratio(countDistinct(col(c))), threshold)
+
+  /** Observed minimum ≥ threshold. */
+  def minValue(c: String, threshold: Double): Check =
+    Check("min_value", c, min(col(c)).cast("double"), threshold)
+
+  /** Observed maximum ≤ threshold. */
+  def maxValue(c: String, threshold: Double): Check =
+    Check("max_value", c, max(col(c)).cast("double"), threshold, atLeast = false)
+
+  /** Fraction of rows whose value sits in the allowed set ≥ threshold. */
+  def inSet(c: String, values: Seq[String], threshold: Double): Check =
+    Check("in_set", c, ratio(count(when(col(c).isin(values: _*), lit(1)))), threshold)
+
+  /** Fraction of rows matching the (partial-match) regex ≥ threshold. */
+  def matches(c: String, regex: String, threshold: Double): Check =
+    Check("matches", c, ratio(count(when(col(c).rlike(regex), lit(1)))), threshold)
+
+  /** Row count ≥ threshold. */
+  def rowCountAtLeast(threshold: Double): Check =
+    Check("row_count", "*", count(lit(1)).cast("double"), threshold)
+
+  /** Compile the suite into one aggregate pass + the report explode. */
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "empty check suite")
+    val aggd = df.agg(checks.head.metric.as("m0"),
+      checks.tail.zipWithIndex.map { case (c, i) => c.metric.as(s"m${i + 1}") }: _*)
+    val rows = checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("check_name"), lit(c.column).as("col_name"),
+        (round(col(s"m$i") * 1000000) / 1000000.0 + lit(0.0)).as("metric"),
+        lit(c.threshold).as("threshold"),
+        (if (c.atLeast) col(s"m$i") >= lit(c.threshold)
+         else col(s"m$i") <= lit(c.threshold)).as("passed"))
+    }
+    aggd.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+
+  /** Referential-integrity report row: the fraction of child rows whose
+    * key exists in the parent's key domain (null child keys count as
+    * orphans — completeness is its own check). One left join against
+    * the DISTINCT parent keys — dim-sized parents broadcast; at 100 TB
+    * fact-to-fact scale, put a bloom filter of the parent domain in
+    * front (the t18 decontamination shape) and this join only sees the
+    * probable-orphan remainder.
+    */
+  def referential(child: DataFrame, childCol: String,
+                  parent: DataFrame, parentCol: String,
+                  threshold: Double): DataFrame = {
+    val keys = parent.select(col(parentCol).as(childCol)).distinct()
+      .withColumn("__hit", lit(1))
+    child.select(col(childCol)).join(keys, Seq(childCol), "left")
+      .agg((count(col("__hit")).cast("double") /
+        count(lit(1)).cast("double")).as("__m"))
+      .select(lit("referential").as("check_name"),
+        lit(childCol).as("col_name"),
+        (round(col("__m") * 1000000) / 1000000.0 + lit(0.0)).as("metric"),
+        lit(threshold).as("threshold"),
+        (col("__m") >= lit(threshold)).as("passed"))
+  }
+}

@@ -583,6 +583,27 @@ object Streaming {
         ()
     }.start()
 
+  /** Streaming data-quality monitoring — the dq family's online twin
+    * (the streaming rung every batch family here gets): each micro-batch
+    * is validated by the SAME one-scan suite
+    * ([[graft.quality.Checks.run]]) and the report rows are stamped with
+    * the micro-batch id, yielding a per-batch quality time series — the
+    * ingest-gate shape, where a sink alerts or quarantines the batch the
+    * moment a `passed` flag goes false. Stateless per batch (a report
+    * depends only on its own rows), so thresholds are per-batch
+    * contracts and the stream needs no keyed state to evict.
+    */
+  def qualityMonitorStream(stream: DataFrame,
+                           checks: Seq[graft.quality.Checks.Check])
+                          (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.quality.Checks.run(batch, checks)
+            .withColumn("batch_id", lit(id)))
+        ()
+    }.start()
+
   def annSearchStream(idx: graft.sim.SrpIndex.Handle, queryStream: DataFrame,
                       k: Int,
                       idCol: String = "vec_id", vecCol: String = "embedding",

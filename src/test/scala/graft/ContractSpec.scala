@@ -62,9 +62,12 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("query names follow the documented prefix convention") {
-    val prefixes = Set("q", "a", "w", "o", "j", "c", "f", "t", "d", "s", "e", "m", "z")
+    // the family registry IS the convention — a query whose parsed
+    // prefix has no QueryIndex.families row would render unlabelled
+    val prefixes = QueryIndex.families.map(_._1).toSet
     SparkEntry.queries.keys.foreach { k =>
-      assert(prefixes.contains(k.take(1)), s"unexpected query name shape: $k")
+      val p = k.takeWhile(_ != '_').replaceAll("[0-9b]+$", "")
+      assert(prefixes.contains(p), s"unexpected query name shape: $k")
     }
   }
 }
