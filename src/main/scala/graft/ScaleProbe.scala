@@ -223,11 +223,20 @@ object ScaleProbe {
       def once: Double = timeOnce(SparkEntry.queries(name)(spark, dir).count())
       math.min(once, once)
     }
-    val rows = selected.map { q =>
+    // local-iteration filter (comma-separated registered-query names,
+    // like Verify's SPARK_GRAFT_ONLY): probe only the named rows instead
+    // of the full set. Skips the extra (non-registered-query) blocks
+    // below whenever a filter is set — those have their own names and a
+    // filtered run is always a targeted refresh, never the published
+    // full sweep. The driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val probeExtras = only.isEmpty
+    val rows = selected.filter(q => only.forall(_.contains(q))).map { q =>
       val base = time(src, q)
       val scaled = time(out, q)
       (q, base, scaled)
-    } ++ (if (probeSet != "events") Seq.empty else {
+    } ++ (if (!probeExtras || probeSet != "events") Seq.empty else {
       // (positively gated on the events/documents probe set: only its
       // generator writes $out/documents.parquet — a future probe set must
       // opt in explicitly rather than inherit this block and crash)
@@ -275,7 +284,7 @@ object ScaleProbe {
       val heapRaised = try math.min(heapOnce, heapOnce)
       finally spark.conf.set(fbKey, saved)
       Seq(("t9_heap_fb128_vs_fb1m", heapDefault, heapRaised))
-    }) ++ (if (probeSet != "events") Seq.empty else {
+    }) ++ (if (!probeExtras || probeSet != "events") Seq.empty else {
       // m14's hash-pair join under perception CLUSTERS (r14 verdict item
       // 3): the perturbed-variant corpus gives every seed content an
       // unbounded stream of distinct-but-near hashes (variant = id/101,
@@ -309,7 +318,7 @@ object ScaleProbe {
          Seq((s"m14_hash_pairs_capped_vs_uncapped_x$factor",
               cappedScaled, math.min(pairsOnce(out, 0), pairsOnce(out, 0))))
        else Seq.empty)
-    }) ++ (if (probeSet != "events") Seq.empty else {
+    }) ++ (if (!probeExtras || probeSet != "events") Seq.empty else {
       // m21's pair join under perception CLUSTERS (r15 verdict item 3):
       // the audio twin of the m14 block above. The registered m21 row's
       // fixture universe is pinned (18 envelope hashes — scale-free by
@@ -337,7 +346,7 @@ object ScaleProbe {
          Seq((s"m21_audio_pairs_capped_vs_uncapped_x$factor",
               cappedScaled, math.min(pairsOnce(out, 0), pairsOnce(out, 0))))
        else Seq.empty)
-    }) ++ (if (probeSet != "events") Seq.empty else {
+    }) ++ (if (!probeExtras || probeSet != "events") Seq.empty else {
       // The DISTRIBUTED pointer-jumping closure branch, which the
       // registered d12 never exercises at probe scale (the capped pair
       // graph stays under the 4M-edge driver budget, so d12's row
@@ -354,7 +363,7 @@ object ScaleProbe {
       }
       def run(dir: String): Double = math.min(closureOnce(dir), closureOnce(dir))
       Seq(("d12_distributed_closure", run(src), run(out)))
-    }) ++ (if (probeSet != "events") Seq.empty else {
+    }) ++ (if (!probeExtras || probeSet != "events") Seq.empty else {
       // w14 funnel cap headroom GATE (r14 verdict item 7): on the scaled
       // corpus the default-capped funnel must produce IDENTICAL rows to
       // the uncapped exact fold — the cap is a memory bound, never a
@@ -387,7 +396,7 @@ object ScaleProbe {
       println(s"w14 cap headroom gate OK at ×$factor: densest key $densest, " +
         s"cap ${Lifecycle.defaultEventCap}, capped == uncapped (4 stages)")
       Seq(("w14_capped_vs_uncapped_gate", tCapped, tExact))
-    }) ++ (if (probeSet != "tpch") Seq.empty else {
+    }) ++ (if (!probeExtras || probeSet != "tpch") Seq.empty else {
       // Bucketed-join twin for the probe's superlinear rows: q3/q21 grow
       // ~10x at 100x facts because the fact-fact sort-merge join re-sorts
       // both sides every run (n log n). Bucketing + in-bucket sorting
@@ -422,7 +431,7 @@ object ScaleProbe {
       val bucketed = math.min(bucketedOnce, bucketedOnce)
       Seq(("fact_join_bucketed_vs_plain", plain, bucketed),
           ("fact_bucket_write_once", writeCost, writeCost))
-    }) ++ (if (probeSet != "tpch") Seq.empty else {
+    }) ++ (if (!probeExtras || probeSet != "tpch") Seq.empty else {
       // Z-order layout at scale: the one-time clustering write at both
       // sizes (growth of the layout pass itself), then the registered
       // z1 filter+agg shape from PLAIN parquet vs the z-mirror at the
@@ -448,7 +457,7 @@ object ScaleProbe {
       val zT = math.min(timeOnce(zShape(zOrd)), timeOnce(zShape(zOrd)))
       Seq(("zorder_scan_vs_plain", plainT, zT),
           ("zorder_mirror_write_once", wBase, wScaled))
-    }) ++ (if (probeSet != "tpch") Seq.empty else {
+    }) ++ (if (!probeExtras || probeSet != "tpch") Seq.empty else {
       // Entity resolution at a GROWING name universe (the image
       // perception rung's syntheticPerturbedGridImageTable rationale,
       // applied to names): replicate part with a per-replica suffix
@@ -489,7 +498,7 @@ object ScaleProbe {
       Seq(("er1_name_matches[pair output ~ dup-rate^2]",
             er1At(partBase), er1At(partScaled)),
           ("er2_entity_groups[universe scales]", er2At(partBase), er2At(partScaled)))
-    }) ++ (if (probeSet != "emb") Seq.empty else {
+    }) ++ (if (!probeExtras || probeSet != "emb") Seq.empty else {
       // Recall at scale, not just latency: a bucketed ANN that gets
       // faster by silently returning worse neighbors is not an index.
       // recall@5 vs exact brute force on the registered 8-query sample,
@@ -540,7 +549,7 @@ object ScaleProbe {
       }
       val base = recallAt(src).toMap
       recallAt(out).map { case (name, scaled) => (name, base(name), scaled) }
-    }) ++ (if (probeSet != "emb") Seq.empty else {
+    }) ++ (if (!probeExtras || probeSet != "emb") Seq.empty else {
       // One-time IVF index build cost, reported like fact_bucket_write_once
       // (the s4/s8 query rows above measured a WARM index: their first rep
       // built it, min-of-2 keeps the warm run). base = build at sf0.1,
@@ -553,7 +562,7 @@ object ScaleProbe {
         (System.nanoTime() - t0) / 1e9
       }
       Seq(("ivf_index_build_once", build(src), build(out)))
-    }) ++ (if (probeSet != "emb") Seq.empty else {
+    }) ++ (if (!probeExtras || probeSet != "emb") Seq.empty else {
       // One-time SRP index build cost (the s2/s7 twin of
       // ivf_index_build_once): count + auto-planes + the single corpus
       // pass deriving int8 pair and all nTables bucket assignments +
@@ -567,7 +576,7 @@ object ScaleProbe {
         (System.nanoTime() - t0) / 1e9
       }
       Seq(("srp_index_build_once", build(src), build(out)))
-    }) ++ (if (probeSet != "emb") Seq.empty else {
+    }) ++ (if (!probeExtras || probeSet != "emb") Seq.empty else {
       // One-time PQ build costs (the s10/s11 twins of the rows above),
       // split at the seam that matters at 100 TB: pq_index_build_once =
       // bounded-sample train + the ONE full-corpus encode pass + code
@@ -586,7 +595,7 @@ object ScaleProbe {
         timeOnce(IvfPqIndex.ensure(spark, dir, Tables.embeddings(spark, dir)))
       }
       Seq(pqRow, ("ivfpq_layout_build_once", buildLayout(src), buildLayout(out)))
-    }) ++ (if (probeSet != "emb") Seq.empty else {
+    }) ++ (if (!probeExtras || probeSet != "emb") Seq.empty else {
       // Parameter-scaling twin for the SRP path: with FIXED nPlanes the
       // candidate stream grows ∝ N (each bucket holds factor× more
       // vectors), so the registered-parameter entries above scale

@@ -1896,6 +1896,8 @@ object SparkEntry {
       graft.graph.Graph.degreeCensus(graphEdges(s, d))),
     "g4_triangle_census" -> ((s, d) =>
       graft.graph.Graph.triangleCensus(graphEdges(s, d))),
+    "g5_page_components" -> ((s, d) =>
+      graft.graph.Graph.components(graphEdges(s, d))),
 
     // ---- ml: relational full-batch GD quality classifier
     // (graft.ml.QualityClassifier — the fasttext-quality-scoring rung;
@@ -3862,6 +3864,18 @@ object SparkEntry {
          |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
          |corners AS (SELECT x AS page FROM tri UNION ALL SELECT y AS page FROM tri UNION ALL SELECT z AS page FROM tri)
          |SELECT page, count(*) AS n_triangles FROM corners GROUP BY page""".stripMargin,
+
+    // undirected closure over the edge list via the recursive min-label
+    // CTE (the m18/er2 closure-oracle pattern)
+    "g5_page_components" ->
+      s"""WITH RECURSIVE $graphEdgeCte,
+         |ed AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+         |n AS (SELECT DISTINCT src AS id FROM ed),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM n
+         |  UNION
+         |  SELECT ed.src, reach.r FROM ed JOIN reach ON reach.id = ed.dst)
+         |SELECT id AS page, min(r) AS component FROM reach GROUP BY id""".stripMargin,
 
     // ml family: the softsign-GD fit unrolled to CTEs (every constant
     // exactly representable in binary, every double sum decimal-stable —

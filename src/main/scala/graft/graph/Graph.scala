@@ -126,6 +126,20 @@ object Graph {
       .na.fill(0L, Seq("out_deg", "out_trans", "in_deg", "in_trans"))
   }
 
+  /** Connected components of the transition graph, treated undirected —
+    * the navigation-cluster view a site-structure or crawl-frontier
+    * analysis reads. Reuses the dedup closure machinery
+    * ([[graft.dedup.Dedup.dupClusters]]): driver path-compressed
+    * union-find under the 4M-edge budget, distributed min-label pointer
+    * jumping above it — both yielding the identical (page,
+    * min-reachable-page) labeling. Output: (page, component).
+    */
+  def components(edges: DataFrame, srcCol: String = "src",
+                 dstCol: String = "dst"): DataFrame =
+    graft.dedup.Dedup.dupClusters(
+      edges.select(col(srcCol).as("id1"), col(dstCol).as("id2")))
+      .select(col("id").as("page"), col("label").as("component"))
+
   /** Per-vertex triangle counts via degree-ordered edge orientation.
     * Undirected-distinct edges orient from the (degree, id)-smaller
     * endpoint to the larger; wedges pair each center's out-neighbors

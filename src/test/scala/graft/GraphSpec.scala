@@ -70,4 +70,12 @@ class GraphSpec extends SparkTestBase {
     val out = Graph.triangleCensus(edges((0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 1L)))
     assert(out.isEmpty)
   }
+
+  test("components treats direction-disjoint chains as one component") {
+    // 1->2, 3->2 (undirected: {1,2,3}); 5<->6; 7 self-loop only
+    val out = Graph.components(edges(
+      (1L, 2L, 1L), (3L, 2L, 1L), (5L, 6L, 1L), (6L, 5L, 2L), (7L, 7L, 1L)))
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
 }
