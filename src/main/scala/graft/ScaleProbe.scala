@@ -74,7 +74,8 @@ object ScaleProbe {
     // frame — expected ~linear in the featurize+cache pass); dq3 (one
     // conditional-agg scan + the doc_id uniqueness expand — ~linear)
     "g1_page_transitions", "g2_pagerank", "g3_degree_census",
-    "g4_triangle_census", "ml1_quality_weights", "ml2_quality_scores",
+    "g4_triangle_census", "g5_page_components",
+    "ml1_quality_weights", "ml2_quality_scores",
     "dq3_documents_checks")
 
   /** TPC-H probe set (SPARK_GRAFT_PROBE=tpch): the fact-heavy headline

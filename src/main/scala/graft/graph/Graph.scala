@@ -75,8 +75,13 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
                srcCol: String = "src", dstCol: String = "dst",
                weightCol: String = "n_trans"): DataFrame = {
+    // materialize the edge list ONCE (the dupClusters discipline):
+    // vertices, out-totals, weights and every iteration's propagation
+    // join all consume it — un-checkpointed, each consumer re-runs the
+    // caller's whole derivation pipeline (the lag window over the raw
+    // events), measured at 1.43 s -> 0.60 s for g2 at sf0.1
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(weightCol).cast("long").as("__c"))
+      col(weightCol).cast("long").as("__c")).localCheckpoint()
     val verts = e.select(col("src").as("page"))
       .union(e.select(col("dst").as("page"))).distinct()
     val n1 = verts.agg(count(lit(1)).cast("double").as("__n"))
@@ -118,9 +123,13 @@ object Graph {
     */
   def degreeCensus(edges: DataFrame, srcCol: String = "src",
                    dstCol: String = "dst", weightCol: String = "n_trans"): DataFrame = {
-    val o = edges.groupBy(col(srcCol).as("page"))
+    // two aggregations consume the edge list — materialize it once
+    // rather than re-deriving it per side (x100-probe evidence: g3 read
+    // 7.2x vs g1's 2.8x purely from the doubled derivation)
+    val e = edges.localCheckpoint()
+    val o = e.groupBy(col(srcCol).as("page"))
       .agg(count(lit(1)).as("out_deg"), sum(col(weightCol)).cast("long").as("out_trans"))
-    val i = edges.groupBy(col(dstCol).as("page"))
+    val i = e.groupBy(col(dstCol).as("page"))
       .agg(count(lit(1)).as("in_deg"), sum(col(weightCol)).cast("long").as("in_trans"))
     o.join(i, Seq("page"), "full_outer")
       .na.fill(0L, Seq("out_deg", "out_trans", "in_deg", "in_trans"))
@@ -154,10 +163,12 @@ object Graph {
     */
   def triangleCensus(edges: DataFrame, srcCol: String = "src",
                      dstCol: String = "dst"): DataFrame = {
+    // the normalized edge set feeds the degree count, the orientation
+    // join and the triangle-closing join — materialize it once
     val und = edges.filter(col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
-      .distinct()
+      .distinct().localCheckpoint()
     val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     val dirE = und
