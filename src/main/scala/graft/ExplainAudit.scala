@@ -85,7 +85,18 @@ object ExplainAudit {
     "er1_name_matches", "er2_entity_groups", "er3_incremental_matches",
     "er4_incremental_indexed",
     // r17: the SCD2 scaladoc claims both windows ride ONE (key) exchange
-    "w17_scd2_intervals")
+    "w17_scd2_intervals",
+    // r17 session-2/3: the g/ml/dq families — g1's lag-window edge
+    // derivation is the ONE event-scan every graph operator amortizes
+    // (the others run over its localCheckpoint'ed output, so their
+    // executed plans are post-checkpoint by design — g4's wedge joins
+    // and g6's frontier joins still show the pair-domain shapes); ml1's
+    // plan must be ONE map-side-combined gradient aggregate per epoch
+    // over the cached feature frame; dq1's whole suite must compile to
+    // ONE conditional-aggregate scan, and dq2's referential legs must
+    // broadcast the dim domain
+    "g1_page_transitions", "g4_triangle_census", "g6_harmonic_centrality",
+    "ml1_quality_weights", "dq1_orders_checks", "dq2_referential_checks")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS

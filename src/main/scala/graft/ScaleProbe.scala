@@ -74,7 +74,7 @@ object ScaleProbe {
     // frame — expected ~linear in the featurize+cache pass); dq3 (one
     // conditional-agg scan + the doc_id uniqueness expand — ~linear)
     "g1_page_transitions", "g2_pagerank", "g3_degree_census",
-    "g4_triangle_census", "g5_page_components",
+    "g4_triangle_census", "g5_page_components", "g6_harmonic_centrality",
     "ml1_quality_weights", "ml2_quality_scores",
     "dq3_documents_checks")
 

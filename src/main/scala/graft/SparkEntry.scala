@@ -1898,6 +1898,8 @@ object SparkEntry {
       graft.graph.Graph.triangleCensus(graphEdges(s, d))),
     "g5_page_components" -> ((s, d) =>
       graft.graph.Graph.components(graphEdges(s, d))),
+    "g6_harmonic_centrality" -> ((s, d) =>
+      graft.graph.Graph.harmonicCentrality(graphEdges(s, d), maxDist = 6)),
 
     // ---- ml: relational full-batch GD quality classifier
     // (graft.ml.QualityClassifier — the fasttext-quality-scoring rung;
@@ -3876,6 +3878,25 @@ object SparkEntry {
          |  UNION
          |  SELECT ed.src, reach.r FROM ed JOIN reach ON reach.id = ed.dst)
          |SELECT id AS page, min(r) AS component FROM reach GROUP BY id""".stripMargin,
+
+    // bounded-radius harmonic centrality: directed shortest distances
+    // via a depth-bounded recursive walk (min over path lengths), then
+    // the exact-rational sum — 60//d is an exact integer for d ≤ 6, one
+    // correctly-rounded double division at the end (Graph scaladoc)
+    "g6_harmonic_centrality" ->
+      s"""WITH RECURSIVE $graphEdgeCte,
+         |ed AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+         |n AS (SELECT DISTINCT page FROM
+         |  (SELECT src AS page FROM e UNION ALL SELECT dst FROM e)),
+         |walk(src, dst, d) AS (
+         |  SELECT src, dst, 1 FROM ed
+         |  UNION
+         |  SELECT w.src, ed.dst, w.d + 1 FROM walk w JOIN ed ON w.dst = ed.src
+         |  WHERE w.d < 6),
+         |sp AS (SELECT src, dst, min(d) AS d FROM walk WHERE src <> dst GROUP BY src, dst),
+         |h AS (SELECT dst AS page, CAST(sum(60 // d) AS DOUBLE) / 60 AS harmonic FROM sp GROUP BY dst)
+         |SELECT n.page, coalesce(h.harmonic, CAST(0 AS DOUBLE)) AS harmonic
+         |FROM n LEFT JOIN h USING (page)""".stripMargin,
 
     // ml family: the softsign-GD fit unrolled to CTEs (every constant
     // exactly representable in binary, every double sum decimal-stable —

@@ -149,6 +149,65 @@ object Graph {
       edges.select(col(srcCol).as("id1"), col(dstCol).as("id2")))
       .select(col("id").as("page"), col("label").as("component"))
 
+  /** Bounded-radius harmonic centrality — the OTHER ranking Common Crawl
+    * publishes beside PageRank: `H(v) = Σ_{u: 0 < d(u,v) ≤ maxDist} 1/d(u,v)`
+    * over directed shortest-path distances. The radius bound is the
+    * published practice at web scale (HyperBall-style rankings run a
+    * fixed number of relaxations; distant vertices contribute ≤ 1/r
+    * each), and it is what makes the operator a FIXED number of
+    * dataflow stages rather than a diameter-dependent loop.
+    *
+    * Shape: relational BFS over the DISTINCT edge universe — the
+    * frontier at depth i joins edges once, anti-joins the seen set, and
+    * each frontier is `localCheckpoint`ed (the pageRank discipline:
+    * without it iteration i re-derives every earlier frontier, and the
+    * caller's whole edge derivation re-runs per consumer). All frames
+    * past the one edge scan are bounded by the page-pair domain, not the
+    * event count. Empty frontier short-circuits (the checkpoint has
+    * already materialized it, so the emptiness probe is free).
+    *
+    * Numeric discipline: 1/d sums are NOT accumulated in floating
+    * point — with `L = lcm(1..maxDist)` the operator sums the exact
+    * longs `L/d` and performs ONE correctly-rounded double division by
+    * `L` at the end, so the result is bit-identical cross-engine and
+    * independent of partial-aggregation order (the decimal-sum trick,
+    * except here the rational is exactly representable). Output:
+    * (page, harmonic), zero-filled over the full vertex universe
+    * (self-loop-only pages rank 0, like the census zero-fill).
+    */
+  def harmonicCentrality(edges: DataFrame, maxDist: Int = 6,
+                         srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 12,
+      s"maxDist must be in [1, 12], got $maxDist")
+    val L = (1 to maxDist).foldLeft(1L) { (a, b) =>
+      a / BigInt(a).gcd(BigInt(b)).toLong * b
+    }
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val verts = e0.select(col("src").as("page"))
+      .union(e0.select(col("dst").as("page"))).distinct()
+    val e = e0.filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var dist = e.withColumn("d", lit(1))
+    var frontier = dist
+    var depth = 2
+    while (depth <= maxDist && !frontier.isEmpty) {
+      val grown = frontier.select(col("src"), col("dst").as("__mid"))
+        .join(e.select(col("src").as("__mid"), col("dst")), "__mid")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      frontier = grown
+        .join(dist.select("src", "dst"), Seq("src", "dst"), "left_anti")
+        .withColumn("d", lit(depth)).localCheckpoint()
+      dist = dist.union(frontier)
+      depth += 1
+    }
+    val h = dist.groupBy(col("dst").as("page"))
+      .agg((sum(expr(s"$L div d")).cast("double") / lit(L.toDouble))
+        .as("harmonic"))
+    verts.join(h, Seq("page"), "left")
+      .na.fill(0.0, Seq("harmonic"))
+  }
+
   /** Per-vertex triangle counts via degree-ordered edge orientation.
     * Undirected-distinct edges orient from the (degree, id)-smaller
     * endpoint to the larger; wedges pair each center's out-neighbors

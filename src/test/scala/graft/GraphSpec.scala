@@ -71,6 +71,42 @@ class GraphSpec extends SparkTestBase {
     assert(out.isEmpty)
   }
 
+  test("harmonicCentrality matches the hand-computed path and cycle") {
+    // path 1->2->3->4: H(4) = 1 + 1/2 + 1/3 = 110/60; H(3) = 1 + 1/2;
+    // H(2) = 1; H(1) = 0 (directed — nothing reaches the head)
+    val path = Graph.harmonicCentrality(edges(
+      (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L)))
+      .as[(Long, Double)].collect().toMap
+    assert(path(4L) === 110.0 / 60.0)
+    assert(path(3L) === 1.5 && path(2L) === 1.0 && path(1L) === 0.0)
+    // 3-cycle: every vertex is reached at distances 1 and 2
+    val cyc = Graph.harmonicCentrality(edges(
+      (0L, 1L, 1L), (1L, 2L, 1L), (2L, 0L, 1L)))
+      .as[(Long, Double)].collect().toMap
+    assert(cyc === Map(0L -> 1.5, 1L -> 1.5, 2L -> 1.5))
+  }
+
+  test("harmonicCentrality respects the radius bound and zero-fills") {
+    // chain of 5 with maxDist=2: the tail sees only its two predecessors;
+    // a self-loop-only page is in the universe with harmonic 0
+    val out = Graph.harmonicCentrality(edges(
+      (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L), (9L, 9L, 1L)),
+      maxDist = 2).as[(Long, Double)].collect().toMap
+    assert(out(5L) === 1.5 && out(4L) === 1.5 && out(3L) === 1.5)
+    assert(out(2L) === 1.0 && out(1L) === 0.0)
+    assert(out(9L) === 0.0)
+  }
+
+  test("harmonicCentrality takes shortest distance when paths tie") {
+    // 0->3 direct AND 0->1->2->3: d(0,3) = 1, not 3; plus multiplicity
+    // duplicates in the edge list must not double-count
+    val out = Graph.harmonicCentrality(edges(
+      (0L, 3L, 5L), (0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (0L, 3L, 2L)))
+      .as[(Long, Double)].collect().toMap
+    // H(3) = 1/d(0,3) + 1/d(1,3) + 1/d(2,3) = 1 + 1/2 + 1 = 2.5
+    assert(out(3L) === 2.5)
+  }
+
   test("components treats direction-disjoint chains as one component") {
     // 1->2, 3->2 (undirected: {1,2,3}); 5<->6; 7 self-loop only
     val out = Graph.components(edges(
