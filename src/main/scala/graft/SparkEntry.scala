@@ -1900,6 +1900,8 @@ object SparkEntry {
       graft.graph.Graph.components(graphEdges(s, d))),
     "g6_harmonic_centrality" -> ((s, d) =>
       graft.graph.Graph.harmonicCentrality(graphEdges(s, d), maxDist = 6)),
+    "g7_harmonic_hyperball" -> ((s, d) =>
+      graft.graph.Graph.harmonicCentralityHyperBall(graphEdges(s, d), maxDist = 6)),
 
     // ---- ml: relational full-batch GD quality classifier
     // (graft.ml.QualityClassifier — the fasttext-quality-scoring rung;
@@ -3896,6 +3898,27 @@ object SparkEntry {
          |sp AS (SELECT src, dst, min(d) AS d FROM walk WHERE src <> dst GROUP BY src, dst),
          |h AS (SELECT dst AS page, CAST(sum(60 // d) AS DOUBLE) / 60 AS harmonic FROM sp GROUP BY dst)
          |SELECT n.page, coalesce(h.harmonic, CAST(0 AS DOUBLE)) AS harmonic
+         |FROM n LEFT JOIN h USING (page)""".stripMargin,
+
+    // HyperBall shares the exact form's oracle: at page-domain ball
+    // sizes the HLL sketch is in exact coupon-list mode (Graph
+    // scaladoc), so the estimates ARE the true ball sizes; g7 publishes
+    // 6-dp-rounded values because its per-depth Δ/t accumulation can
+    // differ from the exact lcm-rational division by 1 ulp
+    "g7_harmonic_hyperball" ->
+      s"""WITH RECURSIVE $graphEdgeCte,
+         |ed AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+         |n AS (SELECT DISTINCT page FROM
+         |  (SELECT src AS page FROM e UNION ALL SELECT dst FROM e)),
+         |walk(src, dst, d) AS (
+         |  SELECT src, dst, 1 FROM ed
+         |  UNION
+         |  SELECT w.src, ed.dst, w.d + 1 FROM walk w JOIN ed ON w.dst = ed.src
+         |  WHERE w.d < 6),
+         |sp AS (SELECT src, dst, min(d) AS d FROM walk WHERE src <> dst GROUP BY src, dst),
+         |h AS (SELECT dst AS page, CAST(sum(60 // d) AS DOUBLE) / 60 AS harmonic FROM sp GROUP BY dst)
+         |SELECT n.page,
+         |  round(coalesce(h.harmonic, CAST(0 AS DOUBLE)) * 1000000) / 1000000.0 + 0.0 AS harmonic
          |FROM n LEFT JOIN h USING (page)""".stripMargin,
 
     // ml family: the softsign-GD fit unrolled to CTEs (every constant

@@ -208,6 +208,76 @@ object Graph {
       .na.fill(0.0, Seq("harmonic"))
   }
 
+  /** HyperBall harmonic centrality (Boldi & Vigna, "In-Core Computation
+    * of Geometric Centralities with HyperBall", 2013) — the algorithm
+    * behind the published web-scale harmonic rankings, and THE 100 TB
+    * path for this metric: [[harmonicCentrality]]'s exact BFS
+    * materializes the reachable-pair domain (quadratic in vertices —
+    * right for bounded page universes, impossible for URL graphs), while
+    * HyperBall keeps ONE fixed-size HLL sketch per vertex and estimates
+    * ball sizes, so each relaxation is one edges⋈sketches join + one
+    * sketch-union aggregate regardless of how many pairs exist:
+    * `B(v,0) = {v}`; `B(v,t) = B(v,t-1) ∪ ⋃_{u→v} B(u,t-1)`;
+    * `H(v) ≈ Σ_t (|B(v,t)| − |B(v,t−1)|)/t`.
+    *
+    * Built on Spark's native datasketches expressions (`hll_sketch_agg`
+    * / `hll_union_agg` / `hll_sketch_estimate` — codegen'd, mergeable,
+    * order-independent). Sketches are checkpointed per relaxation (the
+    * pageRank discipline). At page-domain cardinalities the sketch
+    * never leaves its exact coupon-list mode (promotion is hundreds of
+    * entries at the default lgK=12), so the estimate IS the true ball
+    * size and the output matches [[harmonicCentrality]] exactly — which
+    * is what lets the registered query share g6's independent SQL
+    * oracle. The genuinely-approximate regime (ball sizes past coupon
+    * promotion) is property-gated in GraphSpec on a synthetic star with
+    * thousands of sources. Published values are rounded to 6 dp (the
+    * pageRank trick) because the Δ/t accumulation order differs from
+    * the exact form's single lcm-rational division by up to 1 ulp.
+    */
+  def harmonicCentralityHyperBall(edges: DataFrame, maxDist: Int = 6,
+                                  lgK: Int = 12, srcCol: String = "src",
+                                  dstCol: String = "dst"): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 12,
+      s"maxDist must be in [1, 12], got $maxDist")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val verts = e0.select(col("src").as("page"))
+      .union(e0.select(col("dst").as("page"))).distinct()
+    val e = e0.filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var balls = verts.groupBy("page")
+      .agg(hll_sketch_agg(col("page"), lit(lgK)).as("ball"))
+      .localCheckpoint()
+    // (page, prev ball estimate, running harmonic sum)
+    var h = balls.select(col("page"),
+      hll_sketch_estimate(col("ball")).cast("double").as("prev"),
+      lit(0.0).as("h"))
+    var t = 1
+    var saturated = false
+    while (t <= maxDist && !saturated) {
+      val grown = balls
+        .join(e, balls("page") === e("src"))
+        .select(col("dst").as("page"), col("ball"))
+      balls = balls.select("page", "ball").unionByName(grown)
+        .groupBy("page").agg(hll_union_agg(col("ball")).as("ball"))
+        .localCheckpoint()
+      val est = balls.select(col("page"),
+        hll_sketch_estimate(col("ball")).cast("double").as("est"))
+      // greatest(…, 0): a sketch estimate can jitter below its previous
+      // value in the approximate regime; a ball never shrinks
+      val joined = h.join(est, "page").localCheckpoint()
+      h = joined.select(col("page"), col("est").as("prev"),
+        (col("h") + greatest(col("est") - col("prev"), lit(0.0))
+          / lit(t.toDouble)).as("h"))
+      // HyperBall's own termination test: once no counter grew, every
+      // remaining depth contributes Δ = 0 — one narrow scan of the
+      // checkpointed frame per relaxation, never the edge list
+      saturated = joined.filter(col("est") > col("prev")).isEmpty
+      t += 1
+    }
+    h.select(col("page"),
+      (round(col("h") * 1000000) / 1000000.0 + lit(0.0)).as("harmonic"))
+  }
+
   /** Per-vertex triangle counts via degree-ordered edge orientation.
     * Undirected-distinct edges orient from the (degree, id)-smaller
     * endpoint to the larger; wedges pair each center's out-neighbors

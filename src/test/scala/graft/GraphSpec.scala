@@ -107,6 +107,35 @@ class GraphSpec extends SparkTestBase {
     assert(out(3L) === 2.5)
   }
 
+  test("harmonicCentralityHyperBall equals the exact BFS in coupon regime") {
+    // page-domain ball sizes keep the HLL sketch in its exact
+    // coupon-list mode, so HyperBall must reproduce the exact operator
+    // (rounded to the 6 dp it publishes) — this is the property that
+    // lets g7 share g6's SQL oracle
+    val es = edges(
+      (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (0L, 3L, 1L),
+      (4L, 1L, 2L), (9L, 9L, 1L))
+    val exact = Graph.harmonicCentrality(es)
+      .select(col("page"),
+        (round(col("harmonic") * 1000000) / 1000000.0 + lit(0.0)).as("h"))
+      .as[(Long, Double)].collect().toMap
+    val hb = Graph.harmonicCentralityHyperBall(es)
+      .as[(Long, Double)].collect().toMap
+    assert(hb === exact)
+    assert(hb(9L) === 0.0) // self-loop-only page zero-fills
+  }
+
+  test("harmonicCentralityHyperBall estimates within HLL error at scale") {
+    // a 5000-source star pushes the hub's ball far past coupon
+    // promotion into the genuinely-approximate regime: lgK=12 has
+    // ~1.6% relative standard error, gate at 5%
+    val star = (1L to 5000L).map(s => (s, 0L, 1L))
+    val out = Graph.harmonicCentralityHyperBall(edges(star: _*), maxDist = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(out(0L) - 5000.0) < 250.0)
+    assert(out(1L) === 0.0) // sources are unreached
+  }
+
   test("components treats direction-disjoint chains as one component") {
     // 1->2, 3->2 (undirected: {1,2,3}); 5<->6; 7 self-loop only
     val out = Graph.components(edges(
