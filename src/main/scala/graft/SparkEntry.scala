@@ -4024,7 +4024,8 @@ object SparkEntry {
        |  CAST(1 AS DOUBLE) AS x0,
        |  ln(CAST(1 AS DOUBLE) + n_chars) - 5.5 AS x1,
        |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS DOUBLE) / 100.0 - 0.5 AS x2,
-       |  CAST(len(text) - len(replace(text, 'a', '')) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS x3,
+       |  CASE WHEN n_chars = 0 THEN CAST(0 AS DOUBLE)
+       |    ELSE CAST(len(text) - len(replace(text, 'a', '')) AS DOUBLE) / CAST(n_chars AS DOUBLE) END AS x3,
        |  CASE WHEN n_chars >= 256 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
        | FROM documents),
        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),

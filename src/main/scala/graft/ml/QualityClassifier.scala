@@ -49,8 +49,13 @@ object QualityClassifier {
       (log(lit(1.0) + col(nCharsCol)) - lit(5.5)).as("x1"),
       (size(graft.text.Text.tokens(col(textCol))).cast("double") / lit(100.0)
         - lit(0.5)).as("x2"),
-      ((length(col(textCol)) - length(replace(col(textCol), lit("a"), lit(""))))
-        .cast("double") / col(nCharsCol).cast("double")).as("x3"),
+      // branch-guarded: a zero-char document would otherwise abort the
+      // whole featurize scan under ANSI division-by-zero; an empty doc
+      // has no 'a'-rate signal, so the feature is its centered zero
+      when(col(nCharsCol) === 0, lit(0.0))
+        .otherwise((length(col(textCol))
+          - length(replace(col(textCol), lit("a"), lit(""))))
+          .cast("double") / col(nCharsCol).cast("double")).as("x3"),
       when(label, lit(1.0)).otherwise(lit(0.0)).as("y"))
 
   private val featCols = Seq("x0", "x1", "x2", "x3")
@@ -81,6 +86,9 @@ object QualityClassifier {
     try {
       val n = cached.count().toDouble
       var w = Array.fill(featCols.size)(0.0)
+      // zero documents: no gradient exists — return the init weights
+      // instead of NPE-ing on the null gradient row and dividing by 0
+      if (n == 0) return w
       for (_ <- 0 until iters) {
         val z = featCols.zipWithIndex
           .map { case (f, i) => lit(w(i)) * col(f) }.reduceLeft(_ + _)

@@ -31,8 +31,15 @@ object Checks {
   final case class Check(name: String, column: String, metric: Column,
                          threshold: Double, atLeast: Boolean = true)
 
+  // vacuous truth on zero rows: per-row property checks cannot be
+  // violated by an empty table (under ANSI mode the plain 0/0 division
+  // even ABORTS the whole suite with DIVIDE_BY_ZERO; pre-ANSI it
+  // published a NULL metric and — worse — a NULL `passed` that a gate
+  // filtering `passed = false` silently misses); catching empty inputs
+  // is [[rowCountAtLeast]]'s job, by design
   private def ratio(num: Column): Column =
-    num.cast("double") / count(lit(1)).cast("double")
+    coalesce(try_divide(num.cast("double"), count(lit(1)).cast("double")),
+      lit(1.0))
 
   /** Non-null fraction ≥ threshold. */
   def completeness(c: String, threshold: Double): Check =
@@ -71,8 +78,12 @@ object Checks {
       struct(lit(c.name).as("check_name"), lit(c.column).as("col_name"),
         (round(col(s"m$i") * 1000000) / 1000000.0 + lit(0.0)).as("metric"),
         lit(c.threshold).as("threshold"),
-        (if (c.atLeast) col(s"m$i") >= lit(c.threshold)
-         else col(s"m$i") <= lit(c.threshold)).as("passed"))
+        // min/max on an empty table (or an all-null column) aggregate
+        // to NULL — no value exists to violate the bound, so the check
+        // vacuously passes instead of publishing an unfilterable NULL
+        (col(s"m$i").isNull ||
+          (if (c.atLeast) col(s"m$i") >= lit(c.threshold)
+           else col(s"m$i") <= lit(c.threshold))).as("passed"))
     }
     aggd.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
   }
@@ -91,8 +102,8 @@ object Checks {
     val keys = parent.select(col(parentCol).as(childCol)).distinct()
       .withColumn("__hit", lit(1))
     child.select(col(childCol)).join(keys, Seq(childCol), "left")
-      .agg((count(col("__hit")).cast("double") /
-        count(lit(1)).cast("double")).as("__m"))
+      .agg(coalesce(try_divide(count(col("__hit")).cast("double"),
+        count(lit(1)).cast("double")), lit(1.0)).as("__m"))
       .select(lit("referential").as("check_name"),
         lit(childCol).as("col_name"),
         (round(col("__m") * 1000000) / 1000000.0 + lit(0.0)).as("metric"),

@@ -37,6 +37,34 @@ class ChecksSpec extends SparkTestBase {
     assert(out(("matches", "lang")) === ((1.0, true)))
   }
 
+  test("per-row checks vacuously pass on empty input; row_count catches it") {
+    // the gate semantics: an empty table violates no per-row property
+    // (metric NULL would make `passed` NULL — unfilterable by a gate
+    // selecting passed = false); existence is rowCountAtLeast's job
+    val empty = t.filter(lit(false))
+    val out = Checks.run(empty, Seq(
+      Checks.rowCountAtLeast(1.0),
+      Checks.completeness("s", 1.0),
+      Checks.uniqueness("id", 1.0),
+      Checks.minValue("v", 0.0),
+      Checks.maxValue("v", 25.0),
+      Checks.inSet("lang", Seq("en"), 1.0),
+      Checks.matches("lang", "^[a-z]{2}$", 1.0)
+    )).select("check_name", "passed").as[(String, Boolean)].collect().toMap
+    assert(out("row_count") === false) // the one that must fire
+    assert(out("completeness") && out("uniqueness") && out("min_value") &&
+      out("max_value") && out("in_set") && out("matches"))
+    // all-null column: no value exists to violate a bound either
+    val allNull = Seq((1L, None: Option[Double])).toDF("id", "v")
+    val mn = Checks.run(allNull, Seq(Checks.minValue("v", 0.0)))
+      .select("passed").as[Boolean].collect()
+    assert(mn === Array(true))
+    // referential over an empty child: nothing can be an orphan
+    val ref = Checks.referential(empty, "id", t, "id", 1.0)
+      .select("metric", "passed").as[(Double, Boolean)].collect()
+    assert(ref === Array((1.0, true)))
+  }
+
   test("whole suite is one scan of the table") {
     val plan = Checks.run(t, Seq(
       Checks.rowCountAtLeast(1.0),

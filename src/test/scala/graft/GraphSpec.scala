@@ -136,6 +136,19 @@ class GraphSpec extends SparkTestBase {
     assert(out(1L) === 0.0) // sources are unreached
   }
 
+  test("every graph operator returns empty on an empty edge list") {
+    // a quiet ingest window produces zero transitions; nothing may
+    // throw (pageRank's 1/N, harmonic's BFS loop, HyperBall's
+    // saturation probe all see zero vertices)
+    val none = edges()
+    assert(Graph.pageRank(none).isEmpty)
+    assert(Graph.degreeCensus(none).isEmpty)
+    assert(Graph.triangleCensus(none).isEmpty)
+    assert(Graph.components(none).isEmpty)
+    assert(Graph.harmonicCentrality(none).isEmpty)
+    assert(Graph.harmonicCentralityHyperBall(none).isEmpty)
+  }
+
   test("components treats direction-disjoint chains as one component") {
     // 1->2, 3->2 (undirected: {1,2,3}); 5<->6; 7 self-loop only
     val out = Graph.components(edges(

@@ -30,6 +30,18 @@ class QualityClassifierSpec extends SparkTestBase {
     assert(r.getAs[Double]("y") === 1.0)
   }
 
+  test("zero-char docs featurize (ANSI-safe) and empty corpora fit to init") {
+    // a zero-char document must not abort the scan with DIVIDE_BY_ZERO;
+    // its 'a'-rate feature is the centered zero
+    val weird = Seq((99L, "", 0L)).toDF("doc_id", "text", "n_chars")
+    val f = QualityClassifier.featurize(
+      weird, "doc_id", "text", "n_chars", col("n_chars") >= 256).head()
+    assert(f.getAs[Double]("x3") === 0.0 && f.getAs[Double]("y") === 0.0)
+    // zero documents: no gradient exists — weights stay at init, no NPE
+    val w = QualityClassifier.trainWeights(feats.filter(lit(false)))
+    assert(w.toSeq === Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
   test("GD fit separates the separable fixture perfectly") {
     val scored = QualityClassifier.score(feats, "doc_id")
       .as[(Long, Double, Long, Long)].collect()
