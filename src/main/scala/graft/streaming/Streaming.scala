@@ -348,6 +348,71 @@ object Streaming {
       }
   }
 
+  case class PageView(user: Long, ts: java.sql.Timestamp, tie: Long, page: Long)
+  case class PageEdge(src: Long, dst: Long)
+  case class LastView(tsMs: Long, tie: Long, page: Long)
+
+  /** Streaming page-transition edges — the g family's real-time twin
+    * ([[graft.graph.Graph.transitionEdges]]'s lag window, held online):
+    * per user, keep the LAST view in state and emit one (src, dst) edge
+    * per arriving event. Consumers aggregate — `groupBy(src, dst).count`
+    * over the drained sink equals the batch operator's weighted edge
+    * list (the StreamingSpec parity gate), and a downstream PageRank /
+    * census reads that aggregate, never the raw emissions.
+    *
+    * State is O(1) per ACTIVE user (one last view). Eviction after
+    * `stateTtlDays` of event-time silence forgets the last view, so a
+    * returning user starts a fresh chain — no edge spans the gap. That
+    * is a semantic choice, not just hygiene: a transition across a
+    * month of silence is not evidence of navigation (the sessionize
+    * rationale), and it is what bounds the state by active users.
+    *
+    * Ordering contract (the scd2Stream contract): within a batch, rows
+    * fold in (ts, tie) order; across batches, arrival must respect
+    * event time up to `lateness` — a row older than the held last view
+    * that still reaches the fold is dropped (it cannot be spliced back
+    * into an already-emitted chain; widen `lateness` if such replays
+    * must count).
+    */
+  def transitionEdgesStream(ds: Dataset[PageView], stateTtlDays: Int = 30,
+                            lateness: String = "1 day"): Dataset[PageEdge] = {
+    import ds.sparkSession.implicits._
+    val evict = stateTtlDays > 0
+    val src = if (evict) ds.withWatermark("ts", lateness) else ds
+    val timeoutConf =
+      if (evict) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    src.groupByKey(_.user)
+      .flatMapGroupsWithState[LastView, PageEdge](
+        OutputMode.Append, timeoutConf) {
+        (_: Long, rows: Iterator[PageView], state: GroupState[LastView]) =>
+          if (evict && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.tie))
+            var st = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[PageEdge]
+            sorted.foreach { r =>
+              st match {
+                case Some(lv) if r.ts.getTime > lv.tsMs ||
+                    (r.ts.getTime == lv.tsMs && r.tie >= lv.tie) =>
+                  out += PageEdge(lv.page, r.page)
+                  st = Some(LastView(r.ts.getTime, r.tie, r.page))
+                case Some(_) => // pre-state late row: dropped (contract)
+                case None =>
+                  st = Some(LastView(r.ts.getTime, r.tie, r.page))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              if (evict)
+                safeSetTimeout(state, s.tsMs + stateTtlDays * 86400000L)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming first-seen cohort assignment — the real-time twin of
     * w15's cohort derivation (`Lifecycle.cohortRetention`'s
     * `min(first day)` per key): per key, track the earliest day seen and

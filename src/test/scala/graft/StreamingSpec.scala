@@ -1168,6 +1168,75 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transitionEdgesStream: drained edge counts equal the batch lag window " +
+       "(g-family parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming._
+    def T(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[PageView]
+    val q = transitionEdgesStream(mem.toDS(), stateTtlDays = 30,
+      lateness = "0 seconds")
+      .writeStream.format("memory").queryName("trans_stream")
+      .outputMode("append").start()
+    try {
+      // user 1: 10 -> 20 -> 10 -> 20 split ACROSS batches (state must
+      // carry the chain); user 2: one lonely view (no edge)
+      mem.addData(
+        PageView(1L, T("2024-01-01 00:01:00"), 1L, 10L),
+        PageView(1L, T("2024-01-01 00:02:00"), 2L, 20L),
+        PageView(2L, T("2024-01-01 00:05:00"), 5L, 30L))
+      q.processAllAvailable()
+      // continuation rows sit ABOVE batch-1's closing watermark
+      // (00:05 with lateness 0) — the documented arrival contract
+      mem.addData(
+        PageView(1L, T("2024-01-01 00:06:00"), 3L, 10L),
+        PageView(1L, T("2024-01-01 00:07:00"), 4L, 20L))
+      q.processAllAvailable()
+      val streamed = spark.table("trans_stream")
+        .groupBy("src", "dst").count()
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = graft.graph.Graph.transitionEdges(
+        Seq((1L, T("2024-01-01 00:01:00"), 1L, 10L),
+            (1L, T("2024-01-01 00:02:00"), 2L, 20L),
+            (2L, T("2024-01-01 00:05:00"), 5L, 30L),
+            (1L, T("2024-01-01 00:06:00"), 3L, 10L),
+            (1L, T("2024-01-01 00:07:00"), 4L, 20L))
+          .toDF("user_id", "ts", "event_id", "page"),
+        "user_id", "page", "ts", "event_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batch && batch === Set((10L, 20L, 2L), (20L, 10L, 1L)))
+    } finally q.stop()
+  }
+
+  test("transitionEdgesStream: eviction forgets the chain — a returning user " +
+       "emits no edge across the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming._
+    def T(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[PageView]
+    val q = transitionEdgesStream(mem.toDS(), stateTtlDays = 5,
+      lateness = "0 seconds")
+      .writeStream.format("memory").queryName("trans_evict")
+      .outputMode("append").start()
+    try {
+      mem.addData(PageView(1L, T("2024-01-01 00:00:00"), 1L, 10L))
+      q.processAllAvailable()
+      // watermark far past user 1's TTL, carried by another user
+      mem.addData(PageView(9L, T("2024-03-01 00:00:00"), 2L, 40L))
+      q.processAllAvailable()
+      mem.addData(PageView(9L, T("2024-03-02 00:00:00"), 3L, 41L))
+      q.processAllAvailable() // user 1 evicted here
+      mem.addData(
+        PageView(1L, T("2024-03-10 00:00:00"), 4L, 20L),
+        PageView(1L, T("2024-03-11 00:00:00"), 5L, 30L))
+      q.processAllAvailable()
+      val got = spark.table("trans_evict").as[(Long, Long)].collect().toSet
+      // no (10 -> 20) across the gap; the fresh chain's (20 -> 30) and
+      // user 9's (40 -> 41) are the only edges
+      assert(got === Set((20L, 30L), (40L, 41L)))
+    } finally q.stop()
+  }
+
   test("scd2Stream: a key returning after eviction starts a FRESH history " +
        "(no cross-eviction closure — documented)") {
     implicit val sqlCtx = spark.sqlContext

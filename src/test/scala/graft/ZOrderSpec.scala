@@ -25,6 +25,18 @@ class ZOrderSpec extends SparkTestBase {
     assert(r === 11L)
   }
 
+  test("empty input round-trips: no cuts, z-value 0, empty table written") {
+    // a quiet ingest window must not abort layout maintenance: the
+    // quantile pass yields zero cut points, every (non-existent) row
+    // ranks to bucket 0, and the write lands an empty readable table
+    val empty = Seq((1.0, 1.0)).toDF("a", "b").filter(lit(false))
+    val cuts = ZOrder.quantileCuts(empty, Seq("a", "b"))
+    assert(cuts === Seq(Seq(), Seq()))
+    val dir = java.nio.file.Files.createTempDirectory("zempty").toString
+    ZOrder.writeZOrdered(empty, Seq("a", "b"), dir, numFiles = 4)
+    assert(spark.read.parquet(dir).isEmpty)
+  }
+
   test("z-order layout prunes file min/max on BOTH columns; linear sort only on its own") {
     // two independent uniform columns; 64 files; a reader filtering a
     // ~1/16 range of EITHER column should touch ~√N of the z-ordered
