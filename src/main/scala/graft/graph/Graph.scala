@@ -239,6 +239,8 @@ object Graph {
                                   dstCol: String = "dst"): DataFrame = {
     require(maxDist >= 1 && maxDist <= 12,
       s"maxDist must be in [1, 12], got $maxDist")
+    require(lgK >= 4 && lgK <= 21,
+      s"lgK must be in [4, 21] (datasketches HllSketch bounds), got $lgK")
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint()
     val verts = e0.select(col("src").as("page"))
