@@ -4003,8 +4003,8 @@ object SparkEntry {
          |  CAST($thr AS DOUBLE) AS threshold, $m $cmp CAST($thr AS DOUBLE) AS passed FROM a""".stripMargin
     }.mkString("\nUNION ALL\n")
 
-  /** Shared ml-family oracle prefix: featurization + 3 unrolled softsign
-    * GD steps ([[graft.ml.QualityClassifier]] replayed literally; lr=0.5
+  /** Shared ml-family oracle prefix: featurization + 8 unrolled softsign
+    * GD steps ([[graft.ml.QualityClassifier]] replayed literally; lr=8
     * and every other constant is exactly binary-representable, so no
     * double-vs-decimal literal drift exists anywhere in the fit).
     */

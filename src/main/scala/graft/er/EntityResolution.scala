@@ -38,6 +38,20 @@ object EntityResolution {
     */
   val defaultBlockCap = 1000
 
+  /** The module's ONE tokenization: distinct (name, whitespace-token)
+    * pairs over the distinct non-null name universe. Every blocking
+    * surface (pair search, spanning edges, standing blocks, indexed
+    * batch side) derives from this helper — tokenization drift between
+    * er1/er2 and er3/er4 (or engine vs persisted NameIndex) would
+    * silently desynchronize their candidate sets.
+    */
+  private[graft] def nameTokens(df: DataFrame, nameCol: String): DataFrame =
+    df.select(col(nameCol).as("__name"))
+      .filter(col("__name").isNotNull).distinct()
+      .select(col("__name"), explode(split(col("__name"), "\\s+")).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .distinct() // a token repeated inside one name blocks it once
+
   /** Distinct-name pairs within `maxDist` edits that share ≥ 1
     * whitespace token: (name1, name2, dist), name1 < name2. One shuffle
     * lands names on their tokens (cap counted there), the self-join
@@ -48,13 +62,7 @@ object EntityResolution {
     */
   def nameMatchPairs(df: DataFrame, nameCol: String, maxDist: Int,
                      blockCap: Int = defaultBlockCap): DataFrame = {
-    val names = df.select(col(nameCol).as("__name"))
-      .filter(col("__name").isNotNull).distinct()
-    val toks = names
-      .select(col("__name"), explode(split(col("__name"), "\\s+")).as("__tok"))
-      .filter(length(col("__tok")) > 0)
-      .distinct() // a token repeated inside one name blocks it once
-    val capped = toks
+    val capped = nameTokens(df, nameCol)
       .withColumn("__occ",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("__tok")))
       .filter(col("__occ") <= blockCap)
@@ -162,12 +170,7 @@ object EntityResolution {
     */
   def nameMatchSpanningEdges(df: DataFrame, nameCol: String, maxDist: Int,
                              blockCap: Int = defaultBlockCap): DataFrame = {
-    val names = df.select(col(nameCol).as("__name"))
-      .filter(col("__name").isNotNull).distinct()
-    val grouped = names
-      .select(col("__name"), explode(split(col("__name"), "\\s+")).as("__tok"))
-      .filter(length(col("__tok")) > 0)
-      .distinct()
+    val grouped = nameTokens(df, nameCol)
       .groupBy(col("__tok"))
       // name-ascending members: deterministic edge choice, name1 < name2
       .agg(sort_array(collect_list(col("__name"))).as("__m"))
@@ -219,12 +222,7 @@ object EntityResolution {
     */
   private[graft] def standingTokenBlocks(standing: DataFrame, nameCol: String,
                                          blockCap: Int): DataFrame = {
-    val standingNames = standing.select(col(nameCol).as("__name"))
-      .filter(col("__name").isNotNull).distinct()
-    standingNames
-      .select(col("__name"), explode(split(col("__name"), "\\s+")).as("__tok"))
-      .filter(length(col("__tok")) > 0)
-      .distinct()
+    nameTokens(standing, nameCol)
       .withColumn("__occ",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("__tok")))
       .filter(col("__occ") <= blockCap)
@@ -239,13 +237,7 @@ object EntityResolution {
   def incrementalEntityMatchesIndexed(batch: DataFrame, standingToks: DataFrame,
                                       idCol: String, nameCol: String,
                                       maxDist: Int): DataFrame = {
-    def toks(names: DataFrame): DataFrame = names
-      .select(col("__name"), explode(split(col("__name"), "\\s+")).as("__tok"))
-      .filter(length(col("__tok")) > 0)
-      .distinct()
-    val batchNames = batch.select(col(nameCol).as("__name"))
-      .filter(col("__name").isNotNull).distinct()
-    val cand = toks(batchNames).as("b")
+    val cand = nameTokens(batch, nameCol).as("b")
       .join(standingToks.as("s"), col("b.__tok") === col("s.__tok"))
       .select(col("b.__name").as("__bname"), col("__sname"))
       .distinct()
@@ -285,10 +277,17 @@ object EntityResolution {
                    blockCap: Int = defaultBlockCap): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val pairs = nameMatchSpanningEdges(df, nameCol, maxDist, blockCap).collect()
-    require(pairs.length <= maxClosureEdges,
-      s"name-match graph has ${pairs.length} edges > $maxClosureEdges; " +
+    // budget-check BEFORE any driver materialization (the dupClusters
+    // discipline): collecting first would OOM the driver on exactly the
+    // corpora the guard exists to reroute; the localCheckpoint makes
+    // the count and the collect share one evaluation of the edge search
+    val edges = nameMatchSpanningEdges(df, nameCol, maxDist, blockCap)
+      .localCheckpoint()
+    val nEdges = edges.count()
+    require(nEdges <= maxClosureEdges,
+      s"name-match graph has $nEdges edges > $maxClosureEdges; " +
         "route through Dedup.dupClusters on a dense name-id assignment")
+    val pairs = edges.collect()
     // union-find, always attaching the lexicographically LARGER root
     // under the smaller: the root IS the component's min name
     val parent = scala.collection.mutable.HashMap.empty[String, String]

@@ -85,7 +85,7 @@ object ZOrder {
   * year of daily batches every range query touches one file per day.
   * [[compact]] is the periodic layout pass that re-clusters the WHOLE
   * table onto one global curve (the OPTIMIZE ZORDER shape): reads
-  * everything once, one range shuffle, atomic directory swap — after
+  * everything once, one range shuffle, two-rename directory swap — after
   * it, file count and per-file spans are as if the table had been
   * written z-ordered in one shot (gated in ZOrderSpec).
   */
@@ -106,10 +106,14 @@ object ZOrderTable {
   }
 
   /** Re-cluster the whole table onto one global curve and swap it in
-    * atomically (write beside, delete old, rename): global quantile
-    * cuts, one range shuffle, `numFiles` output files. Rows are
-    * preserved exactly — compaction is a permutation, like every other
-    * maintenance pass here.
+    * (write beside, rename live aside, rename new in, drop the old):
+    * global quantile cuts, one range shuffle, `numFiles` output files.
+    * Rows are preserved exactly — compaction is a permutation, like
+    * every other maintenance pass here. The swap is two metadata
+    * renames, NOT one atomic operation: a crash between them leaves the
+    * table at `path + "__precompact"` (rename it back); concurrent
+    * readers can observe a path-not-found during that instant — run
+    * compact in the table's maintenance window, like OPTIMIZE.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               cols: Seq[String], numFiles: Int, bits: Int = 8): Unit = {
@@ -117,12 +121,23 @@ object ZOrderTable {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "__precompact")
     if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) fs.delete(old, true)
     ZOrder.writeZOrdered(spark.read.parquet(path), cols, tmp.toString,
       numFiles, bits)
-    fs.delete(p, true)
-    if (!fs.rename(tmp, p))
+    // two renames, never delete-then-rename: a crash between a delete
+    // and the swap would leave NO live table path. After rename(p, old)
+    // the worst crash point leaves the table recoverable at `old`
+    // (rename back), and the live path is absent only for the gap
+    // between two metadata renames — not for the whole rewrite
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compact stage failed: $p -> $old")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // restore the original table before failing
       throw new java.io.IOException(s"compact swap failed: $tmp -> $p")
+    }
+    fs.delete(old, true)
   }
 }
 

@@ -295,9 +295,11 @@ object Streaming {
     * Ordering contract: within a batch, rows fold in (ts, tie) order;
     * ACROSS batches, arrival must respect event time up to `lateness`
     * (the watermark bound — older rows are dropped before the fold by
-    * FlatMapGroupsWithStateExec). A row older than the open run's start
-    * that still reaches the fold is ignored (it cannot re-open history;
-    * widen `lateness` if such replays must count). State is O(1) per
+    * FlatMapGroupsWithStateExec). A row older than the open run's LAST
+    * folded observation that still reaches the fold is ignored — it can
+    * neither re-open history nor close the run mid-run (a mid-run close
+    * would diverge from the batch twin; widen `lateness` AND deliver in
+    * event-time order if such replays must count). State is O(1) per
     * ACTIVE key: one open run.
     */
   def scd2Stream(ds: Dataset[ChangeObs],
@@ -327,7 +329,15 @@ object Streaming {
                 case None =>
                   st = Some(RunState(r.value, r.ts, r.ts.getTime))
                 case Some(run) =>
-                  if (r.ts.compareTo(run.since) >= 0) {
+                  // rows must be at or after the run's LAST folded
+                  // observation, not merely its start: a late row
+                  // landing mid-run (since ≤ ts < lastSeen) would close
+                  // the run early and silently diverge from the batch
+                  // twin — it is dropped like a pre-run row (see the
+                  // ordering contract; widen `lateness` + deliver in
+                  // order if such replays must count)
+                  if (r.ts.getTime >= run.lastSeenMs &&
+                      r.ts.compareTo(run.since) >= 0) {
                     if (r.value != run.value) {
                       out += Scd2Change(key, run.value, run.since, Some(r.ts))
                       st = Some(RunState(r.value, r.ts,
@@ -335,7 +345,7 @@ object Streaming {
                     } else if (r.ts.getTime > run.lastSeenMs) {
                       st = Some(run.copy(lastSeenMs = r.ts.getTime))
                     }
-                  } // pre-run late row: ignored (see ordering contract)
+                  } // late row: ignored (see ordering contract)
               }
             }
             st.foreach { s =>
@@ -350,7 +360,7 @@ object Streaming {
 
   case class PageView(user: Long, ts: java.sql.Timestamp, tie: Long, page: Long)
   case class PageEdge(src: Long, dst: Long)
-  case class LastView(tsMs: Long, tie: Long, page: Long)
+  case class LastView(tsMs: Long, nanos: Int, tie: Long, page: Long)
 
   /** Streaming page-transition edges — the g family's real-time twin
     * ([[graft.graph.Graph.transitionEdges]]'s lag window, held online):
@@ -389,18 +399,24 @@ object Streaming {
             state.remove()
             Iterator.empty
           } else {
-            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.tie))
+            // full-precision ordering (the scd2Stream discipline): the
+            // batch lag window orders by the COMPLETE timestamp, so the
+            // fold and the held state must too — ms truncation would
+            // swap same-millisecond views and break the parity gate
+            val sorted = rows.toSeq.sortBy(r =>
+              (r.ts.getTime, r.ts.getNanos, r.tie))
             var st = state.getOption
             val out = scala.collection.mutable.ArrayBuffer.empty[PageEdge]
             sorted.foreach { r =>
               st match {
-                case Some(lv) if r.ts.getTime > lv.tsMs ||
-                    (r.ts.getTime == lv.tsMs && r.tie >= lv.tie) =>
+                case Some(lv) if Ordering[(Long, Long, Long)].gteq(
+                    (r.ts.getTime, r.ts.getNanos.toLong, r.tie),
+                    (lv.tsMs, lv.nanos.toLong, lv.tie)) =>
                   out += PageEdge(lv.page, r.page)
-                  st = Some(LastView(r.ts.getTime, r.tie, r.page))
+                  st = Some(LastView(r.ts.getTime, r.ts.getNanos, r.tie, r.page))
                 case Some(_) => // pre-state late row: dropped (contract)
                 case None =>
-                  st = Some(LastView(r.ts.getTime, r.tie, r.page))
+                  st = Some(LastView(r.ts.getTime, r.ts.getNanos, r.tie, r.page))
               }
             }
             st.foreach { s =>

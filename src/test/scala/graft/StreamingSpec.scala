@@ -1208,6 +1208,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transitionEdgesStream: same-millisecond views fold in full timestamp " +
+       "precision (batch-order parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming._
+    def T(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[PageView]
+    val q = transitionEdgesStream(mem.toDS(), stateTtlDays = 30,
+      lateness = "0 seconds")
+      .writeStream.format("memory").queryName("trans_micros")
+      .outputMode("append").start()
+    try {
+      // two views inside ONE millisecond with the tie ids INVERTED vs
+      // time: ms truncation would sort by tie and emit 20 -> 10
+      mem.addData(
+        PageView(1L, T("2024-01-01 00:00:00.000900"), 3L, 20L),
+        PageView(1L, T("2024-01-01 00:00:00.000250"), 7L, 10L))
+      q.processAllAvailable()
+      val got = spark.table("trans_micros").as[(Long, Long)].collect().toSet
+      assert(got === Set((10L, 20L)))
+    } finally q.stop()
+  }
+
   test("transitionEdgesStream: eviction forgets the chain — a returning user " +
        "emits no edge across the gap") {
     implicit val sqlCtx = spark.sqlContext
@@ -1234,6 +1256,37 @@ class StreamingSpec extends SparkTestBase {
       // no (10 -> 20) across the gap; the fresh chain's (20 -> 30) and
       // user 9's (40 -> 41) are the only edges
       assert(got === Set((20L, 30L), (40L, 41L)))
+    } finally q.stop()
+  }
+
+  test("scd2Stream: a late row landing MID-RUN (since <= ts < lastSeen) is " +
+       "ignored, not folded as an early close") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming._
+    def T(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[ChangeObs]
+    // lateness wide enough that the watermark does NOT drop the late
+    // row — the fold's own guard must
+    val q = scd2Stream(mem.toDS(), stateTtlDays = 30, lateness = "10 days")
+      .writeStream.format("memory").queryName("scd2_midrun")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        ChangeObs(1L, T("2024-01-01 00:00:00"), Some("gold"), 1L),
+        ChangeObs(1L, T("2024-01-05 00:00:00"), Some("gold"), 2L))
+      q.processAllAvailable()
+      // arrives late, inside the open gold run: folding it would close
+      // gold at 01-03 and diverge from the batch twin
+      mem.addData(ChangeObs(1L, T("2024-01-03 00:00:00"), Some("silver"), 3L))
+      q.processAllAvailable()
+      // a genuine post-lastSeen change still closes the run normally
+      mem.addData(ChangeObs(1L, T("2024-01-07 00:00:00"), Some("bronze"), 4L))
+      q.processAllAvailable()
+      val got = spark.table("scd2_midrun")
+        .collect().map(r => (Option(r.getString(1)),
+          r.getTimestamp(2), Option(r.getTimestamp(3)))).toSet
+      assert(got === Set(
+        (Some("gold"), T("2024-01-01 00:00:00"), Some(T("2024-01-07 00:00:00")))))
     } finally q.stop()
   }
 
