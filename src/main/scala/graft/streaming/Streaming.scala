@@ -223,7 +223,10 @@ object Streaming {
     * so an event arriving more than `lateness` behind the max seen event
     * time NEVER updates state — unlike the pre-round-15 NoTimeout form
     * (or `stateTtlDays <= 0` today), which folds arbitrarily late rows.
-    * Widen `lateness` if late replays must count.
+    * A row older than the HELD day that still reaches the fold (inside
+    * `lateness`, or with eviction off) is dropped too — folding it
+    * would emit a backward diff and rewind state. Widen `lateness` AND
+    * deliver in event-time order if late replays must count.
     */
   def runningDailyChange(ds: Dataset[DayObs],
                          stateTtlDays: Int = 30,
@@ -251,11 +254,21 @@ object Streaming {
             var st = state.getOption
             val out = scala.collection.mutable.ArrayBuffer.empty[DayChange]
             sorted.foreach { o =>
-              st.foreach { prev =>
-                if (o.date.getTime != prev.lastDate.getTime)
-                  out += DayChange(key, o.date, o.value - prev.lastValue)
+              st match {
+                // a late row older than the held day is dropped, never
+                // folded: diffing it would emit a bogus BACKWARD change
+                // and rewind state to the stale day, diverging from the
+                // batch lag (same contract as scd2Stream's mid-run
+                // guard; widen `lateness` + deliver in order if such
+                // replays must count)
+                case Some(prev) if o.date.getTime >= prev.lastDate.getTime =>
+                  if (o.date.getTime != prev.lastDate.getTime)
+                    out += DayChange(key, o.date, o.value - prev.lastValue)
+                  st = Some(DayState(o.date, o.value))
+                case Some(_) => // pre-state late row: dropped (contract)
+                case None =>
+                  st = Some(DayState(o.date, o.value))
               }
-              st = Some(DayState(o.date, o.value))
             }
             st.foreach { s =>
               state.update(s)

@@ -96,6 +96,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("runningDailyChange drops a late row older than the held day " +
+       "(no backward diff, no state rewind)") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming._
+    val mem = MemoryStream[DayObs]
+    // eviction off => no watermark drop: the fold's own guard must hold
+    val q = runningDailyChange(mem.toDS(), stateTtlDays = 0)
+      .writeStream.format("memory").queryName("day_chg_late")
+      .outputMode("append").start()
+    try {
+      mem.addData(DayObs("a", java.sql.Date.valueOf("2024-01-03"), 12.0))
+      q.processAllAvailable()
+      // late replay of an earlier day: folding it would emit a backward
+      // diff (01-01, -2.0) and rewind state to 01-01
+      mem.addData(DayObs("a", java.sql.Date.valueOf("2024-01-01"), 14.0))
+      q.processAllAvailable()
+      mem.addData(DayObs("a", java.sql.Date.valueOf("2024-01-04"), 15.0))
+      q.processAllAvailable()
+      val got = spark.table("day_chg_late")
+        .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2))).toSet
+      // the only diff is 01-04 against the HELD 01-03 value
+      assert(got === Set(("a", "2024-01-04", 3.0)))
+    } finally q.stop()
+  }
+
   test("cleanWithStaticBounds nulls+imputes stream rows from snapshot stats") {
     implicit val sqlCtx = spark.sqlContext
     // snapshot: 99 x 10.0 and a 10000.0 -> fence excludes 10000, median 10
