@@ -541,6 +541,24 @@ object ScaleProbe {
               maxDist = 2).count())
             ("er3_incremental_matches[fixed day batch, standing x100]",
               er3At(partBase), math.min(once, once))
+          },
+          // same daily shape through the persisted NameIndex — THIS is
+          // where the index earns its keep: the standing universe's
+          // tokenization scan (the linear term of the inline row above)
+          // is replaced by a read of the one-time token-block artifact
+          {
+            val pkMax = partBase.agg(max("p_partkey")).collect()(0).getLong(0) + 1
+            val fixedBatch = partScaled
+              .filter(col("p_partkey") < pkMax &&
+                pmod(col("p_partkey"), lit(10)) === 0)
+            val standingScaled =
+              partScaled.filter(pmod(col("p_partkey"), lit(10)) =!= 0)
+            val idx = graft.er.NameIndex.ensure(spark, out, "part_er",
+              "mod10ne0", standingScaled, "p_name")
+            def once = timeOnce(EntityResolution.incrementalEntityMatchesIndexed(
+              fixedBatch, idx, "p_partkey", "p_name", maxDist = 2).count())
+            ("er4_incremental_indexed[fixed day batch, standing x100, warm]",
+              er4At(src, "part", partBase), math.min(once, once))
           })
     }) ++ (if (!probeExtras || probeSet != "emb") Seq.empty else {
       // Recall at scale, not just latency: a bucketed ANN that gets
