@@ -67,6 +67,42 @@ class StreamingPropertySpec extends SparkTestBase {
     }
   }
 
+  test("runningDailyChange drains to the per-key lag diff on random day logs") {
+    for (seed <- Seq(31L, 32L, 33L)) {
+      val rnd = new scala.util.Random(seed)
+      // globally strictly increasing days, random key per day — each
+      // key's series is a random subsequence of the calendar
+      val events = (0 until 50).map { i =>
+        Streaming.DayObs(s"k${rnd.nextInt(4)}",
+          new java.sql.Date(base + i * 86400000L),
+          math.round(rnd.nextDouble() * 100) / 10.0)
+      }
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Streaming.DayObs]
+      val q = Streaming.runningDailyChange(mem.toDS(), stateTtlDays = 365,
+        lateness = "0 seconds")
+        .writeStream.format("memory").queryName(s"day_prop_$seed")
+        .outputMode("append").start()
+      try {
+        var prev = 0
+        randomCuts(rnd, events.size).foreach { cut =>
+          if (cut > prev) { mem.addData(events.slice(prev, cut): _*); prev = cut }
+          q.processAllAvailable()
+        }
+        val streamed = spark.table(s"day_prop_$seed")
+          .collect().map(r => (r.getString(0), r.getDate(1).toString,
+            r.getDouble(2))).toSet
+        // driver reference: per key, consecutive-day diffs in day order
+        val want = events.groupBy(_.key).flatMap { case (k, obs) =>
+          obs.sortBy(_.date.getTime).sliding(2).collect {
+            case Seq(a, b) => (k, b.date.toString, b.value - a.value)
+          }
+        }.toSet
+        assert(streamed === want, s"seed=$seed")
+      } finally q.stop()
+    }
+  }
+
   test("transitionEdgesStream drains to transitionEdges on random view logs") {
     for (seed <- Seq(21L, 22L, 23L)) {
       val rnd = new scala.util.Random(seed)
