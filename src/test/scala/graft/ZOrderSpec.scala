@@ -25,6 +25,40 @@ class ZOrderSpec extends SparkTestBase {
     assert(r === 11L)
   }
 
+  test("zValueNative bit-matches a naive driver reference on random inputs") {
+    // randomized kernel parity: linear-scan bucketing + naive bit
+    // interleave, independent of ZImpl's binary search and shift loop
+    def refBucket(v: Double, cuts: Seq[Double]): Int =
+      if (v.isNaN) 0 else cuts.count(_ <= v)
+    def refZ(vals: Seq[Double], cuts: Seq[Seq[Double]], bits: Int): Long = {
+      val k = cuts.length
+      var z = 0L
+      for (c <- 0 until k; bit <- 0 until bits) {
+        val b = refBucket(vals(c), cuts(c))
+        if (((b >> bit) & 1) == 1) z |= 1L << (bit * k + (k - 1 - c))
+      }
+      z
+    }
+    for (seed <- Seq(41L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      val k = 2 + rnd.nextInt(3)                    // 2-4 columns
+      val bits = 2 + rnd.nextInt(5)                 // 2-6 bits
+      val cuts: Seq[Seq[Double]] = Seq.fill(k)(
+        Seq.fill(1 + rnd.nextInt((1 << bits) - 1))(
+          math.round(rnd.nextDouble() * 1000) / 10.0).distinct.sorted)
+      val rows = Seq.fill(80)(Seq.fill(k)(
+        if (rnd.nextInt(20) == 0) Double.NaN
+        else math.round(rnd.nextDouble() * 1200 - 100) / 10.0))
+      val df = rows.map(r => Tuple1(r)).toDF("vs")
+        .select((0 until k).map(i => col("vs")(i).as(s"c$i")): _*)
+      val got = df.select(org.apache.spark.sql.graft.ZOrderFunctions
+          .zValueNative(array((0 until k).map(i => col(s"c$i")): _*), cuts, bits))
+        .collect().map(_.getLong(0))
+      val want = rows.map(r => refZ(r, cuts, bits))
+      assert(got.toSeq === want, s"seed=$seed k=$k bits=$bits")
+    }
+  }
+
   test("empty input round-trips: no cuts, z-value 0, empty table written") {
     // a quiet ingest window must not abort layout maintenance: the
     // quantile pass yields zero cut points, every (non-existent) row
