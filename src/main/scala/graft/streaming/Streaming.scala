@@ -313,7 +313,12 @@ object Streaming {
     * neither re-open history nor close the run mid-run (a mid-run close
     * would diverge from the batch twin; widen `lateness` AND deliver in
     * event-time order if such replays must count). State is O(1) per
-    * ACTIVE key: one open run.
+    * ACTIVE key: one open run. (The cross-batch late-row guard is
+    * millisecond-granular — `RunState` holds lastSeen as epoch ms;
+    * sub-millisecond ordering is enforced within a batch by the
+    * (ts, nanos, tie) sort but not across batches. SCD sources are
+    * day/second-granular in practice; use the tie column if yours
+    * are not.)
     */
   def scd2Stream(ds: Dataset[ChangeObs],
                  stateTtlDays: Int = 30,
