@@ -210,6 +210,15 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // the ×100 media fixtures carry ~200 KB binary blobs per row; at
+      // the default 4096-row columnar batch a single vectorized-reader
+      // batch is ~800 MB PER TASK and a full events sweep dies with
+      // "Cannot reserve additional contiguous bytes". 128 caps a blob
+      // batch at ~25 MB and is timing-neutral for the narrow tables
+      // (measured: the fact-scan rows moved < run-to-run noise). The
+      // general 100 TB lesson is in the Multimodal scaladoc: size
+      // columnar batches by ROW BYTES, not row count, on blob tables.
+      .config("spark.sql.parquet.columnarReaderBatchSize", "128")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

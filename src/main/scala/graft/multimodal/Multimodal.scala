@@ -21,7 +21,14 @@ import org.apache.spark.sql.types._
   * Scale posture: blobs never pass through a shuffle unless the operation
   * needs it (decode is map-side only); metadata-only projections prune the
   * binary column at the parquet scan, so "count images wider than X" never
-  * reads a byte of pixels.
+  * reads a byte of pixels. When a plan DOES read the blob column, size
+  * the vectorized reader's columnar batch by ROW BYTES, not row count:
+  * the default `spark.sql.parquet.columnarReaderBatchSize` of 4096 rows
+  * over ~200 KB blobs builds ~800 MB column batches PER TASK and dies
+  * with "Cannot reserve additional contiguous bytes" under memory
+  * pressure (the ×100 probe measured this; it runs at 128). Pair it
+  * with [[spreadBySize]], which solves the analogous problem one level
+  * up (partition volume).
   */
 object Multimodal {
 
