@@ -75,7 +75,7 @@ object ScaleProbe {
     // conditional-agg scan + the doc_id uniqueness expand — ~linear)
     "g1_page_transitions", "g2_pagerank", "g3_degree_census",
     "g4_triangle_census", "g5_page_components", "g6_harmonic_centrality",
-    "g7_harmonic_hyperball",
+    "g7_harmonic_hyperball", "g8_personalized_pagerank",
     "ml1_quality_weights", "ml2_quality_scores",
     "dq3_documents_checks")
 

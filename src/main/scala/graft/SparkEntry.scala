@@ -1902,6 +1902,9 @@ object SparkEntry {
       graft.graph.Graph.harmonicCentrality(graphEdges(s, d), maxDist = 6)),
     "g7_harmonic_hyperball" -> ((s, d) =>
       graft.graph.Graph.harmonicCentralityHyperBall(graphEdges(s, d), maxDist = 6)),
+    "g8_personalized_pagerank" -> ((s, d) =>
+      graft.graph.Graph.personalizedPageRank(graphEdges(s, d),
+        seeds = Seq(0L, 1L, 2L, 3L, 4L), iters = 3, damping = 0.85)),
 
     // ---- ml: relational full-batch GD quality classifier
     // (graft.ml.QualityClassifier — the fasttext-quality-scoring rung;
@@ -3921,6 +3924,13 @@ object SparkEntry {
          |  round(coalesce(h.harmonic, CAST(0 AS DOUBLE)) * 1000000) / 1000000.0 + 0.0 AS harmonic
          |FROM n LEFT JOIN h USING (page)""".stripMargin,
 
+    // personalized PageRank unrolled like g2 — teleport (residual AND
+    // dangling mass) lands on the 5 seed pages only; every double
+    // literal CAST in double space, every sum decimal-staged, and the
+    // seed term written as ONE (residual + d*dm)/|S| division exactly
+    // as the engine computes it
+    "g8_personalized_pagerank" -> pprSql,
+
     // ml family: the softsign-GD fit unrolled to CTEs (every constant
     // exactly representable in binary, every double sum decimal-stable —
     // the weights replay bit-identically; QualityClassifier scaladoc)
@@ -4068,6 +4078,40 @@ object SparkEntry {
        |r0 AS (SELECT page, CAST(1 AS DOUBLE) / n.n AS r FROM v CROSS JOIN n),
        |$iters
        |SELECT page, round(r * 1000000) / 1000000.0 + 0.0 AS pr FROM r3""".stripMargin
+  }
+
+  /** g8's oracle: [[graft.graph.Graph.personalizedPageRank]] unrolled —
+    * the pageRankSql shape with the teleport restricted to the seed
+    * pages (uniform over |S| = 5). Seed-membership is a literal IN
+    * list; the seed term is the single `(residual + d·dm) / |S|`
+    * division the engine computes (NOT algebraically split — FP order
+    * must match bit-for-bit).
+    */
+  private lazy val pprSql: String = {
+    val seeds = "0, 1, 2, 3, 4"
+    val nSeeds = 5
+    val iters = (0 until 3).map { i =>
+      s"""d$i AS (SELECT CAST(coalesce(sum(CAST(r AS DECIMAL(20,10))), 0) AS DOUBLE) AS dm
+         |  FROM r$i WHERE page NOT IN (SELECT src FROM ot)),
+         |c$i AS (SELECT w.dst AS page, CAST(sum(CAST(r$i.r * w.w AS DECIMAL(20,10))) AS DOUBLE) AS c
+         |  FROM r$i JOIN w ON r$i.page = w.src GROUP BY w.dst),
+         |r${i + 1} AS (SELECT v.page,
+         |    CAST(0.85 AS DOUBLE) * coalesce(c$i.c, CAST(0 AS DOUBLE))
+         |    + CASE WHEN v.page IN ($seeds)
+         |        THEN (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)
+         |              + CAST(0.85 AS DOUBLE) * d$i.dm) / CAST($nSeeds AS DOUBLE)
+         |        ELSE CAST(0 AS DOUBLE) END AS r
+         |  FROM v CROSS JOIN d$i LEFT JOIN c$i ON v.page = c$i.page)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphEdgeCte,
+       |v AS (SELECT DISTINCT page FROM (SELECT src AS page FROM e UNION ALL SELECT dst AS page FROM e)),
+       |ot AS (SELECT src, sum(n_trans) AS tot FROM e GROUP BY src),
+       |w AS (SELECT src, dst, CAST(n_trans AS DOUBLE) / CAST(tot AS DOUBLE) AS w FROM e JOIN ot USING (src)),
+       |r0 AS (SELECT page,
+       |  CASE WHEN page IN ($seeds) THEN CAST(1 AS DOUBLE) / CAST($nSeeds AS DOUBLE)
+       |       ELSE CAST(0 AS DOUBLE) END AS r FROM v),
+       |$iters
+       |SELECT page, round(r * 1000000) / 1000000.0 + 0.0 AS ppr FROM r3""".stripMargin
   }
 
   private lazy val erIncrementalSql: String =

@@ -117,6 +117,59 @@ object Graph {
       (round(col("__r") * 1000000) / 1000000.0 + lit(0.0)).as("pr"))
   }
 
+  /** Personalized PageRank — [[pageRank]] with the teleport restricted
+    * to a seed set (uniform over `seeds`): the crawl-frontier scoring
+    * variant ("rank the web as seen from these trusted hosts"), and the
+    * standard relatedness measure around a vertex set. Same unrolled
+    * relational shape, same decimal-stabilized sums, same per-iteration
+    * dataflow (rank⋈edges on `src`, re-agg on `dst`); the residual AND
+    * the dangling mass both teleport to the seeds —
+    * `r'(v) = d·Σ_in r·w + [v ∈ S]·(1−d + d·dangling)/|S|` — so total
+    * mass stays 1 when every seed exists in the graph. A seed absent
+    * from the vertex universe leaks its teleport share BY DESIGN (there
+    * is no row to carry it); pass pages that exist. Output: (page, ppr)
+    * rounded to 6 dp like [[pageRank]].
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long], iters: Int = 3,
+                           damping: Double = 0.85, srcCol: String = "src",
+                           dstCol: String = "dst",
+                           weightCol: String = "n_trans"): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPageRank needs at least one seed page")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("long").as("__c")).localCheckpoint()
+    val verts = e.select(col("src").as("page"))
+      .union(e.select(col("dst").as("page"))).distinct()
+    val outTot = e.groupBy("src").agg(sum(col("__c")).as("__tot"))
+    val wEdges = e.join(outTot, "src")
+      .select(col("src"), col("dst"),
+        (col("__c").cast("double") / col("__tot").cast("double")).as("__w"))
+    val outSrc = outTot.select(col("src").as("page"))
+    val residual = 1.0 - damping
+    val nSeeds = seeds.size.toDouble
+    val isSeed = col("page").isin(seeds: _*)
+    var ranks = verts.select(col("page"),
+      when(isSeed, lit(1.0) / lit(nSeeds)).otherwise(lit(0.0)).as("__r"))
+    for (_ <- 0 until iters) {
+      val dm = ranks.join(outSrc, Seq("page"), "left_anti")
+        .agg(coalesce(sum(col("__r").cast("decimal(20,10)")),
+          lit(0).cast("decimal(20,10)")).cast("double").as("__dm"))
+      val contrib = ranks.withColumnRenamed("page", "src")
+        .join(wEdges, "src")
+        .groupBy(col("dst").as("page"))
+        .agg(sum((col("__r") * col("__w")).cast("decimal(20,10)"))
+          .cast("double").as("__contrib"))
+      ranks = verts.crossJoin(broadcast(dm))
+        .join(contrib, Seq("page"), "left")
+        .select(col("page"),
+          (lit(damping) * coalesce(col("__contrib"), lit(0.0)) +
+            when(isSeed,
+              (lit(residual) + lit(damping) * col("__dm")) / lit(nSeeds))
+              .otherwise(lit(0.0))).as("__r"))
+    }
+    ranks.select(col("page"),
+      (round(col("__r") * 1000000) / 1000000.0 + lit(0.0)).as("ppr"))
+  }
+
   /** In/out degree and transition-count census per page — the full-outer
     * join of the two one-shuffle aggregates, zero-filled. The profile a
     * source-weighting step reads (hubs, sinks, dead ends).

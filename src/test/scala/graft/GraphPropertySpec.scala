@@ -92,6 +92,25 @@ class GraphPropertySpec extends SparkTestBase {
     r
   }
 
+  private def brutePpr(edges: Seq[(Long, Long, Long)], seeds: Set[Long],
+                       iters: Int, damping: Double): Map[Long, Double] = {
+    val verts = edges.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    val nS = seeds.size.toDouble
+    val outTot = edges.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum.toDouble }
+    val in = edges.groupBy(_._2)
+    var r = verts.map(v => v -> (if (seeds(v)) 1.0 / nS else 0.0)).toMap
+    for (_ <- 0 until iters) {
+      val dangling = verts.filterNot(outTot.contains).map(r).sum
+      r = verts.map { v =>
+        val contrib = in.getOrElse(v, Nil)
+          .map { case (s, _, w) => r(s) * (w.toDouble / outTot(s)) }.sum
+        v -> (damping * contrib +
+          (if (seeds(v)) (1.0 - damping + damping * dangling) / nS else 0.0))
+      }.toMap
+    }
+    r
+  }
+
   private val cases = Seq((1L, 24, 0.08), (2L, 40, 0.04), (3L, 16, 0.20))
 
   test("harmonicCentrality matches driver BFS on random digraphs") {
@@ -131,6 +150,21 @@ class GraphPropertySpec extends SparkTestBase {
       val es = randomEdges(seed, n, p)
       val got = Graph.components(df(es)).as[(Long, Long)].collect().toMap
       assert(got === bruteComponents(es), s"seed=$seed")
+    }
+  }
+
+  test("personalizedPageRank matches driver power iteration on random digraphs") {
+    cases.foreach { case (seed, n, p) =>
+      val es = randomEdges(seed, n, p)
+      val verts = es.flatMap(t => Seq(t._1, t._2)).distinct
+      val seeds = verts.sorted.take(math.max(1, verts.size / 5)).toSet
+      val got = Graph.personalizedPageRank(df(es), seeds.toSeq.sorted, iters = 3)
+        .as[(Long, Double)].collect().toMap
+      val want = brutePpr(es, seeds, 3, 0.85)
+      assert(got.keySet === want.keySet, s"seed=$seed")
+      got.foreach { case (v, pr) =>
+        assert(math.abs(pr - want(v)) < 1e-6, s"seed=$seed v=$v $pr vs ${want(v)}")
+      }
     }
   }
 

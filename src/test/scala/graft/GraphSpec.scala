@@ -48,6 +48,32 @@ class GraphSpec extends SparkTestBase {
     assert(pr(1L) === pr(2L) && pr(2L) === pr(3L))
   }
 
+  test("personalizedPageRank matches the hand-computed seeded two-cycle") {
+    // 0 <-> 1, seed {0}: r0 = (1, 0); each iteration moves mass around
+    // the cycle while the teleport re-injects 0.15 at the seed:
+    // r1 = (0.15, 0.85), r2 = (0.8725, 0.1275),
+    // r3 = (0.85*0.1275 + 0.15, 0.85*0.8725) = (0.258375, 0.741625)
+    val ppr = Graph.personalizedPageRank(
+      edges((0L, 1L, 1L), (1L, 0L, 1L)), seeds = Seq(0L), iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(ppr(0L) === 0.258375 && ppr(1L) === 0.741625)
+    // mass conservation with existing seeds (6-dp rounding slack)
+    assert(math.abs(ppr.values.sum - 1.0) < 1e-6)
+  }
+
+  test("personalizedPageRank: non-seed unreachable pages rank zero; dangling " +
+       "mass returns to the seeds") {
+    // 0 -> 1 (1 dangling) and an unrelated component 8 -> 9, seed {0}:
+    // pages 8, 9 never receive teleport or flow; 1's dangling rank
+    // teleports back to seed 0 only
+    val ppr = Graph.personalizedPageRank(
+      edges((0L, 1L, 1L), (8L, 9L, 1L)), seeds = Seq(0L), iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(ppr(8L) === 0.0 && ppr(9L) === 0.0)
+    assert(math.abs(ppr(0L) + ppr(1L) - 1.0) < 1e-6)
+    assert(ppr(0L) > 0 && ppr(1L) > 0)
+  }
+
   test("degreeCensus zero-fills pure sources and pure sinks") {
     val out = Graph.degreeCensus(edges((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L)))
       .as[(Long, Long, Long, Long, Long)].collect()
