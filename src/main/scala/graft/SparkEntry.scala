@@ -4059,26 +4059,48 @@ object SparkEntry {
     * (DuckDB's decimal folding of `1 - 0.85` differs from the JVM's),
     * and every sum of doubles accumulates as DECIMAL(20,10).
     */
-  private lazy val pageRankSql: String = {
+  /** Shared builder for the PageRank-family oracles: the unrolled
+    * d$i/c$i/r$i CTE scaffolding (dangling mass as a decimal-staged sum,
+    * contributions via the weight join) is identical between g2 and g8 —
+    * only the init expression, the per-iteration rank expression (with
+    * `{i}` substituted), any extra CTE (g2's vertex count `n`) and its
+    * cross-join differ. One copy keeps a numeric-discipline change from
+    * diverging between the two oracles.
+    */
+  private def unrolledPageRankSql(r0Select: String, extraCte: String,
+                                  extraCross: String, rankExpr: String,
+                                  outName: String): String = {
     val iters = (0 until 3).map { i =>
       s"""d$i AS (SELECT CAST(coalesce(sum(CAST(r AS DECIMAL(20,10))), 0) AS DOUBLE) AS dm
          |  FROM r$i WHERE page NOT IN (SELECT src FROM ot)),
          |c$i AS (SELECT w.dst AS page, CAST(sum(CAST(r$i.r * w.w AS DECIMAL(20,10))) AS DOUBLE) AS c
          |  FROM r$i JOIN w ON r$i.page = w.src GROUP BY w.dst),
          |r${i + 1} AS (SELECT v.page,
-         |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
-         |    + CAST(0.85 AS DOUBLE) * (coalesce(c$i.c, CAST(0 AS DOUBLE)) + d$i.dm / n.n) AS r
-         |  FROM v CROSS JOIN n CROSS JOIN d$i LEFT JOIN c$i ON v.page = c$i.page)""".stripMargin
+         |    ${rankExpr.replace("{i}", i.toString)} AS r
+         |  FROM v$extraCross CROSS JOIN d$i LEFT JOIN c$i ON v.page = c$i.page)""".stripMargin
     }.mkString(",\n")
     s"""WITH $graphEdgeCte,
        |v AS (SELECT DISTINCT page FROM (SELECT src AS page FROM e UNION ALL SELECT dst AS page FROM e)),
-       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
-       |ot AS (SELECT src, sum(n_trans) AS tot FROM e GROUP BY src),
+       |${extraCte}ot AS (SELECT src, sum(n_trans) AS tot FROM e GROUP BY src),
        |w AS (SELECT src, dst, CAST(n_trans AS DOUBLE) / CAST(tot AS DOUBLE) AS w FROM e JOIN ot USING (src)),
-       |r0 AS (SELECT page, CAST(1 AS DOUBLE) / n.n AS r FROM v CROSS JOIN n),
+       |r0 AS ($r0Select),
        |$iters
-       |SELECT page, round(r * 1000000) / 1000000.0 + 0.0 AS pr FROM r3""".stripMargin
+       |SELECT page, round(r * 1000000) / 1000000.0 + 0.0 AS $outName FROM r3""".stripMargin
   }
+
+  /** g2's oracle: [[graft.graph.Graph.pageRank]] unrolled — 3 power
+    * iterations with dangling-mass redistribution. Every double literal
+    * is CAST in DOUBLE space so both engines bind identical bits
+    * (DuckDB's decimal folding of `1 - 0.85` differs from the JVM's),
+    * and every sum of doubles accumulates as DECIMAL(20,10).
+    */
+  private lazy val pageRankSql: String = unrolledPageRankSql(
+    r0Select = "SELECT page, CAST(1 AS DOUBLE) / n.n AS r FROM v CROSS JOIN n",
+    extraCte = "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),\n",
+    extraCross = " CROSS JOIN n",
+    rankExpr = """(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
+      |    + CAST(0.85 AS DOUBLE) * (coalesce(c{i}.c, CAST(0 AS DOUBLE)) + d{i}.dm / n.n)""".stripMargin,
+    outName = "pr")
 
   /** g8's oracle: [[graft.graph.Graph.personalizedPageRank]] unrolled —
     * the pageRankSql shape with the teleport restricted to the seed
@@ -4087,32 +4109,18 @@ object SparkEntry {
     * division the engine computes (NOT algebraically split — FP order
     * must match bit-for-bit).
     */
-  private lazy val pprSql: String = {
-    val seeds = "0, 1, 2, 3, 4"
-    val nSeeds = 5
-    val iters = (0 until 3).map { i =>
-      s"""d$i AS (SELECT CAST(coalesce(sum(CAST(r AS DECIMAL(20,10))), 0) AS DOUBLE) AS dm
-         |  FROM r$i WHERE page NOT IN (SELECT src FROM ot)),
-         |c$i AS (SELECT w.dst AS page, CAST(sum(CAST(r$i.r * w.w AS DECIMAL(20,10))) AS DOUBLE) AS c
-         |  FROM r$i JOIN w ON r$i.page = w.src GROUP BY w.dst),
-         |r${i + 1} AS (SELECT v.page,
-         |    CAST(0.85 AS DOUBLE) * coalesce(c$i.c, CAST(0 AS DOUBLE))
-         |    + CASE WHEN v.page IN ($seeds)
-         |        THEN (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)
-         |              + CAST(0.85 AS DOUBLE) * d$i.dm) / CAST($nSeeds AS DOUBLE)
-         |        ELSE CAST(0 AS DOUBLE) END AS r
-         |  FROM v CROSS JOIN d$i LEFT JOIN c$i ON v.page = c$i.page)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH $graphEdgeCte,
-       |v AS (SELECT DISTINCT page FROM (SELECT src AS page FROM e UNION ALL SELECT dst AS page FROM e)),
-       |ot AS (SELECT src, sum(n_trans) AS tot FROM e GROUP BY src),
-       |w AS (SELECT src, dst, CAST(n_trans AS DOUBLE) / CAST(tot AS DOUBLE) AS w FROM e JOIN ot USING (src)),
-       |r0 AS (SELECT page,
-       |  CASE WHEN page IN ($seeds) THEN CAST(1 AS DOUBLE) / CAST($nSeeds AS DOUBLE)
-       |       ELSE CAST(0 AS DOUBLE) END AS r FROM v),
-       |$iters
-       |SELECT page, round(r * 1000000) / 1000000.0 + 0.0 AS ppr FROM r3""".stripMargin
-  }
+  private lazy val pprSql: String = unrolledPageRankSql(
+    r0Select = """SELECT page,
+      |  CASE WHEN page IN (0, 1, 2, 3, 4) THEN CAST(1 AS DOUBLE) / CAST(5 AS DOUBLE)
+      |       ELSE CAST(0 AS DOUBLE) END AS r FROM v""".stripMargin,
+    extraCte = "",
+    extraCross = "",
+    rankExpr = """CAST(0.85 AS DOUBLE) * coalesce(c{i}.c, CAST(0 AS DOUBLE))
+      |    + CASE WHEN v.page IN (0, 1, 2, 3, 4)
+      |        THEN (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)
+      |              + CAST(0.85 AS DOUBLE) * d{i}.dm) / CAST(5 AS DOUBLE)
+      |        ELSE CAST(0 AS DOUBLE) END""".stripMargin,
+    outName = "ppr")
 
   private lazy val erIncrementalSql: String =
     """WITH standing AS (SELECT DISTINCT p_name AS sname FROM part

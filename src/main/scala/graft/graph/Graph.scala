@@ -55,6 +55,49 @@ object Graph {
       .agg(count(lit(1)).as("n_trans"))
   }
 
+  /** Shared relational core of the PageRank family: checkpointed edge
+    * frame, vertex universe, out-weight normalization, and `iters`
+    * unrolled (dangling-mass, contribution) steps — [[pageRank]] and
+    * [[personalizedPageRank]] differ ONLY in the init vector and the
+    * per-iteration teleport term, so those arrive as callbacks (a fix
+    * to the shared dataflow lands once). Both callbacks receive the
+    * vertex frame; `step` also gets the 1-row dangling-mass frame and
+    * the per-page contribution aggregate, and must return (page, __r).
+    */
+  private def powerIterate(edges: DataFrame, iters: Int, srcCol: String,
+                           dstCol: String, weightCol: String, outCol: String)(
+      init: DataFrame => DataFrame)(
+      step: (DataFrame, DataFrame, DataFrame) => DataFrame): DataFrame = {
+    // materialize the edge list ONCE (the dupClusters discipline):
+    // vertices, out-totals, weights and every iteration's propagation
+    // join all consume it — un-checkpointed, each consumer re-runs the
+    // caller's whole derivation pipeline (the lag window over the raw
+    // events), measured at 1.43 s -> 0.60 s for g2 at sf0.1
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("long").as("__c")).localCheckpoint()
+    val verts = e.select(col("src").as("page"))
+      .union(e.select(col("dst").as("page"))).distinct()
+    val outTot = e.groupBy("src").agg(sum(col("__c")).as("__tot"))
+    val wEdges = e.join(outTot, "src")
+      .select(col("src"), col("dst"),
+        (col("__c").cast("double") / col("__tot").cast("double")).as("__w"))
+    val outSrc = outTot.select(col("src").as("page"))
+    var ranks = init(verts)
+    for (_ <- 0 until iters) {
+      val dm = ranks.join(outSrc, Seq("page"), "left_anti")
+        .agg(coalesce(sum(col("__r").cast("decimal(20,10)")),
+          lit(0).cast("decimal(20,10)")).cast("double").as("__dm"))
+      val contrib = ranks.withColumnRenamed("page", "src")
+        .join(wEdges, "src")
+        .groupBy(col("dst").as("page"))
+        .agg(sum((col("__r") * col("__w")).cast("decimal(20,10)"))
+          .cast("double").as("__contrib"))
+      ranks = step(verts, dm, contrib)
+    }
+    ranks.select(col("page"),
+      (round(col("__r") * 1000000) / 1000000.0 + lit(0.0)).as(outCol))
+  }
+
   /** PageRank with proper dangling-mass redistribution, `iters`
     * relationally-unrolled power iterations (no driver-side state — the
     * whole computation is ONE lazy plan an oracle can replay as
@@ -75,46 +118,23 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
                srcCol: String = "src", dstCol: String = "dst",
                weightCol: String = "n_trans"): DataFrame = {
-    // materialize the edge list ONCE (the dupClusters discipline):
-    // vertices, out-totals, weights and every iteration's propagation
-    // join all consume it — un-checkpointed, each consumer re-runs the
-    // caller's whole derivation pipeline (the lag window over the raw
-    // events), measured at 1.43 s -> 0.60 s for g2 at sf0.1
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(weightCol).cast("long").as("__c")).localCheckpoint()
-    val verts = e.select(col("src").as("page"))
-      .union(e.select(col("dst").as("page"))).distinct()
-    val n1 = verts.agg(count(lit(1)).cast("double").as("__n"))
-    val outTot = e.groupBy("src").agg(sum(col("__c")).as("__tot"))
-    val wEdges = e.join(outTot, "src")
-      .select(col("src"), col("dst"),
-        (col("__c").cast("double") / col("__tot").cast("double")).as("__w"))
-    val outSrc = outTot.select(col("src").as("page"))
     // residual computed in DOUBLE on the JVM; the oracle writes
     // CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE) so both engines bind the
     // identical 0.15000000000000002, not decimal-folded 0.15
     val residual = 1.0 - damping
-
-    var ranks = verts.crossJoin(broadcast(n1))
-      .select(col("page"), (lit(1.0) / col("__n")).as("__r"))
-    for (_ <- 0 until iters) {
-      val dm = ranks.join(outSrc, Seq("page"), "left_anti")
-        .agg(coalesce(sum(col("__r").cast("decimal(20,10)")),
-          lit(0).cast("decimal(20,10)")).cast("double").as("__dm"))
-      val contrib = ranks.withColumnRenamed("page", "src")
-        .join(wEdges, "src")
-        .groupBy(col("dst").as("page"))
-        .agg(sum((col("__r") * col("__w")).cast("decimal(20,10)"))
-          .cast("double").as("__contrib"))
-      ranks = verts.crossJoin(broadcast(n1)).crossJoin(broadcast(dm))
+    def n1(verts: DataFrame) =
+      verts.agg(count(lit(1)).cast("double").as("__n"))
+    powerIterate(edges, iters, srcCol, dstCol, weightCol, "pr") { verts =>
+      verts.crossJoin(broadcast(n1(verts)))
+        .select(col("page"), (lit(1.0) / col("__n")).as("__r"))
+    } { (verts, dm, contrib) =>
+      verts.crossJoin(broadcast(n1(verts))).crossJoin(broadcast(dm))
         .join(contrib, Seq("page"), "left")
         .select(col("page"),
           (lit(residual) / col("__n") +
             lit(damping) * (coalesce(col("__contrib"), lit(0.0)) +
               col("__dm") / col("__n"))).as("__r"))
     }
-    ranks.select(col("page"),
-      (round(col("__r") * 1000000) / 1000000.0 + lit(0.0)).as("pr"))
   }
 
   /** Personalized PageRank — [[pageRank]] with the teleport restricted
@@ -135,30 +155,14 @@ object Graph {
                            dstCol: String = "dst",
                            weightCol: String = "n_trans"): DataFrame = {
     require(seeds.nonEmpty, "personalizedPageRank needs at least one seed page")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(weightCol).cast("long").as("__c")).localCheckpoint()
-    val verts = e.select(col("src").as("page"))
-      .union(e.select(col("dst").as("page"))).distinct()
-    val outTot = e.groupBy("src").agg(sum(col("__c")).as("__tot"))
-    val wEdges = e.join(outTot, "src")
-      .select(col("src"), col("dst"),
-        (col("__c").cast("double") / col("__tot").cast("double")).as("__w"))
-    val outSrc = outTot.select(col("src").as("page"))
     val residual = 1.0 - damping
     val nSeeds = seeds.size.toDouble
     val isSeed = col("page").isin(seeds: _*)
-    var ranks = verts.select(col("page"),
-      when(isSeed, lit(1.0) / lit(nSeeds)).otherwise(lit(0.0)).as("__r"))
-    for (_ <- 0 until iters) {
-      val dm = ranks.join(outSrc, Seq("page"), "left_anti")
-        .agg(coalesce(sum(col("__r").cast("decimal(20,10)")),
-          lit(0).cast("decimal(20,10)")).cast("double").as("__dm"))
-      val contrib = ranks.withColumnRenamed("page", "src")
-        .join(wEdges, "src")
-        .groupBy(col("dst").as("page"))
-        .agg(sum((col("__r") * col("__w")).cast("decimal(20,10)"))
-          .cast("double").as("__contrib"))
-      ranks = verts.crossJoin(broadcast(dm))
+    powerIterate(edges, iters, srcCol, dstCol, weightCol, "ppr") { verts =>
+      verts.select(col("page"),
+        when(isSeed, lit(1.0) / lit(nSeeds)).otherwise(lit(0.0)).as("__r"))
+    } { (verts, dm, contrib) =>
+      verts.crossJoin(broadcast(dm))
         .join(contrib, Seq("page"), "left")
         .select(col("page"),
           (lit(damping) * coalesce(col("__contrib"), lit(0.0)) +
@@ -166,8 +170,6 @@ object Graph {
               (lit(residual) + lit(damping) * col("__dm")) / lit(nSeeds))
               .otherwise(lit(0.0))).as("__r"))
     }
-    ranks.select(col("page"),
-      (round(col("__r") * 1000000) / 1000000.0 + lit(0.0)).as("ppr"))
   }
 
   /** In/out degree and transition-count census per page — the full-outer
