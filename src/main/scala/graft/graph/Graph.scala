@@ -68,6 +68,19 @@ object Graph {
                            dstCol: String, weightCol: String, outCol: String)(
       init: DataFrame => DataFrame)(
       step: (DataFrame, DataFrame, DataFrame) => DataFrame): DataFrame = {
+    // weights sum as EXACT longs before the one double division that
+    // normalizes them (the "exact long division into double" contract
+    // with the oracle) — a fractional weight column would silently
+    // truncate to garbage (0.5 -> 0 -> null weights -> pure-teleport
+    // ranks with no error), so it is rejected loudly; pre-scale
+    // fractional weights to integers (multiplicities, micro-units)
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(edges.schema(weightCol).dataType),
+      s"weightCol '$weightCol' must be an integral type (counts); got " +
+        s"${edges.schema(weightCol).dataType.simpleString} — pre-scale " +
+        "fractional weights to integers")
     // materialize the edge list ONCE (the dupClusters discipline):
     // vertices, out-totals, weights and every iteration's propagation
     // join all consume it — un-checkpointed, each consumer re-runs the
@@ -84,6 +97,14 @@ object Graph {
     val outSrc = outTot.select(col("src").as("page"))
     var ranks = init(verts)
     for (_ <- 0 until iters) {
+      // each iteration consumes the rank frame TWICE (dangling mass and
+      // contributions) — un-checkpointed, the lazy plan embeds two
+      // copies of the previous rank subtree and grows as 2^iters
+      // (intractable for Catalyst past ~a dozen iterations; the
+      // harmonicCentrality frontiers checkpoint for the same reason).
+      // Values are bit-unchanged: checkpointing moves where the doubles
+      // live, not one bit of them
+      ranks = ranks.localCheckpoint()
       val dm = ranks.join(outSrc, Seq("page"), "left_anti")
         .agg(coalesce(sum(col("__r").cast("decimal(20,10)")),
           lit(0).cast("decimal(20,10)")).cast("double").as("__dm"))

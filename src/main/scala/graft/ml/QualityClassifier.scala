@@ -83,33 +83,52 @@ object QualityClassifier {
   def trainWeights(features: DataFrame, iters: Int = 8,
                    lr: Double = 8.0): Array[Double] = {
     val cached = features.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = cached.count().toDouble
-      var w = Array.fill(featCols.size)(0.0)
-      // zero documents: no gradient exists — return the init weights
-      // instead of NPE-ing on the null gradient row and dividing by 0
-      if (n == 0) return w
-      for (_ <- 0 until iters) {
-        val z = featCols.zipWithIndex
-          .map { case (f, i) => lit(w(i)) * col(f) }.reduceLeft(_ + _)
-        val p = lit(0.5) + lit(0.5) * col("__z") / (lit(1.0) + abs(col("__z")))
-        val term = (col("__p") - col("y")) /
-          ((lit(1.0) + abs(col("__z"))) * (lit(1.0) + abs(col("__z"))))
-        val row = cached
-          .withColumn("__z", z)
-          .withColumn("__p", p)
-          .withColumn("__t", term)
-          .agg(sum((col("__t") * col("x0")).cast("decimal(20,10)"))
-            .cast("double").as("g0"),
-            featCols.zipWithIndex.tail.map { case (f, i) =>
-              sum((col("__t") * col(f)).cast("decimal(20,10)"))
-                .cast("double").as(s"g$i")
-            }: _*)
-          .head()
-        w = w.indices.map(i => w(i) - lr * row.getDouble(i) / n).toArray
-      }
-      w
-    } finally { cached.unpersist(blocking = false); () }
+    try fitOn(cached, iters, lr)._1
+    finally { cached.unpersist(blocking = false); () }
+  }
+
+  /** [[trainWeights]] plus the corpus size — from the fit's OWN cached
+    * pass, so publishing it never re-runs the featurize scan.
+    */
+  def trainWeightsAndCount(features: DataFrame, iters: Int = 8,
+                           lr: Double = 8.0): (Array[Double], Long) = {
+    val cached = features.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try fitOn(cached, iters, lr)
+    finally { cached.unpersist(blocking = false); () }
+  }
+
+  /** The fit loop over a frame the CALLER has persisted. */
+  private def fitOn(cached: DataFrame, iters: Int, lr: Double): (Array[Double], Long) = {
+    val nDocs = cached.count()
+    val n = nDocs.toDouble
+    var w = Array.fill(featCols.size)(0.0)
+    // zero documents: no gradient exists — return the init weights
+    // instead of NPE-ing on the null gradient row and dividing by 0
+    if (nDocs == 0L) return (w, 0L)
+    for (_ <- 0 until iters) {
+      val z = featCols.zipWithIndex
+        .map { case (f, i) => lit(w(i)) * col(f) }.reduceLeft(_ + _)
+      val p = lit(0.5) + lit(0.5) * col("__z") / (lit(1.0) + abs(col("__z")))
+      val term = (col("__p") - col("y")) /
+        ((lit(1.0) + abs(col("__z"))) * (lit(1.0) + abs(col("__z"))))
+      val row = cached
+        .withColumn("__z", z)
+        .withColumn("__p", p)
+        .withColumn("__t", term)
+        .agg(sum((col("__t") * col("x0")).cast("decimal(20,10)"))
+          .cast("double").as("g0"),
+          featCols.zipWithIndex.tail.map { case (f, i) =>
+            sum((col("__t") * col(f)).cast("decimal(20,10)"))
+              .cast("double").as(s"g$i")
+          }: _*)
+        .head()
+      // a NULL gradient component (every row's feature null — e.g. a
+      // corpus of all-null texts) means no usable signal for that
+      // weight: skip its update instead of NPE-ing on the null cell
+      w = w.indices.map(i =>
+        if (row.isNullAt(i)) w(i) else w(i) - lr * row.getDouble(i) / n).toArray
+    }
+    (w, nDocs)
   }
 
   /** [[trainWeights]] as a 1-row (b0..b3) frame. */
@@ -119,13 +138,17 @@ object QualityClassifier {
       .select(w.zipWithIndex.map { case (v, i) => lit(v).as(s"b$i") }: _*)
   }
 
-  /** The published 1-row fit summary: rounded weights + corpus size. */
-  def trainedWeights(features: DataFrame, iters: Int = 8, lr: Double = 8.0): DataFrame =
-    train(features, iters, lr)
-      .crossJoin(broadcast(features.agg(count(lit(1)).as("n_docs"))))
-      .select(featCols.indices.map(i =>
-        (round(col(s"b$i") * 1000000) / 1000000.0 + lit(0.0)).as(s"w$i")) :+
-        col("n_docs"): _*)
+  /** The published 1-row fit summary: rounded weights + corpus size
+    * (n_docs from the fit's own cached pass — previously a second full
+    * featurize scan AFTER the fit unpersisted the frame).
+    */
+  def trainedWeights(features: DataFrame, iters: Int = 8, lr: Double = 8.0): DataFrame = {
+    val (w, nDocs) = trainWeightsAndCount(features, iters, lr)
+    features.sparkSession.range(1)
+      .select((w.zipWithIndex.map { case (v, i) =>
+        (round(lit(v) * 1000000) / 1000000.0 + lit(0.0)).as(s"w$i")
+      } :+ lit(nDocs).as("n_docs")): _*)
+  }
 
   /** Per-document score under the trained weights: softsign probability,
     * hard prediction at the exact z ≥ 0 threshold, and the label — the

@@ -65,13 +65,14 @@ object ZOrder {
     * preserved exactly (the layout is a permutation).
     */
   def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
-                    numFiles: Int, bits: Int = 8): Unit = {
+                    numFiles: Int, bits: Int = 8,
+                    mode: String = "overwrite"): Unit = {
     val cuts = quantileCuts(df, cols, bits)
     withZValue(df, cols, cuts, bits)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
+      .write.mode(mode).parquet(path)
   }
 }
 
@@ -96,14 +97,8 @@ object ZOrderTable {
     * partition's readers filter by). Existing files are never touched.
     */
   def append(df: DataFrame, cols: Seq[String], path: String,
-             numFiles: Int, bits: Int = 8): Unit = {
-    val cuts = ZOrder.quantileCuts(df, cols, bits)
-    ZOrder.withZValue(df, cols, cuts, bits)
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode("append").parquet(path)
-  }
+             numFiles: Int, bits: Int = 8): Unit =
+    ZOrder.writeZOrdered(df, cols, path, numFiles, bits, mode = "append")
 
   /** Re-cluster the whole table onto one global curve and swap it in
     * (write beside, rename live aside, rename new in, drop the old):
@@ -155,7 +150,7 @@ object ZOrderMirror {
     * content, so a mirror persisted by OLDER layout code would
     * otherwise silently serve the stale file order.
     */
-  private val version = "v1"
+  private val version = "v2" // v2: bits + unambiguous cols in the key
 
   /** Files for a source of `bytes`: one ~[[BucketedMirror.targetBucketBytes]]
     * file per chunk, floored at 16 (local[32]-shape parallelism at test
@@ -166,19 +161,24 @@ object ZOrderMirror {
     math.min(1L << 20, math.max(16L,
       (bytes + BucketedMirror.targetBucketBytes - 1) / BucketedMirror.targetBucketBytes)).toInt
 
-  def root(dir: String, table: String, cols: Seq[String],
+  def root(dir: String, table: String, cols: Seq[String], bits: Int = 8,
            hadoopConf: org.apache.hadoop.conf.Configuration =
              new org.apache.hadoop.conf.Configuration()): java.io.File = {
     val src = new org.apache.hadoop.fs.Path(dir, s"$table.parquet").toString
+    // the LAYOUT GEOMETRY is part of the key (the PqIndex/NameIndex
+    // discipline): a warm call with different `bits` must rebuild, not
+    // silently serve coarser buckets; cols are length-prefixed so
+    // Seq("a_b","c") and Seq("a","b_c") cannot alias one directory
+    val colKey = cols.map(c => s"${c.length}~$c").mkString("_")
     new java.io.File(
       s"target/zorder_mirror/$version/${graft.ArtifactKey.stamped(src, hadoopConf)}/" +
-        cols.mkString("_"))
+        s"b$bits/$colKey")
       .getAbsoluteFile
   }
 
   /** Delete the persisted mirror (forces the next ensure to rebuild). */
-  def drop(dir: String, table: String, cols: Seq[String]): Unit =
-    graft.ArtifactKey.rmRecursive(root(dir, table, cols))
+  def drop(dir: String, table: String, cols: Seq[String], bits: Int = 8): Unit =
+    graft.ArtifactKey.rmRecursive(root(dir, table, cols, bits))
 
   /** The z-ordered mirror of `<dir>/<table>.parquet` clustered on
     * `cols`; builds on the cold path only (quantile pass + one range
@@ -189,14 +189,15 @@ object ZOrderMirror {
   def ensure(spark: org.apache.spark.sql.SparkSession, dir: String, table: String,
              cols: Seq[String], bits: Int = 8): DataFrame = synchronized {
     val conf = spark.sessionState.newHadoopConf()
-    val base = root(dir, table, cols, conf)
+    val base = root(dir, table, cols, bits, conf)
     if (!new java.io.File(base, "_SUCCESS").isFile) {
       val src = new org.apache.hadoop.fs.Path(dir, s"$table.parquet")
       val fs = src.getFileSystem(conf)
       require(fs.exists(src), s"z-order mirror source does not exist: $src")
       // superseded = older content stamps of the same source table
-      // (siblings of the stamped dir); column-set variants coexist inside
-      val stampedDir = base.getParentFile
+      // (siblings of the stamped dir); geometry/column variants coexist
+      // inside (base = <stamp>/b<bits>/<cols>)
+      val stampedDir = base.getParentFile.getParentFile
       graft.ArtifactKey.dropSuperseded(
         stampedDir.getParentFile,
         graft.ArtifactKey.pathKey(src.toString) + "_", stampedDir.getName)

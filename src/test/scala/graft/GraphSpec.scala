@@ -162,6 +162,26 @@ class GraphSpec extends SparkTestBase {
     assert(out(1L) === 0.0) // sources are unreached
   }
 
+  test("pageRank rejects fractional weight columns loudly") {
+    // a double weight would silently truncate to 0 in the exact-long
+    // normalization and collapse ranks to pure teleport — the contract
+    // fails fast instead
+    val frac = Seq((0L, 1L, 0.5)).toDF("src", "dst", "n_trans")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRank(frac)
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
+
+  test("pageRank survives deep iteration counts (checkpointed rank frames)") {
+    // 16 iterations would embed 2^16 copies of the rank subtree without
+    // the per-iteration checkpoint; with it the plan stays constant-size
+    // and the cycle still converges toward the uniform fixed point
+    val pr = Graph.pageRank(edges((0L, 1L, 1L), (1L, 0L, 1L)), iters = 16)
+      .as[(Long, Double)].collect().toMap
+    assert(pr(0L) === 0.5 && pr(1L) === 0.5)
+  }
+
   test("every graph operator returns empty on an empty edge list") {
     // a quiet ingest window produces zero transitions; nothing may
     // throw (pageRank's 1/N, harmonic's BFS loop, HyperBall's

@@ -40,6 +40,13 @@ class QualityClassifierSpec extends SparkTestBase {
     // zero documents: no gradient exists — weights stay at init, no NPE
     val w = QualityClassifier.trainWeights(feats.filter(lit(false)))
     assert(w.toSeq === Seq(0.0, 0.0, 0.0, 0.0))
+    // all-null texts: x2/x3 and therefore every gradient term are NULL —
+    // the null components skip their update instead of NPE-ing mid-fit
+    val nullDocs = Seq((1L, null: String, 5L), (2L, null: String, 9L))
+      .toDF("doc_id", "text", "n_chars")
+    val wNull = QualityClassifier.trainWeights(QualityClassifier.featurize(
+      nullDocs, "doc_id", "text", "n_chars", col("n_chars") >= 256))
+    assert(wNull.forall(v => !v.isNaN))
   }
 
   test("GD fit separates the separable fixture perfectly") {
