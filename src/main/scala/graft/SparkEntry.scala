@@ -3834,8 +3834,8 @@ object SparkEntry {
         |  UNION
         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
         |canon AS (SELECT id AS name, min(r) AS entity FROM reach GROUP BY id)
-        |SELECT pt.p_partkey, pt.p_name, c.entity
-        |FROM part pt JOIN canon c ON pt.p_name = c.name""".stripMargin,
+        |SELECT pt.p_partkey, pt.p_name, coalesce(c.entity, pt.p_name) AS entity
+        |FROM part pt LEFT JOIN canon c ON pt.p_name = c.name""".stripMargin,
 
     // batch names conformed to the standing universe: blocking +
     // levenshtein + best-match (min dist, tie lexicographic) replayed

@@ -298,10 +298,18 @@ object EntityResolution {
       while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
+    // root choice compares UTF-8 BYTES (UTF8String), not JVM UTF-16
+    // code units: the blocking join's `name1 < name2`, sort_array, and
+    // the DuckDB oracle's min() all order binary UTF-8 — for names with
+    // supplementary-plane code points the two orders diverge, and the
+    // component label must agree with all of them
+    def utf8Lt(a: String, b: String): Boolean =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
     pairs.foreach { row =>
       val (r1, r2) = (find(row.getString(0)), find(row.getString(1)))
       if (r1 != r2) {
-        if (r1 < r2) parent(r2) = r1 else parent(r1) = r2
+        if (utf8Lt(r1, r2)) parent(r2) = r1 else parent(r1) = r2
       }
     }
     // snapshot keys BEFORE the find loop: path compression mutates the

@@ -118,7 +118,18 @@ object ZOrderTable {
     val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
     val old = new org.apache.hadoop.fs.Path(path + "__precompact")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    if (fs.exists(old)) fs.delete(old, true)
+    // crash-recovery BEFORE cleanup: if a prior compact died between the
+    // two swap renames, the table's only copy lives at `old` — restore it
+    // rather than deleting it (the scaladoc's recovery promise, automated).
+    // `old` is a stale recovery copy (safe to drop) ONLY when the live
+    // path also exists.
+    if (fs.exists(old)) {
+      if (!fs.exists(p)) {
+        if (!fs.rename(old, p))
+          throw new java.io.IOException(
+            s"compact recovery failed: $old -> $p")
+      } else fs.delete(old, true)
+    }
     ZOrder.writeZOrdered(spark.read.parquet(path), cols, tmp.toString,
       numFiles, bits)
     // two renames, never delete-then-rename: a crash between a delete

@@ -71,6 +71,23 @@ class EntityResolutionSpec extends SparkTestBase {
     assert(m.values.toSet === Set("x aaaa"))
   }
 
+  test("entityGroups canonical label uses UTF-8 BYTE order, not JVM UTF-16 order " +
+       "(supplementary-plane names)") {
+    // U+1F600 (😀) is a surrogate pair D83D DE00 in UTF-16, so the JVM
+    // String order puts "q 😀" BELOW "q " (D83D < E000) — but the
+    // blocking join, sort_array, and the DuckDB oracle's min() all order
+    // UTF-8 bytes, where U+1F600 > U+E000. The union-find's root choice
+    // must agree with the byte order or the label diverges from the oracle.
+    val hi = "q 😀"  // q + U+1F600
+    val lo = "q "        // q + U+E000 — the UTF-8 minimum
+    assert(hi < lo, "precondition: JVM UTF-16 order disagrees with UTF-8 here")
+    val df = Seq((1L, hi), (2L, lo)).toDF("id", "name")
+    val m = EntityResolution.entityGroups(df, "id", "name", maxDist = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(m(1L) === lo && m(2L) === lo,
+      "component label must be the UTF-8-byte minimum name")
+  }
+
   test("levenshteinLocal replicates Spark's levenshtein expression exactly " +
        "(randomized parity)") {
     val rnd = new scala.util.Random(99)

@@ -206,6 +206,32 @@ class ZOrderSpec extends SparkTestBase {
     assert(overlapAfter.toDouble / 16 < overlapBefore.toDouble / filesBefore + 0.25)
   }
 
+  test("ZOrderTable.compact: a retry after a crash between the two swap renames " +
+       "RECOVERS the table from __precompact instead of deleting the only copy") {
+    import graft.sink.ZOrderTable
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zrecover").toString + "/t"
+    val df = spark.range(4096L)
+      .select(pmod(xxhash64(col("id")), lit(1000)).as("a"),
+              pmod(xxhash64(col("id") + 7), lit(1000)).as("b"))
+    ZOrderTable.append(df, Seq("a", "b"), tmp, 4)
+    def hsum(d: org.apache.spark.sql.DataFrame): Long =
+      d.agg(sum(hash(col("a"), col("b")).cast("long"))).collect()(0).getLong(0)
+    val h0 = hsum(spark.read.parquet(tmp))
+    // simulate the documented crash window: rename(p, old) succeeded,
+    // rename(tmp, p) never ran — the table's ONLY copy is at __precompact
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(conf)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(tmp + "__precompact")))
+    assert(!fs.exists(p), "crash simulation: live path absent")
+    // the natural retry must auto-recover, then complete normally
+    ZOrderTable.compact(spark, tmp, Seq("a", "b"), numFiles = 4)
+    assert(hsum(spark.read.parquet(tmp)) === h0,
+      "retry after mid-swap crash must recover the full row multiset")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tmp + "__precompact")),
+      "recovery copy is cleaned up once the live path exists")
+  }
+
   test("ZOrderMirror: builds once, reuses without rewriting, and is a permutation " +
        "of the source table") {
     import graft.sink.ZOrderMirror
