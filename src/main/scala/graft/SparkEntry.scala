@@ -1947,13 +1947,25 @@ object SparkEntry {
       Tables(s, d, "documents"), "doc_id", "text", "n_chars",
       col("n_chars") >= 256)
 
-  /** Shared g-family input: the per-user page-transition edge list, pages
-    * keyed `event_id % 50` so the DuckDB oracle can replay the derivation.
+  /** The g-family edge DERIVATION: per-user page-transition edges, pages
+    * keyed `event_id % 50` so the DuckDB oracle can replay it. Queries
+    * consume it through [[graphEdges]]' persisted index; this inline form
+    * is what the cold build evaluates (and what EdgeIndexSpec's parity
+    * gate compares against).
     */
-  private def graphEdges(s: SparkSession, d: String): DataFrame =
+  private[graft] def graphEdgesInline(s: SparkSession, d: String): DataFrame =
     graft.graph.Graph.transitionEdges(
       Tables.events(s, d).withColumn("page", pmod(col("event_id"), lit(50L))),
       "user_id", "page", "ts", "event_id")
+
+  /** Shared g-family input: [[graphEdgesInline]] behind the persisted
+    * bucketed [[graft.graph.EdgeIndex]] — the derivation (the only
+    * data-sized term in the family: one lag window over the raw event
+    * log) is paid once per events snapshot; g1–g8 then scan the
+    * src-bucketed page-pair universe.
+    */
+  private def graphEdges(s: SparkSession, d: String): DataFrame =
+    graft.graph.EdgeIndex.ensure(s, d, "page50", graphEdgesInline(s, d))
 
   /** DuckDB oracle SQL per query (same parquet tables). Shared determinism
     * rules (SURVEY §5.2): published numerics rounded, total orders pinned on

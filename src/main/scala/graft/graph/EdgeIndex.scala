@@ -1,0 +1,115 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Build-or-reuse the persisted transition-edge table — the cross-run
+  * amortization rung the graph family was missing (the LshIndex /
+  * NameIndex / BucketedMirror discipline applied to
+  * [[Graph.transitionEdges]]): deriving edges is the ONLY data-sized
+  * term in every graph query — one lag window over the raw event log —
+  * and each of g1–g8 re-paid it per run. This persists the derived
+  * (src, dst, n_trans) frame once per source snapshot as a BUCKETED
+  * catalog table clustered+sorted on `src` (the layout
+  * [[Graph]]'s scaladoc promises: PageRank's per-iteration rank⋈edge
+  * join and every out-degree aggregate key on `src`, so consumers
+  * ride one write-time shuffle forever). Every later graph query is a
+  * scan of the distinct transition universe — the page-pair domain,
+  * which at 100 TB of events is orders of magnitude smaller than the
+  * log the inline form re-reads.
+  *
+  * Artifact key: content-stamped events source + `variant` (WHICH edge
+  * derivation — page keying, user/ts columns — two derivations must
+  * not share an index) + bucket count (a different layout is a
+  * different artifact, the PqIndex-geometry lesson). Reuse ladder =
+  * [[graft.sink.BucketedMirror]]'s: session catalog → re-attach
+  * on-disk files via bucket-spec DDL → cold build. Supersede-on-
+  * rebuild drops older content stamps of the same source.
+  */
+object EdgeIndex {
+
+  /** Bump when the persisted shape changes: reuse is keyed by source
+    * content + variant, so an index persisted by older derivation code
+    * would otherwise silently serve stale edges.
+    */
+  private val version = "v1"
+
+  /** Default bucket count: the edge universe is page-pair-domain-sized
+    * (sublinear in events), so the [[graft.sink.BucketedMirror]] floor
+    * is the right shape until a corpus outgrows it — then pass the
+    * size-derived count explicitly.
+    */
+  val defaultBuckets: Int = graft.sink.BucketedMirror.defaultBuckets
+
+  private def eventsPath(dir: String): String =
+    new org.apache.hadoop.fs.Path(dir, "events.parquet").toString
+
+  private[graph] def tableName(dir: String, variant: String, buckets: Int,
+                               stamp: String): String =
+    s"graft_edge_index_${variant}_${graft.ArtifactKey.pathKey(dir)}_b${buckets}_s$stamp"
+
+  private def rootDir(dir: String, variant: String, buckets: Int,
+                      stamp: String): java.io.File =
+    new java.io.File(
+      s"target/edge_index/$version/${graft.ArtifactKey.pathKey(dir)}/" +
+        s"${variant}_b${buckets}_s$stamp").getAbsoluteFile
+
+  /** Delete the persisted index files AND the catalog entry (forces the
+    * next ensure to rebuild).
+    */
+  def drop(spark: SparkSession, dir: String, variant: String,
+           nBuckets: Int = defaultBuckets): Unit = synchronized {
+    val stamp = graft.ContentStamp(eventsPath(dir), spark.sessionState.newHadoopConf())
+    spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir, variant, nBuckets, stamp)}")
+    graft.ArtifactKey.rmRecursive(rootDir(dir, variant, nBuckets, stamp))
+  }
+
+  /** The persisted transition-edge table for `dir`'s events under the
+    * named derivation `variant`; `edges` (the inline derivation — must
+    * produce exactly (src, dst, n_trans)) is only evaluated on a cold
+    * build. Returns the catalog table: scans publish the bucket
+    * layout, so consumer joins/aggregations on `src` plan no exchange
+    * for the edge side.
+    */
+  def ensure(spark: SparkSession, dir: String, variant: String,
+             edges: => DataFrame, nBuckets: Int = defaultBuckets): DataFrame = synchronized {
+    val stamp = graft.ContentStamp(eventsPath(dir), spark.sessionState.newHadoopConf())
+    val name = tableName(dir, variant, nBuckets, stamp)
+    if (!spark.catalog.tableExists(name)) {
+      val base = rootDir(dir, variant, nBuckets, stamp)
+      // supersede every OLDER-STAMP index of the same (dir, variant):
+      // files and their dead catalog entries — the BucketedMirror
+      // discipline (current-stamp bucket variants stay live; a
+      // superseded stamp indexes events that no longer exist)
+      val liveStamp = s"_s$stamp"
+      Option(base.getParentFile.listFiles).toSeq.flatten
+        .filter(f => f.getName.startsWith(s"${variant}_b") &&
+                     !f.getName.endsWith(liveStamp))
+        .foreach(graft.ArtifactKey.rmRecursive)
+      spark.sql(
+        s"SHOW TABLES LIKE 'graft_edge_index_${variant}_${graft.ArtifactKey.pathKey(dir)}_*'")
+        .collect().map(_.getAs[String]("tableName"))
+        .filter(t => t != name && !t.endsWith(liveStamp))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      if (new java.io.File(base, "_SUCCESS").isFile) {
+        // files survive the session catalog; re-attach them with the
+        // bucket spec they were written with — no rewrite, no source scan
+        val schema = spark.read.parquet(base.getPath).schema
+        spark.sql(
+          s"""CREATE TABLE $name (${schema.toDDL}) USING PARQUET
+             |CLUSTERED BY (src) SORTED BY (src) INTO $nBuckets BUCKETS
+             |LOCATION '${base.getPath}'""".stripMargin)
+      } else {
+        val e = edges
+        require(e.columns.toSeq == Seq("src", "dst", "n_trans"),
+          s"EdgeIndex expects (src, dst, n_trans); got ${e.columns.mkString(", ")}")
+        // repartition aligns tasks to buckets (one file per bucket →
+        // scans can publish the in-bucket sort), like BucketedMirror
+        graft.sink.Sinks.writeBucketed(
+          e.repartition(nBuckets, col("src")), name, Seq("src"), nBuckets,
+          path = Some(base.getPath), sortCols = Seq("src"))
+      }
+    }
+    spark.table(name)
+  }
+}
