@@ -1909,10 +1909,21 @@ object SparkEntry {
     // ---- ml: relational full-batch GD quality classifier
     // (graft.ml.QualityClassifier — the fasttext-quality-scoring rung;
     // softsign link so the iterated fit is bit-replayable cross-engine)
-    "ml1_quality_weights" -> ((s, d) =>
-      graft.ml.QualityClassifier.trainedWeights(mlFeatures(s, d))),
+    "ml1_quality_weights" -> ((s, d) => {
+      val (w, n) = mlWeights(s, d)
+      graft.ml.QualityClassifier.weightsSummary(s, w, n)
+    }),
     "ml2_quality_scores" -> ((s, d) =>
-      graft.ml.QualityClassifier.score(mlFeatures(s, d), "doc_id")),
+      graft.ml.QualityClassifier.scoreWith(mlFeatures(s, d), "doc_id",
+        mlWeights(s, d)._1.toSeq)),
+    // the incremental shape (the m9→m12 / d15 "only the batch pays"
+    // pattern): a daily batch — here the doc_id % 7 slice — scored
+    // under STANDING weights read from the persisted fit; no training-
+    // corpus scan, no fit, one codegen'd pass over the batch
+    "ml3_incremental_scores" -> ((s, d) =>
+      graft.ml.QualityClassifier.scoreWith(
+        mlFeatures(s, d).filter(pmod(col("doc_id"), lit(7L)) === 0),
+        "doc_id", mlWeights(s, d)._1.toSeq)),
 
     // ---- dq: declarative data-quality suites (graft.quality.Checks —
     // the Deequ shape: a whole suite rides ONE conditional-agg scan)
@@ -1946,6 +1957,14 @@ object SparkEntry {
     graft.ml.QualityClassifier.featurize(
       Tables(s, d, "documents"), "doc_id", "text", "n_chars",
       col("n_chars") >= 256)
+
+  /** Shared ml-family fit: [[mlFeatures]]' 8-epoch softsign GD behind the
+    * persisted [[graft.ml.WeightsIndex]] — the corpus is featurized and
+    * scanned once per documents snapshot; ml1–ml3 then read the 1-row
+    * artifact (bit-exact through parquet).
+    */
+  private def mlWeights(s: SparkSession, d: String): (Array[Double], Long) =
+    graft.ml.WeightsIndex.ensure(s, d, "documents", "en256", mlFeatures(s, d))
 
   /** The g-family edge DERIVATION: per-user page-transition edges, pages
     * keyed `event_id % 50` so the DuckDB oracle can replay it. Queries
@@ -3963,6 +3982,20 @@ object SparkEntry {
          |  CAST(y AS BIGINT) AS label
          |FROM (SELECT f.*, b0 * x0 + b1 * x1 + b2 * x2 + b3 * x3 AS z
          |      FROM f CROSS JOIN w8)""".stripMargin,
+
+    // ml3: the engine scores the batch slice under PERSISTED standing
+    // weights (no fit at query time); the oracle replays the full fit
+    // and scores the same slice — one semantic truth, two paths (the
+    // d15/d16 oracle relationship)
+    "ml3_incremental_scores" ->
+      s"""WITH $mlFitCte
+         |SELECT doc_id,
+         |  round((0.5 + 0.5 * z / (1 + abs(z))) * 1000000) / 1000000.0 + 0.0 AS quality_score,
+         |  CAST(CASE WHEN z >= 0 THEN 1 ELSE 0 END AS BIGINT) AS predicted,
+         |  CAST(y AS BIGINT) AS label
+         |FROM (SELECT f.*, b0 * x0 + b1 * x1 + b2 * x2 + b3 * x3 AS z
+         |      FROM f CROSS JOIN w8)
+         |WHERE doc_id % 7 = 0""".stripMargin,
 
     // dq family: the one-scan conditional-agg suite unpivoted to report
     // rows; every metric a ratio of counts or an exact min/max

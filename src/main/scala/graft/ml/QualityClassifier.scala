@@ -60,11 +60,6 @@ object QualityClassifier {
 
   private val featCols = Seq("x0", "x1", "x2", "x3")
 
-  /** z = w·x with the pinned left-to-right association. */
-  private def zOf(prefix: String): Column =
-    featCols.zipWithIndex.map { case (f, i) => col(s"${prefix}b$i") * col(f) }
-      .reduceLeft(_ + _)
-
   /** `iters` GD steps from w = 0, coefficients DRIVER-HELD between
     * epochs — the MLlib treeAggregate shape: each step is one map-side-
     * combined aggregate over the (cached) feature frame computing the
@@ -138,32 +133,52 @@ object QualityClassifier {
       .select(w.zipWithIndex.map { case (v, i) => lit(v).as(s"b$i") }: _*)
   }
 
+  /** The published 1-row fit summary for ALREADY-KNOWN weights — rounded
+    * coefficients + corpus size. What [[trainedWeights]] publishes after
+    * a fit, and what a caller holding persisted weights
+    * ([[WeightsIndex]]) publishes without one.
+    */
+  def weightsSummary(spark: org.apache.spark.sql.SparkSession, w: Seq[Double],
+                     nDocs: Long): DataFrame =
+    spark.range(1)
+      .select((w.zipWithIndex.map { case (v, i) =>
+        (round(lit(v) * 1000000) / 1000000.0 + lit(0.0)).as(s"w$i")
+      } :+ lit(nDocs).as("n_docs")): _*)
+
   /** The published 1-row fit summary: rounded weights + corpus size
     * (n_docs from the fit's own cached pass — previously a second full
     * featurize scan AFTER the fit unpersisted the frame).
     */
   def trainedWeights(features: DataFrame, iters: Int = 8, lr: Double = 8.0): DataFrame = {
     val (w, nDocs) = trainWeightsAndCount(features, iters, lr)
-    features.sparkSession.range(1)
-      .select((w.zipWithIndex.map { case (v, i) =>
-        (round(lit(v) * 1000000) / 1000000.0 + lit(0.0)).as(s"w$i")
-      } :+ lit(nDocs).as("n_docs")): _*)
+    weightsSummary(features.sparkSession, w, nDocs)
   }
 
-  /** Per-document score under the trained weights: softsign probability,
-    * hard prediction at the exact z ≥ 0 threshold, and the label — the
-    * frame a curation filter or a calibration step consumes. One
-    * broadcast join of the 1-row weight frame against the feature scan.
+  /** Per-document scoring under GIVEN weights — the pure inference pass,
+    * and the incremental path's whole cost: the coefficients enter the
+    * plan as 4 literals, so scoring a daily batch is ONE codegen'd scan
+    * of the batch (no fit, no training-corpus scan, no join — the
+    * m9→m12 amortization shape; [[WeightsIndex.ensure]] supplies
+    * standing weights). Output: (idCol, quality_score, predicted, label).
     */
-  def score(features: DataFrame, idCol: String, iters: Int = 8,
-            lr: Double = 8.0): DataFrame = {
-    val w = train(features, iters, lr)
-    features.crossJoin(broadcast(w))
-      .withColumn("__z", zOf(""))
+  def scoreWith(features: DataFrame, idCol: String, w: Seq[Double]): DataFrame = {
+    require(w.size == featCols.size, s"expected ${featCols.size} weights, got ${w.size}")
+    val z = featCols.zipWithIndex
+      .map { case (f, i) => lit(w(i)) * col(f) }.reduceLeft(_ + _)
+    features
+      .withColumn("__z", z)
       .select(col(idCol),
         (round((lit(0.5) + lit(0.5) * col("__z") / (lit(1.0) + abs(col("__z"))))
           * 1000000) / 1000000.0 + lit(0.0)).as("quality_score"),
         when(col("__z") >= 0, lit(1L)).otherwise(lit(0L)).as("predicted"),
         col("y").cast("long").as("label"))
   }
+
+  /** Fit-then-score in one call: [[trainWeights]] + [[scoreWith]]. The
+    * one-shot form — a standing pipeline persists the fit once
+    * ([[WeightsIndex]]) and calls [[scoreWith]] per batch instead.
+    */
+  def score(features: DataFrame, idCol: String, iters: Int = 8,
+            lr: Double = 8.0): DataFrame =
+    scoreWith(features, idCol, trainWeights(features, iters, lr).toSeq)
 }

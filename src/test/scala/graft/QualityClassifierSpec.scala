@@ -75,4 +75,40 @@ class QualityClassifierSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_docs") === 20L)
     assert(r.getAs[Double]("w1") > 0.0) // longer docs score higher
   }
+
+  test("scoreWith under the fit's own weights is IDENTICAL to fit-then-score") {
+    val w = QualityClassifier.trainWeights(feats)
+    val viaWeights = QualityClassifier.scoreWith(feats, "doc_id", w.toSeq)
+      .as[(Long, Double, Long, Long)].collect().toSet
+    val oneShot = QualityClassifier.score(feats, "doc_id")
+      .as[(Long, Double, Long, Long)].collect().toSet
+    assert(viaWeights === oneShot)
+  }
+
+  test("WeightsIndex: builds once, warm ensure never evaluates the corpus, " +
+       "weights round-trip bit-exactly, and hyperparams key the artifact") {
+    import graft.ml.WeightsIndex
+    val dir = "/root/testdata/sf0.001"
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+    val f = QualityClassifier.featurize(
+      corpus, "doc_id", "text", "n_chars", col("n_chars") >= 256)
+    WeightsIndex.drop(dir, "documents", "spec")
+    val (w1, n1) = WeightsIndex.ensure(spark, dir, "documents", "spec", f)
+    val inline = QualityClassifier.trainWeightsAndCount(f)
+    assert(w1.toSeq === inline._1.toSeq,
+      "persisted weights must be the identical IEEE doubles the fit produced")
+    assert(n1 === inline._2)
+    val success = new java.io.File(WeightsIndex.root(dir, "documents", "spec"), "_SUCCESS")
+    assert(success.isFile)
+    val stamp = success.lastModified
+    val (w2, n2) = WeightsIndex.ensure(spark, dir, "documents", "spec",
+      { fail("warm ensure must not evaluate the training corpus"); f })
+    assert(success.lastModified === stamp, "reuse must not rewrite the artifact")
+    assert(w2.toSeq === w1.toSeq && n2 === n1)
+    // a different hyperparameter set is a DIFFERENT model — separate key,
+    // separate fit (the PqIndex-geometry discipline)
+    assert(WeightsIndex.root(dir, "documents", "spec", iters = 4).getPath !==
+      WeightsIndex.root(dir, "documents", "spec").getPath)
+    WeightsIndex.drop(dir, "documents", "spec")
+  }
 }
