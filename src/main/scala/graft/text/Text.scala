@@ -678,6 +678,58 @@ object Text {
     * bigram positions and are dropped (same convention as the t17
     * family's zero-token drop).
     *
+    * Plan — the t17 driver-built-model recipe one conditioning token up:
+    * the model (distinct bigrams + their add-1 log-probs) is
+    * OBSERVED-BIGRAM-sized, so when it fits the [[maxModelVocab]]
+    * budget it is built once (map-side-reduced counts, one bounded
+    * collect) and shipped inside a native expression
+    * ([[org.apache.spark.sql.graft.BigramLogProbSum]]) instead of
+    * joined — scoring is then a pure map pass over each document's
+    * row-local token array: no (doc, bigram) explode, no bigram-keyed
+    * shuffle, no per-doc aggregation exchange. Log-probs are computed
+    * once per DISTINCT bigram with the exact IEEE expression the
+    * relational twin evaluates (`StrictMath.log((cb+1)*1.0/(c1+v))`),
+    * quantized per occurrence through the double→decimal(20,10) cast —
+    * bit-identical to [[bigramLogProbJoined]] and the DuckDB oracle
+    * (parity pinned in TextSpec). Corpora whose observed-bigram universe
+    * exceeds the budget dispatch to the relational twin — the bound is
+    * enforced with `limit(max+1).collect()`, so the oversize case never
+    * materializes the full model driver-side.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                    maxModel: Int = maxModelVocab): DataFrame = {
+    val cb = df.select(explode(wordShingleOccurrences(col(textCol), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cb"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val c1 = cb.groupBy("w1").agg(sum(col("cb")).as("c1"))
+    val vocab = df.select(explode(tokens(col(textCol))).as("token"))
+      .agg(countDistinct(col("token")).as("v"))
+    val rows = cb.join(c1, "w1").crossJoin(broadcast(vocab))
+      .select(col("bigram"), col("cb"), col("c1"), col("v"))
+      .limit(maxModel + 1).collect()
+    if (rows.length > maxModel)
+      return bigramLogProbJoined(df, idCol, textCol)
+    // StrictMath.log, not math.log — the t17 determinism note applies
+    val lp = rows.map { r =>
+      r.getString(0) ->
+        StrictMath.log((r.getLong(1) + 1L) * 1.0 / ((r.getLong(2) + r.getLong(3)) * 1.0))
+    }.toMap
+    df.select(col(idCol),
+        org.apache.spark.sql.graft.BigramFunctions
+          .bigramLogProbSum(tokens(col(textCol)), lp).as("__s"))
+      // docs with < 2 tokens have no bigram positions and are dropped
+      // (their group never exists after the relational explode)
+      .filter(col("__s.n_bigrams") > 0)
+      .select(col(idCol), col("__s.n_bigrams").as("n_bigrams"),
+        (round(col("__s.lp_sum").cast("double") / col("__s.n_bigrams") * 10000)
+          / 10000.0 + lit(0.0)).as("avg_logprob"))
+  }
+
+  /** The relational twin of [[bigramLogProb]] — occurrence explode, model
+    * join, decimal per-occurrence sum. Kept as the executable cross-check
+    * (TextSpec pins the two forms equal) and as the scale path for
+    * observed-bigram universes too large to ship driver-side.
+    *
     * Plan: NO corpus-sized shuffle anywhere. The model tables — corpus
     * bigram counts and their w₁ margins — aggregate the occurrence
     * stream map-side down to distinct-bigram cardinality before their
@@ -692,7 +744,7 @@ object Text {
     * broadcast when small, a model-sized shuffle join when not. Same
     * decimal determinism discipline as [[unigramLogProbJoined]].
     */
-  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def bigramLogProbJoined(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val occ = df.select(col(idCol),
       explode(wordShingleOccurrences(col(textCol), 2)).as("bigram"))
     val cb = occ.groupBy("bigram").agg(count(lit(1)).as("cb"))

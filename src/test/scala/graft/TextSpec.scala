@@ -427,6 +427,22 @@ class TextSpec extends SparkTestBase {
     assert(out(1L)._2 > out(2L)._2)
   }
 
+  test("bigramLogProb: model path equals the relational twin bit-for-bit, " +
+       "and the over-budget fallback dispatches to it") {
+    // the registered t23 streams docs past a driver-built nested bigram
+    // model (native decimal-exact expression); the joined form is the
+    // executable specification — parity on real data, like t17's gate
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val fast = rows(Text.bigramLogProb(docs, "doc_id", "text"))
+    val joined = rows(Text.bigramLogProbJoined(docs, "doc_id", "text"))
+    assert(fast === joined)
+    // a model budget smaller than the observed-bigram universe must
+    // dispatch to the relational twin (never truncate the model)
+    assert(rows(Text.bigramLogProb(docs, "doc_id", "text", maxModel = 3)) === joined)
+  }
+
   test("spaceSavingSketch: upper-bound estimates and no-miss under eviction + merges") {
     // Zipf-ish stream with far more distinct keys than capacity, spread
     // over 8 partitions so partial buffers evict AND merge-prune runs.
