@@ -422,6 +422,19 @@ object SparkEntry {
       graft.analyze.Lifecycle.scd2Intervals(
         Tables.events(s, d), "user_id", "ts", "event_type", "event_id")),
 
+    // the incremental SCD2 proof: fold the change log in two time-split
+    // batches (standing snapshot + batch merge) — the oracle replays the
+    // ONE-SHOT pass over the full log, so the hash match IS the
+    // batch∘batch == one-shot contract
+    "w18_scd2_incremental" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      graft.analyze.Lifecycle.scd2ApplyBatch(
+        graft.analyze.Lifecycle.scd2Intervals(
+          ev.filter(col("ts") < cut), "user_id", "ts", "event_type", "event_id"),
+        ev.filter(col("ts") >= cut), "user_id", "ts", "event_type", "event_id")
+    }),
+
     // ----------------------------------------------------------- top-k
     "o1_topk_per_group" -> ((s, d) =>
       Analytics.topKPerGroup(
@@ -2416,6 +2429,21 @@ object SparkEntry {
     // run starts via null-safe lag comparison (rn = 1 keeps a first row
     // whose value is null), intervals via lead over the starts
     "w17_scd2_intervals" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |starts AS (SELECT user_id, event_type, ts, event_id FROM o
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |FROM starts""".stripMargin,
+
+    // the engine folds two time-split batches through scd2ApplyBatch;
+    // the oracle is the ONE-SHOT interval pass over the full log — the
+    // match proves batch-wise folding loses nothing
+    "w18_scd2_incremental" ->
       """WITH o AS (SELECT user_id, event_type, ts, event_id,
         |    lag(event_type) OVER w AS prev,
         |    row_number() OVER w AS rn

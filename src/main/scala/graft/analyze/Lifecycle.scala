@@ -233,4 +233,52 @@ object Lifecycle {
       .withColumn("valid_to", lead(col(ts), 1).over(w2))
       .select(col(key), col(value), col(ts).as("valid_from"), col("valid_to"))
   }
+
+  /** Incremental SCD2 — [[scd2Intervals]]' per-ingest-batch form (the
+    * d17/d18 "only the batch pays" pattern applied to dimension history):
+    * merge a NEW batch of change-log rows into a STANDING interval
+    * snapshot (a previous [[scd2Intervals]] or [[scd2ApplyBatch]]
+    * output). CLOSED intervals are immutable and pass through without a
+    * window — only each key's OPEN run (valid_to null, one per key by
+    * construction) can extend or close, so the two-window pass runs over
+    * `open ∪ batch` rows only: at 100 TB that is one day's arrivals plus
+    * one row per touched key's dimension state, never the historical log.
+    *
+    * Contract (the [[graft.streaming.Streaming.scd2Stream]] ordering
+    * contract, batch-granular): the change log is append-only — a
+    * batch row at or before its key's open-run start is LATE and drops
+    * before the fold (it can neither re-open closed history nor close
+    * the open run mid-run; replaying it would diverge from the one-shot
+    * pass). Under that contract, folding a time-split log batch-by-batch
+    * yields EXACTLY the one-shot [[scd2Intervals]] interval set — the
+    * w18 oracle replays the one-shot SQL over the full log against this
+    * two-step engine path, and LifecycleSpec gates random multi-way
+    * splits.
+    *
+    * Mechanics: each open run re-enters the pass as a seed row at its
+    * original `valid_from` (null tie — unreachable at equal timestamps
+    * because same-or-earlier batch rows were dropped), so a same-value
+    * first batch row extends the run (seed survives as the only run
+    * start, `valid_from` preserved) and a changed value closes it at the
+    * batch row's timestamp (the lead window supplies `valid_to`).
+    */
+  def scd2ApplyBatch(standing: DataFrame, batch: DataFrame, key: String,
+                     ts: String, value: String, tie: String): DataFrame = {
+    require(standing.columns.toSeq == Seq(key, value, "valid_from", "valid_to"),
+      s"standing must be a ($key, $value, valid_from, valid_to) interval " +
+        s"frame; got ${standing.columns.mkString(", ")}")
+    val closed = standing.filter(col("valid_to").isNotNull)
+    val open = standing.filter(col("valid_to").isNull)
+      .select(col(key), col(value), col("valid_from"))
+    val live = batch.select(col(key), col(value), col(ts), col(tie))
+      .join(open.select(col(key), col("valid_from").as("__open_from")),
+        Seq(key), "left")
+      .filter(col("__open_from").isNull || col(ts) > col("__open_from"))
+      .drop("__open_from")
+    val seeds = open
+      .select(col(key), col(value), col("valid_from").as(ts),
+        lit(null).cast(batch.schema(tie).dataType).as(tie))
+    closed.unionByName(
+      scd2Intervals(seeds.unionByName(live), key, ts, value, tie))
+  }
 }

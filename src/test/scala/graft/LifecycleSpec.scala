@@ -240,4 +240,70 @@ class LifecycleSpec extends SparkTestBase {
     val b = r.find(_.getString(1) == "b").get
     assert(a.getTimestamp(3) === t0 && b.isNullAt(3))
   }
+
+  private def intervalSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), Option(r.getString(1)),
+      r.getTimestamp(2), Option(r.getTimestamp(3)))).toSet
+
+  test("scd2ApplyBatch: same-value batch rows EXTEND the open run (valid_from " +
+       "preserved); changed values close it; untouched keys pass through") {
+    val early = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "gold", 1L),
+      (1L, ts("2024-01-02 00:00:00"), "silver", 2L),
+      (2L, ts("2024-01-01 00:00:00"), "bronze", 3L)
+    ).toDF("k", "t", "tier", "eid")
+    val standing = Lifecycle.scd2Intervals(early, "k", "t", "tier", "eid")
+    val batch = Seq(
+      (1L, ts("2024-01-05 00:00:00"), "silver", 4L), // same value: extends
+      (1L, ts("2024-01-06 00:00:00"), "gold", 5L),   // change: closes silver
+      (3L, ts("2024-01-05 00:00:00"), "new", 6L)     // unseen key: fresh run
+    ).toDF("k", "t", "tier", "eid")
+    val out = Lifecycle.scd2ApplyBatch(standing, batch, "k", "t", "tier", "eid")
+    assert(intervalSet(out) === Set(
+      (1L, Some("gold"), ts("2024-01-01 00:00:00"), Some(ts("2024-01-02 00:00:00"))),
+      (1L, Some("silver"), ts("2024-01-02 00:00:00"), Some(ts("2024-01-06 00:00:00"))),
+      (1L, Some("gold"), ts("2024-01-06 00:00:00"), None),
+      (2L, Some("bronze"), ts("2024-01-01 00:00:00"), None),
+      (3L, Some("new"), ts("2024-01-05 00:00:00"), None)))
+  }
+
+  test("scd2ApplyBatch: late rows (at or before the open-run start) drop " +
+       "instead of rewriting history") {
+    val standing = Lifecycle.scd2Intervals(
+      Seq((1L, ts("2024-01-05 00:00:00"), "gold", 1L)).toDF("k", "t", "tier", "eid"),
+      "k", "t", "tier", "eid")
+    val late = Seq(
+      (1L, ts("2024-01-03 00:00:00"), "silver", 2L), // before the open run
+      (1L, ts("2024-01-05 00:00:00"), "silver", 3L)  // at the open-run start
+    ).toDF("k", "t", "tier", "eid")
+    val out = Lifecycle.scd2ApplyBatch(standing, late, "k", "t", "tier", "eid")
+    assert(intervalSet(out) === Set(
+      (1L, Some("gold"), ts("2024-01-05 00:00:00"), None)))
+  }
+
+  test("scd2ApplyBatch: random multi-way time-splits fold to EXACTLY the " +
+       "one-shot interval set (the w18 contract)") {
+    val rnd = new scala.util.Random(77)
+    val tiers = Array("a", "b", "c", null)
+    // 300 observations over 6 keys, random values, strictly distinct
+    // timestamps per key (the append-only change-log contract)
+    val rows = (0 until 300).map { i =>
+      (rnd.nextInt(6).toLong,
+        new java.sql.Timestamp(ts("2024-01-01 00:00:00").getTime + i * 3600000L),
+        tiers(rnd.nextInt(tiers.length)), i.toLong)
+    }
+    val all = rows.toDF("k", "t", "tier", "eid")
+    val oneShot = intervalSet(Lifecycle.scd2Intervals(all, "k", "t", "tier", "eid"))
+    // 4 random split points -> 5 batches folded in time order
+    val cuts = Seq.fill(4)(rnd.nextInt(299) + 1).distinct.sorted
+    val bounds = (0 +: cuts) :+ 300
+    val batches = bounds.sliding(2).map { case Seq(lo, hi) =>
+      rows.slice(lo, hi).toDF("k", "t", "tier", "eid")
+    }.toSeq
+    val folded = batches.tail.foldLeft(
+      Lifecycle.scd2Intervals(batches.head, "k", "t", "tier", "eid")) { (st, b) =>
+      Lifecycle.scd2ApplyBatch(st, b, "k", "t", "tier", "eid")
+    }
+    assert(intervalSet(folded) === oneShot)
+  }
 }
