@@ -1962,7 +1962,19 @@ object SparkEntry {
         graft.quality.Checks.minValue("n_chars", 1.0),
         graft.quality.Checks.maxValue("n_chars", 10000.0),
         graft.quality.Checks.inSet("lang",
-          Seq("en", "de", "fr", "es", "zh"), 1.0))))
+          Seq("en", "de", "fr", "es", "zh"), 1.0)))),
+    // drift detection (the Deequ anomaly shape): per-DAY metric history
+    // over the event log, the latest day judged against the trailing
+    // days' mean — the gate a one-snapshot suite cannot express
+    "dq4_metric_drift" -> ((s, d) =>
+      graft.quality.Checks.driftReport(
+        graft.quality.Checks.runByPeriod(Tables.events(s, d),
+          to_date(col("ts")), Seq(
+            graft.quality.Checks.completeness("value", 1.0),
+            graft.quality.Checks.uniqueness("user_id", 1.0),
+            graft.quality.Checks.minValue("value", 0.0),
+            graft.quality.Checks.maxValue("value", 100.0))),
+        maxAbsDelta = 0.02))
   )
 
   /** Shared ml-family input: document features + the lang='en' label. */
@@ -4071,7 +4083,35 @@ object SparkEntry {
              ("uniqueness", "doc_id", "m1", "1"),
              ("min_value", "n_chars", "m2", "1"),
              ("max_value", "n_chars", "m3", "10000"),
-             ("in_set", "lang", "m4", "1")), maxRows = Set("m3"))}""".stripMargin
+             ("in_set", "lang", "m4", "1")), maxRows = Set("m3"))}""".stripMargin,
+
+    // dq4: the per-day metric history + trailing-mean drift judgment
+    // replayed literally (decimal-staged trailing mean, rounded
+    // published values, unrounded comparison — the engine's exact
+    // expressions; threshold literals CAST in DOUBLE space)
+    "dq4_metric_drift" ->
+      """WITH m AS (SELECT CAST(ts AS DATE) AS period,
+        |    round((CAST(count(value) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1000000) / 1000000.0 + 0.0 AS c_val,
+        |    round((CAST(count(DISTINCT user_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1000000) / 1000000.0 + 0.0 AS u_usr,
+        |    round(CAST(min(value) AS DOUBLE) * 1000000) / 1000000.0 + 0.0 AS mn_val,
+        |    round(CAST(max(value) AS DOUBLE) * 1000000) / 1000000.0 + 0.0 AS mx_val
+        |  FROM events GROUP BY 1),
+        |h AS (
+        |  SELECT period, 'completeness' AS check_name, 'value' AS col_name, c_val AS metric FROM m
+        |  UNION ALL SELECT period, 'uniqueness', 'user_id', u_usr FROM m
+        |  UNION ALL SELECT period, 'min_value', 'value', mn_val FROM m
+        |  UNION ALL SELECT period, 'max_value', 'value', mx_val FROM m),
+        |l AS (SELECT max(period) AS latest FROM h),
+        |cur AS (SELECT check_name, col_name, metric FROM h, l WHERE period = latest),
+        |tr AS (SELECT check_name, col_name,
+        |    CAST(sum(CAST(metric AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS tm
+        |  FROM h, l WHERE period < latest GROUP BY 1, 2)
+        |SELECT c.check_name, c.col_name, c.metric,
+        |  round(tm * 1000000) / 1000000.0 + 0.0 AS trailing_mean,
+        |  round(abs(c.metric - tm) * 1000000) / 1000000.0 + 0.0 AS delta,
+        |  CAST(0.02 AS DOUBLE) AS threshold,
+        |  (tm IS NULL OR abs(c.metric - tm) <= CAST(0.02 AS DOUBLE)) AS passed
+        |FROM cur c LEFT JOIN tr USING (check_name, col_name)""".stripMargin
   )
 
   /** dq oracle helper: unpivot the one-row aggregate into report rows

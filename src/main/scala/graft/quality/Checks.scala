@@ -88,6 +88,67 @@ object Checks {
     aggd.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
   }
 
+  /** The suite's metrics computed PER PERIOD — the metric-history shape
+    * behind drift detection (Deequ's anomaly-detection input): one
+    * grouped conditional-aggregate pass (the [[run]] scan with a
+    * group-by key), one row per (period, check). `ratio`'s per-group
+    * `count(*)` denominator makes every metric period-local. Thresholds
+    * and `passed` are deliberately absent — history rows are
+    * observations; judgment happens in [[driftReport]] (or a plain
+    * threshold gate over the latest period).
+    */
+  def runByPeriod(df: DataFrame, period: Column, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "empty check suite")
+    val aggd = df.groupBy(period.as("period"))
+      .agg(checks.head.metric.as("m0"),
+        checks.tail.zipWithIndex.map { case (c, i) => c.metric.as(s"m${i + 1}") }: _*)
+    val rows = checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("check_name"), lit(c.column).as("col_name"),
+        (round(col(s"m$i") * 1000000) / 1000000.0 + lit(0.0)).as("metric"))
+    }
+    aggd.select(col("period"), explode(array(rows: _*)).as("__r"))
+      .select(col("period"), col("__r.*"))
+  }
+
+  /** Drift detection over a metric history (the Deequ anomaly-check
+    * shape): the LATEST period's metrics judged against the TRAILING
+    * periods' mean — "is today's completeness where it has been?" — the
+    * gate a one-snapshot suite cannot express (a corpus can pass every
+    * absolute threshold while its quality silently slides). Input is a
+    * [[runByPeriod]] frame (period, check_name, col_name, metric);
+    * output mirrors the [[run]] report with the evidence attached:
+    * (check_name, col_name, metric, trailing_mean, delta, threshold,
+    * passed), where `delta` = |metric − trailing_mean| and the check
+    * passes when delta ≤ `maxAbsDelta`. A check with NO trailing
+    * history passes vacuously with a null trailing_mean/delta (first
+    * run — nothing to drift from; the [[run]] min/max null convention).
+    *
+    * Numeric discipline: the trailing mean is a decimal-staged sum of
+    * the (already 6-dp-rounded) per-period metrics over an exact count —
+    * partial-aggregation order cannot perturb it, and the DuckDB oracle
+    * replays it bit-for-bit. History frames are period-count-sized, so
+    * the latest-period scalar broadcasts.
+    */
+  def driftReport(history: DataFrame, maxAbsDelta: Double): DataFrame = {
+    val latest = history.agg(max(col("period")).as("__latest"))
+    val cur = history.crossJoin(broadcast(latest))
+      .filter(col("period") === col("__latest"))
+      .select(col("check_name"), col("col_name"), col("metric"))
+    val trail = history.crossJoin(broadcast(latest))
+      .filter(col("period") < col("__latest"))
+      .groupBy(col("check_name"), col("col_name"))
+      .agg((sum(col("metric").cast("decimal(20,10)")).cast("double")
+        / count(lit(1))).as("__tm"))
+    cur.join(trail, Seq("check_name", "col_name"), "left")
+      .select(col("check_name"), col("col_name"), col("metric"),
+        (round(col("__tm") * 1000000) / 1000000.0 + lit(0.0)).as("trailing_mean"),
+        (round(abs(col("metric") - col("__tm")) * 1000000) / 1000000.0
+          + lit(0.0)).as("delta"),
+        lit(maxAbsDelta).as("threshold"),
+        (col("__tm").isNull ||
+          abs(col("metric") - col("__tm")) <= lit(maxAbsDelta)).as("passed"))
+  }
+
   /** Referential-integrity report row: the fraction of child rows whose
     * key exists in the parent's key domain (null child keys count as
     * orphans — completeness is its own check). One left join against

@@ -1,0 +1,80 @@
+package graft.quality
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Append-only persisted metric history — the cross-RUN seam of the dq
+  * family (the HashLedger discipline applied to check reports): each
+  * pipeline run appends its report's metrics stamped with a sortable
+  * period id; [[Checks.driftReport]] then judges the newest run against
+  * the trailing distribution. A suite validates one snapshot; the store
+  * is what makes "is today where it has been?" answerable at all —
+  * without it every run's report dies with the run.
+  *
+  * Period ids must sort in run order under STRING comparison (ISO dates
+  * `2024-01-07`, zero-padded batch ids `b000012`) — the store neither
+  * invents time nor trusts wall clocks, so ordering is the caller's
+  * contract (the same reason [[graft.analyze.Lifecycle.scd2ApplyBatch]]
+  * takes the split from its caller). History volume is
+  * runs × checks rows — years of daily runs stay driver-trivial; the
+  * parquet append is one tiny file per run, and a periodic
+  * [[compact]] folds them (the ledger maintenance pass).
+  */
+object ReportStore {
+
+  /** Append one run's report metrics under `period`. Accepts any frame
+    * with (check_name, col_name, metric) — the [[Checks.run]] report's
+    * threshold/passed columns are judgment at append time and are
+    * deliberately not stored (history rows are observations; see
+    * [[Checks.runByPeriod]]).
+    */
+  def append(report: DataFrame, path: String, period: String): Unit =
+    report.select(lit(period).as("period"), col("check_name"),
+        col("col_name"), col("metric"))
+      .coalesce(1)
+      .write.mode("append").parquet(path)
+
+  /** The full metric history: (period, check_name, col_name, metric). */
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Rewrite the store as one compact file set (the HashLedger compact
+    * pass — a year of daily appends is 365 tiny files). Same two-rename
+    * swap discipline as [[graft.sink.ZOrderTable.compact]], including
+    * crash recovery from the `__precompact` copy.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "__precompact")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) {
+      if (!fs.exists(p)) {
+        if (!fs.rename(old, p))
+          throw new java.io.IOException(s"report-store recovery failed: $old -> $p")
+      } else fs.delete(old, true)
+    }
+    load(spark, path).coalesce(1).write.parquet(tmp.toString)
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"report-store compact stage failed: $p -> $old")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p)
+      throw new java.io.IOException(s"report-store compact swap failed: $tmp -> $p")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Append `report` under `period`, then judge it against the stored
+    * trailing history: one [[append]] + one [[Checks.driftReport]] over
+    * the store — the per-run drift gate a curation pipeline calls where
+    * it called `Checks.run` alone before. Returns the drift report for
+    * the newly-appended period.
+    */
+  def appendAndDrift(report: DataFrame, path: String, period: String,
+                     maxAbsDelta: Double): DataFrame = {
+    append(report, path, period)
+    Checks.driftReport(load(report.sparkSession, path), maxAbsDelta)
+  }
+}

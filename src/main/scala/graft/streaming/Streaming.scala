@@ -703,6 +703,34 @@ object Streaming {
         ()
     }.start()
 
+  /** [[qualityMonitorStream]] with DRIFT judgment — the online consumer
+    * of the dq family's metric history ([[graft.quality.ReportStore]]):
+    * each micro-batch's suite metrics append to the persisted store
+    * (period = zero-padded batch id, so string order is batch order) and
+    * the batch is judged against the TRAILING batches' mean via
+    * [[graft.quality.Checks.driftReport]] — the same thresholds and
+    * report shape as the batch dq4 path, so one drift contract serves
+    * both cadences. The first batch passes vacuously (no history), like
+    * the batch form. State lives in the store, not the stream — the
+    * query itself stays stateless and restart-safe (periods are batch
+    * ids; a replayed batch re-appends under its own id and the mean
+    * barely moves — exact-once history needs an idempotent sink id,
+    * same caveat as every foreachBatch sink here).
+    */
+  def qualityDriftStream(stream: DataFrame,
+                         checks: Seq[graft.quality.Checks.Check],
+                         storePath: String, maxAbsDelta: Double)
+                        (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.quality.ReportStore.appendAndDrift(
+            graft.quality.Checks.run(batch, checks),
+            storePath, f"b$id%012d", maxAbsDelta)
+            .withColumn("batch_id", lit(id)))
+        ()
+    }.start()
+
   def annSearchStream(idx: graft.sim.SrpIndex.Handle, queryStream: DataFrame,
                       k: Int,
                       idCol: String = "vec_id", vecCol: String = "embedding",

@@ -104,6 +104,100 @@ class ChecksSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("runByPeriod: period-local metrics, one grouped scan") {
+    val ev = Seq(
+      ("d1", Some(1.0)), ("d1", None), // completeness 0.5, min 1.0
+      ("d2", Some(4.0)), ("d2", Some(2.0)) // completeness 1.0, min 2.0
+    ).toDF("day", "v")
+    val out = Checks.runByPeriod(ev, col("day"), Seq(
+      Checks.completeness("v", 1.0), Checks.minValue("v", 0.0)))
+      .as[(String, String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(out(("d1", "completeness")) === 0.5)
+    assert(out(("d2", "completeness")) === 1.0)
+    assert(out(("d1", "min_value")) === 1.0)
+    assert(out(("d2", "min_value")) === 2.0)
+    val plan = Checks.runByPeriod(ev, col("day"),
+      Seq(Checks.completeness("v", 1.0), Checks.minValue("v", 0.0)))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.trim.startsWith("+- LocalTableScan")) === 1,
+      "the whole per-period suite must ride one grouped scan")
+  }
+
+  test("driftReport: latest period judged against the trailing mean; " +
+       "first-run checks pass vacuously") {
+    val hist = Seq(
+      ("d1", "completeness", "v", 1.0),
+      ("d2", "completeness", "v", 0.9),
+      ("d3", "completeness", "v", 0.95),  // latest; trailing mean 0.95
+      ("d3", "min_value", "v", 5.0)       // no trailing history
+    ).toDF("period", "check_name", "col_name", "metric")
+    val out = Checks.driftReport(hist, maxAbsDelta = 0.02).collect()
+      .map(r => r.getString(0) -> ((Option(r.get(3)), Option(r.get(4)),
+        r.getBoolean(6)))).toMap
+    assert(out("completeness") === ((Some(0.95), Some(0.0), true)))
+    assert(out("min_value") === ((None, None, true)),
+      "a check with no history has nothing to drift from")
+    // drift beyond the bound fails
+    val hist2 = hist.union(Seq(("d4", "completeness", "v", 0.5))
+      .toDF("period", "check_name", "col_name", "metric"))
+    val d4 = Checks.driftReport(hist2, maxAbsDelta = 0.02).collect()
+      .find(_.getString(0) == "completeness").get
+    assert(!d4.getBoolean(6) && d4.getDouble(4) > 0.02)
+  }
+
+  test("ReportStore: append builds a history, appendAndDrift judges the newest " +
+       "run, compact preserves rows and recovers from a mid-swap crash") {
+    import graft.quality.ReportStore
+    val path = java.nio.file.Files.createTempDirectory("graft_repstore").toString + "/s"
+    def report(m: Double) =
+      Seq(("completeness", "v", m)).toDF("check_name", "col_name", "metric")
+    ReportStore.append(report(1.0), path, "2024-01-01")
+    ReportStore.append(report(0.9), path, "2024-01-02")
+    val drift = ReportStore.appendAndDrift(report(0.95), path, "2024-01-03", 0.02)
+      .collect()
+    assert(drift.length === 1)
+    assert(drift(0).getDouble(3) === 0.95 && drift(0).getBoolean(6))
+    assert(ReportStore.load(spark, path).count() === 3)
+    // compact: one file set, same rows; then the crash-recovery retry
+    ReportStore.compact(spark, path)
+    assert(ReportStore.load(spark, path).count() === 3)
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(path + "__precompact")))
+    ReportStore.compact(spark, path)
+    assert(ReportStore.load(spark, path).count() === 3,
+      "retry after mid-swap crash must recover the history")
+  }
+
+  test("qualityDriftStream: per-batch drift vs the stored trailing batches; " +
+       "first batch vacuous") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val store = java.nio.file.Files.createTempDirectory("graft_dstream").toString + "/s"
+    val suite = Seq(Checks.minValue("_2", 0.0))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Option[Double], Boolean)]
+    val q = graft.streaming.Streaming.qualityDriftStream(
+      mem.toDF(), suite, store, maxAbsDelta = 1.0) { rep =>
+      got ++= rep.collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[Double]("metric"), Option(r.get(3)).map(_.asInstanceOf[Double]),
+        r.getAs[Boolean]("passed")))
+      ()
+    }
+    try {
+      mem.addData((1L, 5.0)); q.processAllAvailable()
+      mem.addData((2L, 5.5)); q.processAllAvailable()
+      mem.addData((3L, 9.0)); q.processAllAvailable()
+      assert(got.length === 3)
+      val inOrder = got.sortBy(_._1)
+      assert(inOrder(0)._3 === None && inOrder(0)._4, "first batch: vacuous pass")
+      assert(inOrder(1)._3 === Some(5.0) && inOrder(1)._4) // |5.5-5.0| <= 1
+      assert(inOrder(2)._3 === Some(5.25) && !inOrder(2)._4,
+        "third batch drifts beyond the bound vs mean(5.0, 5.5)")
+    } finally q.stop()
+  }
+
   test("referential counts orphans and null child keys against the fraction") {
     val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("k")
     val parent = Seq(1L, 2L).toDF("p")
