@@ -1878,6 +1878,12 @@ object SparkEntry {
     "er2_entity_groups" -> ((s, d) =>
       graft.er.EntityResolution.entityGroups(
         Tables.part(s, d), "p_partkey", "p_name", maxDist = 2)),
+    // the conformed-dimension publish: er2's labels plus the keep rule
+    // (a row survives iff its name IS the canonical label — the d14
+    // survivor shape at name granularity)
+    "er5_entity_survivors" -> ((s, d) =>
+      graft.er.EntityResolution.entitySurvivors(
+        Tables.part(s, d), "p_partkey", "p_name", maxDist = 2)),
     // incremental ER (the d15/m9 "only the batch pays" pattern on
     // names): a 10% batch conformed to the 90% standing name universe
     "er3_incremental_matches" -> ((s, d) => {
@@ -3890,23 +3896,18 @@ object SparkEntry {
     // m18 pattern), then every part row joined to its component label;
     // unmatched names label as themselves via the singleton base case
     "er2_entity_groups" ->
-      """WITH RECURSIVE
-        |u AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
-        |t AS (SELECT DISTINCT name, unnest(string_split_regex(name, '\s+')) AS tok FROM u),
-        |t2 AS (SELECT name, tok FROM t WHERE len(tok) > 0
-        |       QUALIFY count(*) OVER (PARTITION BY tok) <= 1000),
-        |p AS (SELECT DISTINCT a.name AS name1, b.name AS name2
-        |      FROM t2 a JOIN t2 b ON a.tok = b.tok AND a.name < b.name
-        |      WHERE levenshtein(a.name, b.name) <= 2),
-        |e AS (SELECT name1 AS src, name2 AS dst FROM p
-        |      UNION ALL SELECT name2, name1 FROM p),
-        |reach(id, r) AS (
-        |  SELECT name, name FROM u
-        |  UNION
-        |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
-        |canon AS (SELECT id AS name, min(r) AS entity FROM reach GROUP BY id)
-        |SELECT pt.p_partkey, pt.p_name, coalesce(c.entity, pt.p_name) AS entity
-        |FROM part pt LEFT JOIN canon c ON pt.p_name = c.name""".stripMargin,
+      s"""$erClosureCte
+         |SELECT pt.p_partkey, pt.p_name, coalesce(c.entity, pt.p_name) AS entity
+         |FROM part pt LEFT JOIN canon c ON pt.p_name = c.name""".stripMargin,
+
+    // er5: er2's closure replay + the keep rule (null-safe name ==
+    // entity — survivors are the rows carrying the canonical spelling;
+    // null-name rows keep themselves with a null entity)
+    "er5_entity_survivors" ->
+      s"""$erClosureCte
+         |SELECT pt.p_partkey, pt.p_name, coalesce(c.entity, pt.p_name) AS entity,
+         |  (pt.p_name IS NOT DISTINCT FROM coalesce(c.entity, pt.p_name)) AS keep
+         |FROM part pt LEFT JOIN canon c ON pt.p_name = c.name""".stripMargin,
 
     // batch names conformed to the standing universe: blocking +
     // levenshtein + best-match (min dist, tie lexicographic) replayed
@@ -4234,6 +4235,30 @@ object SparkEntry {
       |              + CAST(0.85 AS DOUBLE) * d{i}.dm) / CAST(5 AS DOUBLE)
       |        ELSE CAST(0 AS DOUBLE) END""".stripMargin,
     outName = "ppr")
+
+  /** Shared er2/er5 oracle scaffold: token blocking + levenshtein pairs +
+    * the recursive min-label closure down to `canon (name, entity)` —
+    * one copy so the two consumers (labels alone, labels + keep rule)
+    * cannot drift. DuckDB gotcha (docs/SCALE_PROBE.md): inside WITH
+    * RECURSIVE a top-level-UNION CTE is treated as a recursion candidate
+    * and skips dedup, hence the SELECT DISTINCT wrappers.
+    */
+  private lazy val erClosureCte: String =
+    """WITH RECURSIVE
+      |u AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+      |t AS (SELECT DISTINCT name, unnest(string_split_regex(name, '\s+')) AS tok FROM u),
+      |t2 AS (SELECT name, tok FROM t WHERE len(tok) > 0
+      |       QUALIFY count(*) OVER (PARTITION BY tok) <= 1000),
+      |p AS (SELECT DISTINCT a.name AS name1, b.name AS name2
+      |      FROM t2 a JOIN t2 b ON a.tok = b.tok AND a.name < b.name
+      |      WHERE levenshtein(a.name, b.name) <= 2),
+      |e AS (SELECT name1 AS src, name2 AS dst FROM p
+      |      UNION ALL SELECT name2, name1 FROM p),
+      |reach(id, r) AS (
+      |  SELECT name, name FROM u
+      |  UNION
+      |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+      |canon AS (SELECT id AS name, min(r) AS entity FROM reach GROUP BY id)""".stripMargin
 
   private lazy val erIncrementalSql: String =
     """WITH standing AS (SELECT DISTINCT p_name AS sname FROM part

@@ -321,4 +321,22 @@ object EntityResolution {
       .select(col(idCol), col(nameCol),
         coalesce(col("__entity"), col(nameCol)).as("entity"))
   }
+
+  /** The conformed-dimension publish of [[entityGroups]] — the d14
+    * `fuzzySurvivors` shape at name granularity: every row labeled with
+    * its canonical entity plus a `keep` mark on the SURVIVOR rows (those
+    * whose name IS the component's canonical label; singletons and
+    * null-name rows keep themselves). Downstream, `keep = true` rows
+    * form the conformed dimension and `keep = false` rows carry the
+    * redirect (row → entity) a replace/merge step applies — the "answer
+    * sheet" a curation pipeline publishes after resolution, not just
+    * the grouping. Null-safe comparison keeps the null-name contract:
+    * a null entity marks its own (null-name) row kept, never fabricated
+    * into a label. Output: (idCol, nameCol, entity, keep).
+    */
+  def entitySurvivors(df: DataFrame, idCol: String, nameCol: String,
+                      maxDist: Int,
+                      blockCap: Int = defaultBlockCap): DataFrame =
+    entityGroups(df, idCol, nameCol, maxDist, blockCap)
+      .withColumn("keep", col(nameCol) <=> col("entity"))
 }

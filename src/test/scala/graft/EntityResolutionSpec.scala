@@ -71,6 +71,30 @@ class EntityResolutionSpec extends SparkTestBase {
     assert(m.values.toSet === Set("x aaaa"))
   }
 
+  test("entitySurvivors: canonical-spelling rows keep, variants carry the " +
+       "redirect, singletons and null names keep themselves") {
+    val df = Seq(
+      (1L, "cold bolt"), (2L, "old bolt"),   // component: min = "cold bolt"
+      (3L, "cold bolt"),                     // same spelling: also keeps
+      (4L, "lonely widget"),                 // singleton
+      (5L, null)                             // null name
+    ).toDF("id", "name")
+    val out = EntityResolution.entitySurvivors(df, "id", "name", maxDist = 2)
+    assert(out.columns.toSeq === Seq("id", "name", "entity", "keep"))
+    val m = out.collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(2)), r.getBoolean(3)))).toMap
+    assert(m(1L) === ((Some("cold bolt"), true)))
+    assert(m(2L) === ((Some("cold bolt"), false)), "variant row is a redirect")
+    assert(m(3L) === ((Some("cold bolt"), true)),
+      "every row carrying the canonical spelling survives")
+    assert(m(4L) === ((Some("lonely widget"), true)))
+    assert(m(5L) === ((None, true)), "null-name rows keep themselves, no label")
+    // exactly the er2 labels plus the keep rule — never a different grouping
+    val groups = EntityResolution.entityGroups(df, "id", "name", maxDist = 2)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(m.view.mapValues(_._1).toMap === groups)
+  }
+
   test("entityGroups canonical label uses UTF-8 BYTE order, not JVM UTF-16 order " +
        "(supplementary-plane names)") {
     // U+1F600 (😀) is a surrogate pair D83D DE00 in UTF-16, so the JVM
