@@ -96,7 +96,20 @@ object ExplainAudit {
     // ONE conditional-aggregate scan, and dq2's referential legs must
     // broadcast the dim domain
     "g1_page_transitions", "g4_triangle_census", "g6_harmonic_centrality",
-    "ml1_quality_weights", "dq1_orders_checks", "dq2_referential_checks")
+    "ml1_quality_weights", "dq1_orders_checks", "dq2_referential_checks",
+    // r18: the rest of the PageRank family (iteration dataflow must stay
+    // scale-free past the now-EdgeIndex-served edge scan; g5 rides the
+    // dedup closure; g7's relaxations are sketch-join + union-agg only),
+    // plus the round's additions — t23's scoring must be ONE map-side
+    // pass (the t17 shape), ml3 must scan only the batch slice (no fit,
+    // no training-corpus scan), w18's merge must window only the
+    // open∪batch rows (closed intervals pass through scan-only), dq4
+    // must compile to one grouped scan + a broadcast latest-period
+    // filter, and er5 is er2's plan plus a projection
+    "g2_pagerank", "g5_page_components", "g7_harmonic_hyperball",
+    "g8_personalized_pagerank", "t23_bigram_logprob",
+    "ml3_incremental_scores", "w18_scd2_incremental", "dq4_metric_drift",
+    "er5_entity_survivors")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS
