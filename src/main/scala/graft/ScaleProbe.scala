@@ -77,7 +77,14 @@ object ScaleProbe {
     "g4_triangle_census", "g5_page_components", "g6_harmonic_centrality",
     "g7_harmonic_hyperball", "g8_personalized_pagerank",
     "ml1_quality_weights", "ml2_quality_scores",
-    "dq3_documents_checks")
+    "dq3_documents_checks",
+    // r18: the cross-run amortization rungs — the g family and ml1/ml2
+    // now ride persisted artifacts (EdgeIndex / WeightsIndex; rep 1
+    // pays the scaled build, min-of-two keeps the warm path — the z1
+    // convention); ml3 must scan only its batch slice, w18's merge
+    // windows only open∪batch, dq4 is one grouped scan over ×100 the
+    // rows of the same 30 periods
+    "ml3_incremental_scores", "w18_scd2_incremental", "dq4_metric_drift")
 
   /** TPC-H probe set (SPARK_GRAFT_PROBE=tpch): the fact-heavy headline
     * shapes — pure fact agg (q1), fact⋈fact⋈dim top-k (q3), 5-way profit
@@ -555,9 +562,19 @@ object ScaleProbe {
       // are the TRUE daily shape, and er4's is where the persisted
       // index earns its keep (the standing tokenization scan — the
       // daily shape's linear term — is replaced by the artifact read)
+      def er5At(df: org.apache.spark.sql.DataFrame): Double = {
+        def once = timeOnce(
+          EntityResolution.entitySurvivors(df, "p_partkey", "p_name",
+            maxDist = 2).count())
+        math.min(once, once)
+      }
       Seq(("er1_name_matches[pair output ~ dup-rate^2]",
             er1At(partBase), er1At(partScaled)),
           ("er2_entity_groups[universe scales]", er2At(partBase), er2At(partScaled)),
+          // er5 = er2's closure + a projection: its row must sit in
+          // er2's band (any gap is the keep-rule column, not a new term)
+          ("er5_entity_survivors[universe scales]",
+            er5At(partBase), er5At(partScaled)),
           ("er3_incremental_matches[batch x standing both scale]",
             er3Base, er3At(partScaled)),
           ("er4_incremental_indexed[warm index probe]",
