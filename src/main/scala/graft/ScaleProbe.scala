@@ -84,7 +84,10 @@ object ScaleProbe {
     // convention); ml3 must scan only its batch slice, w18's merge
     // windows only open∪batch, dq4 is one grouped scan over ×100 the
     // rows of the same 30 periods
-    "ml3_incremental_scores", "w18_scd2_incremental", "dq4_metric_drift")
+    "ml3_incremental_scores", "w18_scd2_incremental", "dq4_metric_drift",
+    // g9's window runs over seed∪batch (the late half of the upscaled
+    // log) — expected ~linear in the batch scan, like w18
+    "g9_edges_incremental")
 
   /** TPC-H probe set (SPARK_GRAFT_PROBE=tpch): the fact-heavy headline
     * shapes — pure fact agg (q1), fact⋈fact⋈dim top-k (q3), 5-way profit
@@ -102,7 +105,10 @@ object ScaleProbe {
     // expand); dq2's fact-side referential join (lineitem→orders) is the
     // row that grows on BOTH sides, the shape the scaladoc says to bloom-
     // prefilter at fact-to-fact scale
-    "dq1_orders_checks", "dq2_referential_checks")
+    "dq1_orders_checks", "dq2_referential_checks",
+    // r18: the bloom-prefiltered fact-to-fact referential — both sides
+    // scale; the row measures the screen + the shrunken confirm join
+    "dq5_referential_bloom")
 
   /** Embedding probe set (SPARK_GRAFT_PROBE=emb): exact scan (s6), brute
     * force (s1, expected ~linear in corpus), and the three bucketed ANN

@@ -1924,6 +1924,21 @@ object SparkEntry {
     "g8_personalized_pagerank" -> ((s, d) =>
       graft.graph.Graph.personalizedPageRank(graphEdges(s, d),
         seeds = Seq(0L, 1L, 2L, 3L, 4L), iters = 3, damping = 0.85)),
+    // the incremental edge-maintenance proof (the w18 shape on the edge
+    // table): fold the event log in two time-split batches through the
+    // per-user last-view state — the oracle replays the ONE-SHOT edge
+    // derivation over the full log, so the hash match IS the
+    // batch∘batch == one-shot contract
+    "g9_edges_incremental" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("page", pmod(col("event_id"), lit(50L)))
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val early = ev.filter(col("ts") < cut)
+      graft.graph.Graph.transitionEdgesIncrement(
+        graft.graph.Graph.transitionEdges(early, "user_id", "page", "ts", "event_id"),
+        graft.graph.Graph.lastViews(early, "user_id", "page", "ts", "event_id"),
+        ev.filter(col("ts") >= cut), "user_id", "page", "ts", "event_id")
+    }),
 
     // ---- ml: relational full-batch GD quality classifier
     // (graft.ml.QualityClassifier — the fasttext-quality-scoring rung;
@@ -1969,6 +1984,14 @@ object SparkEntry {
         graft.quality.Checks.maxValue("n_chars", 10000.0),
         graft.quality.Checks.inSet("lang",
           Seq("en", "de", "fr", "es", "zh"), 1.0)))),
+    // the fact-to-fact referential gate through the bloom prefilter —
+    // screened-out keys are definite orphans (no false negatives), the
+    // join only demotes false positives, so the answer is IDENTICAL to
+    // dq2's plain-join leg and the oracle replays the plain join
+    "dq5_referential_bloom" -> ((s, d) =>
+      graft.quality.Checks.referentialBloom(
+        Tables(s, d, "lineitem"), "l_orderkey",
+        Tables(s, d, "orders"), "o_orderkey", 1.0)),
     // drift detection (the Deequ anomaly shape): per-DAY metric history
     // over the event log, the latest day judged against the trailing
     // days' mean — the gate a one-snapshot suite cannot express
@@ -3923,6 +3946,12 @@ object SparkEntry {
       s"""WITH $graphEdgeCte
          |SELECT src, dst, n_trans FROM e""".stripMargin,
 
+    // g9: the engine folds two time-split batches through the last-view
+    // state; the oracle is the ONE-SHOT derivation over the full log
+    "g9_edges_incremental" ->
+      s"""WITH $graphEdgeCte
+         |SELECT src, dst, n_trans FROM e""".stripMargin,
+
     "g2_pagerank" -> pageRankSql,
 
     "g3_degree_census" ->
@@ -4085,6 +4114,16 @@ object SparkEntry {
              ("min_value", "n_chars", "m2", "1"),
              ("max_value", "n_chars", "m3", "10000"),
              ("in_set", "lang", "m4", "1")), maxRows = Set("m3"))}""".stripMargin,
+
+    // dq5: the bloom prefilter is answer-invisible (no false negatives;
+    // the join demotes false positives) — the oracle is the PLAIN join
+    "dq5_referential_bloom" ->
+      """SELECT 'referential' AS check_name, 'l_orderkey' AS col_name,
+        |  round(m * 1000000) / 1000000.0 + 0.0 AS metric,
+        |  CAST(1 AS DOUBLE) AS threshold, m >= CAST(1 AS DOUBLE) AS passed
+        |FROM (SELECT CAST(count(k.__k) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+        |      FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey AS __k FROM orders) k
+        |      ON lineitem.l_orderkey = k.__k)""".stripMargin,
 
     // dq4: the per-day metric history + trailing-mean drift judgment
     // replayed literally (decimal-staged trailing mean, rounded

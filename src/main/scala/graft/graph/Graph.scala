@@ -55,6 +55,78 @@ object Graph {
       .agg(count(lit(1)).as("n_trans"))
   }
 
+  /** Per-user LAST-view state — the cross-batch boundary record
+    * [[transitionEdgesIncrement]] folds against (the batch twin of
+    * [[graft.streaming.Streaming]]'s per-user LastView GroupState): one
+    * row per user carrying the (ts, tie)-max event's page, via a single
+    * struct-max aggregate (map-side combined; user-domain-sized output).
+    * Columns keep the caller's names, so the frame IS event-shaped and
+    * re-enters the lag window as seed rows directly.
+    */
+  def lastViews(events: DataFrame, userCol: String, pageCol: String,
+                tsCol: String, tieCol: String): DataFrame =
+    events.groupBy(col(userCol))
+      .agg(max(struct(col(tsCol).as("t"), col(tieCol).as("k"),
+        col(pageCol).as("p"))).as("__s"))
+      .select(col(userCol), col("__s.p").as(pageCol),
+        col("__s.t").as(tsCol), col("__s.k").as(tieCol))
+
+  /** [[lastViews]] rolled forward by one batch: the (ts, tie)-argmax
+    * over standing ∪ batch — what the next
+    * [[transitionEdgesIncrement]] call takes as its standing views.
+    */
+  def lastViewsApply(standing: DataFrame, batch: DataFrame, userCol: String,
+                     pageCol: String, tsCol: String, tieCol: String): DataFrame =
+    lastViews(standing.select(col(userCol), col(pageCol), col(tsCol), col(tieCol))
+      .unionByName(batch.select(col(userCol), col(pageCol), col(tsCol), col(tieCol))),
+      userCol, pageCol, tsCol, tieCol)
+
+  /** Incremental transition edges — [[transitionEdges]]' per-ingest-batch
+    * form (the d17/w18 "only the batch pays" pattern applied to the edge
+    * table, and the batch twin of `Streaming.transitionEdgesStream`):
+    * merge one batch of events into a STANDING (src, dst, n_trans) edge
+    * table using the per-user [[lastViews]] state to link transitions
+    * ACROSS the batch boundary (without it, each batch's first view per
+    * user would silently lose its incoming edge). The lag window runs
+    * over seed∪batch only — one batch's arrivals plus one row per
+    * standing user — and the merge is one (src, dst) sum; the raw
+    * historical log is never re-scanned. At 100 TB the standing side is
+    * the page-pair universe plus the active-user domain, both sublinear
+    * in events; write the merged result through [[EdgeIndex]]'s seam to
+    * keep consumers on the bucketed layout.
+    *
+    * Contract (the streaming twin's ordering contract, batch-granular):
+    * the log is append-only — a batch row at or before its user's last
+    * folded view drops before the window (it can neither rewrite folded
+    * transitions nor emit new ones mid-history). Under that contract,
+    * folding a time-split log batch-by-batch yields EXACTLY the one-shot
+    * [[transitionEdges]] table — the g9 oracle replays the one-shot SQL
+    * over the full log against the two-step engine path, and GraphSpec
+    * gates random multi-way splits. A seed row with no batch successors
+    * emits nothing (lag's first row has no predecessor), so untouched
+    * users cost one scanned row and no output.
+    */
+  def transitionEdgesIncrement(standingEdges: DataFrame, standingViews: DataFrame,
+                               batch: DataFrame, userCol: String, pageCol: String,
+                               tsCol: String, tieCol: String): DataFrame = {
+    require(standingEdges.columns.toSeq == Seq("src", "dst", "n_trans"),
+      s"standingEdges must be (src, dst, n_trans); got " +
+        s"${standingEdges.columns.mkString(", ")}")
+    val views = standingViews
+      .select(col(userCol), col(pageCol), col(tsCol), col(tieCol))
+    val live = batch
+      .select(col(userCol), col(pageCol), col(tsCol), col(tieCol))
+      .join(views.select(col(userCol), col(tsCol).as("__lts"),
+        col(tieCol).as("__ltie")), Seq(userCol), "left")
+      .filter(col("__lts").isNull || col(tsCol) > col("__lts") ||
+        (col(tsCol) === col("__lts") && col(tieCol) > col("__ltie")))
+      .select(col(userCol), col(pageCol), col(tsCol), col(tieCol))
+    val delta = transitionEdges(views.unionByName(live),
+      userCol, pageCol, tsCol, tieCol)
+    standingEdges.unionByName(delta)
+      .groupBy("src", "dst").agg(sum(col("n_trans")).as("n_trans"))
+  }
+
   /** Shared relational core of the PageRank family: checkpointed edge
     * frame, vertex universe, out-weight normalization, and `iters`
     * unrolled (dangling-mass, contribution) steps — [[pageRank]] and

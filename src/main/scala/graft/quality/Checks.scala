@@ -171,4 +171,58 @@ object Checks {
         lit(threshold).as("threshold"),
         (col("__m") >= lit(threshold)).as("passed"))
   }
+
+  /** [[referential]]'s fact-to-fact scale form — the bloom prefilter its
+    * own scaladoc prescribes (the t18 decontamination shape, made real):
+    * a driver-built Bloom filter of the DISTINCT parent key domain
+    * screens the child scan first, so the confirming join sees only the
+    * PROBABLE-HIT remainder. Blooms have no false negatives, so a
+    * screened-out key is a definite orphan and the join exists purely to
+    * demote false positives — the answer is IDENTICAL to [[referential]]
+    * (gated in ChecksSpec; the dq5 oracle replays the PLAIN join). At
+    * 100 TB the child side that reaches the shuffle shrinks from every
+    * fact row to `resolved + fpp·orphans`, and orphan-heavy ingests (the
+    * case a gate exists to catch) are exactly where the screen bites.
+    * The filter ships task-side like the t18 sketch (~1.2 GB per billion
+    * keys at fpp 1e-3 — driver-budget class; beyond that, Spark's own
+    * `bloomFilter` DataFrameStatFunctions path or a semi-join stays the
+    * fallback). Integral keys only (putLong probes, no per-row boxing).
+    */
+  def referentialBloom(child: DataFrame, childCol: String,
+                       parent: DataFrame, parentCol: String,
+                       threshold: Double, fpp: Double = 0.001): DataFrame = {
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(child.schema(childCol).dataType),
+      s"referentialBloom needs an integral key; got " +
+        s"${child.schema(childCol).dataType.simpleString} — use referential")
+    val keys = parent.select(col(parentCol).cast("long").as(childCol))
+      .filter(col(childCol).isNotNull).distinct()
+    val expected = math.max(keys.count(), 1L)
+    val bloom = keys.rdd.treeAggregate(
+      org.apache.spark.util.sketch.BloomFilter.create(expected, fpp))(
+      (f, row) => { f.putLong(row.getLong(0)); f },
+      (a, b) => { a.mergeInPlace(b); a })
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val bytes = bos.toByteArray
+    // candidate = bloom-passing child keys only; everything else is a
+    // definite orphan and never reaches the join
+    val candidate = child.select(col(childCol).cast("long").as(childCol))
+      .filter(col(childCol).isNotNull &&
+        org.apache.spark.sql.graft.BloomFunctions
+          .bloomContainsLong(col(childCol), bytes))
+    val resolved = candidate
+      .join(keys, Seq(childCol), "left_semi")
+      .agg(count(lit(1)).cast("double").as("__res"))
+    val total = child.agg(count(lit(1)).cast("double").as("__tot"))
+    resolved.crossJoin(broadcast(total))
+      .select(coalesce(try_divide(col("__res"), col("__tot")), lit(1.0)).as("__m"))
+      .select(lit("referential").as("check_name"),
+        lit(childCol).as("col_name"),
+        (round(col("__m") * 1000000) / 1000000.0 + lit(0.0)).as("metric"),
+        lit(threshold).as("threshold"),
+        (col("__m") >= lit(threshold)).as("passed"))
+  }
 }

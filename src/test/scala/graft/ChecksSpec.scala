@@ -206,4 +206,28 @@ class ChecksSpec extends SparkTestBase {
     assert(!r.getAs[Boolean]("passed"))
     assert(r.getAs[String]("col_name") === "k")
   }
+
+  test("referentialBloom: the prefilter is answer-invisible — identical report " +
+       "to the plain join on orphan-heavy, clean, and null-key fixtures") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String, Double, Double, Boolean)].collect().toSeq
+    val parent = (1L to 50L).map(i => i * 3).toDF("p")
+    val fixtures = Seq(
+      // orphan-heavy: most child keys miss the domain (the screen bites)
+      (1L to 200L).map(Option(_)).toDF("k"),
+      // clean: every key resolves
+      (1L to 50L).map(i => Option(i * 3)).toDF("k"),
+      // null keys count as orphans, never probe the bloom
+      Seq(Some(3L), None, Some(999L)).toDF("k"))
+    fixtures.foreach { child =>
+      assert(rows(Checks.referentialBloom(child, "k", parent, "p", 1.0)) ===
+        rows(Checks.referential(child, "k", parent, "p", 1.0)))
+    }
+    // non-integral keys are rejected loudly, not silently mis-hashed
+    val strChild = Seq("a").toDF("k")
+    val strParent = Seq("a").toDF("p")
+    intercept[IllegalArgumentException] {
+      Checks.referentialBloom(strChild, "k", strParent, "p", 1.0)
+    }
+  }
 }

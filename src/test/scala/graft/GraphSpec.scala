@@ -26,6 +26,52 @@ class GraphSpec extends SparkTestBase {
     assert(out === Set((10L, 20L, 2L), (20L, 10L, 1L)))
   }
 
+  test("transitionEdgesIncrement: boundary transitions link through the " +
+       "last-view state; late rows drop; seed-only users emit nothing") {
+    def ev(rows: (Long, Long, Long)*) = rows.toDF("user_id", "ts_ord", "page")
+      .withColumn("ts", timestamp_seconds(col("ts_ord") * 60))
+      .withColumn("event_id", col("ts_ord"))
+    val early = ev((1L, 1L, 10L), (1L, 2L, 20L), (2L, 3L, 30L))
+    val standing = Graph.transitionEdges(early, "user_id", "page", "ts", "event_id")
+    val views = Graph.lastViews(early, "user_id", "page", "ts", "event_id")
+    // user 1 continues 20 -> 40 (the BOUNDARY edge a naive per-batch
+    // derivation loses); user 3 is new; one late row for user 1 must drop
+    val batch = ev((1L, 5L, 40L), (3L, 6L, 50L), (3L, 7L, 60L), (1L, 1L, 99L))
+    val out = Graph.transitionEdgesIncrement(standing, views, batch,
+      "user_id", "page", "ts", "event_id")
+      .as[(Long, Long, Long)].collect().toSet
+    // user 2 (seed only, no batch rows) emits nothing new
+    assert(out === Set((10L, 20L, 1L), (20L, 40L, 1L), (50L, 60L, 1L)))
+  }
+
+  test("transitionEdgesIncrement: random multi-way time-splits fold to EXACTLY " +
+       "the one-shot edge table (the g9 contract)") {
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 400).map { i =>
+      (rnd.nextInt(8).toLong, i.toLong, rnd.nextInt(10).toLong)
+    }
+    def ev(rs: Seq[(Long, Long, Long)]) = rs.toDF("user_id", "ts_ord", "page")
+      .withColumn("ts", timestamp_seconds(col("ts_ord") * 60))
+      .withColumn("event_id", col("ts_ord"))
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val oneShot = edgeSet(
+      Graph.transitionEdges(ev(rows), "user_id", "page", "ts", "event_id"))
+    val cuts = Seq.fill(3)(rnd.nextInt(399) + 1).distinct.sorted
+    val bounds = (0 +: cuts) :+ 400
+    val batches = bounds.sliding(2).map { case Seq(lo, hi) =>
+      ev(rows.slice(lo, hi))
+    }.toSeq
+    var edgesAcc = Graph.transitionEdges(batches.head, "user_id", "page", "ts", "event_id")
+    var viewsAcc = Graph.lastViews(batches.head, "user_id", "page", "ts", "event_id")
+    batches.tail.foreach { b =>
+      edgesAcc = Graph.transitionEdgesIncrement(edgesAcc, viewsAcc, b,
+        "user_id", "page", "ts", "event_id")
+      viewsAcc = Graph.lastViewsApply(viewsAcc, b, "user_id", "page", "ts", "event_id")
+    }
+    assert(edgeSet(edgesAcc) === oneShot)
+  }
+
   test("pageRank matches the hand-computed two-node cycle") {
     // a <-> b with equal weights: the uniform rank 0.5/0.5 is the fixed
     // point, and every iteration must reproduce it exactly
