@@ -482,6 +482,42 @@ object ScaleProbe {
       Seq(("zorder_scan_vs_plain", plainT, zT),
           ("zorder_mirror_write_once", wBase, wScaled))
     }) ++ (if (!probeExtras || probeSet != "tpch") Seq.empty else {
+      // The bloom prefilter's honest regimes at the scaled size: the
+      // screen only removes DEFINITE orphans, so on a clean child every
+      // row passes and the bloom build is pure overhead (the registered
+      // dq5 row's posture) — its payoff regime is an orphan-heavy ingest,
+      // the case a referential gate exists to catch. Both rows run plain
+      // vs bloom on the SAME child at the scaled size (base = plain,
+      // scaled = bloom, ratio < 1 IS the prefilter win), with the
+      // answers gated equal — the prefilter must be answer-invisible.
+      import graft.quality.Checks
+      val ordS = spark.read.parquet(s"$out/orders.parquet")
+      val liS = spark.read.parquet(s"$out/lineitem.parquet")
+      // 90% of child keys shifted out of the parent domain: a bulk
+      // mis-keyed ingest (offset far past any replica's orderkey range)
+      val orphanLi = liS.select(
+        when(pmod(col("l_orderkey"), lit(10)) < 9,
+          col("l_orderkey") + lit(100000000000L))
+          .otherwise(col("l_orderkey")).as("l_orderkey"))
+      def metric(d: org.apache.spark.sql.DataFrame): Seq[String] =
+        d.collect().toSeq.map(_.toString)
+      def pair(child: org.apache.spark.sql.DataFrame, tag: String) = {
+        var a: Seq[String] = null; var b: Seq[String] = null
+        def plainOnce = timeOnce {
+          a = metric(Checks.referential(child, "l_orderkey", ordS, "o_orderkey", 1.0))
+        }
+        def bloomOnce = timeOnce {
+          b = metric(Checks.referentialBloom(child, "l_orderkey", ordS, "o_orderkey", 1.0))
+        }
+        val tp = math.min(plainOnce, plainOnce)
+        val tb = math.min(bloomOnce, bloomOnce)
+        require(a == b,
+          s"dq5 $tag gate FAILED at ×$factor: bloom-prefiltered referential " +
+            s"diverged from the plain join.\nplain: $a\nbloom: $b")
+        (s"dq5_bloom_vs_plain_$tag", tp, tb)
+      }
+      Seq(pair(orphanLi, "orphan"), pair(liS, "clean"))
+    }) ++ (if (!probeExtras || probeSet != "tpch") Seq.empty else {
       // Entity resolution at a GROWING name universe (the image
       // perception rung's syntheticPerturbedGridImageTable rationale,
       // applied to names): replicate part with a per-replica suffix

@@ -187,6 +187,14 @@ object Checks {
     * keys at fpp 1e-3 — driver-budget class; beyond that, Spark's own
     * `bloomFilter` DataFrameStatFunctions path or a semi-join stays the
     * fallback). Integral keys only (putLong probes, no per-row boxing).
+    *
+    * Build cost discipline (the ×100 probe caught the first cut paying
+    * THREE parent-distinct shuffles): duplicate inserts are idempotent in
+    * a Bloom, so the build aggregates the RAW key projection map-side —
+    * zero shuffle — sized by the parent's metadata-cheap row count (an
+    * upper bound on the distinct domain; a duplicate-heavy parent just
+    * yields a lower-fpp filter). The confirming semi join likewise takes
+    * the raw projection — LeftSemi deduplicates by construction.
     */
   def referentialBloom(child: DataFrame, childCol: String,
                        parent: DataFrame, parentCol: String,
@@ -198,8 +206,8 @@ object Checks {
       s"referentialBloom needs an integral key; got " +
         s"${child.schema(childCol).dataType.simpleString} — use referential")
     val keys = parent.select(col(parentCol).cast("long").as(childCol))
-      .filter(col(childCol).isNotNull).distinct()
-    val expected = math.max(keys.count(), 1L)
+      .filter(col(childCol).isNotNull)
+    val expected = math.max(parent.count(), 1L)
     val bloom = keys.rdd.treeAggregate(
       org.apache.spark.util.sketch.BloomFilter.create(expected, fpp))(
       (f, row) => { f.putLong(row.getLong(0)); f },

@@ -778,19 +778,92 @@ object Text {
     * implementation scores raw unigrams so the WHOLE pipeline stays
     * relational and independently replayable by the DuckDB oracle —
     * swapping `tokens` for a hashed-n-gram expression changes nothing
-    * structural. Plan shape = t17's relational twin: one (doc, token)
-    * aggregate, vocab-sized count tables joined back on the token,
-    * broadcast scalar totals, decimal-stable weighted mean (StrictMath
-    * ln on both engines, DECIMAL(20,10) accumulation, half-up round to
-    * 4). At 100 TB the two count tables are the only corpus-wide state
-    * (vocab-bounded), and the t17 map-side-model variant applies
-    * verbatim if the vocab fits the driver budget.
+    * structural.
+    *
+    * Plan — the t17/t23 driver-built-model recipe, log-RATIO flavored:
+    * the model (token → log-likelihood ratio) is vocabulary-sized, so
+    * when it fits the [[maxModelVocab]] budget both count tables are
+    * map-side-reduced, collected once (bounded by `limit(max+1)`), the
+    * per-token ratio is computed once per DISTINCT token with the exact
+    * IEEE expression the relational twin evaluates (two StrictMath.log
+    * calls on the identically-typed operands), and scoring is ONE
+    * map-side pass of each document's row-local token array through
+    * [[org.apache.spark.sql.graft.UnigramLogProbSum]] — no (doc, token)
+    * tf shuffle, no token-keyed model join, no per-doc aggregation
+    * exchange. Per-occurrence double→decimal(20,10) quantization keeps
+    * the sum bit-identical to the twin's `Σ decimal(lr)·tf` (decimal
+    * addition is exact, so tf quantized copies ≡ one quantized value
+    * times tf). Vocabularies over budget dispatch to
+    * [[dsirWeightsJoined]] — the bound is enforced before anything
+    * corpus-wide reaches the driver.
     *
     * Zero-token docs are dropped (their group never exists after the
-    * explode), matching the oracle.
+    * twin's explode; here the n_tokens > 0 filter), matching the oracle.
     */
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
-                  isTarget: Column): DataFrame = {
+                  isTarget: Column, maxVocab: Int = maxModelVocab): DataFrame =
+    dsirScored(df, idCol, textCol, isTarget, Nil, maxVocab)
+
+  /** The relational twin of [[dsirWeights]] — (doc, token) tf aggregate,
+    * vocab-sized count tables joined back on the token, broadcast scalar
+    * totals, decimal-stable weighted mean (StrictMath ln on both
+    * engines, DECIMAL(20,10) accumulation, half-up round to 4). Kept as
+    * the executable cross-check (TextSpec pins the two forms equal) and
+    * as the scale path for vocabularies too large to ship driver-side —
+    * at 100 TB the two count tables are the only corpus-wide state
+    * (vocab-bounded).
+    */
+  def dsirWeightsJoined(df: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column): DataFrame =
+    dsirScoredJoined(df, idCol, textCol, isTarget, Nil)
+
+  /** Shared core of [[dsirWeights]]/[[dsirResample]]: scores every doc
+    * and carries `extra` row-derived columns (e.g. the resample's
+    * content-hash uniform) through WHICHEVER path dispatches — the fast
+    * path computes them in the same scan, the joined twin attaches them
+    * by id afterwards, so the resample never pays an id-join when the
+    * model fit driver-side.
+    */
+  private def dsirScored(df: DataFrame, idCol: String, textCol: String,
+                         isTarget: Column, extra: Seq[(String, Column)],
+                         maxVocab: Int): DataFrame = {
+    val cs = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cs"))
+    val csRows = cs.limit(maxVocab + 1).collect()
+    if (csRows.length > maxVocab)
+      return dsirScoredJoined(df, idCol, textCol, isTarget, extra)
+    val csMap = csRows.map(r => r.getString(0) -> r.getLong(1))
+    val ns = csMap.iterator.map(_._2).sum
+    val v = csMap.length.toLong
+    // the target is a row-subset of df, so its vocabulary ⊆ the corpus
+    // vocabulary just bounded above — this collect cannot exceed it
+    val ctMap = df.filter(isTarget)
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("ct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nt = ctMap.valuesIterator.sum
+    // exact twin expression per distinct token: double numerators (long
+    // count + 1.0), LONG-summed denominators promoted at the division —
+    // StrictMath.log, not math.log (the t17 determinism note)
+    val lr = csMap.map { case (t, c) =>
+      t -> (StrictMath.log((ctMap.getOrElse(t, 0L) + 1.0) / (nt + v)) -
+            StrictMath.log((c + 1.0) / (ns + v)))
+    }.toMap
+    val scored = df.select(
+      (col(idCol) +: extra.map { case (n, c) => c.as(n) }) ++ Seq(
+        org.apache.spark.sql.graft.UnigramFunctions
+          .unigramLogProbSum(tokens(col(textCol)), lr).as("__s")): _*)
+      .filter(col("__s.n_tokens") > 0)
+    scored.select(
+      (col(idCol) +: extra.map { case (n, _) => col(n) }) ++ Seq(
+        col("__s.n_tokens").as("n_tokens"),
+        (round(col("__s.lp_sum").cast("double") / col("__s.n_tokens") * 10000)
+          / 10000.0 + lit(0.0)).as("dsir_weight")): _*)
+  }
+
+  private def dsirScoredJoined(df: DataFrame, idCol: String, textCol: String,
+                               isTarget: Column,
+                               extra: Seq[(String, Column)]): DataFrame = {
     val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val cs = tf.groupBy("token").agg(sum(col("tf")).as("cs"))
@@ -801,7 +874,7 @@ object Text {
     // total; single-row frames broadcast into the scoring join
     val consts = cs.agg(sum(col("cs")).as("ns"), count(lit(1)).as("v"))
     val tgtTot = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
-    tf.join(cs, "token")
+    val w = tf.join(cs, "token")
       .join(ct, Seq("token"), "left")
       .crossJoin(broadcast(consts))
       .crossJoin(broadcast(tgtTot))
@@ -812,6 +885,11 @@ object Text {
       .agg(sum(col("tf")).cast("long").as("n_tokens"),
         (round(sum(col("__lr").cast("decimal(20,10)") * col("tf")).cast("double")
           / sum(col("tf")) * 10000) / 10000.0 + lit(0.0)).as("dsir_weight"))
+    if (extra.isEmpty) w
+    else df.select(col(idCol) +: extra.map { case (n, c) => c.as(n) }: _*)
+      .join(w, Seq(idCol))
+      .select((col(idCol) +: extra.map { case (n, _) => col(n) }) ++ Seq(
+        col("n_tokens"), col("dsir_weight")): _*)
   }
 
   /** The SELECTION step completing [[dsirWeights]] into full DSIR:
@@ -827,21 +905,23 @@ object Text {
     * reproducible across engines and reshuffles, which is what makes the
     * query oracle-able at all.
     *
-    * Scale shape: the weight computation is [[dsirWeights]]; the top-k is
-    * a global orderBy+limit — Spark's TakeOrderedAndProject, a
+    * Scale shape: the weight computation is [[dsirWeights]], and the
+    * uniform is row-derived (md5 of the text), so on the driver-model
+    * path it rides the SAME scoring scan — no id-join (the joined
+    * fallback attaches it by id, as the twin must). The top-k is a
+    * global orderBy+limit — Spark's TakeOrderedAndProject, a
     * per-partition bounded heap + driver merge of k rows, never a full
     * sort. Published key rounded to 4; ordering is on the raw double with
     * an id tie-break, so the kept SET is stable even where rounding
     * collides.
     */
   def dsirResample(df: DataFrame, idCol: String, textCol: String,
-                   isTarget: Column, k: Int): DataFrame = {
-    val w = dsirWeights(df, idCol, textCol, isTarget)
+                   isTarget: Column, k: Int,
+                   maxVocab: Int = maxModelVocab): DataFrame = {
     val bucket = pmod(conv(substring(md5(col(textCol)), 1, 8), 16, 10).cast("long"),
       lit(1000000L))
     val u = (bucket + lit(0.5)) / lit(1000000.0)
-    df.select(col(idCol), u.as("__u"))
-      .join(w, Seq(idCol))
+    dsirScored(df, idCol, textCol, isTarget, Seq("__u" -> u), maxVocab)
       .withColumn("__key", col("dsir_weight") - log(-log(col("__u"))))
       .orderBy(col("__key").desc, col(idCol).asc)
       .limit(k)

@@ -211,7 +211,10 @@ class ChecksSpec extends SparkTestBase {
        "to the plain join on orphan-heavy, clean, and null-key fixtures") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.as[(String, String, Double, Double, Boolean)].collect().toSeq
-    val parent = (1L to 50L).map(i => i * 3).toDF("p")
+    // duplicate parent keys: the build inserts the RAW projection (dup
+    // inserts are idempotent; row-count sizing just lowers the fpp) and
+    // LeftSemi deduplicates the confirming join by construction
+    val parent = ((1L to 50L) ++ (1L to 20L)).map(i => i * 3).toDF("p")
     val fixtures = Seq(
       // orphan-heavy: most child keys miss the domain (the screen bites)
       (1L to 200L).map(Option(_)).toDF("k"),

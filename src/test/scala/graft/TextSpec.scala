@@ -205,6 +205,37 @@ class TextSpec extends SparkTestBase {
     assert(all(1L) === all(2L) && all(2L) === all(3L))
   }
 
+  test("dsirWeights: model path equals the relational twin bit-for-bit, " +
+       "and an over-budget vocabulary dispatches to it") {
+    val docs = (1L to 40L).map(i =>
+      (i, if (i <= 5) "shared corpus phrase apple banana"
+          else s"unique doc $i with words w$i x${i % 7} apple",
+       if (i % 3 == 0) "tgt" else "web")).toDF("doc_id", "t", "source")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val fast = rows(Text.dsirWeights(docs, "doc_id", "t", $"source" === "tgt"))
+    val joined = rows(Text.dsirWeightsJoined(docs, "doc_id", "t", $"source" === "tgt"))
+    assert(fast === joined)           // bit-for-bit, doubles included
+    // a 3-token budget cannot hold this vocabulary: the fast path must
+    // return the twin's frame, not a truncated model's
+    assert(rows(Text.dsirWeights(docs, "doc_id", "t", $"source" === "tgt",
+      maxVocab = 3)) === joined)
+  }
+
+  test("dsirResample: joined fallback keeps the exact fast-path top-k") {
+    val docs = (1L to 30L).map(i =>
+      (i, s"resample doc $i token t${i % 11} t${i % 5}",
+       if (i % 2 == 0) "tgt" else "web")).toDF("doc_id", "t", "source")
+    val fast = Text.dsirResample(docs, "doc_id", "t", $"source" === "tgt", k = 8)
+      .collect().map(_.toSeq).toSeq
+    // a 3-token budget forces the joined branch, which attaches the
+    // content-hash uniform by id instead of riding the scoring scan —
+    // the kept rows, order included, must not move
+    val joined = Text.dsirResample(docs, "doc_id", "t", $"source" === "tgt",
+      k = 8, maxVocab = 3).collect().map(_.toSeq).toSeq
+    assert(fast === joined)
+  }
+
   test("decontaminate: word-boundary hits counted and replaced, substrings untouched") {
     val df = Seq(
       (1L, "leak the benchmark answer here"),
