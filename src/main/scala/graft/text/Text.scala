@@ -551,13 +551,18 @@ object Text {
     // row-local), so the whole query is two scans and one tiny collect.
     // Zero-token docs are dropped to match the relational/oracle
     // semantics (their group never exists after the explode).
-    df.select(col(idCol),
+    // drop zero-token docs BEFORE scoring: ANSI division would throw on
+    // n_tokens = 0 (and the relational/oracle semantics drop them anyway
+    // — their group never exists after the explode). The predicate is
+    // size(tokens) — NOT the scored struct's n_tokens: a struct-field
+    // filter gets substitution-pushed below the project and the model
+    // pass runs TWICE per doc (once in the pushed filter, once in the
+    // projection — the ledger caught it); the token-array size is the
+    // identical condition at tokenizer cost
+    df.filter(size(tokens(col(textCol))) > 0)
+      .select(col(idCol),
         org.apache.spark.sql.graft.UnigramFunctions
           .unigramLogProbSum(tokens(col(textCol)), lp).as("__s"))
-      // drop zero-token docs BEFORE the mean: ANSI division would throw
-      // on n_tokens = 0 (and the relational/oracle semantics drop them
-      // anyway — their group never exists after the explode)
-      .filter(col("__s.n_tokens") > 0)
       .select(col(idCol), col("__s.n_tokens").as("n_tokens"),
         (round(col("__s.lp_sum").cast("double") / col("__s.n_tokens") * 10000)
           / 10000.0 + lit(0.0)).as("avg_logprob"))
@@ -714,12 +719,15 @@ object Text {
       r.getString(0) ->
         StrictMath.log((r.getLong(1) + 1L) * 1.0 / ((r.getLong(2) + r.getLong(3)) * 1.0))
     }.toMap
-    df.select(col(idCol),
+    // docs with < 2 tokens have no bigram positions and are dropped
+    // (their group never exists after the relational explode); filter on
+    // the token-array size, not the scored struct — a struct-field
+    // predicate pushes below the project and scores every doc twice
+    // (the t17 ledger lesson)
+    df.filter(size(tokens(col(textCol))) >= 2)
+      .select(col(idCol),
         org.apache.spark.sql.graft.BigramFunctions
           .bigramLogProbSum(tokens(col(textCol)), lp).as("__s"))
-      // docs with < 2 tokens have no bigram positions and are dropped
-      // (their group never exists after the relational explode)
-      .filter(col("__s.n_bigrams") > 0)
       .select(col(idCol), col("__s.n_bigrams").as("n_bigrams"),
         (round(col("__s.lp_sum").cast("double") / col("__s.n_bigrams") * 10000)
           / 10000.0 + lit(0.0)).as("avg_logprob"))
@@ -849,11 +857,14 @@ object Text {
       t -> (StrictMath.log((ctMap.getOrElse(t, 0L) + 1.0) / (nt + v)) -
             StrictMath.log((c + 1.0) / (ns + v)))
     }.toMap
-    val scored = df.select(
-      (col(idCol) +: extra.map { case (n, c) => c.as(n) }) ++ Seq(
-        org.apache.spark.sql.graft.UnigramFunctions
-          .unigramLogProbSum(tokens(col(textCol)), lr).as("__s")): _*)
-      .filter(col("__s.n_tokens") > 0)
+    // zero-token drop on the token-array size, not the scored struct —
+    // a struct-field predicate pushes below the project and scores every
+    // doc twice (the t17 ledger lesson)
+    val scored = df.filter(size(tokens(col(textCol))) > 0)
+      .select(
+        (col(idCol) +: extra.map { case (n, c) => c.as(n) }) ++ Seq(
+          org.apache.spark.sql.graft.UnigramFunctions
+            .unigramLogProbSum(tokens(col(textCol)), lr).as("__s")): _*)
     scored.select(
       (col(idCol) +: extra.map { case (n, _) => col(n) }) ++ Seq(
         col("__s.n_tokens").as("n_tokens"),
