@@ -109,7 +109,12 @@ object ExplainAudit {
     "g2_pagerank", "g5_page_components", "g7_harmonic_hyperball",
     "g8_personalized_pagerank", "t23_bigram_logprob",
     "ml3_incremental_scores", "w18_scd2_incremental", "dq4_metric_drift",
-    "er5_entity_survivors")
+    "er5_entity_survivors",
+    // r18 session-2: g9's merge must window seed∪batch only (the
+    // historical log never re-scanned); dq5's confirm join must see the
+    // bloom-screened candidate set, with the build map-side (no parent
+    // distinct exchange anywhere in the plan)
+    "g9_edges_incremental", "dq5_referential_bloom")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS

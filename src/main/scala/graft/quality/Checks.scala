@@ -208,7 +208,12 @@ object Checks {
     val keys = parent.select(col(parentCol).cast("long").as(childCol))
       .filter(col(childCol).isNotNull)
     val expected = math.max(parent.count(), 1L)
-    val bloom = keys.rdd.treeAggregate(
+    // build parallelism is bounded: every partial is a FULL-size zeroed
+    // bitmap (~14 bits/key), so partials × size — not the insert pass —
+    // is the build's cost; 8 coalesced partitions keep inserts parallel
+    // while the merge moves a bounded number of partials (the ×100 probe
+    // measured the 32-partial build dominating the whole check)
+    val bloom = keys.coalesce(8).rdd.treeAggregate(
       org.apache.spark.util.sketch.BloomFilter.create(expected, fpp))(
       (f, row) => { f.putLong(row.getLong(0)); f },
       (a, b) => { a.mergeInPlace(b); a })
