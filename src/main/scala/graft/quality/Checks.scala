@@ -179,10 +179,16 @@ object Checks {
     * PROBABLE-HIT remainder. Blooms have no false negatives, so a
     * screened-out key is a definite orphan and the join exists purely to
     * demote false positives — the answer is IDENTICAL to [[referential]]
-    * (gated in ChecksSpec; the dq5 oracle replays the PLAIN join). At
-    * 100 TB the child side that reaches the shuffle shrinks from every
-    * fact row to `resolved + fpp·orphans`, and orphan-heavy ingests (the
-    * case a gate exists to catch) are exactly where the screen bites.
+    * (gated in ChecksSpec; the dq5 oracle replays the PLAIN join).
+    *
+    * Crossover law (measured, docs/SCALE_PROBE.md round-18): at a 4:1
+    * child:parent key-only geometry the plain shuffle join WINS even at
+    * a 90% orphan rate — the bloom pays an O(parent) build plus an extra
+    * child pass that a modest join shuffle never costs. The screen's
+    * regime is a parent domain too large to broadcast but whose
+    * ~14-bit/key filter ships task-side, against a child whose keys
+    * outnumber the parent ~100:1 — there the join's O(child) network
+    * becomes O(child) map-side probes.
     * The filter ships task-side like the t18 sketch (~1.2 GB per billion
     * keys at fpp 1e-3 — driver-budget class; beyond that, Spark's own
     * `bloomFilter` DataFrameStatFunctions path or a semi-join stays the
