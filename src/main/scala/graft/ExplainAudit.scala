@@ -113,8 +113,11 @@ object ExplainAudit {
     // r18 session-2: g9's merge must window seed∪batch only (the
     // historical log never re-scanned); dq5's confirm join must see the
     // bloom-screened candidate set, with the build map-side (no parent
-    // distinct exchange anywhere in the plan)
-    "g9_edges_incremental", "dq5_referential_bloom")
+    // distinct exchange anywhere in the plan); g10's rounds must run
+    // entirely over the symmetrized page-pair universe (checkpointed
+    // once — nothing event-sized past the index scan)
+    "g9_edges_incremental", "dq5_referential_bloom",
+    "g10_label_propagation")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS

@@ -87,7 +87,10 @@ object ScaleProbe {
     "ml3_incremental_scores", "w18_scd2_incremental", "dq4_metric_drift",
     // g9's window runs over seed∪batch (the late half of the upscaled
     // log) — expected ~linear in the batch scan, like w18
-    "g9_edges_incremental")
+    "g9_edges_incremental",
+    // g10's rounds are all page-pair-domain work past the EdgeIndex
+    // scan — expected scale-free like g2/g8
+    "g10_label_propagation")
 
   /** TPC-H probe set (SPARK_GRAFT_PROBE=tpch): the fact-heavy headline
     * shapes — pure fact agg (q1), fact⋈fact⋈dim top-k (q3), 5-way profit

@@ -1939,6 +1939,11 @@ object SparkEntry {
         graft.graph.Graph.lastViews(early, "user_id", "page", "ts", "event_id"),
         ev.filter(col("ts") >= cut), "user_id", "page", "ts", "event_id")
     }),
+    // community detection: weighted synchronous label propagation over
+    // the symmetrized transition graph — all-long votes, min-label
+    // ties, 4 unrolled rounds (the oracle replays them as CTEs)
+    "g10_label_propagation" -> ((s, d) =>
+      graft.graph.Graph.labelPropagation(graphEdges(s, d), iters = 4)),
 
     // ---- ml: relational full-batch GD quality classifier
     // (graft.ml.QualityClassifier — the fasttext-quality-scoring rung;
@@ -3952,6 +3957,23 @@ object SparkEntry {
       s"""WITH $graphEdgeCte
          |SELECT src, dst, n_trans FROM e""".stripMargin,
 
+    // g10: the engine's 4 synchronous rounds replayed literally as CTEs
+    // — all-long votes and the (weight DESC, label ASC) winner pin make
+    // the replay exact with no numeric discipline needed at all
+    "g10_label_propagation" ->
+      s"""WITH $graphEdgeCte,
+         |ns AS (SELECT src, dst, n_trans FROM e WHERE src <> dst),
+         |und AS (SELECT a, b, sum(c) AS w FROM (
+         |    SELECT src AS a, dst AS b, n_trans AS c FROM ns
+         |    UNION ALL SELECT dst AS a, src AS b, n_trans AS c FROM ns) GROUP BY a, b),
+         |v AS (SELECT DISTINCT page FROM (SELECT src AS page FROM e UNION ALL SELECT dst AS page FROM e)),
+         |l0 AS (SELECT page, page AS l FROM v),
+         |${lpaRound(1)},
+         |${lpaRound(2)},
+         |${lpaRound(3)},
+         |${lpaRound(4)}
+         |SELECT page, l AS community FROM l4""".stripMargin,
+
     "g2_pagerank" -> pageRankSql,
 
     "g3_degree_census" ->
@@ -4200,6 +4222,20 @@ object SparkEntry {
   /** Shared g-family oracle CTE: the per-user page-transition edge list
     * (the exact lag/groupBy recipe of [[graphEdges]]).
     */
+  /** One synchronous LPA round as a CTE: `l<i>` re-labels every vertex
+    * with the (total incident weight DESC, label ASC) winner over its
+    * neighbors' `l<i-1>` labels, keeping the old label where no
+    * neighbor votes exist — the literal replay of one
+    * [[graft.graph.Graph.labelPropagation]] iteration.
+    */
+  private def lpaRound(i: Int): String =
+    s"""l$i AS (SELECT lv.page, coalesce(w.nl, lv.l) AS l FROM l${i - 1} lv LEFT JOIN (
+       |    SELECT a, l AS nl FROM (
+       |      SELECT und.a, lb.l, row_number() OVER (
+       |          PARTITION BY und.a ORDER BY sum(und.w) DESC, lb.l ASC) AS rk
+       |      FROM und JOIN l${i - 1} lb ON und.b = lb.page
+       |      GROUP BY und.a, lb.l) WHERE rk = 1) w ON lv.page = w.a)""".stripMargin
+
   private lazy val graphEdgeCte: String =
     """e AS (SELECT src, page AS dst, count(*) AS n_trans FROM (
       |    SELECT user_id, event_id % 50 AS page,

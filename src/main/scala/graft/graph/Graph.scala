@@ -300,6 +300,73 @@ object Graph {
       edges.select(col(srcCol).as("id1"), col(dstCol).as("id2")))
       .select(col("id").as("page"), col("label").as("component"))
 
+  /** Weighted synchronous label propagation (Raghavan et al. 2007) —
+    * community detection over the transition graph, the clustering view
+    * [[components]]' connectivity closure cannot give (one giant
+    * component usually IS the whole site; communities are its internal
+    * navigation neighborhoods). Edges are symmetrized (both directions,
+    * weights summed per pair) and self-loops dropped (a self-vote says
+    * nothing about neighborhoods); every vertex starts as its own label
+    * and each of the `iters` synchronous rounds re-labels v with the
+    * argmax over neighbor labels of the total incident edge weight,
+    * ties broken by the MINIMUM label — the pinned total order that
+    * makes the operator deterministic and oracle-able. Vertices with no
+    * (non-self) neighbors keep their label.
+    *
+    * Determinism discipline: there is NO floating point anywhere —
+    * weights are exact longs, votes are long sums, and the winner is
+    * row_number over (sum DESC, label ASC) — so the result is
+    * bit-identical cross-engine by construction (the DuckDB oracle
+    * unrolls the same rounds as CTEs).
+    *
+    * Scale shape: everything runs over the DISTINCT page-pair universe
+    * (the symmetrized edge table, checkpointed once — the
+    * [[powerIterate]] discipline); each round is one edges⋈labels join
+    * re-aggregated on (vertex, label) plus a per-vertex window on that
+    * same partitioning, all map-side-combinable, nothing event-sized.
+    * The label frame is consumed twice per round (votes + keep-label
+    * fallback), so plans grow 2^iters — fine at the default 4
+    * unrollings, checkpointed above (the pageRank tradeoff, measured
+    * there).
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 4,
+                       srcCol: String = "src", dstCol: String = "dst",
+                       weightCol: String = "n_trans"): DataFrame = {
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(edges.schema(weightCol).dataType),
+      s"weightCol '$weightCol' must be an integral type (counts); got " +
+        s"${edges.schema(weightCol).dataType.simpleString} — pre-scale " +
+        "fractional weights to integers")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("long").as("__c")).localCheckpoint()
+    val verts = e.select(col("src").as("page"))
+      .union(e.select(col("dst").as("page"))).distinct()
+    val nonSelf = e.filter(col("src") =!= col("dst"))
+    val und = nonSelf
+      .select(col("src").as("a"), col("dst").as("b"), col("__c"))
+      .unionAll(nonSelf.select(col("dst").as("a"), col("src").as("b"), col("__c")))
+      .groupBy("a", "b").agg(sum(col("__c")).as("__w"))
+      .localCheckpoint()
+    var labels = verts.select(col("page"), col("page").as("__l"))
+    for (_ <- 0 until iters) {
+      if (iters > 4) labels = labels.localCheckpoint()
+      val votes = und
+        .join(labels.select(col("page").as("b"), col("__l")), "b")
+        .groupBy(col("a"), col("__l"))
+        .agg(sum(col("__w")).as("__s"))
+      val win = Window.partitionBy(col("a"))
+        .orderBy(col("__s").desc, col("__l").asc)
+      val winner = votes.withColumn("__rk", row_number().over(win))
+        .filter(col("__rk") === 1)
+        .select(col("a").as("page"), col("__l").as("__nl"))
+      labels = labels.join(winner, Seq("page"), "left")
+        .select(col("page"), coalesce(col("__nl"), col("__l")).as("__l"))
+    }
+    labels.select(col("page"), col("__l").as("community"))
+  }
+
   /** Bounded-radius harmonic centrality — the OTHER ranking Common Crawl
     * publishes beside PageRank: `H(v) = Σ_{u: 0 < d(u,v) ≤ maxDist} 1/d(u,v)`
     * over directed shortest-path distances. The radius bound is the

@@ -237,8 +237,74 @@ class GraphSpec extends SparkTestBase {
     assert(Graph.degreeCensus(none).isEmpty)
     assert(Graph.triangleCensus(none).isEmpty)
     assert(Graph.components(none).isEmpty)
+    assert(Graph.labelPropagation(none).isEmpty)
     assert(Graph.harmonicCentrality(none).isEmpty)
     assert(Graph.harmonicCentralityHyperBall(none).isEmpty)
+  }
+
+  test("labelPropagation splits a weak bridge into two communities; " +
+       "self-loop-only vertices keep their own label") {
+    // two triangles {1,2,3} and {10,11,12} with heavy internal edges,
+    // bridged by one weight-1 edge 3-10; 20 has only a self-loop
+    val out = Graph.labelPropagation(edges(
+      (1L, 2L, 5L), (2L, 3L, 5L), (3L, 1L, 5L),
+      (10L, 11L, 5L), (11L, 12L, 5L), (12L, 10L, 5L),
+      (3L, 10L, 1L), (20L, 20L, 2L)))
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) === out(2L) && out(2L) === out(3L))
+    assert(out(10L) === out(11L) && out(11L) === out(12L))
+    assert(out(1L) !== out(10L))
+    assert(out(20L) === 20L)
+  }
+
+  test("labelPropagation: heavier votes beat more-numerous ones; ties to min label") {
+    // vertex 5 hears label votes from 1 (weight 10) and from 2,3 — after
+    // round 1 every vertex keeps distinct labels {1,2,3} around 5, and
+    // 5's weighted argmax is 1's label (10 > 3+3)
+    val heavy = Graph.labelPropagation(edges(
+      (1L, 5L, 10L), (2L, 5L, 3L), (3L, 5L, 3L)), iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(heavy(5L) === 1L)
+    // exact tie (3+3 vs 6? -> make 1's weight 6): min label wins
+    val tied = Graph.labelPropagation(edges(
+      (7L, 5L, 6L), (2L, 5L, 6L)), iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(tied(5L) === 2L)
+  }
+
+  test("labelPropagation: randomized parity with the brute-force reference") {
+    val rnd = new scala.util.Random(43)
+    val es = Seq.fill(70)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong,
+      (rnd.nextInt(5) + 1).toLong))
+    def ref(iters: Int): Map[Long, Long] = {
+      val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val und = es.filter(e => e._1 != e._2)
+        .flatMap { case (s, d, c) => Seq(((s, d), c), ((d, s), c)) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      var lab = verts.map(v => v -> v).toMap
+      for (_ <- 0 until iters) {
+        lab = verts.map { v =>
+          // toSeq first: collecting pairs straight out of the Map would
+          // itself build a Map and silently collapse same-label votes
+          val votes = und.toSeq.collect { case ((a, b), w) if a == v => (lab(b), w) }
+            .groupBy(_._1).map { case (l, vs) => l -> vs.map(_._2).sum }
+          if (votes.isEmpty) v -> lab(v)
+          else v -> votes.toSeq.sortBy { case (l, s) => (-s, l) }.head._1
+        }.toMap
+      }
+      lab
+    }
+    val got = Graph.labelPropagation(es.toDF("src", "dst", "n_trans"), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === ref(4))
+  }
+
+  test("labelPropagation rejects fractional weight columns loudly") {
+    val bad = Seq((1L, 2L, 0.5)).toDF("src", "dst", "n_trans")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.labelPropagation(bad)
+    }
+    assert(ex.getMessage.contains("integral"))
   }
 
   test("components treats direction-disjoint chains as one component") {
