@@ -321,13 +321,16 @@ object Graph {
     *
     * Scale shape: everything runs over the DISTINCT page-pair universe
     * (the symmetrized edge table, checkpointed once — the
-    * [[powerIterate]] discipline); each round is one edges⋈labels join
+    * [[powerIterate]] discipline); each round is ONE edges⋈labels join
     * re-aggregated on (vertex, label) plus a per-vertex window on that
     * same partitioning, all map-side-combinable, nothing event-sized.
-    * The label frame is consumed twice per round (votes + keep-label
-    * fallback), so plans grow 2^iters — fine at the default 4
-    * unrollings, checkpointed above (the pageRank tradeoff, measured
-    * there).
+    * There is no keep-label fallback join: a vertex with a (non-self)
+    * neighbor receives votes EVERY round — its neighbors always carry
+    * labels — so the winner frame covers the whole active universe,
+    * and isolated vertices (whose label provably never moves) are
+    * split off once and unioned back at the end. The label frame is
+    * thus consumed once per round (linear plan growth); checkpointed
+    * above 4 rounds anyway, the pageRank tradeoff.
     */
   def labelPropagation(edges: DataFrame, iters: Int = 4,
                        srcCol: String = "src", dstCol: String = "dst",
@@ -349,7 +352,8 @@ object Graph {
       .unionAll(nonSelf.select(col("dst").as("a"), col("src").as("b"), col("__c")))
       .groupBy("a", "b").agg(sum(col("__c")).as("__w"))
       .localCheckpoint()
-    var labels = verts.select(col("page"), col("page").as("__l"))
+    var labels = und.select(col("a").as("page")).distinct()
+      .select(col("page"), col("page").as("__l"))
     for (_ <- 0 until iters) {
       if (iters > 4) labels = labels.localCheckpoint()
       val votes = und
@@ -358,13 +362,14 @@ object Graph {
         .agg(sum(col("__w")).as("__s"))
       val win = Window.partitionBy(col("a"))
         .orderBy(col("__s").desc, col("__l").asc)
-      val winner = votes.withColumn("__rk", row_number().over(win))
+      labels = votes.withColumn("__rk", row_number().over(win))
         .filter(col("__rk") === 1)
-        .select(col("a").as("page"), col("__l").as("__nl"))
-      labels = labels.join(winner, Seq("page"), "left")
-        .select(col("page"), coalesce(col("__nl"), col("__l")).as("__l"))
+        .select(col("a").as("page"), col("__l"))
     }
     labels.select(col("page"), col("__l").as("community"))
+      .unionAll(verts
+        .join(labels.select(col("page")), Seq("page"), "left_anti")
+        .select(col("page"), col("page").as("community")))
   }
 
   /** Bounded-radius harmonic centrality — the OTHER ranking Common Crawl
