@@ -117,7 +117,9 @@ object ExplainAudit {
     // entirely over the symmetrized page-pair universe (checkpointed
     // once — nothing event-sized past the index scan)
     "g9_edges_incremental", "dq5_referential_bloom",
-    "g10_label_propagation")
+    // g10's rounds over the page-pair universe; dq6 must be ONE
+    // map-side scan — no exchange, no aggregate, no join
+    "g10_label_propagation", "dq6_quarantine")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS

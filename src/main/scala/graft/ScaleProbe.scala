@@ -89,8 +89,9 @@ object ScaleProbe {
     // log) — expected ~linear in the batch scan, like w18
     "g9_edges_incremental",
     // g10's rounds are all page-pair-domain work past the EdgeIndex
-    // scan — expected scale-free like g2/g8
-    "g10_label_propagation")
+    // scan — expected scale-free like g2/g8; dq6 is one map-side
+    // routing scan — expected ~linear
+    "g10_label_propagation", "dq6_quarantine")
 
   /** TPC-H probe set (SPARK_GRAFT_PROBE=tpch): the fact-heavy headline
     * shapes — pure fact agg (q1), fact⋈fact⋈dim top-k (q3), 5-way profit

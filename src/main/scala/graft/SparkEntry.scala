@@ -1997,6 +1997,18 @@ object SparkEntry {
       graft.quality.Checks.referentialBloom(
         Tables(s, d, "lineitem"), "l_orderkey",
         Tables(s, d, "orders"), "o_orderkey", 1.0)),
+    // row-level quarantine: the same declared suite routes violating
+    // rows with their reason lists — one map-side pass, no shuffle;
+    // `error` events and sub-1.0 values route, user_id completeness
+    // exercises a passing check
+    "dq6_quarantine" -> ((s, d) =>
+      graft.quality.Checks.quarantine(Tables.events(s, d), Seq(
+        graft.quality.Checks.completeness("user_id", 1.0),
+        graft.quality.Checks.minValue("value", 1.0),
+        graft.quality.Checks.inSet("event_type",
+          Seq("view", "click", "purchase", "signup"), 1.0)))
+        .filter(size(col("failed_checks")) > 0)
+        .select(col("event_id"), col("failed_checks"))),
     // drift detection (the Deequ anomaly shape): per-DAY metric history
     // over the event log, the latest day judged against the trailing
     // days' mean — the gate a one-snapshot suite cannot express
@@ -4146,6 +4158,21 @@ object SparkEntry {
         |FROM (SELECT CAST(count(k.__k) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
         |      FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey AS __k FROM orders) k
         |      ON lineitem.l_orderkey = k.__k)""".stripMargin,
+
+    // dq6: each row's declaration-ordered reason list built by list
+    // concatenation — null user_id fails completeness, value < 1 fails
+    // min_value (nulls pass: min() skips them), event_type outside the
+    // set (or null) fails in_set
+    "dq6_quarantine" ->
+      """SELECT event_id,
+        |  (CASE WHEN user_id IS NULL THEN ['completeness:user_id'] ELSE [] END) ||
+        |  (CASE WHEN value IS NOT NULL AND value < 1.0 THEN ['min_value:value'] ELSE [] END) ||
+        |  (CASE WHEN event_type IS NULL OR event_type NOT IN ('view','click','purchase','signup')
+        |        THEN ['in_set:event_type'] ELSE [] END) AS failed_checks
+        |FROM events
+        |WHERE user_id IS NULL OR (value IS NOT NULL AND value < 1.0)
+        |   OR event_type IS NULL
+        |   OR event_type NOT IN ('view','click','purchase','signup')""".stripMargin,
 
     // dq4: the per-day metric history + trailing-mean drift judgment
     // replayed literally (decimal-staged trailing mean, rounded

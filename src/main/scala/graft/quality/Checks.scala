@@ -26,10 +26,16 @@ object Checks {
 
   /** One declarative check: `metric` is an aggregate Column over the
     * target table; the check passes when metric ≥ threshold (or ≤ when
-    * `atLeast` = false).
+    * `atLeast` = false). Row-scoped checks additionally carry
+    * `rowPred` — the per-row property whose violation count the metric
+    * aggregates — which is what lets ONE declared suite drive both the
+    * aggregate gate ([[run]]/[[runByPeriod]]) and the row router
+    * ([[quarantine]]). Aggregate-only checks (uniqueness, row_count)
+    * have no row-local meaning and leave it None.
     */
   final case class Check(name: String, column: String, metric: Column,
-                         threshold: Double, atLeast: Boolean = true)
+                         threshold: Double, atLeast: Boolean = true,
+                         rowPred: Option[Column] = None)
 
   // vacuous truth on zero rows: per-row property checks cannot be
   // violated by an empty table (under ANSI mode the plain 0/0 division
@@ -41,29 +47,42 @@ object Checks {
     coalesce(try_divide(num.cast("double"), count(lit(1)).cast("double")),
       lit(1.0))
 
-  /** Non-null fraction ≥ threshold. */
+  /** Non-null fraction ≥ threshold. Row property: the value is present. */
   def completeness(c: String, threshold: Double): Check =
-    Check("completeness", c, ratio(count(col(c))), threshold)
+    Check("completeness", c, ratio(count(col(c))), threshold,
+      rowPred = Some(col(c).isNotNull))
 
   /** Exact distinct fraction ≥ threshold (1.0 = key candidate). */
   def uniqueness(c: String, threshold: Double): Check =
     Check("uniqueness", c, ratio(countDistinct(col(c))), threshold)
 
-  /** Observed minimum ≥ threshold. */
+  /** Observed minimum ≥ threshold. Row property: value ≥ threshold —
+    * null rows pass vacuously (min() skips nulls; nulls are
+    * [[completeness]]'s business, in the aggregate and per row alike).
+    */
   def minValue(c: String, threshold: Double): Check =
-    Check("min_value", c, min(col(c)).cast("double"), threshold)
+    Check("min_value", c, min(col(c)).cast("double"), threshold,
+      rowPred = Some(col(c).isNull || col(c) >= lit(threshold)))
 
-  /** Observed maximum ≤ threshold. */
+  /** Observed maximum ≤ threshold. Row property: value ≤ threshold
+    * (nulls pass, the [[minValue]] convention). */
   def maxValue(c: String, threshold: Double): Check =
-    Check("max_value", c, max(col(c)).cast("double"), threshold, atLeast = false)
+    Check("max_value", c, max(col(c)).cast("double"), threshold, atLeast = false,
+      rowPred = Some(col(c).isNull || col(c) <= lit(threshold)))
 
-  /** Fraction of rows whose value sits in the allowed set ≥ threshold. */
+  /** Fraction of rows whose value sits in the allowed set ≥ threshold.
+    * Row property: value IS in the set — a null is not in any set and
+    * fails, exactly as the metric never counts it. */
   def inSet(c: String, values: Seq[String], threshold: Double): Check =
-    Check("in_set", c, ratio(count(when(col(c).isin(values: _*), lit(1)))), threshold)
+    Check("in_set", c, ratio(count(when(col(c).isin(values: _*), lit(1)))), threshold,
+      rowPred = Some(coalesce(col(c).isin(values: _*), lit(false))))
 
-  /** Fraction of rows matching the (partial-match) regex ≥ threshold. */
+  /** Fraction of rows matching the (partial-match) regex ≥ threshold.
+    * Row property: the value matches (nulls fail, as the metric never
+    * counts them). */
   def matches(c: String, regex: String, threshold: Double): Check =
-    Check("matches", c, ratio(count(when(col(c).rlike(regex), lit(1)))), threshold)
+    Check("matches", c, ratio(count(when(col(c).rlike(regex), lit(1)))), threshold,
+      rowPred = Some(coalesce(col(c).rlike(regex), lit(false))))
 
   /** Row count ≥ threshold. */
   def rowCountAtLeast(threshold: Double): Check =
@@ -86,6 +105,38 @@ object Checks {
            else col(s"m$i") <= lit(c.threshold))).as("passed"))
     }
     aggd.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+
+  /** Row-level quarantine — the routing step the aggregate report
+    * cannot do: WHERE did the bad rows go. The same declared suite
+    * drives it (each row-scoped check's `rowPred` is the property whose
+    * violations the metric counts); every input row comes back with
+    * `failed_checks`, the declaration-ordered array of the
+    * "check:column" labels it violates — empty means clean, so the
+    * caller routes with one filter each way and a quarantined row
+    * carries its full reason list for triage/replay. Thresholds play no
+    * part here by design: the threshold is the AGGREGATE gate's
+    * tolerance, while a router must route every violating row.
+    *
+    * Aggregate-only checks (uniqueness, row_count) have no row-local
+    * meaning and are rejected loudly — gate those with [[run]]; route
+    * duplicate rows with the dedup family, which is built for it.
+    *
+    * Scale shape: ONE map-side pass — per-row predicate evaluation into
+    * an array literal filter, no shuffle, no join, nothing aggregated —
+    * the cheapest possible posture for a 100 TB ingest router.
+    */
+  def quarantine(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "empty check suite")
+    val unsupported = checks.filter(_.rowPred.isEmpty)
+    require(unsupported.isEmpty,
+      "quarantine needs row-scoped checks; aggregate-only: " +
+        unsupported.map(c => s"${c.name}:${c.column}").mkString(", ") +
+        " — gate those with run()")
+    val reasons = checks.map(c =>
+      when(!c.rowPred.get, lit(s"${c.name}:${c.column}")))
+    df.withColumn("failed_checks",
+      filter(array(reasons: _*), r => r.isNotNull))
   }
 
   /** The suite's metrics computed PER PERIOD — the metric-history shape

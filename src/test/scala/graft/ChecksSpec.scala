@@ -207,6 +207,41 @@ class ChecksSpec extends SparkTestBase {
     assert(r.getAs[String]("col_name") === "k")
   }
 
+  test("quarantine routes violating rows with declaration-ordered reasons; " +
+       "null semantics follow each metric's counting") {
+    val df = Seq(
+      (1L, Some("ok"), Some(5.0), Some("view")),      // clean
+      (2L, None,       Some(5.0), Some("view")),      // completeness fails
+      (3L, Some("ok"), Some(0.5), Some("view")),      // min_value fails
+      (4L, Some("ok"), Some(5.0), Some("error")),     // in_set fails
+      (5L, None,       Some(0.5), Some("error")),     // all three fail, in order
+      (6L, Some("ok"), None,      Some("view")),      // null value PASSES min_value
+      (7L, Some("ok"), Some(5.0), None)               // null type FAILS in_set
+    ).toDF("id", "c", "v", "t")
+    val out = Checks.quarantine(df, Seq(
+      Checks.completeness("c", 1.0),
+      Checks.minValue("v", 1.0),
+      Checks.inSet("t", Seq("view", "click"), 1.0)))
+      .select($"id", $"failed_checks")
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) === Seq())
+    assert(out(2L) === Seq("completeness:c"))
+    assert(out(3L) === Seq("min_value:v"))
+    assert(out(4L) === Seq("in_set:t"))
+    assert(out(5L) === Seq("completeness:c", "min_value:v", "in_set:t"))
+    assert(out(6L) === Seq())
+    assert(out(7L) === Seq("in_set:t"))
+  }
+
+  test("quarantine rejects aggregate-only checks loudly") {
+    val df = Seq((1L, "a")).toDF("id", "c")
+    val ex = intercept[IllegalArgumentException] {
+      Checks.quarantine(df, Seq(
+        Checks.completeness("c", 1.0), Checks.uniqueness("id", 1.0)))
+    }
+    assert(ex.getMessage.contains("uniqueness:id"))
+  }
+
   test("referentialBloom: the prefilter is answer-invisible — identical report " +
        "to the plain join on orphan-heavy, clean, and null-key fixtures") {
     def rows(df: org.apache.spark.sql.DataFrame) =
