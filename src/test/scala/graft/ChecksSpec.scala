@@ -242,6 +242,32 @@ class ChecksSpec extends SparkTestBase {
     assert(ex.getMessage.contains("uniqueness:id"))
   }
 
+  test("quarantine is stateless — the same function routes a stream unchanged") {
+    // no watermark, no state store, no output-mode constraint: the
+    // router is a pure per-row map, so the BATCH function applies to a
+    // readStream frame as-is and every micro-batch row routes exactly
+    // like its batch twin
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Option[String], Option[Double])]
+    val checks = Seq(Checks.completeness("_2", 1.0), Checks.minValue("_3", 1.0))
+    val q = Checks.quarantine(mem.toDF(), checks)
+      .writeStream.format("memory").queryName("dq6_stream")
+      .outputMode("append").start()
+    try {
+      val rows = Seq((1L, Option("ok"), Option(5.0)),
+        (2L, Option.empty[String], Option(0.5)), (3L, Option("ok"), Option.empty[Double]))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("dq6_stream")
+        .select($"_1", $"failed_checks").as[(Long, Seq[String])].collect().toMap
+      val batch = Checks.quarantine(rows.toDF("_1", "_2", "_3"), checks)
+        .select($"_1", $"failed_checks").as[(Long, Seq[String])].collect().toMap
+      assert(got === batch)
+      assert(got(2L) === Seq("completeness:_2", "min_value:_3"))
+    } finally q.stop()
+  }
+
   test("referentialBloom: the prefilter is answer-invisible — identical report " +
        "to the plain join on orphan-heavy, clean, and null-key fixtures") {
     def rows(df: org.apache.spark.sql.DataFrame) =
