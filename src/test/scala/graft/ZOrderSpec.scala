@@ -189,17 +189,21 @@ class ZOrderSpec extends SparkTestBase {
     assert(fileCount === 16L, "compaction must collapse the file count")
     val overlapAfter = overlapping("b", 280, 340)
     // the honest one-shot reference: the SAME row multiset written
-    // z-ordered in one shot; compact must match it within the ±1-file
-    // jitter of repartitionByRange's sampling (RangePartitioner seeds
-    // from rdd.id, so two writes in one session can place one boundary
-    // differently — a hardcoded bound here was session-order-flaky)
+    // z-ordered in one shot. BOTH layouts are independent
+    // RangePartitioner draws (it seeds from rdd.id, so two writes in
+    // one session sample different boundaries), and each draw can shift
+    // one boundary across the probed range independently — the observed
+    // suite-run delta distribution reaches ±2 (a +1 bound flaked about
+    // once per ~5 full-suite runs at 6-vs-8). The tight property lives
+    // in the fraction gate below; this gate pins "same ballpark as
+    // one-shot", not "same draw"
     val oneShotDir = tmp + "_oneshot"
     graft.sink.ZOrder.writeZOrdered(
       spark.read.parquet(tmp), Seq("a", "b"), oneShotDir, numFiles = 16)
     val overlapOneShot = overlappingIn(oneShotDir, "b", 280, 340)
     info(s"files overlapping b-range: $overlapBefore/$filesBefore before, " +
       s"$overlapAfter/16 after compact, $overlapOneShot/16 one-shot")
-    assert(overlapAfter <= overlapOneShot + 1,
+    assert(overlapAfter <= overlapOneShot + 2,
       s"post-compact layout must prune like a one-shot write: " +
         s"touched $overlapAfter/16 vs one-shot $overlapOneShot/16")
     // the fraction touched must improve, not just the absolute count
