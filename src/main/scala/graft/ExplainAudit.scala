@@ -115,11 +115,12 @@ object ExplainAudit {
     // bloom-screened candidate set, with the build map-side (no parent
     // distinct exchange anywhere in the plan); g10's rounds must run
     // entirely over the symmetrized page-pair universe (checkpointed
-    // once — nothing event-sized past the index scan)
+    // once — nothing event-sized past the index scan); dq6 must be ONE
+    // map-side scan — no exchange, no aggregate, no join; t26 must be
+    // the t20 fast-path shape on the bucket domain (two bucket-count
+    // aggregations + one scoring scan, no model join)
     "g9_edges_incremental", "dq5_referential_bloom",
-    // g10's rounds over the page-pair universe; dq6 must be ONE
-    // map-side scan — no exchange, no aggregate, no join
-    "g10_label_propagation", "dq6_quarantine")
+    "g10_label_propagation", "dq6_quarantine", "t26_dsir_hashed")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS

@@ -91,7 +91,10 @@ object ScaleProbe {
     // g10's rounds are all page-pair-domain work past the EdgeIndex
     // scan — expected scale-free like g2/g8; dq6 is one map-side
     // routing scan — expected ~linear
-    "g10_label_propagation", "dq6_quarantine")
+    "g10_label_propagation", "dq6_quarantine",
+    // t26's model is fixed-width (10k buckets) — the data-sized terms
+    // are the two bucket aggregations and the scoring scan, ~linear
+    "t26_dsir_hashed")
 
   /** TPC-H probe set (SPARK_GRAFT_PROBE=tpch): the fact-heavy headline
     * shapes — pure fact agg (q1), fact⋈fact⋈dim top-k (q3), 5-way profit

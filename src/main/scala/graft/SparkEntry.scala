@@ -1193,6 +1193,13 @@ object SparkEntry {
       Text.dsirResample(Tables.documents(s, d), "doc_id", "text",
         col("source").isin("src0", "src1"), k = 100)),
 
+    // DSIR in the paper's hashed-n-gram feature space: bigrams hashed
+    // into a FIXED 10k-bucket domain, so the driver model is
+    // constant-size by construction — the unconditional 100 TB form
+    "t26_dsir_hashed" -> ((s, d) =>
+      Text.dsirWeightsHashed(Tables.documents(s, d), "doc_id", "text",
+        col("source").isin("src0", "src1"), buckets = 10000)),
+
     // Benchmark-decontamination scrub: word-boundary denylist hits counted
     // and redacted, publish the hit count + cleaned length per doc.
     "t10_decontaminate" -> ((s, d) =>
@@ -3213,6 +3220,34 @@ object SparkEntry {
         |  FROM w JOIN g ON g.doc_id = w.doc_id)
         |SELECT doc_id, n_tokens, dsir_weight, round(key, 4) AS gumbel_key
         |FROM keyed ORDER BY key DESC, doc_id LIMIT 100""".stripMargin,
+
+    // t26: the t23 bigram construction + the t21 md5-bucket recipe +
+    // the t20 smoothing skeleton, on the fixed 10k-bucket domain
+    "t26_dsir_hashed" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (SELECT doc_id, source, unnest(list_transform(range(1, len(t)-2+2),
+        |    i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM tok WHERE len(t) >= 2),
+        |occ AS (SELECT doc_id, source,
+        |    CAST(concat('0x', substr(md5(bigram), 1, 8)) AS BIGINT) % 10000 AS b
+        |  FROM bg),
+        |tf AS (SELECT doc_id, b, count(*) AS tf FROM occ GROUP BY doc_id, b),
+        |cs AS (SELECT b, count(*) AS cs FROM occ GROUP BY b),
+        |ct AS (SELECT b, count(*) AS ct FROM occ
+        |       WHERE source IN ('src0', 'src1') GROUP BY b),
+        |k AS (SELECT sum(cs) AS ns, count(*) AS v FROM cs),
+        |t AS (SELECT coalesce(sum(ct), 0) AS nt FROM ct),
+        |s AS (SELECT tf.doc_id, tf.tf,
+        |    ln((coalesce(ct.ct, 0) + 1.0) / (t.nt + k.v)) -
+        |    ln((cs.cs + 1.0) / (k.ns + k.v)) AS lr
+        |  FROM tf JOIN cs USING (b) LEFT JOIN ct USING (b)
+        |  CROSS JOIN k CROSS JOIN t)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_grams,
+        |  round(CAST(sum(CAST(lr AS DECIMAL(20,10)) * tf) AS DOUBLE) / sum(tf) * 10000)
+        |    / 10000.0 + 0.0 AS dsir_weight
+        |FROM s GROUP BY doc_id""".stripMargin,
 
     "t10_decontaminate" ->
       """SELECT doc_id,

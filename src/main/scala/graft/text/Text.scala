@@ -903,6 +903,56 @@ object Text {
         col("n_tokens"), col("dsir_weight")): _*)
   }
 
+  /** [[dsirWeights]] in the paper's ACTUAL feature space — hashed
+    * n-grams in a fixed-width bucket domain (Xie et al. 2023 §3 use
+    * hashed n-gram counts precisely so the model is CONSTANT-size):
+    * every word bigram hashes into one of `buckets` cells via the
+    * repo's standard content-hash recipe (md5 first-8-hex → long →
+    * pmod — the hashSplit/dsirResample bucket, already oracle-parity-
+    * proven), and the log-likelihood-ratio model lives on the bucket
+    * domain. The driver model is therefore ≤ `buckets` entries BY
+    * CONSTRUCTION — no vocabulary budget, no relational fallback — the
+    * unconditional 100 TB form of the t20 operator: two bucket-count
+    * aggregations (map-side-reduced to ≤ buckets rows each), one
+    * bounded collect, one map-side scoring pass through the same
+    * [[org.apache.spark.sql.graft.UnigramLogProbSum]] over the row-local
+    * bucket array. Bigram conditioning makes shuffled word salad score
+    * low even where its unigram mix looks target-like (the t23
+    * rationale); sub-bigram docs are dropped (the t23 convention).
+    * Same decimal-quantization and StrictMath determinism contract as
+    * [[dsirWeights]]; smoothing constants keep the same formula with
+    * the OBSERVED distinct-bucket count as the vocabulary term.
+    */
+  def dsirWeightsHashed(df: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, buckets: Int = 10000): DataFrame = {
+    require(buckets > 0, s"buckets must be positive; got $buckets")
+    def terms(c: Column): Column =
+      transform(wordShingleOccurrences(c, 2), g =>
+        pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)).cast("string"))
+    val csMap = df.select(explode(terms(col(textCol))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cs"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val ns = csMap.iterator.map(_._2).sum
+    val v = csMap.length.toLong
+    val ctMap = df.filter(isTarget)
+      .select(explode(terms(col(textCol))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nt = ctMap.valuesIterator.sum
+    val lr = csMap.map { case (b, c) =>
+      b -> (StrictMath.log((ctMap.getOrElse(b, 0L) + 1.0) / (nt + v)) -
+            StrictMath.log((c + 1.0) / (ns + v)))
+    }.toMap
+    df.filter(size(tokens(col(textCol))) >= 2)
+      .select(col(idCol),
+        org.apache.spark.sql.graft.UnigramFunctions
+          .unigramLogProbSum(terms(col(textCol)), lr).as("__s"))
+      .select(col(idCol), col("__s.n_tokens").as("n_grams"),
+        (round(col("__s.lp_sum").cast("double") / col("__s.n_tokens") * 10000)
+          / 10000.0 + lit(0.0)).as("dsir_weight"))
+  }
+
   /** The SELECTION step completing [[dsirWeights]] into full DSIR:
     * importance resampling via the Gumbel-top-k trick — keeping the k
     * largest `weight + Gumbel(0,1)` keys samples k documents WITHOUT

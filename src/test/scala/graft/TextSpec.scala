@@ -222,6 +222,41 @@ class TextSpec extends SparkTestBase {
       maxVocab = 3)) === joined)
   }
 
+  test("dsirWeightsHashed: target-like bigram mixes score positive, unlike " +
+       "negative; duplicate texts share weights; sub-bigram docs dropped") {
+    val docs = Seq(
+      (1L, "quick brown fox jumps", "tgt"),
+      (2L, "quick brown fox jumps", "web"),  // same text -> same weight
+      (3L, "metal spoon under water", "web"),// target-unseen bigrams -> negative
+      (4L, "single", "web"),                 // 1 token: no bigram -> dropped
+      (5L, "", "web")                        // empty -> dropped
+    ).toDF("doc_id", "t", "source")
+    val out = Text.dsirWeightsHashed(docs, "doc_id", "t", $"source" === "tgt",
+      buckets = 4096)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Double]("dsir_weight"))).toMap
+    assert(out(1L) === out(2L))
+    assert(out(1L)._2 > 0 && out(3L)._2 < 0)
+    assert(out(1L)._1 === 3L && out(3L)._1 === 3L)
+    assert(!out.contains(4L) && !out.contains(5L))
+    // deterministic: a second invocation reproduces every bit
+    val again = Text.dsirWeightsHashed(docs, "doc_id", "t", $"source" === "tgt",
+      buckets = 4096)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Double]("dsir_weight"))).toMap
+    assert(again === out)
+    // the model is bucket-bounded by construction, never vocab-sized:
+    // a 1-bucket space pools EVERY bigram, so all docs share one lr and
+    // every surviving doc gets the identical weight
+    val pooled = Text.dsirWeightsHashed(docs, "doc_id", "t", $"source" === "tgt",
+      buckets = 1)
+      .collect().map(_.getAs[Double]("dsir_weight")).distinct
+    assert(pooled.length === 1)
+    intercept[IllegalArgumentException] {
+      Text.dsirWeightsHashed(docs, "doc_id", "t", $"source" === "tgt", buckets = 0)
+    }
+  }
+
   test("dsirResample: joined fallback keeps the exact fast-path top-k") {
     val docs = (1L to 30L).map(i =>
       (i, s"resample doc $i token t${i % 11} t${i % 5}",
