@@ -2007,7 +2007,13 @@ object SparkEntry {
     // row-level quarantine: the same declared suite routes violating
     // rows with their reason lists — one map-side pass, no shuffle;
     // `error` events and sub-1.0 values route, user_id completeness
-    // exercises a passing check
+    // exercises a passing check. The library API returns the reason
+    // LIST; the registered frame publishes it ','-joined (declaration
+    // order is deterministic, so the string is information-preserving)
+    // because the driver harness canonicalizes results by sorting every
+    // column and a top-level array is unsortable there — the r18 red
+    // row. ContractSpec pins the no-array/map rule for all registered
+    // outputs so the class can't recur.
     "dq6_quarantine" -> ((s, d) =>
       graft.quality.Checks.quarantine(Tables.events(s, d), Seq(
         graft.quality.Checks.completeness("user_id", 1.0),
@@ -2015,7 +2021,8 @@ object SparkEntry {
         graft.quality.Checks.inSet("event_type",
           Seq("view", "click", "purchase", "signup"), 1.0)))
         .filter(size(col("failed_checks")) > 0)
-        .select(col("event_id"), col("failed_checks"))),
+        .select(col("event_id"),
+          array_join(col("failed_checks"), ",").as("failed_checks"))),
     // drift detection (the Deequ anomaly shape): per-DAY metric history
     // over the event log, the latest day judged against the trailing
     // days' mean — the gate a one-snapshot suite cannot express
@@ -4195,15 +4202,16 @@ object SparkEntry {
         |      ON lineitem.l_orderkey = k.__k)""".stripMargin,
 
     // dq6: each row's declaration-ordered reason list built by list
-    // concatenation — null user_id fails completeness, value < 1 fails
-    // min_value (nulls pass: min() skips them), event_type outside the
-    // set (or null) fails in_set
+    // concatenation then ','-joined (mirrors the engine's array_join
+    // publish — arrays are unsortable in the harness) — null user_id
+    // fails completeness, value < 1 fails min_value (nulls pass: min()
+    // skips them), event_type outside the set (or null) fails in_set
     "dq6_quarantine" ->
-      """SELECT event_id,
+      """SELECT event_id, array_to_string(
         |  (CASE WHEN user_id IS NULL THEN ['completeness:user_id'] ELSE [] END) ||
         |  (CASE WHEN value IS NOT NULL AND value < 1.0 THEN ['min_value:value'] ELSE [] END) ||
         |  (CASE WHEN event_type IS NULL OR event_type NOT IN ('view','click','purchase','signup')
-        |        THEN ['in_set:event_type'] ELSE [] END) AS failed_checks
+        |        THEN ['in_set:event_type'] ELSE [] END), ',') AS failed_checks
         |FROM events
         |WHERE user_id IS NULL OR (value IS NOT NULL AND value < 1.0)
         |   OR event_type IS NULL

@@ -51,6 +51,27 @@ class ContractSpec extends AnyFunSuite {
       s"stale whitelist: ${rowsOnlyByDesign -- unoracled}")
   }
 
+  test("no registered query publishes a top-level array/map column " +
+    "(the harness canonicalizes by sorting every column — r18's dq6 red row)") {
+    // the driver's compare loads each result into pandas and sorts all
+    // columns; a top-level ArrayType/MapType crashes that sort, turning a
+    // correct answer into an unverifiable one. Publish array_join(...)
+    // or a scalar key instead (the library API may keep the array form).
+    val s = SparkTestBase.session
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val bad = q(s, dir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+        bad
+    }
+    assert(offenders.isEmpty,
+      s"unsortable top-level columns in registered outputs: $offenders")
+  }
+
   test("docs/QUERIES.md matches the generated index of the full query surface") {
     val f = new java.io.File("docs/QUERIES.md")
     assert(f.isFile, "missing index — run: sbt \"runMain graft.QueryIndex\"")
