@@ -256,12 +256,19 @@ object Checks {
   def referentialBloom(child: DataFrame, childCol: String,
                        parent: DataFrame, parentCol: String,
                        threshold: Double, fpp: Double = 0.001): DataFrame = {
-    require(Set[org.apache.spark.sql.types.DataType](
-        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
-        .contains(child.schema(childCol).dataType),
+    // BOTH sides must be integral: the build casts the parent to long for
+    // putLong, and a fractional/string parent would silently truncate or
+    // null — the bloom would then disagree with referential's raw-equality
+    // join, violating the answer-invisible contract the probe gate relies on
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    require(integral.contains(child.schema(childCol).dataType),
       s"referentialBloom needs an integral key; got " +
         s"${child.schema(childCol).dataType.simpleString} — use referential")
+    require(integral.contains(parent.schema(parentCol).dataType),
+      s"referentialBloom needs an integral parent key; got " +
+        s"${parent.schema(parentCol).dataType.simpleString} — use referential")
     val keys = parent.select(col(parentCol).cast("long").as(childCol))
       .filter(col(childCol).isNotNull)
     val expected = math.max(parent.count(), 1L)

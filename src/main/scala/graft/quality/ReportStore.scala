@@ -27,16 +27,33 @@ object ReportStore {
     * threshold/passed columns are judgment at append time and are
     * deliberately not stored (history rows are observations; see
     * [[Checks.runByPeriod]]).
+    *
+    * Idempotent PER PERIOD: each period writes its own subdirectory with
+    * overwrite semantics, so a replayed run (a restarted
+    * [[graft.streaming.Streaming.qualityDriftStream]] re-delivering a
+    * micro-batch under its own batch id) REPLACES its period instead of
+    * accumulating duplicate (period, check) rows that would double-count
+    * the trailing mean. [[load]] additionally dedups on the full row key
+    * so a period replayed after a [[compact]] (whose fold lifted the old
+    * rows to the top level) is still absorbed.
     */
-  def append(report: DataFrame, path: String, period: String): Unit =
+  def append(report: DataFrame, path: String, period: String): Unit = {
+    require(period.nonEmpty && !period.contains("/") && !period.contains("\\"),
+      s"period must be a plain path segment; got '$period'")
     report.select(lit(period).as("period"), col("check_name"),
         col("col_name"), col("metric"))
       .coalesce(1)
-      .write.mode("append").parquet(path)
+      .write.mode("overwrite").parquet(s"$path/$period")
+  }
 
-  /** The full metric history: (period, check_name, col_name, metric). */
+  /** The full metric history: (period, check_name, col_name, metric).
+    * Reads the per-period subdirectories and any compacted top-level
+    * files in one recursive scan; exact duplicates (the replay-after-
+    * compact seam) collapse here.
+    */
   def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.option("recursiveFileLookup", "true").parquet(path)
+      .dropDuplicates("period", "check_name", "col_name")
 
   /** Rewrite the store as one compact file set (the HashLedger compact
     * pass — a year of daily appends is 365 tiny files). Same two-rename

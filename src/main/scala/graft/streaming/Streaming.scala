@@ -712,10 +712,11 @@ object Streaming {
     * report shape as the batch dq4 path, so one drift contract serves
     * both cadences. The first batch passes vacuously (no history), like
     * the batch form. State lives in the store, not the stream — the
-    * query itself stays stateless and restart-safe (periods are batch
-    * ids; a replayed batch re-appends under its own id and the mean
-    * barely moves — exact-once history needs an idempotent sink id,
-    * same caveat as every foreachBatch sink here).
+    * query itself stays stateless and restart-safe: periods are batch
+    * ids and [[graft.quality.ReportStore.append]] is idempotent PER
+    * PERIOD (each period overwrites its own subdirectory), so a replayed
+    * micro-batch after a restart REPLACES its period's rows instead of
+    * double-counting them into the trailing mean.
     */
   def qualityDriftStream(stream: DataFrame,
                          checks: Seq[graft.quality.Checks.Check],

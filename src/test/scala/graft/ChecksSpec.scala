@@ -287,11 +287,47 @@ class ChecksSpec extends SparkTestBase {
       assert(rows(Checks.referentialBloom(child, "k", parent, "p", 1.0)) ===
         rows(Checks.referential(child, "k", parent, "p", 1.0)))
     }
-    // non-integral keys are rejected loudly, not silently mis-hashed
+    // non-integral keys are rejected loudly, not silently mis-hashed —
+    // on EITHER side (a fractional/string parent would truncate under the
+    // build's long cast and the bloom could disagree with the plain join)
     val strChild = Seq("a").toDF("k")
     val strParent = Seq("a").toDF("p")
     intercept[IllegalArgumentException] {
       Checks.referentialBloom(strChild, "k", strParent, "p", 1.0)
     }
+    intercept[IllegalArgumentException] {
+      Checks.referentialBloom(Seq(1L).toDF("k"), "k", strParent, "p", 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Checks.referentialBloom(Seq(1L).toDF("k"), "k",
+        Seq(1.5d).toDF("p"), "p", 1.0)
+    }
+  }
+
+  test("ReportStore: a replayed period is absorbed, not double-counted — " +
+       "before and after a compact") {
+    import graft.quality.ReportStore
+    val path = java.nio.file.Files.createTempDirectory("graft_repstore2").toString + "/s"
+    def report(m: Double) =
+      Seq(("completeness", "v", m)).toDF("check_name", "col_name", "metric")
+    ReportStore.append(report(1.0), path, "b000000000001")
+    ReportStore.append(report(0.9), path, "b000000000002")
+    // restart replays batch 2 with a corrected metric: REPLACES, not appends
+    ReportStore.append(report(0.92), path, "b000000000002")
+    val hist = ReportStore.load(spark, path).collect()
+    assert(hist.length === 2, "replayed period must not duplicate history")
+    assert(hist.find(_.getString(0) == "b000000000002").get
+      .getAs[Double]("metric") === 0.92)
+    // after a compact lifts rows to the top level, a replay of an old
+    // period lands in its subdirectory again — load's row-key dedup absorbs
+    ReportStore.compact(spark, path)
+    ReportStore.append(report(0.92), path, "b000000000002")
+    assert(ReportStore.load(spark, path).count() === 2,
+      "replay after compact must be absorbed by load's dedup")
+    // the drift mean sees each period once
+    val drift = ReportStore.appendAndDrift(report(0.95), path, "b000000000003", 0.05)
+      .collect()
+    assert(drift.length === 1)
+    assert(drift(0).getDouble(4) === 0.01) // |0.95 - mean(1.0, 0.92)| rounded
   }
 }
