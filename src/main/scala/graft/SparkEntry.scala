@@ -435,6 +435,38 @@ object SparkEntry {
         ev.filter(col("ts") >= cut), "user_id", "ts", "event_type", "event_id")
     }),
 
+    // the frontier-exact incremental SCD2 proof (w18 with the late guard
+    // on the FULL (ts, tie) order): the change log is DAY-truncated so
+    // same-timestamp changes are everywhere, and both fold cuts land
+    // MID-DAY (at the cut day's mean event_id) so same-ts changes
+    // straddle them — exactly the boundary scd2ApplyBatch's ts-only
+    // guard would drop. The oracle replays the ONE-SHOT pass over the
+    // full derived log; the cuts are engine-side only, so the hash match
+    // proves the three-way frontier fold is cut-independent.
+    "w19_scd2_frontier" -> ((s, d) => {
+      import graft.analyze.Lifecycle
+      val log = Tables.events(s, d).select(col("user_id"),
+        to_date(col("ts")).as("day"), col("event_type"), col("event_id"))
+      def midId(day: String): Long =
+        log.filter(col("day") === lit(day).cast("date"))
+          .agg(coalesce(avg("event_id"), lit(0.0))).head.getDouble(0).toLong
+      def upTo(day: String, id: Long) =
+        col("day") < lit(day).cast("date") ||
+          (col("day") === lit(day).cast("date") && col("event_id") <= lit(id))
+      val (c1, c2) = ("2024-01-10", "2024-01-20")
+      val (e1, e2) = (midId(c1), midId(c2))
+      val b1 = log.filter(upTo(c1, e1))
+      val b2 = log.filter(!upTo(c1, e1) && upTo(c2, e2))
+      val b3 = log.filter(!upTo(c2, e2))
+      val st0 = Lifecycle.scd2Intervals(b1, "user_id", "day", "event_type", "event_id")
+      val f0 = Lifecycle.scd2Frontier(b1, "user_id", "day", "event_id")
+      val (st1, f1) = Lifecycle.scd2ApplyBatchFrontier(
+        st0, f0, b2, "user_id", "day", "event_type", "event_id")
+      val (st2, _) = Lifecycle.scd2ApplyBatchFrontier(
+        st1, f1, b3, "user_id", "day", "event_type", "event_id")
+      st2
+    }),
+
     // ----------------------------------------------------------- top-k
     "o1_topk_per_group" -> ((s, d) =>
       Analytics.topKPerGroup(
@@ -2525,6 +2557,23 @@ object SparkEntry {
         |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
         |SELECT user_id, event_type, ts AS valid_from,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |FROM starts""".stripMargin,
+
+    // w19: the engine folds THREE (day, event_id)-split batches through
+    // scd2ApplyBatchFrontier with mid-day cuts (same-ts changes straddle
+    // both); the oracle is the one-shot pass over the DAY-truncated log
+    "w19_scd2_frontier" ->
+      """WITH log AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type, event_id
+        |  FROM events),
+        |o AS (SELECT user_id, event_type, day, event_id,
+        |    lag(event_type) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM log
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day, event_id)),
+        |starts AS (SELECT user_id, event_type, day, event_id FROM o
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, day AS valid_from,
+        |  lead(day) OVER (PARTITION BY user_id ORDER BY day, event_id) AS valid_to
         |FROM starts""".stripMargin,
 
     "w9_range_rolling" ->

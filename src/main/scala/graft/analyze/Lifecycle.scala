@@ -261,6 +261,14 @@ object Lifecycle {
     * first batch row extends the run (seed survives as the only run
     * start, `valid_from` preserved) and a changed value closes it at the
     * batch row's timestamp (the lead window supplies `valid_to`).
+    *
+    * Boundary caveat: the late guard here is TIMESTAMP-ONLY, so a batch
+    * row at the open run's exact valid_from with a later tie (a
+    * same-timestamp change straddling the cut) is dropped although the
+    * one-shot pass would fold it — cut batches at timestamp boundaries
+    * no key collides with, or use [[scd2ApplyBatchFrontier]], which
+    * carries the last folded (ts, tie) per key and is exact on the full
+    * ordering.
     */
   def scd2ApplyBatch(standing: DataFrame, batch: DataFrame, key: String,
                      ts: String, value: String, tie: String): DataFrame = {
@@ -280,5 +288,78 @@ object Lifecycle {
         lit(null).cast(batch.schema(tie).dataType).as(tie))
     closed.unionByName(
       scd2Intervals(seeds.unionByName(live), key, ts, value, tie))
+  }
+
+  /** Per-key last-observation frontier of a change log: (key, ts, tie)
+    * at the (ts, tie)-maximum — the companion state
+    * [[scd2ApplyBatchFrontier]] carries so "late" is judged on the FULL
+    * ordering [[scd2Intervals]] folds by (the
+    * [[graft.graph.Graph.transitionEdgesIncrement]] lastViews pattern).
+    * One grouped max over a struct whose field order IS the sort order;
+    * ts and tie must be non-null (they are the ordering).
+    */
+  def scd2Frontier(df: DataFrame, key: String, ts: String,
+                   tie: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(max(struct(col(ts), col(tie))).as("__f"))
+      .select(col(key), col("__f").getField(ts).as(ts),
+        col("__f").getField(tie).as(tie))
+
+  /** [[scd2ApplyBatch]] with the late-row boundary done right: the
+    * standing state carries each key's last FOLDED observation as a
+    * (ts, tie) frontier, and a batch row is late exactly when it is at
+    * or before that frontier in the full (ts, tie) order — the ordering
+    * [[scd2Intervals]] itself folds by. The timestamp-only guard in
+    * [[scd2ApplyBatch]] breaks on one legal boundary: a batch row whose
+    * ts EQUALS the open run's valid_from but carries a later tie (a
+    * same-timestamp change straddling the batch cut) is dropped there,
+    * though the one-shot pass would fold it; and rows between the open
+    * run's start and its last folded observation are genuinely late yet
+    * pass the ts-only check. Both are exact here because the frontier is
+    * the last folded observation, not the last CHANGE.
+    *
+    * Returns (intervals, frontier): fold both forward per batch —
+    * intervals feed the next `standing`, frontier the next `frontier`
+    * (seed the first from [[scd2Intervals]] + [[scd2Frontier]] over the
+    * initial log). Under the append-only contract — each key's rows
+    * arrive in (ts, tie) order across batches, rows at or before the
+    * frontier drop — folding any batch split of the log reproduces the
+    * one-shot [[scd2Intervals]] interval set EXACTLY, same-timestamp
+    * changes included (LifecycleSpec gates random multi-way (ts, tie)
+    * splits; the w19 oracle replays the one-shot SQL). Seed rows enter
+    * at a null tie, which sorts before every real tie at the same
+    * timestamp, so an equal-ts batch row correctly extends or closes the
+    * run it seeds. Scale shape unchanged: closed intervals pass through,
+    * the window pass runs over open ∪ batch, and the frontier is one
+    * grouped max over frontier ∪ batch — all key-sized or batch-sized,
+    * never log-sized.
+    */
+  def scd2ApplyBatchFrontier(standing: DataFrame, frontier: DataFrame,
+                             batch: DataFrame, key: String, ts: String,
+                             value: String, tie: String): (DataFrame, DataFrame) = {
+    require(standing.columns.toSeq == Seq(key, value, "valid_from", "valid_to"),
+      s"standing must be a ($key, $value, valid_from, valid_to) interval " +
+        s"frame; got ${standing.columns.mkString(", ")}")
+    require(frontier.columns.toSeq == Seq(key, ts, tie),
+      s"frontier must be a ($key, $ts, $tie) frame (scd2Frontier's shape); " +
+        s"got ${frontier.columns.mkString(", ")}")
+    val closed = standing.filter(col("valid_to").isNotNull)
+    val open = standing.filter(col("valid_to").isNull)
+      .select(col(key), col(value), col("valid_from"))
+    val f = frontier.select(col(key), col(ts).as("__fts"), col(tie).as("__ftie"))
+    val live = batch.select(col(key), col(value), col(ts), col(tie))
+      .join(f, Seq(key), "left")
+      .filter(col("__fts").isNull || col(ts) > col("__fts") ||
+        (col(ts) === col("__fts") && col(tie) > col("__ftie")))
+      .drop("__fts", "__ftie")
+    val seeds = open
+      .select(col(key), col(value), col("valid_from").as(ts),
+        lit(null).cast(batch.schema(tie).dataType).as(tie))
+    val intervals = closed.unionByName(
+      scd2Intervals(seeds.unionByName(live), key, ts, value, tie))
+    val nextFrontier = scd2Frontier(
+      frontier.unionByName(live.select(col(key), col(ts), col(tie))),
+      key, ts, tie)
+    (intervals, nextFrontier)
   }
 }

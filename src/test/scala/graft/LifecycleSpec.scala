@@ -306,4 +306,72 @@ class LifecycleSpec extends SparkTestBase {
     }
     assert(intervalSet(folded) === oneShot)
   }
+
+  test("scd2ApplyBatchFrontier: a same-timestamp change straddling the batch " +
+       "cut folds exactly — the boundary the ts-only guard drops") {
+    val t0 = ts("2024-01-05 00:00:00")
+    val b1 = Seq((1L, t0, "gold", 1L)).toDF("k", "t", "tier", "eid")
+    val b2 = Seq((1L, t0, "silver", 2L)).toDF("k", "t", "tier", "eid")
+    val oneShot = intervalSet(
+      Lifecycle.scd2Intervals(b1.unionByName(b2), "k", "t", "tier", "eid"))
+    val st0 = Lifecycle.scd2Intervals(b1, "k", "t", "tier", "eid")
+    val f0 = Lifecycle.scd2Frontier(b1, "k", "t", "eid")
+    val (st1, f1) = Lifecycle.scd2ApplyBatchFrontier(
+      st0, f0, b2, "k", "t", "tier", "eid")
+    assert(intervalSet(st1) === oneShot,
+      "frontier fold must match one-shot across a same-ts cut")
+    assert(f1.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .toSeq === Seq((1L, t0, 2L)), "frontier advances to the folded row")
+    // the documented scd2ApplyBatch caveat: its ts-only guard drops the
+    // same-ts later-tie change, silently diverging from one-shot
+    assert(intervalSet(
+      Lifecycle.scd2ApplyBatch(st0, b2, "k", "t", "tier", "eid")) !== oneShot)
+  }
+
+  test("scd2ApplyBatchFrontier: rows at or before the frontier drop — " +
+       "including between the open run's start and its last folded observation") {
+    val b1 = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "gold", 1L),
+      (1L, ts("2024-01-03 00:00:00"), "gold", 5L) // extends: run start stays 01-01
+    ).toDF("k", "t", "tier", "eid")
+    val st0 = Lifecycle.scd2Intervals(b1, "k", "t", "tier", "eid")
+    val f0 = Lifecycle.scd2Frontier(b1, "k", "t", "eid")
+    val late = Seq(
+      (1L, ts("2024-01-02 00:00:00"), "silver", 9L), // mid-run: late, drops
+      (1L, ts("2024-01-03 00:00:00"), "silver", 4L)  // at frontier ts, earlier tie
+    ).toDF("k", "t", "tier", "eid")
+    val (st1, f1) = Lifecycle.scd2ApplyBatchFrontier(
+      st0, f0, late, "k", "t", "tier", "eid")
+    assert(intervalSet(st1) === intervalSet(st0), "late rows rewrite nothing")
+    assert(f1.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .toSeq === Seq((1L, ts("2024-01-03 00:00:00"), 5L)),
+      "frontier unmoved by dropped rows")
+  }
+
+  test("scd2ApplyBatchFrontier: random multi-way (ts, tie) splits under heavy " +
+       "timestamp collisions fold to EXACTLY the one-shot set") {
+    val rnd = new scala.util.Random(19)
+    val tiers = Array("a", "b", "c", null)
+    // 10 observations share each timestamp (collisions within and across
+    // keys); eid is the global arrival order, so cutting anywhere in it
+    // is a legal append-only batch boundary — including mid-collision
+    val rows = (0 until 300).map { i =>
+      (rnd.nextInt(6).toLong,
+        new java.sql.Timestamp(ts("2024-01-01 00:00:00").getTime + (i / 10) * 3600000L),
+        tiers(rnd.nextInt(tiers.length)), i.toLong)
+    }
+    val all = rows.toDF("k", "t", "tier", "eid")
+    val oneShot = intervalSet(Lifecycle.scd2Intervals(all, "k", "t", "tier", "eid"))
+    val cuts = Seq.fill(4)(rnd.nextInt(299) + 1).distinct.sorted
+    val bounds = (0 +: cuts) :+ 300
+    val batches = bounds.sliding(2).map { case Seq(lo, hi) =>
+      rows.slice(lo, hi).toDF("k", "t", "tier", "eid")
+    }.toSeq
+    val init = (Lifecycle.scd2Intervals(batches.head, "k", "t", "tier", "eid"),
+      Lifecycle.scd2Frontier(batches.head, "k", "t", "eid"))
+    val (folded, _) = batches.tail.foldLeft(init) { case ((st, f), b) =>
+      Lifecycle.scd2ApplyBatchFrontier(st, f, b, "k", "t", "tier", "eid")
+    }
+    assert(intervalSet(folded) === oneShot)
+  }
 }
