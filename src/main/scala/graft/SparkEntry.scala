@@ -1983,6 +1983,16 @@ object SparkEntry {
     // ties, 4 unrolled rounds (the oracle replays them as CTEs)
     "g10_label_propagation" -> ((s, d) =>
       graft.graph.Graph.labelPropagation(graphEdges(s, d), iters = 4)),
+    // warm-start re-rank (g11): resume from the 2-iteration RAW rank
+    // snapshot for 1 more iteration — bit-exactly the 3-iteration
+    // one-shot (shared init/step expressions, order-independent decimal
+    // sums), so the oracle IS g2's unrolled 3-iteration SQL: the
+    // snapshot seam is engine-side only, the w18/g9 one-truth pattern
+    "g11_pagerank_resume" -> ((s, d) => {
+      val e = graphEdges(s, d)
+      graft.graph.Graph.pageRankResume(e,
+        graft.graph.Graph.pageRankSnapshot(e, iters = 2), extraIters = 1)
+    }),
 
     // ---- ml: relational full-batch GD quality classifier
     // (graft.ml.QualityClassifier — the fasttext-quality-scoring rung;
@@ -4078,6 +4088,10 @@ object SparkEntry {
          |SELECT page, l AS community FROM l4""".stripMargin,
 
     "g2_pagerank" -> pageRankSql,
+    // g11: the engine resumes a 2-iteration raw snapshot for 1 more
+    // iteration; the oracle is the ONE-SHOT 3-iteration unrolled SQL —
+    // the hash match IS the resume∘snapshot == one-shot contract
+    "g11_pagerank_resume" -> pageRankSql,
 
     "g3_degree_census" ->
       s"""WITH $graphEdgeCte,

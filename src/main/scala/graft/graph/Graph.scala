@@ -137,7 +137,8 @@ object Graph {
     * the per-page contribution aggregate, and must return (page, __r).
     */
   private def powerIterate(edges: DataFrame, iters: Int, srcCol: String,
-                           dstCol: String, weightCol: String, outCol: String)(
+                           dstCol: String, weightCol: String, outCol: String,
+                           raw: Boolean = false)(
       init: DataFrame => DataFrame)(
       step: (DataFrame, DataFrame, DataFrame) => DataFrame): DataFrame = {
     // weights sum as EXACT longs before the one double division that
@@ -190,8 +191,30 @@ object Graph {
           .cast("double").as("__contrib"))
       ranks = step(verts, dm, contrib)
     }
-    ranks.select(col("page"),
+    if (raw) ranks.select(col("page"), col("__r").as(outCol))
+    else ranks.select(col("page"),
       (round(col("__r") * 1000000) / 1000000.0 + lit(0.0)).as(outCol))
+  }
+
+  private def prVertexCount(verts: DataFrame) =
+    verts.agg(count(lit(1)).cast("double").as("__n"))
+
+  /** The shared pageRank update step — one copy so [[pageRank]],
+    * [[pageRankSnapshot]] and [[pageRankResume]] cannot drift numerically
+    * (bit-exact resume depends on the identical expression tree).
+    */
+  private def prStep(damping: Double)(
+      verts: DataFrame, dm: DataFrame, contrib: DataFrame): DataFrame = {
+    // residual computed in DOUBLE on the JVM; the oracle writes
+    // CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE) so both engines bind the
+    // identical 0.15000000000000002, not decimal-folded 0.15
+    val residual = 1.0 - damping
+    verts.crossJoin(broadcast(prVertexCount(verts))).crossJoin(broadcast(dm))
+      .join(contrib, Seq("page"), "left")
+      .select(col("page"),
+        (lit(residual) / col("__n") +
+          lit(damping) * (coalesce(col("__contrib"), lit(0.0)) +
+            col("__dm") / col("__n"))).as("__r"))
   }
 
   /** PageRank with proper dangling-mass redistribution, `iters`
@@ -213,24 +236,62 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
                srcCol: String = "src", dstCol: String = "dst",
-               weightCol: String = "n_trans"): DataFrame = {
-    // residual computed in DOUBLE on the JVM; the oracle writes
-    // CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE) so both engines bind the
-    // identical 0.15000000000000002, not decimal-folded 0.15
-    val residual = 1.0 - damping
-    def n1(verts: DataFrame) =
-      verts.agg(count(lit(1)).cast("double").as("__n"))
+               weightCol: String = "n_trans"): DataFrame =
     powerIterate(edges, iters, srcCol, dstCol, weightCol, "pr") { verts =>
-      verts.crossJoin(broadcast(n1(verts)))
+      verts.crossJoin(broadcast(prVertexCount(verts)))
         .select(col("page"), (lit(1.0) / col("__n")).as("__r"))
-    } { (verts, dm, contrib) =>
-      verts.crossJoin(broadcast(n1(verts))).crossJoin(broadcast(dm))
-        .join(contrib, Seq("page"), "left")
+    }(prStep(damping))
+
+  /** [[pageRank]]'s UNROUNDED rank state after `iters` iterations —
+    * (page, pr_raw), the warm-start artifact a re-crawl's re-rank
+    * resumes from via [[pageRankResume]]. Raw doubles on purpose: the
+    * published 6-dp rounding is presentation, and resuming from rounded
+    * ranks would break the resume == one-shot identity. Persist it like
+    * any snapshot (parquet round-trips doubles bit-exactly).
+    */
+  def pageRankSnapshot(edges: DataFrame, iters: Int = 3,
+                       damping: Double = 0.85, srcCol: String = "src",
+                       dstCol: String = "dst",
+                       weightCol: String = "n_trans"): DataFrame =
+    powerIterate(edges, iters, srcCol, dstCol, weightCol, "pr_raw",
+      raw = true) { verts =>
+      verts.crossJoin(broadcast(prVertexCount(verts)))
+        .select(col("page"), (lit(1.0) / col("__n")).as("__r"))
+    }(prStep(damping))
+
+  /** Warm-start PageRank — the re-crawl re-rank (rankings are
+    * republished per crawl; paying the full power iteration from uniform
+    * ranks every time wastes the previous run's convergence): `extraIters`
+    * iterations starting from a previous [[pageRankSnapshot]]'s raw
+    * ranks instead of 1/N. On UNCHANGED edges,
+    * `resume(snapshot(n), k) == pageRank(n + k)` BIT-EXACTLY — the
+    * update is a pure function of (ranks, edges), the decimal-staged
+    * sums are order-independent, and init/step/rounding are the same
+    * shared expressions (the g11 oracle replays the one-shot unrolled
+    * SQL against the two-step engine path). On an appended edge table
+    * (the [[transitionEdgesIncrement]] output) the identity becomes a
+    * warm start: pages absent from the snapshot seed at 1/N, and the
+    * iteration converges to the same fixed point as cold (the update is
+    * a contraction — init changes the path, not the limit) in fewer
+    * rounds because surviving pages start near it.
+    *
+    * Scale shape identical to [[pageRank]] (one rank⋈edges join +
+    * re-agg per iteration); the snapshot join is one extra rank-sized
+    * hash join at init.
+    */
+  def pageRankResume(edges: DataFrame, prevRanks: DataFrame,
+                     extraIters: Int, damping: Double = 0.85,
+                     srcCol: String = "src", dstCol: String = "dst",
+                     weightCol: String = "n_trans"): DataFrame = {
+    require(prevRanks.columns.toSeq == Seq("page", "pr_raw"),
+      s"prevRanks must be a (page, pr_raw) frame (pageRankSnapshot's " +
+        s"shape); got ${prevRanks.columns.mkString(", ")}")
+    powerIterate(edges, extraIters, srcCol, dstCol, weightCol, "pr") { verts =>
+      verts.crossJoin(broadcast(prVertexCount(verts)))
+        .join(prevRanks, Seq("page"), "left")
         .select(col("page"),
-          (lit(residual) / col("__n") +
-            lit(damping) * (coalesce(col("__contrib"), lit(0.0)) +
-              col("__dm") / col("__n"))).as("__r"))
-    }
+          coalesce(col("pr_raw"), lit(1.0) / col("__n")).as("__r"))
+    }(prStep(damping))
   }
 
   /** Personalized PageRank — [[pageRank]] with the teleport restricted

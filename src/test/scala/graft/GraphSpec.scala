@@ -94,6 +94,40 @@ class GraphSpec extends SparkTestBase {
     assert(pr(1L) === pr(2L) && pr(2L) === pr(3L))
   }
 
+  test("pageRankResume(snapshot(n), k) == pageRank(n+k) BIT-exactly on an " +
+       "asymmetric graph, for several (n, k) seams") {
+    // asymmetric weights + a dangling sink so ranks are non-trivial
+    // doubles (not the fixed-point 1/N the two-cycle would give)
+    val e = edges((0L, 1L, 3L), (1L, 2L, 1L), (2L, 0L, 2L), (0L, 2L, 1L),
+      (2L, 3L, 5L))
+    for ((n, k) <- Seq((1, 2), (2, 1), (3, 2))) {
+      val oneShot = Graph.pageRank(e, iters = n + k)
+        .as[(Long, Double)].collect().toMap
+      val resumed = Graph.pageRankResume(e, Graph.pageRankSnapshot(e, iters = n),
+        extraIters = k).as[(Long, Double)].collect().toMap
+      assert(resumed === oneShot, s"seam n=$n k=$k must be invisible")
+    }
+  }
+
+  test("pageRankResume: pages absent from the snapshot seed at 1/N " +
+       "(a re-crawl's new pages); wrong snapshot shape is rejected loudly") {
+    val e = edges((0L, 1L, 1L), (1L, 0L, 1L), (2L, 0L, 1L))
+    // snapshot from the OLD crawl (page 2 not yet seen)
+    val oldSnap = Graph.pageRankSnapshot(edges((0L, 1L, 1L), (1L, 0L, 1L)),
+      iters = 2)
+    val warm = Graph.pageRankResume(e, oldSnap, extraIters = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(warm.keySet === Set(0L, 1L, 2L), "new pages must be ranked")
+    // warm start converges to the same fixed point: the seeded 1/3 of
+    // extra mass decays as d^k (0.33·0.85^10 ≈ 0.065 total), so after
+    // 10 rounds every page is within that envelope of the cold answer
+    val cold = Graph.pageRank(e, iters = 16).as[(Long, Double)].collect().toMap
+    warm.foreach { case (p, r) => assert(math.abs(r - cold(p)) < 0.065) }
+    intercept[IllegalArgumentException] {
+      Graph.pageRankResume(e, oldSnap.withColumnRenamed("pr_raw", "r"), 1)
+    }
+  }
+
   test("personalizedPageRank matches the hand-computed seeded two-cycle") {
     // 0 <-> 1, seed {0}: r0 = (1, 0); each iteration moves mass around
     // the cycle while the teleport re-injects 0.15 at the seed:
