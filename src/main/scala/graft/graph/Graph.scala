@@ -382,9 +382,20 @@ object Graph {
     *
     * Scale shape: everything runs over the DISTINCT page-pair universe
     * (the symmetrized edge table, checkpointed once — the
-    * [[powerIterate]] discipline); each round is ONE edges⋈labels join
-    * re-aggregated on (vertex, label) plus a per-vertex window on that
-    * same partitioning, all map-side-combinable, nothing event-sized.
+    * [[powerIterate]] discipline), and each round costs ONE shuffle:
+    * the edge table is pre-partitioned on the neighbor key `b` before
+    * its checkpoint (checkpoint preserves partitioning), the label
+    * frame leaves every round hash-partitioned on the vertex — which
+    * alias-propagates through the `page`→`b` rename — so the
+    * edges⋈labels join needs no exchange on either side, and the vote
+    * aggregation plus the argmax re-label both ride one explicit
+    * repartition on the voted vertex (HashPartitioning(a) satisfies
+    * both groupBy(a, label) and groupBy(a), so neither re-shuffles).
+    * The argmax itself is `min(struct(-votes, label))` — votes are
+    * exact longs, so the struct order IS (votes DESC, label ASC) and
+    * no window sort is needed anywhere. Partition counts are pinned to
+    * the session shuffle parallelism on both seams so AQE coalescing
+    * cannot break the co-partitioning.
     * There is no keep-label fallback join: a vertex with a (non-self)
     * neighbor receives votes EVERY round — its neighbors always carry
     * labels — so the winner frame covers the whole active universe,
@@ -408,24 +419,25 @@ object Graph {
     val verts = e.select(col("src").as("page"))
       .union(e.select(col("dst").as("page"))).distinct()
     val nonSelf = e.filter(col("src") =!= col("dst"))
+    val shufN = edges.sparkSession.sessionState.conf.numShufflePartitions
     val und = nonSelf
       .select(col("src").as("a"), col("dst").as("b"), col("__c"))
       .unionAll(nonSelf.select(col("dst").as("a"), col("src").as("b"), col("__c")))
       .groupBy("a", "b").agg(sum(col("__c")).as("__w"))
+      .repartition(shufN, col("b"))
       .localCheckpoint()
-    var labels = und.select(col("a").as("page")).distinct()
+    var labels = und.select(col("a").as("page"))
+      .repartition(shufN, col("page")).distinct()
       .select(col("page"), col("page").as("__l"))
     for (_ <- 0 until iters) {
       if (iters > 4) labels = labels.localCheckpoint()
-      val votes = und
+      labels = und
         .join(labels.select(col("page").as("b"), col("__l")), "b")
-        .groupBy(col("a"), col("__l"))
-        .agg(sum(col("__w")).as("__s"))
-      val win = Window.partitionBy(col("a"))
-        .orderBy(col("__s").desc, col("__l").asc)
-      labels = votes.withColumn("__rk", row_number().over(win))
-        .filter(col("__rk") === 1)
-        .select(col("a").as("page"), col("__l"))
+        .repartition(shufN, col("a"))
+        .groupBy(col("a"), col("__l")).agg(sum(col("__w")).as("__s"))
+        .groupBy(col("a"))
+        .agg(min(struct((-col("__s")).as("__n"), col("__l"))).as("__m"))
+        .select(col("a").as("page"), col("__m").getField("__l").as("__l"))
     }
     labels.select(col("page"), col("__l").as("community"))
       .unionAll(verts
