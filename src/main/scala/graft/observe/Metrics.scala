@@ -48,6 +48,7 @@ object Metrics {
   val StreamBatchesCompleted = "stream_batches_completed"
   val StreamRowsProcessed = "stream_rows_processed"
   val StreamWindowsWritten = "weather_stream_windows_written"
+  val StreamRowsQuarantined = "weather_stream_rows_quarantined"
 
   /** Batch-side listener: counts jobs/tasks and input records from Spark's
     * task metrics — `weather_records_processed` comes from the engine, not
@@ -81,7 +82,8 @@ object Metrics {
     PipelineRuns, PipelineFailures, ExtractSuccesses, ExtractFailures,
     RecordsProcessed, OutliersDetected, AnalysisRuns, LoadSuccesses,
     SparkJobsCompleted, SparkTasksCompleted, SparkRecordsRead,
-    StreamBatchesCompleted, StreamRowsProcessed, StreamWindowsWritten)
+    StreamBatchesCompleted, StreamRowsProcessed, StreamWindowsWritten,
+    StreamRowsQuarantined)
 
   /** Register the counters as a Spark metrics Source (gauges named after
     * the reference's Prometheus metrics) — scrape-able through whatever

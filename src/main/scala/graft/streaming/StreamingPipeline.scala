@@ -49,12 +49,40 @@ object StreamingPipeline {
       // so the redelivery is dropped within the watermark
       // (Streaming.nearDupDedupWithinWatermark; batch twin =
       // Dedup.simhash). Takes precedence over dedupKeys.
-      dedupSignatureOf: Option[String] = None)
+      dedupSignatureOf: Option[String] = None,
+      // Dead-letter route: a row-scoped Checks suite applied to every
+      // decoded record BEFORE dedup state or cleaning sees it. Rows
+      // violating any check land in `${outputDir}/quarantine` with
+      // their declaration-ordered reason list (`failed_checks`); clean
+      // rows flow on unchanged. Routing is Checks.quarantine — the
+      // SAME declaration gates a batch table and routes the stream, so
+      // micro-batch routing == batch routing by construction.
+      quarantineChecks: Seq[graft.quality.Checks.Check] = Nil)
 
   /** Wire and start the streaming query (AvailableNow when `drain` — the
-    * batch-parity trigger — else continuous micro-batches).
+    * batch-parity trigger — else continuous micro-batches). With
+    * `quarantineChecks` set this returns only the MAIN query; use
+    * [[startRouted]] to also hold the dead-letter query.
     */
-  def start(spark: SparkSession, cfg: Config, drain: Boolean = false): StreamingQuery = {
+  def start(spark: SparkSession, cfg: Config, drain: Boolean = false): StreamingQuery =
+    startRouted(spark, cfg, drain).head
+
+  /** [[start]] plus the dead-letter route: element 0 is always the main
+    * windowed query; element 1 (present only when `cfg.quarantineChecks`
+    * is non-empty) is the quarantine sink's query. Two queries because
+    * Structured Streaming binds one sink per query and the dead-letter
+    * rows leave the plan BEFORE the stateful window — each query
+    * checkpoints its own offsets (`checkpointDir` /
+    * `checkpointDir-quarantine`), so the two routes restart
+    * independently with exactly-once delivery per sink. The routing
+    * itself is stateless and map-side ([[graft.quality.Checks.quarantine]]),
+    * applied to decoded records before any dedup state or cleaning —
+    * invalid rows never occupy state, and the quarantined record
+    * carries its full payload plus the declaration-ordered
+    * `failed_checks` reason list for triage/replay.
+    */
+  def startRouted(spark: SparkSession, cfg: Config,
+                  drain: Boolean = false): Seq[StreamingQuery] = {
     // the signature column rides along only when the near-dup branch
     // needs it (dropped again right after the dedup)
     val decodeCols = Seq(col("city"), col("timestamp").as("ts"), col("temperature")) ++
@@ -73,14 +101,23 @@ object StreamingPipeline {
         .load()
     }
 
+    // dead-letter routing first: invalid records must not enter dedup
+    // state or the clean/window path
+    val (admitted, dirty) =
+      if (cfg.quarantineChecks.nonEmpty) {
+        val routed = graft.quality.Checks.quarantine(raw, cfg.quarantineChecks)
+        (routed.filter(size(col("failed_checks")) === 0).drop("failed_checks"),
+          Some(routed.filter(size(col("failed_checks")) > 0)))
+      } else (raw, None)
+
     val deduped = (cfg.dedupSignatureOf, cfg.dedupKeys) match {
       case (Some(textCol), _) =>
-        Streaming.nearDupDedupWithinWatermark(raw, "ts", cfg.lateness, textCol,
+        Streaming.nearDupDedupWithinWatermark(admitted, "ts", cfg.lateness, textCol,
           extraKeys = Seq("city")).drop(Seq(textCol).filterNot(
             Set("city", "ts", "temperature")): _*)
       case (None, Some(keys)) =>
-        Streaming.dedupWithinWatermark(raw, "ts", cfg.lateness, keys)
-      case _ => raw
+        Streaming.dedupWithinWatermark(admitted, "ts", cfg.lateness, keys)
+      case _ => admitted
     }
 
     val cleaned = cfg.statsSnapshot match {
@@ -114,6 +151,24 @@ object StreamingPipeline {
         } finally batch.unpersist()
       }
 
-    (if (drain) writer.trigger(Trigger.AvailableNow()) else writer).start()
+    val main = (if (drain) writer.trigger(Trigger.AvailableNow()) else writer).start()
+
+    val dlq = dirty.map { d =>
+      val w = d.writeStream
+        .option("checkpointLocation", s"${cfg.checkpointDir}-quarantine")
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.persist()
+          try {
+            val n = batch.count()
+            if (n > 0) {
+              Metrics.inc(Metrics.StreamRowsQuarantined, n)
+              batch.write.mode("append").parquet(s"${cfg.outputDir}/quarantine")
+            }
+          } finally batch.unpersist()
+        }
+      (if (drain) w.trigger(Trigger.AvailableNow()) else w).start()
+    }
+    Seq(main) ++ dlq
   }
 }

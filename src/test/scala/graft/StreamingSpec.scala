@@ -492,6 +492,60 @@ class StreamingSpec extends SparkTestBase {
     assert(ns === Set(10L), s"expected deduped windows of 10, got $ns")
   }
 
+  test("StreamingPipeline quarantineChecks: dead-letter route == batch routing") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.quality.Checks
+    val base = java.nio.file.Files.createTempDirectory("graft_kdlq")
+    val epoch = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000L
+    val checks = Seq(
+      Checks.maxValue("temperature", 45.0),
+      Checks.inSet("city", Seq("London", "Tokyo"), 1.0))
+    val clean = (0 until 60).map(i => kRec("London", epoch + i * 60L, 10.0, i.toLong))
+    val dirty = Seq(
+      kRec("London", epoch + 30L, 99.0, 1000L), // fails max_value
+      kRec("Paris", epoch + 90L, 12.0, 1001L))  // fails in_set
+    val mem = MemoryStream[KRec]
+    graft.observe.Metrics.reset()
+    val qs = graft.streaming.StreamingPipeline.startRouted(spark,
+      graft.streaming.StreamingPipeline.Config(
+        checkpointDir = base.resolve("ckpt").toString,
+        outputDir = base.resolve("out").toString,
+        window = "10 minutes", lateness = "5 minutes",
+        wireSource = Some(mem.toDF()),
+        quarantineChecks = checks),
+      drain = false)
+    assert(qs.length === 2, "routing config must start main + dead-letter queries")
+    try {
+      mem.addData((clean ++ dirty): _*)
+      qs.foreach(_.processAllAvailable())
+    } finally qs.foreach(_.stop())
+    // dead-letter sink: exactly the violating records, with reasons
+    val dlq = spark.read.parquet(base.resolve("out").resolve("quarantine").toString)
+      .select($"city", $"temperature", array_join($"failed_checks", ",").as("why"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+    assert(dlq === Set(
+      ("London", 99.0, "max_value:temperature"),
+      ("Paris", 12.0, "in_set:city")))
+    assert(graft.observe.Metrics.get(graft.observe.Metrics.StreamRowsQuarantined) === 2L)
+    // main sink: violating rows excluded — no Paris, no 99-degree spike in
+    // any closed window (the spike's window DID close: events run to +59 min
+    // vs a 10-min window + 5-min lateness)
+    val main = spark.read.parquet(base.resolve("out").resolve("windowed").toString)
+    assert(main.select("city").distinct().collect().map(_.getString(0)).toSeq === Seq("London"))
+    val w0 = main.filter($"window_start" === Timestamp.valueOf("2024-01-01 00:00:00")).collect()
+    assert(w0.length === 1 && w0(0).getAs[Long]("n") === 10L,
+      "first window must hold exactly its 10 clean observations")
+    // micro-batch routing == batch routing: the same declared suite over the
+    // same wire records decoded as a BATCH frame routes identically
+    val batchDirty = Checks.quarantine(
+        graft.sources.KafkaWire.decodeFlat(spark.createDataset(clean ++ dirty).toDF())
+          .select($"city", $"timestamp".as("ts"), $"temperature"), checks)
+      .filter(size($"failed_checks") > 0)
+      .select($"city", $"temperature", array_join($"failed_checks", ",").as("why"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+    assert(batchDirty === dlq)
+  }
+
   test("nearDupDedupWithinWatermark: near-identical redelivery dropped; batch twin agrees") {
     implicit val sqlCtx = spark.sqlContext
     import graft.dedup.Dedup
