@@ -120,7 +120,11 @@ object ExplainAudit {
     // the t20 fast-path shape on the bucket domain (two bucket-count
     // aggregations + one scoring scan, no model join)
     "g9_edges_incremental", "dq5_referential_bloom",
-    "g10_label_propagation", "dq6_quarantine", "t26_dsir_hashed")
+    "g10_label_propagation", "dq6_quarantine", "t26_dsir_hashed",
+    // r19: the last bench-top-20 query without a ledger row — e2's
+    // verified pairs must ride the SRP bucket shuffle (exact cosine only
+    // on bucket-blocked candidates, never all-pairs)
+    "e2_embedding_verified_pairs")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS
