@@ -124,7 +124,11 @@ object ExplainAudit {
     // r19: the last bench-top-20 query without a ledger row — e2's
     // verified pairs must ride the SRP bucket shuffle (exact cosine only
     // on bucket-blocked candidates, never all-pairs)
-    "e2_embedding_verified_pairs")
+    "e2_embedding_verified_pairs",
+    // r19: the warm-start seams — g11/g12 must keep the one-shot
+    // per-iteration dataflow with ONE extra snapshot join at init
+    // (g10's one-exchange-per-round shape for g12)
+    "g11_pagerank_resume", "g12_lpa_resume")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS

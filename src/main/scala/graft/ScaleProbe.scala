@@ -94,7 +94,12 @@ object ScaleProbe {
     "g10_label_propagation", "dq6_quarantine",
     // t26's model is fixed-width (10k buckets) — the data-sized terms
     // are the two bucket aggregations and the scoring scan, ~linear
-    "t26_dsir_hashed")
+    "t26_dsir_hashed",
+    // r19: the warm-start resume paths — snapshot + resume together
+    // cost the same per-iteration dataflow as one-shot (the seam is
+    // one extra rank/label-sized join at init), expected scale-free
+    // like g2/g10 past the EdgeIndex scan
+    "g11_pagerank_resume", "g12_lpa_resume")
 
   /** TPC-H probe set (SPARK_GRAFT_PROBE=tpch): the fact-heavy headline
     * shapes — pure fact agg (q1), fact⋈fact⋈dim top-k (q3), 5-way profit

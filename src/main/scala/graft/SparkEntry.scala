@@ -1993,6 +1993,16 @@ object SparkEntry {
       graft.graph.Graph.pageRankResume(e,
         graft.graph.Graph.pageRankSnapshot(e, iters = 2), extraIters = 1)
     }),
+    // warm-start community refresh (g12): resume from the 2-round RAW
+    // label snapshot for 2 more rounds — bit-exactly the 4-round
+    // one-shot (shared init/step/publish, all-long state), so the
+    // oracle IS g10's unrolled 4-round SQL: the snapshot seam is
+    // engine-side only, the g11/w18/g9 one-truth pattern
+    "g12_lpa_resume" -> ((s, d) => {
+      val e = graphEdges(s, d)
+      graft.graph.Graph.labelPropagationResume(e,
+        graft.graph.Graph.labelPropagationSnapshot(e, iters = 2), extraIters = 2)
+    }),
 
     // ---- ml: relational full-batch GD quality classifier
     // (graft.ml.QualityClassifier — the fasttext-quality-scoring rung;
@@ -4073,25 +4083,17 @@ object SparkEntry {
     // g10: the engine's 4 synchronous rounds replayed literally as CTEs
     // — all-long votes and the (weight DESC, label ASC) winner pin make
     // the replay exact with no numeric discipline needed at all
-    "g10_label_propagation" ->
-      s"""WITH $graphEdgeCte,
-         |ns AS (SELECT src, dst, n_trans FROM e WHERE src <> dst),
-         |und AS (SELECT a, b, sum(c) AS w FROM (
-         |    SELECT src AS a, dst AS b, n_trans AS c FROM ns
-         |    UNION ALL SELECT dst AS a, src AS b, n_trans AS c FROM ns) GROUP BY a, b),
-         |v AS (SELECT DISTINCT page FROM (SELECT src AS page FROM e UNION ALL SELECT dst AS page FROM e)),
-         |l0 AS (SELECT page, page AS l FROM v),
-         |${lpaRound(1)},
-         |${lpaRound(2)},
-         |${lpaRound(3)},
-         |${lpaRound(4)}
-         |SELECT page, l AS community FROM l4""".stripMargin,
+    "g10_label_propagation" -> lpaSql,
 
     "g2_pagerank" -> pageRankSql,
     // g11: the engine resumes a 2-iteration raw snapshot for 1 more
     // iteration; the oracle is the ONE-SHOT 3-iteration unrolled SQL —
     // the hash match IS the resume∘snapshot == one-shot contract
     "g11_pagerank_resume" -> pageRankSql,
+    // g12: the engine resumes a 2-round raw label snapshot for 2 more
+    // rounds; the oracle is g10's ONE-SHOT 4-round unrolled SQL — the
+    // hash match IS the resume∘snapshot == one-shot contract
+    "g12_lpa_resume" -> lpaSql,
 
     "g3_degree_census" ->
       s"""WITH $graphEdgeCte,
@@ -4361,6 +4363,22 @@ object SparkEntry {
     * neighbor votes exist — the literal replay of one
     * [[graft.graph.Graph.labelPropagation]] iteration.
     */
+  /** g10's oracle — [[graft.graph.Graph.labelPropagation]]'s 4 rounds
+    * unrolled as CTEs; also g12's (resume∘snapshot == one-shot). */
+  private lazy val lpaSql: String =
+    s"""WITH $graphEdgeCte,
+       |ns AS (SELECT src, dst, n_trans FROM e WHERE src <> dst),
+       |und AS (SELECT a, b, sum(c) AS w FROM (
+       |    SELECT src AS a, dst AS b, n_trans AS c FROM ns
+       |    UNION ALL SELECT dst AS a, src AS b, n_trans AS c FROM ns) GROUP BY a, b),
+       |v AS (SELECT DISTINCT page FROM (SELECT src AS page FROM e UNION ALL SELECT dst AS page FROM e)),
+       |l0 AS (SELECT page, page AS l FROM v),
+       |${lpaRound(1)},
+       |${lpaRound(2)},
+       |${lpaRound(3)},
+       |${lpaRound(4)}
+       |SELECT page, l AS community FROM l4""".stripMargin
+
   private def lpaRound(i: Int): String =
     s"""l$i AS (SELECT lv.page, coalesce(w.nl, lv.l) AS l FROM l${i - 1} lv LEFT JOIN (
        |    SELECT a, l AS nl FROM (

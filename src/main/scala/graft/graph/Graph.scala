@@ -407,6 +407,67 @@ object Graph {
   def labelPropagation(edges: DataFrame, iters: Int = 4,
                        srcCol: String = "src", dstCol: String = "dst",
                        weightCol: String = "n_trans"): DataFrame = {
+    val (verts, und, shufN) = lpaUniverse(edges, srcCol, dstCol, weightCol)
+    val init = lpaActiveVertices(und, shufN)
+      .select(col("page"), col("page").as("__l"))
+    lpaPublish(lpaIterate(und, shufN, iters, init), verts)
+  }
+
+  /** [[labelPropagation]]'s RAW label state after `iters` rounds —
+    * (page, l_raw) over the ACTIVE universe (vertices with a non-self
+    * neighbor; isolated vertices provably never move and are re-derived
+    * at publish time) — the warm-start artifact a re-crawl's community
+    * refresh resumes from via [[labelPropagationResume]]. All-long
+    * state, so the snapshot round-trips any sink bit-exactly.
+    */
+  def labelPropagationSnapshot(edges: DataFrame, iters: Int = 4,
+                               srcCol: String = "src", dstCol: String = "dst",
+                               weightCol: String = "n_trans"): DataFrame = {
+    val (_, und, shufN) = lpaUniverse(edges, srcCol, dstCol, weightCol)
+    val init = lpaActiveVertices(und, shufN)
+      .select(col("page"), col("page").as("__l"))
+    lpaIterate(und, shufN, iters, init)
+      .select(col("page"), col("__l").as("l_raw"))
+  }
+
+  /** Warm-start label propagation — the re-crawl community refresh
+    * (the [[pageRankResume]] story for communities): `extraIters`
+    * synchronous rounds starting from a previous
+    * [[labelPropagationSnapshot]] instead of self-labels. On UNCHANGED
+    * edges, `resume(snapshot(n), k) == labelPropagation(n + k)`
+    * BIT-EXACTLY — every round is a pure function of (labels, edges)
+    * over exact longs, and init/step/publish are the same shared
+    * expressions (the g12 oracle replays the one-shot unrolled CTEs
+    * against the two-step engine path). On an appended edge table the
+    * identity becomes a warm start: vertices absent from the snapshot
+    * seed as their own label, and surviving neighborhoods keep their
+    * converged labels instead of re-voting from scratch.
+    *
+    * Scale shape identical to [[labelPropagation]] (one shuffle per
+    * round); the snapshot join is one extra label-sized hash join at
+    * init, riding the same vertex partitioning.
+    */
+  def labelPropagationResume(edges: DataFrame, prevLabels: DataFrame,
+                             extraIters: Int, srcCol: String = "src",
+                             dstCol: String = "dst",
+                             weightCol: String = "n_trans"): DataFrame = {
+    require(prevLabels.columns.toSeq == Seq("page", "l_raw"),
+      s"prevLabels must be a (page, l_raw) frame (labelPropagationSnapshot's " +
+        s"shape); got ${prevLabels.columns.mkString(", ")}")
+    val (verts, und, shufN) = lpaUniverse(edges, srcCol, dstCol, weightCol)
+    val init = lpaActiveVertices(und, shufN)
+      .join(prevLabels, Seq("page"), "left")
+      .select(col("page"), coalesce(col("l_raw"), col("page")).as("__l"))
+    lpaPublish(lpaIterate(und, shufN, extraIters, init), verts)
+  }
+
+  /** Shared LPA universe: (all vertices, symmetrized weighted pair
+    * table pre-partitioned on the neighbor key + checkpointed, shuffle
+    * parallelism) — one copy so one-shot / snapshot / resume cannot
+    * drift (bit-exact resume depends on the identical expression trees).
+    */
+  private def lpaUniverse(edges: DataFrame, srcCol: String, dstCol: String,
+                          weightCol: String): (DataFrame, DataFrame, Int) = {
     require(Set[org.apache.spark.sql.types.DataType](
         org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
         org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
@@ -426,9 +487,20 @@ object Graph {
       .groupBy("a", "b").agg(sum(col("__c")).as("__w"))
       .repartition(shufN, col("b"))
       .localCheckpoint()
-    var labels = und.select(col("a").as("page"))
+    (verts, und, shufN)
+  }
+
+  /** The active universe (vertices with a non-self neighbor),
+    * hash-partitioned on the vertex so the first round's join is
+    * exchange-free like every later round's. */
+  private def lpaActiveVertices(und: DataFrame, shufN: Int): DataFrame =
+    und.select(col("a").as("page"))
       .repartition(shufN, col("page")).distinct()
-      .select(col("page"), col("page").as("__l"))
+
+  /** `iters` synchronous LPA rounds from `init` (page, __l). */
+  private def lpaIterate(und: DataFrame, shufN: Int, iters: Int,
+                         init: DataFrame): DataFrame = {
+    var labels = init
     for (_ <- 0 until iters) {
       if (iters > 4) labels = labels.localCheckpoint()
       labels = und
@@ -439,11 +511,15 @@ object Graph {
         .agg(min(struct((-col("__s")).as("__n"), col("__l"))).as("__m"))
         .select(col("a").as("page"), col("__m").getField("__l").as("__l"))
     }
+    labels
+  }
+
+  /** Publish: active labels + isolated vertices as their own community. */
+  private def lpaPublish(labels: DataFrame, verts: DataFrame): DataFrame =
     labels.select(col("page"), col("__l").as("community"))
       .unionAll(verts
         .join(labels.select(col("page")), Seq("page"), "left_anti")
         .select(col("page"), col("page").as("community")))
-  }
 
   /** Bounded-radius harmonic centrality — the OTHER ranking Common Crawl
     * publishes beside PageRank: `H(v) = Σ_{u: 0 < d(u,v) ≤ maxDist} 1/d(u,v)`

@@ -341,6 +341,42 @@ class GraphSpec extends SparkTestBase {
     assert(ex.getMessage.contains("integral"))
   }
 
+  test("labelPropagationResume(snapshot(n), k) == labelPropagation(n+k) " +
+       "BIT-exactly, for several (n, k) seams") {
+    // bridged triangles + a pendant chain so labels keep moving for
+    // 4+ rounds (the seam must be invisible mid-convergence, not only
+    // at the fixed point)
+    val e = edges(
+      (1L, 2L, 5L), (2L, 3L, 5L), (3L, 1L, 5L),
+      (10L, 11L, 5L), (11L, 12L, 5L), (12L, 10L, 5L),
+      (3L, 10L, 1L), (12L, 13L, 2L), (13L, 14L, 2L), (14L, 15L, 2L),
+      (20L, 20L, 2L))
+    for ((n, k) <- Seq((1, 3), (2, 2), (3, 1))) {
+      val oneShot = Graph.labelPropagation(e, iters = n + k)
+        .as[(Long, Long)].collect().toMap
+      val resumed = Graph.labelPropagationResume(e,
+        Graph.labelPropagationSnapshot(e, iters = n), extraIters = k)
+        .as[(Long, Long)].collect().toMap
+      assert(resumed === oneShot, s"seam n=$n k=$k must be invisible")
+    }
+  }
+
+  test("labelPropagationResume: vertices absent from the snapshot seed as " +
+       "their own label (a re-crawl's new pages); wrong shape rejected loudly") {
+    // old crawl: one triangle; new crawl appends vertex 4 hanging off 3
+    val oldSnap = Graph.labelPropagationSnapshot(
+      edges((1L, 2L, 5L), (2L, 3L, 5L), (3L, 1L, 5L)), iters = 2)
+    val e = edges((1L, 2L, 5L), (2L, 3L, 5L), (3L, 1L, 5L), (3L, 4L, 3L))
+    val warm = Graph.labelPropagationResume(e, oldSnap, extraIters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(warm.keySet === Set(1L, 2L, 3L, 4L), "new pages must be labeled")
+    // 4's only neighbor is 3: it joins 3's converged community
+    assert(warm(4L) === warm(3L))
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagationResume(e, oldSnap.withColumnRenamed("l_raw", "l"), 1)
+    }
+  }
+
   test("components treats direction-disjoint chains as one component") {
     // 1->2, 3->2 (undirected: {1,2,3}); 5<->6; 7 self-loop only
     val out = Graph.components(edges(
