@@ -2003,6 +2003,17 @@ object SparkEntry {
       graft.graph.Graph.labelPropagationResume(e,
         graft.graph.Graph.labelPropagationSnapshot(e, iters = 2), extraIters = 2)
     }),
+    // incremental components (g13): half the edge table is "history"
+    // (labeled once), the other half folds in as the batch — exactly
+    // the one-shot labeling over everything (min-id labels make star
+    // contraction exact), so the oracle IS g5's recursive closure SQL:
+    // the batch seam is engine-side only, the one-truth pattern
+    "g13_components_incremental" -> ((s, d) => {
+      val e = graphEdges(s, d)
+      val half = pmod(col("src") + col("dst"), lit(2)) === 0
+      graft.graph.Graph.componentsIncrement(
+        graft.graph.Graph.components(e.filter(half)), e.filter(!half))
+    }),
 
     // ---- ml: relational full-batch GD quality classifier
     // (graft.ml.QualityClassifier — the fasttext-quality-scoring rung;
@@ -2075,6 +2086,18 @@ object SparkEntry {
         .filter(size(col("failed_checks")) > 0)
         .select(col("event_id"),
           array_join(col("failed_checks"), ",").as("failed_checks"))),
+    // cross-column / conditional invariants (Deequ's `satisfies`): the
+    // suite still compiles to ONE conditional-aggregate scan — each
+    // predicate is just another CASE branch; the row-scoped forms also
+    // feed quarantine routing unchanged
+    "dq7_conditional_checks" -> ((s, d) =>
+      graft.quality.Checks.run(Tables(s, d, "lineitem"), Seq(
+        graft.quality.Checks.satisfies("price_positive",
+          col("l_extendedprice") > 0, 1.0),
+        graft.quality.Checks.satisfies("bulk_is_discounted",
+          col("l_quantity") < 40 || col("l_discount") >= 0.02, 0.9),
+        graft.quality.Checks.satisfies("tax_capped_when_discounted",
+          col("l_discount") === 0 || col("l_tax") <= 0.07, 0.95)))),
     // drift detection (the Deequ anomaly shape): per-DAY metric history
     // over the event log, the latest day judged against the trailing
     // days' mean — the gate a one-snapshot suite cannot express
@@ -4116,15 +4139,11 @@ object SparkEntry {
 
     // undirected closure over the edge list via the recursive min-label
     // CTE (the m18/er2 closure-oracle pattern)
-    "g5_page_components" ->
-      s"""WITH RECURSIVE $graphEdgeCte,
-         |ed AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
-         |n AS (SELECT DISTINCT src AS id FROM ed),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM n
-         |  UNION
-         |  SELECT ed.src, reach.r FROM ed JOIN reach ON reach.id = ed.dst)
-         |SELECT id AS page, min(r) AS component FROM reach GROUP BY id""".stripMargin,
+    "g5_page_components" -> componentsSql,
+    // g13: the engine folds the odd-half edge batch into the even-half
+    // labeling; the oracle is g5's ONE-SHOT closure over ALL edges —
+    // the hash match IS the fold == one-shot contract
+    "g13_components_incremental" -> componentsSql,
 
     // bounded-radius harmonic centrality: directed shortest distances
     // via a depth-bounded recursive walk (min over path lengths), then
@@ -4225,6 +4244,17 @@ object SparkEntry {
              ("min_value", "o_totalprice", "m3", "0"),
              ("in_set", "o_orderstatus", "m4", "1"),
              ("matches", "o_orderpriority", "m5", "1")), maxRows = Set())}""".stripMargin,
+
+    "dq7_conditional_checks" ->
+      s"""WITH a AS (SELECT
+         |  CAST(count(CASE WHEN l_extendedprice > 0 THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m0,
+         |  CAST(count(CASE WHEN l_quantity < 40 OR l_discount >= 0.02 THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m1,
+         |  CAST(count(CASE WHEN l_discount = 0 OR l_tax <= 0.07 THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m2
+         | FROM lineitem)
+         |${dqReport(Seq(
+             ("satisfies", "price_positive", "m0", "1"),
+             ("satisfies", "bulk_is_discounted", "m1", "0.9"),
+             ("satisfies", "tax_capped_when_discounted", "m2", "0.95")), maxRows = Set())}""".stripMargin,
 
     "dq2_referential_checks" ->
       """SELECT 'referential' AS check_name, 'o_custkey' AS col_name,
@@ -4363,6 +4393,18 @@ object SparkEntry {
     * neighbor votes exist — the literal replay of one
     * [[graft.graph.Graph.labelPropagation]] iteration.
     */
+  /** g5's oracle — the undirected reachability closure (min reachable
+    * id per page); also g13's (fold == one-shot). */
+  private lazy val componentsSql: String =
+    s"""WITH RECURSIVE $graphEdgeCte,
+       |ed AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+       |n AS (SELECT DISTINCT src AS id FROM ed),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM n
+       |  UNION
+       |  SELECT ed.src, reach.r FROM ed JOIN reach ON reach.id = ed.dst)
+       |SELECT id AS page, min(r) AS component FROM reach GROUP BY id""".stripMargin
+
   /** g10's oracle — [[graft.graph.Graph.labelPropagation]]'s 4 rounds
     * unrolled as CTEs; also g12's (resume∘snapshot == one-shot). */
   private lazy val lpaSql: String =

@@ -361,6 +361,43 @@ object Graph {
       edges.select(col(srcCol).as("id1"), col(dstCol).as("id2")))
       .select(col("id").as("page"), col("label").as("component"))
 
+  /** Incremental connected components — the maintenance rung for
+    * [[components]] (the g9/g11/g12 pattern: only the batch pays):
+    * fold a batch of NEW edges into a previous labeling without
+    * re-scanning the historical edge log. Standard union-find
+    * batching: the old (page, component) labels re-enter as edges of
+    * the CONTRACTED graph (each old component is one star around its
+    * root), unioned with the batch edges, and one closure pass over
+    * that reduced universe relabels everything — batch edges that
+    * bridge two old components merge them, brand-new vertices appear
+    * as their own.
+    *
+    * EXACTNESS: labels are minimum reachable page ids
+    * ([[graft.dedup.Dedup.dupClusters]]'s contract), so every old root
+    * is itself the minimum of a member subset, and the minimum over a
+    * merged group of pages∪roots IS the minimum over its pages —
+    * `fold(components(b1), b2) == components(b1 ∪ b2)` exactly, batch
+    * by batch, in any batch order.
+    *
+    * Scale shape: the closure runs over |old components| + |batch|
+    * edges — the star contraction collapses each historical component
+    * to one row per member page with diameter 1, so the propagation
+    * loop (or the budget-gated driver union-find) converges in one
+    * hop over everything the batch didn't touch.
+    */
+  def componentsIncrement(prevLabels: DataFrame, batchEdges: DataFrame,
+                          srcCol: String = "src",
+                          dstCol: String = "dst"): DataFrame = {
+    require(prevLabels.columns.toSeq == Seq("page", "component"),
+      s"prevLabels must be a (page, component) frame (components' shape); " +
+        s"got ${prevLabels.columns.mkString(", ")}")
+    components(
+      prevLabels.select(col("page").as("src"), col("component").as("dst"))
+        .unionAll(batchEdges.select(col(srcCol).as("src"),
+          col(dstCol).as("dst"))),
+      "src", "dst")
+  }
+
   /** Weighted synchronous label propagation (Raghavan et al. 2007) —
     * community detection over the transition graph, the clustering view
     * [[components]]' connectivity closure cannot give (one giant

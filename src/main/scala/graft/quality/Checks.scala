@@ -88,6 +88,20 @@ object Checks {
   def rowCountAtLeast(threshold: Double): Check =
     Check("row_count", "*", count(lit(1)).cast("double"), threshold)
 
+  /** Fraction of rows satisfying an ARBITRARY predicate ≥ threshold —
+    * the escape hatch (Deequ's `satisfies`) for cross-column and
+    * conditional invariants no single-column check can state
+    * ("discounted rows must carry a ship date", "bulk lines must be
+    * discounted"). `label` names the constraint in the report's
+    * col_name slot (there is no single column to blame). Row property:
+    * the predicate itself — a NULL verdict fails, exactly as the
+    * metric never counts it (the inSet/matches convention: state
+    * null-tolerance inside the predicate where it's intended).
+    */
+  def satisfies(label: String, pred: Column, threshold: Double): Check =
+    Check("satisfies", label, ratio(count(when(pred, lit(1)))), threshold,
+      rowPred = Some(coalesce(pred, lit(false))))
+
   /** Compile the suite into one aggregate pass + the report explode. */
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "empty check suite")

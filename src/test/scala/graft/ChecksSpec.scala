@@ -37,6 +37,33 @@ class ChecksSpec extends SparkTestBase {
     assert(out(("matches", "lang")) === ((1.0, true)))
   }
 
+  test("satisfies: cross-column predicates in the aggregate gate AND the " +
+       "row router; NULL verdicts fail like in_set/matches") {
+    // invariant: "v must exceed 15 whenever s is present" — 'a' (10.0)
+    // and 'd' (-5.0) violate; the None row's predicate is TRUE (s
+    // absent); a NULL verdict (null-valued comparison) is a violation
+    val withNull = t.withColumn("w",
+      when(col("id") === 2L, lit(null).cast("double")).otherwise(col("v")))
+    val suite = Seq(
+      Checks.satisfies("v_when_s", col("s").isNull || col("v") > 15.0, 1.0),
+      Checks.satisfies("w_nonneg", col("w") >= 0.0, 0.5))
+    val out = Checks.run(withNull, suite)
+      .as[(String, String, Double, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._5))).toMap
+    assert(out(("satisfies", "v_when_s")) === ((0.5, false)))
+    // w: 10.0 ok, NULL fails, 30.0 ok, -5.0 fails -> 0.5, passes at 0.5
+    assert(out(("satisfies", "w_nonneg")) === ((0.5, true)))
+    // the same declarations route rows: reasons in declaration order
+    val routed = Checks.quarantine(withNull, suite)
+      .select(col("id"), col("s"), array_join(col("failed_checks"), ",").as("why"))
+      .as[(Long, Option[String], String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(routed((1L, Some("a"))) === "satisfies:v_when_s")
+    assert(routed((2L, Some("b"))) === "satisfies:w_nonneg") // NULL verdict routes
+    assert(routed((3L, None)) === "")
+    assert(routed((3L, Some("d"))) === "satisfies:v_when_s,satisfies:w_nonneg")
+  }
+
   test("per-row checks vacuously pass on empty input; row_count catches it") {
     // the gate semantics: an empty table violates no per-row property
     // (metric NULL would make `passed` NULL — unfilterable by a gate

@@ -361,6 +361,37 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("componentsIncrement: fold(components(b1), b2) == components(b1 ∪ b2) " +
+       "on random multi-way splits; bridges merge; new vertices appear") {
+    // bridge merge: {1,2} and {10,11} are separate in history; the batch
+    // edge 2-10 must merge them under the global min label 1
+    val merged = Graph.componentsIncrement(
+      Graph.components(edges((1L, 2L, 1L), (10L, 11L, 1L))),
+      edges((2L, 10L, 1L), (20L, 21L, 1L)))
+      .as[(Long, Long)].collect().toMap
+    assert(merged === Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 21L -> 20L))
+    // random multi-way folds == one-shot, in any batch order
+    val rnd = new scala.util.Random(47)
+    val es = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong, 1L))
+    val oneShot = Graph.components(edges(es: _*))
+      .as[(Long, Long)].collect().toMap
+    for (parts <- Seq(2, 3)) {
+      val batches = es.zipWithIndex.groupBy(_._2 % parts).toSeq.sortBy(_._1)
+        .map(_._2.map(_._1))
+      val folded = batches.tail.foldLeft(Graph.components(edges(batches.head: _*))) {
+        (labels, batch) => Graph.componentsIncrement(labels, edges(batch: _*))
+      }.as[(Long, Long)].collect().toMap
+      assert(folded === oneShot, s"$parts-way fold must equal one-shot")
+    }
+    intercept[IllegalArgumentException] {
+      Graph.componentsIncrement(
+        Graph.components(edges((1L, 2L, 1L)))
+          .withColumnRenamed("component", "label"),
+        edges((2L, 3L, 1L)))
+    }
+  }
+
   test("labelPropagationResume: vertices absent from the snapshot seed as " +
        "their own label (a re-crawl's new pages); wrong shape rejected loudly") {
     // old crawl: one triangle; new crawl appends vertex 4 hanging off 3
