@@ -331,6 +331,22 @@ object SparkEntry {
     "w8_sessionize" -> ((s, d) =>
       Analytics.sessionSummary(Tables.events(s, d), "user_id", "ts", "value", gapMinutes = 1440)),
 
+    // incremental sessionization (w20): the engine folds a time-split
+    // batch into the standing session state through the (ts, tie)
+    // frontier; the oracle is w8's ONE-SHOT sessionization SQL over the
+    // full log — the hash match IS the fold == one-shot contract
+    "w20_sessions_incremental" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val b1 = ev.filter(col("ts") < cut)
+      val st0 = Analytics.sessionState(b1, "user_id", "ts", "value", gapMinutes = 1440)
+      val f0 = graft.analyze.Lifecycle.scd2Frontier(b1, "user_id", "ts", "event_id")
+      val (st1, _) = Analytics.sessionsApplyBatch(st0, f0,
+        ev.filter(col("ts") >= cut), "user_id", "ts", "value", "event_id",
+        gapMinutes = 1440)
+      Analytics.sessionPublish(st1, "user_id")
+    }),
+
     // RANGE-frame rolling window: per user, trailing 10 minutes of EVENT
     // TIME (not rows) — the frame type w5's ROWS rolling can't express.
     "w9_range_rolling" -> ((s, d) =>
@@ -2646,22 +2662,11 @@ object SparkEntry {
         |  CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY vm DESC, d) AS BIGINT) AS quartile
         |FROM daily""".stripMargin,
 
-    "w8_sessionize" ->
-      """WITH t AS (SELECT user_id, ts, value,
-        |  CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) -
-        |            CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT)
-        |       > 1440*60 THEN 1 ELSE 0 END AS nw
-        |  FROM events),
-        |s AS (SELECT user_id, ts, value,
-        |  CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |  FROM t)
-        |SELECT user_id, session_id, count(*) AS n,
-        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-        |  round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)) * 10000)
-        |    / 10000.0 + 0.0 AS value_mean
-        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "w8_sessionize" -> sessionSql,
+    // w20: the engine folds a time-split batch through the session
+    // frontier state; the oracle is w8's ONE-SHOT sessionization — the
+    // hash match IS the fold == one-shot contract
+    "w20_sessions_incremental" -> sessionSql,
 
     // The oracle replays w10 as the NAIVE unkeyed BETWEEN join — fine at
     // oracle scale, and exactly the semantics the decomposed Spark plan
@@ -4393,6 +4398,25 @@ object SparkEntry {
     * neighbor votes exist — the literal replay of one
     * [[graft.graph.Graph.labelPropagation]] iteration.
     */
+  /** w8's oracle — one-shot gap-1440 sessionization over the event
+    * log; also w20's (fold == one-shot). */
+  private lazy val sessionSql: String =
+    """WITH t AS (SELECT user_id, ts, value,
+      |  CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) -
+      |            CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT)
+      |       > 1440*60 THEN 1 ELSE 0 END AS nw
+      |  FROM events),
+      |s AS (SELECT user_id, ts, value,
+      |  CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM t)
+      |SELECT user_id, session_id, count(*) AS n,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)) * 10000)
+      |    / 10000.0 + 0.0 AS value_mean
+      |FROM s GROUP BY user_id, session_id""".stripMargin
+
   /** g5's oracle — the undirected reachability closure (min reachable
     * id per page); also g13's (fold == one-shot). */
   private lazy val componentsSql: String =

@@ -276,6 +276,136 @@ object Analytics {
            date_format(max(col(ts)), "yyyy-MM-dd HH:mm:ss").as("session_end"),
            stableMean4(col(value)).as("value_mean"))
 
+  /** [[sessionSummary]]'s raw per-session state — (key, session_id, n,
+    * nv, vsum, start_ts, end_ts): the aggregates the summary is a pure
+    * projection of ([[sessionPublish]]), and the standing frame
+    * [[sessionsApplyBatch]] folds new batches into. `vsum` is the
+    * decimal-staged value sum pinned at decimal(38,6) so merge
+    * additions stay exact and the schema is fold-stable; `nv` is the
+    * non-null value count ([[stableMean4]]'s denominator — `n` counts
+    * rows).
+    */
+  def sessionState(df: DataFrame, key: String, ts: String, value: String,
+                   gapMinutes: Int = 30): DataFrame =
+    sessionize(df, key, ts, gapMinutes)
+      .groupBy(col(key), col("session_id"))
+      .agg(count(lit(1)).as("n"), count(col(value)).as("nv"),
+        sum(col(value).cast("decimal(18,6)")).cast("decimal(38,6)").as("vsum"),
+        min(col(ts)).as("start_ts"), max(col(ts)).as("end_ts"))
+
+  /** Present a [[sessionState]] frame in [[sessionSummary]]'s published
+    * shape — bit-equal to the one-shot summary: decimal addition is
+    * exact, so the widened `vsum` casts to the identical double the
+    * one-shot decimal sum would.
+    */
+  def sessionPublish(state: DataFrame, key: String): DataFrame =
+    state.select(col(key), col("session_id"), col("n"),
+      date_format(col("start_ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+      date_format(col("end_ts"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+      (round(col("vsum").cast("double") / col("nv") * 10000) / 10000.0
+        + lit(0.0)).as("value_mean"))
+
+  /** Incremental sessionization — the w18/g9 "only the batch pays"
+    * pattern applied to [[sessionSummary]]: fold a NEW batch of events
+    * into a standing [[sessionState]] without re-scanning the
+    * historical log. Under the append-only contract only each key's
+    * LAST session can extend (every earlier session already sits behind
+    * a silence longer than the gap, and new rows are all later), so the
+    * windowed pass runs over seed ∪ batch rows only: the last session
+    * re-enters as ONE pseudo-row at its end timestamp (null tie — sorts
+    * before any real row at the same instant), the gap flags and
+    * running session offsets compute exactly as the one-shot pass would
+    * at the boundary, the first segment's aggregates MERGE into the
+    * seed session's (exact decimal addition) and later segments append
+    * as new sessions at `session_id = last + offset`. Untouched state
+    * rows — and a touched key's last session when its first batch row
+    * opens a NEW session — pass through scan-only.
+    *
+    * Late rows follow the (ts, tie) frontier discipline of
+    * [[graft.analyze.Lifecycle.scd2ApplyBatchFrontier]]: rows at or
+    * before the frontier drop. Under the append-only contract, folding
+    * any (ts, tie)-split of the log batch-by-batch reproduces the
+    * one-shot [[sessionState]] EXACTLY in any split geometry (the w20
+    * oracle replays the one-shot SQL over the full log; AnalyticsSpec
+    * gates random multi-way splits).
+    *
+    * Returns (state, frontier), both folded forward per batch — seed
+    * the first from [[sessionState]] +
+    * [[graft.analyze.Lifecycle.scd2Frontier]]. Scale shape: pass-through
+    * is state-sized and scan-only, the window pass is seed∪batch-sized,
+    * the frontier one grouped max over frontier ∪ batch — never
+    * log-sized.
+    */
+  def sessionsApplyBatch(state: DataFrame, frontier: DataFrame,
+                         batch: DataFrame, key: String, ts: String,
+                         value: String, tie: String,
+                         gapMinutes: Int = 30): (DataFrame, DataFrame) = {
+    require(state.columns.toSeq ==
+      Seq(key, "session_id", "n", "nv", "vsum", "start_ts", "end_ts"),
+      s"state must be a ($key, session_id, n, nv, vsum, start_ts, end_ts) " +
+        s"frame (sessionState's shape); got ${state.columns.mkString(", ")}")
+    require(frontier.columns.toSeq == Seq(key, ts, tie),
+      s"frontier must be a ($key, $ts, $tie) frame (scd2Frontier's shape); " +
+        s"got ${frontier.columns.mkString(", ")}")
+    val f = frontier.select(col(key), col(ts).as("__fts"), col(tie).as("__ftie"))
+    val live = batch.select(col(key), col(ts), col(tie), col(value))
+      .join(f, Seq(key), "left")
+      .filter(col("__fts").isNull || col(ts) > col("__fts") ||
+        (col(ts) === col("__fts") && col(tie) > col("__ftie")))
+      .drop("__fts", "__ftie")
+    val touched = live.select(col(key)).distinct()
+    val openMark = max(col("session_id")).over(Window.partitionBy(col(key)))
+    val marked = state.withColumn("__mx", openMark)
+      .join(touched.withColumn("__t", lit(1)), Seq(key), "left")
+    val pass = marked
+      .filter(col("__t").isNull || col("session_id") =!= col("__mx"))
+      .drop("__mx", "__t")
+    val open = marked
+      .filter(col("__t").isNotNull && col("session_id") === col("__mx"))
+      .drop("__mx", "__t")
+    val seed = open.select(col(key), col("end_ts").as(ts),
+      lit(null).cast(batch.schema(tie).dataType).as(tie),
+      lit(null).cast(batch.schema(value).dataType).as(value),
+      lit(1).as("__seed"))
+    val wp = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    val flagged = seed.unionByName(live.withColumn("__seed", lit(0)))
+      .withColumn("__nw", when(col(ts).cast("long") -
+        lag(col(ts), 1).over(wp).cast("long") > gapMinutes * 60L, 1).otherwise(0))
+      .withColumn("__r", sum(col("__nw")).over(
+        wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val g = flagged.filter(col("__seed") === 0)
+      .groupBy(col(key), col("__r"))
+      .agg(count(lit(1)).as("__n"), count(col(value)).as("__nv"),
+        sum(col(value).cast("decimal(18,6)")).cast("decimal(38,6)").as("__vs"),
+        min(col(ts)).as("__min"), max(col(ts)).as("__max"))
+    val withOpen = g.join(open.select(col(key),
+        col("session_id").as("__sid0"), col("n").as("__n0"),
+        col("nv").as("__nv0"), col("vsum").as("__vs0"),
+        col("start_ts").as("__st0")), Seq(key), "left")
+    val merging = col("__sid0").isNotNull && col("__r") === 0
+    val dec0 = lit(0).cast("decimal(38,6)")
+    val folded = withOpen.select(col(key),
+      (coalesce(col("__sid0"), lit(0L)) + col("__r")).as("session_id"),
+      when(merging, col("__n0") + col("__n")).otherwise(col("__n")).as("n"),
+      when(merging, col("__nv0") + col("__nv")).otherwise(col("__nv")).as("nv"),
+      when(merging,
+        when(col("__vs0").isNull && col("__vs").isNull,
+          lit(null).cast("decimal(38,6)"))
+          .otherwise(coalesce(col("__vs0"), dec0) + coalesce(col("__vs"), dec0)))
+        .otherwise(col("__vs")).cast("decimal(38,6)").as("vsum"),
+      when(merging, col("__st0")).otherwise(col("__min")).as("start_ts"),
+      col("__max").as("end_ts"))
+    // a touched key whose first batch row opened a NEW session never
+    // produced a merge row — its last session passes through unchanged
+    val openUnmerged = open.join(
+      withOpen.filter(merging).select(col(key)), Seq(key), "left_anti")
+    val nextState = pass.unionByName(openUnmerged).unionByName(folded)
+    val nextFrontier = graft.analyze.Lifecycle.scd2Frontier(
+      frontier.unionByName(live.select(col(key), col(ts), col(tie))),
+      key, ts, tie)
+    (nextState, nextFrontier)
+  }
+
   /** Unkeyed interval join, COUNT flavor: for each [[sessionize]]d session
     * interval, the number of events CORPUS-WIDE (any key) whose timestamp
     * falls inside [session_start, session_end] — the concurrency census a

@@ -257,6 +257,56 @@ class AnalyticsSpec extends SparkTestBase {
       "decomposed interval count diverges from the naive BETWEEN join")
   }
 
+  test("sessionsApplyBatch: random (ts, tie)-split folds == one-shot sessionState; " +
+       "publish == sessionSummary; seeds, merges, new users, late rows") {
+    import graft.analyze.Lifecycle
+    val rnd = new scala.util.Random(44)
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    // minute-granularity with duplicated timestamps so same-ts rows
+    // straddle random cuts (the frontier's tie discipline is exercised)
+    val rows = (1 to 300).map { i =>
+      val t = base + rnd.nextInt(5 * 24 * 60) / 3 * 3 * 60000L
+      (s"u${rnd.nextInt(5)}", new java.sql.Timestamp(t), rnd.nextDouble() * 50, i.toLong)
+    }
+    val df = rows.toDF("user_id", "ts", "value", "event_id")
+    val gap = 360
+    val oneShot = Analytics.sessionState(df, "user_id", "ts", "value", gap)
+    // publish(state) is bit-equal to the one-shot summary
+    val pub = Analytics.sessionPublish(oneShot, "user_id")
+    val summ = Analytics.sessionSummary(df, "user_id", "ts", "value", gap)
+    assert(pub.exceptAll(summ).isEmpty && summ.exceptAll(pub).isEmpty,
+      "sessionPublish(sessionState) must equal sessionSummary")
+    // fold random (ts, tie)-ordered multi-way splits
+    val ordered = rows.sortBy(r => (r._2.getTime, r._4))
+    for (parts <- Seq(2, 4)) {
+      val cutsAt = (1 until parts).map(_ * ordered.length / parts)
+      val batches = (Seq(0) ++ cutsAt :+ ordered.length).sliding(2).map {
+        case Seq(a, b) => ordered.slice(a, b)
+      }.toSeq
+      var st = Analytics.sessionState(
+        batches.head.toDF("user_id", "ts", "value", "event_id"),
+        "user_id", "ts", "value", gap)
+      var fr = Lifecycle.scd2Frontier(
+        batches.head.toDF("user_id", "ts", "value", "event_id"),
+        "user_id", "ts", "event_id")
+      batches.tail.foreach { b =>
+        val r = Analytics.sessionsApplyBatch(st, fr,
+          b.toDF("user_id", "ts", "value", "event_id"),
+          "user_id", "ts", "value", "event_id", gap)
+        st = r._1; fr = r._2
+      }
+      assert(st.exceptAll(oneShot).isEmpty && oneShot.exceptAll(st).isEmpty,
+        s"$parts-way fold must equal the one-shot state")
+    }
+    // late rows (at or before the frontier) drop; the state is unchanged
+    val full = Analytics.sessionState(df, "user_id", "ts", "value", gap)
+    val frFull = Lifecycle.scd2Frontier(df, "user_id", "ts", "event_id")
+    val replayed = Analytics.sessionsApplyBatch(full, frFull,
+      df.limit(50), "user_id", "ts", "value", "event_id", gap)._1
+    assert(replayed.exceptAll(full).isEmpty && full.exceptAll(replayed).isEmpty,
+      "replaying already-folded rows must be a no-op")
+  }
+
   test("rangeRolling frames by event TIME, not row count") {
     val df = Seq(
       ("u1", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
