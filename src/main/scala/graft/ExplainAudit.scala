@@ -127,8 +127,12 @@ object ExplainAudit {
     "e2_embedding_verified_pairs",
     // r19: the warm-start seams — g11/g12 must keep the one-shot
     // per-iteration dataflow with ONE extra snapshot join at init
-    // (g10's one-exchange-per-round shape for g12)
-    "g11_pagerank_resume", "g12_lpa_resume")
+    // (g10's one-exchange-per-round shape for g12); w20's fold must
+    // window only seed∪batch with the standing state passing through
+    // scan-only (the w18 discipline); dq7's satisfies suite must stay
+    // ONE conditional-aggregate scan
+    "g11_pagerank_resume", "g12_lpa_resume", "w20_sessions_incremental",
+    "dq7_conditional_checks")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS

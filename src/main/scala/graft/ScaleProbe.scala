@@ -99,7 +99,12 @@ object ScaleProbe {
     // cost the same per-iteration dataflow as one-shot (the seam is
     // one extra rank/label-sized join at init), expected scale-free
     // like g2/g10 past the EdgeIndex scan
-    "g11_pagerank_resume", "g12_lpa_resume")
+    "g11_pagerank_resume", "g12_lpa_resume",
+    // w20 folds one batch over the one-shot state prefix — expected to
+    // track w8's growth (the prefix dominates the registered shape);
+    // g13 folds the odd half over the even half's labeling — the
+    // closure is pair-domain like g5
+    "w20_sessions_incremental", "g13_components_incremental")
 
   /** TPC-H probe set (SPARK_GRAFT_PROBE=tpch): the fact-heavy headline
     * shapes — pure fact agg (q1), fact⋈fact⋈dim top-k (q3), 5-way profit

@@ -348,15 +348,21 @@ object Analytics {
       s"frontier must be a ($key, $ts, $tie) frame (scd2Frontier's shape); " +
         s"got ${frontier.columns.mkString(", ")}")
     val f = frontier.select(col(key), col(ts).as("__fts"), col(tie).as("__ftie"))
+    // both frames are referenced several times below (route, seed,
+    // merge, pass-through); materialize ONCE so each fold pays one
+    // batch-sized and one state-sized evaluation — not one per
+    // reference (the und/labels checkpoint discipline)
     val live = batch.select(col(key), col(ts), col(tie), col(value))
       .join(f, Seq(key), "left")
       .filter(col("__fts").isNull || col(ts) > col("__fts") ||
         (col(ts) === col("__fts") && col(tie) > col("__ftie")))
       .drop("__fts", "__ftie")
+      .localCheckpoint()
     val touched = live.select(col(key)).distinct()
     val openMark = max(col("session_id")).over(Window.partitionBy(col(key)))
     val marked = state.withColumn("__mx", openMark)
       .join(touched.withColumn("__t", lit(1)), Seq(key), "left")
+      .localCheckpoint()
     val pass = marked
       .filter(col("__t").isNull || col("session_id") =!= col("__mx"))
       .drop("__mx", "__t")
