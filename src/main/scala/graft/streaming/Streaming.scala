@@ -447,6 +447,108 @@ object Streaming {
       }
   }
 
+  case class SessionEvent(user: Long, ts: java.sql.Timestamp, tie: Long,
+                          value: Option[Double])
+  case class SessionRow(user: Long, session_id: Long, n: Long, nv: Long,
+                        vsum_micros: Long, start: java.sql.Timestamp,
+                        end: java.sql.Timestamp)
+  case class OpenSession(sid: Long, n: Long, nv: Long, vsumMicros: Long,
+                         startMs: Long, startNanos: Int, lastMs: Long,
+                         lastNanos: Int, lastTie: Long)
+
+  /** Streaming sessionization state — the real-time twin of
+    * [[graft.analyze.Analytics.sessionState]], completing the
+    * one-truth triangle with w8 (one-shot) and w20 (batch fold): per
+    * user, ONE open session lives in state; a row within `gapMinutes`
+    * of the last event merges (counts, value sum, end timestamp), a
+    * gap-crossing row EMITS the closed session and opens the next at
+    * `session_id + 1`, and state timeout emits the open session after
+    * `stateTtlDays` of event-time silence (a returning user then
+    * starts a fresh numbering — the transitionEdgesStream eviction
+    * semantics). Consumers read closed sessions; the batch twin's last
+    * (still-open) session per user is exactly what a drained stream has
+    * not yet emitted — the StreamingSpec parity gate.
+    *
+    * Numeric discipline: the value sum is held as MICROS (the
+    * decimal(18,6) unscaled long — Catalyst's double→decimal cast is
+    * HALF_UP, replayed here exactly), so long addition is the same
+    * exact arithmetic as the batch decimal sum and the drained rows
+    * compare bit-for-bit. Gap comparison is floor-second like the
+    * batch `cast(ts as long)`.
+    *
+    * Ordering contract (the scd2Stream/transitionEdgesStream
+    * contract): within a batch, rows fold in full-precision
+    * (ts ms, nanos, tie) order; a row at or before the held last
+    * observation drops — it cannot be spliced into a session whose
+    * successor rows already folded.
+    */
+  def sessionStateStream(ds: Dataset[SessionEvent], gapMinutes: Int = 30,
+                         stateTtlDays: Int = 30,
+                         lateness: String = "1 day"): Dataset[SessionRow] = {
+    import ds.sparkSession.implicits._
+    val evict = stateTtlDays > 0
+    val src = if (evict) ds.withWatermark("ts", lateness) else ds
+    val timeoutConf =
+      if (evict) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    def micros(v: Double): Long =
+      scala.math.BigDecimal(v).setScale(6,
+        scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .underlying.unscaledValue.longValueExact
+    def tsOf(ms: Long, nanos: Int): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(ms); t.setNanos(nanos); t
+    }
+    def close(user: Long, s: OpenSession): SessionRow =
+      SessionRow(user, s.sid, s.n, s.nv, s.vsumMicros,
+        tsOf(s.startMs, s.startNanos), tsOf(s.lastMs, s.lastNanos))
+    src.groupByKey(_.user)
+      .flatMapGroupsWithState[OpenSession, SessionRow](
+        OutputMode.Append, timeoutConf) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (evict && state.hasTimedOut) {
+            val out = state.getOption.map(close(user, _)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toSeq.sortBy(r =>
+              (r.ts.getTime, r.ts.getNanos, r.tie))
+            var st = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+            sorted.foreach { r =>
+              val (nv1, vs1) =
+                (r.value.map(_ => 1L).getOrElse(0L),
+                 r.value.map(micros).getOrElse(0L))
+              st match {
+                case None =>
+                  st = Some(OpenSession(0L, 1L, nv1, vs1, r.ts.getTime,
+                    r.ts.getNanos, r.ts.getTime, r.ts.getNanos, r.tie))
+                case Some(s) if Ordering[(Long, Long, Long)].gt(
+                    (r.ts.getTime, r.ts.getNanos.toLong, r.tie),
+                    (s.lastMs, s.lastNanos.toLong, s.lastTie)) =>
+                  // floor-second gap, the batch cast(ts as long) contract
+                  if (r.ts.getTime / 1000L - s.lastMs / 1000L >
+                      gapMinutes * 60L) {
+                    out += close(user, s)
+                    st = Some(OpenSession(s.sid + 1L, 1L, nv1, vs1,
+                      r.ts.getTime, r.ts.getNanos, r.ts.getTime,
+                      r.ts.getNanos, r.tie))
+                  } else {
+                    st = Some(s.copy(n = s.n + 1L, nv = s.nv + nv1,
+                      vsumMicros = s.vsumMicros + vs1, lastMs = r.ts.getTime,
+                      lastNanos = r.ts.getNanos, lastTie = r.tie))
+                  }
+                case Some(_) => // at-or-before the fold frontier: dropped
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              if (evict)
+                safeSetTimeout(state, s.lastMs + stateTtlDays * 86400000L)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming first-seen cohort assignment — the real-time twin of
     * w15's cohort derivation (`Lifecycle.cohortRetention`'s
     * `min(first day)` per key): per key, track the earliest day seen and

@@ -1287,6 +1287,88 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionStateStream: drained closed sessions equal the batch sessionState " +
+       "minus each user's open session (w8/w20 parity), value sums bit-exact") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming._
+    val rnd = new scala.util.Random(45)
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    // randomized minute-granularity events with duplicated timestamps,
+    // null values, and irrational-ish doubles (the micros HALF_UP cast
+    // must match Catalyst's double->decimal exactly); delivered in
+    // (ts, tie) order across two batches (the arrival contract)
+    val evs = (1 to 200).map { i =>
+      val t = base + rnd.nextInt(3 * 24 * 60) / 3 * 3 * 60000L
+      SessionEvent(rnd.nextInt(4).toLong, new java.sql.Timestamp(t), i.toLong,
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextDouble() * 37.7))
+    }.sortBy(e => (e.ts.getTime, e.tie))
+    val (b1, b2) = evs.splitAt(120)
+    val mem = MemoryStream[SessionEvent]
+    val q = sessionStateStream(mem.toDS(), gapMinutes = 360,
+      stateTtlDays = 30, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("sess_stream")
+        .as[SessionRow].collect()
+        .map(r => (r.user, r.session_id, r.n, r.nv, r.vsum_micros,
+          r.start.getTime, r.end.getTime)).toSet
+      // batch twin over the same rows; the stream has emitted everything
+      // EXCEPT each user's last (still-open) session
+      val df = evs.map(e => (e.user, e.ts, e.value, e.tie))
+        .toDF("user", "ts", "value", "tie")
+      val st = graft.analyze.Analytics.sessionState(df, "user", "ts", "value", 360)
+      val lastSid = st.groupBy(col("user")).agg(max(col("session_id")).as("__mx"))
+      val expected = st.join(lastSid, Seq("user"))
+        .filter(col("session_id") =!= col("__mx"))
+        .select(col("user"), col("session_id"), col("n"), col("nv"),
+          // decimal(38,6) -> unscaled micros, exactly (null = all-null
+          // session, the stream's 0-sum)
+          coalesce((col("vsum") * lit(1000000)).cast("long"), lit(0L))
+            .as("vsum_micros"),
+          col("start_ts"), col("end_ts"))
+        .as[(Long, Long, Long, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+        .collect()
+        .map(r => (r._1, r._2, r._3, r._4, r._5, r._6.getTime, r._7.getTime)).toSet
+      assert(streamed === expected,
+        "drained closed sessions must equal the batch state minus opens")
+      assert(streamed.nonEmpty, "fixture must close at least one session")
+    } finally q.stop()
+  }
+
+  test("sessionStateStream: eviction flushes the open session; a returning " +
+       "user restarts numbering at 0") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming._
+    def T(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[SessionEvent]
+    val q = sessionStateStream(mem.toDS(), gapMinutes = 60,
+      stateTtlDays = 2, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("sess_evict")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        SessionEvent(1L, T("2024-01-01 00:00:00"), 1L, Some(10.0)),
+        SessionEvent(1L, T("2024-01-01 00:30:00"), 2L, Some(20.0)))
+      q.processAllAvailable()
+      // another key's far-future event advances the watermark past the
+      // 2-day TTL: user 1's open session flushes via timeout
+      mem.addData(SessionEvent(9L, T("2024-01-10 00:00:00"), 3L, None))
+      q.processAllAvailable()
+      // the returning user starts a FRESH numbering (state was removed)
+      mem.addData(SessionEvent(1L, T("2024-01-10 01:00:00"), 4L, Some(5.0)))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(9L, T("2024-01-20 00:00:00"), 5L, None))
+      q.processAllAvailable()
+      val rows = spark.table("sess_evict").as[SessionRow].collect()
+        .filter(_.user == 1L).map(r => (r.session_id, r.n, r.vsum_micros)).toSet
+      assert(rows === Set((0L, 2L, 30000000L), (0L, 1L, 5000000L)),
+        s"expected the flushed first session and the restarted one; got $rows")
+    } finally q.stop()
+  }
+
   test("transitionEdgesStream: same-millisecond views fold in full timestamp " +
        "precision (batch-order parity)") {
     implicit val sqlCtx = spark.sqlContext
