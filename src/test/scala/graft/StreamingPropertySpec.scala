@@ -134,4 +134,52 @@ class StreamingPropertySpec extends SparkTestBase {
       } finally q.stop()
     }
   }
+
+  test("sessionStateStream drains to sessionState-minus-opens on random event logs") {
+    for (seed <- Seq(31L, 32L, 33L)) {
+      val rnd = new scala.util.Random(seed)
+      val events = (0 until 90).map { i =>
+        // bursty inter-arrival times so gaps actually close sessions;
+        // occasional nulls exercise the nv/vsum split
+        Streaming.SessionEvent(1L + rnd.nextInt(4),
+          T(base + i * 60000L * (1 + rnd.nextInt(9))), i.toLong,
+          if (rnd.nextInt(8) == 0) None else Some(rnd.nextDouble() * 21.3))
+      }.sortBy(e => (e.ts.getTime, e.tie))
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Streaming.SessionEvent]
+      // events collide on timestamps (i·rand minutes), so a random cut
+      // can land BETWEEN two equal-ts rows: zero lateness would let the
+      // engine's watermark filter eat the second one before the fold
+      // ever sees it — 1 minute of slack keeps every in-order row alive
+      val q = Streaming.sessionStateStream(mem.toDS(), gapMinutes = 180,
+        stateTtlDays = 30, lateness = "1 minute")
+        .writeStream.format("memory").queryName(s"sess_prop_$seed")
+        .outputMode("append").start()
+      try {
+        var prev = 0
+        randomCuts(rnd, events.size).foreach { cut =>
+          if (cut > prev) { mem.addData(events.slice(prev, cut): _*); prev = cut }
+          q.processAllAvailable()
+        }
+        val streamed = spark.table(s"sess_prop_$seed")
+          .as[Streaming.SessionRow].collect()
+          .map(r => (r.user, r.session_id, r.n, r.nv, r.vsum_micros,
+            r.start.getTime, r.end.getTime)).toSet
+        val st = graft.analyze.Analytics.sessionState(
+          events.map(e => (e.user, e.ts, e.value, e.tie))
+            .toDF("user", "ts", "value", "tie"), "user", "ts", "value", 180)
+        val expected = st
+          .withColumn("__mx", max(col("session_id"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy("user")))
+          .filter(col("session_id") =!= col("__mx"))
+          .select(col("user"), col("session_id"), col("n"), col("nv"),
+            coalesce((col("vsum") * lit(1000000)).cast("long"), lit(0L)),
+            col("start_ts"), col("end_ts"))
+          .as[(Long, Long, Long, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+          .collect()
+          .map(r => (r._1, r._2, r._3, r._4, r._5, r._6.getTime, r._7.getTime)).toSet
+        assert(streamed === expected, s"seed=$seed")
+      } finally q.stop()
+    }
+  }
 }
