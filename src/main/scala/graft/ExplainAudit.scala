@@ -132,7 +132,10 @@ object ExplainAudit {
     // scan-only (the w18 discipline); dq7's satisfies suite must stay
     // ONE conditional-aggregate scan
     "g11_pagerank_resume", "g12_lpa_resume", "w20_sessions_incremental",
-    "dq7_conditional_checks")
+    "dq7_conditional_checks",
+    // r19: incremental IVF — the candidate scan must stay DPP-pruned
+    // across BOTH parquet roots (base corpus + append generation)
+    "s13_ivf_append_topk")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS

@@ -138,7 +138,11 @@ object ScaleProbe {
     // r16: the PQ family — s10 is a full (compressed) corpus scan, so
     // ~linear like s1 but over m-byte codes; s11 composes cell pruning
     // with the code scan (the expected-sublinear row)
-    "s10_pq_topk", "s11_ivfpq_topk")
+    "s10_pq_topk", "s11_ivfpq_topk",
+    // r19: incremental IVF — rep 1 pays the base build + the batch
+    // assignment (cells × batch), the warm rep is s4's probe path over
+    // corpus + generation scans (expected ~s4)
+    "s13_ivf_append_topk")
 
   def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(out)

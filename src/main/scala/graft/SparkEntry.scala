@@ -1743,6 +1743,22 @@ object SparkEntry {
         Similarity.ivfCandidatePairsAssigned(assigned, cents, emb.filter(col("vec_id") < 8)))
       Similarity.exactRerank(cands, emb, emb.filter(col("vec_id") < 8), k = 5)
     }),
+    // incremental IVF (s13): the persisted index absorbs a daily vector
+    // batch by pure centroid assignment — no re-cluster, no corpus
+    // re-scan; a replayed batch key overwrites its own generation
+    // (idempotent). Searching the appended index == searching a cold
+    // same-centroid build over corpus ∪ batch (SimilaritySpec gates the
+    // bit equality); the rescore stage is oracled via dump-replay like s4
+    "s13_ivf_append_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (_, cents) = graft.sim.IvfIndex.ensure(s, d,
+        emb.filter(pmod(col("vec_id"), lit(10)) =!= 0), subset = "inc")
+      val (assigned, _) = graft.sim.IvfIndex.append(s, d, "b0",
+        emb.filter(pmod(col("vec_id"), lit(10)) === 0), subset = "inc")
+      val cands = dumpedCandidates(s, "s13", d,
+        Similarity.ivfCandidatePairsAssigned(assigned, cents, emb.filter(col("vec_id") < 8)))
+      Similarity.exactRerank(cands, emb, emb.filter(col("vec_id") < 8), k = 5)
+    }),
     // MMR-diversified retrieval: exact top-20 candidates, then greedy
     // λ·relevance − (1−λ)·redundancy selection of 5 — vector math stays
     // in native expressions (4dp-rounded before selection), the
@@ -3922,6 +3938,9 @@ object SparkEntry {
     // exact-cosine rank over the dumped pair set is not)
     "s2_ann_topk" -> annRerankSql("s2", 5),
     "s4_ivf_topk" -> annRerankSql("s4", 5),
+    // s13: same rescore replay as s4 — the append seam is index-side
+    // only (the candidate dump already reflects the appended cells)
+    "s13_ivf_append_topk" -> annRerankSql("s13", 5),
     "s7_ann_int8" -> annRerankSql("s7", 5),
     "s8_ivf_int8" -> annRerankSql("s8", 5),
     "s10_pq_topk" -> annRerankSql("s10", 5),

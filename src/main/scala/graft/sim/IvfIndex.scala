@@ -33,24 +33,28 @@ object IvfIndex {
 
   /** Bump when the index format or assignment semantics change: reuse is
     * keyed only by source dir, so an index persisted by OLDER code would
-    * otherwise silently serve stale cells.
+    * otherwise silently serve stale cells. v2: per-`subset`
+    * subdirectories (different indexed slices of one source must not
+    * share a directory — the LshIndex convention) + idempotent
+    * [[append]] generations.
     */
-  private val version = "v1"
+  private val version = "v2"
 
   /** Index root for a source dir — key scheme and its rationale in
     * [[graft.ArtifactKey]] (basename + path hash + content stamp).
     * Exposed so ScaleProbe can time a fresh build explicitly; pass the
     * session Hadoop conf for sources on filesystems that need it.
     */
-  def root(dir: String,
+  def root(dir: String, subset: String = "all",
            hadoopConf: org.apache.hadoop.conf.Configuration =
              new org.apache.hadoop.conf.Configuration()): java.io.File =
     new java.io.File(
-      s"target/ivf_index/$version/${graft.ArtifactKey.stamped(dir, hadoopConf)}")
+      s"target/ivf_index/$version/${graft.ArtifactKey.stamped(dir, hadoopConf)}/$subset")
       .getAbsoluteFile
 
   /** Delete the persisted index (forces the next ensure to rebuild). */
-  def drop(dir: String): Unit = graft.ArtifactKey.rmRecursive(root(dir))
+  def drop(dir: String, subset: String = "all"): Unit =
+    graft.ArtifactKey.rmRecursive(root(dir, subset))
 
   /** The (assigned corpus, centroids) pair for `<dir>`'s corpus:
     * columns (idCol, vecCol, __qc, __sc, __cell) with __cell as the
@@ -75,9 +79,9 @@ object IvfIndex {
     emptyMemo.computeIfAbsent(spark, _ => scala.collection.mutable.HashMap.empty)
 
   def ensure(spark: SparkSession, dir: String, corpus: => DataFrame,
-             idCol: String = "vec_id", vecCol: String = "embedding"
-            ): (DataFrame, Seq[Seq[Double]]) = synchronized {
-    val base = root(dir, spark.sessionState.newHadoopConf())
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             subset: String = "all"): (DataFrame, Seq[Seq[Double]]) = synchronized {
+    val base = root(dir, subset, spark.sessionState.newHadoopConf())
     val corpusPath = new java.io.File(base, "corpus").getPath
     val centsPath = new java.io.File(base, "centroids").getPath
     if (!new java.io.File(corpusPath, "_SUCCESS").isFile ||
@@ -88,8 +92,11 @@ object IvfIndex {
       }
       // a cold build supersedes every older stamp of the same source —
       // without this each regeneration strands a full-size index copy
+      // (the whole stamped dir goes, all subsets: they are slices of
+      // the same now-stale content)
       graft.ArtifactKey.dropSuperseded(
-        base.getParentFile, graft.ArtifactKey.pathKey(dir) + "_", base.getName)
+        base.getParentFile.getParentFile, graft.ArtifactKey.pathKey(dir) + "_",
+        base.getParentFile.getName)
       val df = corpus
       val n = df.count()
       if (n == 0) {
@@ -121,6 +128,67 @@ object IvfIndex {
     val cents = spark.read.parquet(centsPath)
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
       .map(_._2).toSeq
-    (spark.read.parquet(corpusPath), cents)
+    (readAll(spark, base), cents)
+  }
+
+  /** The assigned frame: base corpus plus every completed [[append]]
+    * generation (each its own cell-partitioned parquet root, so dynamic
+    * partition pruning applies to all of them alike).
+    */
+  private def readAll(spark: SparkSession, base: java.io.File): DataFrame = {
+    val gens = Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("append_") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .map(_.getPath).sorted
+    // one read per root, unioned: a multi-path partitioned read trips
+    // partition-structure inference; per-root scans also keep partition
+    // (cell) pruning per generation
+    (new java.io.File(base, "corpus").getPath +: gens.toSeq)
+      .map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
+
+  /** Fold a batch of NEW vectors into the persisted index — the
+    * index-MAINTENANCE rung (the LshIndex/HashLedger/EdgeIndex story
+    * for vector search: a daily embedding batch must not cost a corpus
+    * re-scan or a re-cluster): batch rows are assigned to the EXISTING
+    * centroids and written as their own cell-partitioned generation
+    * under the index root. The quantizer is immutable per index
+    * generation BY DESIGN — re-training moves every Voronoi boundary
+    * and forces a full re-assign; a periodic rebuild ([[drop]] +
+    * [[ensure]]) is a separate, deliberate operation.
+    *
+    * EXACTNESS: cell assignment is a pure per-row function of the
+    * centroids, so searching the appended index is IDENTICAL to
+    * searching a cold index built over corpus ∪ batches with the same
+    * centroids (SimilaritySpec gates the bit equality). IDEMPOTENT per
+    * `batchKey` — a replayed batch overwrites its own generation
+    * instead of double-counting (the ReportStore discipline), so
+    * at-least-once drivers are safe.
+    *
+    * Returns the refreshed (assigned frame incl. all generations,
+    * centroids). Requires an existing index (there is no quantizer to
+    * assign against otherwise) — seed one with [[ensure]].
+    */
+  def append(spark: SparkSession, dir: String, batchKey: String,
+             batch: DataFrame, idCol: String = "vec_id",
+             vecCol: String = "embedding",
+             subset: String = "all"): (DataFrame, Seq[Seq[Double]]) = synchronized {
+    require(batchKey.nonEmpty && batchKey.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'),
+      s"batchKey must be a [A-Za-z0-9_-]+ generation label; got '$batchKey'")
+    val base = root(dir, subset, spark.sessionState.newHadoopConf())
+    val corpusPath = new java.io.File(base, "corpus").getPath
+    val centsPath = new java.io.File(base, "centroids").getPath
+    require(new java.io.File(corpusPath, "_SUCCESS").isFile &&
+      new java.io.File(centsPath, "_SUCCESS").isFile,
+      s"no persisted index at $base — ensure() a base corpus before append()")
+    val cents = spark.read.parquet(centsPath)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+      .map(_._2).toSeq
+    Similarity.assignCells(batch, cents, idCol, vecCol)
+      .repartition(cents.length, col("__cell"))
+      .write.mode("overwrite").partitionBy("__cell")
+      .parquet(new java.io.File(base, s"append_$batchKey").getPath)
+    (readAll(spark, base), cents)
   }
 }

@@ -318,6 +318,47 @@ class SimilaritySpec extends SparkTestBase {
     IvfIndex.drop(fakeDir)
   }
 
+  test("IvfIndex.append: appended generations equal a cold same-centroid " +
+       "assignment; idempotent per batchKey; no base index fails loudly") {
+    import graft.sim.IvfIndex
+    val gen = new scala.util.Random(19)
+    val all = (0L until 100L).map(i => (i, Seq.fill(8)(gen.nextFloat())))
+    val corpus = all.filter(_._1 % 10 != 0).toDF("vec_id", "embedding")
+    val batch = all.filter(_._1 % 10 == 0).toDF("vec_id", "embedding")
+    val fakeDir = "/x/ivf_append_spec"
+    IvfIndex.drop(fakeDir, subset = "inc")
+    // append before ensure: no quantizer to assign against
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.append(spark, fakeDir, "b0", batch, subset = "inc")
+    }
+    assert(ex.getMessage.contains("ensure"))
+    val (_, cents) = IvfIndex.ensure(spark, fakeDir, corpus, subset = "inc")
+    val (appended, cA) = IvfIndex.append(spark, fakeDir, "b0", batch, subset = "inc")
+    assert(cA === cents, "append must never move the quantizer")
+    // bit equality with a cold assignment of corpus ∪ batch under the
+    // SAME centroids — the fold == one-shot contract for vector search
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"__cell", $"__qc", $"__sc")
+      .collect().map(_.toSeq).toSet
+    val cold = graft.sim.Similarity.assignCells(
+      all.toDF("vec_id", "embedding"), cents, "vec_id", "embedding")
+    assert(rows(appended) === rows(cold),
+      "appended index must equal the cold same-centroid assignment")
+    val nAppended = appended.count()
+    // a replayed batch key overwrites its generation, never
+    // double-counts (the overwrite invalidates the PRE-replay frame's
+    // file listing — read the refreshed handle, as a caller would)
+    val (replayed, _) = IvfIndex.append(spark, fakeDir, "b0", batch, subset = "inc")
+    assert(replayed.count() === nAppended)
+    assert(rows(replayed) === rows(cold))
+    // and the search over the appended index is the inline search over
+    // the full corpus with those centroids
+    val queries = all.take(4).toDF("vec_id", "embedding")
+    assert(topkSets(Similarity.ivfTopKAssigned(replayed, cents, queries, k = 3)) ===
+      topkSets(Similarity.ivfTopKAssigned(cold, cents, queries, k = 3)))
+    IvfIndex.drop(fakeDir, subset = "inc")
+  }
+
   test("SrpIndex: builds once, reuses files, and indexed search equals the inline path") {
     import graft.sim.SrpIndex
     val gen = new scala.util.Random(29)
