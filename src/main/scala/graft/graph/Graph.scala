@@ -430,9 +430,11 @@ object Graph {
     * both groupBy(a, label) and groupBy(a), so neither re-shuffles).
     * The argmax itself is `min(struct(-votes, label))` — votes are
     * exact longs, so the struct order IS (votes DESC, label ASC) and
-    * no window sort is needed anywhere. Partition counts are pinned to
-    * the session shuffle parallelism on both seams so AQE coalescing
-    * cannot break the co-partitioning.
+    * no window sort is needed anywhere. Partition counts are pinned on
+    * both seams so AQE coalescing cannot break the co-partitioning —
+    * at a width derived from the materialized pair-domain size (capped
+    * at the session parallelism), so tiny graphs don't pay empty-task
+    * overhead per round.
     * There is no keep-label fallback join: a vertex with a (non-self)
     * neighbor receives votes EVERY round — its neighbors always carry
     * labels — so the winner frame covers the whole active universe,
@@ -517,7 +519,16 @@ object Graph {
     val verts = e.select(col("src").as("page"))
       .union(e.select(col("dst").as("page"))).distinct()
     val nonSelf = e.filter(col("src") =!= col("dst"))
-    val shufN = edges.sparkSession.sessionState.conf.numShufflePartitions
+    // explicit partition counts keep the per-round co-partitioning AQE
+    // cannot be allowed to coalesce away — but PINNING them to the
+    // session parallelism punishes small pair domains with empty-task
+    // overhead (the thing AQE exists to fix). Derive the count from the
+    // (already materialized) edge table instead: ~250k pairs per
+    // partition, capped at the session parallelism — tiny graphs run
+    // 1-2 tasks per round, big ones the full width.
+    val shufN = math.min(
+      edges.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+      e.count() / 250000L + 1L).toInt
     val und = nonSelf
       .select(col("src").as("a"), col("dst").as("b"), col("__c"))
       .unionAll(nonSelf.select(col("dst").as("a"), col("src").as("b"), col("__c")))
