@@ -133,9 +133,9 @@ object ExplainAudit {
     // ONE conditional-aggregate scan
     "g11_pagerank_resume", "g12_lpa_resume", "w20_sessions_incremental",
     "dq7_conditional_checks",
-    // r19: incremental IVF — the candidate scan must stay DPP-pruned
-    // across BOTH parquet roots (base corpus + append generation)
-    "s13_ivf_append_topk")
+    // r19: incremental IVF/SRP — the candidate scans must stay
+    // DPP-pruned across BOTH parquet roots (base + append generation)
+    "s13_ivf_append_topk", "s14_srp_append_topk")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS

@@ -139,10 +139,10 @@ object ScaleProbe {
     // ~linear like s1 but over m-byte codes; s11 composes cell pruning
     // with the code scan (the expected-sublinear row)
     "s10_pq_topk", "s11_ivfpq_topk",
-    // r19: incremental IVF — rep 1 pays the base build + the batch
-    // assignment (cells × batch), the warm rep is s4's probe path over
-    // corpus + generation scans (expected ~s4)
-    "s13_ivf_append_topk")
+    // r19: incremental IVF/SRP — rep 1 pays the base build + the batch
+    // assignment, the warm rep is the s4/s2 probe path over corpus +
+    // generation scans (expected ~s4/~s2 plus the batch-sized append)
+    "s13_ivf_append_topk", "s14_srp_append_topk")
 
   def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(out)

@@ -1743,6 +1743,21 @@ object SparkEntry {
         Similarity.ivfCandidatePairsAssigned(assigned, cents, emb.filter(col("vec_id") < 8)))
       Similarity.exactRerank(cands, emb, emb.filter(col("vec_id") < 8), k = 5)
     }),
+    // incremental SRP (s14): the multi-table LSH index absorbs the same
+    // daily batch — bucketing with the PERSISTED geometry is a pure
+    // per-row function, so the appended index searches identically to a
+    // cold same-geometry build (SimilaritySpec); rescore dump-replayed
+    "s14_srp_append_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.sim.SrpIndex.ensure(s, d,
+        emb.filter(pmod(col("vec_id"), lit(10)) =!= 0), nTables = 12,
+        subset = "inc")
+      val idx = graft.sim.SrpIndex.append(s, d, 12, "b0",
+        emb.filter(pmod(col("vec_id"), lit(10)) === 0), subset = "inc")
+      val cands = dumpedCandidates(s, "s14", d,
+        Similarity.annCandidatePairsIndexed(idx, emb.filter(col("vec_id") < 8)))
+      Similarity.exactRerank(cands, emb, emb.filter(col("vec_id") < 8), k = 5)
+    }),
     // incremental IVF (s13): the persisted index absorbs a daily vector
     // batch by pure centroid assignment — no re-cluster, no corpus
     // re-scan; a replayed batch key overwrites its own generation
@@ -3938,9 +3953,10 @@ object SparkEntry {
     // exact-cosine rank over the dumped pair set is not)
     "s2_ann_topk" -> annRerankSql("s2", 5),
     "s4_ivf_topk" -> annRerankSql("s4", 5),
-    // s13: same rescore replay as s4 — the append seam is index-side
-    // only (the candidate dump already reflects the appended cells)
+    // s13/s14: same rescore replay as s4/s2 — the append seam is
+    // index-side only (the dumps already reflect the appended cells)
     "s13_ivf_append_topk" -> annRerankSql("s13", 5),
+    "s14_srp_append_topk" -> annRerankSql("s14", 5),
     "s7_ann_int8" -> annRerankSql("s7", 5),
     "s8_ivf_int8" -> annRerankSql("s8", 5),
     "s10_pq_topk" -> annRerankSql("s10", 5),

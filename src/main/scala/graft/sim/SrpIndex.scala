@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * re-bucket and re-quantize the whole corpus per query batch — at 100 TB
   * that corpus pass, not the candidate math, is the dominant ANN cost.
   *
-  * Layout (under target/srp_index/v1/<tag>/t<nTables>):
+  * Layout (under target/srp_index/v2/<tag>/t<nTables>_<subset>):
   *  - `buckets`:  (neighbor_id, __qc, __sc, __t, __b) partitioned by
   *    `__grp = pmod(xxhash64(__t, __b), groups)` — N·nTables narrow rows
   *    (8-byte id + 1-byte-per-dim quantized vector + one double; the raw
@@ -51,8 +51,11 @@ object SrpIndex {
   final case class Handle(buckets: DataFrame, vectors: DataFrame,
                           planes: Int, nTables: Int, groups: Int)
 
-  /** Bump when the layout or bucketing semantics change. */
-  private val version = "v1"
+  /** Bump when the layout or bucketing semantics change. v2:
+    * per-subset roots (different indexed slices of one source must not
+    * share a directory — the LshIndex convention) + [[append]]
+    * generations. */
+  private val version = "v2"
 
   /** Target rows per bucket-group partition. Groups are DIRECTORIES (one
     * file each, the repartition alignment): too many of them at small
@@ -87,14 +90,15 @@ object SrpIndex {
     */
   def root(dir: String, nTables: Int,
            hadoopConf: org.apache.hadoop.conf.Configuration =
-             new org.apache.hadoop.conf.Configuration()): java.io.File =
+             new org.apache.hadoop.conf.Configuration(),
+           subset: String = "all"): java.io.File =
     new java.io.File(
-      s"target/srp_index/$version/${graft.ArtifactKey.stamped(dir, hadoopConf)}/t$nTables")
+      s"target/srp_index/$version/${graft.ArtifactKey.stamped(dir, hadoopConf)}/t${nTables}_$subset")
       .getAbsoluteFile
 
   /** Delete the persisted index (forces the next ensure to rebuild). */
-  def drop(dir: String, nTables: Int): Unit =
-    graft.ArtifactKey.rmRecursive(root(dir, nTables))
+  def drop(dir: String, nTables: Int, subset: String = "all"): Unit =
+    graft.ArtifactKey.rmRecursive(root(dir, nTables, subset = subset))
 
   /** Build-or-reuse the index for `<dir>`'s corpus. `corpus` is only
     * evaluated (and scanned) on a cold build.
@@ -116,9 +120,9 @@ object SrpIndex {
     emptyMemo.computeIfAbsent(spark, _ => scala.collection.mutable.HashMap.empty)
 
   def ensure(spark: SparkSession, dir: String, corpus: => DataFrame, nTables: Int,
-             idCol: String = "vec_id", vecCol: String = "embedding"
-            ): Handle = synchronized {
-    val base = root(dir, nTables, spark.sessionState.newHadoopConf())
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             subset: String = "all"): Handle = synchronized {
+    val base = root(dir, nTables, spark.sessionState.newHadoopConf(), subset)
     val bucketsPath = new java.io.File(base, "buckets").getPath
     val vectorsPath = new java.io.File(base, "vectors").getPath
     val metaPath = new java.io.File(base, "meta").getPath
@@ -173,8 +177,70 @@ object SrpIndex {
       df.select(col(idCol), col(vecCol)).write.mode("overwrite").parquet(vectorsPath)
     }
     val meta = spark.read.parquet(metaPath).collect()(0)
-    Handle(spark.read.parquet(bucketsPath), spark.read.parquet(vectorsPath),
+    Handle(readAll(spark, base, "buckets"), readAll(spark, base, "vectors"),
       meta.getAs[Int]("planes"), meta.getAs[Int]("tables"), meta.getAs[Int]("groups"))
+  }
+
+  /** `leaf` ("buckets" | "vectors") of the base build plus every
+    * completed [[append]] generation, one read per root unioned (a
+    * multi-path partitioned read trips partition-structure inference;
+    * per-root scans also keep group pruning per generation).
+    */
+  private def readAll(spark: SparkSession, base: java.io.File,
+                      leaf: String): DataFrame = {
+    val gens = Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("append_") &&
+        new java.io.File(new java.io.File(f, leaf), "_SUCCESS").isFile)
+      .map(f => new java.io.File(f, leaf).getPath).sorted
+    (new java.io.File(base, leaf).getPath +: gens.toSeq)
+      .map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
+
+  /** Fold a batch of NEW vectors into the persisted index — the
+    * [[IvfIndex.append]] rung for SRP search: batch rows bucket with
+    * the PERSISTED geometry (planes/tables/groups read from meta, and
+    * the hyperplanes are a pure function of (planes, dim, fixed seed) —
+    * an appended row can never land off-layout) and write their own
+    * group-partitioned generation beside the base, the full-precision
+    * vectors likewise for the rescore side. The corpus is never
+    * re-scanned; `planes`/`groups` stay at the base corpus' auto-sizing
+    * BY DESIGN (re-sizing the geometry is a rebuild — [[drop]] +
+    * [[ensure]] — by definition), so searching the appended index is
+    * bit-identical to a cold build over corpus ∪ batches pinned to the
+    * same geometry (SimilaritySpec gates it). IDEMPOTENT per
+    * `batchKey`: a replayed batch overwrites its own generation (the
+    * ReportStore discipline). Returns the refreshed Handle.
+    */
+  def append(spark: SparkSession, dir: String, nTables: Int, batchKey: String,
+             batch: DataFrame, idCol: String = "vec_id",
+             vecCol: String = "embedding",
+             subset: String = "all"): Handle = synchronized {
+    require(batchKey.nonEmpty && batchKey.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'),
+      s"batchKey must be a [A-Za-z0-9_-]+ generation label; got '$batchKey'")
+    val base = root(dir, nTables, spark.sessionState.newHadoopConf(), subset)
+    val metaPath = new java.io.File(base, "meta").getPath
+    require(new java.io.File(new java.io.File(base, "buckets"), "_SUCCESS").isFile &&
+      new java.io.File(metaPath, "_SUCCESS").isFile,
+      s"no persisted index at $base — ensure() a base corpus before append()")
+    val meta = spark.read.parquet(metaPath).collect()(0)
+    val (planes, groups) = (meta.getAs[Int]("planes"), meta.getAs[Int]("groups"))
+    val gen = new java.io.File(base, s"append_$batchKey")
+    val (q8c, sc) = Similarity.int8Candidate(col(vecCol))
+    batch
+      .select(col(idCol).as("neighbor_id"), q8c.as("__qc"), sc.as("__sc"), col(vecCol))
+      .select(col("neighbor_id"), col("__qc"), col("__sc"),
+        org.apache.spark.sql.graft.VectorFunctions
+          .srpBucketsNative(Similarity.toDouble(col(vecCol)), planes, nTables)
+          .as(Seq("__t", "__b")))
+      .withColumn("__grp", grpOf(col("__t"), col("__b"), groups))
+      .repartition(groups, col("__grp"))
+      .write.mode("overwrite").partitionBy("__grp")
+      .parquet(new java.io.File(gen, "buckets").getPath)
+    batch.select(col(idCol), col(vecCol))
+      .write.mode("overwrite").parquet(new java.io.File(gen, "vectors").getPath)
+    Handle(readAll(spark, base, "buckets"), readAll(spark, base, "vectors"),
+      planes, nTables, meta.getAs[Int]("groups"))
   }
 
   /** Empty frame with the buckets schema (for the empty-corpus path). */

@@ -359,6 +359,42 @@ class SimilaritySpec extends SparkTestBase {
     IvfIndex.drop(fakeDir, subset = "inc")
   }
 
+  test("SrpIndex.append: appended generations search like the inline path " +
+       "over the full corpus; idempotent per batchKey; no base fails loudly") {
+    import graft.sim.SrpIndex
+    val gen = new scala.util.Random(23)
+    val all = (0L until 100L).map(i => (i, Seq.fill(8)(gen.nextFloat())))
+    val corpus = all.filter(_._1 % 10 != 0).toDF("vec_id", "embedding")
+    val batch = all.filter(_._1 % 10 == 0).toDF("vec_id", "embedding")
+    // geometry precondition: the base corpus' auto-sizing equals the
+    // full corpus' (log-scaled), so inline-vs-appended equality is exact
+    assert(Similarity.autoPlanes(90) === Similarity.autoPlanes(100))
+    val fakeDir = "/x/srp_append_spec"
+    SrpIndex.drop(fakeDir, 4, subset = "inc")
+    val ex = intercept[IllegalArgumentException] {
+      SrpIndex.append(spark, fakeDir, 4, "b0", batch, subset = "inc")
+    }
+    assert(ex.getMessage.contains("ensure"))
+    val h0 = SrpIndex.ensure(spark, fakeDir, corpus, nTables = 4, subset = "inc")
+    val h1 = SrpIndex.append(spark, fakeDir, 4, "b0", batch, subset = "inc")
+    assert((h1.planes, h1.nTables, h1.groups) === ((h0.planes, h0.nTables, h0.groups)),
+      "append must never move the geometry")
+    assert(h1.vectors.count() === 100L)
+    assert(h1.buckets.count() === 100L * 4)
+    // a replayed batch key overwrites its generation, never double-counts
+    val h2 = SrpIndex.append(spark, fakeDir, 4, "b0", batch, subset = "inc")
+    assert(h2.buckets.count() === 100L * 4 && h2.vectors.count() === 100L)
+    // the appended index IS the full corpus under this geometry: both
+    // search paths agree (the ensure-test equality, through the seam)
+    val allDf = all.toDF("vec_id", "embedding")
+    val queries = allDf.filter($"vec_id" < 4)
+    assert(topkSets(Similarity.annTopKIndexed(h2, queries, k = 3)) ===
+      topkSets(Similarity.annTopK(allDf, queries, k = 3, nTables = 4)))
+    assert(topkSets(Similarity.annTopKInt8Indexed(h2, queries, k = 3, rerank = 8)) ===
+      topkSets(Similarity.annTopKInt8(allDf, queries, k = 3, nTables = 4, rerank = 8)))
+    SrpIndex.drop(fakeDir, 4, subset = "inc")
+  }
+
   test("SrpIndex: builds once, reuses files, and indexed search equals the inline path") {
     import graft.sim.SrpIndex
     val gen = new scala.util.Random(29)
