@@ -53,9 +53,25 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val futures = selected.map { case (name, fn) =>
       scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          val frame = fn(spark, sfDir)
+          // registry-wide publish contract, enforced where every frame is
+          // already built: the driver's compare sorts EVERY column in
+          // pandas, and a top-level array/map crashes that sort — turning
+          // a correct answer into an unverifiable one (r18's dq6 red row).
+          // ContractSpec carries the same gate for the cheap builders;
+          // this is the always-on net that also covers the eager ones.
+          val unsortable = frame.schema.fields.collect {
+            case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+              f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+              s"${f.name}: ${f.dataType.simpleString}"
+          }
+          if (unsortable.nonEmpty)
+            throw new IllegalStateException(
+              s"unsortable top-level column(s) ${unsortable.mkString(", ")} — " +
+              "publish array_join(...) or a scalar key instead")
+          frame.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           failed.add(name)
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }

@@ -522,19 +522,26 @@ object Graph {
     // explicit partition counts keep the per-round co-partitioning AQE
     // cannot be allowed to coalesce away — but PINNING them to the
     // session parallelism punishes small pair domains with empty-task
-    // overhead (the thing AQE exists to fix). Derive the count from the
-    // (already materialized) edge table instead: ~250k pairs per
-    // partition, capped at the session parallelism — tiny graphs run
-    // 1-2 tasks per round, big ones the full width.
-    val shufN = math.min(
-      edges.sparkSession.sessionState.conf.numShufflePartitions.toLong,
-      e.count() / 250000L + 1L).toInt
-    val und = nonSelf
+    // overhead (the thing AQE exists to fix). Size from the TRUE pair
+    // domain — the symmetrized, deduped table und itself (directed edge
+    // count is off by the symmetrize/dedup factor, up to 2x either way):
+    // materialize the pair aggregate once, count it (a cheap scan of the
+    // checkpointed blocks), then lay it out at ~250k pairs per partition
+    // capped at the session parallelism — tiny graphs run 1-2 tasks per
+    // round, big ones the full width.
+    val undAgg = nonSelf
       .select(col("src").as("a"), col("dst").as("b"), col("__c"))
       .unionAll(nonSelf.select(col("dst").as("a"), col("src").as("b"), col("__c")))
       .groupBy("a", "b").agg(sum(col("__c")).as("__w"))
-      .repartition(shufN, col("b"))
       .localCheckpoint()
+    val shufN = math.min(
+      edges.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+      undAgg.count() / 250000L + 1L).toInt
+    // re-lay the checkpointed pairs on the hash grid every round reuses;
+    // the extra exchange reads cached blocks, not the edge table
+    // (the pre-layout checkpoint blocks are released by the context
+    // cleaner once und no longer references them)
+    val und = undAgg.repartition(shufN, col("b")).localCheckpoint()
     (verts, und, shufN)
   }
 

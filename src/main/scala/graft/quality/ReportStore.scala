@@ -33,9 +33,11 @@ object ReportStore {
     * [[graft.streaming.Streaming.qualityDriftStream]] re-delivering a
     * micro-batch under its own batch id) REPLACES its period instead of
     * accumulating duplicate (period, check) rows that would double-count
-    * the trailing mean. [[load]] additionally dedups on the full row key
-    * so a period replayed after a [[compact]] (whose fold lifted the old
-    * rows to the top level) is still absorbed.
+    * the trailing mean. [[load]] additionally collapses the
+    * replay-after-[[compact]] seam (old rows lifted to the top level by
+    * the fold) with the per-period subdirectory row winning — so a
+    * post-compact replay that CORRECTS a metric deterministically
+    * supersedes the compacted value.
     */
   def append(report: DataFrame, path: String, period: String): Unit = {
     require(period.nonEmpty && !period.contains("/") && !period.contains("\\"),
@@ -48,12 +50,24 @@ object ReportStore {
 
   /** The full metric history: (period, check_name, col_name, metric).
     * Reads the per-period subdirectories and any compacted top-level
-    * files in one recursive scan; exact duplicates (the replay-after-
-    * compact seam) collapse here.
+    * files in one recursive scan. Duplicates from the replay-after-
+    * compact seam collapse DETERMINISTICALLY: a row whose file sits in
+    * its own `path/<period>/` subdirectory is a fresh (re-)append and
+    * wins over a compacted top-level row of the same (period, check,
+    * col) key — so a period replayed after a compact with a corrected
+    * metric always surfaces the correction, never an arbitrary survivor.
+    * (Metric is the final tie-break, so even a store whose files were
+    * hand-copied collapses reproducibly. Caveat: don't NAME the store
+    * directory itself like a period id — the parent-directory test is
+    * how freshness is recognized.)
     */
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(path)
-      .dropDuplicates("period", "check_name", "col_name")
+      .withColumn("__fresh",
+        element_at(split(input_file_name(), "/"), -2) === col("period"))
+      .groupBy("period", "check_name", "col_name")
+      .agg(max_by(col("metric"), struct(col("__fresh"), col("metric")))
+        .as("metric"))
 
   /** Rewrite the store as one compact file set (the HashLedger compact
     * pass — a year of daily appends is 365 tiny files). Same two-rename

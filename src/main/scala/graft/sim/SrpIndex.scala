@@ -188,9 +188,17 @@ object SrpIndex {
     */
   private def readAll(spark: SparkSession, base: java.io.File,
                       leaf: String): DataFrame = {
+    // a generation is visible only when BOTH leaves committed: gating each
+    // leaf on its own marker alone would, after a crash between the two
+    // writes, surface bucket candidates whose ids the rescore join can't
+    // find in vectors — silently wrong top-k until the batch is replayed.
+    // append() writes vectors first and buckets last, so buckets/_SUCCESS
+    // doubles as the generation's commit marker; checking both here also
+    // survives a manually truncated generation.
     val gens = Option(base.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("append_") &&
-        new java.io.File(new java.io.File(f, leaf), "_SUCCESS").isFile)
+        new java.io.File(new java.io.File(f, "buckets"), "_SUCCESS").isFile &&
+        new java.io.File(new java.io.File(f, "vectors"), "_SUCCESS").isFile)
       .map(f => new java.io.File(f, leaf).getPath).sorted
     (new java.io.File(base, leaf).getPath +: gens.toSeq)
       .map(spark.read.parquet(_)).reduce(_.unionByName(_))
@@ -227,6 +235,13 @@ object SrpIndex {
     val (planes, groups) = (meta.getAs[Int]("planes"), meta.getAs[Int]("groups"))
     val gen = new java.io.File(base, s"append_$batchKey")
     val (q8c, sc) = Similarity.int8Candidate(col(vecCol))
+    // vectors FIRST, buckets LAST: readAll keys a generation's visibility
+    // on both leaf markers, and this ordering makes buckets/_SUCCESS the
+    // effective commit point — a crash between the writes leaves only an
+    // invisible half-generation that the replayed batch overwrites, never
+    // bucket candidates the rescore join would silently drop.
+    batch.select(col(idCol), col(vecCol))
+      .write.mode("overwrite").parquet(new java.io.File(gen, "vectors").getPath)
     batch
       .select(col(idCol).as("neighbor_id"), q8c.as("__qc"), sc.as("__sc"), col(vecCol))
       .select(col("neighbor_id"), col("__qc"), col("__sc"),
@@ -237,8 +252,6 @@ object SrpIndex {
       .repartition(groups, col("__grp"))
       .write.mode("overwrite").partitionBy("__grp")
       .parquet(new java.io.File(gen, "buckets").getPath)
-    batch.select(col(idCol), col(vecCol))
-      .write.mode("overwrite").parquet(new java.io.File(gen, "vectors").getPath)
     Handle(readAll(spark, base, "buckets"), readAll(spark, base, "vectors"),
       planes, nTables, meta.getAs[Int]("groups"))
   }

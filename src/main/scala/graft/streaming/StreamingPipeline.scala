@@ -60,12 +60,19 @@ object StreamingPipeline {
       quarantineChecks: Seq[graft.quality.Checks.Check] = Nil)
 
   /** Wire and start the streaming query (AvailableNow when `drain` — the
-    * batch-parity trigger — else continuous micro-batches). With
-    * `quarantineChecks` set this returns only the MAIN query; use
-    * [[startRouted]] to also hold the dead-letter query.
+    * batch-parity trigger — else continuous micro-batches). REJECTS a
+    * config with `quarantineChecks` set: that config starts TWO queries
+    * (main + dead-letter), and a single returned handle would strand the
+    * quarantine query — the caller could neither await nor stop it, and a
+    * drain would tear the session down before the dead-letter sink
+    * flushes. Use [[startRouted]], which hands back both handles.
     */
-  def start(spark: SparkSession, cfg: Config, drain: Boolean = false): StreamingQuery =
+  def start(spark: SparkSession, cfg: Config, drain: Boolean = false): StreamingQuery = {
+    require(cfg.quarantineChecks.isEmpty,
+      "quarantineChecks starts a second (dead-letter) query whose handle " +
+      "start() cannot return — use startRouted() and manage both queries")
     startRouted(spark, cfg, drain).head
+  }
 
   /** [[start]] plus the dead-letter route: element 0 is always the main
     * windowed query; element 1 (present only when `cfg.quarantineChecks`

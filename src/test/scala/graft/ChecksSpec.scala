@@ -356,5 +356,16 @@ class ChecksSpec extends SparkTestBase {
       .collect()
     assert(drift.length === 1)
     assert(drift(0).getDouble(4) === 0.01) // |0.95 - mean(1.0, 0.92)| rounded
+    // the exact use case the per-period overwrite exists for: a
+    // post-compact replay that CORRECTS the metric. The fresh
+    // per-period-subdirectory row must win DETERMINISTICALLY over the
+    // compacted top-level row — an arbitrary dropDuplicates survivor
+    // would make the drift history flap between runs.
+    ReportStore.append(report(0.88), path, "b000000000002")
+    val corrected = ReportStore.load(spark, path)
+      .filter(col("period") === "b000000000002").collect()
+    assert(corrected.length === 1 &&
+      corrected(0).getAs[Double]("metric") === 0.88,
+      "fresh per-period row must supersede the compacted row")
   }
 }

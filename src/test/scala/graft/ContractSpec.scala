@@ -57,17 +57,27 @@ class ContractSpec extends AnyFunSuite {
     // columns; a top-level ArrayType/MapType crashes that sort, turning a
     // correct answer into an unverifiable one. Publish array_join(...)
     // or a scalar key instead (the library API may keep the array form).
+    //
+    // A few builders run EAGER driver work at construction (w19's fold-cut
+    // .head jobs, s13/s14's ensure+append index builds) — a schema-only
+    // gate must not execute those heavyweight side effects, so they are
+    // exempted here and covered by the SAME gate inside Verify, which
+    // builds every frame anyway each round (zero marginal cost there).
+    val eagerBuilders = Set(
+      "w19_scd2_frontier", "s13_ivf_append_topk", "s14_srp_append_topk")
+    assert((eagerBuilders -- SparkEntry.queries.keySet).isEmpty,
+      "stale eager-builder exemption (query renamed/removed?)")
     val s = SparkTestBase.session
     val dir = "/root/testdata/sf0.001"
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, q) =>
-        val bad = q(s, dir).schema.fields.collect {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => eagerBuilders.contains(name) }
+      .flatMap { case (name, q) =>
+        q(s, dir).schema.fields.collect {
           case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
             f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
             s"$name.${f.name}: ${f.dataType.simpleString}"
         }
-        bad
-    }
+      }
     assert(offenders.isEmpty,
       s"unsortable top-level columns in registered outputs: $offenders")
   }

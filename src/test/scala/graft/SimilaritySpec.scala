@@ -395,6 +395,37 @@ class SimilaritySpec extends SparkTestBase {
     SrpIndex.drop(fakeDir, 4, subset = "inc")
   }
 
+  test("SrpIndex.append crash-safety: a half-committed generation is " +
+       "invisible on BOTH leaves until its replay completes it") {
+    import graft.sim.SrpIndex
+    val gen = new scala.util.Random(31)
+    val all = (0L until 100L).map(i => (i, Seq.fill(8)(gen.nextFloat())))
+    val corpus = all.filter(_._1 % 10 != 0).toDF("vec_id", "embedding")
+    val batch = all.filter(_._1 % 10 == 0).toDF("vec_id", "embedding")
+    val fakeDir = "/x/srp_crash_spec"
+    SrpIndex.drop(fakeDir, 4, subset = "crash")
+    SrpIndex.ensure(spark, fakeDir, corpus, nTables = 4, subset = "crash")
+    SrpIndex.append(spark, fakeDir, 4, "b1", batch, subset = "crash")
+    // simulate the crash window: vectors landed (they write first), the
+    // buckets commit marker did not
+    val base = SrpIndex.root(fakeDir, 4, spark.sessionState.newHadoopConf(), "crash")
+    val marker = new java.io.File(
+      new java.io.File(new java.io.File(base, "append_b1"), "buckets"), "_SUCCESS")
+    assert(marker.isFile)
+    assert(marker.delete())
+    val h = SrpIndex.ensure(spark, fakeDir, corpus, nTables = 4, subset = "crash")
+    // atomic visibility: were the half generation's VECTORS readable, the
+    // rescore side would carry ids no bucket emits (harmless but wasteful);
+    // were its BUCKETS readable, candidates would silently rescore to
+    // nothing — wrong top-k. Neither leaf may see it.
+    assert(h.buckets.count() === 90L * 4)
+    assert(h.vectors.count() === 90L)
+    // the at-least-once replay of the same batchKey restores it whole
+    val h2 = SrpIndex.append(spark, fakeDir, 4, "b1", batch, subset = "crash")
+    assert(h2.buckets.count() === 100L * 4 && h2.vectors.count() === 100L)
+    SrpIndex.drop(fakeDir, 4, subset = "crash")
+  }
+
   test("SrpIndex: builds once, reuses files, and indexed search equals the inline path") {
     import graft.sim.SrpIndex
     val gen = new scala.util.Random(29)

@@ -546,6 +546,21 @@ class StreamingSpec extends SparkTestBase {
     assert(batchDirty === dlq)
   }
 
+  test("StreamingPipeline.start rejects a quarantine config: the single " +
+       "handle cannot hold the dead-letter query") {
+    // start() returning only the main query would strand a RUNNING
+    // checkpointed quarantine query — un-awaitable, un-stoppable, and a
+    // drain could tear the session down before its sink flushes
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingPipeline.start(spark,
+        graft.streaming.StreamingPipeline.Config(
+          checkpointDir = "/x/never", outputDir = "/x/never",
+          window = "10 minutes", lateness = "5 minutes",
+          quarantineChecks = Seq(graft.quality.Checks.maxValue("temperature", 45.0))))
+    }
+    assert(ex.getMessage.contains("startRouted"))
+  }
+
   test("nearDupDedupWithinWatermark: near-identical redelivery dropped; batch twin agrees") {
     implicit val sqlCtx = spark.sqlContext
     import graft.dedup.Dedup
