@@ -82,6 +82,7 @@ object IvfIndex {
              idCol: String = "vec_id", vecCol: String = "embedding",
              subset: String = "all"): (DataFrame, Seq[Seq[Double]]) = synchronized {
     val base = root(dir, subset, spark.sessionState.newHadoopConf())
+    recover(base)
     val corpusPath = new java.io.File(base, "corpus").getPath
     val centsPath = new java.io.File(base, "centroids").getPath
     if (!new java.io.File(corpusPath, "_SUCCESS").isFile ||
@@ -110,6 +111,10 @@ object IvfIndex {
         return h
       }
       val cells = Similarity.autoCells(n)
+      // a cold build starts a fresh index lifetime: a folded-keys ledger
+      // surviving from a prior lifetime at this path would wrongly no-op
+      // appends that reuse a batch key
+      foldedKeysFile(base).delete()
       val cents = Similarity.kmeansCentroids(df, cells, 0, idCol, vecCol)
         .map(_.toSeq).toSeq
       // centroids persist beside the corpus: probe selection must use the
@@ -177,6 +182,7 @@ object IvfIndex {
       c.isLetterOrDigit || c == '-' || c == '_'),
       s"batchKey must be a [A-Za-z0-9_-]+ generation label; got '$batchKey'")
     val base = root(dir, subset, spark.sessionState.newHadoopConf())
+    recover(base)
     val corpusPath = new java.io.File(base, "corpus").getPath
     val centsPath = new java.io.File(base, "centroids").getPath
     require(new java.io.File(corpusPath, "_SUCCESS").isFile &&
@@ -185,10 +191,181 @@ object IvfIndex {
     val cents = spark.read.parquet(centsPath)
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
       .map(_._2).toSeq
+    // a batchKey whose generation was already FOLDED by [[compact]] must
+    // no-op, not re-append: its rows live in the corpus leaf now, and a
+    // re-created generation would double-count them (duplicate vector
+    // rows rank the same neighbor into two top-k slots). This closes the
+    // at-least-once window compact would otherwise reopen — the
+    // folded-keys ledger commits atomically with the fold itself.
+    if (readFoldedKeys(base).contains(batchKey)) return (readAll(spark, base), cents)
     Similarity.assignCells(batch, cents, idCol, vecCol)
       .repartition(cents.length, col("__cell"))
       .write.mode("overwrite").partitionBy("__cell")
       .parquet(new java.io.File(base, s"append_$batchKey").getPath)
+    (readAll(spark, base), cents)
+  }
+
+  /** Every append-generation directory under the index root, completed
+    * or not (an incomplete generation was never VISIBLE — [[readAll]]
+    * gates on `_SUCCESS` — so deleting it loses nothing a probe ever
+    * saw; the at-least-once driver replays the batch).
+    */
+  private def genDirs(base: java.io.File): Array[java.io.File] =
+    Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("append_"))
+
+  /** The batch keys [[compact]] has already folded into the corpus leaf
+    * — one newline-separated text file, read by [[append]] to no-op a
+    * replay of a folded batch. Must mark only COMPLETED generations
+    * (exactly the set [[readAll]] folds): marking an incomplete one
+    * would make its replay no-op while its rows are in NO leaf — data
+    * loss, not idempotency.
+    */
+  private def foldedKeysFile(base: java.io.File): java.io.File =
+    new java.io.File(base, "folded_keys")
+
+  private def readFoldedKeys(base: java.io.File): Set[String] = {
+    val f = foldedKeysFile(base)
+    if (!f.isFile) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(
+        f.toPath, java.nio.charset.StandardCharsets.UTF_8)
+        .asScala.filter(_.nonEmpty).toSet
+    }
+  }
+
+  /** Roll the staged folded-keys ledger in (idempotent — a recovery
+    * replay that finds it already consumed skips).
+    */
+  private def commitFoldedKeys(base: java.io.File): Unit = {
+    val tmpK = new java.io.File(base, "folded_keys__compact")
+    if (tmpK.isFile) {
+      val live = foldedKeysFile(base)
+      live.delete()
+      require(tmpK.renameTo(live), s"compact keys swap failed: $tmpK -> $live")
+    }
+  }
+
+  /** Finish or undo an interrupted [[compact]] — called at every entry
+    * point (ensure/append/compact) so a crash mid-swap self-heals
+    * before any read or write touches the index. `corpus__compact`'s
+    * own `_SUCCESS` is the commit marker: present → the fold holds
+    * every row of corpus + the then-present generations, so roll
+    * FORWARD (finish deleting the folded generations and swap the fold
+    * in); absent → the fold never committed, so roll BACK (discard the
+    * partial fold, restore a corpus parked at `__precompact` by the
+    * two-rename swap). Without this, ensure() after a crash between
+    * the swap renames would see no `corpus/_SUCCESS` and cold-REBUILD
+    * with fresh centroids while the surviving generations still carry
+    * the old quantizer's cell ids — a silently corrupt index.
+    */
+  private def recover(base: java.io.File): Unit = {
+    val corpusDir = new java.io.File(base, "corpus")
+    val tmp = new java.io.File(base, "corpus__compact")
+    val old = new java.io.File(base, "corpus__precompact")
+    if (new java.io.File(tmp, "_SUCCESS").isFile) {
+      commitFoldedKeys(base)
+      genDirs(base).foreach(graft.ArtifactKey.rmRecursive)
+      if (corpusDir.exists()) {
+        graft.ArtifactKey.rmRecursive(old)
+        require(corpusDir.renameTo(old),
+          s"compact recovery failed: $corpusDir -> $old")
+      }
+      require(tmp.renameTo(corpusDir),
+        s"compact recovery failed: $tmp -> $corpusDir")
+      graft.ArtifactKey.rmRecursive(old)
+    } else {
+      graft.ArtifactKey.rmRecursive(tmp)
+      new java.io.File(base, "folded_keys__compact").delete()
+      if (old.exists()) {
+        if (!corpusDir.exists())
+          require(old.renameTo(corpusDir),
+            s"compact rollback failed: $old -> $corpusDir")
+        else graft.ArtifactKey.rmRecursive(old)
+      }
+    }
+  }
+
+  /** Fold every completed [[append]] generation back into the base
+    * corpus leaf — the maintenance pass that keeps the probe's file
+    * economics flat after a year of daily appends (each generation is
+    * one small parquet file per touched cell directory; scan cost and
+    * the DPP directory pruning degrade with file COUNT, not bytes).
+    * After it the index is one file per cell in one root again, exactly
+    * as a cold build over corpus ∪ batches would have written it.
+    *
+    * Rows are preserved exactly — compaction is a permutation, so
+    * search results are bit-identical before and after (gated in
+    * SimilaritySpec), and the centroids are untouched (re-sizing the
+    * quantizer is a rebuild: [[drop]] + [[ensure]], by definition).
+    * The folded batch keys land in a ledger file committed atomically
+    * with the fold, so [[append]] can no-op an at-least-once replay of
+    * a batch whose generation no longer exists — without it, the
+    * replay would re-create rows the fold already holds and duplicate
+    * vectors would rank one neighbor into two top-k slots.
+    *
+    * Crash safety follows [[graft.sink.ZOrderTable.compact]]'s
+    * two-rename discipline extended to the generation fold: the fresh
+    * layout is fully written beside the live tree first (its `_SUCCESS`
+    * is the commit point), and only then are generations deleted and
+    * the corpus leaf swapped (live → `__precompact`, fold → live, drop
+    * the parked copy). A crash at ANY point leaves a state [[recover]]
+    * — run by every entry — finishes or undoes; the swap window itself
+    * is two metadata renames. Run offline, like every maintenance pass
+    * here (concurrent cross-JVM appends during the fold are out of
+    * contract, same as HashLedger/LshIndex). `failpoint` is a test
+    * hook: SimilaritySpec throws from it at each phase label to prove
+    * the recovery claims against the REAL crash states.
+    */
+  def compact(spark: SparkSession, dir: String, subset: String = "all",
+              failpoint: String => Unit = _ => ()): (DataFrame, Seq[Seq[Double]]) = synchronized {
+    val base = root(dir, subset, spark.sessionState.newHadoopConf())
+    recover(base)
+    val corpusDir = new java.io.File(base, "corpus")
+    val centsPath = new java.io.File(base, "centroids").getPath
+    require(new java.io.File(corpusDir, "_SUCCESS").isFile &&
+      new java.io.File(centsPath, "_SUCCESS").isFile,
+      s"compact requires a persisted index — ensure() first ($corpusDir)")
+    val cents = spark.read.parquet(centsPath)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+      .map(_._2).toSeq
+    val tmp = new java.io.File(base, "corpus__compact")
+    graft.ArtifactKey.rmRecursive(tmp)
+    // stage the folded-keys ledger FIRST (harmless alone — rollback
+    // discards it): mark exactly the COMPLETED generations the fold
+    // below reads, never incomplete ones (see foldedKeysFile)
+    val folded = readFoldedKeys(base) ++ genDirs(base)
+      .filter(f => new java.io.File(f, "_SUCCESS").isFile)
+      .map(_.getName.stripPrefix("append_"))
+    java.nio.file.Files.write(
+      new java.io.File(base, "folded_keys__compact").toPath,
+      folded.toSeq.sorted.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // source and destination are different directories, so the fold
+    // streams old files into new ones — no checkpoint, no driver state;
+    // the same one-task-per-cell repartition alignment as the build
+    // writes ONE file per cell directory. Replayed rows need no dedup
+    // here BY CONSTRUCTION: a pre-fold replay overwrites its own
+    // generation, a post-fold replay no-ops on the keys ledger — an
+    // unconditional distinct() over array columns would be the fold's
+    // dominant shuffle for zero rows removed.
+    readAll(spark, base)
+      .repartition(cents.length, col("__cell"))
+      .write.mode("overwrite").partitionBy("__cell").parquet(tmp.getPath)
+    failpoint("committed")
+    // destructive phase — mirror of recover()'s roll-forward order
+    commitFoldedKeys(base)
+    failpoint("keys-swapped")
+    genDirs(base).foreach(graft.ArtifactKey.rmRecursive)
+    failpoint("gens-deleted")
+    val old = new java.io.File(base, "corpus__precompact")
+    graft.ArtifactKey.rmRecursive(old)
+    require(corpusDir.renameTo(old), s"compact stage failed: $corpusDir -> $old")
+    failpoint("corpus-aside")
+    require(tmp.renameTo(corpusDir), s"compact swap failed: $tmp -> $corpusDir")
+    failpoint("swapped")
+    graft.ArtifactKey.rmRecursive(old)
     (readAll(spark, base), cents)
   }
 }

@@ -123,6 +123,7 @@ object SrpIndex {
              idCol: String = "vec_id", vecCol: String = "embedding",
              subset: String = "all"): Handle = synchronized {
     val base = root(dir, nTables, spark.sessionState.newHadoopConf(), subset)
+    recover(base)
     val bucketsPath = new java.io.File(base, "buckets").getPath
     val vectorsPath = new java.io.File(base, "vectors").getPath
     val metaPath = new java.io.File(base, "meta").getPath
@@ -150,6 +151,10 @@ object SrpIndex {
       }
       val planes = Similarity.autoPlanes(n)
       val groups = autoGroups(n * nTables)
+      // a cold build starts a fresh index lifetime: a folded-keys ledger
+      // surviving from a prior lifetime would wrongly no-op appends that
+      // reuse a batch key
+      foldedKeysFile(base).delete()
       import spark.implicits._
       Seq((planes, nTables, groups, n)).toDF("planes", "tables", "groups", "n")
         .coalesce(1).write.mode("overwrite").parquet(metaPath)
@@ -227,12 +232,18 @@ object SrpIndex {
       c.isLetterOrDigit || c == '-' || c == '_'),
       s"batchKey must be a [A-Za-z0-9_-]+ generation label; got '$batchKey'")
     val base = root(dir, nTables, spark.sessionState.newHadoopConf(), subset)
+    recover(base)
     val metaPath = new java.io.File(base, "meta").getPath
     require(new java.io.File(new java.io.File(base, "buckets"), "_SUCCESS").isFile &&
       new java.io.File(metaPath, "_SUCCESS").isFile,
       s"no persisted index at $base — ensure() a base corpus before append()")
     val meta = spark.read.parquet(metaPath).collect()(0)
     val (planes, groups) = (meta.getAs[Int]("planes"), meta.getAs[Int]("groups"))
+    // a batchKey whose generation was already FOLDED by [[compact]] must
+    // no-op, not re-append — see the [[IvfIndex.append]] rationale
+    if (readFoldedKeys(base).contains(batchKey))
+      return Handle(readAll(spark, base, "buckets"), readAll(spark, base, "vectors"),
+        planes, meta.getAs[Int]("tables"), groups)
     val gen = new java.io.File(base, s"append_$batchKey")
     val (q8c, sc) = Similarity.int8Candidate(col(vecCol))
     // vectors FIRST, buckets LAST: readAll keys a generation's visibility
@@ -254,6 +265,212 @@ object SrpIndex {
       .parquet(new java.io.File(gen, "buckets").getPath)
     Handle(readAll(spark, base, "buckets"), readAll(spark, base, "vectors"),
       planes, nTables, meta.getAs[Int]("groups"))
+  }
+
+  /** Every append-generation directory, completed or not (an incomplete
+    * generation was never VISIBLE — [[readAll]] gates on both leaf
+    * markers — so deleting it loses nothing a probe ever saw; the
+    * at-least-once driver replays the batch).
+    */
+  private def genDirs(base: java.io.File): Array[java.io.File] =
+    Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("append_"))
+
+  /** The batch keys [[compact]] has already folded into the base leaves
+    * — the [[IvfIndex]] ledger, same rationale: [[append]] must no-op
+    * an at-least-once replay of a folded batch (its generation is gone;
+    * re-creating it would double-count rows the fold already holds).
+    * Marks only COMPLETED generations — exactly the set [[readAll]]
+    * folds; marking an incomplete one would lose its replay.
+    */
+  private def foldedKeysFile(base: java.io.File): java.io.File =
+    new java.io.File(base, "folded_keys")
+
+  private def readFoldedKeys(base: java.io.File): Set[String] = {
+    val f = foldedKeysFile(base)
+    if (!f.isFile) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(
+        f.toPath, java.nio.charset.StandardCharsets.UTF_8)
+        .asScala.filter(_.nonEmpty).toSet
+    }
+  }
+
+  /** Roll the staged folded-keys ledger in (idempotent under recovery
+    * replay).
+    */
+  private def commitFoldedKeys(base: java.io.File): Unit = {
+    val tmpK = new java.io.File(base, "folded_keys__compact")
+    if (tmpK.isFile) {
+      val live = foldedKeysFile(base)
+      live.delete()
+      require(tmpK.renameTo(live), s"compact keys swap failed: $tmpK -> $live")
+    }
+  }
+
+  /** [[compact]]'s commit marker: the fold touches TWO leaves
+    * (buckets + vectors), so no single tmp `_SUCCESS` can mark the
+    * destructive phase the way [[IvfIndex.compact]]'s one-leaf tmp can
+    * — a crash between the two leaf swaps would otherwise leave one
+    * leaf folded and the other not, with the folded generations already
+    * deleted. The marker is created only after BOTH tmp folds are fully
+    * written and removed only after both swaps land; [[recover]] keys
+    * roll-forward vs roll-back on it alone.
+    */
+  private def markerFile(base: java.io.File): java.io.File =
+    new java.io.File(base, "__compact_commit")
+
+  /** Swap leaf `<name>__compact` into place (live → `__precompact`,
+    * fold → live, drop the parked copy) — idempotent, so a recovery
+    * replay finishes whatever renames a crash left undone: fold already
+    * consumed → restore-or-drop the parked copy only.
+    */
+  private def swapLeaf(base: java.io.File, leaf: String): Unit = {
+    val live = new java.io.File(base, leaf)
+    val tmp = new java.io.File(base, leaf + "__compact")
+    val old = new java.io.File(base, leaf + "__precompact")
+    if (new java.io.File(tmp, "_SUCCESS").isFile) {
+      if (live.exists()) {
+        graft.ArtifactKey.rmRecursive(old)
+        require(live.renameTo(old), s"compact stage failed: $live -> $old")
+      }
+      require(tmp.renameTo(live), s"compact swap failed: $tmp -> $live")
+      graft.ArtifactKey.rmRecursive(old)
+    } else if (old.exists()) {
+      if (!live.exists())
+        require(old.renameTo(live), s"compact rollback failed: $old -> $live")
+      else graft.ArtifactKey.rmRecursive(old)
+    }
+  }
+
+  /** Finish or undo an interrupted [[compact]] — run by every entry
+    * point (ensure/append/compact) so a crash mid-swap self-heals
+    * before any read or write touches the index. Marker present → both
+    * folds committed: roll FORWARD (delete the folded generations,
+    * finish both leaf swaps, drop the marker). Marker absent → the fold
+    * never committed: roll BACK (discard partial folds, restore any
+    * leaf parked at `__precompact`). Without this, ensure() after a
+    * crash between the swap renames would see a missing leaf marker and
+    * cold-REBUILD with fresh hyperplane sizing while surviving
+    * generations still carry the old geometry's buckets.
+    */
+  private def recover(base: java.io.File): Unit = {
+    if (markerFile(base).isFile) {
+      commitFoldedKeys(base)
+      genDirs(base).foreach(graft.ArtifactKey.rmRecursive)
+      swapLeaf(base, "vectors")
+      swapLeaf(base, "buckets")
+      markerFile(base).delete()
+    } else {
+      new java.io.File(base, "folded_keys__compact").delete()
+      Seq("vectors", "buckets").foreach { leaf =>
+        graft.ArtifactKey.rmRecursive(new java.io.File(base, leaf + "__compact"))
+        val old = new java.io.File(base, leaf + "__precompact")
+        val live = new java.io.File(base, leaf)
+        if (old.exists()) {
+          if (!live.exists())
+            require(old.renameTo(live), s"compact rollback failed: $old -> $live")
+          else graft.ArtifactKey.rmRecursive(old)
+        }
+      }
+    }
+  }
+
+  /** Fold every completed [[append]] generation back into the base
+    * leaves — the maintenance pass that keeps the probe's file
+    * economics flat after a year of daily appends (each generation adds
+    * a small file per touched bucket-group directory; scan cost and the
+    * DPP group pruning degrade with file COUNT, not bytes). After it
+    * the index is one file per bucket-group plus a byte-sized vectors
+    * leaf in one root again, exactly as a cold build over
+    * corpus ∪ batches would have written it.
+    *
+    * Rows are preserved exactly — compaction is a permutation, so
+    * search results are bit-identical before and after (gated in
+    * SimilaritySpec). The GEOMETRY — planes, tables, and the `groups`
+    * count — is deliberately untouched: `groups` is part of the
+    * quantizer contract (probes derive `__grp` from meta, standing rows
+    * carry it in their directory layout), and re-sizing it here would
+    * open a crash window between the buckets swap and a meta rewrite in
+    * which probes hash `__grp` with one count against a layout written
+    * with another — silently missed candidates. Re-sizing is a rebuild
+    * ([[drop]] + [[ensure]]), by definition.
+    *
+    * The folded batch keys land in a ledger committed with the fold so
+    * [[append]] can no-op an at-least-once replay of a folded batch.
+    *
+    * Crash safety: both folds are fully written beside the live tree,
+    * then [[markerFile]] commits the destructive phase (generation
+    * delete + two leaf swaps, each two metadata renames). A crash at
+    * ANY point leaves a state [[recover]] finishes or undoes. Run
+    * offline, like every maintenance pass here. `failpoint` is a test
+    * hook: SimilaritySpec throws from it at each phase label to prove
+    * the recovery claims against the REAL crash states.
+    */
+  def compact(spark: SparkSession, dir: String, nTables: Int,
+              subset: String = "all",
+              failpoint: String => Unit = _ => ()): Handle = synchronized {
+    val base = root(dir, nTables, spark.sessionState.newHadoopConf(), subset)
+    recover(base)
+    val metaPath = new java.io.File(base, "meta").getPath
+    require(new java.io.File(new java.io.File(base, "buckets"), "_SUCCESS").isFile &&
+      new java.io.File(new java.io.File(base, "vectors"), "_SUCCESS").isFile &&
+      new java.io.File(metaPath, "_SUCCESS").isFile,
+      s"compact requires a persisted index — ensure() first ($base)")
+    val meta = spark.read.parquet(metaPath).collect()(0)
+    val (planes, groups) = (meta.getAs[Int]("planes"), meta.getAs[Int]("groups"))
+    val tmpV = new java.io.File(base, "vectors__compact")
+    val tmpB = new java.io.File(base, "buckets__compact")
+    graft.ArtifactKey.rmRecursive(tmpV)
+    graft.ArtifactKey.rmRecursive(tmpB)
+    // stage the folded-keys ledger FIRST (harmless alone — rollback
+    // discards it): mark exactly the COMPLETED generations the folds
+    // below read, never incomplete ones (see foldedKeysFile). No row
+    // dedup in the folds themselves — a pre-fold replay overwrites its
+    // own generation, a post-fold replay no-ops on this ledger, so
+    // replayed rows cannot exist by construction.
+    val folded = readFoldedKeys(base) ++ genDirs(base)
+      .filter(f =>
+        new java.io.File(new java.io.File(f, "buckets"), "_SUCCESS").isFile &&
+        new java.io.File(new java.io.File(f, "vectors"), "_SUCCESS").isFile)
+      .map(_.getName.stripPrefix("append_"))
+    java.nio.file.Files.write(
+      new java.io.File(base, "folded_keys__compact").toPath,
+      folded.toSeq.sorted.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // vectors: size the fold by the on-disk bytes being folded (no
+    // Spark job — a directory listing), one ~256 MB file per chunk
+    val vecBytes = (new java.io.File(base, "vectors") +:
+      genDirs(base).map(new java.io.File(_, "vectors")).toSeq)
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty).toSeq)
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val vecFiles = math.max(1L, (vecBytes +
+      graft.sink.BucketedMirror.targetBucketBytes - 1) /
+      graft.sink.BucketedMirror.targetBucketBytes).toInt
+    readAll(spark, base, "vectors")
+      .repartition(vecFiles)
+      .write.mode("overwrite").parquet(tmpV.getPath)
+    // buckets: the same one-task-per-group repartition alignment as the
+    // build writes ONE file per group directory again
+    readAll(spark, base, "buckets")
+      .repartition(groups, col("__grp"))
+      .write.mode("overwrite").partitionBy("__grp").parquet(tmpB.getPath)
+    require(markerFile(base).createNewFile() || markerFile(base).isFile,
+      s"compact commit-marker create failed: ${markerFile(base)}")
+    failpoint("committed")
+    // destructive phase — mirror of recover()'s roll-forward order
+    commitFoldedKeys(base)
+    failpoint("keys-swapped")
+    genDirs(base).foreach(graft.ArtifactKey.rmRecursive)
+    failpoint("gens-deleted")
+    swapLeaf(base, "vectors")
+    failpoint("vectors-swapped")
+    swapLeaf(base, "buckets")
+    failpoint("buckets-swapped")
+    markerFile(base).delete()
+    Handle(readAll(spark, base, "buckets"), readAll(spark, base, "vectors"),
+      planes, nTables, groups)
   }
 
   /** Empty frame with the buckets schema (for the empty-corpus path). */

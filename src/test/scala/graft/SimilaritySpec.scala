@@ -741,4 +741,151 @@ class SimilaritySpec extends SparkTestBase {
     PqIndex.drop(fakeDir)
     PqIndex.drop(fakeDir, m = 4, ksub = 16)
   }
+
+  /** Parquet data files under a tree — the compact gates count them. */
+  private def parquetCount(d: java.io.File): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty[java.io.File]).map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(d)
+  }
+
+  private def genCount(base: java.io.File): Int =
+    Option(base.listFiles).getOrElse(Array.empty[java.io.File])
+      .count(_.getName.startsWith("append_"))
+
+  test("IvfIndex.compact: folds generations (fewer files, zero gens), search " +
+       "parity bit-exact, folded-key replay no-ops, crash at every phase self-heals") {
+    import graft.sim.IvfIndex
+    val gen = new scala.util.Random(41)
+    val all = (0L until 120L).map(i => (i, Seq.fill(8)(gen.nextFloat())))
+    val corpus = all.filter(_._1 >= 40).toDF("vec_id", "embedding")
+    val fakeDir = "/x/ivf_compact_spec"
+    IvfIndex.drop(fakeDir, subset = "cpt")
+    // compact before ensure fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.compact(spark, fakeDir, "cpt")
+    }
+    assert(ex.getMessage.contains("ensure"))
+    val (_, cents) = IvfIndex.ensure(spark, fakeDir, corpus, subset = "cpt")
+    val base = IvfIndex.root(fakeDir, "cpt", spark.sessionState.newHadoopConf())
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"__cell", $"__qc", $"__sc").collect().map(_.toSeq).toSet
+    def coldRows(upto: Long) = rows(graft.sim.Similarity.assignCells(
+      all.filter(t => t._1 >= 40 || t._1 < upto).toDF("vec_id", "embedding"),
+      cents, "vec_id", "embedding"))
+    // rollback: an UNCOMMITTED fold (no _SUCCESS) is discarded at the next entry
+    val junkTmp = new java.io.File(base, "corpus__compact")
+    assert(junkTmp.mkdirs())
+    java.nio.file.Files.write(new java.io.File(junkTmp, "part-junk.parquet").toPath,
+      Array[Byte](1))
+    val (r0, _) = IvfIndex.ensure(spark, fakeDir,
+      { fail("recovery must not rebuild"); corpus }, subset = "cpt")
+    assert(!junkTmp.exists(), "uncommitted fold must be rolled back")
+    assert(rows(r0) === coldRows(0))
+    // crash at EVERY destructive phase: each round appends a fresh batch,
+    // crashes compact at one phase, and proves any entry point self-heals
+    // to the full folded state (roll-forward: the fold committed first)
+    val phases = Seq("committed", "keys-swapped", "gens-deleted", "corpus-aside", "swapped")
+    phases.zipWithIndex.foreach { case (phase, i) =>
+      val batch = all.filter(t => t._1 >= i * 8 && t._1 < (i + 1) * 8)
+        .toDF("vec_id", "embedding")
+      IvfIndex.append(spark, fakeDir, s"p$i", batch, subset = "cpt")
+      val boom = intercept[RuntimeException] {
+        IvfIndex.compact(spark, fakeDir, "cpt",
+          p => if (p == phase) throw new RuntimeException(s"boom-$phase"))
+      }
+      assert(boom.getMessage === s"boom-$phase")
+      val (rec, cR) = IvfIndex.ensure(spark, fakeDir,
+        { fail("recovery must not rebuild"); corpus }, subset = "cpt")
+      assert(cR === cents, s"centroids moved recovering from $phase")
+      assert(rows(rec) === coldRows((i + 1) * 8L),
+        s"rows diverged recovering from crash at $phase")
+      assert(genCount(base) === 0, s"generations survived recovery from $phase")
+    }
+    // a replay of a FOLDED batch key no-ops instead of double-counting
+    val replay = all.filter(_._1 < 8).toDF("vec_id", "embedding")
+    val (afterReplay, _) = IvfIndex.append(spark, fakeDir, "p0", replay, subset = "cpt")
+    assert(rows(afterReplay) === coldRows(40))
+    // a clean compact on a live appended index: fewer parquet files, zero
+    // generations, bit-exact search parity
+    IvfIndex.append(spark, fakeDir, "fresh",
+      Seq((200L, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding"), subset = "cpt")
+    val filesBefore = parquetCount(base)
+    val before = rows(spark.read.parquet(new java.io.File(base, "corpus").getPath)
+      .unionByName(spark.read.parquet(new java.io.File(base, "append_fresh").getPath)))
+    val (compacted, _) = IvfIndex.compact(spark, fakeDir, "cpt")
+    assert(genCount(base) === 0)
+    assert(parquetCount(base) < filesBefore, "compact must strictly drop file count")
+    assert(rows(compacted) === before, "compaction must be a row permutation")
+    val queries = all.take(4).toDF("vec_id", "embedding")
+    val coldAll = graft.sim.Similarity.assignCells(
+      all.toDF("vec_id", "embedding")
+        .unionByName(Seq((200L, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding")),
+      cents, "vec_id", "embedding")
+    assert(topkSets(Similarity.ivfTopKAssigned(compacted, cents, queries, k = 3)) ===
+      topkSets(Similarity.ivfTopKAssigned(coldAll, cents, queries, k = 3)))
+    IvfIndex.drop(fakeDir, subset = "cpt")
+  }
+
+  test("SrpIndex.compact: folds generations on both leaves (fewer files, zero " +
+       "gens), search parity, folded-key replay no-ops, crash at every phase self-heals") {
+    import graft.sim.SrpIndex
+    val gen = new scala.util.Random(43)
+    val all = (0L until 120L).map(i => (i, Seq.fill(8)(gen.nextFloat())))
+    val corpus = all.filter(_._1 >= 40).toDF("vec_id", "embedding")
+    val fakeDir = "/x/srp_compact_spec"
+    SrpIndex.drop(fakeDir, 4, subset = "cpt")
+    val ex = intercept[IllegalArgumentException] {
+      SrpIndex.compact(spark, fakeDir, 4, "cpt")
+    }
+    assert(ex.getMessage.contains("ensure"))
+    val h0 = SrpIndex.ensure(spark, fakeDir, corpus, nTables = 4, subset = "cpt")
+    val base = SrpIndex.root(fakeDir, 4, spark.sessionState.newHadoopConf(), "cpt")
+    // crash at EVERY destructive phase (incl. between the two leaf swaps
+    // — the window the commit marker exists for): fresh batch per round,
+    // any entry point self-heals to the full folded state
+    val phases = Seq("committed", "keys-swapped", "gens-deleted",
+      "vectors-swapped", "buckets-swapped")
+    phases.zipWithIndex.foreach { case (phase, i) =>
+      val batch = all.filter(t => t._1 >= i * 8 && t._1 < (i + 1) * 8)
+        .toDF("vec_id", "embedding")
+      SrpIndex.append(spark, fakeDir, 4, s"p$i", batch, subset = "cpt")
+      val boom = intercept[RuntimeException] {
+        SrpIndex.compact(spark, fakeDir, 4, "cpt",
+          p => if (p == phase) throw new RuntimeException(s"boom-$phase"))
+      }
+      assert(boom.getMessage === s"boom-$phase")
+      val h = SrpIndex.ensure(spark, fakeDir,
+        { fail("recovery must not rebuild"); corpus }, nTables = 4, subset = "cpt")
+      assert((h.planes, h.groups) === ((h0.planes, h0.groups)),
+        s"geometry moved recovering from $phase")
+      val expect = 80L + (i + 1) * 8L
+      assert(h.vectors.count() === expect,
+        s"vectors diverged recovering from crash at $phase")
+      assert(h.buckets.count() === expect * 4,
+        s"buckets diverged recovering from crash at $phase")
+      assert(genCount(base) === 0, s"generations survived recovery from $phase")
+    }
+    // a replay of a FOLDED batch key no-ops instead of double-counting
+    val hReplay = SrpIndex.append(spark, fakeDir, 4, "p0",
+      all.filter(_._1 < 8).toDF("vec_id", "embedding"), subset = "cpt")
+    assert(hReplay.vectors.count() === 120L && hReplay.buckets.count() === 480L)
+    // clean compact over a live appended index: fewer files, zero gens,
+    // and the folded index searches exactly like the inline path over
+    // the same rows (geometry pinned by the base corpus' auto-sizing)
+    SrpIndex.append(spark, fakeDir, 4, "fresh",
+      Seq((200L, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding"), subset = "cpt")
+    val filesBefore = parquetCount(base)
+    val hc = SrpIndex.compact(spark, fakeDir, 4, "cpt")
+    assert(genCount(base) === 0)
+    assert(parquetCount(base) < filesBefore, "compact must strictly drop file count")
+    assert(hc.vectors.count() === 121L && hc.buckets.count() === 484L)
+    val allDf = all.toDF("vec_id", "embedding")
+      .unionByName(Seq((200L, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding"))
+    val queries = allDf.filter($"vec_id" < 4)
+    assert(topkSets(Similarity.annTopKIndexed(hc, queries, k = 3)) ===
+      topkSets(Similarity.annTopK(allDf, queries, k = 3, nTables = 4)))
+    SrpIndex.drop(fakeDir, 4, subset = "cpt")
+  }
 }
