@@ -80,7 +80,7 @@ object SparkEntry {
     * source [[oracleSqlFor]] derives its path substitutions from.
     */
   private val candidateDumpQueries =
-    Seq("d13", "e2", "d14", "d15", "d16", "e3", "s2", "s4", "s7", "s8", "s10", "s11", "t7", "d19")
+    Seq("d13", "e2", "d14", "d15", "d16", "e3", "s2", "s4", "s7", "s8", "s10", "s11", "s15", "s16", "t7", "d19")
 
   /** Verify-stage feed for a candidate-dump query: under
     * [[CandidateDumps.enabled]] (the driver's Verify run) the candidate
@@ -1772,6 +1772,42 @@ object SparkEntry {
         emb.filter(pmod(col("vec_id"), lit(10)) === 0), subset = "inc")
       val cands = dumpedCandidates(s, "s13", d,
         Similarity.ivfCandidatePairsAssigned(assigned, cents, emb.filter(col("vec_id") < 8)))
+      Similarity.exactRerank(cands, emb, emb.filter(col("vec_id") < 8), k = 5)
+    }),
+    // incremental PQ (s15): the compressed code table absorbs a daily
+    // vector batch by pure re-encode against the FROZEN codebooks — no
+    // re-train, no corpus re-scan; a replayed batch key overwrites its
+    // own generation (idempotent), a batch folded by compact() no-ops
+    // on the keys ledger. Scanning the appended table == scanning a
+    // cold same-codebook encode of corpus ∪ batch (SimilaritySpec gates
+    // the bit equality); the rescore stage is dump-replay oracled like
+    // s10
+    "s15_pq_append_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (_, cb) = graft.sim.PqIndex.ensure(s, d,
+        emb.filter(pmod(col("vec_id"), lit(10)) =!= 0), subset = "inc")
+      val (codes, _) = graft.sim.PqIndex.append(s, d, "b0",
+        emb.filter(pmod(col("vec_id"), lit(10)) === 0), subset = "inc")
+      val cands = dumpedCandidates(s, "s15", d,
+        Similarity.pqCandidatePairsEncoded(codes, cb,
+          emb.filter(col("vec_id") < 8), kCand = 64))
+      Similarity.exactRerank(cands, emb, emb.filter(col("vec_id") < 8), k = 5)
+    }),
+    // incremental IVF-PQ (s16): the composed 100 TB layout absorbs the
+    // same batch — encode with the frozen PQ codebooks, assign to the
+    // frozen IVF centroids, land as one cell-partitioned generation the
+    // probe's dynamic partition pruning treats exactly like the base
+    // (SimilaritySpec gates layout parity vs the cold composed join).
+    // Rescore dump-replay oracled like s11
+    "s16_ivfpq_append_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (_, cents, cb) = graft.sim.IvfPqIndex.ensure(s, d,
+        emb.filter(pmod(col("vec_id"), lit(10)) =!= 0), subset = "inc")
+      val (codesByCell, _, _) = graft.sim.IvfPqIndex.append(s, d, "b0",
+        emb.filter(pmod(col("vec_id"), lit(10)) === 0), subset = "inc")
+      val cands = dumpedCandidates(s, "s16", d,
+        Similarity.ivfPqCandidatePairs(codesByCell, cents, cb,
+          emb.filter(col("vec_id") < 8), kCand = 64))
       Similarity.exactRerank(cands, emb, emb.filter(col("vec_id") < 8), k = 5)
     }),
     // MMR-diversified retrieval: exact top-20 candidates, then greedy
@@ -3957,6 +3993,9 @@ object SparkEntry {
     // index-side only (the dumps already reflect the appended cells)
     "s13_ivf_append_topk" -> annRerankSql("s13", 5),
     "s14_srp_append_topk" -> annRerankSql("s14", 5),
+    // s15/s16: the compression-path append rungs — same seam argument
+    "s15_pq_append_topk" -> annRerankSql("s15", 5),
+    "s16_ivfpq_append_topk" -> annRerankSql("s16", 5),
     "s7_ann_int8" -> annRerankSql("s7", 5),
     "s8_ivf_int8" -> annRerankSql("s8", 5),
     "s10_pq_topk" -> annRerankSql("s10", 5),

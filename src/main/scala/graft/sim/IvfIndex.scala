@@ -205,87 +205,22 @@ object IvfIndex {
     (readAll(spark, base), cents)
   }
 
-  /** Every append-generation directory under the index root, completed
-    * or not (an incomplete generation was never VISIBLE — [[readAll]]
-    * gates on `_SUCCESS` — so deleting it loses nothing a probe ever
-    * saw; the at-least-once driver replays the batch).
+  /** Single-leaf maintenance mechanics shared with [[PqIndex]] /
+    * [[IvfPqIndex]] — see [[IndexMaintenance]] for the crash-safety
+    * contract (recovery of an interrupted compact, the folded-keys
+    * replay ledger, the generation fold).
     */
-  private def genDirs(base: java.io.File): Array[java.io.File] =
-    Option(base.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("append_"))
+  private def recover(base: java.io.File): Unit =
+    IndexMaintenance.recover(base, "corpus")
 
-  /** The batch keys [[compact]] has already folded into the corpus leaf
-    * — one newline-separated text file, read by [[append]] to no-op a
-    * replay of a folded batch. Must mark only COMPLETED generations
-    * (exactly the set [[readAll]] folds): marking an incomplete one
-    * would make its replay no-op while its rows are in NO leaf — data
-    * loss, not idempotency.
-    */
+  private def readFoldedKeys(base: java.io.File): Set[String] =
+    IndexMaintenance.readFoldedKeys(base)
+
   private def foldedKeysFile(base: java.io.File): java.io.File =
-    new java.io.File(base, "folded_keys")
+    IndexMaintenance.foldedKeysFile(base)
 
-  private def readFoldedKeys(base: java.io.File): Set[String] = {
-    val f = foldedKeysFile(base)
-    if (!f.isFile) Set.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.readAllLines(
-        f.toPath, java.nio.charset.StandardCharsets.UTF_8)
-        .asScala.filter(_.nonEmpty).toSet
-    }
-  }
-
-  /** Roll the staged folded-keys ledger in (idempotent — a recovery
-    * replay that finds it already consumed skips).
-    */
-  private def commitFoldedKeys(base: java.io.File): Unit = {
-    val tmpK = new java.io.File(base, "folded_keys__compact")
-    if (tmpK.isFile) {
-      val live = foldedKeysFile(base)
-      live.delete()
-      require(tmpK.renameTo(live), s"compact keys swap failed: $tmpK -> $live")
-    }
-  }
-
-  /** Finish or undo an interrupted [[compact]] — called at every entry
-    * point (ensure/append/compact) so a crash mid-swap self-heals
-    * before any read or write touches the index. `corpus__compact`'s
-    * own `_SUCCESS` is the commit marker: present → the fold holds
-    * every row of corpus + the then-present generations, so roll
-    * FORWARD (finish deleting the folded generations and swap the fold
-    * in); absent → the fold never committed, so roll BACK (discard the
-    * partial fold, restore a corpus parked at `__precompact` by the
-    * two-rename swap). Without this, ensure() after a crash between
-    * the swap renames would see no `corpus/_SUCCESS` and cold-REBUILD
-    * with fresh centroids while the surviving generations still carry
-    * the old quantizer's cell ids — a silently corrupt index.
-    */
-  private def recover(base: java.io.File): Unit = {
-    val corpusDir = new java.io.File(base, "corpus")
-    val tmp = new java.io.File(base, "corpus__compact")
-    val old = new java.io.File(base, "corpus__precompact")
-    if (new java.io.File(tmp, "_SUCCESS").isFile) {
-      commitFoldedKeys(base)
-      genDirs(base).foreach(graft.ArtifactKey.rmRecursive)
-      if (corpusDir.exists()) {
-        graft.ArtifactKey.rmRecursive(old)
-        require(corpusDir.renameTo(old),
-          s"compact recovery failed: $corpusDir -> $old")
-      }
-      require(tmp.renameTo(corpusDir),
-        s"compact recovery failed: $tmp -> $corpusDir")
-      graft.ArtifactKey.rmRecursive(old)
-    } else {
-      graft.ArtifactKey.rmRecursive(tmp)
-      new java.io.File(base, "folded_keys__compact").delete()
-      if (old.exists()) {
-        if (!corpusDir.exists())
-          require(old.renameTo(corpusDir),
-            s"compact rollback failed: $old -> $corpusDir")
-        else graft.ArtifactKey.rmRecursive(old)
-      }
-    }
-  }
+  private def genDirs(base: java.io.File): Array[java.io.File] =
+    IndexMaintenance.genDirs(base)
 
   /** Fold every completed [[append]] generation back into the base
     * corpus leaf — the maintenance pass that keeps the probe's file
@@ -334,14 +269,9 @@ object IvfIndex {
     graft.ArtifactKey.rmRecursive(tmp)
     // stage the folded-keys ledger FIRST (harmless alone — rollback
     // discards it): mark exactly the COMPLETED generations the fold
-    // below reads, never incomplete ones (see foldedKeysFile)
-    val folded = readFoldedKeys(base) ++ genDirs(base)
-      .filter(f => new java.io.File(f, "_SUCCESS").isFile)
-      .map(_.getName.stripPrefix("append_"))
-    java.nio.file.Files.write(
-      new java.io.File(base, "folded_keys__compact").toPath,
-      folded.toSeq.sorted.mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // below reads, never incomplete ones (see IndexMaintenance)
+    IndexMaintenance.stageFoldedKeys(base, genDirs(base)
+      .filter(f => new java.io.File(f, "_SUCCESS").isFile).map(_.getName))
     // source and destination are different directories, so the fold
     // streams old files into new ones — no checkpoint, no driver state;
     // the same one-task-per-cell repartition alignment as the build
@@ -353,19 +283,7 @@ object IvfIndex {
     readAll(spark, base)
       .repartition(cents.length, col("__cell"))
       .write.mode("overwrite").partitionBy("__cell").parquet(tmp.getPath)
-    failpoint("committed")
-    // destructive phase — mirror of recover()'s roll-forward order
-    commitFoldedKeys(base)
-    failpoint("keys-swapped")
-    genDirs(base).foreach(graft.ArtifactKey.rmRecursive)
-    failpoint("gens-deleted")
-    val old = new java.io.File(base, "corpus__precompact")
-    graft.ArtifactKey.rmRecursive(old)
-    require(corpusDir.renameTo(old), s"compact stage failed: $corpusDir -> $old")
-    failpoint("corpus-aside")
-    require(tmp.renameTo(corpusDir), s"compact swap failed: $tmp -> $corpusDir")
-    failpoint("swapped")
-    graft.ArtifactKey.rmRecursive(old)
+    IndexMaintenance.finishCompact(base, "corpus", failpoint)
     (readAll(spark, base), cents)
   }
 }

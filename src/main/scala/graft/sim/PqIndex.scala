@@ -37,9 +37,11 @@ object PqIndex {
     * OLDER code would otherwise silently serve stale codes. v2 = the
     * geometry-keyed directory layout (r17) — v1 stored codes directly
     * under the stamped dir, which the geometry subdirs would otherwise
-    * share a parent with.
+    * share a parent with. v3: per-`subset` keying (different indexed
+    * slices of one source must not share a directory — the
+    * LshIndex/IvfIndex convention) + idempotent [[append]] generations.
     */
-  private val version = "v2"
+  private val version = "v3"
 
   /** Geometry leg of the artifact key: codes written at one (m, ksub)
     * must never be served to an ensure() asking for another — the ADC
@@ -53,15 +55,17 @@ object PqIndex {
 
   def root(dir: String, m: Int = 0, ksub: Int = 0,
            hadoopConf: org.apache.hadoop.conf.Configuration =
-             new org.apache.hadoop.conf.Configuration()): java.io.File =
+             new org.apache.hadoop.conf.Configuration(),
+           subset: String = "all"): java.io.File =
     new java.io.File(
       s"target/pq_index/$version/${graft.ArtifactKey.stamped(dir, hadoopConf)}/" +
-        geom(m, ksub))
+        s"${subset}_${geom(m, ksub)}")
       .getAbsoluteFile
 
   /** Delete the persisted index (forces the next ensure to rebuild). */
-  def drop(dir: String, m: Int = 0, ksub: Int = 0): Unit =
-    graft.ArtifactKey.rmRecursive(root(dir, m, ksub))
+  def drop(dir: String, m: Int = 0, ksub: Int = 0,
+           subset: String = "all"): Unit =
+    graft.ArtifactKey.rmRecursive(root(dir, m, ksub, subset = subset))
 
   private val emptyMemo =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.HashMap[String, (DataFrame, Seq[Seq[Seq[Double]]])]]()
@@ -76,9 +80,11 @@ object PqIndex {
     */
   def ensure(spark: SparkSession, dir: String, corpus: => DataFrame,
              m: Int = 0, ksub: Int = 0,
-             idCol: String = "vec_id", vecCol: String = "embedding"
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             subset: String = "all"
             ): (DataFrame, Seq[Seq[Seq[Double]]]) = synchronized {
-    val base = root(dir, m, ksub, spark.sessionState.newHadoopConf())
+    val base = root(dir, m, ksub, spark.sessionState.newHadoopConf(), subset)
+    IndexMaintenance.recover(base, "codes")
     val codesPath = new java.io.File(base, "codes").getPath
     val booksPath = new java.io.File(base, "codebooks").getPath
     if (!new java.io.File(codesPath, "_SUCCESS").isFile ||
@@ -104,6 +110,10 @@ object PqIndex {
         sessionMemo(spark)(base.getPath) = h
         return h
       }
+      // a cold build starts a fresh index lifetime: a folded-keys ledger
+      // surviving from a prior lifetime would wrongly no-op appends that
+      // reuse a batch key
+      IndexMaintenance.foldedKeysFile(base).delete()
       // codebooks persist beside the codes: ADC LUTs must use the EXACT
       // quantizer the codes were written with, across JVMs
       import spark.implicits._
@@ -114,11 +124,98 @@ object PqIndex {
       Similarity.pqEncode(df, cb, idCol, vecCol)
         .write.mode("overwrite").parquet(codesPath)
     }
+    (readAll(spark, base), readBooks(spark, booksPath))
+  }
+
+  private def readBooks(spark: SparkSession, booksPath: String): Seq[Seq[Seq[Double]]] = {
     val books = spark.read.parquet(booksPath)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-    val cb = books.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rows) =>
+    books.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rows) =>
       rows.sortBy(_._2).map(_._3.toSeq).toSeq
     }
-    (spark.read.parquet(codesPath), cb)
+  }
+
+  /** The code table: base build plus every completed [[append]]
+    * generation, one read per root unioned (the IvfIndex shape).
+    */
+  private def readAll(spark: SparkSession, base: java.io.File): DataFrame = {
+    val gens = IndexMaintenance.genDirs(base)
+      .filter(f => new java.io.File(f, "_SUCCESS").isFile)
+      .map(_.getPath).sorted
+    (new java.io.File(base, "codes").getPath +: gens.toSeq)
+      .map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
+
+  /** Fold a batch of NEW vectors into the persisted code table — the
+    * [[IvfIndex.append]] rung for the compression path: batch rows
+    * encode with the PERSISTED codebooks (a pure per-row function — the
+    * quantizer-immutability argument verbatim; re-training moves every
+    * codeword and forces a full re-encode, i.e. a rebuild) and land as
+    * their own generation beside the base codes. The corpus is never
+    * re-scanned and the ADC search scans the appended table exactly as
+    * it would a cold same-codebook encode of corpus ∪ batches
+    * (SimilaritySpec gates the bit equality). IDEMPOTENT per
+    * `batchKey` — a replay overwrites its own generation, and a replay
+    * of a batch [[compact]] already folded no-ops on the keys ledger.
+    */
+  def append(spark: SparkSession, dir: String, batchKey: String,
+             batch: DataFrame, m: Int = 0, ksub: Int = 0,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             subset: String = "all"): (DataFrame, Seq[Seq[Seq[Double]]]) = synchronized {
+    require(batchKey.nonEmpty && batchKey.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'),
+      s"batchKey must be a [A-Za-z0-9_-]+ generation label; got '$batchKey'")
+    val base = root(dir, m, ksub, spark.sessionState.newHadoopConf(), subset)
+    IndexMaintenance.recover(base, "codes")
+    val codesPath = new java.io.File(base, "codes").getPath
+    val booksPath = new java.io.File(base, "codebooks").getPath
+    require(new java.io.File(codesPath, "_SUCCESS").isFile &&
+      new java.io.File(booksPath, "_SUCCESS").isFile,
+      s"no persisted index at $base — ensure() a base corpus before append()")
+    val cb = readBooks(spark, booksPath)
+    if (IndexMaintenance.readFoldedKeys(base).contains(batchKey))
+      return (readAll(spark, base), cb)
+    Similarity.pqEncode(batch, cb, idCol, vecCol)
+      .write.mode("overwrite")
+      .parquet(new java.io.File(base, s"append_$batchKey").getPath)
+    (readAll(spark, base), cb)
+  }
+
+  /** Fold every completed [[append]] generation back into the base
+    * codes leaf — the [[IvfIndex.compact]] maintenance pass for the
+    * compression path (file count, not bytes, is what appends grow).
+    * Rows preserved exactly; codebooks untouched (re-sizing the
+    * quantizer is a rebuild). Crash safety and the folded-keys ledger
+    * are [[IndexMaintenance]]'s — a crash at any phase self-heals at
+    * the next entry point. Run offline.
+    */
+  def compact(spark: SparkSession, dir: String, m: Int = 0, ksub: Int = 0,
+              subset: String = "all",
+              failpoint: String => Unit = _ => ()): (DataFrame, Seq[Seq[Seq[Double]]]) = synchronized {
+    val base = root(dir, m, ksub, spark.sessionState.newHadoopConf(), subset)
+    IndexMaintenance.recover(base, "codes")
+    val codesDir = new java.io.File(base, "codes")
+    val booksPath = new java.io.File(base, "codebooks").getPath
+    require(new java.io.File(codesDir, "_SUCCESS").isFile &&
+      new java.io.File(booksPath, "_SUCCESS").isFile,
+      s"compact requires a persisted index — ensure() first ($codesDir)")
+    val cb = readBooks(spark, booksPath)
+    val tmp = new java.io.File(base, "codes__compact")
+    graft.ArtifactKey.rmRecursive(tmp)
+    IndexMaintenance.stageFoldedKeys(base, IndexMaintenance.genDirs(base)
+      .filter(f => new java.io.File(f, "_SUCCESS").isFile).map(_.getName))
+    // size the fold by the on-disk bytes being folded (codes are m
+    // bytes/vector — usually one file suffices at test scale)
+    val bytes = (codesDir +: IndexMaintenance.genDirs(base).toSeq)
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty).toSeq)
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val nFiles = math.max(1L, (bytes +
+      graft.sink.BucketedMirror.targetBucketBytes - 1) /
+      graft.sink.BucketedMirror.targetBucketBytes).toInt
+    readAll(spark, base)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.getPath)
+    IndexMaintenance.finishCompact(base, "codes", failpoint)
+    (readAll(spark, base), cb)
   }
 }

@@ -888,4 +888,115 @@ class SimilaritySpec extends SparkTestBase {
       topkSets(Similarity.annTopK(allDf, queries, k = 3, nTables = 4)))
     SrpIndex.drop(fakeDir, 4, subset = "cpt")
   }
+
+  test("PqIndex.append: appended generations equal a cold same-codebook " +
+       "encode; idempotent; compact folds and the keys ledger blocks a " +
+       "post-fold replay; no base fails loudly") {
+    import graft.sim.PqIndex
+    val gen = new scala.util.Random(47)
+    val all = (0L until 100L).map(i => (i, Seq.fill(16)(gen.nextFloat())))
+    val corpus = all.filter(_._1 >= 20).toDF("vec_id", "embedding")
+    val batch = all.filter(_._1 < 20).toDF("vec_id", "embedding")
+    val fakeDir = "/x/pq_append_spec"
+    PqIndex.drop(fakeDir, subset = "inc")
+    val ex = intercept[IllegalArgumentException] {
+      PqIndex.append(spark, fakeDir, "b0", batch, subset = "inc")
+    }
+    assert(ex.getMessage.contains("ensure"))
+    val (_, cb) = PqIndex.ensure(spark, fakeDir, corpus, subset = "inc")
+    val (codes1, cbA) = PqIndex.append(spark, fakeDir, "b0", batch, subset = "inc")
+    assert(cbA === cb, "append must never move the quantizer")
+    // bit equality with a cold same-codebook encode of corpus ∪ batch
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getSeq[Byte](1).toSeq)).toSet
+    val cold = rows(Similarity.pqEncode(all.toDF("vec_id", "embedding"), cb))
+    assert(rows(codes1) === cold,
+      "appended code table must equal the cold same-codebook encode")
+    // replay overwrites its own generation — never double-counts
+    val (codes2, _) = PqIndex.append(spark, fakeDir, "b0", batch, subset = "inc")
+    assert(rows(codes2) === cold)
+    // and the ADC search over the appended table is the search over the
+    // cold encode (same codes + books → same candidates)
+    val queries = all.take(4).toDF("vec_id", "embedding")
+    def pairs(codes: org.apache.spark.sql.DataFrame) =
+      Similarity.pqCandidatePairsEncoded(codes, cb, queries, kCand = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(codes2) ===
+      pairs(Similarity.pqEncode(all.toDF("vec_id", "embedding"), cb)))
+    // compact: zero gens, fewer files, rows preserved, crash self-heals
+    val base = PqIndex.root(fakeDir, hadoopConf = spark.sessionState.newHadoopConf(),
+      subset = "inc")
+    val filesBefore = parquetCount(base)
+    val boom = intercept[RuntimeException] {
+      PqIndex.compact(spark, fakeDir, subset = "inc",
+        failpoint = p => if (p == "codes-aside") throw new RuntimeException("boom"))
+    }
+    assert(boom.getMessage === "boom")
+    // recovery at the next entry point (the append requires run recover first)
+    val (recovered, _) = PqIndex.ensure(spark, fakeDir,
+      { fail("recovery must not rebuild"); corpus }, subset = "inc")
+    assert(rows(recovered) === cold)
+    assert(genCount(base) === 0)
+    assert(parquetCount(base) < filesBefore, "compact must strictly drop file count")
+    // a replay of the FOLDED batch no-ops instead of double-counting
+    val (afterReplay, _) = PqIndex.append(spark, fakeDir, "b0", batch, subset = "inc")
+    assert(rows(afterReplay) === cold)
+    PqIndex.drop(fakeDir, subset = "inc")
+  }
+
+  test("IvfPqIndex.append: appended generations equal the cold composed " +
+       "layout; idempotent; compact folds; dropped sibling fails loudly") {
+    import graft.sim.{IvfIndex, IvfPqIndex, PqIndex}
+    val gen = new scala.util.Random(53)
+    val all = (0L until 100L).map(i => (i, Seq.fill(16)(gen.nextFloat())))
+    val corpus = all.filter(_._1 >= 20).toDF("vec_id", "embedding")
+    val batch = all.filter(_._1 < 20).toDF("vec_id", "embedding")
+    val fakeDir = "/x/ivfpq_append_spec"
+    IvfPqIndex.drop(fakeDir, subset = "inc")
+    IvfIndex.drop(fakeDir, subset = "inc")
+    PqIndex.drop(fakeDir, subset = "inc")
+    val ex = intercept[IllegalArgumentException] {
+      IvfPqIndex.append(spark, fakeDir, "b0", batch, subset = "inc")
+    }
+    assert(ex.getMessage.contains("ensure"))
+    val (_, cents, cb) = IvfPqIndex.ensure(spark, fakeDir, corpus, subset = "inc")
+    val (j1, cA, bA) = IvfPqIndex.append(spark, fakeDir, "b0", batch, subset = "inc")
+    assert(cA === cents && bA === cb, "append must never move either quantizer")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"__codes", $"__cell")
+      .collect().map(r => (r.getLong(0), r.getSeq[Byte](1).toSeq, r.getInt(2))).toSet
+    val allDf = all.toDF("vec_id", "embedding")
+    val coldJoined = Similarity.pqEncode(allDf, cb)
+      .join(Similarity.assignCells(allDf, cents, "vec_id", "embedding")
+        .select($"vec_id", $"__cell"), Seq("vec_id"))
+    assert(rows(j1) === rows(coldJoined),
+      "appended composed layout must equal the cold same-quantizer join")
+    // replay overwrites its own generation
+    val (j2, _, _) = IvfPqIndex.append(spark, fakeDir, "b0", batch, subset = "inc")
+    assert(rows(j2) === rows(coldJoined))
+    // composed search parity through the seam
+    val queries = all.take(4).toDF("vec_id", "embedding")
+    def pairs(codesByCell: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqCandidatePairs(codesByCell, cents, cb, queries, kCand = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(j2) === pairs(coldJoined.repartition($"__cell")))
+    // compact: zero gens, fewer files, rows preserved; folded replay no-ops
+    val base = IvfPqIndex.root(fakeDir, spark.sessionState.newHadoopConf(), "inc")
+    val filesBefore = parquetCount(base)
+    val (jc, _, _) = IvfPqIndex.compact(spark, fakeDir, subset = "inc")
+    assert(genCount(base) === 0)
+    assert(parquetCount(base) < filesBefore, "compact must strictly drop file count")
+    assert(rows(jc) === rows(coldJoined))
+    val (j3, _, _) = IvfPqIndex.append(spark, fakeDir, "b0", batch, subset = "inc")
+    assert(rows(j3) === rows(coldJoined))
+    // the composed index leans on its siblings' persisted quantizers:
+    // dropping one must fail the next append loudly, never re-derive
+    PqIndex.drop(fakeDir, subset = "inc")
+    val ex2 = intercept[IllegalArgumentException] {
+      IvfPqIndex.append(spark, fakeDir, "b9", batch, subset = "inc")
+    }
+    assert(ex2.getMessage.contains("codebooks"))
+    IvfPqIndex.drop(fakeDir, subset = "inc")
+    IvfIndex.drop(fakeDir, subset = "inc")
+  }
 }
