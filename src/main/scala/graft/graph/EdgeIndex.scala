@@ -72,33 +72,17 @@ object EdgeIndex {
     * for the edge side.
     */
   def ensure(spark: SparkSession, dir: String, variant: String,
-             edges: => DataFrame, nBuckets: Int = defaultBuckets): DataFrame = synchronized {
+             edges: => DataFrame, nBuckets: Int = defaultBuckets,
+             views: => Option[DataFrame] = None): DataFrame = synchronized {
     val stamp = graft.ContentStamp(eventsPath(dir), spark.sessionState.newHadoopConf())
     val name = tableName(dir, variant, nBuckets, stamp)
     if (!spark.catalog.tableExists(name)) {
       val base = rootDir(dir, variant, nBuckets, stamp)
-      // supersede every OLDER-STAMP index of the same (dir, variant):
-      // files and their dead catalog entries — the BucketedMirror
-      // discipline (current-stamp bucket variants stay live; a
-      // superseded stamp indexes events that no longer exist)
-      val liveStamp = s"_s$stamp"
-      Option(base.getParentFile.listFiles).toSeq.flatten
-        .filter(f => f.getName.startsWith(s"${variant}_b") &&
-                     !f.getName.endsWith(liveStamp))
-        .foreach(graft.ArtifactKey.rmRecursive)
-      spark.sql(
-        s"SHOW TABLES LIKE 'graft_edge_index_${variant}_${graft.ArtifactKey.pathKey(dir)}_*'")
-        .collect().map(_.getAs[String]("tableName"))
-        .filter(t => t != name && !t.endsWith(liveStamp))
-        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      sweepSuperseded(spark, dir, variant, stamp, base)
       if (new java.io.File(base, "_SUCCESS").isFile) {
         // files survive the session catalog; re-attach them with the
         // bucket spec they were written with — no rewrite, no source scan
-        val schema = spark.read.parquet(base.getPath).schema
-        spark.sql(
-          s"""CREATE TABLE $name (${schema.toDDL}) USING PARQUET
-             |CLUSTERED BY (src) SORTED BY (src) INTO $nBuckets BUCKETS
-             |LOCATION '${base.getPath}'""".stripMargin)
+        attach(spark, name, base, nBuckets)
       } else {
         val e = edges
         require(e.columns.toSeq == Seq("src", "dst", "n_trans"),
@@ -108,8 +92,122 @@ object EdgeIndex {
         graft.sink.Sinks.writeBucketed(
           e.repartition(nBuckets, col("src")), name, Seq("src"), nBuckets,
           path = Some(base.getPath), sortCols = Seq("src"))
+        // the optional cross-batch state sidecar (one lastViews row per
+        // user) — what [[append]]'s edge delta links transitions across
+        // the batch boundary with; beside the table location, never
+        // inside it (the scan lists every file under LOCATION)
+        views.foreach(_.write.mode("overwrite")
+          .parquet(viewsDir(dir, variant, nBuckets, stamp).getPath))
       }
     }
     spark.table(name)
+  }
+
+  /** The persisted per-user lastViews state of the LIVE snapshot of
+    * (dir, variant) — whatever stamp it carries: the standing state an
+    * incremental caller folds the next batch against (it belongs to the
+    * PREVIOUS log content, so it is deliberately not keyed to the
+    * current stamp the way the table lookup is). None until an
+    * [[ensure]]/[[append]] persisted one.
+    */
+  def viewsOf(spark: SparkSession, dir: String, variant: String,
+              nBuckets: Int = defaultBuckets): Option[DataFrame] = synchronized {
+    val parent = rootDir(dir, variant, nBuckets, "x").getParentFile
+    val live = Option(parent.listFiles).toSeq.flatten
+      .filter(f => f.getName.startsWith(s"${variant}_b${nBuckets}_s") &&
+        f.getName.endsWith("__views") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+    live.sortBy(_.getName).lastOption.map(f => spark.read.parquet(f.getPath))
+  }
+
+  /** Fold one ingest batch's edge-count increments into the persisted
+    * table — the maintenance rung the graph family was missing (the
+    * IvfIndex/LshIndex append discipline applied to the bucketed edge
+    * artifact): `delta` is [[Graph.transitionEdgesDelta]]'s output for
+    * the batch (computed against the standing [[viewsOf]] state — the
+    * raw historical log is never re-scanned), the merge is one
+    * (src, dst) sum over page-pair-domain-sized inputs, and the result
+    * lands as the bucketed table for the GROWN log's content stamp.
+    * Pass the rolled-forward [[Graph.lastViewsApply]] state as `views`
+    * so the next batch can fold too.
+    *
+    * IDEMPOTENT per content stamp (the stamp of the grown log IS the
+    * batch key): if the current stamp's table already exists the call
+    * re-attaches and returns it — an at-least-once replay of the same
+    * absorbed batch never double-counts. The PREVIOUS snapshot (exactly
+    * one must exist — this is a fold, not a build; seed with
+    * [[ensure]]) is retired after the new table commits, same sweep as
+    * a cold build. Parity: folding a time-split log batch-by-batch
+    * yields exactly the one-shot [[ensure]] table (EdgeIndexSpec gates
+    * it through pageRank).
+    */
+  def append(spark: SparkSession, dir: String, variant: String,
+             delta: DataFrame, views: => Option[DataFrame] = None,
+             nBuckets: Int = defaultBuckets): DataFrame = synchronized {
+    val stamp = graft.ContentStamp(eventsPath(dir), spark.sessionState.newHadoopConf())
+    val name = tableName(dir, variant, nBuckets, stamp)
+    val base = rootDir(dir, variant, nBuckets, stamp)
+    if (spark.catalog.tableExists(name)) return spark.table(name)
+    if (new java.io.File(base, "_SUCCESS").isFile) {
+      attach(spark, name, base, nBuckets)
+      return spark.table(name)
+    }
+    require(delta.columns.toSeq == Seq("src", "dst", "n_trans"),
+      s"EdgeIndex expects (src, dst, n_trans); got ${delta.columns.mkString(", ")}")
+    val prev = Option(base.getParentFile.listFiles).toSeq.flatten
+      .filter(f => f.getName.startsWith(s"${variant}_b${nBuckets}_s") &&
+        !f.getName.endsWith("__views") && f.getName != base.getName &&
+        new java.io.File(f, "_SUCCESS").isFile)
+    require(prev.length == 1,
+      s"append folds into exactly one standing snapshot of ($dir, $variant); " +
+        s"found ${prev.length} — seed with ensure() first")
+    val merged = spark.read.parquet(prev.head.getPath)
+      .unionByName(delta)
+      .groupBy("src", "dst").agg(org.apache.spark.sql.functions.sum(col("n_trans")).as("n_trans"))
+    graft.sink.Sinks.writeBucketed(
+      merged.repartition(nBuckets, col("src")), name, Seq("src"), nBuckets,
+      path = Some(base.getPath), sortCols = Seq("src"))
+    views.foreach(_.write.mode("overwrite")
+      .parquet(viewsDir(dir, variant, nBuckets, stamp).getPath))
+    // retire the absorbed snapshot (files + dead catalog entries) only
+    // after the new table committed — a crash in between leaves both on
+    // disk and the next entry's sweep finishes the retirement
+    sweepSuperseded(spark, dir, variant, stamp, base)
+    spark.table(name)
+  }
+
+  private def viewsDir(dir: String, variant: String, buckets: Int,
+                       stamp: String): java.io.File =
+    new java.io.File(rootDir(dir, variant, buckets, stamp).getPath + "__views")
+
+  private def attach(spark: SparkSession, name: String, base: java.io.File,
+                     nBuckets: Int): Unit = {
+    val schema = spark.read.parquet(base.getPath).schema
+    spark.sql(
+      s"""CREATE TABLE $name (${schema.toDDL}) USING PARQUET
+         |CLUSTERED BY (src) SORTED BY (src) INTO $nBuckets BUCKETS
+         |LOCATION '${base.getPath}'""".stripMargin)
+  }
+
+  /** Supersede every OLDER-STAMP index of the same (dir, variant):
+    * files (tables AND their `__views` sidecars) and dead catalog
+    * entries — the BucketedMirror discipline (current-stamp bucket
+    * variants stay live; a superseded stamp indexes events that no
+    * longer exist). Matches on CONTAINS of the live stamp so the live
+    * snapshot's `__views` sidecar survives the sweep.
+    */
+  private def sweepSuperseded(spark: SparkSession, dir: String,
+                              variant: String, stamp: String,
+                              base: java.io.File): Unit = {
+    val liveStamp = s"_s$stamp"
+    Option(base.getParentFile.listFiles).toSeq.flatten
+      .filter(f => f.getName.startsWith(s"${variant}_b") &&
+                   !f.getName.contains(liveStamp))
+      .foreach(graft.ArtifactKey.rmRecursive)
+    spark.sql(
+      s"SHOW TABLES LIKE 'graft_edge_index_${variant}_${graft.ArtifactKey.pathKey(dir)}_*'")
+      .collect().map(_.getAs[String]("tableName"))
+      .filter(t => !t.endsWith(liveStamp))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 }

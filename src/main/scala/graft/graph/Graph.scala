@@ -112,6 +112,24 @@ object Graph {
     require(standingEdges.columns.toSeq == Seq("src", "dst", "n_trans"),
       s"standingEdges must be (src, dst, n_trans); got " +
         s"${standingEdges.columns.mkString(", ")}")
+    standingEdges
+      .unionByName(transitionEdgesDelta(standingViews, batch,
+        userCol, pageCol, tsCol, tieCol))
+      .groupBy("src", "dst").agg(sum(col("n_trans")).as("n_trans"))
+  }
+
+  /** The batch's edge-count INCREMENTS alone — [[transitionEdgesIncrement]]
+    * without the standing merge (exposed for [[EdgeIndex.append]], which
+    * owns the merge so the persisted table absorbs the batch in place):
+    * the lag window over seed∪batch-live rows, where the seed is one
+    * [[lastViews]] row per standing user linking transitions across the
+    * batch boundary. Same append-only ordering contract as the merged
+    * form (a batch row at or before its user's last folded view drops
+    * before the window).
+    */
+  def transitionEdgesDelta(standingViews: DataFrame, batch: DataFrame,
+                           userCol: String, pageCol: String,
+                           tsCol: String, tieCol: String): DataFrame = {
     val views = standingViews
       .select(col(userCol), col(pageCol), col(tsCol), col(tieCol))
     val live = batch
@@ -121,10 +139,7 @@ object Graph {
       .filter(col("__lts").isNull || col(tsCol) > col("__lts") ||
         (col(tsCol) === col("__lts") && col(tieCol) > col("__ltie")))
       .select(col(userCol), col(pageCol), col(tsCol), col(tieCol))
-    val delta = transitionEdges(views.unionByName(live),
-      userCol, pageCol, tsCol, tieCol)
-    standingEdges.unionByName(delta)
-      .groupBy("src", "dst").agg(sum(col("n_trans")).as("n_trans"))
+    transitionEdges(views.unionByName(live), userCol, pageCol, tsCol, tieCol)
   }
 
   /** Shared relational core of the PageRank family: checkpointed edge

@@ -65,4 +65,75 @@ class EdgeIndexSpec extends SparkTestBase {
       "pageRank through the index must be bit-identical to inline")
     EdgeIndex.drop(spark, dir, "spec2")
   }
+
+  test("append: a batch folds into the persisted table == one-shot ensure over " +
+       "the full log (parity through pageRank); idempotent per content stamp; " +
+       "views sidecar feeds the next fold and survives re-attach") {
+    import graft.graph.{EdgeIndex, Graph}
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val rows = (0 until 300).map { i =>
+      (rnd.nextInt(6).toLong, i.toLong, rnd.nextInt(8).toLong)
+    }
+    def ev(rs: Seq[(Long, Long, Long)]) = rs.toDF("user_id", "ts_ord", "page")
+      .withColumn("ts", timestamp_seconds(col("ts_ord") * 60))
+      .withColumn("event_id", col("ts_ord"))
+    def deriv(df: DataFrame) =
+      Graph.transitionEdges(df, "user_id", "page", "ts", "event_id")
+    val tmpRoot = new java.io.File("/tmp/edge_append_spec")
+    graft.ArtifactKey.rmRecursive(tmpRoot)
+    assert(tmpRoot.mkdirs())
+    val evPath = new java.io.File(tmpRoot, "events.parquet").getPath
+    val tmpDir = tmpRoot.getPath
+    // append before any snapshot: nothing to fold into — loud failure
+    ev(rows.take(200)).write.mode("overwrite").parquet(evPath)
+    EdgeIndex.drop(spark, tmpDir, "apx")
+    val exEarly = intercept[IllegalArgumentException] {
+      EdgeIndex.append(spark, tmpDir, "apx",
+        deriv(ev(rows.take(10))), views = None)
+    }
+    assert(exEarly.getMessage.contains("ensure"))
+    // seed snapshot + its lastViews sidecar
+    val seedEv = spark.read.parquet(evPath)
+    EdgeIndex.ensure(spark, tmpDir, "apx", deriv(seedEv),
+      views = Some(Graph.lastViews(seedEv, "user_id", "page", "ts", "event_id")))
+    assert(EdgeIndex.viewsOf(spark, tmpDir, "apx").nonEmpty,
+      "ensure must persist the provided views sidecar")
+    // the log grows by one batch — the content stamp (= the batch key) moves
+    ev(rows).write.mode("overwrite").parquet(evPath)
+    val batch = ev(rows.drop(200))
+    val standingViews = EdgeIndex.viewsOf(spark, tmpDir, "apx").get
+    val delta = Graph.transitionEdgesDelta(standingViews, batch,
+      "user_id", "page", "ts", "event_id")
+    val folded = EdgeIndex.append(spark, tmpDir, "apx", delta,
+      views = Some(Graph.lastViewsApply(standingViews, batch,
+        "user_id", "page", "ts", "event_id")))
+    val oneShot = deriv(ev(rows))
+    assert(edgeRows(folded) === edgeRows(oneShot),
+      "folded table must equal the one-shot derivation over the full log")
+    def ranks(e: DataFrame) = Graph.pageRank(e, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(ranks(folded) === ranks(oneShot),
+      "pageRank through the folded table must be bit-identical to one-shot")
+    // idempotent replay at the same content stamp: never double-counts
+    assert(edgeRows(EdgeIndex.append(spark, tmpDir, "apx", delta)) ===
+      edgeRows(oneShot))
+    // the views state rolled forward to the full log's lastViews
+    val viewRows = EdgeIndex.viewsOf(spark, tmpDir, "apx").get
+      .collect().map(_.toSeq).toSet
+    assert(viewRows === Graph.lastViews(ev(rows), "user_id", "page", "ts", "event_id")
+      .collect().map(_.toSeq).toSet)
+    // catalog loss: re-attach keeps the folded table AND the sidecar
+    val names = spark.sql("SHOW TABLES LIKE 'graft_edge_index_apx_*'")
+      .collect().map(_.getAs[String]("tableName"))
+    assert(names.length === 1)
+    spark.sql(s"DROP TABLE ${names.head}")
+    val reattached = EdgeIndex.ensure(spark, tmpDir, "apx",
+      { fail("re-attach must not evaluate the edge derivation"); deriv(seedEv) })
+    assert(edgeRows(reattached) === edgeRows(oneShot))
+    assert(EdgeIndex.viewsOf(spark, tmpDir, "apx").nonEmpty,
+      "the live snapshot's views sidecar must survive the re-attach sweep")
+    EdgeIndex.drop(spark, tmpDir, "apx")
+    graft.ArtifactKey.rmRecursive(tmpRoot)
+  }
 }
