@@ -251,6 +251,44 @@ class EntityResolutionSpec extends SparkTestBase {
     NameIndex.drop(dir, "part", "spec")
   }
 
+  test("NameIndex.append: new names fold with EXACT cap parity vs a rebuild " +
+       "(incl. a token crossing the cap only across the epoch seam); " +
+       "replayed names no-op; no base fails loudly") {
+    import graft.er.NameIndex
+    val dir = "/root/testdata/sf0.001"
+    val standing = Seq("alpha zz one", "beta zz two", "gamma qq")
+      .toDF("p_name")
+    // "beta zz two" is a re-sent standing name (must anti-join away);
+    // zz then counts 2 standing + 2 genuinely new = 4 > cap 3 — a
+    // crossing only the MERGED universe sees
+    val batch = Seq("delta zz three", "epsi zz four", "zeta qq link",
+      "beta zz two").toDF("p_name")
+    NameIndex.drop(dir, "part", "apnd", 3)
+    NameIndex.drop(dir, "part", "apnd2", 3)
+    val ex = intercept[IllegalArgumentException] {
+      NameIndex.append(spark, dir, "part", "apnd", batch, "p_name", 3)
+    }
+    assert(ex.getMessage.contains("ensure"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val idx0 = NameIndex.ensure(spark, dir, "part", "apnd", standing, "p_name", 3)
+    assert(pairs(idx0).exists(_._2 == "zz"),
+      "pre-merge, zz (2 names) must be under the cap")
+    val appended = NameIndex.append(spark, dir, "part", "apnd", batch, "p_name", 3)
+    val rebuilt = NameIndex.ensure(spark, dir, "part", "apnd2",
+      standing.unionByName(batch), "p_name", 3)
+    assert(pairs(appended) === pairs(rebuilt),
+      "append must equal the cold rebuild over standing ∪ batch exactly")
+    assert(!pairs(appended).exists(_._2 == "zz"),
+      "a token crossing the cap at the seam must drop from the appended index")
+    assert(pairs(appended).exists(_._2 == "qq"))
+    // replay: names are the identity, so a re-sent batch adds nothing
+    assert(pairs(NameIndex.append(spark, dir, "part", "apnd", batch,
+      "p_name", 3)) === pairs(rebuilt))
+    NameIndex.drop(dir, "part", "apnd", 3)
+    NameIndex.drop(dir, "part", "apnd2", 3)
+  }
+
   test("null names survive with a null entity (never fabricate a label)") {
     val df = Seq((1L, "red bolt"), (2L, null)).toDF("id", "name")
     val out = EntityResolution.entityGroups(df, "id", "name", maxDist = 2).collect()
