@@ -142,7 +142,10 @@ object ScaleProbe {
     // r19: incremental IVF/SRP — rep 1 pays the base build + the batch
     // assignment, the warm rep is the s4/s2 probe path over corpus +
     // generation scans (expected ~s4/~s2 plus the batch-sized append)
-    "s13_ivf_append_topk", "s14_srp_append_topk")
+    "s13_ivf_append_topk", "s14_srp_append_topk",
+    // r20: the compression-path append rungs — same shape as s13/s14
+    // one level down the scan-cost ladder (codes are m bytes/vector)
+    "s15_pq_append_topk", "s16_ivfpq_append_topk")
 
   def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(out)
