@@ -135,7 +135,13 @@ object ExplainAudit {
     "dq7_conditional_checks",
     // r19: incremental IVF/SRP — the candidate scans must stay
     // DPP-pruned across BOTH parquet roots (base + append generation)
-    "s13_ivf_append_topk", "s14_srp_append_topk")
+    "s13_ivf_append_topk", "s14_srp_append_topk",
+    // r20: the compression-path append rungs — the candidate scan must
+    // stay code-sized over base AND generation roots (s15), with cell
+    // DPP on both for the composed form (s16); and the fold queries'
+    // standing state must arrive as a StateStore parquet read, never a
+    // historical-slice rebuild (w18/w20/g9 ledger plans re-cut)
+    "s15_pq_append_topk", "s16_ivfpq_append_topk")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS
