@@ -141,7 +141,10 @@ object ExplainAudit {
     // DPP on both for the composed form (s16); and the fold queries'
     // standing state must arrive as a StateStore parquet read, never a
     // historical-slice rebuild (w18/w20/g9 ledger plans re-cut)
-    "s15_pq_append_topk", "s16_ivfpq_append_topk")
+    "s15_pq_append_topk", "s16_ivfpq_append_topk",
+    // r20: the epoch-walk fold — the two standing inputs must be
+    // parquet scans of epoch snapshots, never recomputed prefixes
+    "w21_sessions_epochs")
 
   /** Strip per-run ids AND configuration-dependent partition counts so
     * the ledger diffs on structure only (a different SPARK_GRAFT_CPUS

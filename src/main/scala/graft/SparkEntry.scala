@@ -354,6 +354,37 @@ object SparkEntry {
         gapMinutes = 1440)
       Analytics.sessionPublish(st1, "user_id")
     }),
+    // the StateStore EPOCH WALK exercised end-to-end in the registered
+    // surface: three (ts)-ordered slices of the log fold through
+    // advance()'d epoch snapshots — each fold consumes the READ-BACK
+    // artifact of the previous one (never an in-memory frame), so the
+    // parquet round-trip sits inside the chain twice, and the publish
+    // equals the one-shot sessionization over the full log (the w8/w20
+    // oracle — the hash match IS the fold == one-shot contract through
+    // two persisted seams). Fixed epoch keys: a re-run overwrites its
+    // own epochs, the at-least-once contract
+    "w21_sessions_epochs" -> ((s, d) => {
+      import graft.analyze.Lifecycle
+      val ev = Tables.events(s, d)
+      val c1 = lit("2024-01-11 00:00:00").cast("timestamp")
+      val c2 = lit("2024-01-21 00:00:00").cast("timestamp")
+      def slice1 = ev.filter(col("ts") < c1)
+      val st0 = graft.StateStore.ensure(s, d, "events", "w21_state",
+        Analytics.sessionState(slice1, "user_id", "ts", "value", gapMinutes = 1440))
+      val f0 = graft.StateStore.ensure(s, d, "events", "w21_frontier",
+        Lifecycle.scd2Frontier(slice1, "user_id", "ts", "event_id"))
+      val (st1m, f1m) = Analytics.sessionsApplyBatch(st0, f0,
+        ev.filter(col("ts") >= c1 && col("ts") < c2),
+        "user_id", "ts", "value", "event_id", gapMinutes = 1440)
+      val st1 = graft.StateStore.advance(s, d, "events", "w21_state", "0001", st1m)
+      val f1 = graft.StateStore.advance(s, d, "events", "w21_frontier", "0001", f1m)
+      val (st2m, _) = Analytics.sessionsApplyBatch(st1, f1,
+        ev.filter(col("ts") >= c2),
+        "user_id", "ts", "value", "event_id", gapMinutes = 1440)
+      Analytics.sessionPublish(
+        graft.StateStore.advance(s, d, "events", "w21_state", "0002", st2m),
+        "user_id")
+    }),
 
     // RANGE-frame rolling window: per user, trailing 10 minutes of EVENT
     // TIME (not rows) — the frame type w5's ROWS rolling can't express.
@@ -2750,6 +2781,8 @@ object SparkEntry {
     // frontier state; the oracle is w8's ONE-SHOT sessionization — the
     // hash match IS the fold == one-shot contract
     "w20_sessions_incremental" -> sessionSql,
+    // w21: the same one-shot contract through two persisted epoch seams
+    "w21_sessions_epochs" -> sessionSql,
 
     // The oracle replays w10 as the NAIVE unkeyed BETWEEN join — fine at
     // oracle scale, and exactly the semantics the decomposed Spark plan

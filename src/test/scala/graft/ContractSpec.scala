@@ -65,7 +65,7 @@ class ContractSpec extends AnyFunSuite {
     // builds every frame anyway each round (zero marginal cost there).
     val eagerBuilders = Set(
       "w19_scd2_frontier", "s13_ivf_append_topk", "s14_srp_append_topk",
-      "s15_pq_append_topk", "s16_ivfpq_append_topk")
+      "s15_pq_append_topk", "s16_ivfpq_append_topk", "w21_sessions_epochs")
     assert((eagerBuilders -- SparkEntry.queries.keySet).isEmpty,
       "stale eager-builder exemption (query renamed/removed?)")
     val s = SparkTestBase.session
