@@ -96,10 +96,17 @@ object HashLedger {
     * evaluated on a cold build; `idCol`/`textCol` are provenance labels
     * recorded in meta.
     */
+  /** The two leaves [[compact]] swaps under one commit marker: `meta`
+    * first — it carries the group count the `hashes` layout is hashed
+    * by (the [[LshIndex.compactLeaves]] rationale).
+    */
+  private val compactLeaves = Seq("meta", "hashes")
+
   def ensureHashes(spark: SparkSession, dir: String, hashes: => DataFrame,
                    idCol: String, textCol: String,
                    subset: String): Handle = synchronized {
     val base = root(dir, subset, spark.sessionState.newHadoopConf())
+    graft.sim.IndexMaintenance.recoverMarked(base, compactLeaves)
     val hashesPath = new java.io.File(base, "hashes").getPath
     val metaPath = new java.io.File(base, "meta").getPath
     if (!new java.io.File(hashesPath, "_SUCCESS").isFile ||
@@ -160,6 +167,7 @@ object HashLedger {
   def append(spark: SparkSession, dir: String, newHashes: DataFrame,
              subset: String = "all"): Handle = synchronized {
     val base = root(dir, subset, spark.sessionState.newHadoopConf())
+    graft.sim.IndexMaintenance.recoverMarked(base, compactLeaves)
     val hashesPath = new java.io.File(base, "hashes").getPath
     val metaPath = new java.io.File(base, "meta").getPath
     require(new java.io.File(hashesPath, "_SUCCESS").isFile,
@@ -181,15 +189,24 @@ object HashLedger {
     * adds a file per touched group). Re-derives the layout from scratch:
     * distinct addresses (folding any re-sent ones), `groups` re-sized by
     * [[autoGroups]] of the CURRENT address count, meta rewritten to
-    * match. The fresh layout is written beside the old and swapped in by
-    * directory rename — run it as an offline maintenance step (the swap
-    * window is not atomic for concurrent readers; probes already holding
-    * the old Handle keep reading the old files until they re-ensure).
-    * Membership answers are identical before and after (parity-gated in
-    * DedupSpec).
+    * match. Membership answers are identical before and after
+    * (parity-gated in DedupSpec).
+    *
+    * Crash safety (r20 hardening — the [[LshIndex.compact]] note
+    * verbatim): both leaves write fully beside the live tree, an
+    * explicit marker commits the two swaps, and
+    * [[graft.sim.IndexMaintenance.recoverMarked]] at every entry point
+    * rolls an interrupted compact forward or back. The old
+    * delete-then-rename + rewrite-meta-after flow could lose every
+    * appended batch's addresses to a silent source rebuild, or leave
+    * probes hashing `__grp` with a stale group count. Run offline
+    * (probes holding the old Handle keep reading the old files until
+    * they re-ensure).
     */
-  def compact(spark: SparkSession, dir: String, subset: String = "all"): Handle = synchronized {
+  def compact(spark: SparkSession, dir: String, subset: String = "all",
+              failpoint: String => Unit = _ => ()): Handle = synchronized {
     val base = root(dir, subset, spark.sessionState.newHadoopConf())
+    graft.sim.IndexMaintenance.recoverMarked(base, compactLeaves)
     val hashesDir = new java.io.File(base, "hashes")
     val metaPath = new java.io.File(base, "meta").getPath
     require(new java.io.File(hashesDir, "_SUCCESS").isFile,
@@ -199,20 +216,30 @@ object HashLedger {
       .select(col("content_md5")).distinct()
     val n = distinctAddrs.count()
     val groups = autoGroups(n)
-    val tmp = new java.io.File(base, "hashes__compact")
-    graft.ArtifactKey.rmRecursive(tmp)
+    val tmpH = new java.io.File(base, "hashes__compact")
+    graft.ArtifactKey.rmRecursive(tmpH)
     // source and destination are different directories, so the rewrite
     // streams old files into new ones — no checkpoint, no driver state
     distinctAddrs
       .withColumn("__grp", grpOf(col("content_md5"), groups))
       .repartition(groups, col("__grp"))
-      .write.mode("overwrite").partitionBy("__grp").parquet(tmp.getPath)
-    graft.ArtifactKey.rmRecursive(hashesDir)
-    require(tmp.renameTo(hashesDir), s"compact swap failed: $tmp -> $hashesDir")
+      .write.mode("overwrite").partitionBy("__grp").parquet(tmpH.getPath)
     import spark.implicits._
+    val tmpM = new java.io.File(base, "meta__compact")
+    graft.ArtifactKey.rmRecursive(tmpM)
     Seq((groups, n, meta.getAs[String]("id_col"), meta.getAs[String]("text_col")))
       .toDF("groups", "n", "id_col", "text_col")
-      .coalesce(1).write.mode("overwrite").parquet(metaPath)
+      .coalesce(1).write.mode("overwrite").parquet(tmpM.getPath)
+    val marker = graft.sim.IndexMaintenance.markerFile(base)
+    require(marker.createNewFile() || marker.isFile,
+      s"compact commit-marker create failed: $marker")
+    failpoint("committed")
+    // destructive phase — mirror of recoverMarked's roll-forward order
+    graft.sim.IndexMaintenance.swapLeaf(base, "meta")
+    failpoint("meta-swapped")
+    graft.sim.IndexMaintenance.swapLeaf(base, "hashes")
+    failpoint("hashes-swapped")
+    marker.delete()
     Handle(spark.read.parquet(hashesDir.getPath), groups,
       meta.getAs[String]("id_col"), meta.getAs[String]("text_col"))
   }

@@ -17,7 +17,7 @@ package graft.sim
   * [[recover]] (run at every index entry point) rolls FORWARD; a fold
   * without `_SUCCESS` rolls BACK untouched.
   */
-private[sim] object IndexMaintenance {
+private[graft] object IndexMaintenance {
 
   /** Every append-generation directory under the index root, completed
     * or not (an incomplete generation was never VISIBLE — readAll gates
@@ -104,6 +104,68 @@ private[sim] object IndexMaintenance {
         if (!live.exists())
           require(old.renameTo(live), s"compact rollback failed: $old -> $live")
         else graft.ArtifactKey.rmRecursive(old)
+      }
+    }
+  }
+
+  /** Commit marker for MULTI-LEAF compacts (a fold spanning several
+    * leaves — SrpIndex's buckets+vectors, LshIndex/HashLedger's
+    * data+meta): no single tmp `_SUCCESS` can mark the destructive
+    * phase, so an explicit marker file is created only after EVERY tmp
+    * fold is fully written and removed only after every swap lands.
+    */
+  def markerFile(base: java.io.File): java.io.File =
+    new java.io.File(base, "__compact_commit")
+
+  /** Swap leaf `<name>__compact` into place (live → `__precompact`,
+    * fold → live, drop the parked copy) — idempotent, so a recovery
+    * replay finishes whatever renames a crash left undone: fold
+    * already consumed → restore-or-drop the parked copy only.
+    */
+  def swapLeaf(base: java.io.File, leaf: String): Unit = {
+    val live = new java.io.File(base, leaf)
+    val tmp = new java.io.File(base, leaf + "__compact")
+    val old = new java.io.File(base, leaf + "__precompact")
+    if (new java.io.File(tmp, "_SUCCESS").isFile) {
+      if (live.exists()) {
+        graft.ArtifactKey.rmRecursive(old)
+        require(live.renameTo(old), s"compact stage failed: $live -> $old")
+      }
+      require(tmp.renameTo(live), s"compact swap failed: $tmp -> $live")
+      graft.ArtifactKey.rmRecursive(old)
+    } else if (old.exists()) {
+      if (!live.exists())
+        require(old.renameTo(live), s"compact rollback failed: $old -> $live")
+      else graft.ArtifactKey.rmRecursive(old)
+    }
+  }
+
+  /** Finish or undo an interrupted MULTI-LEAF compact — the
+    * marker-keyed twin of [[recover]], called at every entry point of
+    * the indexes whose compact swaps several leaves. Marker present →
+    * every fold committed: roll FORWARD (finish each leaf's swap, drop
+    * the marker). Marker absent → roll BACK (discard partial folds,
+    * restore leaves parked at `__precompact`). Without this, a crash
+    * between the swaps would leave meta describing one layout while the
+    * data leaf carries another — probes would hash group keys against
+    * the wrong count and silently miss candidates — or leave NO live
+    * data leaf, making the next ensure() cold-rebuild from the source
+    * slice and silently LOSE every appended batch's rows.
+    */
+  def recoverMarked(base: java.io.File, leaves: Seq[String]): Unit = {
+    if (markerFile(base).isFile) {
+      leaves.foreach(swapLeaf(base, _))
+      markerFile(base).delete()
+    } else {
+      leaves.foreach { leaf =>
+        graft.ArtifactKey.rmRecursive(new java.io.File(base, leaf + "__compact"))
+        val old = new java.io.File(base, leaf + "__precompact")
+        val live = new java.io.File(base, leaf)
+        if (old.exists()) {
+          if (!live.exists())
+            require(old.renameTo(live), s"compact rollback failed: $old -> $live")
+          else graft.ArtifactKey.rmRecursive(old)
+        }
       }
     }
   }

@@ -316,33 +316,14 @@ object SrpIndex {
     * leaf folded and the other not, with the folded generations already
     * deleted. The marker is created only after BOTH tmp folds are fully
     * written and removed only after both swaps land; [[recover]] keys
-    * roll-forward vs roll-back on it alone.
+    * roll-forward vs roll-back on it alone. Marker + swap mechanics are
+    * [[IndexMaintenance]]'s (shared with LshIndex/HashLedger).
     */
   private def markerFile(base: java.io.File): java.io.File =
-    new java.io.File(base, "__compact_commit")
+    IndexMaintenance.markerFile(base)
 
-  /** Swap leaf `<name>__compact` into place (live → `__precompact`,
-    * fold → live, drop the parked copy) — idempotent, so a recovery
-    * replay finishes whatever renames a crash left undone: fold already
-    * consumed → restore-or-drop the parked copy only.
-    */
-  private def swapLeaf(base: java.io.File, leaf: String): Unit = {
-    val live = new java.io.File(base, leaf)
-    val tmp = new java.io.File(base, leaf + "__compact")
-    val old = new java.io.File(base, leaf + "__precompact")
-    if (new java.io.File(tmp, "_SUCCESS").isFile) {
-      if (live.exists()) {
-        graft.ArtifactKey.rmRecursive(old)
-        require(live.renameTo(old), s"compact stage failed: $live -> $old")
-      }
-      require(tmp.renameTo(live), s"compact swap failed: $tmp -> $live")
-      graft.ArtifactKey.rmRecursive(old)
-    } else if (old.exists()) {
-      if (!live.exists())
-        require(old.renameTo(live), s"compact rollback failed: $old -> $live")
-      else graft.ArtifactKey.rmRecursive(old)
-    }
-  }
+  private def swapLeaf(base: java.io.File, leaf: String): Unit =
+    IndexMaintenance.swapLeaf(base, leaf)
 
   /** Finish or undo an interrupted [[compact]] — run by every entry
     * point (ensure/append/compact) so a crash mid-swap self-heals
