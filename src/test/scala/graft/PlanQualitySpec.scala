@@ -742,6 +742,38 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("partial_topk_rows"), "map-side partial heap expected")
   }
 
+  test("s16: the appended IVF-PQ layout keeps cell DPP and codes-only " +
+       "reads on BOTH roots (base and generation scan alike)") {
+    // the append rung's 100 TB claim: a generation is not a second-class
+    // path — the probe's dynamic partition pruning and the m-bytes-per-
+    // vector scan economics must hold on every root the union reads
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val emb = Tables.embeddings(spark, dir)
+    val (_, cents, cb) = graft.sim.IvfPqIndex.ensure(spark, dir,
+      emb.filter(pmod(col("vec_id"), lit(10)) =!= 0), subset = "inc")
+    val (codesByCell, _, _) = graft.sim.IvfPqIndex.append(spark, dir, "b0",
+      emb.filter(pmod(col("vec_id"), lit(10)) === 0), subset = "inc")
+    // the default 100-char metadata truncation cuts the Location paths
+    // this test keys on (the z1 lesson)
+    val prevLen = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val plan =
+      try executedPlan(graft.sim.Similarity.ivfPqCandidatePairs(
+        codesByCell, cents, cb, emb.filter(col("vec_id") < 8), kCand = 64))
+      finally spark.conf.set("spark.sql.maxMetadataStringLength", prevLen)
+    val scans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("ivfpq_index")).toSeq
+    assert(scans.exists(_.contains("/codes_by_cell]")) &&
+           scans.exists(_.contains("append_b0")),
+      s"both the base and the generation root must be scanned:\n$plan")
+    scans.foreach { s =>
+      assert(s.contains("dynamicpruning"),
+        s"every ivfpq root must carry the probe-cell DPP filter:\n$s")
+      assert(!s.contains("embedding"),
+        s"no ivfpq root may read embedding bytes:\n$s")
+    }
+  }
+
   test("z1: BOTH range predicates reach the z-mirror's parquet scan as " +
        "PushedFilters, read schema pruned to the three touched columns") {
     // the layout exists so file/row-group min-max stats answer these
