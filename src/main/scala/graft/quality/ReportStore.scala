@@ -42,10 +42,32 @@ object ReportStore {
   def append(report: DataFrame, path: String, period: String): Unit = {
     require(period.nonEmpty && !period.contains("/") && !period.contains("\\"),
       s"period must be a plain path segment; got '$period'")
+    recover(report.sparkSession, path)
     report.select(lit(period).as("period"), col("check_name"),
         col("col_name"), col("metric"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/$period")
+  }
+
+  /** Finish an interrupted [[compact]] before touching the store —
+    * called by EVERY entry point (append/load/compact), not just
+    * compact's preamble. Without this, a crash between compact's two
+    * swap renames (history parked at `__precompact`, live path absent)
+    * followed by the NEXT DAY's append would re-create the live path
+    * with one fresh period — and the next compact's "stale recovery
+    * copy" rule (old + live both present → drop old) would then delete
+    * the parked FULL HISTORY silently. Recovery first means the append
+    * lands on the restored store instead of a fresh one.
+    */
+  private def recover(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val old = new org.apache.hadoop.fs.Path(path + "__precompact")
+    if (fs.exists(old) && !fs.exists(p)) {
+      if (!fs.rename(old, p))
+        throw new java.io.IOException(s"report-store recovery failed: $old -> $p")
+    }
   }
 
   /** The full metric history: (period, check_name, col_name, metric).
@@ -61,13 +83,15 @@ object ReportStore {
     * directory itself like a period id — the parent-directory test is
     * how freshness is recognized.)
     */
-  def load(spark: SparkSession, path: String): DataFrame =
+  def load(spark: SparkSession, path: String): DataFrame = {
+    recover(spark, path)
     spark.read.option("recursiveFileLookup", "true").parquet(path)
       .withColumn("__fresh",
         element_at(split(input_file_name(), "/"), -2) === col("period"))
       .groupBy("period", "check_name", "col_name")
       .agg(max_by(col("metric"), struct(col("__fresh"), col("metric")))
         .as("metric"))
+  }
 
   /** Rewrite the store as one compact file set (the HashLedger compact
     * pass — a year of daily appends is 365 tiny files). Same two-rename

@@ -95,10 +95,35 @@ object ZOrderTable {
   /** Append `df` as z-ordered files under `path` (batch-local quantile
     * cuts — the batch's own value distribution, which is what a daily
     * partition's readers filter by). Existing files are never touched.
+    *
+    * Runs [[recover]] first: without it, a crash between [[compact]]'s
+    * two swap renames (table parked at `__precompact`, live path
+    * absent) followed by the next day's append would re-create the
+    * live path holding ONE batch — and the next compact's
+    * stale-recovery-copy rule (old + live both present → drop old)
+    * would then delete the parked full table silently.
     */
   def append(df: DataFrame, cols: Seq[String], path: String,
-             numFiles: Int, bits: Int = 8): Unit =
+             numFiles: Int, bits: Int = 8): Unit = {
+    recover(df.sparkSession, path)
     ZOrder.writeZOrdered(df, cols, path, numFiles, bits, mode = "append")
+  }
+
+  /** Restore a table a crashed [[compact]] left parked at
+    * `__precompact` with no live path — the roll-back half of compact's
+    * own preamble, exposed to every entry point that writes or reads
+    * the table outside compact.
+    */
+  def recover(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val old = new org.apache.hadoop.fs.Path(path + "__precompact")
+    if (fs.exists(old) && !fs.exists(p)) {
+      if (!fs.rename(old, p))
+        throw new java.io.IOException(s"compact recovery failed: $old -> $p")
+    }
+  }
 
   /** Re-cluster the whole table onto one global curve and swap it in
     * (write beside, rename live aside, rename new in, drop the old):

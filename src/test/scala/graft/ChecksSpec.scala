@@ -198,6 +198,33 @@ class ChecksSpec extends SparkTestBase {
       "retry after mid-swap crash must recover the history")
   }
 
+  test("ReportStore: an APPEND after a mid-swap crash restores the parked " +
+       "history first — the next compact can never prefer a fresh one-period store") {
+    import graft.quality.ReportStore
+    // the hole this pins: crash between compact's two renames parks the
+    // full history at __precompact; if the NEXT DAY'S append re-created
+    // the live path with one fresh period, compact's stale-recovery-copy
+    // rule (old + live both present → drop old) would delete the only
+    // full copy silently. Every entry point must recover first.
+    val path = java.nio.file.Files.createTempDirectory("graft_repstore2").toString + "/s"
+    def report(m: Double) =
+      Seq(("completeness", "v", m)).toDF("check_name", "col_name", "metric")
+    ReportStore.append(report(1.0), path, "2024-01-01")
+    ReportStore.append(report(0.9), path, "2024-01-02")
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(path + "__precompact")))
+    ReportStore.append(report(0.95), path, "2024-01-03")
+    assert(ReportStore.load(spark, path).collect().map(_.getString(0)).toSet ===
+      Set("2024-01-01", "2024-01-02", "2024-01-03"),
+      "the post-crash append must land on the RESTORED history")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__precompact")))
+    ReportStore.compact(spark, path)
+    assert(ReportStore.load(spark, path).count() === 3,
+      "compact after the recovered append folds the full history")
+  }
+
   test("qualityDriftStream: per-batch drift vs the stored trailing batches; " +
        "first batch vacuous") {
     implicit val sqlCtx = spark.sqlContext

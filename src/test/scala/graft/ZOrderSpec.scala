@@ -236,6 +236,33 @@ class ZOrderSpec extends SparkTestBase {
       "recovery copy is cleaned up once the live path exists")
   }
 
+  test("ZOrderTable: an APPEND after a mid-swap crash restores the parked " +
+       "table first — the batch lands on the full table, never a fresh one " +
+       "the next compact's stale-copy rule would keep") {
+    import graft.sink.ZOrderTable
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zrecover2").toString + "/t"
+    val df = spark.range(4096L)
+      .select(pmod(xxhash64(col("id")), lit(1000)).as("a"),
+              pmod(xxhash64(col("id") + 7), lit(1000)).as("b"))
+    ZOrderTable.append(df, Seq("a", "b"), tmp, 4)
+    // crash window: the table's only copy parked at __precompact
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(conf)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(tmp + "__precompact")))
+    // next day's batch arrives via append, NOT a compact retry
+    val batch = spark.range(4096L, 5120L)
+      .select(pmod(xxhash64(col("id")), lit(1000)).as("a"),
+              pmod(xxhash64(col("id") + 7), lit(1000)).as("b"))
+    ZOrderTable.append(batch, Seq("a", "b"), tmp, 2)
+    assert(spark.read.parquet(tmp).count() === 5120L,
+      "the post-crash append must land on the RESTORED table")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tmp + "__precompact")))
+    ZOrderTable.compact(spark, tmp, Seq("a", "b"), numFiles = 4)
+    assert(spark.read.parquet(tmp).count() === 5120L,
+      "compact after the recovered append keeps the full row multiset")
+  }
+
   test("ZOrderMirror: builds once, reuses without rewriting, and is a permutation " +
        "of the source table") {
     import graft.sink.ZOrderMirror
