@@ -104,7 +104,12 @@ object ScaleProbe {
     // track w8's growth (the prefix dominates the registered shape);
     // g13 folds the odd half over the even half's labeling — the
     // closure is pair-domain like g5
-    "w20_sessions_incremental", "g13_components_incremental")
+    "w20_sessions_incremental", "g13_components_incremental",
+    // r20: the epoch-walk fold — rep 1 seeds the StateStore artifacts at
+    // the scaled dir, the warm rep measures two batch folds + three
+    // epoch snapshot writes (the registered shape re-advances its fixed
+    // epoch keys each run to exercise idempotency)
+    "w21_sessions_epochs")
 
   /** TPC-H probe set (SPARK_GRAFT_PROBE=tpch): the fact-heavy headline
     * shapes — pure fact agg (q1), fact⋈fact⋈dim top-k (q3), 5-way profit
