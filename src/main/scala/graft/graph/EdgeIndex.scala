@@ -62,6 +62,8 @@ object EdgeIndex {
     val stamp = graft.ContentStamp(eventsPath(dir), spark.sessionState.newHadoopConf())
     spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir, variant, nBuckets, stamp)}")
     graft.ArtifactKey.rmRecursive(rootDir(dir, variant, nBuckets, stamp))
+    // the cross-batch state sidecar belongs to the index lifecycle too
+    graft.ArtifactKey.rmRecursive(viewsDir(dir, variant, nBuckets, stamp))
   }
 
   /** The persisted transition-edge table for `dir`'s events under the
@@ -92,14 +94,20 @@ object EdgeIndex {
         graft.sink.Sinks.writeBucketed(
           e.repartition(nBuckets, col("src")), name, Seq("src"), nBuckets,
           path = Some(base.getPath), sortCols = Seq("src"))
-        // the optional cross-batch state sidecar (one lastViews row per
-        // user) — what [[append]]'s edge delta links transitions across
-        // the batch boundary with; beside the table location, never
-        // inside it (the scan lists every file under LOCATION)
-        views.foreach(_.write.mode("overwrite")
-          .parquet(viewsDir(dir, variant, nBuckets, stamp).getPath))
       }
     }
+    // the optional cross-batch state sidecar (one lastViews row per
+    // user) — what [[append]]'s edge delta links transitions across
+    // the batch boundary with; beside the table location, never inside
+    // it (the scan lists every file under LOCATION). Written on ANY
+    // path where the current stamp's sidecar is missing, not only the
+    // cold build: a crash between the cold table write and this write
+    // must be healed by the caller's retry, not leave the sidecar
+    // absent forever. `views` is only forced when the sidecar is
+    // missing (None-providing callers pay an Option evaluation).
+    if (!new java.io.File(viewsDir(dir, variant, nBuckets, stamp), "_SUCCESS").isFile)
+      views.foreach(_.write.mode("overwrite")
+        .parquet(viewsDir(dir, variant, nBuckets, stamp).getPath))
     spark.table(name)
   }
 
@@ -147,10 +155,24 @@ object EdgeIndex {
     val stamp = graft.ContentStamp(eventsPath(dir), spark.sessionState.newHadoopConf())
     val name = tableName(dir, variant, nBuckets, stamp)
     val base = rootDir(dir, variant, nBuckets, stamp)
-    if (spark.catalog.tableExists(name)) return spark.table(name)
+    // the batch was already absorbed (stamp = batch key) — but a crash
+    // AFTER the table committed and BEFORE the views sidecar landed
+    // must not leave the replay returning early with the sidecar stuck
+    // one batch behind: the next fold's delta would then seed from
+    // stale lastViews and FABRICATE the boundary transitions batch N
+    // already folded. Complete the sidecar (idempotent overwrite) and
+    // the retirement sweep before returning.
+    def completeReplay(): DataFrame = {
+      if (!new java.io.File(viewsDir(dir, variant, nBuckets, stamp), "_SUCCESS").isFile)
+        views.foreach(_.write.mode("overwrite")
+          .parquet(viewsDir(dir, variant, nBuckets, stamp).getPath))
+      sweepSuperseded(spark, dir, variant, stamp, base)
+      spark.table(name)
+    }
+    if (spark.catalog.tableExists(name)) return completeReplay()
     if (new java.io.File(base, "_SUCCESS").isFile) {
       attach(spark, name, base, nBuckets)
-      return spark.table(name)
+      return completeReplay()
     }
     require(delta.columns.toSeq == Seq("src", "dst", "n_trans"),
       s"EdgeIndex expects (src, dst, n_trans); got ${delta.columns.mkString(", ")}")
