@@ -61,7 +61,7 @@ object StateStore {
         ArtifactKey.pathKey(src(dir, table)) + "_", base.getParentFile.getName)
       state.write.mode("overwrite").parquet(seed.getPath)
     }
-    spark.read.parquet(seed.getPath)
+    ReadCache.parquetLocal(spark, seed)
   }
 
   /** Persist one fold's OUTPUT as the next standing snapshot — its own
@@ -83,8 +83,24 @@ object StateStore {
     require(new java.io.File(new java.io.File(base, "seed"), "_SUCCESS").isFile,
       s"advance requires a seeded state — ensure() first ($base)")
     val epoch = new java.io.File(base, s"epoch_$epochKey")
-    state.write.mode("overwrite").parquet(epoch.getPath)
-    spark.read.parquet(epoch.getPath)
+    if (!new java.io.File(epoch, "_SUCCESS").isFile) {
+      // first write: a crash leaves no _SUCCESS, the half-epoch is
+      // invisible to [[latest]] until the replay completes it
+      state.write.mode("overwrite").parquet(epoch.getPath)
+    } else {
+      // replay of a COMMITTED epoch: mode("overwrite") in place would
+      // delete the committed snapshot before writing, so a crash
+      // mid-replay silently regresses [[latest]] to an older epoch.
+      // Write beside it and swap — the committed snapshot stays present
+      // for all but the two metadata renames. The tmp name must NOT
+      // match the `epoch_` prefix or latest() could pick a half-swap.
+      val tmp = new java.io.File(base, s"__replay_epoch_$epochKey")
+      ArtifactKey.rmRecursive(tmp)
+      state.write.mode("overwrite").parquet(tmp.getPath)
+      ArtifactKey.rmRecursive(epoch)
+      require(tmp.renameTo(epoch), s"epoch replay swap failed: $tmp -> $epoch")
+    }
+    ReadCache.parquetLocal(spark, epoch)
   }
 
   /** The newest committed snapshot for (source, name): the
@@ -102,6 +118,6 @@ object StateStore {
       val seed = new java.io.File(base, "seed")
       if (new java.io.File(seed, "_SUCCESS").isFile) Some(seed) else None
     }
-    pick.map(f => spark.read.parquet(f.getPath))
+    pick.map(ReadCache.parquetLocal(spark, _))
   }
 }

@@ -17,8 +17,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** One reader handle per (session, table, content stamp): a bare
+    * `spark.read.parquet` re-pays listing + footer schema inference on
+    * every query construction (~50-100 ms of driver/scheduler time);
+    * [[ReadCache]] re-checks the content stamp per access so a
+    * regenerated table still misses. Every action over the handle scans
+    * the parquet files as before.
+    */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    ReadCache.parquetAny(spark, s"$dir/$name.parquet")
 
   /** The events table's `ts` physical encoding has varied across testdata
     * generations — TIMESTAMP(NANOS) (which Spark only reads as a raw long

@@ -146,10 +146,18 @@ object HashLedger {
         .repartition(groups, col("__grp"))
         .write.mode("overwrite").partitionBy("__grp").parquet(hashesPath)
     }
-    val meta = spark.read.parquet(metaPath).collect()(0)
-    Handle(spark.read.parquet(hashesPath), meta.getAs[Int]("groups"),
+    val meta = readMeta(spark, metaPath)
+    Handle(graft.ReadCache.parquetLocal(spark, new java.io.File(hashesPath)),
+      meta.getAs[Int]("groups"),
       meta.getAs[String]("id_col"), meta.getAs[String]("text_col"))
   }
+
+  /** The persisted geometry row, memoized per (session, path, content
+    * fingerprint) — [[graft.ReadCache]] — so a warm ensure/append/probe
+    * pays a metadata walk, not a read + collect job, per access.
+    */
+  private def readMeta(spark: SparkSession, metaPath: String): org.apache.spark.sql.Row =
+    graft.ReadCache.collectedLocal(spark, new java.io.File(metaPath))(_.collect()(0))
 
   /** Append a batch's content addresses to the standing ledger — the
     * daily-ingest seam: after [[Dedup.incrementalExactNewIndexed]] finds
@@ -172,13 +180,13 @@ object HashLedger {
     val metaPath = new java.io.File(base, "meta").getPath
     require(new java.io.File(hashesPath, "_SUCCESS").isFile,
       s"append requires a persisted ledger — ensure() first ($hashesPath)")
-    val meta = spark.read.parquet(metaPath).collect()(0)
+    val meta = readMeta(spark, metaPath)
     val groups = meta.getAs[Int]("groups")
     newHashes.select(col("content_md5")).distinct()
       .withColumn("__grp", grpOf(col("content_md5"), groups))
       .repartition(groups, col("__grp"))
       .write.mode("append").partitionBy("__grp").parquet(hashesPath)
-    Handle(spark.read.parquet(hashesPath), groups,
+    Handle(graft.ReadCache.parquetLocal(spark, new java.io.File(hashesPath)), groups,
       meta.getAs[String]("id_col"), meta.getAs[String]("text_col"))
   }
 
@@ -211,8 +219,8 @@ object HashLedger {
     val metaPath = new java.io.File(base, "meta").getPath
     require(new java.io.File(hashesDir, "_SUCCESS").isFile,
       s"compact requires a persisted ledger — ensure() first ($hashesDir)")
-    val meta = spark.read.parquet(metaPath).collect()(0)
-    val distinctAddrs = spark.read.parquet(hashesDir.getPath)
+    val meta = readMeta(spark, metaPath)
+    val distinctAddrs = graft.ReadCache.parquetLocal(spark, hashesDir)
       .select(col("content_md5")).distinct()
     val n = distinctAddrs.count()
     val groups = autoGroups(n)
@@ -240,7 +248,7 @@ object HashLedger {
     graft.sim.IndexMaintenance.swapLeaf(base, "hashes")
     failpoint("hashes-swapped")
     marker.delete()
-    Handle(spark.read.parquet(hashesDir.getPath), groups,
+    Handle(graft.ReadCache.parquetLocal(spark, hashesDir), groups,
       meta.getAs[String]("id_col"), meta.getAs[String]("text_col"))
   }
 }

@@ -161,12 +161,19 @@ object LshIndex {
         .repartition(groups, col("__grp"))
         .write.mode("overwrite").partitionBy("__grp").parquet(bucketsPath)
     }
-    val meta = spark.read.parquet(metaPath).collect()(0)
-    Handle(spark.read.parquet(bucketsPath),
+    val meta = readMeta(spark, metaPath)
+    Handle(graft.ReadCache.parquetLocal(spark, new java.io.File(bucketsPath)),
       meta.getAs[Int]("shingle"), meta.getAs[Int]("bands"),
       meta.getAs[Int]("rows"), meta.getAs[Int]("groups"),
       meta.getAs[String]("id_col"), meta.getAs[String]("text_col"))
   }
+
+  /** The persisted geometry row, memoized per (session, path, content
+    * fingerprint) — [[graft.ReadCache]] — so a warm ensure/append/probe
+    * pays a metadata walk, not a read + collect job, per access.
+    */
+  private def readMeta(spark: SparkSession, metaPath: String): org.apache.spark.sql.Row =
+    graft.ReadCache.collectedLocal(spark, new java.io.File(metaPath))(_.collect()(0))
 
   /** Append a batch's bucket assignments to the standing index — the
     * daily-ingest seam: new documents are banded with the PERSISTED
@@ -192,7 +199,7 @@ object LshIndex {
     val metaPath = new java.io.File(base, "meta").getPath
     require(new java.io.File(bucketsPath, "_SUCCESS").isFile,
       s"append requires a persisted index — ensure() first ($bucketsPath)")
-    val meta = spark.read.parquet(metaPath).collect()(0)
+    val meta = readMeta(spark, metaPath)
     val groups = meta.getAs[Int]("groups")
     Dedup.lshBuckets(newDocs, meta.getAs[String]("id_col"),
         meta.getAs[String]("text_col"), meta.getAs[Int]("shingle"),
@@ -202,7 +209,7 @@ object LshIndex {
       .withColumn("__grp", grpOf(col("band"), col("bucket"), groups))
       .repartition(groups, col("__grp"))
       .write.mode("append").partitionBy("__grp").parquet(bucketsPath)
-    Handle(spark.read.parquet(bucketsPath),
+    Handle(graft.ReadCache.parquetLocal(spark, new java.io.File(bucketsPath)),
       meta.getAs[Int]("shingle"), meta.getAs[Int]("bands"),
       meta.getAs[Int]("rows"), groups,
       meta.getAs[String]("id_col"), meta.getAs[String]("text_col"))
@@ -244,9 +251,9 @@ object LshIndex {
     val metaPath = new java.io.File(base, "meta").getPath
     require(new java.io.File(bucketsDir, "_SUCCESS").isFile,
       s"compact requires a persisted index — ensure() first ($bucketsDir)")
-    val meta = spark.read.parquet(metaPath).collect()(0)
+    val meta = readMeta(spark, metaPath)
     val idColName = meta.getAs[String]("id_col")
-    val rows = spark.read.parquet(bucketsDir.getPath)
+    val rows = graft.ReadCache.parquetLocal(spark, bucketsDir)
       .select(col(idColName), col("band"), col("bucket")).distinct()
     val total = rows.count()
     val groups = autoGroups(total)
@@ -277,7 +284,7 @@ object LshIndex {
     graft.sim.IndexMaintenance.swapLeaf(base, "buckets")
     failpoint("buckets-swapped")
     marker.delete()
-    Handle(spark.read.parquet(bucketsDir.getPath),
+    Handle(graft.ReadCache.parquetLocal(spark, bucketsDir),
       meta.getAs[Int]("shingle"), bandsM, meta.getAs[Int]("rows"), groups,
       meta.getAs[String]("id_col"), meta.getAs[String]("text_col"))
   }

@@ -119,7 +119,7 @@ object NameIndex {
       withOcc(uncappedPairs(standing, nameCol))
         .write.mode("overwrite").parquet(base.getPath)
     }
-    capped(spark.read.parquet(base.getPath), blockCap)
+    capped(graft.ReadCache.parquetLocal(spark, base), blockCap)
   }
 
   /** Fold NEW names into the persisted universe — the maintenance rung
@@ -151,7 +151,7 @@ object NameIndex {
     recover(base)
     require(new java.io.File(base, "_SUCCESS").isFile,
       s"append requires a persisted index — ensure() first ($base)")
-    val old = spark.read.parquet(base.getPath).select("__sname", "__tok")
+    val old = graft.ReadCache.parquetLocal(spark, base).select("__sname", "__tok")
     val batchPairs = uncappedPairs(newNames, nameCol)
       .join(old.select("__sname").distinct(), Seq("__sname"), "left_anti")
     val merged = withOcc(old.unionByName(batchPairs))
@@ -167,6 +167,6 @@ object NameIndex {
     require(tmp.renameTo(base), s"append swap failed: $tmp -> $base")
     failpoint("swapped")
     graft.ArtifactKey.rmRecursive(oldDir)
-    capped(spark.read.parquet(base.getPath), blockCap)
+    capped(graft.ReadCache.parquetLocal(spark, base), blockCap)
   }
 }

@@ -121,11 +121,22 @@ object EdgeIndex {
   def viewsOf(spark: SparkSession, dir: String, variant: String,
               nBuckets: Int = defaultBuckets): Option[DataFrame] = synchronized {
     val parent = rootDir(dir, variant, nBuckets, "x").getParentFile
-    val live = Option(parent.listFiles).toSeq.flatten
+    val all = Option(parent.listFiles).toSeq.flatten
       .filter(f => f.getName.startsWith(s"${variant}_b${nBuckets}_s") &&
-        f.getName.endsWith("__views") &&
         new java.io.File(f, "_SUCCESS").isFile)
-    live.sortBy(_.getName).lastOption.map(f => spark.read.parquet(f.getPath))
+    val (sidecars, tables) = all.partition(_.getName.endsWith("__views"))
+    // stamps are hash-valued, so NAME order is not age order: in the
+    // crash window between append's sidecar write and the retirement
+    // sweep two sidecars coexist, and the lexicographically-last one can
+    // be the STALE one. Prefer the sidecar of the single live table
+    // snapshot (the same discovery append's prev check does); fall back
+    // to name order only when no live table names one.
+    val ofLive = tables match {
+      case Seq(t) => sidecars.find(_.getName == t.getName + "__views")
+      case _ => None
+    }
+    ofLive.orElse(sidecars.sortBy(_.getName).lastOption)
+      .map(graft.ReadCache.parquetLocal(spark, _))
   }
 
   /** Fold one ingest batch's edge-count increments into the persisted
@@ -183,7 +194,7 @@ object EdgeIndex {
     require(prev.length == 1,
       s"append folds into exactly one standing snapshot of ($dir, $variant); " +
         s"found ${prev.length} — seed with ensure() first")
-    val merged = spark.read.parquet(prev.head.getPath)
+    val merged = graft.ReadCache.parquetLocal(spark, prev.head)
       .unionByName(delta)
       .groupBy("src", "dst").agg(org.apache.spark.sql.functions.sum(col("n_trans")).as("n_trans"))
     graft.sink.Sinks.writeBucketed(
@@ -204,7 +215,7 @@ object EdgeIndex {
 
   private def attach(spark: SparkSession, name: String, base: java.io.File,
                      nBuckets: Int): Unit = {
-    val schema = spark.read.parquet(base.getPath).schema
+    val schema = graft.ReadCache.parquetLocal(spark, base).schema
     spark.sql(
       s"""CREATE TABLE $name (${schema.toDDL}) USING PARQUET
          |CLUSTERED BY (src) SORTED BY (src) INTO $nBuckets BUCKETS

@@ -69,8 +69,12 @@ object WeightsIndex {
         .coalesce(1)
         .write.mode("overwrite").parquet(base.getPath)
     }
-    val row = spark.read.parquet(base.getPath).head()
-    (Array.tabulate(row.length - 1)(row.getDouble),
-      row.getLong(row.length - 1))
+    // memoized per (session, path, content fingerprint) — graft.ReadCache —
+    // so a warm inference pays a metadata walk, not a read + head() job
+    graft.ReadCache.collectedLocal(spark, base) { df =>
+      val row = df.head()
+      (Array.tabulate(row.length - 1)(row.getDouble),
+        row.getLong(row.length - 1))
+    }
   }
 }

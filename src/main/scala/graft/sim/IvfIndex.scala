@@ -113,8 +113,10 @@ object IvfIndex {
       val cells = Similarity.autoCells(n)
       // a cold build starts a fresh index lifetime: a folded-keys ledger
       // surviving from a prior lifetime at this path would wrongly no-op
-      // appends that reuse a batch key
+      // appends that reuse a batch key — and a surviving generation dir
+      // would union a PRIOR lifetime's rows into the fresh index
       foldedKeysFile(base).delete()
+      genDirs(base).foreach(graft.ArtifactKey.rmRecursive)
       val cents = Similarity.kmeansCentroids(df, cells, 0, idCol, vecCol)
         .map(_.toSeq).toSeq
       // centroids persist beside the corpus: probe selection must use the
@@ -130,11 +132,18 @@ object IvfIndex {
         .repartition(cents.length, col("__cell"))
         .write.mode("overwrite").partitionBy("__cell").parquet(corpusPath)
     }
-    val cents = spark.read.parquet(centsPath)
-      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
-      .map(_._2).toSeq
-    (readAll(spark, base), cents)
+    (readAll(spark, base), readCents(spark, centsPath))
   }
+
+  /** The persisted centroid matrix, memoized per (session, path, content
+    * fingerprint) — [[graft.ReadCache]] — so a warm ensure/append/search
+    * pays a metadata walk, not a read + collect job, per access.
+    */
+  private def readCents(spark: SparkSession, centsPath: String): Seq[Seq[Double]] =
+    graft.ReadCache.collectedLocal(spark, new java.io.File(centsPath)) { df =>
+      df.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+        .map(_._2).toSeq
+    }
 
   /** The assigned frame: base corpus plus every completed [[append]]
     * generation (each its own cell-partitioned parquet root, so dynamic
@@ -147,9 +156,11 @@ object IvfIndex {
       .map(_.getPath).sorted
     // one read per root, unioned: a multi-path partitioned read trips
     // partition-structure inference; per-root scans also keep partition
-    // (cell) pruning per generation
-    (new java.io.File(base, "corpus").getPath +: gens.toSeq)
-      .map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    // (cell) pruning per generation. Handles are ReadCache-memoized: a
+    // rewritten root (overwrite, compact swap) re-reads, an unchanged one
+    // skips the per-read listing + schema-inference job.
+    (new java.io.File(base, "corpus") +: gens.toSeq.map(new java.io.File(_)))
+      .map(graft.ReadCache.parquetLocal(spark, _)).reduce(_.unionByName(_))
   }
 
   /** Fold a batch of NEW vectors into the persisted index — the
@@ -188,9 +199,7 @@ object IvfIndex {
     require(new java.io.File(corpusPath, "_SUCCESS").isFile &&
       new java.io.File(centsPath, "_SUCCESS").isFile,
       s"no persisted index at $base — ensure() a base corpus before append()")
-    val cents = spark.read.parquet(centsPath)
-      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
-      .map(_._2).toSeq
+    val cents = readCents(spark, centsPath)
     // a batchKey whose generation was already FOLDED by [[compact]] must
     // no-op, not re-append: its rows live in the corpus leaf now, and a
     // re-created generation would double-count them (duplicate vector
@@ -262,9 +271,7 @@ object IvfIndex {
     require(new java.io.File(corpusDir, "_SUCCESS").isFile &&
       new java.io.File(centsPath, "_SUCCESS").isFile,
       s"compact requires a persisted index — ensure() first ($corpusDir)")
-    val cents = spark.read.parquet(centsPath)
-      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
-      .map(_._2).toSeq
+    val cents = readCents(spark, centsPath)
     val tmp = new java.io.File(base, "corpus__compact")
     graft.ArtifactKey.rmRecursive(tmp)
     // stage the folded-keys ledger FIRST (harmless alone — rollback

@@ -52,9 +52,11 @@ object IvfPqIndex {
   private def readAll(spark: SparkSession, base: java.io.File): DataFrame = {
     val gens = IndexMaintenance.genDirs(base)
       .filter(f => new java.io.File(f, "_SUCCESS").isFile)
-      .map(_.getPath).sorted
-    (new java.io.File(base, "codes_by_cell").getPath +: gens.toSeq)
-      .map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      .sorted
+    // handles ReadCache-memoized like IvfIndex.readAll: unchanged roots
+    // skip the per-read listing + schema-inference job
+    (new java.io.File(base, "codes_by_cell") +: gens.toSeq)
+      .map(graft.ReadCache.parquetLocal(spark, _)).reduce(_.unionByName(_))
   }
 
   /** The (cell-partitioned code table, IVF centroids, PQ codebooks)
@@ -87,8 +89,11 @@ object IvfPqIndex {
       graft.ArtifactKey.dropSuperseded(
         base.getParentFile.getParentFile, graft.ArtifactKey.pathKey(dir) + "_",
         base.getParentFile.getName)
-      // a cold build starts a fresh index lifetime (see IndexMaintenance)
+      // a cold build starts a fresh index lifetime (see IndexMaintenance):
+      // drop the ledger AND any prior lifetime's generation dirs (their
+      // rows would otherwise union into the fresh index)
       IndexMaintenance.foldedKeysFile(base).delete()
+      IndexMaintenance.genDirs(base).foreach(graft.ArtifactKey.rmRecursive)
       // one build-time equi-join lays the codes out by cell; repartition
       // on the cell first so partitionBy writes ONE file per cell
       // directory (the IvfIndex alignment trick)
@@ -125,10 +130,17 @@ object IvfPqIndex {
     val (cents, cb) = quantizers(spark, dir, subset)
     if (IndexMaintenance.readFoldedKeys(base).contains(batchKey))
       return (readAll(spark, base), cents, cb)
-    val codes = Similarity.pqEncode(batch, cb, idCol, vecCol)
-    codes.join(
-        Similarity.assignCells(batch, cents, idCol, vecCol)
-          .select(col(idCol), col("__cell")), Seq(idCol))
+    // ONE map-side pass derives codes AND cell per batch row (both are
+    // pure per-row functions of the frozen quantizers over the same
+    // frame) — the previous encode-frame ⋈ assign-frame equi-join on the
+    // id re-scanned the batch twice and paid a join exchange to reunite
+    // columns that never needed separating
+    Similarity.withUnitNorm(batch, vecCol, "__unit")
+      .select(col(idCol),
+        org.apache.spark.sql.graft.PqFunctions
+          .pqEncodeNative(col("__unit"), cb).as("__codes"),
+        org.apache.spark.sql.graft.VectorFunctions
+          .nearestCellsNative(col(vecCol), cents, 1).getItem(0).as("__cell"))
       .repartition(cents.length, col("__cell"))
       .write.mode("overwrite").partitionBy("__cell")
       .parquet(new java.io.File(base, s"append_$batchKey").getPath)
@@ -177,13 +189,18 @@ object IvfPqIndex {
     require(new java.io.File(booksPath, "_SUCCESS").isFile,
       s"missing sibling PQ codebooks at $booksPath — the composed index " +
         "cannot encode without the exact quantizer it was built with")
-    val cents = spark.read.parquet(centsPath.getPath)
-      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
-      .map(_._2).toSeq
-    val books = spark.read.parquet(booksPath.getPath)
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-    val cb = books.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rows) =>
-      rows.sortBy(_._2).map(_._3.toSeq).toSeq
+    // both sidecars memoized per (session, path, content fingerprint) —
+    // [[graft.ReadCache]] — so a warm append/compact pays two metadata
+    // walks, not two read + collect jobs
+    val cents = graft.ReadCache.collectedLocal(spark, centsPath) { df =>
+      df.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+        .map(_._2).toSeq
+    }
+    val cb = graft.ReadCache.collectedLocal(spark, booksPath) { df =>
+      val books = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      books.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rows) =>
+        rows.sortBy(_._2).map(_._3.toSeq).toSeq
+      }
     }
     (cents, cb)
   }

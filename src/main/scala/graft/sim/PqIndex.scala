@@ -112,8 +112,10 @@ object PqIndex {
       }
       // a cold build starts a fresh index lifetime: a folded-keys ledger
       // surviving from a prior lifetime would wrongly no-op appends that
-      // reuse a batch key
+      // reuse a batch key — and a surviving generation dir would union a
+      // PRIOR lifetime's rows into the fresh index
       IndexMaintenance.foldedKeysFile(base).delete()
+      IndexMaintenance.genDirs(base).foreach(graft.ArtifactKey.rmRecursive)
       // codebooks persist beside the codes: ADC LUTs must use the EXACT
       // quantizer the codes were written with, across JVMs
       import spark.implicits._
@@ -127,23 +129,28 @@ object PqIndex {
     (readAll(spark, base), readBooks(spark, booksPath))
   }
 
-  private def readBooks(spark: SparkSession, booksPath: String): Seq[Seq[Seq[Double]]] = {
-    val books = spark.read.parquet(booksPath)
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-    books.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rows) =>
-      rows.sortBy(_._2).map(_._3.toSeq).toSeq
+  /** The persisted codebooks, memoized per (session, path, content
+    * fingerprint) — [[graft.ReadCache]] — so a warm ensure/append/search
+    * pays a metadata walk, not a read + collect job, per access.
+    */
+  private def readBooks(spark: SparkSession, booksPath: String): Seq[Seq[Seq[Double]]] =
+    graft.ReadCache.collectedLocal(spark, new java.io.File(booksPath)) { df =>
+      val books = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      books.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rows) =>
+        rows.sortBy(_._2).map(_._3.toSeq).toSeq
+      }
     }
-  }
 
   /** The code table: base build plus every completed [[append]]
-    * generation, one read per root unioned (the IvfIndex shape).
+    * generation, one read per root unioned (the IvfIndex shape; handles
+    * ReadCache-memoized like IvfIndex.readAll).
     */
   private def readAll(spark: SparkSession, base: java.io.File): DataFrame = {
     val gens = IndexMaintenance.genDirs(base)
       .filter(f => new java.io.File(f, "_SUCCESS").isFile)
-      .map(_.getPath).sorted
-    (new java.io.File(base, "codes").getPath +: gens.toSeq)
-      .map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      .sorted
+    (new java.io.File(base, "codes") +: gens.toSeq)
+      .map(graft.ReadCache.parquetLocal(spark, _)).reduce(_.unionByName(_))
   }
 
   /** Fold a batch of NEW vectors into the persisted code table — the

@@ -153,8 +153,10 @@ object SrpIndex {
       val groups = autoGroups(n * nTables)
       // a cold build starts a fresh index lifetime: a folded-keys ledger
       // surviving from a prior lifetime would wrongly no-op appends that
-      // reuse a batch key
+      // reuse a batch key — and a surviving generation dir would union a
+      // PRIOR lifetime's rows into the fresh index
       foldedKeysFile(base).delete()
+      genDirs(base).foreach(graft.ArtifactKey.rmRecursive)
       import spark.implicits._
       Seq((planes, nTables, groups, n)).toDF("planes", "tables", "groups", "n")
         .coalesce(1).write.mode("overwrite").parquet(metaPath)
@@ -181,10 +183,20 @@ object SrpIndex {
       // through the nTables-replicated bucket frame
       df.select(col(idCol), col(vecCol)).write.mode("overwrite").parquet(vectorsPath)
     }
-    val meta = spark.read.parquet(metaPath).collect()(0)
+    val (planes, tables, groups) = readMeta(spark, metaPath)
     Handle(readAll(spark, base, "buckets"), readAll(spark, base, "vectors"),
-      meta.getAs[Int]("planes"), meta.getAs[Int]("tables"), meta.getAs[Int]("groups"))
+      planes, tables, groups)
   }
+
+  /** The persisted geometry (planes, tables, groups), memoized per
+    * (session, path, content fingerprint) — [[graft.ReadCache]] — so a
+    * warm ensure/append pays a metadata walk, not a read + collect job.
+    */
+  private def readMeta(spark: SparkSession, metaPath: String): (Int, Int, Int) =
+    graft.ReadCache.collectedLocal(spark, new java.io.File(metaPath)) { df =>
+      val r = df.collect()(0)
+      (r.getAs[Int]("planes"), r.getAs[Int]("tables"), r.getAs[Int]("groups"))
+    }
 
   /** `leaf` ("buckets" | "vectors") of the base build plus every
     * completed [[append]] generation, one read per root unioned (a
@@ -204,9 +216,11 @@ object SrpIndex {
       .filter(f => f.getName.startsWith("append_") &&
         new java.io.File(new java.io.File(f, "buckets"), "_SUCCESS").isFile &&
         new java.io.File(new java.io.File(f, "vectors"), "_SUCCESS").isFile)
-      .map(f => new java.io.File(f, leaf).getPath).sorted
-    (new java.io.File(base, leaf).getPath +: gens.toSeq)
-      .map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      .map(f => new java.io.File(f, leaf)).sorted
+    // handles ReadCache-memoized like IvfIndex.readAll: unchanged roots
+    // skip the per-read listing + schema-inference job
+    (new java.io.File(base, leaf) +: gens.toSeq)
+      .map(graft.ReadCache.parquetLocal(spark, _)).reduce(_.unionByName(_))
   }
 
   /** Fold a batch of NEW vectors into the persisted index — the
@@ -237,13 +251,12 @@ object SrpIndex {
     require(new java.io.File(new java.io.File(base, "buckets"), "_SUCCESS").isFile &&
       new java.io.File(metaPath, "_SUCCESS").isFile,
       s"no persisted index at $base — ensure() a base corpus before append()")
-    val meta = spark.read.parquet(metaPath).collect()(0)
-    val (planes, groups) = (meta.getAs[Int]("planes"), meta.getAs[Int]("groups"))
+    val (planes, tables, groups) = readMeta(spark, metaPath)
     // a batchKey whose generation was already FOLDED by [[compact]] must
     // no-op, not re-append — see the [[IvfIndex.append]] rationale
     if (readFoldedKeys(base).contains(batchKey))
       return Handle(readAll(spark, base, "buckets"), readAll(spark, base, "vectors"),
-        planes, meta.getAs[Int]("tables"), groups)
+        planes, tables, groups)
     val gen = new java.io.File(base, s"append_$batchKey")
     val (q8c, sc) = Similarity.int8Candidate(col(vecCol))
     // vectors FIRST, buckets LAST: readAll keys a generation's visibility
@@ -264,7 +277,7 @@ object SrpIndex {
       .write.mode("overwrite").partitionBy("__grp")
       .parquet(new java.io.File(gen, "buckets").getPath)
     Handle(readAll(spark, base, "buckets"), readAll(spark, base, "vectors"),
-      planes, nTables, meta.getAs[Int]("groups"))
+      planes, nTables, groups)
   }
 
   /** Every append-generation directory, completed or not (an incomplete
@@ -399,8 +412,7 @@ object SrpIndex {
       new java.io.File(new java.io.File(base, "vectors"), "_SUCCESS").isFile &&
       new java.io.File(metaPath, "_SUCCESS").isFile,
       s"compact requires a persisted index — ensure() first ($base)")
-    val meta = spark.read.parquet(metaPath).collect()(0)
-    val (planes, groups) = (meta.getAs[Int]("planes"), meta.getAs[Int]("groups"))
+    val (planes, _, groups) = readMeta(spark, metaPath)
     val tmpV = new java.io.File(base, "vectors__compact")
     val tmpB = new java.io.File(base, "buckets__compact")
     graft.ArtifactKey.rmRecursive(tmpV)

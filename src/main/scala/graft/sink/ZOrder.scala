@@ -241,6 +241,8 @@ object ZOrderMirror {
       ZOrder.writeZOrdered(df, cols, base.getPath,
         filesFor(fs.getContentSummary(src).getLength), bits)
     }
-    spark.read.parquet(base.getPath)
+    // memoized handle ([[graft.ReadCache]]): a warm mirror read skips the
+    // per-read listing + schema-inference job; any rewrite misses
+    graft.ReadCache.parquetLocal(spark, base)
   }
 }
