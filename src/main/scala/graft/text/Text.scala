@@ -835,20 +835,22 @@ object Text {
   private def dsirScored(df: DataFrame, idCol: String, textCol: String,
                          isTarget: Column, extra: Seq[(String, Column)],
                          maxVocab: Int): DataFrame = {
-    val cs = df.select(explode(tokens(col(textCol))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cs"))
+    // ONE model pass fits BOTH count tables: the target is a row-subset
+    // of df, so its per-token count is a conditional count over the same
+    // exploded stream — the previous separate target pass re-ran the
+    // tokenizer+explode over the target slice and paid a second
+    // aggregate + collect job for counts this scan already had in hand
+    val cs = df.select(isTarget.as("__t"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cs"),
+        count(when(col("__t"), lit(1))).as("ct"))
     val csRows = cs.limit(maxVocab + 1).collect()
     if (csRows.length > maxVocab)
       return dsirScoredJoined(df, idCol, textCol, isTarget, extra)
     val csMap = csRows.map(r => r.getString(0) -> r.getLong(1))
     val ns = csMap.iterator.map(_._2).sum
     val v = csMap.length.toLong
-    // the target is a row-subset of df, so its vocabulary ⊆ the corpus
-    // vocabulary just bounded above — this collect cannot exceed it
-    val ctMap = df.filter(isTarget)
-      .select(explode(tokens(col(textCol))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("ct"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ctMap = csRows.iterator.filter(_.getLong(2) > 0)
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
     val nt = ctMap.valuesIterator.sum
     // exact twin expression per distinct token: double numerators (long
     // count + 1.0), LONG-summed denominators promoted at the division —
@@ -930,15 +932,19 @@ object Text {
       transform(wordShingleOccurrences(c, 2), g =>
         pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"),
           lit(buckets.toLong)).cast("string"))
-    val csMap = df.select(explode(terms(col(textCol))).as("b"))
-      .groupBy("b").agg(count(lit(1)).as("cs"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // ONE model pass fits BOTH bucket-count tables (the dsirScored
+    // rationale): the target's count is a conditional count over the
+    // same hashed-bigram stream — the separate target pass re-paid the
+    // md5-per-bigram derivation over the target slice for nothing
+    val rows = df.select(isTarget.as("__t"), explode(terms(col(textCol))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cs"),
+        count(when(col("__t"), lit(1))).as("ct"))
+      .collect()
+    val csMap = rows.map(r => r.getString(0) -> r.getLong(1))
     val ns = csMap.iterator.map(_._2).sum
     val v = csMap.length.toLong
-    val ctMap = df.filter(isTarget)
-      .select(explode(terms(col(textCol))).as("b"))
-      .groupBy("b").agg(count(lit(1)).as("ct"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ctMap = rows.iterator.filter(_.getLong(2) > 0)
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
     val nt = ctMap.valuesIterator.sum
     val lr = csMap.map { case (b, c) =>
       b -> (StrictMath.log((ctMap.getOrElse(b, 0L) + 1.0) / (nt + v)) -
