@@ -505,14 +505,18 @@ object SparkEntry {
       import graft.analyze.Lifecycle
       val log = Tables.events(s, d).select(col("user_id"),
         to_date(col("ts")).as("day"), col("event_type"), col("event_id"))
-      def midId(day: String): Long =
-        log.filter(col("day") === lit(day).cast("date"))
-          .agg(coalesce(avg("event_id"), lit(0.0))).head.getDouble(0).toLong
       def upTo(day: String, id: Long) =
         col("day") < lit(day).cast("date") ||
           (col("day") === lit(day).cast("date") && col("event_id") <= lit(id))
       val (c1, c2) = ("2024-01-10", "2024-01-20")
-      val (e1, e2) = (midId(c1), midId(c2))
+      // both cut-day means in ONE aggregate job (they were two separate
+      // head() actions over the same scan); values are the identical
+      // per-day avg, coalesced to 0 for an absent day
+      val mids = log.filter(col("day").isin(
+          lit(c1).cast("date"), lit(c2).cast("date")))
+        .groupBy("day").agg(avg("event_id").as("m")).collect()
+        .map(r => r.getDate(0).toString -> r.getDouble(1).toLong).toMap
+      val (e1, e2) = (mids.getOrElse(c1, 0L), mids.getOrElse(c2, 0L))
       val b1 = log.filter(upTo(c1, e1))
       val b2 = log.filter(!upTo(c1, e1) && upTo(c2, e2))
       val b3 = log.filter(!upTo(c2, e2))
