@@ -99,7 +99,7 @@ object IvfIndex {
         base.getParentFile.getParentFile, graft.ArtifactKey.pathKey(dir) + "_",
         base.getParentFile.getName)
       val df = corpus
-      val n = df.count()
+      val n = Similarity.countRows(df)
       if (n == 0) {
         // nothing to persist: an empty parquet dir can't be read back
         // (no footer to infer a schema from), and repartition(0 cells)

@@ -158,7 +158,15 @@ object Similarity {
     * from the corpus count (one count job, the [[resolveCells]] pattern).
     */
   private[graft] def resolvePlanes(corpus: DataFrame, nPlanes: Int): Int =
-    if (nPlanes > 0) nPlanes else autoPlanes(corpus.count())
+    if (nPlanes > 0) nPlanes else autoPlanes(countRows(corpus))
+
+  /** Row count for auto-sizing, with any caller-added top-level spread
+    * repartition peeled first ([[org.apache.spark.sql.graft.PlanUtils]]):
+    * counting THROUGH the spread exchange shuffles the whole corpus to
+    * produce a number the bare scan answers from metadata.
+    */
+  private[graft] def countRows(df: DataFrame): Long =
+    org.apache.spark.sql.graft.PlanUtils.withoutTopLevelRepartition(df).count()
 
   /** ANN top-k: SRP-bucket both sides, join on bucket, exact re-rank.
     *
@@ -483,7 +491,7 @@ object Similarity {
     * metadata read, negligible next to the search itself).
     */
   private def resolveCells(corpus: DataFrame, nCells: Int, nProbes: Int): (Int, Int) = {
-    val cells = if (nCells > 0) nCells else autoCells(corpus.count())
+    val cells = if (nCells > 0) nCells else autoCells(countRows(corpus))
     val probes = if (nProbes > 0) nProbes else autoProbes(cells)
     (cells, probes)
   }
@@ -942,7 +950,7 @@ object Similarity {
     val subs = if (m > 0) m else autoSubspaces(dim)
     require(dim % subs == 0, s"subspace count $subs must divide dim $dim")
     val dsub = dim / subs
-    val n = corpus.count()
+    val n = countRows(corpus)
     // clamp in LONG space: `math.max(n, 1L).toInt` truncates for corpora
     // over Int.MaxValue rows (the 100 TB regime) into a negative/garbage
     // k. Codewords are byte codes, so 256 bounds `wanted` first and the

@@ -139,7 +139,7 @@ object SrpIndex {
         base.getParentFile.getParentFile,
         graft.ArtifactKey.pathKey(dir) + "_", base.getParentFile.getName)
       val df = corpus
-      val n = df.count()
+      val n = Similarity.countRows(df)
       if (n == 0) {
         // nothing to persist (an empty parquet dir can't be read back);
         // hand out the inline paths' empty-corpus contract directly
