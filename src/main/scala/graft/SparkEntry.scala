@@ -2133,8 +2133,11 @@ object SparkEntry {
     // snapshot seam is engine-side only, the w18/g9 one-truth pattern
     "g11_pagerank_resume" -> ((s, d) => {
       val e = graphEdges(s, d)
-      graft.graph.Graph.pageRankResume(e,
-        graft.graph.Graph.pageRankSnapshot(e, iters = 2), extraIters = 1)
+      // fused snapshot→resume over one prepared universe (r21): the
+      // resume seam and every expression are the two-call form's — the
+      // two-call form re-paid the edge checkpoint + weight normalization
+      // for each phase
+      graft.graph.Graph.pageRankSnapshotResume(e, iters = 2, extraIters = 1)
     }),
     // warm-start community refresh (g12): resume from the 2-round RAW
     // label snapshot for 2 more rounds — bit-exactly the 4-round
@@ -2143,8 +2146,10 @@ object SparkEntry {
     // engine-side only, the g11/w18/g9 one-truth pattern
     "g12_lpa_resume" -> ((s, d) => {
       val e = graphEdges(s, d)
-      graft.graph.Graph.labelPropagationResume(e,
-        graft.graph.Graph.labelPropagationSnapshot(e, iters = 2), extraIters = 2)
+      // fused snapshot→resume over one prepared universe (r21, the g11
+      // note): same seam, same expressions, one edge checkpoint +
+      // pair-domain count instead of two
+      graft.graph.Graph.labelPropagationSnapshotResume(e, iters = 2, extraIters = 2)
     }),
     // incremental components (g13): half the edge table is "history"
     // (labeled once), the other half folds in as the batch — exactly

@@ -156,6 +156,24 @@ object Graph {
                            raw: Boolean = false)(
       init: DataFrame => DataFrame)(
       step: (DataFrame, DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val env = powerEnv(edges, srcCol, dstCol, weightCol)
+    val ranks = powerRounds(env, iters, init, step)
+    if (raw) ranks.select(col("page"), col("__r").as(outCol))
+    else ranks.select(col("page"),
+      (round(col("__r") * 1000000) / 1000000.0 + lit(0.0)).as(outCol))
+  }
+
+  /** The prepared power-iteration universe: checkpointed normalized edge
+    * weights, the vertex frame, and the out-edge source set — split from
+    * [[powerIterate]] so the fused snapshot→resume shape
+    * ([[pageRankSnapshotResume]]) can run BOTH phases over one prepared
+    * universe instead of re-paying the edge checkpoint per phase.
+    */
+  private final case class PowerEnv(verts: DataFrame, wEdges: DataFrame,
+                                    outSrc: DataFrame)
+
+  private def powerEnv(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String): PowerEnv = {
     // weights sum as EXACT longs before the one double division that
     // normalizes them (the "exact long division into double" contract
     // with the oracle) — a fractional weight column would silently
@@ -183,7 +201,18 @@ object Graph {
       .select(col("src"), col("dst"),
         (col("__c").cast("double") / col("__tot").cast("double")).as("__w"))
     val outSrc = outTot.select(col("src").as("page"))
-    var ranks = init(verts)
+    PowerEnv(verts, wEdges, outSrc)
+  }
+
+  /** `iters` unrolled (dangling-mass, contribution) steps from
+    * `init(verts)` over a prepared [[PowerEnv]] — the iteration body of
+    * [[powerIterate]], one copy so the fused snapshot→resume path cannot
+    * drift numerically from the one-shot.
+    */
+  private def powerRounds(env: PowerEnv, iters: Int,
+      init: DataFrame => DataFrame,
+      step: (DataFrame, DataFrame, DataFrame) => DataFrame): DataFrame = {
+    var ranks = init(env.verts)
     for (_ <- 0 until iters) {
       // each iteration consumes the rank frame TWICE (dangling mass and
       // contributions) — un-checkpointed, the lazy plan embeds two
@@ -196,19 +225,17 @@ object Graph {
       // bit-unchanged either way: checkpointing moves where the
       // doubles live, not one bit of them
       if (iters > 4) ranks = ranks.localCheckpoint()
-      val dm = ranks.join(outSrc, Seq("page"), "left_anti")
+      val dm = ranks.join(env.outSrc, Seq("page"), "left_anti")
         .agg(coalesce(sum(col("__r").cast("decimal(20,10)")),
           lit(0).cast("decimal(20,10)")).cast("double").as("__dm"))
       val contrib = ranks.withColumnRenamed("page", "src")
-        .join(wEdges, "src")
+        .join(env.wEdges, "src")
         .groupBy(col("dst").as("page"))
         .agg(sum((col("__r") * col("__w")).cast("decimal(20,10)"))
           .cast("double").as("__contrib"))
-      ranks = step(verts, dm, contrib)
+      ranks = step(env.verts, dm, contrib)
     }
-    if (raw) ranks.select(col("page"), col("__r").as(outCol))
-    else ranks.select(col("page"),
-      (round(col("__r") * 1000000) / 1000000.0 + lit(0.0)).as(outCol))
+    ranks
   }
 
   private def prVertexCount(verts: DataFrame) =
@@ -307,6 +334,36 @@ object Graph {
         .select(col("page"),
           coalesce(col("pr_raw"), lit(1.0) / col("__n")).as("__r"))
     }(prStep(damping))
+  }
+
+  /** [[pageRankSnapshot]] then [[pageRankResume]] fused over ONE
+    * prepared universe — the registered warm-start proof shape (g11)
+    * without paying the edge checkpoint + weight normalization twice:
+    * the caller-visible seam is unchanged (the resume phase inits from
+    * the snapshot's (page, pr_raw) frame through the same coalesce, and
+    * both phases run the shared [[powerRounds]]/[[prStep]] expressions),
+    * so `snapshotResume(n, k) == pageRank(n + k)` BIT-EXACTLY, as for
+    * the two-call form. Use the two-call form when the snapshot actually
+    * persists between runs.
+    */
+  def pageRankSnapshotResume(edges: DataFrame, iters: Int, extraIters: Int,
+                             damping: Double = 0.85, srcCol: String = "src",
+                             dstCol: String = "dst",
+                             weightCol: String = "n_trans"): DataFrame = {
+    val env = powerEnv(edges, srcCol, dstCol, weightCol)
+    val snap = powerRounds(env, iters, verts =>
+      verts.crossJoin(broadcast(prVertexCount(verts)))
+        .select(col("page"), (lit(1.0) / col("__n")).as("__r")),
+      prStep(damping))
+      .select(col("page"), col("__r").as("pr_raw"))
+    val resumed = powerRounds(env, extraIters, verts =>
+      verts.crossJoin(broadcast(prVertexCount(verts)))
+        .join(snap, Seq("page"), "left")
+        .select(col("page"),
+          coalesce(col("pr_raw"), lit(1.0) / col("__n")).as("__r")),
+      prStep(damping))
+    resumed.select(col("page"),
+      (round(col("__r") * 1000000) / 1000000.0 + lit(0.0)).as("pr"))
   }
 
   /** Personalized PageRank — [[pageRank]] with the teleport restricted
@@ -511,6 +568,30 @@ object Graph {
     val (verts, und, shufN) = lpaUniverse(edges, srcCol, dstCol, weightCol)
     val init = lpaActiveVertices(und, shufN)
       .join(prevLabels, Seq("page"), "left")
+      .select(col("page"), coalesce(col("l_raw"), col("page")).as("__l"))
+    lpaPublish(lpaIterate(und, shufN, extraIters, init), verts)
+  }
+
+  /** [[labelPropagationSnapshot]] then [[labelPropagationResume]] fused
+    * over ONE prepared universe — the registered warm-start proof shape
+    * (g12) without paying the edge checkpoint + pair-domain count +
+    * layout checkpoint twice: the seam is unchanged (the resume phase
+    * inits from the snapshot's (page, l_raw) frame through the same
+    * left-join coalesce; both phases run the shared [[lpaIterate]]), so
+    * `snapshotResume(n, k) == labelPropagation(n + k)` BIT-EXACTLY, as
+    * for the two-call form. Use the two-call form when the snapshot
+    * actually persists between runs.
+    */
+  def labelPropagationSnapshotResume(edges: DataFrame, iters: Int,
+                                     extraIters: Int, srcCol: String = "src",
+                                     dstCol: String = "dst",
+                                     weightCol: String = "n_trans"): DataFrame = {
+    val (verts, und, shufN) = lpaUniverse(edges, srcCol, dstCol, weightCol)
+    val active = lpaActiveVertices(und, shufN)
+    val snap = lpaIterate(und, shufN, iters,
+      active.select(col("page"), col("page").as("__l")))
+      .select(col("page"), col("__l").as("l_raw"))
+    val init = active.join(snap, Seq("page"), "left")
       .select(col("page"), coalesce(col("l_raw"), col("page")).as("__l"))
     lpaPublish(lpaIterate(und, shufN, extraIters, init), verts)
   }

@@ -106,6 +106,11 @@ class GraphSpec extends SparkTestBase {
       val resumed = Graph.pageRankResume(e, Graph.pageRankSnapshot(e, iters = n),
         extraIters = k).as[(Long, Double)].collect().toMap
       assert(resumed === oneShot, s"seam n=$n k=$k must be invisible")
+      // the fused shape (r21: one prepared universe for both phases)
+      // must be the same bits as the two-call form — and the one-shot
+      val fused = Graph.pageRankSnapshotResume(e, iters = n, extraIters = k)
+        .as[(Long, Double)].collect().toMap
+      assert(fused === oneShot, s"fused seam n=$n k=$k must be invisible")
     }
   }
 
@@ -358,6 +363,11 @@ class GraphSpec extends SparkTestBase {
         Graph.labelPropagationSnapshot(e, iters = n), extraIters = k)
         .as[(Long, Long)].collect().toMap
       assert(resumed === oneShot, s"seam n=$n k=$k must be invisible")
+      // the fused shape (r21: one prepared universe for both phases)
+      // must be the same bits as the two-call form — and the one-shot
+      val fused = Graph.labelPropagationSnapshotResume(e, iters = n,
+        extraIters = k).as[(Long, Long)].collect().toMap
+      assert(fused === oneShot, s"fused seam n=$n k=$k must be invisible")
     }
   }
 
