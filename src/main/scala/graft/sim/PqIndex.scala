@@ -182,7 +182,10 @@ object PqIndex {
     val cb = readBooks(spark, booksPath)
     if (IndexMaintenance.readFoldedKeys(base).contains(batchKey))
       return (readAll(spark, base), cb)
-    Similarity.pqEncode(batch, cb, idCol, vecCol)
+    // REBALANCE (AQE) sizes the generation's files (the SrpIndex.append
+    // note): un-hinted, the codes land in the batch's input partitioning
+    // — dozens of near-empty files per append at test scale
+    Similarity.pqEncode(batch, cb, idCol, vecCol).hint("rebalance")
       .write.mode("overwrite")
       .parquet(new java.io.File(base, s"append_$batchKey").getPath)
     (readAll(spark, base), cb)

@@ -264,7 +264,13 @@ object SrpIndex {
     // effective commit point — a crash between the writes leaves only an
     // invisible half-generation that the replayed batch overwrites, never
     // bucket candidates the rescore join would silently drop.
-    batch.select(col(idCol), col(vecCol))
+    // REBALANCE (AQE) sizes the output files: the batch arrives in the
+    // caller's input partitioning (32 near-empty files at test scale,
+    // unsized splits at corpus scale); the hinted exchange lets AQE
+    // coalesce/split to the advisory partition size (guide §6) — row
+    // SET unchanged, and readAll unions whole files, so placement is
+    // semantics-free
+    batch.select(col(idCol), col(vecCol)).hint("rebalance")
       .write.mode("overwrite").parquet(new java.io.File(gen, "vectors").getPath)
     batch
       .select(col(idCol).as("neighbor_id"), q8c.as("__qc"), sc.as("__sc"), col(vecCol))
