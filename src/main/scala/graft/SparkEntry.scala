@@ -813,18 +813,9 @@ object SparkEntry {
     // nation-pair predicate, the classic join-reorder probe. Both nation
     // copies broadcast; the two fact-fact joins shuffle on their keys.
     "q7_nation_volume" -> ((s, d) => {
-      // pre-filter BOTH nation dims to the two named nations: the final
-      // OR-of-pairs predicate references both sides at once, so Catalyst
-      // cannot push it into either join alone — without this every
-      // lineitem row survives the supplier/customer joins and dies only
-      // at the last filter; with it the two inner joins drop non-matching
-      // rows as early as the plan allows (the OR pair filter still runs)
-      val wanted = Seq("NATION_1", "NATION_2")
       val n1 = broadcast(Tables.nation(s, d)
-        .filter(col("n_name").isin(wanted: _*))
         .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
       val n2 = broadcast(Tables.nation(s, d)
-        .filter(col("n_name").isin(wanted: _*))
         .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation")))
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
