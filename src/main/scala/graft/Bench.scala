@@ -50,6 +50,10 @@ object Bench {
       // record its tiny time-to-exception as the query's best time. A
       // query that fails every rep records -1 so the JSON marks it
       // failed instead of fast.
+      // label the rep's jobs (guide §1.5) so a UI/event-log inspection of
+      // a bench run attributes every job to its query; thread-local, no
+      // effect on the measured work
+      spark.sparkContext.setJobDescription(s"bench: $name")
       val times = (1 to bestOf).flatMap { _ =>
         val t0 = System.nanoTime()
         try {

@@ -425,13 +425,24 @@ object Dedup {
   def curationFunnel(df: DataFrame, idCol: String, textCol: String,
                      sourceCol: String, minQuality: Double,
                      lang: String): DataFrame = {
+    // the two gate scores ride a GENERATOR boundary: as plain withColumns
+    // the filter on them is substitution-pushed below the projection and
+    // the full qualityScore+langId trees (each re-tokenizing the text
+    // several times) evaluate TWICE per row — once in the pushed filter,
+    // once in the projection that publishes __q (the t17 ledger lesson;
+    // the round-21 d6 executed plan showed both copies). A filter on a
+    // generated attribute cannot cross the Generate, so each scores once;
+    // the single-element array's inferred generate-filters constant-fold.
     val gated = df
-      .withColumn("__q", Text.qualityScore(col(textCol)))
-      .withColumn("__lang", Text.langId(col(textCol)))
-      .filter(col("__q") >= minQuality && col("__lang") === lang)
+      .select(col("*"), explode(array(struct(
+          Text.qualityScore(col(textCol)).as("__q"),
+          Text.langId(col(textCol)).as("__lang")))).as("__g"))
+      .filter(col("__g").getField("__q") >= minQuality &&
+        col("__g").getField("__lang") === lang)
     gated
       .select(md5(col(textCol)).as("__h"), col(idCol).as("__id"),
-              struct(col(sourceCol), col("__q")).as("__sq"))
+              struct(col(sourceCol),
+                col("__g").getField("__q").as("__q")).as("__sq"))
       .groupBy("__h")
       .agg(min_by(col("__sq"), col("__id")).as("__k"))
       .groupBy(col(s"__k.$sourceCol").as(sourceCol))
