@@ -806,13 +806,43 @@ object Similarity {
       .toDF(labelCol, "centroid")
   }
 
-  /** One MMR candidate: its 4dp query-cosine plus its 4dp similarity to
-    * every other candidate of the same query (bounded: kCand-1 entries).
+  /** One MMR candidate: its 4dp query-cosine plus its (double-cast)
+    * vector, carried through the top-kCand heap so the kCand² candidate
+    * similarities are computed inside the bounded per-query group.
     */
   private[sim] case class MmrCandRow(query_id: Long, neighbor_id: Long,
-                                     cos: Double, sims: Map[Long, Double])
+                                     cos: Double, vec: Seq[Double])
   private[sim] case class MmrPickRow(query_id: Long, neighbor_id: Long,
                                      mmr_rank: Long, score: Double)
+
+  /** Closure twin of the relational `round(x, 4)` (Spark RoundBase on
+    * DoubleType): NaN/Infinity pass through, else shortest-repr
+    * BigDecimal + HALF_UP setScale — bit-identical to the expression.
+    */
+  private def round4(v: Double): Double =
+    if (v.isNaN || v.isInfinite) v
+    else java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Closure twin of `round(VectorFunctions.cosineNative(a, b), 4)`:
+    * same ascending-index accumulation over the common prefix, same
+    * IEEE doubles, same 4dp rounding — so the greedy selector compares
+    * the exact floats the former kCand² sim-matrix join produced.
+    * (Zero-norm candidates cannot reach the selector: their 4dp
+    * query-cosine is null, which the Double decode already rejected in
+    * the pre-r22 shape too.)
+    */
+  private def cos4(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    round4(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
 
   /** MMR-diversified top-k (Carbonell & Goldstein 1998, Maximal Marginal
     * Relevance): greedily pick k of the kCand exact-cosine candidates,
@@ -823,14 +853,18 @@ object Similarity {
     * Operator-ladder placement: the greedy step has a SEQUENTIAL data
     * dependence (step i's scores depend on picks 1..i−1), which is not
     * relational — but the dependence is confined to one query's candidate
-    * set, which is BOUNDED (kCand rows). So: all vector math stays in the
-    * native codegen expressions — exact top-kCand via the bounded heap,
-    * pairwise candidate sims via one bounded self-join (kCand² rows per
-    * query, model-sized, never corpus²) — and only the pure control-flow
-    * selection runs as a typed `flatMapGroups` over the pre-joined
-    * candidate structs (ladder rung (d), justified: groups are O(kCand),
-    * the shuffle moves only candidate rows, and millions of queries
-    * parallelize across groups).
+    * set, which is BOUNDED (kCand rows). So: the corpus-sized vector math
+    * stays in the native codegen expressions — exact top-kCand via the
+    * bounded heap — and the candidate VECTORS ride the heap into the
+    * per-query `flatMapGroups`, which computes the ≤ kCand·k pairwise
+    * candidate sims (same ascending-index cosine, same 4dp rounding)
+    * alongside the pure control-flow selection (ladder rung (d),
+    * justified: groups are O(kCand), the shuffle moves only candidate
+    * rows, and millions of queries parallelize across groups). The
+    * pre-r22 shape built the sims as a cands⋈cands⋈corpus⋈corpus
+    * sim-matrix join + collect_list map — four joins, two extra corpus
+    * scans and a kCand²-row shuffle to reunite columns the group already
+    * holds (guide §3 join elimination, §2.4).
     *
     * Cross-engine determinism: cos and sims are ROUNDED to 4dp before any
     * MMR arithmetic, so selection compares doubles that are
@@ -848,49 +882,61 @@ object Similarity {
       .withColumn("cos", round(VectorFunctions.cosineNative(col("__qv"), col("__cv")), 4))
       .groupBy(col("query_id"))
       .agg(org.apache.spark.sql.graft.TopKFunctions
-        .topKRows(struct(col("cos"), col("neighbor_id")), kCand, Seq(true, false)).as("__top"))
+        .topKRows(struct(col("cos"), col("neighbor_id"), col("__cv")), kCand,
+          Seq(true, false)).as("__top"))
       .select(col("query_id"), explode(col("__top")).as("__row"))
       .select(col("query_id"), col("__row.neighbor_id").as("neighbor_id"),
-        col("__row.cos").as("cos"))
-    val cv = corpus.select(col(idCol).as("vid"), toDouble(col(vecCol)).as("v"))
-    val simMaps = cands.as("a")
-      .join(cands.as("b"),
-        col("a.query_id") === col("b.query_id") &&
-        col("a.neighbor_id") =!= col("b.neighbor_id"))
-      .select(col("a.query_id").as("query_id"),
-        col("a.neighbor_id").as("n1"), col("b.neighbor_id").as("n2"))
-      .join(cv.toDF("n1", "v1"), "n1")
-      .join(cv.toDF("n2", "v2"), "n2")
-      .withColumn("sim", round(VectorFunctions.cosineNative(col("v1"), col("v2")), 4))
-      .groupBy(col("query_id"), col("n1"))
-      .agg(map_from_entries(collect_list(struct(col("n2"), col("sim")))).as("sims"))
-      .withColumnRenamed("n1", "neighbor_id")
+        col("__row.cos").as("cos"), col("__row.__cv").as("vec"))
     val sp = corpus.sparkSession
     import sp.implicits._
     val mu = 1.0 - lambdaRel
-    cands.join(simMaps, Seq("query_id", "neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("sims"))
+    cands
       .as[MmrCandRow]
       .groupByKey(_.query_id)
       .flatMapGroups { (qid, it) =>
         val cs = it.toArray.sortBy(r => (-r.cos, r.neighbor_id))
-        val chosen = scala.collection.mutable.ArrayBuffer.empty[MmrCandRow]
-        val out = scala.collection.mutable.ArrayBuffer.empty[MmrPickRow]
-        while (out.length < k && chosen.length < cs.length) {
-          val pick = cs.iterator
-            .filterNot(r => chosen.exists(_.neighbor_id == r.neighbor_id))
-            .map { r =>
-              val score =
-                if (chosen.isEmpty) r.cos
-                else lambdaRel * r.cos -
-                  mu * chosen.iterator.map(s => r.sims(s.neighbor_id)).max
-              (r, score)
+        // A lone candidate yields no picks: the pre-r22 sim-matrix join
+        // was INNER on (query_id, neighbor_id), so a candidate with no
+        // same-query partner never reached the selector.
+        if (cs.length < 2) Iterator.empty
+        else {
+          val vecs = cs.map(_.vec.toArray)
+          val taken = new Array[Boolean](cs.length)
+          // max 4dp-sim of candidate i to the picks so far; the running
+          // max over the same rounded doubles the sim-matrix held, so
+          // each step compares the identical floats.
+          val maxSim = new Array[Double](cs.length)
+          val out = scala.collection.mutable.ArrayBuffer.empty[MmrPickRow]
+          while (out.length < k && out.length < cs.length) {
+            var best = -1
+            var bestScore = 0.0
+            var i = 0
+            while (i < cs.length) {
+              if (!taken(i)) {
+                val score =
+                  if (out.isEmpty) cs(i).cos
+                  else lambdaRel * cs(i).cos - mu * maxSim(i)
+                if (best < 0 || score > bestScore ||
+                    (score == bestScore && cs(i).neighbor_id < cs(best).neighbor_id)) {
+                  best = i; bestScore = score
+                }
+              }
+              i += 1
             }
-            .minBy { case (r, sc) => (-sc, r.neighbor_id) }
-          chosen += pick._1
-          out += MmrPickRow(qid, pick._1.neighbor_id, out.length + 1L, pick._2)
+            taken(best) = true
+            out += MmrPickRow(qid, cs(best).neighbor_id, out.length + 1L, bestScore)
+            val first = out.length == 1
+            var j = 0
+            while (j < cs.length) {
+              if (!taken(j)) {
+                val s = cos4(vecs(j), vecs(best))
+                if (first || s > maxSim(j)) maxSim(j) = s
+              }
+              j += 1
+            }
+          }
+          out.iterator
         }
-        out
       }
       .toDF()
       .select(col("query_id"), col("neighbor_id"), col("mmr_rank"),
