@@ -976,10 +976,18 @@ object Dedup {
     * bands may emit from each; `.distinct()` collapses that (the edge
     * list is O(members·bands) worst case, narrow longs).
     *
-    * The shingle arrays ride the (band, bucket) shuffle once per band —
+    * The shingle sets ride the (band, bucket) shuffle once per band —
     * heavier per-row than the clique form's candidate join, but the
-    * clique form then shuffles TWO shingle arrays per verified pair,
-    * which on a dup-heavy corpus (pairs ~ dup-rate²) dwarfs it.
+    * clique form then shuffles TWO shingle sets per verified pair,
+    * which on a dup-heavy corpus (pairs ~ dup-rate²) dwarfs it. The
+    * exchanged representation is the 64-bit per-shingle xxhash, not the
+    * gram strings (guide §2.3 — shuffle fewer bytes): Jaccard over the
+    * hashed sets equals Jaccard over the strings except on a 64-bit
+    * collision inside one compared pair (~|a∪b|²/2⁶⁵ — orders of
+    * magnitude below the LSH banding's own false-negative rate), the
+    * per-band payload shrinks from ~20-40 bytes to 8 per shingle, and
+    * the per-bucket verify intersects Long sets instead of re-hashing
+    * strings.
     */
   def minhashSpanningEdges(df: DataFrame, idCol: String, textCol: String,
                            threshold: Double, shingleSize: Int = 3,
@@ -989,13 +997,15 @@ object Dedup {
     val grouped = df
       .select(col(idCol).as("__id"),
               Text.wordShingles(col(textCol), shingleSize).as("__sh"))
-      .select(col("__id"), col("__sh"),
+      .select(col("__id"),
+        org.apache.spark.sql.graft.HashFunctions
+          .shingleHashes(col("__sh")).as("__hh"),
         posexplode(org.apache.spark.sql.graft.HashFunctions
           .lshBandBuckets(col("__sh"), bands, rowsPerBand)).as(Seq("band", "bucket")))
       .groupBy(col("band"), col("bucket"))
       // id-ascending members in the id's ORIGINAL type — same rationale
       // as [[srpSpanningEdges]] (a long cast nulled string ids)
-      .agg(sort_array(collect_list(struct(col("__id"), col("__sh")))).as("__m"))
+      .agg(sort_array(collect_list(struct(col("__id"), col("__hh")))).as("__m"))
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id1", idType),
       org.apache.spark.sql.types.StructField("id2", idType)))
@@ -1004,7 +1014,7 @@ object Dedup {
       if (bucketCap > 0 && m.length > bucketCap) Iterator.empty
       else {
         val arr = m.toArray
-        val sets = arr.map(_.getSeq[String](1).toSet)
+        val sets = arr.map(_.getSeq[Long](1).toSet)
         spanningForestIndexEdges(arr.length) { (i, j) =>
           // ngramJaccard replica: |a∩b| / |a∪b|, union 0 → null (no edge)
           val union = (sets(i) union sets(j)).size

@@ -85,6 +85,28 @@ object HashImpl {
     new GenericArrayData(out)
   }
 
+  /** xxhash64 of each element — the narrow (8-byte) shuffle
+    * representation of a shingle set: Jaccard over the hashed sets
+    * equals Jaccard over the strings except on a 64-bit collision
+    * (~n²/2⁶⁵ per compared pair — negligible against MinHash's own
+    * banding error), and the exchange carries longs instead of
+    * 20-40-byte grams. Element order/multiplicity preserved (the
+    * consumer's Set construction is where collision collapse, if ever,
+    * happens). Null elements hash like the empty string does NOT —
+    * they stay null-free by the WordShingles contract (never emits
+    * nulls), so a plain per-element loop suffices.
+    */
+  def elementHashes(shingles: ArrayData, seed: Long): ArrayData = {
+    val n = shingles.numElements()
+    val out = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      out(j) = xx(shingles.getUTF8String(j), seed)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over the token array: ±1 vote per bit of each token's
     * hash; sign of the vote is the fingerprint bit.
     */
@@ -136,6 +158,19 @@ case class LshBandBuckets(child: Expression, bands: Int, rowsPerBand: Int, seed:
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"org.apache.spark.sql.graft.HashImpl.lshBands($c, $bands, $rowsPerBand, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class ShingleHashes(child: Expression, seed: Long = 42L)
+  extends StringArrayHashExpression {
+  override def prettyName: String = "graft_shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.elementHashes(input.asInstanceOf[ArrayData], seed)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.HashImpl.elementHashes($c, ${seed}L)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -394,4 +429,6 @@ object HashFunctions {
     ExpressionUtils.column(LshBandBuckets(ExpressionUtils.expression(shingles), bands, rowsPerBand))
   def simhash64(tokens: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+  def shingleHashes(shingles: Column): Column =
+    ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(shingles)))
 }

@@ -519,6 +519,34 @@ class DedupSpec extends SparkTestBase {
     assert(sc === ss)
   }
 
+  test("shingleHashes: per-element xxhash64 (seed 42), hashed-set Jaccard " +
+       "equals string-set Jaccard on collision-free input") {
+    // the exchanged representation minhashSpanningEdges narrows to: each
+    // element must hash exactly like Spark's own xxhash64 (same seed),
+    // so the expression is pinned against the engine builtin, not a
+    // private constant that could drift
+    val arrs = Seq(
+      (1L, Seq("the quick brown", "quick brown fox", "brown fox jumps")),
+      (2L, Seq("the quick brown", "fox jumps over")),
+      (3L, Seq.empty[String]))
+      .toDF("id", "sh")
+    val got = arrs.select($"id",
+        org.apache.spark.sql.graft.HashFunctions.shingleHashes($"sh").as("hh"),
+        transform($"sh", s => xxhash64(s)).as("want"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"shingleHashes drifted from xxhash64 for id ${r.getLong(0)}")
+    }
+    // Jaccard parity: |a∩b|/|a∪b| over the hashed sets == over the
+    // string sets (these grams are collision-free under xxhash64)
+    val a = got(0).getSeq[Long](1).toSet; val b = got(1).getSeq[Long](1).toSet
+    val sa = Set("the quick brown", "quick brown fox", "brown fox jumps")
+    val sb = Set("the quick brown", "fox jumps over")
+    assert(a.intersect(b).size === sa.intersect(sb).size)
+    assert(a.union(b).size === sa.union(sb).size)
+  }
+
   test("HashLedger append + compact: membership answers unchanged, fewer files") {
     import graft.dedup.HashLedger
     val dir = "/root/testdata/sf0.001"
