@@ -162,6 +162,19 @@ object Multimodal {
     * copies. Built ONCE per (source, label); downstream queries measure
     * their own work through a real parquet scan, not the fixture build.
     */
+  /** Fixture WRITE parallelism is the fixture READ parallelism: the
+    * real-codec generators read the SPREAD documents table
+    * (Tables.documents, not the raw single-split reader), so the
+    * one-time encode pass runs at session width and the written fixture
+    * carries ~parallelism files. Before this every fixture was ONE file
+    * a few MB wide, and parquet's byte-based split assignment ran every
+    * decode query in the family on ONE core (measured: m20's envelope
+    * hash was a single 1.19 s task at sf0.1/32 cpus; with the sharded
+    * layout the same pass is 0.20-0.27 s). A read-side repartition was
+    * measured as the alternative and REJECTED: the blob exchange costs
+    * more than it buys at test SFs (m20 0.55 s) and would put blobs
+    * through a shuffle, against the family's scale discipline.
+    */
   private def cachedDerived(spark: SparkSession, sfDir: String, label: String,
                             readSchema: Option[StructType])(gen: => DataFrame): DataFrame = {
     val srcPath = new org.apache.hadoop.fs.Path(sfDir, "documents.parquet")
@@ -225,7 +238,7 @@ object Multimodal {
   def syntheticImageTable(spark: SparkSession, sfDir: String): DataFrame =
     cachedDerived(spark, sfDir, "media_png", None) {
       import spark.implicits._
-      graft.Tables(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+      graft.Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id => (id, MediaCodec.encodePng(id))))
         .toDF("media_id", "bytes")
     }
@@ -236,7 +249,7 @@ object Multimodal {
   def syntheticJpegTable(spark: SparkSession, sfDir: String): DataFrame =
     cachedDerived(spark, sfDir, "media_jpg", None) {
       import spark.implicits._
-      graft.Tables(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+      graft.Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id => (id, MediaCodec.encodeJpeg(id))))
         .toDF("media_id", "bytes")
     }
@@ -247,7 +260,7 @@ object Multimodal {
   def syntheticWavTable(spark: SparkSession, sfDir: String): DataFrame =
     cachedDerived(spark, sfDir, "media_wav", None) {
       import spark.implicits._
-      graft.Tables(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+      graft.Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id => (id, MediaCodec.encodeWav(id))))
         .toDF("media_id", "bytes")
     }
@@ -267,7 +280,7 @@ object Multimodal {
                              groups: Int = 397): DataFrame =
     cachedDerived(spark, sfDir, s"media_png_dup$groups", None) {
       import spark.implicits._
-      graft.Tables(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+      graft.Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
         .mapPartitions(_.map { id =>
           val seed = id % groups
           val bytes = if (id % 2 == 1) MediaCodec.encodePngVariant(seed)
@@ -412,7 +425,7 @@ object Multimodal {
                               seedMod: Int = 101): DataFrame =
     cachedDerived(spark, sfDir, s"media_grid$seedMod", None) {
       import spark.implicits._
-      graft.Tables(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+      graft.Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id => (id, MediaCodec.encodeGridPng(id % seedMod))))
         .toDF("media_id", "bytes")
     }
@@ -426,7 +439,7 @@ object Multimodal {
                           seedMod: Int = 101): DataFrame =
     cachedDerived(spark, sfDir, s"media_amwav$seedMod", None) {
       import spark.implicits._
-      graft.Tables(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+      graft.Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id => (id, MediaCodec.encodeWavAm(id % seedMod))))
         .toDF("media_id", "bytes")
     }
@@ -472,7 +485,7 @@ object Multimodal {
                                     seedMod: Int = 101, maskMod: Int = 24): DataFrame =
     cachedDerived(spark, sfDir, s"media_gridmask${seedMod}_$maskMod", None) {
       import spark.implicits._
-      graft.Tables(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+      graft.Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id =>
           (id, MediaCodec.encodeGridPngMasked(id, seedMod, maskMod))))
         .toDF("media_id", "bytes")
@@ -490,7 +503,7 @@ object Multimodal {
                                        seedMod: Int = 101): DataFrame =
     cachedDerived(spark, sfDir, s"media_gridvar$seedMod", None) {
       import spark.implicits._
-      graft.Tables(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+      graft.Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id =>
           (id, MediaCodec.encodeGridPngVariant(id % seedMod, id / seedMod))))
         .toDF("media_id", "bytes")
@@ -508,7 +521,7 @@ object Multimodal {
                                    seedMod: Int = 101): DataFrame =
     cachedDerived(spark, sfDir, s"media_amwavvar$seedMod", None) {
       import spark.implicits._
-      graft.Tables(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+      graft.Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id =>
           (id, MediaCodec.encodeWavAmVariant(id % seedMod, id / seedMod))))
         .toDF("media_id", "bytes")
@@ -745,7 +758,7 @@ object Multimodal {
   def syntheticGifTable(spark: SparkSession, sfDir: String): DataFrame =
     cachedDerived(spark, sfDir, "media_gif", None) {
       import spark.implicits._
-      graft.Tables(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+      graft.Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id => (id, MediaCodec.encodeGif(id))))
         .toDF("media_id", "bytes")
     }
