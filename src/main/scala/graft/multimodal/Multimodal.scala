@@ -182,7 +182,12 @@ object Multimodal {
     require(fs.exists(srcPath), s"$label: no documents parquet at $srcPath")
     val summary = fs.getContentSummary(srcPath)
     val mtime = fs.getFileStatus(srcPath).getModificationTime
-    val fp = s"${summary.getLength}_$mtime"
+    // the trailing layout tag versions the CACHE KEY, not the content:
+    // the sharded-write change (generators read the spread documents
+    // table) only takes effect on a REBUILD, and without the tag a
+    // surviving pre-shard single-file fixture would short-circuit the
+    // build forever and silently keep every decode scan single-split
+    val fp = s"${summary.getLength}_${mtime}_l2"
     val prefix = s"graft_${label}_" + sfDir.replaceAll("[^A-Za-z0-9.-]", "_") + "_"
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
