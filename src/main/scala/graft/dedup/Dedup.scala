@@ -994,14 +994,17 @@ object Dedup {
                            bands: Int = 8, rowsPerBand: Int = 4,
                            bucketCap: Int = defaultBucketCap): DataFrame = {
     val idType = df.schema(idCol).dataType
+    // bands and payload hashes in ONE expression pass: the payload hash
+    // IS minhash's h1 (same seed), so the standalone pair re-hashed
+    // every gram a third time — the fused struct is bit-identical to
+    // shingleHashes + lshBandBuckets over the same input
     val grouped = df
       .select(col(idCol).as("__id"),
               Text.wordShingles(col(textCol), shingleSize).as("__sh"))
-      .select(col("__id"),
-        org.apache.spark.sql.graft.HashFunctions
-          .shingleHashes(col("__sh")).as("__hh"),
-        posexplode(org.apache.spark.sql.graft.HashFunctions
-          .lshBandBuckets(col("__sh"), bands, rowsPerBand)).as(Seq("band", "bucket")))
+      .select(col("__id"), org.apache.spark.sql.graft.HashFunctions
+        .lshBandsAndHashes(col("__sh"), bands, rowsPerBand).as("__bh"))
+      .select(col("__id"), col("__bh").getField("hashes").as("__hh"),
+        posexplode(col("__bh").getField("bands")).as(Seq("band", "bucket")))
       .groupBy(col("band"), col("bucket"))
       // id-ascending members in the id's ORIGINAL type — same rationale
       // as [[srpSpanningEdges]] (a long cast nulled string ids)

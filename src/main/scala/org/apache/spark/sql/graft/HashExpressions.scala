@@ -107,6 +107,55 @@ object HashImpl {
     new GenericArrayData(out)
   }
 
+  /** [[lshBands]] and [[elementHashes]] in ONE pass over the shingles:
+    * the per-element payload hash IS minhash's h1 (same seed), so
+    * computing them separately re-hashes every gram a third time. The
+    * struct's fields are bit-identical to the two standalone
+    * expressions (`bands` == lshBands, `hashes` == elementHashes at
+    * the same seed); an empty shingle set yields (empty, empty) — the
+    * exploded-empty exclusion semantics are unchanged.
+    */
+  def lshBandsAndHashes(shingles: ArrayData, bands: Int, rowsPerBand: Int,
+                        seed: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = shingles.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](EMPTY_BANDS, EMPTY_BANDS))
+    val k = bands * rowsPerBand
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val hashes = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      val s = shingles.getUTF8String(j)
+      val h1 = xx(s, seed)
+      val h2 = xx(s, seed + 1)
+      hashes(j) = h1
+      var i = 0
+      while (i < k) {
+        val g = h1 + i * h2
+        if (g < sig(i)) sig(i) = g
+        i += 1
+      }
+      j += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0x9E3779B97F4A7C15L ^ seed
+      var r = 0
+      while (r < rowsPerBand) {
+        val v = sig(b * rowsPerBand + r)
+        h = java.lang.Long.rotateLeft(h ^ (v * 0xC2B2AE3D27D4EB4FL), 27) * 0x9E3779B97F4A7C15L
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(out), new GenericArrayData(hashes)))
+  }
+
   /** 64-bit SimHash over the token array: ±1 vote per bit of each token's
     * hash; sign of the vote is the fingerprint bit.
     */
@@ -158,6 +207,24 @@ case class LshBandBuckets(child: Expression, bands: Int, rowsPerBand: Int, seed:
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"org.apache.spark.sql.graft.HashImpl.lshBands($c, $bands, $rowsPerBand, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class LshBandsAndHashes(child: Expression, bands: Int, rowsPerBand: Int,
+                             seed: Long = 42L)
+  extends StringArrayHashExpression {
+  override def prettyName: String = "graft_lsh_bands_hashes"
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("bands",
+      ArrayType(LongType, containsNull = false), nullable = false),
+    org.apache.spark.sql.types.StructField("hashes",
+      ArrayType(LongType, containsNull = false), nullable = false)))
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.lshBandsAndHashes(input.asInstanceOf[ArrayData], bands, rowsPerBand, seed)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.HashImpl.lshBandsAndHashes($c, $bands, $rowsPerBand, ${seed}L)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -431,4 +498,6 @@ object HashFunctions {
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
   def shingleHashes(shingles: Column): Column =
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(shingles)))
+  def lshBandsAndHashes(shingles: Column, bands: Int, rowsPerBand: Int): Column =
+    ExpressionUtils.column(LshBandsAndHashes(ExpressionUtils.expression(shingles), bands, rowsPerBand))
 }

@@ -545,6 +545,23 @@ class DedupSpec extends SparkTestBase {
     val sb = Set("the quick brown", "fox jumps over")
     assert(a.intersect(b).size === sa.intersect(sb).size)
     assert(a.union(b).size === sa.union(sb).size)
+
+    // the fused single-pass form (what minhashSpanningEdges ships) must
+    // be BIT-IDENTICAL to the standalone pair, empty input included
+    val fused = arrs.select($"id",
+        org.apache.spark.sql.graft.HashFunctions
+          .lshBandsAndHashes($"sh", 8, 4).as("bh"),
+        org.apache.spark.sql.graft.HashFunctions
+          .lshBandBuckets($"sh", 8, 4).as("bands"),
+        org.apache.spark.sql.graft.HashFunctions.shingleHashes($"sh").as("hh"))
+      .collect()
+    fused.foreach { r =>
+      val bh = r.getStruct(1)
+      assert(bh.getSeq[Long](0) === r.getSeq[Long](2),
+        s"fused bands drifted for id ${r.getLong(0)}")
+      assert(bh.getSeq[Long](1) === r.getSeq[Long](3),
+        s"fused hashes drifted for id ${r.getLong(0)}")
+    }
   }
 
   test("HashLedger append + compact: membership answers unchanged, fewer files") {
