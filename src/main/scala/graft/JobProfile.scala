@@ -53,6 +53,22 @@ object JobProfile {
         jobs.synchronized { jobs.get(e.jobId).foreach(_.tEnd = e.time) }
       }
     })
+    // Catalyst phase timings (analysis/optimization/planning) of every
+    // root execution — the per-query "planning floor" decomposition
+    val phases = mutable.LinkedHashMap[String, Long]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = if (record) {
+        phases.synchronized {
+          qe.tracker.phases.foreach { case (p, s) =>
+            phases(p) = phases.getOrElse(p, 0L) + (s.endTimeMs - s.startTimeMs)
+          }
+          phases("TOTAL_exec") = phases.getOrElse("TOTAL_exec", 0L) + durationNs / 1000000
+        }
+      }
+      override def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    })
     args.foreach { name =>
       SparkEntry.queries.get(name) match {
         case None => System.err.println(s"[JobProfile] unknown query: $name")
@@ -60,6 +76,7 @@ object JobProfile {
           fn(spark, sfDir).count() // warm lap: artifacts built, code compiled
           jobs.clear(); stageTasks.clear()
           shuffleBytes.synchronized { shuffleBytes(0) = 0L; shuffleBytes(1) = 0L }
+          phases.synchronized { phases.clear() }
           record = true
           val t0 = System.nanoTime()
           val n = fn(spark, sfDir).count()
@@ -74,6 +91,9 @@ object JobProfile {
           snap.sortBy(j => -(j.tEnd - j.t0)).take(8).foreach { j =>
             println(f"   job ${j.id}%3d  ${(j.tEnd - j.t0) / 1e3}%7.3f s  ${j.site}%s")
           }
+          val ph = phases.synchronized { phases.toSeq }
+          if (ph.nonEmpty)
+            println("   phases: " + ph.map { case (p, ms) => s"$p=${ms}ms" }.mkString(" "))
       }
     }
     spark.stop()
